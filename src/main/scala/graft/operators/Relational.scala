@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** Relational operator breadth (SURVEY.md §2.3): aggregations, joins of every
+  * flavor, window functions, rollup/cube, set ops, sorts/top-k, scalar
+  * expressions. Each query is a pure `(SparkSession, sfDir) => DataFrame`
+  * combinator over the parquet fixtures, with an ANSI-SQL twin in
+  * `SparkEntry.oracleSql`.
+  *
+  * Scale posture (100 TB): every query here is a declarative Catalyst plan —
+  * filters/projections push into the parquet scan, small dimension tables are
+  * explicitly `broadcast()`, large joins shuffle on their join keys once, and
+  * aggregations get map-side partial aggregation for free. No collect(), no
+  * driver-side loops, no RDDs.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: the canonical partial+final hash
+    * aggregation. Map-side combine reduces 600k rows (sf0.1) to 4 groups
+    * per partition before the single shuffle. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        revenueSum($"l_extendedprice", $"l_discount").as("sum_disc_price"),
+        (sum($"l_quantity").cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q6-shaped forecast revenue: scan-only filter + global agg.
+    * All three predicates push down to the parquet scan. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1998-01-01").cast("timestamp") &&
+              $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"))
+  }
+
+  /** Broadcast hash join: nation (25 rows) ⋈ region (5 rows). Both sides tiny
+    * ⇒ explicit broadcast keeps this shuffle-free at any scale of the fact
+    * tables that later join against it. */
+  def q2NationRegion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select($"n_nationkey", $"n_name", $"r_name".as("region_name"))
+      .orderBy($"n_nationkey")
+  }
+
+  /** Multi-way join + agg: revenue per customer for 1997 orders.
+    * customer⋈orders shuffles on custkey; orders⋈lineitem on orderkey;
+    * the o_orderdate range filter prunes at the orders scan before the join. */
+  def q3CustomerRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_custkey", $"c_name")
+      .agg(revenueSum($"l_extendedprice", $"l_discount").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-semi join (EXISTS): orders having any heavy lineitem, counted by
+    * priority. Semi join emits each left row at most once — no fanout. */
+  def q4SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val heavy = Tables.lineitem(spark, dir).filter($"l_quantity" > 45)
+    o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no large orders. */
+  def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter($"o_totalprice" > 150000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-outer join + agg: order count and spend per customer, zeros kept. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"),
+           coalesce(moneySum($"o_totalprice"), lit(0.0)).as("total_spend"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Window: top-3 orders per customer by price (row_number with a
+    * deterministic orderkey tiebreak). One shuffle on the partition key;
+    * rank predicate stops per-group scan early under the sort. */
+  def q7WindowTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Window frames + lag: running spend and previous order gap per customer.
+    * Explicit ROWS frame (not the default RANGE) so peers don't blur the
+    * running sum; decimal accumulation keeps it engine-exact. */
+  def q8WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val order = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        sum(dec($"o_totalprice")).over(frame).cast("double").as("running_spend"),
+        lag($"o_orderdate", 1).over(order).as("prev_orderdate"))
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  /** Rollup: customer account balance by region ⊃ nation ⊃ total. */
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup($"r_name", $"n_name")
+      .agg(moneySum($"c_acctbal").as("sum_acctbal"), count(lit(1)).as("n_cust"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Cube over order status × priority. */
+  def q10Cube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private def custkeysInYear(spark: SparkSession, dir: String, year: Int): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select($"o_custkey")
+  }
+
+  /** Set op: UNION (distinct) of 1997 and 1998 customer keys.
+    * Dataset.union is UNION ALL; .distinct() restores ANSI UNION. */
+  def q11Union(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    custkeysInYear(spark, dir, 1997).union(custkeysInYear(spark, dir, 1998))
+      .distinct().orderBy($"o_custkey")
+  }
+
+  /** Set op: INTERSECT — customers active in both years. */
+  def q11Intersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    custkeysInYear(spark, dir, 1997).intersect(custkeysInYear(spark, dir, 1998))
+      .orderBy($"o_custkey")
+  }
+
+  /** Set op: EXCEPT — active in 1997 but not 1998. */
+  def q11Except(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    custkeysInYear(spark, dir, 1997).except(custkeysInYear(spark, dir, 1998))
+      .orderBy($"o_custkey")
+  }
+
+  /** Global top-k with deterministic tiebreak: Spark plans this as a
+    * TakeOrderedAndProject — per-partition top-10 then a k-row merge on the
+    * driver, no full sort at any scale. */
+  def q12TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  /** Distinct aggregation: exact distinct parts+orders per supplier. */
+  def q13DistinctAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_suppkey")
+      .agg(countDistinct($"l_partkey").as("n_parts"),
+           countDistinct($"l_orderkey").as("n_orders"),
+           count(lit(1)).as("n_items"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** Scalar string functions over part: lower/upper/substring/replace/
+    * length/concat — all codegen'd builtins, no UDFs. */
+  def q14StringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lower"),
+        upper($"p_brand").as("brand_upper"),
+        substring($"p_type", 1, 5).as("type_prefix"),
+        regexp_replace($"p_name", "[aeiou]", "").as("name_novowels"),
+        length($"p_name").as("name_len"),
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Date/time functions: monthly order stats via date_trunc + extract. */
+  def q15DateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", $"o_orderdate").as("order_month"))
+      .agg(count(lit(1)).as("n_orders"), moneySum($"o_totalprice").as("sum_price"))
+      .withColumn("order_year", year($"order_month"))
+      .orderBy($"order_month")
+  }
+
+  /** Conditional expressions: CASE / coalesce / nullif buckets. */
+  def q16CaseExpr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select(
+        $"o_orderkey",
+        when($"o_totalprice" > 200000, "large")
+          .when($"o_totalprice" > 100000, "medium")
+          .otherwise("small").as("size_bucket"),
+        coalesce(nullif($"o_orderstatus", lit("F")), lit("finished")).as("status_label"))
+      .groupBy($"size_bucket", $"status_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"size_bucket", $"status_label")
+  }
+
+  /** As-of join (operator Spark lacks natively): for each event, the most
+    * recent order date of the same customer at-or-before the event time.
+    *
+    * Implemented the scalable way — NOT a range join (which explodes to
+    * |events|×|orders per key| intermediate rows): tag both sides, union,
+    * then a single shuffle+sort per key and a running `last(ignoreNulls)`
+    * window. O(n log n) per key, one exchange, survives 100× scale-up.
+    * Right rows sort before left rows at equal timestamps (inclusive <=),
+    * and by date so ties resolve to the max — same answer as the oracle's
+    * correlated max() subquery.
+    */
+  def qAsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .select($"user_id".as("k"), $"ts".as("t"), $"event_id",
+              lit(null).cast("timestamp").as("o_date"), lit(1).as("side"))
+    val o = Tables.orders(spark, dir)
+      .select($"o_custkey".as("k"), $"o_orderdate".as("t"),
+              lit(null).cast("long").as("event_id"),
+              $"o_orderdate".as("o_date"), lit(0).as("side"))
+    val w = Window.partitionBy($"k")
+      .orderBy($"t".asc, $"side".asc, $"o_date".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_orderdate", last($"o_date", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"k".as("user_id"), $"last_orderdate")
+      .orderBy($"event_id")
+  }
+}
