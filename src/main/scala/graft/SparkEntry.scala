@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Ingest, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,11 +13,14 @@ import graft.operators.Relational
   */
 object SparkEntry {
 
-  /** Flagship query; driver smoke-checks rows>0 on sf0.001. */
+  /** Flagship query; driver smoke-checks rows>0 on sf0.001. The full
+    * reference pipeline (SURVEY.md §7.2): Kafka-envelope encode → decode →
+    * date derivation → key filter → keyed last-write-wins upsert. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Ingest.referencePipeline(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q0_reference_pipeline" -> (Ingest.referencePipeline _),
     "q1_agg"           -> (Relational.q1PricingSummary _),
     "q6_filter_agg"    -> (Relational.q6ForecastRevenue _),
     "q2_join_broadcast"-> (Relational.q2NationRegion _),
@@ -41,6 +44,18 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // End-to-end twin of the reference pipeline: computes the keyed-upsert
+    // final state directly from `events`, verifying the whole Spark-side
+    // envelope encode → split → from_json → derive → filter → dedup chain.
+    "q0_reference_pipeline" ->
+      """SELECT event_type AS fx_marker,
+        |  CAST(epoch_ns(ts) // 1000000 AS VARCHAR) AS timestamp_ms,
+        |  CAST(CAST(make_timestamp(((epoch_ns(ts) // 1000000) // 1000) * 1000000) AS DATE) AS VARCHAR) AS timestamp_dt
+        |FROM events
+        |WHERE event_type IS NOT NULL AND event_type != ''
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY epoch_ns(ts) // 1000000 DESC) = 1
+        |ORDER BY fx_marker""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.sources.Tables
+
+/** The reference pipeline, re-expressed as reusable schema-parameterized
+  * `DataFrame => DataFrame` combinators (SURVEY.md §2 S1-S4 / P1-P10,
+  * reference `src/main/scala/cassandra_sink.scala:98-129`).
+  *
+  * Differences from the reference, on purpose (SURVEY.md §4.2/§7.5):
+  *   - the typed `flatMap(_.split("\n"))` (cassandra_sink.scala:114) becomes
+  *     columnar `explode(split(...))` — stays inside Catalyst/codegen, no
+  *     object ser/deser sandwich. The newline-split contract difference
+  *     (Scala `split` drops trailing empties; `explode` keeps them) is
+  *     neutralized downstream: empty lines parse to null structs and are
+  *     dropped by the null-rejecting key filter (cassandra_sink.scala:120).
+  *   - the keyed last-writer-wins upsert (Cassandra PK semantics,
+  *     cassandra_sink.scala:71-77) has a batch twin: a window dedup keeping
+  *     the max-timestamp row per key. The streaming twin lives in
+  *     `graft.streaming.KeyedUpsertSink`.
+  *
+  * Scale posture: the decode chain is a pure map pipeline — no shuffle until
+  * the final keyed dedup, which shuffles once on the upsert key. At 100 TB the
+  * plan is: narrow scan → fused codegen stage → single exchange on fx_marker.
+  */
+object Ingest {
+
+  /** Declared payload schema — reference cassandra_sink.scala:105-110. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("fx_marker", StringType, nullable = false),
+    StructField("timestamp_ms", StringType, nullable = true)))
+
+  /** Kafka envelope column order — reference cassandra_sink.scala:98-103. */
+  val envelopeColumns: Seq[String] =
+    Seq("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+  /** Synthesize the Kafka wire format from the `events` fixture: each message
+    * `value` is a batch of newline-delimited JSON docs (multiple docs per
+    * message, like the reference's example payload at cassandra_sink.scala:92-97).
+    * event_type plays fx_marker; epoch-millis of ts plays timestamp_ms.
+    */
+  def eventsAsEnvelope(spark: SparkSession, dir: String, docsPerMessage: Int = 4): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(
+        (($"event_id") / docsPerMessage).cast("long").as("msg_id"),
+        $"event_id",
+        to_json(struct(
+          unix_millis($"ts").cast("string").as("timestamp_ms"),
+          $"event_type".as("fx_marker"))).as("doc"))
+      .groupBy($"msg_id")
+      .agg(concat_ws("\n", array_sort(collect_list(struct($"event_id", $"doc"))).getField("doc")).as("json"))
+      .select(
+        lit(null).cast("binary").as("key"),
+        $"json".cast("binary").as("value"),
+        lit("currency_exchange").as("topic"),
+        (pmod($"msg_id", lit(3))).cast("int").as("partition"),
+        $"msg_id".as("offset"),
+        current_timestamp().as("timestamp"),
+        lit(0).as("timestampType"))
+  }
+
+  /** P1-P5: binary value → string → newline split → JSON parse → flatten.
+    * Columnar throughout (explode(split) instead of typed flatMap). */
+  def decode(df: DataFrame, schema: StructType = payloadSchema): DataFrame =
+    df.select(col("value").cast("string").as("value"))
+      .select(explode(split(col("value"), "\n")).as("line"))
+      .select(from_json(col("line"), schema).as("data"))
+      .select("data.*")
+
+  /** P6-P9: epoch-millis string → DateType, the reference's exact expression
+    * shape (cassandra_sink.scala:119). UTC session TZ pinned in build.sbt. */
+  def deriveDate(df: DataFrame): DataFrame =
+    df.withColumn("timestamp_dt",
+      to_date(from_unixtime(col("timestamp_ms") / 1000.0, "yyyy-MM-dd HH:mm:ss.SSS")))
+
+  /** P10: the null-rejecting key filter (cassandra_sink.scala:120) — drops
+    * empty AND null markers (SQL three-valued logic), including the null
+    * structs produced by malformed JSON. */
+  def filterKeyed(df: DataFrame): DataFrame =
+    df.filter(col("fx_marker") =!= "")
+
+  /** Batch twin of the Cassandra PK upsert (cassandra_sink.scala:71-77):
+    * last-writer-wins per key, "last" = max event timestamp. One shuffle on
+    * the key; survives any scale because state per key is O(1). */
+  def latestPerKey(df: DataFrame, key: String = "fx_marker",
+                   ts: Column = col("timestamp_ms").cast("long")): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(key)).orderBy(ts.desc)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** The flagship query (SparkEntry.entry): the full reference pipeline
+    * end-to-end on local data — envelope → decode → derive → filter → keyed
+    * upsert. Oracle-checked against a direct DuckDB computation over the same
+    * `events` table, which verifies the whole encode/decode round-trip. */
+  def referencePipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = filterKeyed(deriveDate(decode(eventsAsEnvelope(spark, dir))))
+    latestPerKey(decoded)
+      // DateType serialized as its canonical string for engine-portable
+      // hash comparison; the DateType derivation itself is P9 (tested).
+      .select($"fx_marker", $"timestamp_ms", $"timestamp_dt".cast("string").as("timestamp_dt"))
+      .orderBy($"fx_marker")
+  }
+}

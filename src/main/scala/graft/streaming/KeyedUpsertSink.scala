@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
+
+/** Embedded keyed-upsert store standing in for the reference's Cassandra
+  * table `fx.spark_struct_stream_sink` (reference cassandra_sink.scala:71-77):
+  * sole-PK `INSERT` ⇒ last-writer-wins upsert per key.
+  *
+  * JVM-global registry so driver and local-mode executor threads share state;
+  * on a real cluster this adapter would wrap an external keyed store (the
+  * pipeline code on the Spark side is identical — that's the point of the
+  * `ForeachWriter` seam).
+  */
+object KeyedStores {
+  private val stores =
+    new ConcurrentHashMap[String, TrieMap[String, Seq[Any]]]()
+  private val commits =
+    new ConcurrentHashMap[String, ConcurrentHashMap.KeySetView[(Int, Long), java.lang.Boolean]]()
+
+  def store(name: String): TrieMap[String, Seq[Any]] =
+    stores.computeIfAbsent(name, _ => TrieMap.empty)
+
+  def committed(name: String, partitionId: Int, epochId: Long): Boolean =
+    commits.getOrDefault(name, ConcurrentHashMap.newKeySet()).contains((partitionId, epochId))
+
+  def markCommitted(name: String, partitionId: Int, epochId: Long): Unit =
+    commits.computeIfAbsent(name, _ => ConcurrentHashMap.newKeySet())
+      .add((partitionId, epochId))
+
+  def snapshot(name: String): Map[String, Seq[Any]] = store(name).toMap
+
+  def clear(name: String): Unit = {
+    stores.remove(name); commits.remove(name)
+  }
+}
+
+/** Reference-fidelity row-wise sink (cassandra_sink.scala:14-41): the
+  * `open(partitionId, epochId)` → `process(row)`* → `close(err)` lifecycle,
+  * one upsert per row, lazy per-writer "connection" (here: store lookup).
+  *
+  * One deliberate improvement (SURVEY.md §7.5.1): the reference *ignores*
+  * `(partitionId, version)` (cassandra_sink.scala:19-23), relying on PK
+  * idempotency alone. We honor it — `open` returns false for an epoch this
+  * partition already committed, so checkpoint-replay after recovery skips
+  * re-processing (at-least-once delivery → effectively-once writes).
+  *
+  * Scale note: row-at-a-time writes are the reference's throughput floor
+  * (SURVEY.md §4.1). This class exists for fidelity + tests; the engine's
+  * canonical sink is the set-oriented [[KeyedUpsertBatch]].
+  */
+class KeyedUpsertForeachWriter(storeName: String, keyOrdinal: Int = 0)
+    extends ForeachWriter[Row] {
+  private var pid: Int = -1
+  private var epoch: Long = -1L
+  @transient private lazy val store = KeyedStores.store(storeName)
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    pid = partitionId.toInt; epoch = epochId
+    !KeyedStores.committed(storeName, pid, epoch)
+  }
+
+  override def process(row: Row): Unit = {
+    val key = row.get(keyOrdinal)
+    if (key != null) store.put(key.toString, row.toSeq)
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null) KeyedStores.markCommitted(storeName, pid, epoch)
+}
+
+/** The engine's canonical sink: set-oriented merge per micro-batch via
+  * `foreachBatch` (SURVEY.md §7.5.5). Each batch is reduced to its latest row
+  * per key (one shuffle, map-side combine) before a single store-wide merge —
+  * O(distinct keys in batch) store operations instead of O(rows).
+  *
+  * At 100 TB this merge would target a transactional table format (MERGE INTO
+  * semantics, partition-parallel); the batch-side reduction and the
+  * last-write-wins contract are unchanged.
+  */
+object KeyedUpsertBatch {
+  /** foreachBatch((df, id) => merge(...)) body. `orderCol` decides the winner
+    * within the batch (event-time LWW); across batches, later batch wins. */
+  def merge(storeName: String, keyCol: String, orderCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val reduced = graft.operators.Ingest
+      .latestPerKey(batch, keyCol, col(orderCol).cast("long"))
+    val store = KeyedStores.store(storeName)
+    reduced.collect().foreach { row =>
+      val key = row.get(row.fieldIndex(keyCol))
+      if (key != null) store.put(key.toString, row.toSeq)
+    }
+  }
+}
