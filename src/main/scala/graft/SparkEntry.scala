@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Ingest, Relational}
+import graft.operators.{Dedup, Ingest, Multimodal, Relational, Similarity, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,23 @@ object SparkEntry {
     "q15_date_funcs"   -> (Relational.q15DateFuncs _),
     "q16_case_expr"    -> (Relational.q16CaseExpr _),
     "q_asof_join"      -> (Relational.qAsOfJoin _),
+    // north-star: dedup / similarity / text analysis / windows / multimodal
+    "dedup_exact"          -> (Dedup.exact _),
+    "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
+    "dedup_simhash"        -> (Dedup.simhash _),
+    "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
+    "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
+    "sim_topk_brute"       -> (Similarity.topkBruteForce _),
+    "sim_topk_ivf"         -> (Similarity.topkIvf _),
+    "text_tokens"          -> (TextAnalysis.tokenCounts _),
+    "text_langid"          -> (TextAnalysis.langId _),
+    "text_quality"         -> (TextAnalysis.quality _),
+    "text_fingerprint"     -> (TextAnalysis.fingerprint _),
+    "q_window_tumbling"    -> (Windows.tumbling _),
+    "q_window_sliding"     -> (Windows.sliding _),
+    "q_window_session"     -> (Windows.sessions _),
+    "q_multimodal_meta"    -> (Multimodal.metadata _),
+    "q_multimodal_frames"  -> (Multimodal.frameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -235,5 +252,258 @@ object SparkEntry {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_orderdate
         |FROM events e
         |ORDER BY e.event_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT lang, source, min(doc_id) AS representative, count(*) AS n_docs
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)||':'||sh2),1,15)) AS BIGINT) for sh2 in shingles]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |  len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |sig AS (
+        |  SELECT doc_id, CAST(list_sum(
+        |    [ CASE WHEN list_sum([ CASE WHEN CAST(floor((CAST(concat('0x',substr(md5(t),1,15)) AS BIGINT) % 4294967296) / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for t in toks ]) > 0
+        |      THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,32) ]) AS BIGINT) AS sim
+        |  FROM tok
+        |),
+        |parts AS (
+        |  SELECT doc_id, sim, 0 AS part, CAST(floor(sim / 65536) AS BIGINT) AS key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, sim, 1 AS part, sim % 65536 AS key FROM sig
+        |)
+        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+        |FROM parts x JOIN parts y ON x.part = y.part AND x.key = y.key AND x.doc_id < y.doc_id
+        |WHERE CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, n_chars, list_distinct([substr(text, i, 4) for i in range(1, len(text)-2)]) AS grams
+        |  FROM documents WHERE len(text) >= 4
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |  len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+        |WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+        |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |bits AS (
+        |  SELECT vec_id,
+        |    [ CASE WHEN list_sum([ v[d+1] * (CASE WHEN CAST(concat('0x',substr(md5(CAST(j AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,15)) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) for d in range(0,64) ]) > 0 THEN 1 ELSE 0 END for j in range(0,16) ] AS bits
+        |  FROM c
+        |),
+        |buckets AS (
+        |  SELECT vec_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(bits, b*4+1, b*4+4)], ',') AS key
+        |  FROM bits, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+        |SELECT c2.id_a, c2.id_b,
+        |  round(list_sum([a.v[i]*b.v[i] for i in range(1,65)]) / (a.nrm*b.nrm), 6) AS cosine
+        |FROM cand c2 JOIN c a ON c2.id_a = a.vec_id JOIN c b ON c2.id_b = b.vec_id
+        |WHERE round(list_sum([a.v[i]*b.v[i] for i in range(1,65)]) / (a.nrm*b.nrm), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_topk_brute" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum([qv[i]*v[i] for i in range(1,65)]) / (qn*nrm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id != query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cent_id FROM (
+        |    SELECT vec_id, v, nrm, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |    FROM (
+        |      SELECT n.vec_id, n.v, n.nrm, cents.cent_id,
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |      FROM n CROSS JOIN cents))
+        |  WHERE arn = 1
+        |),
+        |probes AS (
+        |  SELECT query_id, qv, qn, cent_id FROM (
+        |    SELECT query_id, qv, qn, cent_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS prn
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn, cents.cent_id,
+        |        round(list_sum([q.v[i]*cv[i] for i in range(1,65)]) / (q.nrm*cn), 6) AS csim
+        |      FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q CROSS JOIN cents))
+        |  WHERE prn <= 2
+        |),
+        |scored AS (
+        |  SELECT query_id, a.vec_id AS neighbor_id,
+        |    round(list_sum([qv[i]*a.v[i] for i in range(1,65)]) / (qn*a.nrm), 6) AS cosine
+        |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        |  WHERE a.vec_id != p.query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars_actual
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, list_distinct([substr(lower(text), i, 3) for i in range(1, len(text)-1)]) AS grams
+        |  FROM documents WHERE len(text) >= 3
+        |),
+        |prof AS (
+        |  SELECT lang AS profile_lang, gram FROM (
+        |    SELECT lang, gram, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram ASC) AS rn
+        |    FROM (SELECT lang, unnest(grams) AS gram FROM g)
+        |    GROUP BY lang, gram)
+        |  WHERE rn <= 20
+        |),
+        |sc AS (
+        |  SELECT doc_id, lang, profile_lang, count(*) AS score
+        |  FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g) d
+        |  JOIN prof USING (gram)
+        |  GROUP BY doc_id, lang, profile_lang
+        |)
+        |SELECT doc_id, pred_lang, actual_lang, correct FROM (
+        |  SELECT doc_id, profile_lang AS pred_lang, lang AS actual_lang,
+        |    (profile_lang = lang) AS correct,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang ASC) AS rn
+        |  FROM sc)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text,' ') AS toks FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity,
+        |  CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks) AS mean_token_len,
+        |  0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |  0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |  0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |h AS (SELECT doc_id, list_sort([CAST(concat('0x',substr(md5(sh2),1,15)) AS BIGINT) for sh2 in shingles]) AS hs FROM sh)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_slice(hs, 1, 8)) AS BIGINT) AS fingerprint,
+        |  hs[1] AS min_hash,
+        |  CAST(len(list_slice(hs, 1, 8)) AS INTEGER) AS sketch_size
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_window_tumbling" ->
+      """SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_sliding" ->
+      """SELECT ws AS window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT value, time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL '30 minutes' AS ws
+        |  FROM events, (SELECT unnest([0,1]) AS k))
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "q_window_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events
+        |),
+        |s AS (
+        |  SELECT user_id, event_id, ts, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |),
+        |s2 AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM s
+        |)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  'application/x-graft-' || lang AS mime,
+        |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INTEGER) AS n_frames,
+        |  hex(encode(substr(text, 1, 8))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INTEGER) AS n_frames
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, text, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx FROM m
+        |)
+        |SELECT doc_id, frame_idx,
+        |  CAST(octet_length(encode(substr(text, frame_idx*64 + 1, 64))) AS INTEGER) AS frame_bytes,
+        |  CAST(concat('0x', substr(md5(hex(encode(substr(text, frame_idx*64 + 1, 64)))),1,15)) AS BIGINT) AS frame_hash
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Text._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and blocked n-gram Jaccard.
+  * (Embedding-cosine near-dup lives in [[Similarity]] with the vector ops.)
+  *
+  * Scale design notes (the 100 TB posture, per operator):
+  *  - exact: one hash-partitioned groupBy on the dedup key — the minimal
+  *    possible shuffle; at scale the key would be a content digest computed
+  *    at ingest so the shuffle payload is the digest, not the document.
+  *  - MinHash: signatures are computed per-row with pure array expressions —
+  *    NO shuffle, no explode of shingles through an exchange. The only
+  *    shuffles are (a) the band-bucket self-join on (band, signature) and
+  *    (b) candidate-pair verification, both of which move candidate rows
+  *    only (LSH keeps candidates ~linear in the number of true near-dups).
+  *  - SimHash: same shape — per-row signature, then a banded self-join on
+  *    16-bit signature halves; hamming verification on the pairs.
+  *  - n-gram Jaccard: blocked by document length band (near-dups can't
+  *    differ much in length), turning the O(n²) pair space into
+  *    O(n · block_width). Blocks are equi-join keys ⇒ hash-partitioned.
+  */
+object Dedup {
+
+  /** Exact dedup by key columns: hash-groupBy keeping the smallest doc_id as
+    * the surviving representative plus the duplicate cardinality. */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang", $"source")
+      .agg(min($"doc_id").as("representative"), count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"source")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  val MinhashPerms = 16   // H
+  val MinhashBands = 4    // B bands of R = H/B rows
+  val MinhashRows  = MinhashPerms / MinhashBands
+  val JaccardThreshold = 0.8
+
+  /** Per-doc MinHash signature as a pure projection (no shuffle):
+    * sig[i] = min over shingles of hash60(i ++ ":" ++ shingle), i in 0..H-1. */
+  private def minhashSignature(shingles: Column): Column =
+    transform(sequence(lit(0), lit(MinhashPerms - 1)),
+      i => array_min(transform(shingles,
+        sh => conv(substring(md5(concat(i.cast("string"), lit(":"), sh)), 1, 15), 16, 10)
+          .cast("long"))))
+
+  /** Docs with word-3-gram shingles + MinHash signature + LSH band keys. */
+  private def signed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", wordShingles(tokens($"text")).as("shingles"))
+      .filter(size($"shingles") > 0)
+      .withColumn("sig", minhashSignature($"shingles"))
+      .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
+        b => struct(b.as("band"),
+          concat_ws(",", transform(slice($"sig", b * MinhashRows + 1, lit(MinhashRows)),
+            x => x.cast("string"))).as("key"))))
+  }
+
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
+    * self-join → exact-Jaccard verification ≥ 0.8. Output (id_a < id_b,
+    * exact jaccard as int/int division — engine-exact). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // signatures are md5-heavy: materialize once, reuse for buckets + verify
+    val docs = signed(spark, dir).persist()
+    val buckets = docs.select($"doc_id", explode($"bands").as("b"))
+      .select($"doc_id", $"b.band", $"b.key")
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .distinct()
+    val a = docs.select($"doc_id".as("id_a"), $"shingles".as("sh_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"shingles".as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .select($"id_a", $"id_b", $"jaccard")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  val SimhashBits = 32
+  val HammingThreshold = 3
+
+  /** 32-bit SimHash of the token multiset: bit j is the sign of
+    * Σ_tokens (±1 by bit j of hash32(token)). Pure projection, no shuffle.
+    * Bit extraction is floor(h / 2^j) % 2 — division by a power of two is
+    * exact in doubles for h < 2^53, so this is engine-portable (shiftright
+    * in the Scala API takes only literal shift amounts). */
+  def simhashSignature(toks: Column): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(SimhashBits - 1)),
+        j => when(
+          aggregate(toks, lit(0),
+            (acc, t) => acc +
+              when(floor(hash32(t) / pow(lit(2.0), j)).cast("long") % 2 === 1, 1)
+                .otherwise(-1)) > 0,
+          pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** SimHash near-duplicate pairs: per-doc 32-bit signature, banded
+    * self-join on the two 16-bit halves (a pair within hamming ≤ 3 must agree
+    * exactly on at least one half... with 2 bands this holds for hamming ≤ 1;
+    * wider hamming needs the verification join we run anyway — documented
+    * approximation, same on both engines). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", simhashSignature(tokens($"text")).as("sim"))
+      .persist()
+    val parts = docs.select($"doc_id", $"sim",
+        explode(array(
+          struct(lit(0).as("part"), shiftright($"sim", 16).as("key")),
+          struct(lit(1).as("part"), ($"sim" % 65536).as("key")))).as("p"))
+      .select($"doc_id", $"sim", $"p.part", $"p.key")
+    parts.as("x").join(parts.as("y"),
+        $"x.part" === $"y.part" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        bit_count($"x.sim".bitwiseXOR($"y.sim")).as("hamming"))
+      .distinct()
+      .filter($"hamming" <= HammingThreshold)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  val LenBand = 16
+  val CharGramThreshold = 0.8
+
+  /** Blocked char-4-gram Jaccard near-dup: documents are bucketed by length
+    * band (|Δ n_chars| ≤ 16 for candidates — near-dups can't change length
+    * much); the right side is replicated to its 3 neighboring bands so the
+    * pair search is a pure equi-join on the band key (shuffle on band, no
+    * cross product). Verification is exact Jaccard on char 4-grams. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"n_chars", charShingles($"text").as("grams"))
+      .persist()
+    val left = docs.withColumn("band", ($"n_chars" / LenBand).cast("long"))
+    val right = docs.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
+        $"grams".as("gr_b"),
+        explode(array((-1 to 1).map(d => ($"n_chars" / LenBand).cast("long") + d): _*)).as("band"))
+    left.join(right,
+        left("band") === right("band") && left("doc_id") < right("id_b") &&
+          abs(left("n_chars") - right("nc_b")) <= LenBand)
+      .select($"doc_id".as("id_a"), $"id_b",
+        jaccard($"grams", $"gr_b").as("jaccard"))
+      .filter($"jaccard" >= CharGramThreshold)
+      .orderBy($"id_a", $"id_b")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Text.hash60
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata, plus frame sampling and a (stubbed) feature-extraction
+  * stage.
+  *
+  * The image/audio codec libraries are not in this container, so the DECODE
+  * step is a clearly-marked deterministic stub ([[FakeDecoder]]); everything
+  * Spark-side — the schema (binary + metadata struct), the per-frame
+  * explode, the batch-shaped partition processing, partitioning behavior —
+  * is real and tested. On a real cluster the stub body is replaced by the
+  * codec call; nothing else changes.
+  *
+  * Scale: payloads stay opaque bytes end-to-end (no string round-trip);
+  * frame sampling is a generator expression (posexplode of a sequence —
+  * fanout without a shuffle); feature extraction is mapPartitions-batched so
+  * a vectorized/native decoder amortizes per-batch setup, mirroring the
+  * arrow-batch shape a Pandas-UDF pipeline would use.
+  */
+object Multimodal {
+
+  val FrameBytes = 64
+
+  /** Synthesize a media payload per document: the UTF-8 bytes of its text
+    * standing in for an opaque blob, plus a typed metadata struct. */
+  def withMedia(df: DataFrame): DataFrame =
+    df.withColumn("media", struct(
+      encode(col("text"), "UTF-8").as("data"),
+      struct(
+        length(encode(col("text"), "UTF-8")).as("n_bytes"),
+        concat(lit("application/x-graft-"), col("lang")).as("mime"),
+        ceil(length(encode(col("text"), "UTF-8")).cast("double") / FrameBytes)
+          .cast("int").as("n_frames")).as("meta")))
+
+  /** Metadata extraction: typed fields out of the media struct + a content
+    * digest of the first 8 bytes — all binary-native ops. */
+  def metadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withMedia(Tables.documents(spark, dir))
+      .select($"doc_id",
+        $"media.meta.n_bytes".as("n_bytes"),
+        $"media.meta.mime".as("mime"),
+        $"media.meta.n_frames".as("n_frames"),
+        hex(substring($"media.data", 1, 8)).as("head_hex"))
+      .orderBy($"doc_id")
+  }
+
+  /** Frame sampling: explode each payload into fixed-size frames with a
+    * per-frame content hash — the generator-fanout shape a video
+    * frame-sampler uses (sampling every k-th frame = a filter on frame_idx). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withMedia(Tables.documents(spark, dir))
+      .select($"doc_id", $"media.data".as("data"), $"media.meta.n_frames".as("n_frames"))
+      .select($"doc_id", $"n_frames",
+        posexplode(transform(sequence(lit(0), $"n_frames" - 1),
+          i => substring_index_bytes($"data", i))).as(Seq("frame_idx", "frame")))
+      .select($"doc_id", $"frame_idx",
+        length($"frame").as("frame_bytes"),
+        hash60(hex($"frame")).as("frame_hash"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** Frame i of a binary column (1-based byte offsets). */
+  private def substring_index_bytes(data: Column, i: Column): Column =
+    data.substr(i * FrameBytes + 1, lit(FrameBytes))
+
+  /** The stubbed decode/feature-extract stage: deterministic fake features
+    * derived from frame bytes (REPLACE-ME: codec call goes here). Runs
+    * batched per partition so a real decoder would amortize model/codec
+    * setup per batch, not per row. */
+  object FakeDecoder {
+    /** "Features" = 4 bigints folded from the payload bytes. Deterministic,
+      * pure, collision-resistant enough for tests. */
+    def features(bytes: Array[Byte]): Array[Long] = {
+      // REPLACE-ME(decoder): real implementation calls the image/audio codec.
+      var h0 = 1125899906842597L; var h1 = 31L; var h2 = 7L; var h3 = 131L
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        h0 = h0 * 31 + b; h1 = h1 * 131 + b; h2 = h2 ^ (b.toLong << (i % 56)); h3 += b
+        i += 1
+      }
+      Array(h0, h1, h2, h3)
+    }
+  }
+
+  /** Batch-shaped feature extraction over (doc_id, media.data): processes
+    * partition iterators in fixed-size batches (the arrow-batch shape),
+    * calling the decoder stub once per row within a materialized batch. */
+  def extractFeatures(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("media.data").as("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would init the codec/model once here
+        batch.map { case (id, bytes) => (id, FakeDecoder.features(bytes)) }
+      })
+      .toDF("doc_id", "features")
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.Vec._
+
+/** Similarity search over the `embeddings` fixture (`vec_id, embedding:
+  * array<float>[64], label`): brute-force cosine top-k as the exact baseline,
+  * IVF (inverted-file) partitioned top-k as the scale path, and
+  * random-hyperplane LSH near-duplicate pairs.
+  *
+  * Scale design:
+  *  - brute force is O(|queries| · |corpus|): the query set is tiny and
+  *    explicitly `broadcast()`, so the corpus is scanned once, shuffle-free,
+  *    and the only exchange is the final per-query top-k (TakeOrdered-shaped).
+  *  - IVF: corpus is assigned once to its nearest centroid (broadcast
+  *    centroids, per-row projection); a query probes only the `NProbe`
+  *    nearest cells ⇒ the scan shrinks by ~|cells|/NProbe. At 100 TB the
+  *    assignment is a write-time partitioning (cluster-by cell_id), making
+  *    probes partition-pruned scans.
+  *  - LSH near-dup: per-row 16-bit signature (no shuffle), banded self-join
+  *    on 4-bit bands moves only bucket collisions, then exact-cosine verify.
+  */
+object Similarity {
+
+  val Dims = 64
+  val TopK = 10
+  val QueryStride = 100           // queries = vec_id % 100 == 0
+  val NCentroids = 200            // centroids = vec_id % 200 == 0 (⊂ corpus)
+  val NProbe = 2
+  val LshBitsTotal = 16
+  val LshBandBits = 4
+  val NearDupCosine = 0.4
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+  }
+
+  /** Exact brute-force cosine top-k: every ~100th vector queries the whole
+    * corpus. Output (query_id, neighbor_id, rank, cosine·1e-6-rounded). */
+  def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val q = c.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val scored = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine6($"qv", $"v", $"qn", $"nrm").as("cosine"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF top-k: corpus bucketed by nearest centroid; queries probe the
+    * NProbe nearest cells only. Approximate by design (recall < 1 when the
+    * true neighbor lives outside probed cells) — the approximation is
+    * deterministic and identical in the oracle. */
+  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val cents = c.filter($"vec_id" % NCentroids === 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
+    // nearest centroid per corpus vector (broadcast centroids, one pass)
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy($"csim".desc, $"cent_id".asc)
+    val assigned = c.join(broadcast(cents), lit(true))
+      .select($"vec_id", $"v", $"nrm", $"cent_id",
+        cosine6($"v", $"cv", $"nrm", $"cn").as("csim"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cent_id")
+    // queries probe their NProbe nearest cells
+    val q = c.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"csim".desc, $"cent_id".asc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .select($"query_id", $"qv", $"qn", $"cent_id",
+        cosine6($"qv", $"cv", $"qn", $"cn").as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= NProbe)
+      .select($"query_id", $"qv", $"qn", $"cent_id")
+    val scored = probes.join(assigned, "cent_id")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine6($"qv", $"v", $"qn", $"nrm").as("cosine"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * 16 deterministic hyperplane bits per vector (pure projection), banded
+    * into 4 bands of 4 bits; bucket collisions are verified with exact
+    * cosine ≥ 0.4. Approximate-recall by design, identically on both engines. */
+  def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+      .withColumn("bits", transform(sequence(lit(0), lit(LshBitsTotal - 1)),
+        j => lshBit($"v", j, Dims).cast("int")))
+      .persist()
+    val nBands = LshBitsTotal / LshBandBits
+    val buckets = c.select($"vec_id", explode(
+        transform(sequence(lit(0), lit(nBands - 1)),
+          b => struct(b.as("band"),
+            concat_ws(",", transform(slice($"bits", b * LshBandBits + 1, lit(LshBandBits)),
+              x => x.cast("string"))).as("key")))).as("bk"))
+      .select($"vec_id", $"bk.band", $"bk.key")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.vec_id" < $"y.vec_id")
+      .select($"x.vec_id".as("id_a"), $"y.vec_id".as("id_b"))
+      .distinct()
+    val a = c.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
+    val b = c.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cosine", cosine6($"va", $"vb", $"na", $"nb"))
+      .filter($"cosine" >= NearDupCosine)
+      .select($"id_a", $"id_b", $"cosine")
+      .orderBy($"id_a", $"id_b")
+  }
+}

