@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Ingest, Multimodal, Relational, Similarity, TextAnalysis, Windows}
+import graft.operators.{Dedup, Ingest, Multimodal, Relational, Similarity, Skew, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,9 @@ object SparkEntry {
     "q_window_session"     -> (Windows.sessions _),
     "q_multimodal_meta"    -> (Multimodal.metadata _),
     "q_multimodal_frames"  -> (Multimodal.frameSample _),
+    "q_props_json"         -> (Ingest.propsJson _),
+    "q_salted_agg"         -> (Skew.saltedAgg _),
+    "q_sketch_distinct"    -> (Ingest.sketchDistinct _),  // no oracle: HLL estimates are engine-specific
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -265,7 +268,9 @@ object SparkEntry {
         |),
         |sig AS (
         |  SELECT doc_id, shingles,
-        |    [ list_min([CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)||':'||sh2),1,15)) AS BIGINT) for sh2 in shingles]) for i in range(0,16) ] AS sig
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
         |  FROM sh
         |),
         |buckets AS (
@@ -286,10 +291,13 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    [CAST(concat('0x',substr(md5(t),1,15)) AS BIGINT) % 4294967296 for t in string_split(text,' ')] AS hs
+        |  FROM documents),
         |sig AS (
         |  SELECT doc_id, CAST(list_sum(
-        |    [ CASE WHEN list_sum([ CASE WHEN CAST(floor((CAST(concat('0x',substr(md5(t),1,15)) AS BIGINT) % 4294967296) / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for t in toks ]) > 0
+        |    [ CASE WHEN list_sum([ CASE WHEN CAST(floor(h / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
         |      THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,32) ]) AS BIGINT) AS sim
         |  FROM tok
         |),
@@ -306,15 +314,17 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" ->
       """WITH g AS (
-        |  SELECT doc_id, n_chars, list_distinct([substr(text, i, 4) for i in range(1, len(text)-2)]) AS grams
-        |  FROM documents WHERE len(text) >= 4
+        |  SELECT doc_id, n_chars,
+        |    list_distinct([CAST(concat('0x',substr(md5(s[i]||' '||s[i+1]),1,15)) AS BIGINT) for i in range(1, len(s))]) AS grams
+        |  FROM (SELECT doc_id, n_chars, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 2
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.grams, b.grams)) * 1.0 /
-        |  len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+        |  (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
         |FROM g a JOIN g b ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
         |WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
-        |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_lsh" ->
@@ -505,5 +515,22 @@ object SparkEntry {
         |  CAST(octet_length(encode(substr(text, frame_idx*64 + 1, 64))) AS INTEGER) AS frame_bytes,
         |  CAST(concat('0x', substr(md5(hex(encode(substr(text, frame_idx*64 + 1, 64)))),1,15)) AS BIGINT) AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_props_json" ->
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical semantics to the direct GROUP BY — the salt is purely a
+    // physical (shuffle-shape) transformation
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -20,8 +20,15 @@ object Vec {
   /** Cast an array<float> parquet column to array<double> for exact-ish math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Left-to-right dot product of two equal-length array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right dot product of two equal-length array<double> columns.
+    * Backed by the native codegen'd [[DotProduct]] expression; [[dotHof]]
+    * keeps the pure higher-order-function formulation (same semantics, used
+    * as the cross-check + the fallback shape other engines can mirror). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** HOF twin of [[dot]]: allocates a zipped array + two lambdas per row —
+    * kept for equivalence testing and as documentation of the semantics. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */

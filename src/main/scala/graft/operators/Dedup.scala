@@ -43,21 +43,33 @@ object Dedup {
   val MinhashRows  = MinhashPerms / MinhashBands
   val JaccardThreshold = 0.8
 
-  /** Per-doc MinHash signature as a pure projection (no shuffle):
-    * sig[i] = min over shingles of hash60(i ++ ":" ++ shingle), i in 0..H-1. */
-  private def minhashSignature(shingles: Column): Column =
-    transform(sequence(lit(0), lit(MinhashPerms - 1)),
-      i => array_min(transform(shingles,
-        sh => conv(substring(md5(concat(i.cast("string"), lit(":"), sh)), 1, 15), 16, 10)
-          .cast("long"))))
+  /** Large prime > 2^32 for the double-hash permutation family. */
+  val MinhashPrime = 4294967311L
 
-  /** Docs with word-3-gram shingles + MinHash signature + LSH band keys. */
+  /** Per-doc MinHash signature as a pure projection (no shuffle), via
+    * double hashing: ONE md5 per shingle yields two independent 32-bit
+    * values (h1 = hex[1..8], h2 = hex[9..16]); permutation i is
+    * h_i = (h1 + i·h2) mod p — the standard 2-universal construction, 16×
+    * cheaper than hashing per permutation. `hp` is an array of (h1, h2)
+    * structs precomputed once per doc. */
+  private def permMin(hp: Column, i: Column): Column =
+    array_min(transform(hp,
+      s => (s.getField("h1") + i * s.getField("h2")) % MinhashPrime))
+
+  /** Docs with word-3-gram shingles + MinHash signature + LSH band keys.
+    * The shingle-hash array is materialized in its own projection so the 16
+    * permutation lambdas reuse it (CollapseProject keeps multi-referenced
+    * non-trivial aliases un-inlined). */
   private def signed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", wordShingles(tokens($"text")).as("shingles"))
       .filter(size($"shingles") > 0)
-      .withColumn("sig", minhashSignature($"shingles"))
+      .withColumn("hp", transform($"shingles", sh => struct(
+        conv(substring(md5(sh), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(sh), 9, 8), 16, 10).cast("long").as("h2"))))
+      .withColumn("sig", transform(sequence(lit(0), lit(MinhashPerms - 1)),
+        i => permMin($"hp", i)))
       .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => struct(b.as("band"),
           concat_ws(",", transform(slice($"sig", b * MinhashRows + 1, lit(MinhashRows)),
@@ -92,18 +104,20 @@ object Dedup {
   val SimhashBits = 32
   val HammingThreshold = 3
 
-  /** 32-bit SimHash of the token multiset: bit j is the sign of
-    * Σ_tokens (±1 by bit j of hash32(token)). Pure projection, no shuffle.
-    * Bit extraction is floor(h / 2^j) % 2 — division by a power of two is
-    * exact in doubles for h < 2^53, so this is engine-portable (shiftright
-    * in the Scala API takes only literal shift amounts). */
-  def simhashSignature(toks: Column): Column =
+  /** 32-bit SimHash over a PRE-HASHED token array (`hs` = hash32 per token):
+    * bit j is the sign of Σ (±1 by bit j of the token hash). Pure
+    * projection. Bit extraction is floor(h / 2^j) % 2 — division by a power
+    * of two is exact in doubles for h < 2^53, so this is engine-portable
+    * (shiftright in the Scala API takes only literal shift amounts).
+    * Taking hashes as input (not tokens) keeps md5 at one call per token —
+    * the 32 bit-lambdas reuse the materialized hash array. */
+  def simhashSignature(hs: Column): Column =
     aggregate(
       transform(sequence(lit(0), lit(SimhashBits - 1)),
         j => when(
-          aggregate(toks, lit(0),
-            (acc, t) => acc +
-              when(floor(hash32(t) / pow(lit(2.0), j)).cast("long") % 2 === 1, 1)
+          aggregate(hs, lit(0),
+            (acc, h) => acc +
+              when(floor(h / pow(lit(2.0), j)).cast("long") % 2 === 1, 1)
                 .otherwise(-1)) > 0,
           pow(lit(2.0), j).cast("long")).otherwise(0L)),
       lit(0L), (acc, x) => acc + x)
@@ -116,7 +130,8 @@ object Dedup {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-      .select($"doc_id", simhashSignature(tokens($"text")).as("sim"))
+      .select($"doc_id", transform(tokens($"text"), t => hash32(t)).as("hs"))
+      .select($"doc_id", simhashSignature($"hs").as("sim"))
       .persist()
     val parts = docs.select($"doc_id", $"sim",
         explode(array(
@@ -136,28 +151,34 @@ object Dedup {
   // ------------------------------------------------------- n-gram Jaccard
 
   val LenBand = 16
-  val CharGramThreshold = 0.8
+  val NgramThreshold = 0.8
 
-  /** Blocked char-4-gram Jaccard near-dup: documents are bucketed by length
+  /** Blocked word-bigram Jaccard near-dup: documents are bucketed by length
     * band (|Δ n_chars| ≤ 16 for candidates — near-dups can't change length
     * much); the right side is replicated to its 3 neighboring bands so the
     * pair search is a pure equi-join on the band key (shuffle on band, no
-    * cross product). Verification is exact Jaccard on char 4-grams. */
+    * cross product). Verification is exact Jaccard over hash60'd bigrams —
+    * long-array intersection, with |A∪B| = |A|+|B|−|A∩B| so only the
+    * intersection is materialized. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val toks = tokens($"text")
     val docs = Tables.documents(spark, dir)
-      .select($"doc_id", $"n_chars", charShingles($"text").as("grams"))
+      .select($"doc_id", $"n_chars",
+        array_distinct(transform(wordShingles(toks, 2), g => hash60(g))).as("grams"))
+      .withColumn("ng", size($"grams"))
       .persist()
     val left = docs.withColumn("band", ($"n_chars" / LenBand).cast("long"))
     val right = docs.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
-        $"grams".as("gr_b"),
+        $"grams".as("gr_b"), $"ng".as("ng_b"),
         explode(array((-1 to 1).map(d => ($"n_chars" / LenBand).cast("long") + d): _*)).as("band"))
+    val inter = size(array_intersect($"grams", $"gr_b"))
     left.join(right,
         left("band") === right("band") && left("doc_id") < right("id_b") &&
           abs(left("n_chars") - right("nc_b")) <= LenBand)
       .select($"doc_id".as("id_a"), $"id_b",
-        jaccard($"grams", $"gr_b").as("jaccard"))
-      .filter($"jaccard" >= CharGramThreshold)
+        (inter.cast("double") / (($"ng" + $"ng_b") - inter).cast("double")).as("jaccard"))
+      .filter($"jaccard" >= NgramThreshold)
       .orderBy($"id_a", $"id_b")
   }
 }

@@ -93,6 +93,36 @@ object Ingest {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
+  /** JSON-path extraction over the `events.props` column (the P4 `from_json`
+    * surface against a real fixture column): parse `{"k": int}` with a
+    * declared schema, aggregate per event_type. */
+  def propsJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("k",
+      org.apache.spark.sql.types.IntegerType, nullable = true)))
+    Tables.events(spark, dir)
+      .select($"event_type", from_json($"props", schema).getField("k").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Sketch aggregation: HyperLogLog++ distinct-count estimates per group.
+    * Estimates are engine-specific (no DuckDB oracle — the driver records a
+    * rows-only check), deterministic within Spark. At 100 TB this replaces
+    * exact countDistinct's full shuffle of the key space with fixed-size
+    * mergeable sketches. */
+  def sketchDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey").as("approx_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"l_returnflag")
+  }
+
   /** The flagship query (SparkEntry.entry): the full reference pipeline
     * end-to-end on local data — envelope → decode → derive → filter → keyed
     * upsert. Oracle-checked against a direct DuckDB computation over the same

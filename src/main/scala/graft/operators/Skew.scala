@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Num._
+
+/** Skew-mitigation patterns. Semantics are identical to the direct
+  * formulation (so these stay DuckDB-oracle-checkable); only the physical
+  * shuffle shape changes.
+  *
+  * At 100 TB: `l_returnflag` has 3 distinct values — a direct groupBy sends
+  * every row of a 100 TB fact table to 3 reducers. Spark's map-side partial
+  * aggregation already absorbs most of this for decomposable aggregates; the
+  * explicit two-phase salt below is the general pattern for the cases
+  * partial-agg can't fully fix (e.g. exact distincts per hot key, or
+  * aggregation buffers too wide to combine map-side). AQE skew-join handles
+  * the join-side analog (`spark.sql.adaptive.skewJoin.enabled`, on by
+  * default in our sessions).
+  */
+object Skew {
+
+  val Salts = 16
+
+  /** Two-phase salted aggregation over a 3-value hot key: phase 1 aggregates
+    * (key, salt) — fanning the hot keys across `Salts`×3 reducers — phase 2
+    * combines the partials per key. Decimal sums re-associate exactly, so
+    * the result is bit-identical to the direct groupBy (and to the oracle's
+    * plain GROUP BY). */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partial = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(hash($"l_orderkey"), lit(Salts)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum($"l_quantity").as("p_qty"),
+        sum(dec($"l_extendedprice")).as("p_price"),
+        count(lit(1)).as("p_cnt"))
+    partial.groupBy($"l_returnflag")
+      .agg(sum($"p_qty").as("sum_qty"),
+        sum($"p_price").cast("double").as("sum_price"),
+        sum($"p_cnt").as("n_items"))
+      .orderBy($"l_returnflag")
+  }
+}
