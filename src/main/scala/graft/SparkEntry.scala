@@ -293,18 +293,20 @@ object SparkEntry {
     "dedup_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    [CAST(concat('0x',substr(md5(t),1,15)) AS BIGINT) % 4294967296 for t in string_split(text,' ')] AS hs
+        |    [CAST(concat('0x',substr(md5(t),1,15)) AS BIGINT) % 281474976710656 for t in string_split(text,' ')] AS hs
         |  FROM documents),
         |sig AS (
         |  SELECT doc_id, CAST(list_sum(
         |    [ CASE WHEN list_sum([ CASE WHEN CAST(floor(h / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
-        |      THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,32) ]) AS BIGINT) AS sim
+        |      THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,48) ]) AS BIGINT) AS sim
         |  FROM tok
         |),
         |parts AS (
-        |  SELECT doc_id, sim, 0 AS part, CAST(floor(sim / 65536) AS BIGINT) AS key FROM sig
+        |  SELECT doc_id, sim, 0 AS part, CAST(floor(sim / 4294967296) AS BIGINT) AS key FROM sig
         |  UNION ALL
-        |  SELECT doc_id, sim, 1 AS part, sim % 65536 AS key FROM sig
+        |  SELECT doc_id, sim, 1 AS part, CAST(floor(sim / 65536) AS BIGINT) % 65536 AS key FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, sim, 2 AS part, sim % 65536 AS key FROM sig
         |)
         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
         |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming

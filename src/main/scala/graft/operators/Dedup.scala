@@ -46,30 +46,24 @@ object Dedup {
   /** Large prime > 2^32 for the double-hash permutation family. */
   val MinhashPrime = 4294967311L
 
-  /** Per-doc MinHash signature as a pure projection (no shuffle), via
-    * double hashing: ONE md5 per shingle yields two independent 32-bit
-    * values (h1 = hex[1..8], h2 = hex[9..16]); permutation i is
-    * h_i = (h1 + i·h2) mod p — the standard 2-universal construction, 16×
-    * cheaper than hashing per permutation. `hp` is an array of (h1, h2)
-    * structs precomputed once per doc. */
-  private def permMin(hp: Column, i: Column): Column =
-    array_min(transform(hp,
-      s => (s.getField("h1") + i * s.getField("h2")) % MinhashPrime))
-
   /** Docs with word-3-gram shingles + MinHash signature + LSH band keys.
-    * The shingle-hash array is materialized in its own projection so the 16
-    * permutation lambdas reuse it (CollapseProject keeps multi-referenced
-    * non-trivial aliases un-inlined). */
+    *
+    * Hashing: ONE md5 per shingle yields two independent 32-bit values
+    * (h1 = hex[1..8], h2 = hex[9..16]); permutation i is h_i = (h1 + i·h2)
+    * mod p — the standard 2-universal construction. The signature loop runs
+    * in the native codegen'd [[graft.functions.MinhashSignature]] kernel
+    * (the oracle SQL carries the equivalent list-comprehension form). */
   private def signed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id", wordShingles(tokens($"text")).as("shingles"))
       .filter(size($"shingles") > 0)
-      .withColumn("hp", transform($"shingles", sh => struct(
-        conv(substring(md5(sh), 1, 8), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(sh), 9, 8), 16, 10).cast("long").as("h2"))))
-      .withColumn("sig", transform(sequence(lit(0), lit(MinhashPerms - 1)),
-        i => permMin($"hp", i)))
+      .withColumn("h1", transform($"shingles",
+        sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))
+      .withColumn("h2", transform($"shingles",
+        sh => conv(substring(md5(sh), 9, 8), 16, 10).cast("long")))
+      .withColumn("sig", graft.functions.MinhashSignature(
+        $"h1", $"h2", MinhashPerms, MinhashPrime))
       .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => struct(b.as("band"),
           concat_ws(",", transform(slice($"sig", b * MinhashRows + 1, lit(MinhashRows)),
@@ -101,42 +95,29 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  val SimhashBits = 32
+  val SimhashBits = 48
   val HammingThreshold = 3
 
-  /** 32-bit SimHash over a PRE-HASHED token array (`hs` = hash32 per token):
-    * bit j is the sign of Σ (±1 by bit j of the token hash). Pure
-    * projection. Bit extraction is floor(h / 2^j) % 2 — division by a power
-    * of two is exact in doubles for h < 2^53, so this is engine-portable
-    * (shiftright in the Scala API takes only literal shift amounts).
-    * Taking hashes as input (not tokens) keeps md5 at one call per token —
-    * the 32 bit-lambdas reuse the materialized hash array. */
-  def simhashSignature(hs: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(SimhashBits - 1)),
-        j => when(
-          aggregate(hs, lit(0),
-            (acc, h) => acc +
-              when(floor(h / pow(lit(2.0), j)).cast("long") % 2 === 1, 1)
-                .otherwise(-1)) > 0,
-          pow(lit(2.0), j).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-
-  /** SimHash near-duplicate pairs: per-doc 32-bit signature, banded
-    * self-join on the two 16-bit halves (a pair within hamming ≤ 3 must agree
-    * exactly on at least one half... with 2 bands this holds for hamming ≤ 1;
-    * wider hamming needs the verification join we run anyway — documented
-    * approximation, same on both engines). */
+  /** SimHash near-duplicate pairs: per-doc 48-bit signature (native
+    * codegen'd kernel [[graft.functions.SimhashSignature]]; bit j is the
+    * sign of Σ ±1 by bit j of each token's 48-bit hash), banded self-join on
+    * the three 16-bit slices (a pair within hamming ≤ 2 must agree exactly
+    * on at least one slice; hamming 3 recall is partial by design — a
+    * documented approximation, identical on both engines). 48 bits (not 64)
+    * keeps floor(h/2^j) exact in the oracle's double arithmetic. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-      .select($"doc_id", transform(tokens($"text"), t => hash32(t)).as("hs"))
-      .select($"doc_id", simhashSignature($"hs").as("sim"))
+      .select($"doc_id", transform(tokens($"text"),
+        t => hash60(t) % 281474976710656L).as("hs"))
+      .select($"doc_id",
+        graft.functions.SimhashSignature($"hs", SimhashBits).as("sim"))
       .persist()
     val parts = docs.select($"doc_id", $"sim",
         explode(array(
-          struct(lit(0).as("part"), shiftright($"sim", 16).as("key")),
-          struct(lit(1).as("part"), ($"sim" % 65536).as("key")))).as("p"))
+          struct(lit(0).as("part"), shiftright($"sim", 32).as("key")),
+          struct(lit(1).as("part"), (shiftright($"sim", 16) % 65536).as("key")),
+          struct(lit(2).as("part"), ($"sim" % 65536).as("key")))).as("p"))
       .select($"doc_id", $"sim", $"p.part", $"p.key")
     parts.as("x").join(parts.as("y"),
         $"x.part" === $"y.part" && $"x.key" === $"y.key" &&
@@ -173,9 +154,14 @@ object Dedup {
         $"grams".as("gr_b"), $"ng".as("ng_b"),
         explode(array((-1 to 1).map(d => ($"n_chars" / LenBand).cast("long") + d): _*)).as("band"))
     val inter = size(array_intersect($"grams", $"gr_b"))
+    // size-ratio prefilter: J = i/(na+nb-i) ≤ min/max, so min/max < τ can
+    // never reach the threshold — prune BEFORE the set intersection. For
+    // τ = 0.8 in exact integers: 5·min ≥ 4·max. Purely physical; the oracle
+    // keeps the plain formulation.
     left.join(right,
         left("band") === right("band") && left("doc_id") < right("id_b") &&
-          abs(left("n_chars") - right("nc_b")) <= LenBand)
+          abs(left("n_chars") - right("nc_b")) <= LenBand &&
+          least(left("ng"), right("ng_b")) * 5 >= greatest(left("ng"), right("ng_b")) * 4)
       .select($"doc_id".as("id_a"), $"id_b",
         (inter.cast("double") / (($"ng" + $"ng_b") - inter).cast("double")).as("jaccard"))
       .filter($"jaccard" >= NgramThreshold)

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, Relational, Similarity}
+
+/** Physical-plan shape assertions: the optimizations we design for must
+  * actually appear in the executed plan — filters pushed into the parquet
+  * scan, small dimensions broadcast, global top-k as TakeOrderedAndProject,
+  * and no accidental cartesian products in the banded similarity joins.
+  * These are the ".explain and iterate" checks of the build brief, pinned
+  * as tests so a regression can't slip in silently. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6: all three predicates push down to the parquet scan") {
+    val p = plan(Relational.q6ForecastRevenue(spark, dir))
+    // non-empty PushedFilters on the scan (the plan string truncates the
+    // list, so check the scan's DataFilters carry all three columns)
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    val scanLine = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scanLine.contains("DataFilters: [isnotnull(l_shipdate"), scanLine)
+  }
+
+  test("q6: scan reads only the referenced columns") {
+    val p = plan(Relational.q6ForecastRevenue(spark, dir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q2: dimension join is a broadcast hash join") {
+    val p = plan(Relational.q2NationRegion(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q12: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(Relational.q12TopK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q4: EXISTS plans as a semi join, not inner + distinct") {
+    val p = plan(Relational.q4SemiJoin(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("banded near-dup joins never degenerate to cartesian products") {
+    Seq(Dedup.minhashLsh(spark, dir), Dedup.ngramJaccard(spark, dir),
+        Similarity.nearDupEmbedding(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
+  test("brute-force topk broadcasts the query side (corpus never shuffles for the join)") {
+    val p = plan(Similarity.topkBruteForce(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1: aggregation is partial (map-side) + final") {
+    val p = plan(Relational.q1PricingSummary(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    // two HashAggregate levels around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}

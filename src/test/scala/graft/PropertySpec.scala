@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY.md §5.2.4) using scalacheck generators with
+  * a fixed seed (the scalatest-scalacheck bridge isn't in the offline cache,
+  * so sampling is explicit — same coverage, deterministic replay). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  // epoch millis across 1970..2100, as the reference keeps them: strings
+  private val msGen: Gen[Long] = Gen.choose(0L, 4102444800000L)
+
+  test("timestamp_dt derivation agrees with java.time UTC for arbitrary millis") {
+    val ms = sample(Gen.listOfN(500, msGen), 42L)
+    val df = ms.map(_.toString).toDF("timestamp_ms")
+    val got = graft.operators.Ingest.deriveDate(df)
+      .select($"timestamp_ms", $"timestamp_dt".cast("string"))
+      .as[(String, String)].collect().toMap
+    ms.foreach { m =>
+      val expect = java.time.Instant.ofEpochSecond(m / 1000)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      assert(got(m.toString) == expect, s"ms=$m")
+    }
+  }
+
+  private val docGen: Gen[(String, Long)] = for {
+    marker <- Gen.oneOf("EUR/GBP", "USD/CHF", "A", "x y", "")
+    ms <- msGen
+  } yield (marker, ms)
+
+  test("decode(encode(docs)) recovers exactly the non-empty-keyed docs") {
+    (1L to 10L).foreach { seed =>
+      val docs = sample(Gen.listOfN(40, docGen), seed)
+      // serialize: newline-join into one message per 3 docs
+      val lines = docs.map { case (mk, ms) =>
+        s"""{"timestamp_ms": "$ms", "fx_marker": "$mk"}"""
+      }
+      val messages = lines.grouped(3).map(_.mkString("\n")).toSeq
+      val decoded = graft.operators.Ingest.filterKeyed(
+          graft.operators.Ingest.decode(messages.toDF("value")))
+        .select($"fx_marker", $"timestamp_ms")
+        .as[(String, String)].collect().toList.sorted
+      val expected = docs.filter(_._1.nonEmpty)
+        .map { case (mk, ms) => (mk, ms.toString) }.sorted
+      assert(decoded == expected, s"seed=$seed")
+    }
+  }
+}
