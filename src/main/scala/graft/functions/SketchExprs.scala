@@ -153,3 +153,67 @@ object MinhashSignature {
     ColumnBridge.toColumn(MinhashSignature(
       ColumnBridge.toExpression(h1), ColumnBridge.toExpression(h2), perms, prime))
 }
+
+/** |A ∩ B| for two SORTED distinct `array<long>` columns, by merge-walk —
+  * no per-row hash-set allocation, unlike the builtin array_intersect. The
+  * value equals `size(array_intersect(a, b))` (= the oracle's
+  * `len(list_intersect(...))`) whenever both inputs are sorted + distinct;
+  * callers sort once per document, then the pairwise verification join pays
+  * only O(|A|+|B|) primitive compares per candidate pair. */
+case class IntersectCardinality(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"intersect_cardinality requires two array<bigint>, got ${l.simpleString}/${r.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_cardinality"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx == vy) { c += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val vx = ctx.freshName("vx")
+      val vy = ctx.freshName("vy")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $vx = $a.getLong($i);
+         |  long $vy = $b.getLong($j);
+         |  if ($vx == $vy) { $c++; $i++; $j++; }
+         |  else if ($vx < $vy) { $i++; }
+         |  else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectCardinality =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectCardinality {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(IntersectCardinality(
+      ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+}

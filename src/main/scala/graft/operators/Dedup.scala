@@ -55,13 +55,15 @@ object Dedup {
     * (the oracle SQL carries the equivalent list-comprehension form). */
   private def signed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
+    Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", wordShingles(tokens($"text")).as("shingles"))
       .filter(size($"shingles") > 0)
-      .withColumn("h1", transform($"shingles",
-        sh => conv(substring(md5(sh), 1, 8), 16, 10).cast("long")))
-      .withColumn("h2", transform($"shingles",
-        sh => conv(substring(md5(sh), 9, 8), 16, 10).cast("long")))
+      .withColumn("m", transform($"shingles", sh => md5(sh)))
+      .withColumn("h1", transform($"m",
+        m => conv(substring(m, 1, 8), 16, 10).cast("long")))
+      .withColumn("h2", transform($"m",
+        m => conv(substring(m, 9, 8), 16, 10).cast("long")))
+      .drop("m")
       .withColumn("sig", graft.functions.MinhashSignature(
         $"h1", $"h2", MinhashPerms, MinhashPrime))
       .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
@@ -107,7 +109,7 @@ object Dedup {
     * keeps floor(h/2^j) exact in the oracle's double arithmetic. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", transform(tokens($"text"),
         t => hash60(t) % 281474976710656L).as("hs"))
       .select($"doc_id",
@@ -144,16 +146,18 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val toks = tokens($"text")
-    val docs = Tables.documents(spark, dir)
+    // grams sorted once per doc so pairwise intersection is a native
+    // merge-walk (IntersectCardinality) instead of a hash set per pair
+    val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", $"n_chars",
-        array_distinct(transform(wordShingles(toks, 2), g => hash60(g))).as("grams"))
+        array_sort(array_distinct(transform(wordShingles(toks, 2), g => hash60(g)))).as("grams"))
       .withColumn("ng", size($"grams"))
       .persist()
     val left = docs.withColumn("band", ($"n_chars" / LenBand).cast("long"))
     val right = docs.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
         $"grams".as("gr_b"), $"ng".as("ng_b"),
         explode(array((-1 to 1).map(d => ($"n_chars" / LenBand).cast("long") + d): _*)).as("band"))
-    val inter = size(array_intersect($"grams", $"gr_b"))
+    val inter = graft.functions.IntersectCardinality($"grams", $"gr_b")
     // size-ratio prefilter: J = i/(na+nb-i) ≤ min/max, so min/max < τ can
     // never reach the threshold — prune BEFORE the set intersection. For
     // τ = 0.8 in exact integers: 5·min ≥ 4·max. Purely physical; the oracle

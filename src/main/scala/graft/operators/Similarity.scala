@@ -36,7 +36,7 @@ object Similarity {
 
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.embeddings(spark, dir)
+    Tables.spread(Tables.embeddings(spark, dir))
       .select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
   }

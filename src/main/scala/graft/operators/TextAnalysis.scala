@@ -41,7 +41,7 @@ object TextAnalysis {
     * trigrams ∩ profile| (score desc, lang asc tiebreak). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", $"lang", charShingles(lower($"text"), 3).as("grams"))
       .persist()
     val profile = docs

@@ -16,6 +16,16 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a (possibly single-split) scan across all cores before a
+    * compute-heavy per-row stage. Small fixture files arrive as ONE input
+    * partition (< maxPartitionBytes), which would serialize hashing /
+    * signature work onto one task; at 100 TB the scan has thousands of
+    * splits and this becomes a no-op-sized round-robin the optimizer can
+    * absorb. The shuffle moves the raw rows once — strictly cheaper than
+    * leaving a cores-×-idle compute stage. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
