@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{DotProduct, IntersectCardinality, MinhashSignature, SimhashSignature}
+import graft.operators.Dedup
+
+/** SparkSessionExtensions entry point: registers graft's native expressions
+  * as SQL functions, so they are usable from `spark.sql(...)` (and from any
+  * SQL-speaking client of a session configured with
+  * `spark.sql.extensions=graft.GraftExtensions`):
+  *
+  *   dot_product(array<double>, array<double>)        → double
+  *   simhash(array<bigint>)                           → bigint (48-bit)
+  *   minhash(array<bigint>, array<bigint>)            → array<bigint> (16 perms)
+  *   intersect_cardinality(array<bigint>, array<bigint>) → int (sorted inputs)
+  *
+  * This is the (c) extension surface of the build plan: no parser or
+  * optimizer rules are needed (SURVEY.md §4.4 — Catalyst's builtins cover
+  * every reference rewrite), so the extension point only contributes
+  * functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage)
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot product of two array<double>"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("simhash",
+      info("simhash", "simhash(hashes) - 48-bit SimHash of an array<bigint>"),
+      (args: Seq[Expression]) => SimhashSignature(args(0), Dedup.SimhashBits)),
+    ("minhash",
+      info("minhash", "minhash(h1, h2) - 16-permutation MinHash signature"),
+      (args: Seq[Expression]) => MinhashSignature(args(0), args(1),
+        Dedup.MinhashPerms, Dedup.MinhashPrime)),
+    ("intersect_cardinality",
+      info("intersect_cardinality",
+        "intersect_cardinality(a, b) - |A∩B| of two sorted array<bigint>"),
+      (args: Seq[Expression]) => IntersectCardinality(args(0), args(1))))
+
+  /** Register into an existing session (tests / non-configured sessions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registrations.foreach { case (name, i, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+  }
+}
