@@ -81,8 +81,11 @@ class KeyedUpsertForeachWriter(storeName: String, keyOrdinal: Int = 0)
   * last-write-wins contract are unchanged.
   */
 object KeyedUpsertBatch {
-  /** foreachBatch((df, id) => merge(...)) body. `orderCol` decides the winner
-    * within the batch (event-time LWW); across batches, later batch wins. */
+  /** foreachBatch((df, id) => merge(...)) body for the in-memory test store.
+    * `orderCol` decides the winner within the batch (event-time LWW); across
+    * batches, later batch wins. The batch is REDUCED distributively first;
+    * only the per-key winners (O(distinct keys)) reach the driver-side map —
+    * the map stands in for an external keyed database's bulk-write API. */
   def merge(storeName: String, keyCol: String, orderCol: String)(
       batch: DataFrame, batchId: Long): Unit = {
     import org.apache.spark.sql.functions._
@@ -93,5 +96,48 @@ object KeyedUpsertBatch {
       val key = row.get(row.fieldIndex(keyCol))
       if (key != null) store.put(key.toString, row.toSeq)
     }
+  }
+}
+
+/** Fully distributed keyed store: a compacted parquet table with
+  * last-write-wins semantics — the local stand-in for the reference's
+  * Cassandra table that never routes data through the driver.
+  *
+  * Merge = read current state ∪ new batch → window-dedup per key → write new
+  * generation directory → flip the `_CURRENT` pointer (atomic rename).
+  * Every step is a distributed DataFrame op; driver code only moves the
+  * pointer. Generations make readers immune to concurrent compaction. At
+  * 100 TB the same shape is a MERGE INTO on a transactional table format;
+  * the LWW contract and the batch-side reduction are identical.
+  */
+class ParquetKeyedStore(rootDir: String, keyCol: String, orderCol: String) {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  private val root = Paths.get(rootDir)
+  private val pointer = root.resolve("_CURRENT")
+  Files.createDirectories(root)
+
+  private def currentGen: Option[String] =
+    if (Files.exists(pointer)) Some(Files.readString(pointer).trim) else None
+
+  /** Current state as a DataFrame (empty schema-less read guarded). */
+  def read(spark: org.apache.spark.sql.SparkSession): Option[DataFrame] =
+    currentGen.map(g => spark.read.parquet(root.resolve(g).toString))
+
+  /** foreachBatch body: distributed LWW merge of `batch` into the store. */
+  def merge(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val unioned = read(spark) match {
+      case Some(cur) => cur.unionByName(batch)
+      case None => batch
+    }
+    val compacted = graft.operators.Ingest
+      .latestPerKey(unioned, keyCol, col(orderCol).cast("long"))
+    val gen = f"gen-$batchId%020d"
+    compacted.write.mode("overwrite").parquet(root.resolve(gen).toString)
+    val tmp = root.resolve(s"_CURRENT.$batchId.tmp")
+    Files.writeString(tmp, gen)
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 }

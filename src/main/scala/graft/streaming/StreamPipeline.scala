@@ -40,4 +40,18 @@ object StreamPipeline {
       .foreachBatch(KeyedUpsertBatch.merge(storeName, "fx_marker", "timestamp_ms") _)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Fully distributed variant: foreachBatch merging into a compacted
+    * parquet keyed table — no data through the driver (event-time LWW). */
+  def startParquetMerge(envelope: DataFrame, storeDir: String,
+                        checkpoint: String): StreamingQuery = {
+    val store = new ParquetKeyedStore(storeDir, "fx_marker", "timestamp_ms")
+    transform(envelope).writeStream
+      .queryName("KafkaToParquetKeyedStore")
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(store.merge _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

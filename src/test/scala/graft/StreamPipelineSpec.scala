@@ -53,6 +53,30 @@ class StreamPipelineSpec extends SparkSpec {
     assert(state("USD/CHF")(1) == "1530305100815")
   }
 
+  test("parquet keyed store: distributed LWW merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val storeDir = Files.createTempDirectory("pq_store").toString
+    val cp = Files.createTempDirectory("cp_pq").toString
+    val in = MemoryStream[String]
+    in.addData(fixture: _*)
+    val q = StreamPipeline.startParquetMerge(in.toDF(), storeDir, cp)
+    q.awaitTermination()
+    // second run, same store: EUR/CHF gets a newer tick, USD/CHF an older one
+    val cp2 = Files.createTempDirectory("cp_pq2").toString
+    val in2 = MemoryStream[String]
+    in2.addData("""{"timestamp_ms": "1530306000000", "fx_marker": "EUR/CHF"}
+                  |{"timestamp_ms": "1530300000001", "fx_marker": "USD/CHF"}""".stripMargin)
+    val q2 = StreamPipeline.startParquetMerge(in2.toDF(), storeDir, cp2)
+    q2.awaitTermination()
+    import spark.implicits._
+    val store = new graft.streaming.ParquetKeyedStore(storeDir, "fx_marker", "timestamp_ms")
+    val state = store.read(spark).get
+      .select($"fx_marker", $"timestamp_ms").as[(String, String)].collect().toMap
+    assert(state.keySet == Set("EUR/GBP", "USD/CHF", "EUR/CHF"))
+    assert(state("EUR/CHF") == "1530306000000") // newer tick won
+    assert(state("USD/CHF") == "1530305100815") // older tick lost (event-time LWW)
+  }
+
   test("foreach writer honors (partitionId, epochId): replayed epoch skipped") {
     val store = "t_epoch"
     KeyedStores.clear(store)
