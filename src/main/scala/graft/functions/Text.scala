@@ -29,7 +29,13 @@ object Text {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct word k-shingles ("w1 w2 w3") of a token array.
-    * Empty when the doc has fewer than k tokens. */
+    * Empty when the doc has fewer than k tokens.
+    *
+    * IMPORTANT: pass a *materialized column* (an attribute), not a nested
+    * expression like `tokens($"text")` — lambda bodies re-evaluate their
+    * captured expressions PER ELEMENT in interpreted HOF evaluation, so a
+    * nested split() would run once per shingle per reference (measured 20×
+    * slowdown). Same rule for [[charShingles]]. */
   def wordShingles(toks: Column, k: Int = 3): Column = {
     val n = size(toks)
     when(n >= k,

@@ -56,16 +56,11 @@ object Dedup {
   private def signed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", wordShingles(tokens($"text")).as("shingles"))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", wordShingles($"toks").as("shingles"))
       .filter(size($"shingles") > 0)
-      .withColumn("m", transform($"shingles", sh => md5(sh)))
-      .withColumn("h1", transform($"m",
-        m => conv(substring(m, 1, 8), 16, 10).cast("long")))
-      .withColumn("h2", transform($"m",
-        m => conv(substring(m, 9, 8), 16, 10).cast("long")))
-      .drop("m")
-      .withColumn("sig", graft.functions.MinhashSignature(
-        $"h1", $"h2", MinhashPerms, MinhashPrime))
+      .withColumn("sig", graft.functions.MinhashFromStrings(
+        $"shingles", MinhashPerms, MinhashPrime))
       .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => struct(b.as("band"),
           concat_ws(",", transform(slice($"sig", b * MinhashRows + 1, lit(MinhashRows)),
@@ -109,9 +104,10 @@ object Dedup {
     * keeps floor(h/2^j) exact in the oracle's double arithmetic. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // HashArray60 yields 60-bit hashes; the signature reads bits 0..47 only,
+    // so the values match the oracle's (hash60 % 2^48) formulation exactly
     val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", transform(tokens($"text"),
-        t => hash60(t) % 281474976710656L).as("hs"))
+      .select($"doc_id", graft.functions.HashArray60(tokens($"text")).as("hs"))
       .select($"doc_id",
         graft.functions.SimhashSignature($"hs", SimhashBits).as("sim"))
       .persist()
@@ -145,12 +141,13 @@ object Dedup {
     * intersection is materialized. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = tokens($"text")
     // grams sorted once per doc so pairwise intersection is a native
     // merge-walk (IntersectCardinality) instead of a hash set per pair
     val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", $"n_chars", tokens($"text").as("toks"))
+      .select($"doc_id", $"n_chars", wordShingles($"toks", 2).as("bigrams"))
       .select($"doc_id", $"n_chars",
-        array_sort(array_distinct(transform(wordShingles(toks, 2), g => hash60(g)))).as("grams"))
+        array_sort(array_distinct(graft.functions.HashArray60($"bigrams"))).as("grams"))
       .withColumn("ng", size($"grams"))
       .persist()
     val left = docs.withColumn("band", ($"n_chars" / LenBand).cast("long"))

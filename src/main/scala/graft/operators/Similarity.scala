@@ -102,11 +102,25 @@ object Similarity {
     * 16 deterministic hyperplane bits per vector (pure projection), banded
     * into 4 bands of 4 bits; bucket collisions are verified with exact
     * cosine ≥ 0.4. Approximate-recall by design, identically on both engines. */
+  /** The random hyperplanes are DATA-INDEPENDENT constants — ±1 per (bit j,
+    * dim d) by the parity of hash60(j ++ "_" ++ d) — so they are computed
+    * once at plan-build time and embedded as array literals; each bit is
+    * then one native dot product instead of 64 interpreted lambda steps.
+    * HashKernels.h60 is the bit-exact driver-side twin of the oracle's md5
+    * expression, so values are unchanged. */
+  private lazy val hyperplanes: IndexedSeq[Seq[Double]] =
+    (0 until LshBitsTotal).map { j =>
+      (0 until Dims).map { d =>
+        if (graft.functions.HashKernels.h60(s"${j}_${d}") % 2 == 1) 1.0 else -1.0
+      }
+    }
+
   def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
-      .withColumn("bits", transform(sequence(lit(0), lit(LshBitsTotal - 1)),
-        j => lshBit($"v", j, Dims).cast("int")))
+      .withColumn("bits", array((0 until LshBitsTotal).map { j =>
+        (graft.functions.DotProduct($"v", typedLit(hyperplanes(j))) > 0).cast("int")
+      }: _*))
       .persist()
     val nBands = LshBitsTotal / LshBandBits
     val buckets = c.select($"vec_id", explode(

@@ -42,7 +42,8 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", $"lang", charShingles(lower($"text"), 3).as("grams"))
+      .select($"doc_id", $"lang", lower($"text").as("lc"))
+      .select($"doc_id", $"lang", charShingles($"lc", 3).as("grams"))
       .persist()
     val profile = docs
       .select($"lang", explode($"grams").as("gram"))
@@ -89,10 +90,11 @@ object TextAnalysis {
     * shingle sets with high probability). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hashes = array_sort(transform(
-      wordShingles(tokens($"text")), sh => hash60(sh)))
-    Tables.documents(spark, dir)
-      .select($"doc_id", slice(hashes, 1, 8).as("bottom8"))
+    Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", wordShingles($"toks").as("shingles"))
+      .select($"doc_id",
+        slice(array_sort(graft.functions.HashArray60($"shingles")), 1, 8).as("bottom8"))
       .select($"doc_id",
         aggregate($"bottom8", lit(0L), (acc, x) => acc + x).as("fingerprint"),
         element_at($"bottom8", 1).as("min_hash"),
