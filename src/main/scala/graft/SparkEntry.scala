@@ -41,6 +41,10 @@ object SparkEntry {
     "q15_date_funcs"   -> (Relational.q15DateFuncs _),
     "q16_case_expr"    -> (Relational.q16CaseExpr _),
     "q_asof_join"      -> (Relational.qAsOfJoin _),
+    "q17_grouping_sets"-> (Relational.q17GroupingSets _),
+    "q18_pivot"        -> (Relational.q18Pivot _),
+    "q19_percentile"   -> (Relational.q19Percentile _),
+    "q20_array_funcs"  -> (Relational.q20ArrayFuncs _),
     // north-star: dedup / similarity / text analysis / windows / multimodal
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
@@ -255,6 +259,36 @@ object SparkEntry {
         |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_orderdate
         |FROM events e
         |ORDER BY e.event_id""".stripMargin,
+
+    "q17_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS P
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q19_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_array_funcs" ->
+      """SELECT vec_id,
+        |  list_max(embedding) AS arr_max,
+        |  list_min(embedding) AS arr_min,
+        |  list_slice(embedding, 1, 3) AS head3,
+        |  CAST(len([x for x in embedding if x > 0]) AS INTEGER) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS representative, count(*) AS n_docs

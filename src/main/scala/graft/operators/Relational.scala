@@ -256,6 +256,60 @@ object Relational {
       .orderBy($"size_bucket", $"status_label")
   }
 
+  /** GROUPING SETS (beyond rollup/cube): independent per-status and
+    * per-priority subtotals plus the grand total in one pass — Catalyst
+    * plans one Expand + one aggregation, not three scans. */
+  def q17GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_gs")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** Pivot: order spend by year × status as columns (fixed pivot values ⇒
+    * single-pass conditional aggregation, no second job to discover keys). */
+  def q18Pivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy(year($"o_orderdate").as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(moneySum($"o_totalprice"))
+      .orderBy($"order_year")
+  }
+
+  /** Exact interpolated percentiles per group (sort-based exact percentile;
+    * the approximate twin for 100 TB is approx_percentile / t-digest).
+    * Rounded to 6dp: interpolation arithmetic may differ in the last ulp
+    * across engines. */
+  def q19Percentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.5)), 6).as("med_qty"),
+        round(percentile($"l_quantity", lit(0.9)), 6).as("p90_qty"),
+        round(percentile($"l_extendedprice", lit(0.99)), 6).as("p99_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Array scalar functions over the embedding vectors: max/min, slicing,
+    * higher-order filter — all codegen'd builtins, float-exact. */
+  def q20ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        array_max($"embedding").as("arr_max"),
+        array_min($"embedding").as("arr_min"),
+        slice($"embedding", 1, 3).as("head3"),
+        size(filter($"embedding", x => x > 0)).as("n_pos"))
+      .orderBy($"vec_id")
+  }
+
   /** As-of join (operator Spark lacks natively): for each event, the most
     * recent order date of the same customer at-or-before the event time.
     *
