@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, Ingest, Multimodal, Relational, Similarity, Skew, TextAnalysis, Windows}
+import graft.operators.{Dedup, Ingest, Multimodal, Relational, Sampling, Similarity, Skew, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,9 @@ object SparkEntry {
     "q_window_session"     -> (Windows.sessions _),
     "q_multimodal_meta"    -> (Multimodal.metadata _),
     "q_multimodal_frames"  -> (Multimodal.frameSample _),
+    "q_sample_systematic"  -> (Sampling.systematic _),
+    "q_sample_stratified"  -> (Sampling.stratified _),
+    "q_edit_distance"      -> (Sampling.editDistance _),
     "q_props_json"         -> (Ingest.propsJson _),
     "q_salted_agg"         -> (Skew.saltedAgg _),
     "q_sketch_distinct"    -> (Ingest.sketchDistinct _),  // no oracle: HLL estimates are engine-specific
@@ -551,6 +554,31 @@ object SparkEntry {
         |  CAST(octet_length(encode(substr(text, frame_idx*64 + 1, 64))) AS INTEGER) AS frame_bytes,
         |  CAST(concat('0x', substr(md5(hex(encode(substr(text, frame_idx*64 + 1, 64)))),1,15)) AS BIGINT) AS frame_hash
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_sample_systematic" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE CAST(concat('0x', substr(md5(concat(l_orderkey, '#', l_linenumber)),1,15)) AS BIGINT) % 100 < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, rn, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) ASC,
+        |               doc_id ASC) AS INTEGER) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    "q_edit_distance" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, substr(lower(p_name), 1, 12) AS pfx FROM part
+        |)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.pfx, b.pfx) <= 8
+        |ORDER BY key_a, key_b""".stripMargin,
 
     "q_props_json" ->
       """SELECT event_type,

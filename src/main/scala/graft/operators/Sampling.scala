@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.Text.hash60
+
+/** Reproducible sampling for training-data pipelines. Random `sample()` is
+  * seed- and partitioning-dependent and differs across engines/runs; these
+  * operators sample by CONTENT HASH, so the same row set is selected on any
+  * engine, any cluster size, any day — the property a dataset release
+  * pipeline actually needs (and what makes them DuckDB-oracle-checkable).
+  *
+  * Scale: both are single-pass projections + a filter (systematic) or one
+  * shuffle on the stratum key (stratified top-k). No sort of the full data.
+  */
+object Sampling {
+
+  val SamplePercent = 5
+
+  /** Systematic 5% sample of lineitem: keep rows whose 60-bit content hash
+    * of the primary key falls in the lowest 5% of the hash space. Filter is
+    * pushed... computed per-row, no shuffle, no sort. */
+  def systematic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .withColumn("h", hash60(concat_ws("#", $"l_orderkey", $"l_linenumber")))
+      .filter(pmod($"h", lit(100)) < SamplePercent)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val PerStratum = 10
+
+  /** Stratified sample: a fixed quota per stratum (lang), rows ranked by
+    * content hash (deterministic, unbiased within stratum). One shuffle on
+    * the stratum key; per-group top-k via row_number. */
+  def stratified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
+    Tables.documents(spark, dir)
+      .withColumn("h", hash60($"doc_id".cast("string")))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= PerStratum)
+      .select($"lang", $"rn", $"doc_id", $"n_chars")
+      .orderBy($"lang", $"rn")
+  }
+
+  val BrandPrefix = 12
+  val MaxEditDistance = 8
+
+  /** Edit-distance string similarity: near-matching part-name prefixes
+    * within a brand (brand = the blocking key — the pair space is per-brand,
+    * never global). levenshtein is codegen'd in both engines. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand", substring(lower($"p_name"), 1, BrandPrefix).as("pfx"))
+    parts.as("a").join(parts.as("b"),
+        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
+      .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
+        levenshtein($"a.pfx", $"b.pfx").as("edit_dist"))
+      .filter($"edit_dist" <= MaxEditDistance)
+      .orderBy($"key_a", $"key_b")
+  }
+}
