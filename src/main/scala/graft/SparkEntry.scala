@@ -57,6 +57,7 @@ object SparkEntry {
     "text_langid"          -> (TextAnalysis.langId _),
     "text_quality"         -> (TextAnalysis.quality _),
     "text_fingerprint"     -> (TextAnalysis.fingerprint _),
+    "q_interval_join"      -> (Windows.intervalJoin _),
     "q_window_tumbling"    -> (Windows.tumbling _),
     "q_window_sliding"     -> (Windows.sliding _),
     "q_window_session"     -> (Windows.sessions _),
@@ -501,6 +502,17 @@ object SparkEntry {
         |  hs[1] AS min_hash,
         |  CAST(len(list_slice(hs, 1, 8)) AS INTEGER) AS sketch_size
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+        |)
+        |SELECT p.user_id AS user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.ms - c.ms AS lag_ms
+        |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ms <= p.ms AND c.ms > p.ms - 1800000
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,

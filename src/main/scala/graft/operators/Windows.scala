@@ -42,6 +42,33 @@ object Windows {
       .orderBy($"window_start")
   }
 
+  val AttributionMinutes = 30
+
+  /** Interval (range) join: attribute each purchase to the same user's
+    * clicks in the preceding 30 minutes. Implemented scalably: both sides
+    * are blocked into 30-minute time buckets and the click side is
+    * replicated to (bucket, bucket+1), so the range condition becomes an
+    * equi-join on (user, bucket) with a residual filter — pair space is
+    * per-user-per-bucket, never |clicks|×|purchases|. Streaming twin:
+    * `Stateful.streamAttribution` (same predicate under watermarks). */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val winMs = AttributionMinutes * 60000L
+    val ev = Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", $"ts", unix_millis($"ts").as("ms"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ms".as("p_ms"),
+        ($"ms" / winMs).cast("long").as("bucket"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ms".as("c_ms"),
+        explode(array(($"ms" / winMs).cast("long"), ($"ms" / winMs).cast("long") + 1)).as("bucket"))
+    purchases.join(clicks,
+        $"user_id" === $"c_user" && purchases("bucket") === clicks("bucket") &&
+          $"c_ms" <= $"p_ms" && $"c_ms" > $"p_ms" - winMs)
+      .select($"user_id", $"purchase_id", $"click_id", ($"p_ms" - $"c_ms").as("lag_ms"))
+      .orderBy($"user_id", $"purchase_id", $"click_id")
+  }
+
   val SessionGapMinutes = 30
 
   /** Session windows per user with a 30-minute inactivity gap —

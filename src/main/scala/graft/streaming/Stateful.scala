@@ -38,6 +38,26 @@ object Stateful {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join (the streaming twin of
+    * Windows.intervalJoin): purchases joined to the same user's clicks in
+    * the preceding `windowMinutes`. Watermarks on BOTH sides + the time-range
+    * condition let Spark bound the join state (clicks older than the
+    * watermark minus the window are evicted). */
+  def streamAttribution(clicks: DataFrame, purchases: DataFrame,
+                        windowMinutes: Int = 30): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("lag_ms"))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp)
   case class SessionState(start: Long, end: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -65,6 +65,27 @@ class StatefulSpec extends SparkSpec {
     assert(sessions.head.session_start == ts(0) && sessions.head.session_end == ts(10))
   }
 
+  test("stream-stream interval join matches the batch twin's pairs") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val out = Stateful.streamAttribution(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    // user 1: clicks at t0,t5; purchase at t10 → both attributed
+    // user 1: purchase at t50 → outside 30min of both clicks
+    // user 2: click at t0 only, no purchase
+    clicks.addData((1L, 101L, ts(0)), (1L, 102L, ts(5)), (2L, 201L, ts(0)))
+    purchases.addData((1L, 901L, ts(10)), (1L, 902L, ts(50)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(rows == Set((901L, 101L), (901L, 102L)))
+  }
+
   test("batch and streaming session semantics agree on closed sessions") {
     import graft.operators.Windows
     // batch twin over the same fixture events
