@@ -584,11 +584,14 @@ object SparkEntry {
 
     "q_edit_distance" ->
       """WITH p AS (
-        |  SELECT p_partkey, p_brand, substr(lower(p_name), 1, 12) AS pfx FROM part
+        |  SELECT p_partkey, p_brand, substr(lower(p_name), 1, 12) AS pfx,
+        |         substr(lower(p_name), 1, 1) AS blk
+        |  FROM part
         |)
         |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
         |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
-        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.blk = b.blk
+        |  AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.pfx, b.pfx) <= 8
         |ORDER BY key_a, key_b""".stripMargin,
 

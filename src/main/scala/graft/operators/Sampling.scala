@@ -51,14 +51,17 @@ object Sampling {
   val MaxEditDistance = 8
 
   /** Edit-distance string similarity: near-matching part-name prefixes
-    * within a brand (brand = the blocking key — the pair space is per-brand,
-    * never global). levenshtein is codegen'd in both engines. */
+    * within a (brand, first-letter) canopy — the standard entity-resolution
+    * blocking that keeps the pair space per-block, never global.
+    * levenshtein is codegen'd in both engines. */
   def editDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = Tables.part(spark, dir)
-      .select($"p_partkey", $"p_brand", substring(lower($"p_name"), 1, BrandPrefix).as("pfx"))
+      .select($"p_partkey", $"p_brand", substring(lower($"p_name"), 1, BrandPrefix).as("pfx"),
+        substring(lower($"p_name"), 1, 1).as("blk"))
     parts.as("a").join(parts.as("b"),
-        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
+        $"a.p_brand" === $"b.p_brand" && $"a.blk" === $"b.blk" &&
+          $"a.p_partkey" < $"b.p_partkey")
       .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
         levenshtein($"a.pfx", $"b.pfx").as("edit_dist"))
       .filter($"edit_dist" <= MaxEditDistance)
