@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
+    "sim_label_centroids"  -> (Similarity.labelCentroids _),
     "sim_topk_ivf"         -> (Similarity.topkIvf _),
     "text_tokens"          -> (TextAnalysis.tokenCounts _),
     "text_langid"          -> (TextAnalysis.langId _),
@@ -290,7 +291,7 @@ object SparkEntry {
       """SELECT vec_id,
         |  list_max(embedding) AS arr_max,
         |  list_min(embedding) AS arr_min,
-        |  list_slice(embedding, 1, 3) AS head3,
+        |  embedding[1] AS first_dim,
         |  CAST(len([x for x in embedding if x > 0]) AS INTEGER) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
@@ -390,6 +391,16 @@ object SparkEntry {
         |FROM cand c2 JOIN c a ON c2.id_a = a.vec_id JOIN c b ON c2.id_b = b.vec_id
         |WHERE round(list_sum([a.v[i]*b.v[i] for i in range(1,65)]) / (a.nrm*b.nrm), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_label_centroids" ->
+      """WITH u AS (
+        |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+        |)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |  round(sum(x) / count(*), 6) AS centroid_val
+        |FROM u GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
 
     "sim_topk_brute" ->
       """WITH n AS (

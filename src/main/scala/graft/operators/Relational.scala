@@ -305,7 +305,7 @@ object Relational {
       .select($"vec_id",
         array_max($"embedding").as("arr_max"),
         array_min($"embedding").as("arr_min"),
-        slice($"embedding", 1, 3).as("head3"),
+        element_at($"embedding", 1).as("first_dim"),
         size(filter($"embedding", x => x > 0)).as("n_pos"))
       .orderBy($"vec_id")
   }

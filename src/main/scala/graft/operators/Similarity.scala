@@ -102,6 +102,22 @@ object Similarity {
     * 16 deterministic hyperplane bits per vector (pure projection), banded
     * into 4 bands of 4 bits; bucket collisions are verified with exact
     * cosine ≥ 0.4. Approximate-recall by design, identically on both engines. */
+  /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]
+    * Aggregator (UDAF surface): one 64-double buffer per (label × partition)
+    * through the shuffle, exploded to scalar (label, dim, value) rows and
+    * rounded 6dp (double-sum order is partitioning-dependent). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = org.apache.spark.sql.functions.udaf(new graft.functions.CentroidAgg(Dims))
+    Tables.embeddings(spark, dir)
+      .select($"label", asDouble($"embedding").as("v"))
+      .groupBy($"label")
+      .agg(agg($"v").as("centroid"))
+      .select($"label", posexplode($"centroid").as(Seq("dim", "val")))
+      .select($"label", $"dim", round($"val", 6).as("centroid_val"))
+      .orderBy($"label", $"dim")
+  }
+
   /** The random hyperplanes are DATA-INDEPENDENT constants — ±1 per (bit j,
     * dim d) by the parity of hash60(j ++ "_" ++ d) — so they are computed
     * once at plan-build time and embedded as array literals; each bit is
