@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Typed UDAF (the `Aggregator[IN, BUF, OUT]` surface of SURVEY.md §2.3):
@@ -19,7 +19,10 @@ class CentroidAgg(dims: Int)
 
   override def zero: (Array[Double], Long) = (new Array[Double](dims), 0L)
 
+  /** Null vectors are ignored entirely (not summed, not counted) — the
+    * contract a caller must mirror in any SQL twin (filter nulls first). */
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+    if (v == null) return b
     val (sums, n) = b
     var i = 0
     while (i < dims && i < v.length) { sums(i) += v(i); i += 1 }
@@ -33,9 +36,10 @@ class CentroidAgg(dims: Int)
     (sa, na + nb)
   }
 
+  /** Empty input → null (SQL AVG semantics), never a fabricated zero vector. */
   override def finish(b: (Array[Double], Long)): Seq[Double] = {
     val (sums, n) = b
-    if (n == 0) Seq.fill(dims)(0.0) else sums.map(_ / n).toSeq
+    if (n == 0) null else sums.map(_ / n).toSeq
   }
 
   override def bufferEncoder: Encoder[(Array[Double], Long)] =

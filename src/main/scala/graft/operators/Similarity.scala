@@ -98,10 +98,6 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
-    * 16 deterministic hyperplane bits per vector (pure projection), banded
-    * into 4 bands of 4 bits; bucket collisions are verified with exact
-    * cosine ≥ 0.4. Approximate-recall by design, identically on both engines. */
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]
     * Aggregator (UDAF surface): one 64-double buffer per (label × partition)
     * through the shuffle, exploded to scalar (label, dim, value) rows and
@@ -131,6 +127,10 @@ object Similarity {
       }
     }
 
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * 16 deterministic hyperplane bits per vector (pure projection), banded
+    * into 4 bands of 4 bits; bucket collisions are verified with exact
+    * cosine ≥ 0.4. Approximate-recall by design, identically on both engines. */
   def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
