@@ -65,6 +65,32 @@ class StatefulSpec extends SparkSpec {
     assert(sessions.head.session_start == ts(0) && sessions.head.session_end == ts(10))
   }
 
+  test("update-mode streaming aggregation upserts running counts per key") {
+    implicit val ctx = spark.sqlContext
+    val store = "t_runcount"
+    graft.streaming.KeyedStores.clear(store)
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = in.toDF().toDF("ts", "event_type")
+      .groupBy($"event_type")
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    val q = counts.writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // update mode emits only changed keys per epoch; upsert each
+        batch.collect().foreach { r =>
+          graft.streaming.KeyedStores.store(store)
+            .put(r.getString(0), Seq(r.getString(0), r.getLong(1)))
+        }
+      }.start()
+    in.addData((ts(0), "click"), (ts(1), "click"), (ts(2), "view"))
+    q.processAllAvailable()
+    in.addData((ts(3), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val state = graft.streaming.KeyedStores.snapshot(store)
+    assert(state("click")(1) == 3L) // running count carried across epochs
+    assert(state("view")(1) == 1L)
+  }
+
   test("stream-stream interval join matches the batch twin's pairs") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
