@@ -134,7 +134,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
 
     "q_outer_join_agg" ->

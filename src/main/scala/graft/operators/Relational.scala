@@ -94,7 +94,7 @@ object Relational {
   def q5AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).filter($"o_totalprice" > 150000)
+    val o = Tables.orders(spark, dir).filter($"o_totalprice" > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
       .orderBy($"c_custkey")

@@ -1,0 +1,32 @@
+package graft
+
+/** Driver-contract consistency: every oracle key must name a real query,
+  * non-oracled queries must be the documented exceptions, and every query
+  * must run and produce a stable schema on the smoke fixture. Catches
+  * queries/oracleSql drift before the driver's gate does. */
+class ContractSpec extends SparkSpec {
+
+  test("oracleSql keys are exactly the oracle-checkable queries") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without a query: ${o.diff(q)}")
+    // the only intentionally non-oracled queries (engine-specific estimates)
+    assert(q.diff(o) == Set("q_sketch_distinct"), s"undocumented non-oracled: ${q.diff(o)}")
+  }
+
+  test("every query runs on sf0.001 and returns rows with non-empty schema") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val df = fn(spark, sf("sf0.001"))
+        if (df.schema.isEmpty) Some(s"$name: empty schema")
+        else if (df.count() == 0) Some(s"$name: zero rows")
+        else None
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
