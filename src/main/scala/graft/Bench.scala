@@ -17,10 +17,17 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // SPARK_GRAFT_BENCH_RUNS=n (default 1): per-query best-of-n. n=1 matches
+    // the driver contract (cold plan: includes codegen+JIT); n>=2 reports
+    // steady-state execution for local tuning.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
