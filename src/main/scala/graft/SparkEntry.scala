@@ -48,6 +48,7 @@ object SparkEntry {
     // north-star: dedup / similarity / text analysis / windows / multimodal
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
+    "dedup_clusters"       -> (Dedup.clusters _),
     "dedup_simhash"        -> (Dedup.simhash _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
@@ -328,6 +329,45 @@ object SparkEntry {
         |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the minhash pair graph via recursive CTE;
+    // cluster_rep = min doc_id of the component (the dedup survivor)
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_rep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tok AS (

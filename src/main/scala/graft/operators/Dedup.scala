@@ -90,6 +90,40 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the MinHash pair
+    * graph, labeling every clustered doc with its component's minimum doc_id
+    * (the survivor). Iterative min-label propagation to fixpoint — the graph
+    * is the PAIR graph (sparse: ~|true near-dups|), not the corpus, and
+    * near-dup components are shallow (pairs/triples), so iterations ≈
+    * component diameter ≈ 2-4. At 100 TB the same loop is the standard
+    * large-star/small-star connected-components; each iteration is one
+    * shuffle on doc_id. Lineage is cut per iteration (localCheckpoint). */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = minhashLsh(spark, dir).select($"id_a", $"id_b").persist()
+    val sym = edges.union(edges.select($"id_b", $"id_a")).toDF("src", "dst")
+    var labels = edges.select(explode(array($"id_a", $"id_b")).as("doc_id"))
+      .distinct()
+      .withColumn("label", $"doc_id")
+      .localCheckpoint()
+    var iter = 0
+    var changed = true
+    while (changed && iter < 20) {
+      val prop = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy($"dst").agg(min($"label").as("nlabel"))
+        .withColumnRenamed("dst", "doc_id")
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"label", coalesce($"nlabel", $"label")).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter($"n.label" =!= $"o.label").limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels.select($"doc_id", $"label".as("cluster_rep")).orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   val SimhashBits = 48
