@@ -21,18 +21,31 @@ object Bench {
     // the driver contract (cold plan: includes codegen+JIT); n>=2 reports
     // steady-state execution for local tuning.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    // Per-run failures must not masquerade as fast successes: time only runs
+    // whose count() completes; a query with zero successful runs reports
+    // null + an entry in "errors" instead of its (fast) failure time.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+            None
+        }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.flatten.sum
+    val errJson = if (errors.isEmpty) "" else
+      errors.map { case (k, v) => s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
+        .mkString(",\"errors\":{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,13 +19,16 @@ class CentroidAgg(dims: Int)
 
   override def zero: (Array[Double], Long) = (new Array[Double](dims), 0L)
 
-  /** Null vectors are ignored entirely (not summed, not counted) — the
-    * contract a caller must mirror in any SQL twin (filter nulls first). */
+  /** Null and wrong-dimension vectors are ignored entirely (not summed, not
+    * counted) — a partially-summed-but-fully-counted short vector would skew
+    * the centroid toward zero in the missing dimensions, diverging from the
+    * SQL twin, which unnests exactly `dims` elements per row. Callers must
+    * mirror the same contract in any SQL twin (filter nulls first). */
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
-    if (v == null) return b
+    if (v == null || v.length != dims) return b
     val (sums, n) = b
     var i = 0
-    while (i < dims && i < v.length) { sums(i) += v(i); i += 1 }
+    while (i < dims) { sums(i) += v(i); i += 1 }
     (sums, n + 1)
   }
 

@@ -18,12 +18,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * participates in whole-stage codegen via doGenCode.
   *
   * Semantics match the HOF version exactly: left-to-right double
-  * accumulation, null if either array (or any element read) is null —
-  * keeping it a drop-in replacement for [[Vec.dot]] wherever the plan is
-  * hot. Oracle-checkability is unchanged (same value as the SQL twin).
+  * accumulation; null if either array is null, if the lengths differ, or if
+  * any element is null (zip_with pads the shorter side with nulls and a null
+  * product nulls the aggregate sum — so mismatch/null-element both yield
+  * null there too). This keeps it a drop-in replacement for [[Vec.dot]]
+  * wherever the plan is hot, including as the public SQL `dot_product`
+  * function where ragged/null input is reachable. The element null checks
+  * are emitted only when an input's ArrayType.containsNull — fixed-width
+  * non-null embedding vectors keep the tight two-instruction loop.
+  * Oracle-checkability is unchanged (same value as the SQL twin).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -41,10 +54,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -56,13 +71,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

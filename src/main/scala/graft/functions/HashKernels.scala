@@ -45,7 +45,10 @@ object HashKernels {
 }
 
 /** array<string> → array<long>: hash60 of every element, fully compiled.
-  * Value-identical to `transform(arr, s -> conv(substring(md5(s),1,15),16,10))`. */
+  * Value-identical to `transform(arr, s -> conv(substring(md5(s),1,15),16,10))`
+  * for arrays without null elements; null elements are SKIPPED (dropped from
+  * the output) rather than propagated — the output type is array<long> with
+  * containsNull=false so downstream primitive kernels never see nulls. */
 case class HashArray60(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -59,21 +62,28 @@ case class HashArray60(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Long](n)
-    var i = 0
-    while (i < n) { out(i) = HashKernels.h60(arr.getUTF8String(i)); i += 1 }
-    new GenericArrayData(out)
+    var i = 0; var m = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) { out(m) = HashKernels.h60(arr.getUTF8String(i)); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val out = ctx.freshName("out")
+      val out = ctx.freshName("out"); val m = ctx.freshName("m")
       s"""
          |int $n = $a.numElements();
          |long[] $out = new long[$n];
+         |int $m = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = graft.functions.HashKernels.h60($a.getUTF8String($i));
+         |  if (!$a.isNullAt($i)) {
+         |    $out[$m++] = graft.functions.HashKernels.h60($a.getUTF8String($i));
+         |  }
          |}
+         |if ($m != $n) $out = java.util.Arrays.copyOf($out, $m);
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
@@ -90,9 +100,14 @@ object HashArray60 {
 /** array<string> → array<long>(perms): MinHash signature with md5 computed
   * inside the kernel. For each element: h1 = digest hex[1..8],
   * h2 = hex[9..16]; sig[i] = min (h1 + i·h2) mod prime. Value-identical to
-  * the md5/conv/MinhashSignature chain and to the DuckDB oracle. */
+  * the md5/conv/MinhashSignature chain and to the DuckDB oracle. Null
+  * elements are skipped; an array with no non-null elements yields null
+  * (a min over the empty set is undefined — same contract as
+  * [[MinhashSignature]]). */
 case class MinhashFromStrings(child: Expression, perms: Int, prime: Long)
     extends UnaryExpression {
+
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -105,19 +120,22 @@ case class MinhashFromStrings(child: Expression, perms: Int, prime: Long)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(perms)(Long.MaxValue)
-    var k = 0
+    var k = 0; var seen = false
     while (k < n) {
-      val f8 = HashKernels.first8(arr.getUTF8String(k))
-      val x = f8 >>> 32; val y = f8 & 0xffffffffL
-      var i = 0
-      while (i < perms) {
-        val v = (x + i * y) % prime
-        if (v < sig(i)) sig(i) = v
-        i += 1
+      if (!arr.isNullAt(k)) {
+        seen = true
+        val f8 = HashKernels.first8(arr.getUTF8String(k))
+        val x = f8 >>> 32; val y = f8 & 0xffffffffL
+        var i = 0
+        while (i < perms) {
+          val v = (x + i * y) % prime
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
       }
       k += 1
     }
-    new GenericArrayData(sig)
+    if (!seen) null else new GenericArrayData(sig)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -126,11 +144,15 @@ case class MinhashFromStrings(child: Expression, perms: Int, prime: Long)
       val i = ctx.freshName("i"); val f8 = ctx.freshName("f8")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       val v = ctx.freshName("v"); val sig = ctx.freshName("sig")
+      val seen = ctx.freshName("seen")
       s"""
          |int $n = $a.numElements();
          |long[] $sig = new long[$perms];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |boolean $seen = false;
          |for (int $k = 0; $k < $n; $k++) {
+         |  if ($a.isNullAt($k)) continue;
+         |  $seen = true;
          |  long $f8 = graft.functions.HashKernels.first8($a.getUTF8String($k));
          |  long $x = $f8 >>> 32;
          |  long $y = $f8 & 0xffffffffL;
@@ -139,7 +161,11 @@ case class MinhashFromStrings(child: Expression, perms: Int, prime: Long)
          |    if ($v < $sig[$i]) $sig[$i] = $v;
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |if (!$seen) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
        """.stripMargin
     })
 

@@ -92,6 +92,8 @@ case class MinhashSignature(left: Expression, right: Expression,
                             perms: Int, prime: Long)
     extends BinaryExpression {
 
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
@@ -106,6 +108,7 @@ case class MinhashSignature(left: Expression, right: Expression,
     val h1 = a.asInstanceOf[ArrayData]
     val h2 = b.asInstanceOf[ArrayData]
     val n = math.min(h1.numElements(), h2.numElements())
+    if (n == 0) return null
     val sig = Array.fill(perms)(Long.MaxValue)
     var k = 0
     while (k < n) {
@@ -129,17 +132,21 @@ case class MinhashSignature(left: Expression, right: Expression,
       val sig = ctx.freshName("sig")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long[] $sig = new long[$perms];
-         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
-         |for (int $k = 0; $k < $n; $k++) {
-         |  long $x = $a.getLong($k);
-         |  long $y = $b.getLong($k);
-         |  for (int $i = 0; $i < $perms; $i++) {
-         |    long $v = ($x + $i * $y) % ${prime}L;
-         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $sig = new long[$perms];
+         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    long $x = $a.getLong($k);
+         |    long $y = $b.getLong($k);
+         |    for (int $i = 0; $i < $perms; $i++) {
+         |      long $v = ($x + $i * $y) % ${prime}L;
+         |      if ($v < $sig[$i]) $sig[$i] = $v;
+         |    }
          |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
        """.stripMargin
     })
 

@@ -38,29 +38,65 @@ object TextAnalysis {
   /** N-gram language-ID (Cavnar-Trenkle-lite): per-language profiles = the
     * top-20 character trigrams of that language's labeled corpus (count desc,
     * trigram asc); a document's predicted language maximizes |distinct doc
-    * trigrams ∩ profile| (score desc, lang asc tiebreak). */
+    * trigrams ∩ profile| (score desc, lang asc tiebreak).
+    *
+    * Two jobs by design. Job 1 trains the profiles: one explode + one
+    * hash-partitioned count (map-side partial agg) + a top-20-per-lang window
+    * over the tiny (lang, gram) aggregate — then the O(langs · 20) profile is
+    * pulled to the driver, exactly like a broadcast of a dimension that fits
+    * in kilobytes. Job 2 scores WITHOUT touching the corpus again beyond the
+    * cached gram arrays: each document's sorted gram-hash array is merge-
+    * walked against each language's 20-element literal array
+    * (intersect_cardinality), and the argmax is a fixed CASE chain — no
+    * second explode, no join, no per-doc window shuffle. At 100 TB the
+    * corpus-sized data is touched twice and shuffled once (the profile
+    * count); scoring is embarrassingly parallel per row. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", $"lang", lower($"text").as("lc"))
-      .select($"doc_id", $"lang", charShingles($"lc", 3).as("grams"))
+      .filter(length($"text") >= 3)
+      .select($"doc_id", $"lang",
+        graft.functions.CharGrams(lower($"text"), 3).as("grams"))
       .persist()
-    val profile = docs
+    val profRows = docs
       .select($"lang", explode($"grams").as("gram"))
       .groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"lang").orderBy($"cnt".desc, $"gram".asc)))
       .filter($"rn" <= ProfileSize)
-      .select($"lang".as("profile_lang"), $"gram")
-    val scores = docs.select($"doc_id", $"lang", explode($"grams").as("gram"))
-      .join(broadcast(profile), "gram")
-      .groupBy($"doc_id", $"lang", $"profile_lang")
-      .agg(count(lit(1)).as("score"))
-    scores.withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"score".desc, $"profile_lang".asc)))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"profile_lang".as("pred_lang"), $"lang".as("actual_lang"),
-        ($"profile_lang" === $"lang").as("correct"))
+      .select($"lang", $"gram")
+      .collect()
+    // lang asc, profile grams as sorted hash60s (IntersectCardinality's
+    // sorted+distinct contract; 60-bit collisions are negligible)
+    val profiles: Seq[(String, Seq[Long])] = profRows
+      .groupBy(_.getString(0)).toSeq
+      .map { case (lang, rows) =>
+        lang -> rows.map(r => graft.functions.HashKernels.h60(r.getString(1))).sorted.toSeq
+      }
+      .sortBy(_._1)
+    if (profiles.isEmpty) {
+      return docs.select($"doc_id", lit(null).cast("string").as("pred_lang"),
+        $"lang".as("actual_lang"), lit(false).as("correct")).limit(0)
+    }
+    val scored = docs.withColumn("hs",
+      array_sort(graft.functions.HashArray60($"grams")))
+    val scoreCols = profiles.map { case (_, ph) =>
+      graft.functions.IntersectCardinality(col("hs"), typedLit(ph))
+    }
+    // argmax(score desc, lang asc): strictly-greater comparisons walked in
+    // lang order keep the smallest lang on ties — same as the oracle's
+    // row_number() ORDER BY score DESC, profile_lang ASC
+    var best = struct(scoreCols.head.as("score"), lit(profiles.head._1).as("plang"))
+    profiles.indices.drop(1).foreach { i =>
+      best = when(scoreCols(i) > best("score"),
+        struct(scoreCols(i).as("score"), lit(profiles(i)._1).as("plang"))).otherwise(best)
+    }
+    scored.withColumn("best", best)
+      // inner-join parity: a doc matching no profile gram of any language
+      // produces no row in the join-based formulation
+      .filter($"best.score" > 0)
+      .select($"doc_id", $"best.plang".as("pred_lang"), $"lang".as("actual_lang"),
+        ($"best.plang" === $"lang").as("correct"))
       .orderBy($"doc_id")
   }
 

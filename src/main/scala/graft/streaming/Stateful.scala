@@ -66,34 +66,57 @@ object Stateful {
   val SessionGapMs: Long = 30L * 60 * 1000
 
   /** Custom session windows via flatMapGroupsWithState: per-user state holds
-    * the open session; a processing-time timeout (stand-in for event-time
-    * timeout in this local harness) or an explicit gap between consecutive
-    * event timestamps closes it. Emits closed sessions; the final session
-    * per user stays open until timeout. Batch twin: Windows.sessions
-    * (gaps-and-islands) — same gap rule. */
-  def sessionize(events: Dataset[SessionEvent]): Dataset[SessionOut] = {
+    * the open session; an explicit gap between consecutive event timestamps
+    * closes it, and an event-time timeout flushes the final open session per
+    * user once the watermark passes the session's gap horizon — without it
+    * the last session per key would never be emitted and the stream would
+    * under-report one session per key forever relative to the batch twin
+    * Windows.sessions (gaps-and-islands, same gap rule). Event-time (not
+    * processing-time) timeout on purpose: the flush is driven by the
+    * watermark, so it is deterministic under replay and does not make the
+    * micro-batch engine spin wall-clock no-data batches. Any same-user event
+    * arriving after the flush necessarily has ts past the gap horizon (it
+    * beat the watermark), so it would have started a new session anyway —
+    * flush-then-new-session and gap-close-then-new-session agree. */
+  def sessionize(events: Dataset[SessionEvent],
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end <= SessionGapMs =>
-                cur = Some(s.copy(end = t, n = s.n + 1))
-              case Some(s) =>
-                closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // Watermark passed session_end + gap: no same-user event can
+            // still extend this session — close and emit it, drop the state.
+            val open = state.getOption.map(s =>
+              SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n))
+            state.remove()
+            open.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= SessionGapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly beyond the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(s.end + SessionGapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 }

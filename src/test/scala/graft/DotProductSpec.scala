@@ -27,6 +27,18 @@ class DotProductSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("length mismatch and null elements yield null (codegen path)") {
+    val df = Seq(
+      (1L, Seq(Option(1.0), Option(2.0)), Seq(Option(3.0))),             // ragged
+      (2L, Seq(Option(1.0), None), Seq(Option(3.0), Option(4.0))),       // null elem
+      (3L, Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0))) // clean
+    ).toDF("id", "a", "b")
+    val out = df.select($"id", DotProduct($"a", $"b").as("d")).orderBy($"id").collect()
+    assert(out(0).isNullAt(1), "ragged arrays must yield null")
+    assert(out(1).isNullAt(1), "null element must yield null")
+    assert(out(2).getDouble(1) == 11.0)
+  }
+
   test("dot_product participates in whole-stage codegen") {
     val df = emb.select(Vec.dot($"v", $"v").as("d"))
     val plan = df.queryExecution.executedPlan.toString

@@ -22,6 +22,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(m.length == 16 && m.head == 10L) // i=0: min(h1) = 10
   }
 
+  test("ragged/null dot_product input and empty minhash input yield null") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d)) AS ragged,
+        |       dot_product(array(1.0d, cast(null AS double)), array(3.0d, 4.0d)) AS withnull,
+        |       minhash(cast(array() AS array<bigint>), cast(array() AS array<bigint>)) AS m0
+        |""".stripMargin).head()
+    assert(row.isNullAt(0), "length mismatch must yield null")
+    assert(row.isNullAt(1), "null element must yield null")
+    assert(row.isNullAt(2), "empty minhash input must yield null")
+  }
+
+  test("hash kernels skip null elements; minhash over no elements is null") {
+    val df = Seq(
+      (1L, Seq(Option("a"), None, Option("b"))),
+      (2L, Seq.empty[Option[String]]),
+      (3L, Seq[Option[String]](None))
+    ).toDF("id", "arr")
+    val out = df.select($"id",
+        graft.functions.HashArray60($"arr").as("h"),
+        graft.functions.MinhashFromStrings($"arr", 4, 4294967311L).as("m"))
+      .orderBy($"id").collect()
+    assert(out(0).getSeq[Long](1) ==
+      Seq(graft.functions.HashKernels.h60("a"), graft.functions.HashKernels.h60("b")))
+    assert(!out(0).isNullAt(2))
+    assert(out(1).getSeq[Long](1).isEmpty && out(1).isNullAt(2))
+    assert(out(2).getSeq[Long](1).isEmpty && out(2).isNullAt(2))
+  }
+
+  test("centroid aggregator ignores wrong-dimension and null vectors") {
+    val agg = udaf(new graft.functions.CentroidAgg(2))
+    val df = Seq(
+      ("a", Option(Seq(1.0, 3.0))),
+      ("a", Option(Seq(3.0, 5.0))),
+      ("a", Option(Seq(1.0))), // wrong dimension: not summed, not counted
+      ("a", None)              // null: not summed, not counted
+    ).toDF("k", "v")
+    val out = df.groupBy($"k").agg(agg($"v").as("c")).head()
+    assert(out.getSeq[Double](1) == Seq(2.0, 4.0))
+  }
+
   test("gaps-and-islands sessions agree with Spark's native session_window") {
     val native = graft.sources.Tables.events(spark, sf("sf0.001"))
       .groupBy($"user_id",

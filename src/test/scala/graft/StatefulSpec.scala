@@ -65,6 +65,28 @@ class StatefulSpec extends SparkSpec {
     assert(sessions.head.session_start == ts(0) && sessions.head.session_end == ts(10))
   }
 
+  test("event-time timeout flushes the final open session once the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Stateful.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessflush").outputMode("append").start()
+    in.addData(SessionEvent(9, 1, ts(0)), SessionEvent(9, 2, ts(5)))
+    q.processAllAvailable()
+    // an event far in the future (any key) pushes the watermark past
+    // user 9's gap horizon (t5 + 30min gap + 10min delay); the expired
+    // event-time timeout then flushes user 9's open session
+    in.addData(SessionEvent(10, 3, ts(120)))
+    q.processAllAvailable()
+    in.addData(SessionEvent(10, 4, ts(121))) // one more batch so the timeout batch commits
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessflush").as[SessionOut].collect()
+      .filter(_.user_id == 9)
+    assert(sessions.length == 1, s"open session not flushed: ${sessions.toSeq}")
+    assert(sessions.head.n_events == 2)
+    assert(sessions.head.session_start == ts(0) && sessions.head.session_end == ts(5))
+  }
+
   test("update-mode streaming aggregation upserts running counts per key") {
     implicit val ctx = spark.sqlContext
     val store = "t_runcount"
