@@ -46,21 +46,25 @@ object Dedup {
   /** Large prime > 2^32 for the double-hash permutation family. */
   val MinhashPrime = 4294967311L
 
-  /** Docs with word-3-gram shingles + MinHash signature + LSH band keys.
+  /** Docs with word-3-gram hashes + MinHash signature + LSH band keys.
     *
     * Hashing: ONE md5 per shingle yields two independent 32-bit values
     * (h1 = hex[1..8], h2 = hex[9..16]); permutation i is h_i = (h1 + i·h2)
-    * mod p — the standard 2-universal construction. The signature loop runs
-    * in the native codegen'd [[graft.functions.MinhashSignature]] kernel
+    * mod p — the standard 2-universal construction. Shingling + hashing +
+    * the signature loop are fused in the native codegen'd
+    * [[graft.functions.MinhashFromTokens]] kernel, and the verification gram
+    * set is the sorted distinct hash60s from
+    * [[graft.functions.WordGramHashes]] — no shingle string is materialized
     * (the oracle SQL carries the equivalent list-comprehension form). */
   private def signed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", wordShingles($"toks").as("shingles"))
-      .filter(size($"shingles") > 0)
-      .withColumn("sig", graft.functions.MinhashFromStrings(
-        $"shingles", MinhashPerms, MinhashPrime))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        graft.functions.WordGramHashes($"toks", 3).as("grams"),
+        graft.functions.MinhashFromTokens(
+          $"toks", 3, MinhashPerms, MinhashPrime).as("sig"))
       .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => struct(b.as("band"),
           concat_ws(",", transform(slice($"sig", b * MinhashRows + 1, lit(MinhashRows)),
@@ -69,7 +73,10 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
     * self-join → exact-Jaccard verification ≥ 0.8. Output (id_a < id_b,
-    * exact jaccard as int/int division — engine-exact). */
+    * exact jaccard as int/int division — engine-exact). Verification runs
+    * over the sorted distinct gram hashes (merge-walk intersection,
+    * |A∪B| = |A|+|B|−|A∩B|), which equals the oracle's string-set Jaccard
+    * exactly absent 60-bit collisions. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // signatures are md5-heavy: materialize once, reuse for buckets + verify
@@ -81,10 +88,12 @@ object Dedup {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
-    val a = docs.select($"doc_id".as("id_a"), $"shingles".as("sh_a"))
-    val b = docs.select($"doc_id".as("id_b"), $"shingles".as("sh_b"))
+    val a = docs.select($"doc_id".as("id_a"), $"grams".as("gr_a"), size($"grams").as("na"))
+    val b = docs.select($"doc_id".as("id_b"), $"grams".as("gr_b"), size($"grams").as("nb"))
+    val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
     candidates.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", jaccard($"sh_a", $"sh_b"))
+      .withColumn("jaccard",
+        inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
       .filter($"jaccard" >= JaccardThreshold)
       .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
@@ -112,13 +121,16 @@ object Dedup {
       val prop = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy($"dst").agg(min($"label").as("nlabel"))
         .withColumnRenamed("dst", "doc_id")
+      // carry a changed flag instead of re-joining old vs new labels — the
+      // convergence check is then a count on already-checkpointed data (no
+      // extra shuffle per iteration)
       val next = labels.join(prop, Seq("doc_id"), "left")
         .select($"doc_id",
-          least($"label", coalesce($"nlabel", $"label")).as("label"))
+          least($"label", coalesce($"nlabel", $"label")).as("label"),
+          (coalesce($"nlabel", $"label") < $"label").as("chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter($"n.label" =!= $"o.label").limit(1).count() > 0
-      labels = next
+      changed = next.filter($"chg").limit(1).count() > 0
+      labels = next.select($"doc_id", $"label")
       iter += 1
     }
     labels.select($"doc_id", $"label".as("cluster_rep")).orderBy($"doc_id")
@@ -175,13 +187,14 @@ object Dedup {
     * intersection is materialized. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // grams sorted once per doc so pairwise intersection is a native
-    // merge-walk (IntersectCardinality) instead of a hash set per pair
+    // grams emerge from the fused kernel already sorted + distinct, so the
+    // pairwise intersection is a native merge-walk (IntersectCardinality)
+    // instead of a hash set per pair
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", $"n_chars", tokens($"text").as("toks"))
-      .select($"doc_id", $"n_chars", wordShingles($"toks", 2).as("bigrams"))
+      .filter(size($"toks") >= 2)
       .select($"doc_id", $"n_chars",
-        array_sort(array_distinct(graft.functions.HashArray60($"bigrams"))).as("grams"))
+        graft.functions.WordGramHashes($"toks", 2).as("grams"))
       .withColumn("ng", size($"grams"))
       .persist()
     val left = docs.withColumn("band", ($"n_chars" / LenBand).cast("long"))
