@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, IntersectCardinality, MinhashSignature, SimhashSignature}
+import graft.functions.{CharGrams, DotProduct, EditDistance, IntersectCardinality, MinhashSignature, SimhashSignature, WordGramHashes}
 import graft.operators.Dedup
 
 /** SparkSessionExtensions entry point: registers graft's native expressions
@@ -48,7 +48,21 @@ object GraftExtensions {
     ("intersect_cardinality",
       info("intersect_cardinality",
         "intersect_cardinality(a, b) - |A∩B| of two sorted array<bigint>"),
-      (args: Seq[Expression]) => IntersectCardinality(args(0), args(1))))
+      (args: Seq[Expression]) => IntersectCardinality(args(0), args(1))),
+    ("edit_distance",
+      info("edit_distance",
+        "edit_distance(a, b) - Levenshtein distance (bit-parallel, = levenshtein)"),
+      (args: Seq[Expression]) => EditDistance(args(0), args(1))),
+    ("char_grams",
+      info("char_grams",
+        "char_grams(s, k) - distinct character k-grams in first-occurrence order"),
+      (args: Seq[Expression]) => CharGrams(args(0),
+        args(1).eval().asInstanceOf[Int])),
+    ("word_gram_hashes",
+      info("word_gram_hashes",
+        "word_gram_hashes(toks, k) - sorted distinct hash60 of word k-grams"),
+      (args: Seq[Expression]) => WordGramHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
 
   /** Register into an existing session (tests / non-configured sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

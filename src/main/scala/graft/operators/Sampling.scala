@@ -52,8 +52,11 @@ object Sampling {
 
   /** Edit-distance string similarity: near-matching part-name prefixes
     * within a (brand, first-letter) canopy — the standard entity-resolution
-    * blocking that keeps the pair space per-block, never global.
-    * levenshtein is codegen'd in both engines. */
+    * blocking that keeps the pair space per-block, never global. The
+    * distance is [[graft.functions.EditDistance]] — Myers' bit-parallel
+    * Levenshtein, value-identical to the builtin `levenshtein` (the oracle's
+    * formulation) but O(n) word ops per pair instead of O(n²) cells, which
+    * dominates when a block sweep emits ~10⁶ pairs per partition. */
   def editDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val parts = Tables.part(spark, dir)
@@ -63,7 +66,7 @@ object Sampling {
         $"a.p_brand" === $"b.p_brand" && $"a.blk" === $"b.blk" &&
           $"a.p_partkey" < $"b.p_partkey")
       .select($"a.p_partkey".as("key_a"), $"b.p_partkey".as("key_b"),
-        levenshtein($"a.pfx", $"b.pfx").as("edit_dist"))
+        graft.functions.EditDistance($"a.pfx", $"b.pfx").as("edit_dist"))
       .filter($"edit_dist" <= MaxEditDistance)
       .orderBy($"key_a", $"key_b")
   }
