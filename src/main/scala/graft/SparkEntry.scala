@@ -58,7 +58,9 @@ object SparkEntry {
     "text_tokens"          -> (TextAnalysis.tokenCounts _),
     "text_langid"          -> (TextAnalysis.langId _),
     "text_quality"         -> (TextAnalysis.quality _),
+    "text_repetition"      -> (TextAnalysis.repetition _),
     "text_fingerprint"     -> (TextAnalysis.fingerprint _),
+    "dedup_contamination"  -> (Dedup.contamination _),
     "q_interval_join"      -> (Windows.intervalJoin _),
     "q_window_tumbling"    -> (Windows.tumbling _),
     "q_window_sliding"     -> (Windows.sliding _),
@@ -540,6 +542,36 @@ object SparkEntry {
         |  0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
         |  0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(s) AS n,
+        |    len(list_distinct([CAST(concat('0x',substr(md5(s[i]||' '||s[i+1]),1,15)) AS BIGINT) for i in range(1, len(s))])) AS d2,
+        |    len(list_distinct([CAST(concat('0x',substr(md5(s[i]||' '||s[i+1]||' '||s[i+2]),1,15)) AS BIGINT) for i in range(1, len(s)-1)])) AS d3
+        |  FROM t WHERE len(s) >= 3
+        |)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+        |  (n - 1 - d2) * 1.0 / (n - 1) AS dup_bigram_frac,
+        |  (n - 2 - d3) * 1.0 / (n - 2) AS dup_trigram_frac,
+        |  ((n - 1 - d2) * 1.0 / (n - 1)) > 0.2 AS flagged
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "dedup_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([CAST(concat('0x',substr(md5(s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]),1,15)) AS BIGINT) for i in range(1, len(s)-6)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 8
+        |),
+        |b AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id, len(grams) AS ng, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0)
+        |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared,
+        |  count(*) * 1.0 / ng AS overlap_frac
+        |FROM c JOIN b USING (gram)
+        |GROUP BY c.doc_id, ng, b.bench_id
+        |HAVING count(*) >= 8
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     "text_fingerprint" ->
       """WITH sh AS (

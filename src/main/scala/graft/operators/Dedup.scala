@@ -173,6 +173,47 @@ object Dedup {
       .orderBy($"id_a", $"id_b")
   }
 
+  // -------------------------------------------------- benchmark decontamination
+
+  val ContamBenchStride = 50
+  val ContamGram = 8
+  val ContamMinShared = 8
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ 8 distinct
+    * word-8-grams with any "benchmark" document (here every 50th doc stands
+    * in for the held-out eval set). The canonical pre-training hygiene pass:
+    * eval-set n-grams must not leak into training data. High-order grams on
+    * purpose (GPT-3 used 13-grams, Llama-family ~8): chance 8-gram
+    * collisions are ~0, so any match is a real contamination signal —
+    * low-order grams would drown in vocabulary-level background overlap.
+    *
+    * Scale shape: the benchmark set is SMALL by definition, so its exploded
+    * (gram, bench_id) postings are broadcast; the corpus is exploded to
+    * grams once and map-side inner-joined against that broadcast — rows that
+    * match no benchmark gram (the overwhelming majority) die before any
+    * exchange, and the only shuffle is the partial-aggregated overlap count
+    * on (doc_id, bench_id). The corpus itself is never shuffled. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= ContamGram)
+      .select($"doc_id",
+        graft.functions.WordGramHashes($"toks", ContamGram).as("grams"))
+      .withColumn("ng", size($"grams"))
+    val bench = grams.filter($"doc_id" % ContamBenchStride === 0)
+      .select($"doc_id".as("bench_id"), explode($"grams").as("gram"))
+    val corpus = grams.filter($"doc_id" % ContamBenchStride =!= 0)
+      .select($"doc_id", $"ng", explode($"grams").as("gram"))
+    corpus.join(broadcast(bench), "gram")
+      .groupBy($"doc_id", $"ng", $"bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= ContamMinShared)
+      .select($"doc_id", $"bench_id", $"n_shared",
+        ($"n_shared".cast("double") / $"ng".cast("double")).as("overlap_frac"))
+      .orderBy($"doc_id", $"bench_id")
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   val LenBand = 16

@@ -120,6 +120,29 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Repetition-based quality metrics (the Gopher/C4-style filter family):
+    * the fraction of word bigrams / trigrams that are repeats of an earlier
+    * occurrence within the same document. High duplicate-gram fractions mark
+    * boilerplate and degenerate generations; training-data pipelines drop or
+    * downweight such docs. Pure per-row projection over the fused gram
+    * kernel (total windows = n−k+1; distinct from [[graft.functions.WordGramHashes]]),
+    * shuffle-free, exact int/int divisions — engine-stable. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id",
+        size($"toks").as("n_tokens"),
+        (size($"toks") - 1 - size(graft.functions.WordGramHashes($"toks", 2))).as("dup2"),
+        (size($"toks") - 2 - size(graft.functions.WordGramHashes($"toks", 3))).as("dup3"))
+      .select($"doc_id", $"n_tokens",
+        ($"dup2".cast("double") / ($"n_tokens" - 1).cast("double")).as("dup_bigram_frac"),
+        ($"dup3".cast("double") / ($"n_tokens" - 2).cast("double")).as("dup_trigram_frac"))
+      .withColumn("flagged", $"dup_bigram_frac" > 0.2)
+      .orderBy($"doc_id")
+  }
+
   /** Document fingerprinting: bottom-8 sketch of word-3-gram hash60s —
     * the 8 smallest shingle hashes summed into one bigint fingerprint
     * (a locality-ish content signature; equal fingerprints ⇒ near-identical

@@ -84,6 +84,37 @@ class DedupSpec extends SparkSpec {
     assert(langs.subsetOf(Set("de", "en", "es", "fr", "zh")))
   }
 
+  test("contamination agrees with exhaustive 8-gram overlap ground truth") {
+    import graft.functions.Text._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", wordShingles(tokens($"text"), Dedup.ContamGram).as("sh"))
+      .filter(size($"sh") > 0)
+    val bench = docs.filter($"doc_id" % Dedup.ContamBenchStride === 0)
+      .select($"doc_id".as("bench_id"), $"sh".as("bsh"))
+    val corpus = docs.filter($"doc_id" % Dedup.ContamBenchStride =!= 0)
+    val truth = corpus.join(bench, lit(true))
+      .select($"doc_id", $"bench_id",
+        size(array_intersect($"sh", $"bsh")).as("shared"))
+      .filter($"shared" >= Dedup.ContamMinShared)
+      .select($"doc_id", $"bench_id").as[(Long, Long)].collect().toSet
+    val found = Dedup.contamination(spark, dir)
+      .select($"doc_id", $"bench_id").as[(Long, Long)].collect().toSet
+    assert(found == truth, s"found=${found.size} truth=${truth.size}")
+  }
+
+  test("repetition fractions are exact ratios in [0,1] over all docs") {
+    val rep = TextAnalysis.repetition(spark, dir)
+    val rows = rep.select($"n_tokens", $"dup_bigram_frac", $"dup_trigram_frac")
+      .as[(Int, Double, Double)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall { case (n, b, t) =>
+      n >= 3 && b >= 0.0 && b <= 1.0 && t >= 0.0 && t <= 1.0 })
+    // a duplicate trigram window implies its leading bigram window is also a
+    // duplicate, so the raw counts must obey dup3 <= dup2
+    assert(rows.forall { case (n, b, t) =>
+      math.round(t * (n - 2)) <= math.round(b * (n - 1)) })
+  }
+
   test("fingerprint is stable under recomputation") {
     val a = TextAnalysis.fingerprint(spark, dir).select($"doc_id", $"fingerprint")
       .as[(Long, Long)].collect().toMap
