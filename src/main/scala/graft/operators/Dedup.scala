@@ -214,6 +214,40 @@ object Dedup {
       .orderBy($"doc_id", $"bench_id")
   }
 
+  /** Streaming twin of [[contamination]]: a STREAM of documents checked
+    * against the static benchmark postings — a stream-static join, the shape
+    * of online ingest hygiene (docs flagged as they arrive, before landing
+    * in the training corpus). The static side is broadcast; per micro-batch
+    * the stream is exploded to gram postings, map-side joined, and the
+    * overlap count aggregated in update mode (state keyed by
+    * (doc_id, bench_id) — bounded because a doc's grams all arrive in one
+    * batch; production would add a watermark on an ingest timestamp).
+    *
+    * `bench`: static (bench_id, gram) postings, e.g.
+    * `contaminationBenchPostings`. Stream schema: (doc_id, text). */
+  def contaminationStream(docStream: DataFrame, bench: DataFrame): DataFrame = {
+    val grams = docStream
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ContamGram)
+      .select(col("doc_id"),
+        explode(graft.functions.WordGramHashes(col("toks"), ContamGram)).as("gram"))
+    grams.join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= ContamMinShared)
+  }
+
+  /** The static benchmark postings for [[contaminationStream]]. */
+  def contaminationBenchPostings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % ContamBenchStride === 0)
+      .select($"doc_id".as("bench_id"), tokens($"text").as("toks"))
+      .filter(size($"toks") >= ContamGram)
+      .select($"bench_id",
+        explode(graft.functions.WordGramHashes($"toks", ContamGram)).as("gram"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   val LenBand = 16

@@ -134,6 +134,27 @@ class StatefulSpec extends SparkSpec {
     assert(rows == Set((901L, 101L), (901L, 102L)))
   }
 
+  test("stream-static contamination flags arriving docs against broadcast benchmark") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    val bench = Dedup.contaminationBenchPostings(spark, sf("sf0.01"))
+    // doc 92 is the known contaminated doc at sf0.01 (shares 18 8-grams with
+    // bench doc 450); doc 1 is clean
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.01"))
+      .filter($"doc_id".isin(92, 1))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.contaminationStream(in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("contam").outputMode("update").start()
+    in.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("contam")
+      .select($"doc_id", $"bench_id", $"n_shared").as[(Long, Long, Long)].collect()
+    assert(flagged.map(f => (f._1, f._2)).toSet == Set((92L, 450L)))
+    assert(flagged.head._3 == 18L)
+  }
+
   test("batch and streaming session semantics agree on closed sessions") {
     import graft.operators.Windows
     // batch twin over the same fixture events
