@@ -51,4 +51,58 @@ class PropertySpec extends SparkSpec {
       assert(decoded == expected, s"seed=$seed")
     }
   }
+
+  // random token arrays: small vocab (forces duplicate shingles), mixed
+  // lengths straddling every k in use (2, 3, 8), occasional unicode
+  private val toksGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(0, 30)
+    toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dédé", "中文", "e f"))
+  } yield toks
+
+  test("fused WordGramHashes equals the wordShingles+HashArray60+sort chain") {
+    import graft.functions.Text._
+    val rows = sample(Gen.listOfN(200, toksGen), 7L)
+    Seq(2, 3, 8).foreach { k =>
+      val df = rows.map(Tuple1(_)).toDF("toks")
+      val out = df.select(
+          graft.functions.WordGramHashes($"toks", k).as("fused"),
+          array_sort(array_distinct(
+            graft.functions.HashArray60(wordShingles($"toks", k)))).as("chain"))
+        .filter(not($"fused" <=> $"chain"))
+      assert(out.count() == 0, s"k=$k: ${out.take(1).toSeq}")
+    }
+  }
+
+  test("fused MinhashFromTokens equals MinhashFromStrings over wordShingles") {
+    import graft.functions.Text._
+    val rows = sample(Gen.listOfN(200, toksGen), 11L)
+    val df = rows.map(Tuple1(_)).toDF("toks")
+    val perms = graft.operators.Dedup.MinhashPerms
+    val prime = graft.operators.Dedup.MinhashPrime
+    // MinhashFromStrings(wordShingles) yields null for < k tokens (empty
+    // shingle set) — exactly the fused kernel's contract
+    val out = df.select(
+        graft.functions.MinhashFromTokens($"toks", 3, perms, prime).as("fused"),
+        graft.functions.MinhashFromStrings(
+          wordShingles($"toks", 3), perms, prime).as("chain"))
+      .filter(not($"fused" <=> $"chain"))
+    assert(out.count() == 0, out.take(1).toSeq.toString)
+  }
+
+  test("CharGrams equals the charShingles HOF formulation") {
+    import graft.functions.Text._
+    val strGen = for {
+      n <- Gen.choose(0, 40)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'é', '中', ' '))
+    } yield cs.mkString
+    val rows = sample(Gen.listOfN(300, strGen), 13L)
+    val df = rows.map(Tuple1(_)).toDF("s")
+    Seq(3, 4).foreach { k =>
+      val out = df.select(
+          graft.functions.CharGrams($"s", k).as("fused"),
+          charShingles($"s", k).as("chain"))
+        .filter(not($"fused" <=> $"chain"))
+      assert(out.count() == 0, s"k=$k: ${out.take(1).toSeq}")
+    }
+  }
 }
