@@ -59,9 +59,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.values.flatten.sum
+    // single-line contract: strip control chars (Spark exception messages
+    // routinely contain newlines) on top of quote/backslash escaping
     val errJson = if (errors.isEmpty) "" else
-      errors.map { case (k, v) => s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'") + "\"" }
-        .mkString(",\"errors\":{", ",", "}")
+      errors.map { case (k, v) =>
+        val safe = v.replace("\\", "\\\\").replace("\"", "'")
+          .replaceAll("[\\x00-\\x1f]", " ")
+        s"\"" + k + "\":\"" + safe + "\""
+      }.mkString(",\"errors\":{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

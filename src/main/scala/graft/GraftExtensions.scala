@@ -56,13 +56,27 @@ object GraftExtensions {
     ("char_grams",
       info("char_grams",
         "char_grams(s, k) - distinct character k-grams in first-occurrence order"),
-      (args: Seq[Expression]) => CharGrams(args(0),
-        args(1).eval().asInstanceOf[Int])),
+      (args: Seq[Expression]) => CharGrams(args(0), literalInt(args(1), "char_grams"))),
     ("word_gram_hashes",
       info("word_gram_hashes",
         "word_gram_hashes(toks, k) - sorted distinct hash60 of word k-grams"),
-      (args: Seq[Expression]) => WordGramHashes(args(0),
-        args(1).eval().asInstanceOf[Int])))
+      (args: Seq[Expression]) => WordGramHashes(args(0), literalInt(args(1), "word_gram_hashes"))))
+
+  /** The gram size parameterizes generated code, so it must be a literal
+    * int — reject anything else with a readable analysis-time error instead
+    * of a ClassCastException (or a silently null-unboxed 0) at eval. */
+  private def literalInt(e: Expression, fn: String): Int = {
+    def fail() = throw new IllegalArgumentException(
+      s"$fn requires a literal integer gram size, got ${e.sql}")
+    if (!e.foldable) fail()
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => fail()
+    }
+  }
 
   /** Register into an existing session (tests / non-configured sessions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -30,14 +30,17 @@ object ShingleKernels {
       ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
 
   /** first8(md5(window)) for every word k-gram window (space-joined), in
-    * order; empty when fewer than k tokens. Null tokens hash as "". */
+    * order; empty when fewer than k tokens. Null tokens are skipped WITH
+    * their separator — exactly concat_ws semantics, so the value stays
+    * identical to the wordShingles chain even on arrays with null elements
+    * (reachable via the public SQL function). */
   def windowFirst8(toks: ArrayData, k: Int): Array[Long] = {
     val n = toks.numElements()
     if (n < k) return Array.emptyLongArray
     val tb = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      tb(i) = if (toks.isNullAt(i)) Array.emptyByteArray
+      tb(i) = if (toks.isNullAt(i)) null
               else toks.getUTF8String(i).getBytes
       i += 1
     }
@@ -47,9 +50,14 @@ object ShingleKernels {
     while (w + k <= n) {
       d.reset()
       var j = 0
+      var wrote = false
       while (j < k) {
-        if (j > 0) d.update(' '.toByte)
-        d.update(tb(w + j))
+        val t = tb(w + j)
+        if (t != null) {
+          if (wrote) d.update(' '.toByte)
+          d.update(t)
+          wrote = true
+        }
         j += 1
       }
       out(w) = packFirst8(d.digest())

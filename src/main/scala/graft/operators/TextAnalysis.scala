@@ -80,23 +80,25 @@ object TextAnalysis {
     }
     val scored = docs.withColumn("hs",
       array_sort(graft.functions.HashArray60($"grams")))
-    val scoreCols = profiles.map { case (_, ph) =>
-      graft.functions.IntersectCardinality(col("hs"), typedLit(ph))
+    // argmax(score desc, lang asc) as ONE array_max over (score, -langRank)
+    // structs — struct ordering is lexicographic, so ties pick the largest
+    // -rank = the smallest lang, same as the oracle's row_number() ORDER BY
+    // score DESC, profile_lang ASC. Linear expression tree in #languages (a
+    // chained CASE accumulator doubles the tree per language — exponential).
+    val entries = profiles.zipWithIndex.map { case ((_, ph), i) =>
+      struct(
+        graft.functions.IntersectCardinality(col("hs"), typedLit(ph)).as("score"),
+        lit(-i).as("negRank"))
     }
-    // argmax(score desc, lang asc): strictly-greater comparisons walked in
-    // lang order keep the smallest lang on ties — same as the oracle's
-    // row_number() ORDER BY score DESC, profile_lang ASC
-    var best = struct(scoreCols.head.as("score"), lit(profiles.head._1).as("plang"))
-    profiles.indices.drop(1).foreach { i =>
-      best = when(scoreCols(i) > best("score"),
-        struct(scoreCols(i).as("score"), lit(profiles(i)._1).as("plang"))).otherwise(best)
-    }
-    scored.withColumn("best", best)
+    val langNames = profiles.map(_._1)
+    scored.withColumn("best", array_max(array(entries: _*)))
       // inner-join parity: a doc matching no profile gram of any language
       // produces no row in the join-based formulation
       .filter($"best.score" > 0)
-      .select($"doc_id", $"best.plang".as("pred_lang"), $"lang".as("actual_lang"),
-        ($"best.plang" === $"lang").as("correct"))
+      .withColumn("pred_lang",
+        element_at(typedLit(langNames), -$"best.negRank" + 1))
+      .select($"doc_id", $"pred_lang", $"lang".as("actual_lang"),
+        ($"pred_lang" === $"lang").as("correct"))
       .orderBy($"doc_id")
   }
 

@@ -100,8 +100,16 @@ object Stateful {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // within the gap of the open session — including events that
+                // arrived out of order ACROSS batches (t inside or before the
+                // session span but above the watermark): merge by widening,
+                // never move end backward. t < start − gap is impossible when
+                // gap > watermark delay (such a row would be below the
+                // watermark and already dropped), so widening covers every
+                // accepted out-of-order arrival and keeps batch-twin parity.
                 case Some(s) if t - s.end <= SessionGapMs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1))
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
                   cur = Some(SessionState(t, t, 1))

@@ -22,6 +22,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(m.length == 16 && m.head == 10L) // i=0: min(h1) = 10
   }
 
+  test("gram-size arguments accept int/long literals and reject the rest readably") {
+    GraftExtensions.register(spark)
+    val ok = spark.sql(
+      "SELECT char_grams('abcd', CAST(3 AS BIGINT)) AS a, word_gram_hashes(array('x','y'), 2) AS b").head()
+    assert(ok.getSeq[String](0) == Seq("abc", "bcd"))
+    assert(ok.getSeq[Long](1).length == 1)
+    val err = intercept[Exception] {
+      spark.sql("SELECT char_grams('abcd', 'three')").collect()
+    }
+    assert(err.getMessage.contains("literal integer gram size"), err.getMessage)
+  }
+
   test("ragged/null dot_product input and empty minhash input yield null") {
     GraftExtensions.register(spark)
     val row = spark.sql(

@@ -53,10 +53,12 @@ class PropertySpec extends SparkSpec {
   }
 
   // random token arrays: small vocab (forces duplicate shingles), mixed
-  // lengths straddling every k in use (2, 3, 8), occasional unicode
+  // lengths straddling every k in use (2, 3, 8), occasional unicode and
+  // NULL tokens (concat_ws drops null + separator; the kernel must agree)
   private val toksGen: Gen[Seq[String]] = for {
     n <- Gen.choose(0, 30)
-    toks <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dédé", "中文", "e f"))
+    toks <- Gen.listOfN(n,
+      Gen.oneOf("a", "bb", "ccc", "dédé", "中文", "e f", null: String))
   } yield toks
 
   test("fused WordGramHashes equals the wordShingles+HashArray60+sort chain") {

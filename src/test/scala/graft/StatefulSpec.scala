@@ -134,6 +134,30 @@ class StatefulSpec extends SparkSpec {
     assert(rows == Set((901L, 101L), (901L, 102L)))
   }
 
+  test("cross-batch out-of-order event widens the session instead of corrupting it") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Stateful.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sessooo").outputMode("append").start()
+    in.addData(SessionEvent(11, 1, ts(40)))
+    q.processAllAvailable()
+    // watermark is now ts(30); ts(35) is out of order but NOT late — it must
+    // extend the session backward (start=min), never move end backward
+    in.addData(SessionEvent(11, 2, ts(35)))
+    q.processAllAvailable()
+    // flush via watermark far past the gap horizon
+    in.addData(SessionEvent(12, 3, ts(200)))
+    q.processAllAvailable()
+    in.addData(SessionEvent(12, 4, ts(201)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessooo").as[SessionOut].collect()
+      .filter(_.user_id == 11)
+    assert(sessions.length == 1, sessions.toSeq.toString)
+    assert(sessions.head.session_start == ts(35) && sessions.head.session_end == ts(40))
+    assert(sessions.head.n_events == 2)
+  }
+
   test("stream-static contamination flags arriving docs against broadcast benchmark") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Dedup
