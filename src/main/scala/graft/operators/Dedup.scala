@@ -79,6 +79,13 @@ object Dedup {
     * exactly absent 60-bit collisions. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    minhashVerified(spark, dir).orderBy($"id_a", $"id_b")
+  }
+
+  /** Verified near-dup pairs, unsorted — [[clusters]] consumes this directly
+    * so the graph build doesn't pay minhashLsh's presentation sort. */
+  private def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     // signatures are md5-heavy: materialize once, reuse for buckets + verify
     val docs = signed(spark, dir).persist()
     val buckets = docs.select($"doc_id", explode($"bands").as("b"))
@@ -96,7 +103,6 @@ object Dedup {
         inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
       .filter($"jaccard" >= JaccardThreshold)
       .select($"id_a", $"id_b", $"jaccard")
-      .orderBy($"id_a", $"id_b")
   }
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
@@ -109,7 +115,7 @@ object Dedup {
     * shuffle on doc_id. Lineage is cut per iteration (localCheckpoint). */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = minhashLsh(spark, dir).select($"id_a", $"id_b").persist()
+    val edges = minhashVerified(spark, dir).select($"id_a", $"id_b").persist()
     val sym = edges.union(edges.select($"id_b", $"id_a")).toDF("src", "dst")
     var labels = edges.select(explode(array($"id_a", $"id_b")).as("doc_id"))
       .distinct()
