@@ -72,6 +72,7 @@ object SparkEntry {
     "q_edit_distance"      -> (Sampling.editDistance _),
     "q_props_json"         -> (Ingest.propsJson _),
     "q_salted_agg"         -> (Skew.saltedAgg _),
+    "q_salted_join"        -> (Skew.saltedJoin _),
     "q_sketch_distinct"    -> (Ingest.sketchDistinct _),  // no oracle: HLL estimates are engine-specific
   )
 
@@ -694,5 +695,13 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the salted replication join is result-identical to the plain join
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

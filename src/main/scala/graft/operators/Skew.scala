@@ -41,4 +41,32 @@ object Skew {
         sum($"p_cnt").as("n_items"))
       .orderBy($"l_returnflag")
   }
+
+  /** Salted replication join — the join-side analog of [[saltedAgg]]: the
+    * dimension side is replicated `Salts`× (one copy per salt value), the
+    * fact side tags each row with a salt from its content hash, and the join
+    * key becomes (key, salt), fanning any hot key's rows across `Salts`
+    * reducers instead of one. Each fact row still matches its dimension row
+    * exactly once (against its own salt copy), so the result is identical to
+    * the plain join — the oracle IS the plain join. AQE's skew-join does
+    * this adaptively at runtime for sort-merge joins; the explicit form is
+    * the pre-planned variant for known-hot keys and for shuffle-hash paths
+    * AQE splitting doesn't reach. Replication cost is Salts×|dimension| —
+    * bounded, chosen instead of the unbounded single-reducer hot partition. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("salt", explode(array((0 until Salts).map(lit): _*)))
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      // deterministic content-hash salt (not rand()): reproducible on any
+      // cluster/run; the salt value never affects the result, only placement
+      .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(Salts)))
+    li.join(orders,
+        li("l_orderkey") === orders("o_orderkey") && li("salt") === orders("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
 }
