@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.functions.Text.hash60
+
+/** The capstone composition: an end-to-end training-data curation pass built
+  * ENTIRELY from the library's verified operators —
+  *
+  *   quality floor (TextAnalysis.quality)
+  *   ∧ language confidence (TextAnalysis.langId: prediction == label)
+  *   ∧ near-dup removal (Dedup.clusters: keep only cluster survivors)
+  *   → deterministic stratified sample per language (Sampling's content-hash
+  *     ranking — same rows on any engine, cluster size, or day)
+  *
+  * This is the shape a dataset-release pipeline actually runs, and it proves
+  * the operators COMPOSE: one DAG, each stage reusing the cached
+  * sub-pipelines it shares with the standalone queries. At 100 TB each stage
+  * keeps its own posture (per-row projections, one profile shuffle, the
+  * sparse pair graph) — composition adds joins on doc_id only, all
+  * hash-partitioned on the same key.
+  */
+object Curate {
+
+  val QualityFloor = 0.45
+  val PerLang = 10
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quality = TextAnalysis.quality(spark, dir).select($"doc_id", $"quality")
+    val confident = TextAnalysis.langId(spark, dir)
+      .filter($"correct").select($"doc_id")
+    val dupLosers = Dedup.clusters(spark, dir)
+      .filter($"cluster_rep" =!= $"doc_id").select($"doc_id")
+    val kept = Tables.documents(spark, dir).select($"doc_id", $"lang")
+      .join(quality, "doc_id").filter($"quality" >= QualityFloor)
+      .join(confident, "doc_id")
+      .join(dupLosers, Seq("doc_id"), "left_anti")
+    kept
+      .withColumn("h", hash60($"doc_id".cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)))
+      .filter($"rn" <= PerLang)
+      .select($"lang", $"rn", $"doc_id", $"quality")
+      .orderBy($"lang", $"rn")
+  }
+}
