@@ -63,7 +63,10 @@ object Skew {
       // deterministic content-hash salt (not rand()): reproducible on any
       // cluster/run; the salt value never affects the result, only placement
       .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(Salts)))
-    li.join(orders,
+    // shuffle-hash on purpose: a broadcastable dimension wouldn't need
+    // salting at all (and replicating it 16× makes the broadcast 16× worse);
+    // the pattern being demonstrated is the shuffled (key, salt) fan-out
+    li.hint("shuffle_hash").join(orders,
         li("l_orderkey") === orders("o_orderkey") && li("salt") === orders("salt"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
