@@ -2,9 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.functions.Text.hash60
 
 /** The capstone composition: an end-to-end training-data curation pass built
   * ENTIRELY from the library's verified operators —
@@ -38,11 +36,7 @@ object Curate {
       .join(quality, "doc_id").filter($"quality" >= QualityFloor)
       .join(confident, "doc_id")
       .join(dupLosers, Seq("doc_id"), "left_anti")
-    kept
-      .withColumn("h", hash60($"doc_id".cast("string")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)))
-      .filter($"rn" <= PerLang)
+    Sampling.rankPerStratum(kept, "lang", PerLang)
       .select($"lang", $"rn", $"doc_id", $"quality")
       .orderBy($"lang", $"rn")
   }

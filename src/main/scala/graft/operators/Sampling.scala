@@ -33,16 +33,24 @@ object Sampling {
 
   val PerStratum = 10
 
+  /** The determinism-critical core shared by [[stratified]] and
+    * [[graft.operators.Curate.curate]]: rank rows within each stratum by the
+    * 60-bit content hash of `doc_id` (engine/cluster/run-invariant — the
+    * md5-substr-15 oracle fragment), keep `k` per stratum as column `rn`.
+    * One formula, one oracle twin — callers must not re-implement it. */
+  def rankPerStratum(df: DataFrame, stratum: String, k: Int): DataFrame =
+    df.withColumn("h", hash60(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(stratum)).orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("rn") <= k)
+      .drop("h")
+
   /** Stratified sample: a fixed quota per stratum (lang), rows ranked by
     * content hash (deterministic, unbiased within stratum). One shuffle on
     * the stratum key; per-group top-k via row_number. */
   def stratified(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
-    Tables.documents(spark, dir)
-      .withColumn("h", hash60($"doc_id".cast("string")))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" <= PerStratum)
+    rankPerStratum(Tables.documents(spark, dir), "lang", PerStratum)
       .select($"lang", $"rn", $"doc_id", $"n_chars")
       .orderBy($"lang", $"rn")
   }

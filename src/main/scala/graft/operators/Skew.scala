@@ -65,8 +65,11 @@ object Skew {
       .withColumn("salt", pmod(hash($"l_orderkey", $"l_linenumber"), lit(Salts)))
     // shuffle-hash on purpose: a broadcastable dimension wouldn't need
     // salting at all (and replicating it 16× makes the broadcast 16× worse);
-    // the pattern being demonstrated is the shuffled (key, salt) fan-out
-    li.hint("shuffle_hash").join(orders,
+    // the pattern being demonstrated is the shuffled (key, salt) fan-out.
+    // The hint sits on the DIMENSION side so it is the hash-map build side
+    // (BuildRight): the build stays bounded at Salts×|orders| per partition
+    // while the unbounded fact side streams past it.
+    li.join(orders.hint("shuffle_hash"),
         li("l_orderkey") === orders("o_orderkey") && li("salt") === orders("salt"))
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))

@@ -25,6 +25,10 @@ class SkewSpec extends SparkSpec {
     val df = Skew.saltedJoin(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p.linesIterator.take(5).mkString("\n"))
+    // the pattern must not degrade to broadcasting the replicated dimension,
+    // and the bounded (dimension) side must be the hash build side
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("BuildRight"), p)
     // total item count must equal lineitem row count (each row matched once)
     val total = df.agg(sum($"n_items")).head().getLong(0)
     assert(total == graft.sources.Tables.lineitem(spark, dir).count())
