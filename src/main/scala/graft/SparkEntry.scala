@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curate, Dedup, Ingest, Multimodal, Relational, Sampling, Similarity, Skew, TextAnalysis, Windows}
+import graft.operators.{Curate, Dedup, Ingest, Multimodal, Packing, Relational, Sampling, Similarity, Skew, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,7 @@ object SparkEntry {
     "q_salted_agg"         -> (Skew.saltedAgg _),
     "q_salted_join"        -> (Skew.saltedJoin _),
     "pipeline_curate"      -> (Curate.curate _),
+    "text_packing"         -> (Packing.packing _),
     "q_sketch_distinct"    -> (Ingest.sketchDistinct _),  // no oracle: HLL estimates are engine-specific
   )
 
@@ -786,6 +787,24 @@ object SparkEntry {
         |               doc_id ASC) AS rn
         |  FROM kept)
         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    // the distributed prefix-sum packing equals the single-window cumsum
+    "text_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor(start / 2048) AS BIGINT) AS bin_id,
+        |  CAST(start % 2048 AS BIGINT) AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // the salted replication join is result-identical to the plain join
     "q_salted_join" ->

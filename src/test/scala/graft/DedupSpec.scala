@@ -115,6 +115,22 @@ class DedupSpec extends SparkSpec {
       math.round(t * (n - 2)) <= math.round(b * (n - 1)) })
   }
 
+  test("packing lays docs contiguously: starts chain with no gaps or overlaps") {
+    import graft.operators.Packing
+    val out = Packing.packing(spark, dir)
+      .select($"doc_id", $"n_tokens", $"bin_id", $"bin_offset")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.length == 500)
+    val byStart = out.map { case (id, n, bin, off) =>
+      (bin * Packing.SeqLen + off, n, id)
+    }.sortBy(s => (s._1, s._3))
+    assert(byStart.head._1 == 0L, "stream must start at token 0")
+    byStart.sliding(2).foreach { case Array((s1, n1, _), (s2, _, _)) =>
+      assert(s2 == s1 + n1, s"gap/overlap at start=$s2 (expected ${s1 + n1})")
+    case _ => ()
+    }
+  }
+
   test("fingerprint is stable under recomputation") {
     val a = TextAnalysis.fingerprint(spark, dir).select($"doc_id", $"fingerprint")
       .as[(Long, Long)].collect().toMap
