@@ -17,41 +17,57 @@ import graft.functions.Text.{hash60, tokens}
   * `sum() OVER (ORDER BY ...)` has a single ordered reducer at 100 TB. Here
   * docs are range-bucketed by the top bits of the hash (bucket order ==
   * hash order, so per-bucket cumsum + bucket prefix == the global cumsum,
-  * exactly); the per-bucket totals are `Buckets` numbers — a driver-side
-  * prefix sum of a tiny vector — and everything else is per-bucket parallel.
-  * The oracle keeps the equivalent single-window formulation.
+  * exactly); the per-bucket totals are one number per bucket — a driver-side
+  * prefix sum of a small vector — and everything else is per-bucket
+  * parallel. The bucket count scales with the session's parallelism (the
+  * RESULT is invariant to it: any power-of-two bucketing of the top bits
+  * yields the identical global cumsum), so each ordered window partition is
+  * ~1/parallelism of the data, not a fixed fraction. The oracle keeps the
+  * equivalent single-window formulation.
   */
 object Packing {
 
   val SeqLen = 2048
-  val Buckets = 16
+
+  /** Smallest power of two ≥ max(16, parallelism), capped so the driver-side
+    * prefix vector (one long per bucket) stays trivially small. */
+  private def bucketCount(spark: SparkSession): Int = {
+    val target = math.min(4096, math.max(16, spark.sparkContext.defaultParallelism))
+    var b = 1
+    while (b < target) b <<= 1
+    b
+  }
 
   def packing(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val buckets = bucketCount(spark)
+    // hash60 is uniform in [0, 2^60): the top log2(buckets) bits give
+    // ordered ranges (integer shift — a double division could round a
+    // boundary value into a nonexistent extra bucket). Deriving the shift
+    // from the bucket count keeps the two from drifting apart.
+    val shift = 60 - Integer.numberOfTrailingZeros(buckets)
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", size(tokens($"text")).as("n_tokens"))
       .withColumn("h", hash60($"doc_id".cast("string")))
-      // hash60 is uniform in [0, 2^60): the top 4 bits give ordered ranges
-      // (integer shift — a double division could round a boundary value
-      // into a nonexistent 17th bucket)
-      .withColumn("bucket", shiftright($"h", 56).cast("int"))
+      .withColumn("bucket", shiftright($"h", shift).cast("int"))
+      // consumed twice (totals job + layout job): cache the 4-col projection
+      .persist()
     // tiny per-bucket totals -> driver-side prefix sum (the classic scan)
     val totals = docs.groupBy($"bucket").agg(sum($"n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val prefix: Map[Int, Long] = {
+    val prefix: IndexedSeq[Long] = {
       var acc = 0L
-      (0 until Buckets).map { b =>
-        val p = b -> acc; acc += totals.getOrElse(b, 0L); p
-      }.toMap
+      (0 until buckets).map { b => val p = acc; acc += totals.getOrElse(b, 0L); p }
     }
-    val prefixCol = element_at(
-      typedLit((0 until Buckets).map(b => prefix(b))), $"bucket" + 1)
+    val prefixCol = element_at(typedLit(prefix), $"bucket" + 1)
     val local = Window.partitionBy($"bucket").orderBy($"h".asc, $"doc_id".asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("start", prefixCol + coalesce(sum($"n_tokens").over(local), lit(0L)))
+      // integer division on purpose: a double quotient is exact here only
+      // while SeqLen stays a power of two
       .select($"doc_id", $"n_tokens",
-        ($"start" / SeqLen).cast("long").as("bin_id"),
+        expr(s"start div $SeqLen").as("bin_id"),
         ($"start" % SeqLen).as("bin_offset"))
       .orderBy($"doc_id")
   }
