@@ -27,6 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.registrations.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.KernelRewrites)
   }
 }
 
@@ -83,6 +84,10 @@ object GraftExtensions {
     val registry = spark.sessionState.functionRegistry
     registrations.foreach { case (name, i, builder) =>
       registry.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelRewrites)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.KernelRewrites
     }
   }
 }

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
 object Text {
 
   /** 60-bit non-negative portable hash.
-    * DuckDB twin: CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT). */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    * DuckDB twin: CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT).
+    * Backed by the native [[Hash60]] kernel — one compiled digest + shift,
+    * bit-identical to the conv/substring/md5 chain (HashKernels contract);
+    * `plans.KernelRewrites` rewrites the interpreted chain to this kernel
+    * when it appears in user-written plans too. */
+  def hash60(s: Column): Column = Hash60(s)
 
   /** 32-bit fold of hash60 (for bit-level ops that must avoid sign traps). */
   def hash32(s: Column): Column = hash60(s) % 4294967296L
