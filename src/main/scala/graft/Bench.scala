@@ -38,11 +38,16 @@ object Bench {
     // the driver contract (cold plan: includes codegen+JIT); n>=2 reports
     // steady-state execution for local tuning.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt.max(1)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c (local tuning only): restrict to a subset
+    // of queries for targeted steady A/Bs. Unset = full driver contract.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     // Per-run failures must not masquerade as fast successes: time only runs
     // whose count() completes; a query with zero successful runs reports
     // null + an entry in "errors" instead of its (fast) failure time.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = benched.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

@@ -75,7 +75,7 @@ object SparkEntry {
     "q_salted_join"        -> (Skew.saltedJoin _),
     "pipeline_curate"      -> (Curate.curate _),
     "text_packing"         -> (Packing.packing _),
-    "q_sketch_distinct"    -> (Ingest.sketchDistinct _),  // no oracle: HLL estimates are engine-specific
+    "q_sketch_distinct"    -> (Ingest.sketchDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -421,16 +421,21 @@ object SparkEntry {
         |),
         |bits AS (
         |  SELECT vec_id,
-        |    [ CASE WHEN list_sum([ v[d+1] * (CASE WHEN CAST(concat('0x',substr(md5(CAST(j AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,15)) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) for d in range(0,64) ]) > 0 THEN 1 ELSE 0 END for j in range(0,16) ] AS bits
+        |    [ CASE WHEN list_sum([ v[d+1] * (CASE WHEN CAST(concat('0x',substr(md5(CAST(j AS VARCHAR)||'_'||CAST(d AS VARCHAR)),1,15)) AS BIGINT) % 2 = 1 THEN 1.0 ELSE -1.0 END) for d in range(0,64) ]) > 0 THEN 1 ELSE 0 END for j in range(0,32) ] AS bits
         |  FROM c
         |),
         |buckets AS (
         |  SELECT vec_id, b AS band,
-        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(bits, b*4+1, b*4+4)], ',') AS key
+        |    CAST(list_sum([bits[b*8+i+1] * (1<<i) for i in range(0,8)]) AS BIGINT) AS key
         |  FROM bits, (SELECT unnest(range(0,4)) AS b)
         |),
+        |probes AS (
+        |  SELECT vec_id, band,
+        |    CASE WHEN p = 0 THEN key ELSE CAST(xor(key, 1<<(p-1)) AS BIGINT) END AS pkey
+        |  FROM buckets, (SELECT unnest(range(0,9)) AS p)
+        |),
         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+        |  FROM buckets x JOIN probes y ON x.band = y.band AND x.key = y.pkey AND x.vec_id < y.vec_id)
         |SELECT c2.id_a, c2.id_b,
         |  round(list_sum([a.v[i]*b.v[i] for i in range(1,65)]) / (a.nrm*b.nrm), 6) AS cosine
         |FROM cand c2 JOIN c a ON c2.id_a = a.vec_id JOIN c b ON c2.id_b = b.vec_id
@@ -813,5 +818,19 @@ object SparkEntry {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // HLL estimates are engine-specific, so the oracled surface is the exact
+    // distinct counts plus literal-TRUE bounded-error flags: Spark emits
+    // |approx − exact| ≤ 0.15·exact per sketch, and a drifting estimate
+    // breaks the hash compare (SketchSpec pins the tighter rsd locally).
+    "q_sketch_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(*) AS n_items,
+        |  TRUE AS parts_within_rsd,
+        |  TRUE AS orders_within_rsd
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

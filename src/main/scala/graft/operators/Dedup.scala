@@ -283,17 +283,24 @@ object Dedup {
         $"grams".as("gr_b"), $"ng".as("ng_b"),
         explode(array((-1 to 1).map(d => ($"n_chars" / LenBand).cast("long") + d): _*)).as("band"))
     val inter = graft.functions.IntersectCardinality($"grams", $"gr_b")
+    val jac = inter.cast("double") / (($"ng" + $"ng_b") - inter).cast("double")
     // size-ratio prefilter: J = i/(na+nb-i) ≤ min/max, so min/max < τ can
     // never reach the threshold — prune BEFORE the set intersection. For
     // τ = 0.8 in exact integers: 5·min ≥ 4·max. Purely physical; the oracle
     // keeps the plain formulation.
+    //
+    // The jaccard threshold lives INSIDE the join condition, after the cheap
+    // conjuncts: a separate post-join .filter gets merged by Catalyst as
+    // And(filter, joinCond), which evaluates the O(|grams|) intersection
+    // FIRST for every band collision. Inline ordering keeps the And
+    // short-circuit cheap-first (PlanSpec pins this); the projection
+    // recomputes the intersection only for final survivors.
     left.join(right,
         left("band") === right("band") && left("doc_id") < right("id_b") &&
           abs(left("n_chars") - right("nc_b")) <= LenBand &&
-          least(left("ng"), right("ng_b")) * 5 >= greatest(left("ng"), right("ng_b")) * 4)
-      .select($"doc_id".as("id_a"), $"id_b",
-        (inter.cast("double") / (($"ng" + $"ng_b") - inter).cast("double")).as("jaccard"))
-      .filter($"jaccard" >= NgramThreshold)
+          least(left("ng"), right("ng_b")) * 5 >= greatest(left("ng"), right("ng_b")) * 4 &&
+          jac >= NgramThreshold)
+      .select($"doc_id".as("id_a"), $"id_b", jac.as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 }

@@ -108,18 +108,36 @@ object Ingest {
       .orderBy($"event_type")
   }
 
+  /** Relative-error budget for the HLL bounded-error columns: the default
+    * `approx_count_distinct` rsd is 0.05; HLL++ estimates are deterministic
+    * (hash-based), and three sigmas of slack keeps the check meaningful
+    * without flaking on fixture growth. */
+  val SketchRsdBound = 0.15
+
   /** Sketch aggregation: HyperLogLog++ distinct-count estimates per group.
-    * Estimates are engine-specific (no DuckDB oracle — the driver records a
-    * rows-only check), deterministic within Spark. At 100 TB this replaces
-    * exact countDistinct's full shuffle of the key space with fixed-size
-    * mergeable sketches. */
+    * The raw estimates are engine-specific, so the oracled output carries
+    * (a) exact distinct counts — cross-checked value-for-value against
+    * DuckDB `count(DISTINCT ...)` — and (b) boolean `..._within_rsd` columns
+    * asserting |approx − exact| ≤ [[SketchRsdBound]]·exact, which the oracle
+    * states as literal TRUE: an HLL estimate drifting out of its error
+    * budget breaks the hash compare. At 100 TB the sketch replaces exact
+    * countDistinct's full shuffle of the key space with fixed-size mergeable
+    * buffers; the exact twin here is the correctness harness, not the scale
+    * path. */
   def sketchDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_orderkey").as("approx_orders"),
+      .agg(countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_orderkey").as("ao"),
         count(lit(1)).as("n_items"))
+      .select($"l_returnflag", $"exact_parts", $"exact_orders", $"n_items",
+        (abs($"ap" - $"exact_parts") <=
+          $"exact_parts" * SketchRsdBound).as("parts_within_rsd"),
+        (abs($"ao" - $"exact_orders") <=
+          $"exact_orders" * SketchRsdBound).as("orders_within_rsd"))
       .orderBy($"l_returnflag")
   }
 

@@ -65,6 +65,23 @@ object Stateful {
 
   val SessionGapMs: Long = 30L * 60 * 1000
 
+  /** Millis for the `"N unit"` watermark-delay strings Spark accepts; used
+    * only for the sessionize batch/stream-parity guard. */
+  private[graft] def parseDelayMs(delay: String): Long =
+    delay.trim.toLowerCase.split("\\s+") match {
+      case Array(n, u) =>
+        val v = n.toLong
+        u.stripSuffix("s") match {
+          case "millisecond" => v
+          case "second"      => v * 1000
+          case "minute"      => v * 60 * 1000
+          case "hour"        => v * 3600 * 1000
+          case "day"         => v * 86400 * 1000
+          case other => throw new IllegalArgumentException(s"unsupported unit: $other")
+        }
+      case _ => throw new IllegalArgumentException(s"unsupported delay: $delay")
+    }
+
   /** Custom session windows via flatMapGroupsWithState: per-user state holds
     * the open session; an explicit gap between consecutive event timestamps
     * closes it, and an event-time timeout flushes the final open session per
@@ -81,6 +98,13 @@ object Stateful {
   def sessionize(events: Dataset[SessionEvent],
                  watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // the widening-merge argument above ("t < start − gap is impossible")
+    // holds only while the accepted out-of-order horizon is shorter than the
+    // session gap; a longer delay could admit an event before start − gap
+    // that the batch twin would place in its own session
+    require(parseDelayMs(watermarkDelay) < SessionGapMs,
+      s"watermarkDelay '$watermarkDelay' must be < the $SessionGapMs ms " +
+        "session gap, or stream and batch sessionization diverge")
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](

@@ -10,8 +10,9 @@ class ContractSpec extends SparkSpec {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without a query: ${o.diff(q)}")
-    // the only intentionally non-oracled queries (engine-specific estimates)
-    assert(q.diff(o) == Set("q_sketch_distinct"), s"undocumented non-oracled: ${q.diff(o)}")
+    // every query is oracled (q_sketch_distinct carries exact-count columns
+    // plus bounded-error flags precisely so it can be)
+    assert(q.diff(o).isEmpty, s"non-oracled queries: ${q.diff(o)}")
   }
 
   test("every query runs on sf0.001 and returns rows with non-empty schema") {

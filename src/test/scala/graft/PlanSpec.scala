@@ -55,6 +55,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard: cheap prefilters evaluate before the set intersection") {
+    val p = plan(Dedup.ngramJaccard(spark, dir))
+    // the join condition must short-circuit size-ratio (least/greatest)
+    // BEFORE intersect_cardinality; Catalyst prepends merged post-join
+    // filters, so a regression reverses this order
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("intersect_cardinality"))
+      .getOrElse(fail(s"no join condition carrying the jaccard predicate:\n$p"))
+    val cheap = joinLine.indexOf("least(")
+    val expensive = joinLine.indexOf("intersect_cardinality")
+    assert(cheap >= 0 && expensive >= 0 && cheap < expensive, joinLine)
+  }
+
+  test("as-of join: one hash exchange, no join operator (union + running-last)") {
+    val p = plan(Relational.qAsOfJoin(spark, dir))
+    // COVERAGE claims the as-of is a single-shuffle union + window; a Spark
+    // upgrade regressing it to a range-explosion join would show extra
+    // exchanges or a physical join node
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("brute-force topk broadcasts the query side (corpus never shuffles for the join)") {
     val p = plan(Similarity.topkBruteForce(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)

@@ -188,4 +188,18 @@ class StatefulSpec extends SparkSpec {
     val bad = batch.filter($"session_start" > $"session_end" || $"n_events" <= 0).count()
     assert(bad == 0)
   }
+
+  test("sessionize rejects a watermark delay at or beyond the session gap") {
+    import spark.implicits._
+    val empty = spark.emptyDataset[graft.streaming.Stateful.SessionEvent]
+    // ≥ gap would let accepted out-of-order events precede start − gap and
+    // silently diverge from the batch twin — the guard must throw instead
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Stateful.sessionize(empty, watermarkDelay = "60 minutes")
+    }
+    assert(e.getMessage.contains("session gap"))
+    // the documented default stays accepted
+    graft.streaming.Stateful.sessionize(empty, watermarkDelay = "10 minutes")
+    assert(graft.streaming.Stateful.parseDelayMs("45 seconds") == 45000L)
+  }
 }
