@@ -73,6 +73,10 @@ object Bench {
         s"\"" + k + "\":\"" + safe + "\""
       }.mkString(",\"errors\":{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    // intra-session the queries deliberately SHARE caches (Curate reusing
+    // langId/clusters measures composition, not recompute); the drain here
+    // demonstrates the bounded-memory exit path a long-lived host would use
+    graft.sources.Caches.releaseAll()
     spark.stop()
   }
 }

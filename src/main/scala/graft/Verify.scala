@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // each query's intermediate caches are dropped before the next runs:
+      // the long-lived session keeps storage memory bounded by one query's
+      // working set, not the sum of all 55
+      graft.sources.Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -87,7 +87,7 @@ object Dedup {
   private def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // signatures are md5-heavy: materialize once, reuse for buckets + verify
-    val docs = signed(spark, dir).persist()
+    val docs = graft.sources.Caches.shared(signed(spark, dir))
     val buckets = docs.select($"doc_id", explode($"bands").as("b"))
       .select($"doc_id", $"b.band", $"b.key")
     val candidates = buckets.as("x").join(buckets.as("y"),
@@ -115,7 +115,8 @@ object Dedup {
     * shuffle on doc_id. Lineage is cut per iteration (localCheckpoint). */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val edges = minhashVerified(spark, dir).select($"id_a", $"id_b").persist()
+    val edges = graft.sources.Caches.shared(
+      minhashVerified(spark, dir).select($"id_a", $"id_b"))
     val sym = edges.union(edges.select($"id_b", $"id_a")).toDF("src", "dst")
     var labels = edges.select(explode(array($"id_a", $"id_b")).as("doc_id"))
       .distinct()
@@ -162,8 +163,8 @@ object Dedup {
       .select($"doc_id", graft.functions.HashArray60(tokens($"text")).as("hs"))
       .select($"doc_id",
         graft.functions.SimhashSignature($"hs", SimhashBits).as("sim"))
-      .persist()
-    val parts = docs.select($"doc_id", $"sim",
+    val cached = graft.sources.Caches.shared(docs)
+    val parts = cached.select($"doc_id", $"sim",
         explode(array(
           struct(lit(0).as("part"), shiftright($"sim", 32).as("key")),
           struct(lit(1).as("part"), (shiftright($"sim", 16) % 65536).as("key")),
@@ -271,13 +272,13 @@ object Dedup {
     // grams emerge from the fused kernel already sorted + distinct, so the
     // pairwise intersection is a native merge-walk (IntersectCardinality)
     // instead of a hash set per pair
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", $"n_chars", tokens($"text").as("toks"))
-      .filter(size($"toks") >= 2)
-      .select($"doc_id", $"n_chars",
-        graft.functions.WordGramHashes($"toks", 2).as("grams"))
-      .withColumn("ng", size($"grams"))
-      .persist()
+    val docs = graft.sources.Caches.shared(
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"n_chars", tokens($"text").as("toks"))
+        .filter(size($"toks") >= 2)
+        .select($"doc_id", $"n_chars",
+          graft.functions.WordGramHashes($"toks", 2).as("grams"))
+        .withColumn("ng", size($"grams")))
     val left = docs.withColumn("band", ($"n_chars" / LenBand).cast("long"))
     val right = docs.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
         $"grams".as("gr_b"), $"ng".as("ng_b"),

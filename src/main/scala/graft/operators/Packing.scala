@@ -46,12 +46,11 @@ object Packing {
     // boundary value into a nonexistent extra bucket). Deriving the shift
     // from the bucket count keeps the two from drifting apart.
     val shift = 60 - Integer.numberOfTrailingZeros(buckets)
-    val docs = Tables.documents(spark, dir)
+    // consumed twice (totals job + layout job): cache the 4-col projection
+    val docs = graft.sources.Caches.shared(Tables.documents(spark, dir)
       .select($"doc_id", size(tokens($"text")).as("n_tokens"))
       .withColumn("h", hash60($"doc_id".cast("string")))
-      .withColumn("bucket", shiftright($"h", shift).cast("int"))
-      // consumed twice (totals job + layout job): cache the 4-col projection
-      .persist()
+      .withColumn("bucket", shiftright($"h", shift).cast("int")))
     // tiny per-bucket totals -> driver-side prefix sum (the classic scan)
     val totals = docs.groupBy($"bucket").agg(sum($"n_tokens").as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -150,7 +150,7 @@ object Similarity {
       shiftleft((graft.functions.DotProduct($"v", typedLit(hyperplanes(j))) > 0)
         .cast("long"), j)
     }.reduce(_ + _)
-    val c = corpus(spark, dir).withColumn("sig", sig).persist()
+    val c = graft.sources.Caches.shared(corpus(spark, dir).withColumn("sig", sig))
     val bandKey = (b: Int) =>
       shiftright($"sig", b * LshBandBits).bitwiseAND(lit((1L << LshBandBits) - 1))
     val left = c.select($"vec_id", explode(array((0 until nBands).map(b =>

@@ -53,11 +53,11 @@ object TextAnalysis {
     * count); scoring is embarrassingly parallel per row. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .filter(length($"text") >= 3)
-      .select($"doc_id", $"lang",
-        graft.functions.CharGrams(lower($"text"), 3).as("grams"))
-      .persist()
+    val docs = graft.sources.Caches.shared(
+      Tables.spread(Tables.documents(spark, dir))
+        .filter(length($"text") >= 3)
+        .select($"doc_id", $"lang",
+          graft.functions.CharGrams(lower($"text"), 3).as("grams")))
     val profRows = docs
       .select($"lang", explode($"grams").as("gram"))
       .groupBy($"lang", $"gram").agg(count(lit(1)).as("cnt"))

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped cache registry for the intermediate results operators
+  * reuse (minhash signatures, gram arrays, label-propagation edges, …).
+  *
+  * Two jobs:
+  *  - `shared` persists a plan only if no EQUAL plan is already cached
+  *    (`Dataset.storageLevel` consults the session CacheManager by canonical
+  *    plan), so composing pipelines — `Curate` reusing `langId`/`clusters` —
+  *    silently share one cache instead of tripping "Asked to cache already
+  *    cached data" warnings, and a query re-invoked in the same session
+  *    reuses its prior materialization.
+  *  - every handle this object persisted is tracked, and `releaseAll`
+  *    unpersists them: a long-lived session (the driver's Verify loop, a
+  *    notebook, a 1000-executor job server) calls it between pipelines so
+  *    finished queries don't pin executor storage memory forever.
+  */
+object Caches {
+
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` unless an equal plan is already cached; track the handle. */
+  def shared(df: DataFrame): DataFrame = synchronized {
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist()
+      tracked += df
+    }
+    df
+  }
+
+  /** Number of currently tracked (persisted, unreleased) handles. */
+  def trackedCount: Int = synchronized(tracked.size)
+
+  /** Unpersist every tracked handle (non-blocking) and forget them. */
+  def releaseAll(): Unit = synchronized {
+    tracked.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    tracked.clear()
+  }
+}

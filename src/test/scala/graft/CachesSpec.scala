@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import graft.sources.Caches
+
+/** Cache-hygiene contract: composing operators share one materialization per
+  * logical plan instead of re-persisting it (the CacheManager warning), and
+  * releaseAll returns storage to empty so long-lived sessions don't pin
+  * executor memory across pipelines. */
+class CachesSpec extends SparkSpec {
+
+  test("shared() persists a plan once and reuses it for an equal plan") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val base = spark.range(100).select($"id", ($"id" * 2).as("v"))
+    val first = Caches.shared(base)
+    first.count()
+    assert(first.storageLevel != StorageLevel.NONE)
+    val trackedAfterFirst = Caches.trackedCount
+    // an EQUAL plan built independently must not create a second cache entry
+    val again = Caches.shared(spark.range(100).select($"id", ($"id" * 2).as("v")))
+    again.count()
+    assert(again.storageLevel != StorageLevel.NONE)
+    assert(Caches.trackedCount == trackedAfterFirst)
+    Caches.releaseAll()
+    assert(base.storageLevel == StorageLevel.NONE)
+    assert(Caches.trackedCount == 0)
+  }
+
+  test("composed curate pipeline tracks caches and releases them all") {
+    Caches.releaseAll()
+    val dir = sf("sf0.001")
+    SparkEntry.queries("pipeline_curate")(spark, dir).count()
+    // the composition persisted sub-pipeline intermediates...
+    assert(Caches.trackedCount > 0)
+    val handleCount = Caches.trackedCount
+    // ...and re-running the SAME query re-uses them instead of stacking more
+    SparkEntry.queries("pipeline_curate")(spark, dir).count()
+    assert(Caches.trackedCount == handleCount)
+    Caches.releaseAll()
+    assert(Caches.trackedCount == 0)
+  }
+}
