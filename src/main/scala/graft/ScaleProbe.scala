@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Candidate-volume scaling measurement for the banded/bucketed near-dup
+  * operators. For each scale factor given on the command line it reports,
+  * per operator: corpus rows N, candidate pairs C (the pre-verification
+  * volume the bucketing scheme admits), and verified output rows O.
+  *
+  * The point: the 100 TB claim for these operators rests on C growing
+  * ~linearly with N (planted near-dups scale linearly; background bucket
+  * collisions quadratically — a healthy scheme keeps the background term
+  * small). Run with two sf dirs and compare C's growth to N's; results are
+  * recorded in SCALING.md.
+  *
+  * Usage: runMain graft.ScaleProbe /root/testdata/sf0.01 /root/testdata/sf0.1
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleProbe <sfDir> [sfDir...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Dedup, Similarity}
+
+    args.foreach { dir =>
+      val nDocs = graft.sources.Tables.documents(spark, dir).count()
+      val nVecs = graft.sources.Tables.embeddings(spark, dir).count()
+      val probes: Seq[(String, Long, () => Long, () => Long)] = Seq(
+        ("dedup_minhash_lsh", nDocs,
+          () => Dedup.minhashCandidates(spark, dir).count(),
+          () => Dedup.minhashLsh(spark, dir).count()),
+        ("dedup_simhash", nDocs,
+          () => Dedup.simhashCandidates(spark, dir).count(),
+          () => Dedup.simhash(spark, dir).count()),
+        ("dedup_ngram_jaccard", nDocs,
+          () => Dedup.ngramCandidates(spark, dir).count(),
+          () => Dedup.ngramJaccard(spark, dir).count()),
+        ("dedup_contamination", nDocs,
+          () => Dedup.contaminationOverlaps(spark, dir).count(),
+          () => Dedup.contamination(spark, dir).count()),
+        ("dedup_embedding_lsh", nVecs,
+          () => Similarity.embeddingCandidates(spark, dir).count(),
+          () => Similarity.nearDupEmbedding(spark, dir).count())
+      )
+      probes.foreach { case (name, n, cand, out) =>
+        val c = cand()
+        val o = out()
+        println(s"""{"probe":"$name","sf":"$dir","corpus":$n,"candidates":$c,"output":$o}""")
+        graft.sources.Caches.releaseAll()
+      }
+    }
+    spark.stop()
+  }
+}

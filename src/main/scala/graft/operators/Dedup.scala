@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.functions.Text._
 
@@ -84,17 +85,26 @@ object Dedup {
 
   /** Verified near-dup pairs, unsorted — [[clusters]] consumes this directly
     * so the graph build doesn't pay minhashLsh's presentation sort. */
-  private def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct LSH bucket-collision pairs BEFORE Jaccard verification — the
+    * quantity whose growth rate decides whether the scheme scales (tracked
+    * per scale factor by [[graft.ScaleProbe]] into SCALING.md). */
+  private[graft] def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // signatures are md5-heavy: materialize once, reuse for buckets + verify
     val docs = graft.sources.Caches.shared(signed(spark, dir))
     val buckets = docs.select($"doc_id", explode($"bands").as("b"))
       .select($"doc_id", $"b.band", $"b.key")
-    val candidates = buckets.as("x").join(buckets.as("y"),
+    buckets.as("x").join(buckets.as("y"),
         $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
       .distinct()
+  }
+
+  private def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // signatures are md5-heavy: materialize once, reuse for buckets + verify
+    val docs = graft.sources.Caches.shared(signed(spark, dir))
+    val candidates = minhashCandidates(spark, dir)
     val a = docs.select($"doc_id".as("id_a"), $"grams".as("gr_a"), size($"grams").as("na"))
     val b = docs.select($"doc_id".as("id_b"), $"grams".as("gr_b"), size($"grams").as("nb"))
     val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
@@ -157,8 +167,15 @@ object Dedup {
     * keeps floor(h/2^j) exact in the oracle's double arithmetic. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // HashArray60 yields 60-bit hashes; the signature reads bits 0..47 only,
-    // so the values match the oracle's (hash60 % 2^48) formulation exactly
+    simhashCandidates(spark, dir)
+      .filter($"hamming" <= HammingThreshold)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Distinct band-collision pairs with their hamming distance, BEFORE the
+    * hamming threshold — the candidate volume [[graft.ScaleProbe]] tracks. */
+  private[graft] def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", graft.functions.HashArray60(tokens($"text")).as("hs"))
       .select($"doc_id",
@@ -176,8 +193,6 @@ object Dedup {
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
         bit_count($"x.sim".bitwiseXOR($"y.sim")).as("hamming"))
       .distinct()
-      .filter($"hamming" <= HammingThreshold)
-      .orderBy($"id_a", $"id_b")
   }
 
   // -------------------------------------------------- benchmark decontamination
@@ -202,6 +217,17 @@ object Dedup {
     * on (doc_id, bench_id). The corpus itself is never shuffled. */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    contaminationOverlaps(spark, dir)
+      .filter($"n_shared" >= ContamMinShared)
+      .select($"doc_id", $"bench_id", $"n_shared",
+        ($"n_shared".cast("double") / $"ng".cast("double")).as("overlap_frac"))
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  /** Per-(doc, bench) shared-gram counts BEFORE the contamination threshold —
+    * the posting-join volume [[graft.ScaleProbe]] tracks per scale factor. */
+  private[graft] def contaminationOverlaps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val grams = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= ContamGram)
@@ -215,10 +241,6 @@ object Dedup {
     corpus.join(broadcast(bench), "gram")
       .groupBy($"doc_id", $"ng", $"bench_id")
       .agg(count(lit(1)).as("n_shared"))
-      .filter($"n_shared" >= ContamMinShared)
-      .select($"doc_id", $"bench_id", $"n_shared",
-        ($"n_shared".cast("double") / $"ng".cast("double")).as("overlap_frac"))
-      .orderBy($"doc_id", $"bench_id")
   }
 
   /** Streaming twin of [[contamination]]: a STREAM of documents checked
@@ -267,41 +289,75 @@ object Dedup {
     * cross product). Verification is exact Jaccard over hash60'd bigrams —
     * long-array intersection, with |A∪B| = |A|+|B|−|A∩B| so only the
     * intersection is materialized. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, n_chars, grams, ng) with grams the SORTED distinct hash60s of
+    * word bigrams — sorted both for the merge-walk intersection and because
+    * prefix filtering requires one canonical global gram order. */
+  private def ngramDocs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // grams emerge from the fused kernel already sorted + distinct, so the
-    // pairwise intersection is a native merge-walk (IntersectCardinality)
-    // instead of a hash set per pair
-    val docs = graft.sources.Caches.shared(
+    graft.sources.Caches.shared(
       Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", $"n_chars", tokens($"text").as("toks"))
         .filter(size($"toks") >= 2)
         .select($"doc_id", $"n_chars",
           graft.functions.WordGramHashes($"toks", 2).as("grams"))
         .withColumn("ng", size($"grams")))
-    val left = docs.withColumn("band", ($"n_chars" / LenBand).cast("long"))
-    val right = docs.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
-        $"grams".as("gr_b"), $"ng".as("ng_b"),
-        explode(array((-1 to 1).map(d => ($"n_chars" / LenBand).cast("long") + d): _*)).as("band"))
-    val inter = graft.functions.IntersectCardinality($"grams", $"gr_b")
-    val jac = inter.cast("double") / (($"ng" + $"ng_b") - inter).cast("double")
-    // size-ratio prefilter: J = i/(na+nb-i) ≤ min/max, so min/max < τ can
-    // never reach the threshold — prune BEFORE the set intersection. For
-    // τ = 0.8 in exact integers: 5·min ≥ 4·max. Purely physical; the oracle
-    // keeps the plain formulation.
-    //
-    // The jaccard threshold lives INSIDE the join condition, after the cheap
-    // conjuncts: a separate post-join .filter gets merged by Catalyst as
-    // And(filter, joinCond), which evaluates the O(|grams|) intersection
-    // FIRST for every band collision. Inline ordering keeps the And
-    // short-circuit cheap-first (PlanSpec pins this); the projection
-    // recomputes the intersection only for final survivors.
-    left.join(right,
-        left("band") === right("band") && left("doc_id") < right("id_b") &&
-          abs(left("n_chars") - right("nc_b")) <= LenBand &&
-          least(left("ng"), right("ng_b")) * 5 >= greatest(left("ng"), right("ng_b")) * 4 &&
-          jac >= NgramThreshold)
-      .select($"doc_id".as("id_a"), $"id_b", jac.as("jaccard"))
+  }
+
+  /** Candidate pairs by df-ordered PREFIX FILTERING (the Chaudhuri/Bayardo/
+    * ppjoin scheme): J ≥ τ forces |A∩B| ≥ ⌈τ·max(|A|,|B|)⌉, so under ANY
+    * consistent global gram order A and B must share a gram among each
+    * side's first n − ⌈τ·n⌉ + 1 grams — a ~20 % prefix at τ = 0.8. The
+    * global order is ascending DOCUMENT FREQUENCY (ties by hash): prefixes
+    * then hold each document's RAREST grams, so the posting lists being
+    * self-joined are the short ones, and candidate volume tracks actual
+    * textual overlap instead of the length histogram (ScaleProbe measured
+    * the length-band scheme at 798 k pairs for 256 true pairs at sf0.1;
+    * hash-ordered prefixes still 337 k — common template bigrams land in
+    * prefixes under a frequency-blind order).
+    *
+    * Cost shape at 100 TB: one postings explode (linear), one df groupBy
+    * (shuffle of distinct grams), one postings⋈df + per-doc top-(0.2·n)
+    * window (shuffles of linear data), then the equi-join on prefix grams.
+    * All linear-volume shuffles; no cross pairing anywhere. Exactness: every
+    * J ≥ 0.8 pair satisfies the size-ratio bound (J ≤ min/max) and the
+    * prefix-overlap lemma, so no true pair is missed; the oracle keeps the
+    * plain all-pairs formulation as the independent witness. */
+  private[graft] def ngramCandidates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = ngramDocs(spark, dir)
+    val posts = docs.select($"doc_id", $"n_chars", $"ng", explode($"grams").as("gram"))
+    val dfreq = posts.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"gram".asc)
+    // prefix length n − ⌈4n/5⌉ + 1 in exact integer math: ⌈4n/5⌉ = ⌊(4n+4)/5⌋
+    // both join sides read the same postings: materialize the (explode →
+    // df groupBy → join → per-doc rank) pipeline once
+    val post = graft.sources.Caches.shared(posts.join(dfreq, "gram")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= $"ng" - floor(($"ng" * 4 + 4) / 5) + 1)
+      .select($"doc_id", $"n_chars", $"ng", $"gram"))
+    val pa = post.select($"doc_id", $"n_chars", $"ng", $"gram")
+    val pb = post.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
+      $"ng".as("ng_b"), $"gram".as("gram_b"))
+    pa.join(pb,
+        $"gram" === $"gram_b" && $"doc_id" < $"id_b" &&
+          abs($"n_chars" - $"nc_b") <= LenBand &&
+          least($"ng", $"ng_b") * 5 >= greatest($"ng", $"ng_b") * 4)
+      .select($"doc_id".as("id_a"), $"id_b")
+      .distinct()
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = ngramDocs(spark, dir)
+    val a = docs.select($"doc_id".as("id_a"), $"grams".as("gr_a"), $"ng".as("ng_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"grams".as("gr_b"), $"ng".as("ng_b"))
+    val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
+    val jac = inter.cast("double") / (($"ng_a" + $"ng_b") - inter).cast("double")
+    ngramCandidates(spark, dir)
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", jac)
+      .filter($"jaccard" >= NgramThreshold)
+      .select($"id_a", $"id_b", $"jaccard")
       .orderBy($"id_a", $"id_b")
   }
 }

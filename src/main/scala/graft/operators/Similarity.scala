@@ -143,7 +143,9 @@ object Similarity {
     * Collision probability per band is 9/2^8 ≈ 0.035 for unrelated vectors
     * (vs 1/2^4 = 0.0625), while hamming-≤1 probing keeps recall at the
     * planted cos≈0.4–0.6 range at or above the 4-bit scheme's. */
-  def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct bucket-collision pairs (band-hamming ≤ 1) BEFORE exact-cosine
+    * verification — the candidate volume [[graft.ScaleProbe]] tracks. */
+  private[graft] def embeddingCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nBands = LshBitsTotal / LshBandBits
     val sig = (0 until LshBitsTotal).map { j =>
@@ -164,10 +166,20 @@ object Similarity {
         struct(lit(b).as("pband"), pk.as("pkey"))
       }): _*)).as("bk"))
       .select($"id_b", $"bk.pband", $"bk.pkey")
-    val cand = left.join(right,
+    left.join(right,
         $"band" === $"pband" && $"key" === $"pkey" && $"vec_id" < $"id_b")
       .select($"vec_id".as("id_a"), $"id_b")
       .distinct()
+  }
+
+  def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sig = (0 until LshBitsTotal).map { j =>
+      shiftleft((graft.functions.DotProduct($"v", typedLit(hyperplanes(j))) > 0)
+        .cast("long"), j)
+    }.reduce(_ + _)
+    val c = graft.sources.Caches.shared(corpus(spark, dir).withColumn("sig", sig))
+    val cand = embeddingCandidates(spark, dir)
     val a = c.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
     val b = c.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
     cand.join(a, "id_a").join(b, "id_b")

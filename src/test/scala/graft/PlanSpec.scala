@@ -55,17 +55,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("ngram jaccard: cheap prefilters evaluate before the set intersection") {
+  test("ngram jaccard: candidates come from a prefix-postings join, verification pays per candidate only") {
     val p = plan(Dedup.ngramJaccard(spark, dir))
-    // the join condition must short-circuit size-ratio (least/greatest)
-    // BEFORE intersect_cardinality; Catalyst prepends merged post-join
-    // filters, so a regression reverses this order
-    val joinLine = p.linesIterator
-      .find(l => l.contains("Join") && l.contains("intersect_cardinality"))
-      .getOrElse(fail(s"no join condition carrying the jaccard predicate:\n$p"))
-    val cheap = joinLine.indexOf("least(")
-    val expensive = joinLine.indexOf("intersect_cardinality")
-    assert(cheap >= 0 && expensive >= 0 && cheap < expensive, joinLine)
+    // the candidate join is on gram equality carrying the cheap size-ratio
+    // conjunct — and crucially does NOT evaluate the set intersection
+    val candLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("least("))
+      .getOrElse(fail(s"no candidate join with the size-ratio prefilter:\n$p"))
+    assert(!candLine.contains("intersect_cardinality"), candLine)
+    // the O(|grams|) intersection appears only above the candidate join
+    // (verify per candidate pair), never inside a cross-pairing condition
+    assert(p.contains("intersect_cardinality"), p)
   }
 
   test("as-of join: one hash exchange, no join operator (union + running-last)") {
