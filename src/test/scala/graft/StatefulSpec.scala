@@ -179,6 +179,28 @@ class StatefulSpec extends SparkSpec {
     assert(flagged.head._3 == 18L)
   }
 
+  test("stream-static minhash near-dup flags an arriving near-duplicate of a corpus doc") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = sf("sf0.01")
+    val buckets = Dedup.minhashCorpusBuckets(spark, dir)
+    // an exact copy of corpus doc 7's text arrives under a new id (J = 1.0,
+    // every band collides); a vocabulary-disjoint doc arrives alongside
+    val copied = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" === 7).select($"text").as[String].head()
+    val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.nearDupStream(in.toDF().toDF("doc_id", "text"), buckets)
+      .writeStream.format("memory").queryName("neardup").outputMode("update").start()
+    in.addData((99999L, copied), (99998L, noise))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("neardup")
+      .select($"doc_id", $"corpus_id", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(flagged.exists(f => f._1 == 99999L && f._2 == 7L && f._3 == 1.0), flagged.toSeq.toString)
+    assert(!flagged.exists(_._1 == 99998L), flagged.toSeq.toString)
+  }
+
   test("batch and streaming session semantics agree on closed sessions") {
     import graft.operators.Windows
     // batch twin over the same fixture events
