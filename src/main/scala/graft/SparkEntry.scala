@@ -76,6 +76,10 @@ object SparkEntry {
     "pipeline_curate"      -> (Curate.curate _),
     "text_packing"         -> (Packing.packing _),
     "q_sketch_distinct"    -> (Ingest.sketchDistinct _),
+    "text_chunking"        -> (Packing.chunking _),
+    "text_topgrams"        -> (TextAnalysis.topGrams _),
+    "sim_quantize_int8"    -> (Similarity.quantizeInt8 _),
+    "q_sample_split"       -> (Sampling.trainValTestSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -832,5 +836,64 @@ object SparkEntry {
         |  TRUE AS orders_within_rsd
         |FROM lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // fixed 64-token windows advancing by 48; ⌊(n−1)/48⌋+1 chunks per doc
+    "text_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1
+        |),
+        |c AS (
+        |  SELECT doc_id, s, n, CAST(cid AS INTEGER) AS chunk_id,
+        |         CAST(cid * 48 AS BIGINT) AS chunk_start
+        |  FROM t, LATERAL (SELECT unnest(range(0, ((n - 1) // 48) + 1)) AS cid)
+        |)
+        |SELECT doc_id, chunk_id, chunk_start,
+        |  CAST(least(64, n - chunk_start) AS BIGINT) AS n_chunk_tokens,
+        |  s[chunk_start + 1] AS first_token,
+        |  s[chunk_start + least(64, n - chunk_start)] AS last_token
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_topgrams" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents)
+        |  WHERE len(s) >= 2
+        |)
+        |SELECT gram, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram ASC LIMIT 50""".stripMargin,
+
+    // per-vector affine int8: scale=(max-min)/255, codes round((x-min)/scale);
+    // integer checksums pin every code, 6dp rounding pins the affine params
+    "sim_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |),
+        |p AS (
+        |  SELECT vec_id, v, list_min(v) AS vmin,
+        |         (list_max(v) - list_min(v)) / 255.0 AS scale
+        |  FROM v
+        |),
+        |q AS (
+        |  SELECT vec_id, vmin, scale,
+        |    [CASE WHEN scale > 0 THEN CAST(round((x - vmin) / scale, 0) AS BIGINT) ELSE 0 END for x in v] AS q
+        |  FROM p
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale6, round(vmin, 6) AS zero6,
+        |  CAST(list_sum([CAST(x AS BIGINT) for x in q]) AS BIGINT) AS qsum,
+        |  CAST(list_sum([CAST(x * x AS BIGINT) for x in q]) AS BIGINT) AS qsumsq
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // content-hash split: same doc -> same split on any engine or rerun
+    "q_sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -70,4 +70,33 @@ object Packing {
         ($"start" % SeqLen).as("bin_offset"))
       .orderBy($"doc_id")
   }
+
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Context-window chunking: each document's token sequence is cut into
+    * fixed-size windows of [[ChunkSize]] tokens advancing by [[ChunkStride]]
+    * (16-token overlap) — the standard long-document → model-context
+    * preparation step. Pure per-row generator fanout (explode over a
+    * sequence of chunk starts): no shuffle, no state, trivially parallel at
+    * any corpus size; the final orderBy is presentation only. Chunk count
+    * for n tokens is ⌊(n−1)/stride⌋+1, so every token lands in ≥ 1 chunk
+    * and the last chunk may be short. */
+  def chunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+      .filter($"n" >= 1)
+      .select($"doc_id", $"toks", $"n",
+        explode(sequence(lit(0), floor(($"n" - 1) / ChunkStride).cast("int"))).as("chunk_id"))
+      .withColumn("chunk_start", $"chunk_id" * ChunkStride)
+      .select($"doc_id", $"chunk_id",
+        $"chunk_start".cast("long").as("chunk_start"),
+        least(lit(ChunkSize), $"n" - $"chunk_start").cast("long").as("n_chunk_tokens"),
+        element_at($"toks", $"chunk_start" + 1).as("first_token"),
+        element_at($"toks",
+          $"chunk_start" + least(lit(ChunkSize), $"n" - $"chunk_start")).as("last_token"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
 }

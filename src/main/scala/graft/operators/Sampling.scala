@@ -78,4 +78,22 @@ object Sampling {
       .filter($"edit_dist" <= MaxEditDistance)
       .orderBy($"key_a", $"key_b")
   }
+
+  /** Reproducible train/val/test split: each document's bucket is the
+    * content hash of its id modulo 100 — <80 train, <90 val, else test.
+    * A pure projection (no shuffle, no sampling state): the same document
+    * lands in the same split on any engine, cluster size, or rerun, and
+    * adding documents never moves existing ones between splits — the
+    * properties that make hash-splitting the standard over random splits
+    * for corpus versioning. */
+  def trainValTestSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, dir)
+      .withColumn("bucket", pmod(graft.functions.Text.hash60($"doc_id".cast("string")), lit(100L)))
+      .select($"doc_id", $"lang",
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
 }

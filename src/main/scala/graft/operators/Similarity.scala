@@ -114,6 +114,31 @@ object Similarity {
       .orderBy($"label", $"dim")
   }
 
+  /** Per-vector int8 affine quantization — the storage/serving compression
+    * step of an embedding pipeline (4× smaller than float32): per vector,
+    * scale = (max − min)/255 and each dim maps to round((x − min)/scale) ∈
+    * [0, 255]. Pure projection, shuffle-free. The oracled output carries the
+    * 6-dp-rounded affine parameters plus two integer checksums over the
+    * quantized codes (sum and sum-of-squares) — integer equality across
+    * engines pins every code exactly without emitting 64 columns. Constant
+    * vectors (scale 0) quantize to all-zero codes by convention. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("vmin", array_min($"v"))
+      .withColumn("scale", (array_max($"v") - $"vmin") / lit(255.0))
+      .withColumn("q", transform($"v", x =>
+        when($"scale" > 0, round(((x - $"vmin") / $"scale"), 0).cast("long"))
+          .otherwise(lit(0L))))
+      .select($"vec_id",
+        round($"scale", 6).as("scale6"),
+        round($"vmin", 6).as("zero6"),
+        aggregate($"q", lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate($"q", lit(0L), (a, x) => a + x * x).as("qsumsq"))
+      .orderBy($"vec_id")
+  }
+
   /** The random hyperplanes are DATA-INDEPENDENT constants — ±1 per (bit j,
     * dim d) by the parity of hash60(j ++ "_" ++ d) — so they are computed
     * once at plan-build time and embedded as array literals; each bit is

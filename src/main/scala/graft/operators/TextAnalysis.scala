@@ -162,4 +162,29 @@ object TextAnalysis {
         size($"bottom8").as("sketch_size"))
       .orderBy($"doc_id")
   }
+
+  val TopGrams = 50
+
+  /** Corpus-level bigram frequency statistics: the [[TopGrams]] most frequent
+    * word bigrams with occurrence count and document frequency — the
+    * boilerplate/repetition profile a curation pass reads before setting
+    * filter thresholds (and the df distribution behind the prefix-filter
+    * dedup's effectiveness). One linear explode + one gram-keyed groupBy
+    * (map-side partial aggregation collapses each partition to its distinct
+    * grams before the shuffle); the top-k is a TakeOrdered, not a global
+    * sort. Ties are broken by the gram string so the cut at rank 50 is
+    * deterministic on any engine. */
+  def topGrams(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1)))).as("gram"))
+      .groupBy($"gram")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n_occurrences".desc, $"gram".asc)
+      .limit(TopGrams)
+  }
 }
