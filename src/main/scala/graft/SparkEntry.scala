@@ -388,17 +388,13 @@ object SparkEntry {
         |    [ CASE WHEN list_sum([ CASE WHEN CAST(floor(h / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
         |      THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,48) ]) AS BIGINT) AS sim
         |  FROM tok
-        |),
-        |parts AS (
-        |  SELECT doc_id, sim, 0 AS part, CAST(floor(sim / 4294967296) AS BIGINT) AS key FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, sim, 1 AS part, CAST(floor(sim / 65536) AS BIGINT) % 65536 AS key FROM sig
-        |  UNION ALL
-        |  SELECT doc_id, sim, 2 AS part, sim % 65536 AS key FROM sig
         |)
-        |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+        |-- all-pairs witness: the Spark side's 4x12-bit banding is provably
+        |-- complete for hamming <= 3 (pigeonhole), so the oracle need not
+        |-- mirror it and independently checks the declared semantics
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
         |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
-        |FROM parts x JOIN parts y ON x.part = y.part AND x.key = y.key AND x.doc_id < y.doc_id
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
         |WHERE CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 

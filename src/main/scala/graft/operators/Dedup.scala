@@ -224,11 +224,20 @@ object Dedup {
       .select($"doc_id",
         graft.functions.SimhashSignature($"hs", SimhashBits).as("sim"))
     val cached = graft.sources.Caches.shared(docs)
+    // Manku-style k+1 split: 4 bands of 12 bits for hamming ≤ 3 — any pair
+    // within the threshold has ≤ 3 differing bits spread over 4 bands, so
+    // BY PIGEONHOLE at least one band matches exactly. The banding is then
+    // a pure physical optimization with PROVABLY complete recall (the
+    // earlier 3×16 split could miss a pair with one error in each band),
+    // which is why the oracle states the plain all-pairs formulation
+    // instead of mirroring the bands.
+    val nBands = HammingThreshold + 1
+    val bandBits = SimhashBits / nBands
+    val mask = (1L << bandBits) - 1
     val parts = cached.select($"doc_id", $"sim",
-        explode(array(
-          struct(lit(0).as("part"), shiftright($"sim", 32).as("key")),
-          struct(lit(1).as("part"), (shiftright($"sim", 16) % 65536).as("key")),
-          struct(lit(2).as("part"), ($"sim" % 65536).as("key")))).as("p"))
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("part"),
+            shiftright($"sim", b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("p"))
       .select($"doc_id", $"sim", $"p.part", $"p.key")
     parts.as("x").join(parts.as("y"),
         $"x.part" === $"y.part" && $"x.key" === $"y.key" &&
