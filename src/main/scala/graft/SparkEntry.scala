@@ -80,6 +80,7 @@ object SparkEntry {
     "text_topgrams"        -> (TextAnalysis.topGrams _),
     "sim_quantize_int8"    -> (Similarity.quantizeInt8 _),
     "q_sample_split"       -> (Sampling.trainValTestSplit _),
+    "q_sketch_quantiles"   -> (Relational.sketchQuantiles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -882,6 +883,16 @@ object SparkEntry {
         |  CAST(list_sum([CAST(x AS BIGINT) for x in q]) AS BIGINT) AS qsum,
         |  CAST(list_sum([CAST(x * x AS BIGINT) for x in q]) AS BIGINT) AS qsumsq
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // like q_sketch_distinct: exact twin columns + literal-TRUE bounded-error
+    // flags make the engine-specific quantile sketch hash-checkable
+    "q_sketch_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99_price,
+        |  TRUE AS med_within_err,
+        |  TRUE AS p99_within_err
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // content-hash split: same doc -> same split on any engine or rerun
     "q_sample_split" ->

@@ -297,6 +297,36 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Relative rank-error budget for the quantile-sketch flags: Spark's
+    * approx_percentile accuracy parameter 10000 bounds rank error at
+    * 1/10000; the value-space check below allows the estimate to sit
+    * anywhere between the exact neighbors ±1 % of the group's value range —
+    * generous, deterministic, and still falsified by a broken sketch. */
+  val QuantileAccuracy = 10000
+
+  /** Quantile SKETCH aggregation (KLL/GK-style `approx_percentile`): the
+    * scale path for percentiles — a fixed-size mergeable buffer per group
+    * instead of q19's exact per-group sort. Estimates are engine-specific,
+    * so (like [[Ingest.sketchDistinct]]) the oracled surface is the exact
+    * percentile twin plus literal-TRUE flags asserting each estimate lies
+    * within 1 % of the group's value range of the exact answer. */
+  def sketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(percentile($"l_quantity", lit(0.5)), 6).as("exact_med_qty"),
+        round(percentile($"l_extendedprice", lit(0.99)), 6).as("exact_p99_price"),
+        approx_percentile($"l_quantity", lit(0.5), lit(QuantileAccuracy)).as("aq"),
+        approx_percentile($"l_extendedprice", lit(0.99), lit(QuantileAccuracy)).as("ap"),
+        (max($"l_quantity") - min($"l_quantity")).as("rq"),
+        (max($"l_extendedprice") - min($"l_extendedprice")).as("rp"))
+      .select($"l_returnflag", $"exact_med_qty", $"exact_p99_price",
+        (abs($"aq" - $"exact_med_qty") <= $"rq" * 0.01).as("med_within_err"),
+        (abs($"ap" - $"exact_p99_price") <= $"rp" * 0.01).as("p99_within_err"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Array scalar functions over the embedding vectors: max/min, slicing,
     * higher-order filter — all codegen'd builtins, float-exact. */
   def q20ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
