@@ -72,10 +72,16 @@ object Dedup {
         graft.functions.WordGramHashes(col("toks"), 3).as("grams"),
         graft.functions.MinhashFromTokens(
           col("toks"), 3, MinhashPerms, MinhashPrime).as("sig"))
+      // the band key is hash60 of the minhash-row string: an 8-byte long
+      // through the bucket-join shuffle instead of a ~30-byte string. Equal
+      // rows always hash equal (no recall change), and a 2^-60 spurious
+      // collision only adds a candidate the exact-Jaccard verify removes —
+      // so the oracle's string-keyed banding stays output-identical
       .withColumn("bands", transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => struct(b.as("band"),
-          concat_ws(",", transform(slice(col("sig"), b * MinhashRows + 1, lit(MinhashRows)),
-            x => x.cast("string"))).as("key"))))
+          graft.functions.Text.hash60(
+            concat_ws(",", transform(slice(col("sig"), b * MinhashRows + 1, lit(MinhashRows)),
+              x => x.cast("string")))).as("key"))))
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
     * self-join → exact-Jaccard verification ≥ 0.8. Output (id_a < id_b,
