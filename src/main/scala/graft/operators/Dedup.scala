@@ -392,14 +392,24 @@ object Dedup {
     val post = graft.sources.Caches.shared(posts.join(dfreq, "gram")
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= $"ng" - floor(($"ng" * 4 + 4) / 5) + 1)
-      .select($"doc_id", $"n_chars", $"ng", $"gram"))
-    val pa = post.select($"doc_id", $"n_chars", $"ng", $"gram")
+      .select($"doc_id", $"n_chars", $"ng", $"rank", $"gram"))
+    val pa = post.select($"doc_id", $"n_chars", $"ng", $"rank", $"gram")
     val pb = post.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
-      $"ng".as("ng_b"), $"gram".as("gram_b"))
+      $"ng".as("ng_b"), $"rank".as("rank_b"), $"gram".as("gram_b"))
+    // ppjoin positional filter: grams before rank r on either side are
+    // unshared for the pair's FIRST shared gram, so the overlap can never
+    // exceed 1 + min(ng − rank, ng_b − rank_b); J ≥ 0.8 needs overlap ≥
+    // ⌈0.8·max⌉, i.e. 5·(1 + min) ≥ 4·max in exact integers. The pair's
+    // first-match row always satisfies this when J ≥ τ (earlier grams of
+    // both sides are unshared by definition of "first"), so distinct pairs
+    // remain a superset of the true pairs — later-match rows being pruned
+    // only removes duplicates the DISTINCT would drop anyway.
     pa.join(pb,
         $"gram" === $"gram_b" && $"doc_id" < $"id_b" &&
           abs($"n_chars" - $"nc_b") <= LenBand &&
-          least($"ng", $"ng_b") * 5 >= greatest($"ng", $"ng_b") * 4)
+          least($"ng", $"ng_b") * 5 >= greatest($"ng", $"ng_b") * 4 &&
+          (lit(1) + least($"ng" - $"rank", $"ng_b" - $"rank_b")) * 5 >=
+            greatest($"ng", $"ng_b") * 4)
       .select($"doc_id".as("id_a"), $"id_b")
       .distinct()
   }
