@@ -67,14 +67,20 @@ object Similarity {
     val c = corpus(spark, dir)
     val cents = c.filter($"vec_id" % NCentroids === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
-    // nearest centroid per corpus vector (broadcast centroids, one pass)
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy($"csim".desc, $"cent_id".asc)
+    // nearest centroid per corpus vector: broadcast centroids fan each row
+    // out ×|centroids| WITHIN its partition, and the argmax is a max_by
+    // aggregation — partial (map-side) aggregation collapses the fan-out
+    // back to one row per vector BEFORE the exchange, so the shuffle moves
+    // |corpus| rows, not |corpus|·|centroids| (a window over the replicated
+    // rows would shuffle the full fan-out). max_by on (csim, −cent_id)
+    // reproduces the (cosine desc, cent_id asc) tie-break exactly.
     val assigned = c.join(broadcast(cents), lit(true))
       .select($"vec_id", $"v", $"nrm", $"cent_id",
         cosine6($"v", $"cv", $"nrm", $"cn").as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter($"arn" === 1)
+      .groupBy($"vec_id")
+      .agg(
+        max_by($"cent_id", struct($"csim", -$"cent_id")).as("cent_id"),
+        first($"v").as("v"), first($"nrm").as("nrm"))
       .select($"vec_id", $"v", $"nrm", $"cent_id")
     // queries probe their NProbe nearest cells
     val q = c.filter($"vec_id" % QueryStride === 0)
