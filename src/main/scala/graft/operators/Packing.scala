@@ -84,19 +84,25 @@ object Packing {
     * and the last chunk may be short. */
   def chunking(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", tokens($"text").as("toks"))
-      .withColumn("n", size($"toks"))
-      .filter($"n" >= 1)
-      .select($"doc_id", $"toks", $"n",
-        explode(sequence(lit(0), floor(($"n" - 1) / ChunkStride).cast("int"))).as("chunk_id"))
-      .withColumn("chunk_start", $"chunk_id" * ChunkStride)
-      .select($"doc_id", $"chunk_id",
-        $"chunk_start".cast("long").as("chunk_start"),
-        least(lit(ChunkSize), $"n" - $"chunk_start").cast("long").as("n_chunk_tokens"),
-        element_at($"toks", $"chunk_start" + 1).as("first_token"),
-        element_at($"toks",
-          $"chunk_start" + least(lit(ChunkSize), $"n" - $"chunk_start")).as("last_token"))
-      .orderBy($"doc_id", $"chunk_id")
+    chunkRows(Tables.documents(spark, dir)).orderBy($"doc_id", $"chunk_id")
   }
+
+  /** The chunking generator over any (doc_id, text) relation — stateless
+    * per-row fanout, so it applies identically to the batch corpus and to
+    * an arriving micro-batch (ingest-time context preparation);
+    * `StreamProjectionSpec` pins batch/stream agreement. */
+  def chunkRows(rows: DataFrame): DataFrame =
+    rows
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), floor((col("n") - 1) / ChunkStride).cast("int"))).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * ChunkStride)
+      .select(col("doc_id"), col("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(ChunkSize), col("n") - col("chunk_start")).cast("long").as("n_chunk_tokens"),
+        element_at(col("toks"), col("chunk_start") + 1).as("first_token"),
+        element_at(col("toks"),
+          col("chunk_start") + least(lit(ChunkSize), col("n") - col("chunk_start"))).as("last_token"))
 }

@@ -107,19 +107,25 @@ object TextAnalysis {
     * bit-identical across engines, no rounding needed. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val toks = tokens($"text")
+    qualityRows(Tables.documents(spark, dir)).orderBy($"doc_id")
+  }
+
+  /** The quality projection over any (doc_id, text, n_chars) relation —
+    * stateless per-row scoring, so it applies identically to the batch
+    * corpus and to an arriving micro-batch (ingest-time quality gating);
+    * `StreamProjectionSpec` pins batch/stream agreement. */
+  def qualityRows(rows: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val stopRatio = (size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTok)
     val diversity = (size(array_distinct(toks)).cast("double") / nTok)
     val meanLen = (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nTok)
-    Tables.documents(spark, dir)
-      .select($"doc_id", $"n_chars",
-        stopRatio.as("stopword_ratio"),
-        diversity.as("diversity"),
-        meanLen.as("mean_token_len"),
-        (lit(0.25) * stopRatio + lit(0.5) * diversity +
-          lit(0.05) * meanLen).as("quality"))
-      .orderBy($"doc_id")
+    rows.select(col("doc_id"), col("n_chars"),
+      stopRatio.as("stopword_ratio"),
+      diversity.as("diversity"),
+      meanLen.as("mean_token_len"),
+      (lit(0.25) * stopRatio + lit(0.5) * diversity +
+        lit(0.05) * meanLen).as("quality"))
   }
 
   /** Repetition-based quality metrics (the Gopher/C4-style filter family):

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The stateless per-row operators (quality scoring, context chunking) must
+  * run UNCHANGED on a stream — same function, same results as batch over the
+  * same rows. This is the library's batch/stream unification contract for
+  * its projection-shaped operators: ingest-time gating and context
+  * preparation reuse the verified batch logic verbatim. */
+class StreamProjectionSpec extends SparkSpec {
+
+  private def docRows(n: Int): Seq[(Long, String, Long)] = {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select($"doc_id", $"text", $"n_chars")
+      .as[(Long, String, Long)].head(n).toSeq
+  }
+
+  test("quality scoring agrees batch vs stream on the same documents") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val rows = docRows(20)
+    val in = MemoryStream[(Long, String, Long)]
+    val q = graft.operators.TextAnalysis.qualityRows(
+        in.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.format("memory").queryName("sq").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sq").orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.qualityRows(
+        rows.toDF("doc_id", "text", "n_chars")).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 20)
+  }
+
+  test("chunking agrees batch vs stream on the same documents") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val rows = docRows(10).map { case (id, text, _) => (id, text) }
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Packing.chunkRows(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sc").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sc").orderBy($"doc_id", $"chunk_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Packing.chunkRows(rows.toDF("doc_id", "text"))
+      .orderBy($"doc_id", $"chunk_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
