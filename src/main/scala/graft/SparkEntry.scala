@@ -81,6 +81,7 @@ object SparkEntry {
     "sim_quantize_int8"    -> (Similarity.quantizeInt8 _),
     "q_sample_split"       -> (Sampling.trainValTestSplit _),
     "q_sketch_quantiles"   -> (Relational.sketchQuantiles _),
+    "pipeline_prepare"     -> (Curate.prepare _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -793,6 +794,115 @@ object SparkEntry {
         |               doc_id ASC) AS rn
         |  FROM kept)
         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    // the curate selection expanded to model-context chunks: corpus ->
+    // curated docs -> training sequences (same CTE prelude as pipeline_curate;
+    // the oracle gate keeps the two copies from drifting)
+    "pipeline_prepare" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |qual AS (
+        |  SELECT doc_id,
+        |    0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |    0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |    0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality
+        |  FROM t
+        |),
+        |g AS (
+        |  SELECT doc_id, lang, list_distinct([substr(lower(text), i, 3) for i in range(1, len(text)-1)]) AS grams
+        |  FROM documents WHERE len(text) >= 3
+        |),
+        |prof AS (
+        |  SELECT lang AS profile_lang, gram FROM (
+        |    SELECT lang, gram, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram ASC) AS rn
+        |    FROM (SELECT lang, unnest(grams) AS gram FROM g)
+        |    GROUP BY lang, gram)
+        |  WHERE rn <= 20
+        |),
+        |sc AS (
+        |  SELECT doc_id, lang, profile_lang, count(*) AS score
+        |  FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g) d
+        |  JOIN prof USING (gram)
+        |  GROUP BY doc_id, lang, profile_lang
+        |),
+        |pred AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, (profile_lang = lang) AS correct,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang ASC) AS rn
+        |    FROM sc)
+        |  WHERE rn = 1 AND correct
+        |),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |dups AS (
+        |  SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING least(src, min(dst)) <> src
+        |),
+        |kept AS (
+        |  SELECT d.doc_id, d.lang, q.quality
+        |  FROM documents d
+        |  JOIN qual q USING (doc_id)
+        |  JOIN pred p USING (doc_id)
+        |  WHERE q.quality >= CAST(0.45 AS DOUBLE)
+        |    AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+        |),
+        |sel AS (
+        |  SELECT lang, doc_id FROM (
+        |    SELECT lang, doc_id,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) ASC,
+        |                 doc_id ASC) AS rn
+        |    FROM kept)
+        |  WHERE rn <= 10
+        |),
+        |tc AS (
+        |  SELECT d.doc_id, string_split(d.text, ' ') AS s,
+        |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n
+        |  FROM documents d JOIN sel USING (doc_id)
+        |  WHERE len(string_split(d.text, ' ')) >= 1
+        |),
+        |ch AS (
+        |  SELECT doc_id, s, n, CAST(cid AS INTEGER) AS chunk_id,
+        |         CAST(cid * 48 AS BIGINT) AS chunk_start
+        |  FROM tc, LATERAL (SELECT unnest(range(0, ((n - 1) // 48) + 1)) AS cid)
+        |)
+        |SELECT sel.lang, ch.doc_id, ch.chunk_id, ch.chunk_start,
+        |  CAST(least(64, n - chunk_start) AS BIGINT) AS n_chunk_tokens,
+        |  s[chunk_start + 1] AS first_token,
+        |  s[chunk_start + least(64, n - chunk_start)] AS last_token
+        |FROM ch JOIN sel USING (doc_id)
+        |ORDER BY sel.lang, ch.doc_id, ch.chunk_id""".stripMargin,
 
     // the distributed prefix-sum packing equals the single-window cumsum
     "text_packing" ->

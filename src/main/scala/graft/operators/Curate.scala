@@ -40,4 +40,22 @@ object Curate {
       .select($"lang", $"rn", $"doc_id", $"quality")
       .orderBy($"lang", $"rn")
   }
+
+  /** The last mile: [[curate]]'s selected documents cut into model-context
+    * chunks ([[Packing.chunkRows]]) — the full corpus → curated docs →
+    * training-sequence shape a dataset release actually ships. The curated
+    * selection is tiny relative to the corpus (a per-language sample), so it
+    * broadcasts into a semi-join that prunes the corpus BEFORE the chunk
+    * fanout — only survivors are ever tokenized and exploded. */
+  def prepare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val selected = curate(spark, dir).select($"lang", $"doc_id")
+    val survivors = Tables.documents(spark, dir)
+      .join(broadcast(selected), "doc_id")
+    Packing.chunkRows(survivors.select($"doc_id", $"text"))
+      .join(broadcast(selected), "doc_id")
+      .select($"lang", $"doc_id", $"chunk_id", $"chunk_start",
+        $"n_chunk_tokens", $"first_token", $"last_token")
+      .orderBy($"lang", $"doc_id", $"chunk_id")
+  }
 }
