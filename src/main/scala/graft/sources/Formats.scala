@@ -47,4 +47,32 @@ object Formats {
       .option("quote", "\"").option("escape", "\"")
       .option("multiLine", "true")
       .csv(path)
+
+  /** Media-lake ingestion: a directory of raw files read via the core
+    * `binaryFile` source as (path, modificationTime, length, content) —
+    * the shape an object-storage media corpus arrives in before its blobs
+    * become binary columns. Splittable by FILE (one row per file), with
+    * pathGlobFilter/recursiveFileLookup for layout control; pair with
+    * `spark.sql.files.maxPartitionBytes` so many small media files pack
+    * into few tasks. */
+  def readBinaryFiles(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  /** The write side of the media lake: each row's blob lands as its own
+    * file named `<id>.bin`, written PER PARTITION on the executors (no
+    * driver collect — embarrassingly parallel at any corpus size). Input
+    * rows are (id: Long, data: Array[Byte]). */
+  def writeBlobFiles(df: DataFrame, dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(df("id"), df("data")).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+            r.getAs[Array[Byte]](1))
+        }
+    }
+  }
 }

@@ -39,4 +39,24 @@ class FormatsSpec extends SparkSpec {
     Formats.writeCsv(docs, out)
     assertSame(docs, Formats.readCsv(spark, out, docs.schema))
   }
+
+  test("media blobs round-trip through per-file writes and the binaryFile source") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("fmt_blob").toString
+    // the multimodal payloads (opaque bytes) as the media lake's files
+    val blobs = graft.operators.Multimodal
+      .withMedia(docs.limit(25))
+      .select($"doc_id".as("id"), $"media.data".as("data"))
+    Formats.writeBlobFiles(blobs, out)
+    val back = Formats.readBinaryFiles(spark, out, glob = "*.bin")
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("id"),
+        col("content"), col("length"))
+    assert(back.count() == 25)
+    val joined = back.join(blobs, "id")
+    assert(joined.count() == 25)
+    // byte-exact content and consistent length metadata
+    assert(joined.filter(col("content") =!= col("data")).count() == 0)
+    assert(joined.filter(col("length") =!= length(col("data"))).count() == 0)
+  }
 }
