@@ -82,6 +82,7 @@ object SparkEntry {
     "q_sample_split"       -> (Sampling.trainValTestSplit _),
     "q_sketch_quantiles"   -> (Relational.sketchQuantiles _),
     "pipeline_prepare"     -> (Curate.prepare _),
+    "q21_stats"            -> (Relational.q21Stats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1003,6 +1004,16 @@ object SparkEntry {
         |  TRUE AS med_within_err,
         |  TRUE AS p99_within_err
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // correlation is scale-free, so 6dp rounding is partitioning-stable
+    "q21_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // content-hash split: same doc -> same split on any engine or rerun
     "q_sample_split" ->

@@ -297,6 +297,23 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** Statistical aggregates: per-group Pearson correlation between quantity
+    * and price, with the sample size. Correlation is the one moment-based
+    * statistic that is scale-free (a ratio of comoments), so rounding to
+    * 6 dp absorbs the partitioning-dependent double-summation drift that
+    * makes raw variances/covariances hash-unstable cross-engine; n is
+    * exact. One hash-partitioned aggregation, partial+final. */
+  def q21Stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(corr($"l_quantity", $"l_discount"), 6).as("corr_qty_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   /** Relative rank-error budget for the quantile-sketch flags: Spark's
     * approx_percentile accuracy parameter 10000 bounds rank error at
     * 1/10000; the value-space check below allows the estimate to sit
