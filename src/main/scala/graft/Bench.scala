@@ -33,11 +33,19 @@ object Bench {
           Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
         .filter(col("rn") <= 5).count()
       li.orderBy(col("l_shipdate")).limit(100).count()
-      // one-time materialization of the wire-envelope fixture (test
-      // scaffolding standing in for the absent Kafka broker) — q0 should
-      // measure decode→derive→filter→upsert, not fixture fabrication
-      graft.operators.Ingest.eventsAsEnvelope(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // one-time materialization of the wire-envelope fixture (test
+    // scaffolding standing in for the absent Kafka broker) — q0 should
+    // measure decode→derive→filter→upsert, not fixture fabrication. Its
+    // failure must be LOUD (own catch, not the warmup's catch-all): if it
+    // fails here, q0's timed run silently re-attempts synthesis and the
+    // benchmark measures fixture fabrication.
+    try graft.operators.Ingest.eventsAsEnvelope(spark, sfDir).count()
+    catch {
+      case e: Throwable => System.err.println(
+        s"[bench] WARNING envelope fixture warmup failed (${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").take(120)}) — q0 timing will include fixture synthesis")
+    }
     // SPARK_GRAFT_BENCH_RUNS=n (default 1): per-query best-of-n. n=1 matches
     // the driver contract (cold plan: includes codegen+JIT); n>=2 reports
     // steady-state execution for local tuning.

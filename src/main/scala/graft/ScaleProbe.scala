@@ -48,7 +48,10 @@ object ScaleProbe {
           () => Similarity.embeddingCandidates(spark, dir).count(),
           () => Similarity.nearDupEmbedding(spark, dir).count())
       )
-      probes.foreach { case (name, n, cand, out) =>
+      // SPARK_GRAFT_PROBE_ONLY=a,b (local tuning): restrict to named probes
+      val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      only.fold(probes)(s => probes.filter(p => s(p._1))).foreach { case (name, n, cand, out) =>
         val c = cand()
         val o = out()
         println(s"""{"probe":"$name","sf":"$dir","corpus":$n,"candidates":$c,"output":$o}""")

@@ -52,11 +52,18 @@ object Ingest {
     * write-once; racing writers go through a unique temp dir + atomic
     * rename. */
   def eventsAsEnvelope(spark: SparkSession, dir: String, docsPerMessage: Int = 4): DataFrame = {
+    // the cache key folds in a content fingerprint of the source table
+    // (file names + lengths + mtimes) so regenerated testdata under the
+    // same path invalidates the fixture instead of silently shadowing it
+    val src = new java.io.File(dir, "events.parquet")
+    val stamp = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString(";")
     val fixture = new java.io.File(
       s"${System.getProperty("java.io.tmpdir")}/graft-envelope/" +
         // "v1" tags the synthesis logic/schema: bump on change so a stale
         // fixture from an older build can't shadow the new shape
-        s"${java.lang.Long.toHexString(graft.functions.HashKernels.h60(s"v1|$dir|$docsPerMessage"))}")
+        s"${java.lang.Long.toHexString(graft.functions.HashKernels.h60(s"v1|$dir|$docsPerMessage|$stamp"))}")
     if (!fixture.exists()) {
       val tmp = new java.io.File(fixture.getParent, s"${fixture.getName}.tmp-${java.util.UUID.randomUUID}")
       synthesizeEnvelope(spark, dir, docsPerMessage)

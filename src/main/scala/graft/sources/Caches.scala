@@ -17,6 +17,12 @@ import org.apache.spark.storage.StorageLevel
   *    unpersists them: a long-lived session (the driver's Verify loop, a
   *    notebook, a 1000-executor job server) calls it between pipelines so
   *    finished queries don't pin executor storage memory forever.
+  *
+  * `releaseAll` drains GLOBALLY, so it is only safe at a pipeline boundary
+  * of a single-tenant session: in a session hosting concurrent pipelines
+  * (parallel suites, a multi-user job server) one pipeline's drain would
+  * evict another's in-flight caches — a silent recompute cliff, not a
+  * wrongness bug. A multi-tenant host should scope a registry per pipeline.
   */
 object Caches {
 
@@ -34,11 +40,13 @@ object Caches {
   /** Number of currently tracked (persisted, unreleased) handles. */
   def trackedCount: Int = synchronized(tracked.size)
 
-  /** Unpersist every tracked handle (non-blocking) and forget them. */
+  /** Unpersist every tracked handle (non-blocking) and forget them. Only
+    * NonFatal unpersist failures (e.g. a stopped session) are swallowed —
+    * fatal errors and interrupts propagate. */
   def releaseAll(): Unit = synchronized {
     tracked.foreach { df =>
       try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     tracked.clear()
   }
