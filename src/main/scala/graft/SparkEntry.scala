@@ -67,6 +67,7 @@ object SparkEntry {
     "q_window_session"     -> (Windows.sessions _),
     "q_multimodal_meta"    -> (Multimodal.metadata _),
     "q_multimodal_frames"  -> (Multimodal.frameSample _),
+    "q_media_lake"         -> (Multimodal.mediaLake _),
     "q_sample_systematic"  -> (Sampling.systematic _),
     "q_sample_stratified"  -> (Sampling.stratified _),
     "q_edit_distance"      -> (Sampling.editDistance _),
@@ -638,6 +639,16 @@ object SparkEntry {
         |)
         |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
         |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // the Spark side wrote every document's bytes as an individual blob file
+    // and read them back via binaryFile; the oracle computes length + md5
+    // straight from the source table — equality proves the lake round-trip
+    // preserved every byte of every blob
+    "q_media_lake" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

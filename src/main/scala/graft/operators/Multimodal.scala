@@ -70,6 +70,35 @@ object Multimodal {
   private def substring_index_bytes(data: Column, i: Column): Column =
     data.substr(i * FrameBytes + 1, lit(FrameBytes))
 
+  /** Media-lake round trip — the binary-payload end-to-end the reference's
+    * sole-value-column write implies (cassandra_sink.scala:113): every
+    * document's UTF-8 bytes land as an individual `<doc_id>.bin` blob via
+    * [[graft.sources.Formats.writeBlobFiles]] (executor-parallel, Hadoop
+    * `FileSystem`), are read back through the core `binaryFile` source, and
+    * the output carries (doc_id, byte length, md5 digest) — the digest pins
+    * every byte of every blob against the DuckDB oracle computed directly
+    * over `documents.text`. The lake directory is rebuilt per invocation
+    * (delete + write) so regenerated fixtures can't leave stale blobs. */
+  def mediaLake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft-media-lake/" +
+        java.lang.Long.toHexString(graft.functions.HashKernels.h60(s"v1|$dir")))
+    val base = new org.apache.hadoop.fs.Path(lake.getPath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+    graft.sources.Formats.writeBlobFiles(
+      Tables.documents(spark, dir)
+        .select($"doc_id".as("id"), encode($"text", "UTF-8").as("data")),
+      lake.getPath)
+    graft.sources.Formats.readBinaryFiles(spark, lake.getPath, "*.bin")
+      .select(
+        regexp_extract($"path", "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"length".as("n_bytes"),
+        md5($"content").as("digest"))
+      .orderBy($"doc_id")
+  }
+
   /** The stubbed decode/feature-extract stage: deterministic fake features
     * derived from frame bytes (REPLACE-ME: codec call goes here). Runs
     * batched per partition so a real decoder would amortize model/codec

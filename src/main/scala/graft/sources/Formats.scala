@@ -63,16 +63,50 @@ object Formats {
   /** The write side of the media lake: each row's blob lands as its own
     * file named `<id>.bin`, written PER PARTITION on the executors (no
     * driver collect — embarrassingly parallel at any corpus size). Input
-    * rows are (id: Long, data: Array[Byte]). */
+    * rows are (id: Long, data: Array[Byte]).
+    *
+    * Writes go through the Hadoop `FileSystem` resolved from the driver's
+    * Hadoop conf (shipped to the tasks as plain key/value pairs), so `dir`
+    * may be `hdfs://`/`s3a://`/local — on a multi-node cluster every
+    * executor writes to the SAME shared store, and the directory is created
+    * inside each task (idempotent) rather than driver-side only. Task
+    * retries are safe: blob content is a pure function of the row and
+    * `create(overwrite = true)` makes re-execution a byte-identical
+    * overwrite, never a duplicate. */
   def writeBlobFiles(df: DataFrame, dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    df.select(df("id"), df("data")).foreachPartition {
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val confEntries: Array[(String, String)] =
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    // a blob write is pure per-row work: spread it over the session's full
+    // parallelism (file sources often arrive as a handful of partitions, and
+    // one task writing N files serializes an embarrassingly parallel job).
+    // The shuffle moves each blob exactly once and only happens when the
+    // input is coarser than the session's parallelism.
+    val narrow = df.select(df("id"), df("data"))
+    val target = spark.sparkContext.defaultParallelism
+    val spread =
+      if (narrow.rdd.getNumPartitions >= target) narrow
+      else narrow.repartition(target)
+    spread.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
-            r.getAs[Array[Byte]](1))
-        }
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new org.apache.hadoop.fs.Path(dir)
+        // newInstance, not the JVM-cached get(): letting us disable the
+        // client-side .crc shadow files (pure overhead for blob payloads —
+        // object stores and HDFS datanodes checksum server-side) without
+        // mutating the cached FS other writers in this executor share
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(base.toUri, conf)
+        try {
+          fs.setWriteChecksum(false)
+          fs.mkdirs(base)
+          rows.foreach { r =>
+            val out = fs.create(new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.bin"), true)
+            try out.write(r.getAs[Array[Byte]](1)) finally out.close()
+          }
+        } finally fs.close()
     }
   }
 }
