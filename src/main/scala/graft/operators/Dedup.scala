@@ -396,22 +396,34 @@ object Dedup {
     val pa = post.select($"doc_id", $"n_chars", $"ng", $"rank", $"gram")
     val pb = post.select($"doc_id".as("id_b"), $"n_chars".as("nc_b"),
       $"ng".as("ng_b"), $"rank".as("rank_b"), $"gram".as("gram_b"))
-    // ppjoin positional filter: grams before rank r on either side are
-    // unshared for the pair's FIRST shared gram, so the overlap can never
-    // exceed 1 + min(ng − rank, ng_b − rank_b); J ≥ 0.8 needs overlap ≥
-    // ⌈0.8·max⌉, i.e. 5·(1 + min) ≥ 4·max in exact integers. The pair's
-    // first-match row always satisfies this when J ≥ τ (earlier grams of
-    // both sides are unshared by definition of "first"), so distinct pairs
-    // remain a superset of the true pairs — later-match rows being pruned
-    // only removes duplicates the DISTINCT would drop anyway.
+    // ppjoin ACCUMULATED-overlap filter (the pair-level suffix-side bound,
+    // replacing round 3's weaker per-row positional conjunct): aggregate the
+    // matched prefix rows per pair — k = |shared prefix grams|, (i_last,
+    // j_last) = the LAST matched gram's ranks. Under one consistent global
+    // gram order the pair's common grams beyond those k all rank after
+    // i_last in A AND after j_last in B (any common gram g outside a prefix
+    // ranks above that prefix's end, hence above every matched gram on BOTH
+    // sides), so |A∩B| ≤ k + min(ng − i_last, ng_b − j_last). J ≥ τ needs
+    // |A∩B| ≥ ⌈τ/(1+τ)·(ng+ng_b)⌉ — the EXACT sum-form threshold, tighter
+    // than round 3's ⌈τ·max⌉ — i.e. 9·bound ≥ 4·(ng+ng_b) at τ = 0.8 in
+    // exact integers. The per-row positional filter is deliberately NOT
+    // applied pre-aggregation: pruning an intermediate matched row would
+    // shrink k and break the bound's soundness, and the first-match
+    // positional bound 1 + min(ng − i₁, ng_b − j₁) is ≥ the accumulated
+    // bound anyway (k grows by at most 1 per rank step), so this filter
+    // strictly subsumes it. The groupBy replaces the DISTINCT — the same
+    // pair-keyed shuffle, now carrying three small integers of agg state.
     pa.join(pb,
         $"gram" === $"gram_b" && $"doc_id" < $"id_b" &&
           abs($"n_chars" - $"nc_b") <= LenBand &&
-          least($"ng", $"ng_b") * 5 >= greatest($"ng", $"ng_b") * 4 &&
-          (lit(1) + least($"ng" - $"rank", $"ng_b" - $"rank_b")) * 5 >=
-            greatest($"ng", $"ng_b") * 4)
+          least($"ng", $"ng_b") * 5 >= greatest($"ng", $"ng_b") * 4)
+      .groupBy($"doc_id", $"id_b")
+      .agg(count(lit(1)).as("k"),
+        max($"rank").as("i_last"), max($"rank_b").as("j_last"),
+        first($"ng").as("ng"), first($"ng_b").as("ng_b"))
+      .filter(($"k" + least($"ng" - $"i_last", $"ng_b" - $"j_last")) * 9 >=
+        ($"ng" + $"ng_b") * 4)
       .select($"doc_id".as("id_a"), $"id_b")
-      .distinct()
   }
 
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {

@@ -66,6 +66,13 @@ class PlanSpec extends SparkSpec {
     // the O(|grams|) intersection appears only above the candidate join
     // (verify per candidate pair), never inside a cross-pairing condition
     assert(p.contains("intersect_cardinality"), p)
+    // round 4: the ppjoin accumulated-overlap bound runs as a pair-keyed
+    // aggregate (k, last matched ranks) between the postings join and the
+    // verification — its filter references the aggregated i_last/j_last,
+    // and the aggregate itself carries the max-rank accumulators
+    assert(p.contains("i_last") && p.contains("j_last"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("max(rank")), p)
   }
 
   test("as-of join: one hash exchange, no join operator (union + running-last)") {
