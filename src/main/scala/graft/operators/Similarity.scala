@@ -30,9 +30,23 @@ object Similarity {
   val QueryStride = 100           // queries = vec_id % 100 == 0
   val NCentroids = 200            // centroids = vec_id % 200 == 0 (⊂ corpus)
   val NProbe = 2
-  val LshBitsTotal = 32
-  val LshBandBits = 8
+  val LshBands = 4
   val NearDupCosine = 0.4
+
+  /** LSH band width in bits, derived from the corpus size instead of a
+    * compile-time constant (round-3 SCALING.md measured the fixed-8-bit
+    * scheme's background candidates growing ∝ N²: with random-hyperplane
+    * bits near-independent at weak similarity, background C ≈
+    * bands · N²/2 · (1+b)/2ᵇ, so 2ᵇ must track N to keep C ~linear).
+    * b = ⌈log₂N⌉ − 3 holds expected bucket size ≈ 8, floored at 8 bits —
+    * the fixture scales (50/500/2000 vectors) all derive 8, keeping the
+    * oracle-pinned recall behavior bit-identical — and capped at 24 so a
+    * 4-band signature stays under 64 bits of hyperplane dot products per
+    * 10⁹-row corpus. Deriving it costs one metadata-only parquet count. */
+  private[graft] def lshBandBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(24, math.max(8, ceilLog2 - 3))
+  }
 
   private def corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -150,13 +164,27 @@ object Similarity {
     * once at plan-build time and embedded as array literals; each bit is
     * then one native dot product instead of 64 interpreted lambda steps.
     * HashKernels.h60 is the bit-exact driver-side twin of the oracle's md5
-    * expression, so values are unchanged. */
-  private lazy val hyperplanes: IndexedSeq[Seq[Double]] =
-    (0 until LshBitsTotal).map { j =>
-      (0 until Dims).map { d =>
-        if (graft.functions.HashKernels.h60(s"${j}_${d}") % 2 == 1) 1.0 else -1.0
-      }
+    * expression, so values are unchanged. Global bit index j = band·b + j′,
+    * so growing the band width EXTENDS the bit family (the first 32 planes
+    * are the round-3 constants — behavior at fixture scale is unchanged). */
+  private def hyperplane(j: Int): Seq[Double] =
+    (0 until Dims).map { d =>
+      if (graft.functions.HashKernels.h60(s"${j}_${d}") % 2 == 1) 1.0 else -1.0
     }
+
+  /** `keys[b]` = band b's [[lshBandBits]]-bit sketch: key bit j′ is the sign
+    * of the dot product against hyperplane (b·bandBits + j′). Equivalent to
+    * round 3's pack-then-slice of one 32-bit signature when bandBits = 8. */
+  private def bandKeysCol(bandBits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    array((0 until LshBands).map { b =>
+      (0 until bandBits).map { j =>
+        shiftleft((graft.functions.DotProduct(col("v"),
+          typedLit(hyperplane(b * bandBits + j))) > 0).cast("long"), j)
+      }.reduce(_ + _)
+    }: _*)
+  }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
     * 32 deterministic hyperplane bits per vector packed into one long (pure
@@ -175,25 +203,25 @@ object Similarity {
     * (vs 1/2^4 = 0.0625), while hamming-≤1 probing keeps recall at the
     * planted cos≈0.4–0.6 range at or above the 4-bit scheme's. */
   /** Distinct bucket-collision pairs (band-hamming ≤ 1) BEFORE exact-cosine
-    * verification — the candidate volume [[graft.ScaleProbe]] tracks. */
-  private[graft] def embeddingCandidates(spark: SparkSession, dir: String): DataFrame = {
+    * verification — the candidate volume [[graft.ScaleProbe]] tracks.
+    * `forceBandBits` exists for ScaleProbe A/Bs only (measuring the derived
+    * width against a forced constant); operators always derive. */
+  private[graft] def embeddingCandidates(spark: SparkSession, dir: String,
+      forceBandBits: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val nBands = LshBitsTotal / LshBandBits
-    val sig = (0 until LshBitsTotal).map { j =>
-      shiftleft((graft.functions.DotProduct($"v", typedLit(hyperplanes(j))) > 0)
-        .cast("long"), j)
-    }.reduce(_ + _)
-    val c = graft.sources.Caches.shared(corpus(spark, dir).withColumn("sig", sig))
-    val bandKey = (b: Int) =>
-      shiftright($"sig", b * LshBandBits).bitwiseAND(lit((1L << LshBandBits) - 1))
-    val left = c.select($"vec_id", explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+    val bandBits = forceBandBits.getOrElse(
+      lshBandBits(Tables.embeddings(spark, dir).count()))
+    val c = graft.sources.Caches.shared(
+      corpus(spark, dir).withColumn("keys", bandKeysCol(bandBits)))
+    val left = c.select($"vec_id", explode(array((0 until LshBands).map(b =>
+        struct(lit(b).as("band"), element_at($"keys", b + 1).as("key"))): _*)).as("bk"))
       .select($"vec_id", $"bk.band", $"bk.key")
     // multi-probe side: exact key plus each 1-bit flip => band-hamming ≤ 1
     val right = c.select($"vec_id".as("id_b"), explode(array((for {
-        b <- 0 until nBands; p <- 0 to LshBandBits
+        b <- 0 until LshBands; p <- 0 to bandBits
       } yield {
-        val pk = if (p == 0) bandKey(b) else bandKey(b).bitwiseXOR(lit(1L << (p - 1)))
+        val k = element_at($"keys", b + 1)
+        val pk = if (p == 0) k else k.bitwiseXOR(lit(1L << (p - 1)))
         struct(lit(b).as("pband"), pk.as("pkey"))
       }): _*)).as("bk"))
       .select($"id_b", $"bk.pband", $"bk.pkey")
@@ -205,11 +233,9 @@ object Similarity {
 
   def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sig = (0 until LshBitsTotal).map { j =>
-      shiftleft((graft.functions.DotProduct($"v", typedLit(hyperplanes(j))) > 0)
-        .cast("long"), j)
-    }.reduce(_ + _)
-    val c = graft.sources.Caches.shared(corpus(spark, dir).withColumn("sig", sig))
+    val bandBits = lshBandBits(Tables.embeddings(spark, dir).count())
+    val c = graft.sources.Caches.shared(
+      corpus(spark, dir).withColumn("keys", bandKeysCol(bandBits)))
     val cand = embeddingCandidates(spark, dir)
     val a = c.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
     val b = c.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
