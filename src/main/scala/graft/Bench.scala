@@ -34,6 +34,31 @@ object Bench {
         .filter(col("rn") <= 5).count()
       li.orderBy(col("l_shipdate")).limit(100).count()
     } catch { case _: Throwable => () }
+    // ... and the shared NATIVE KERNELS (md5/hash60, char-gram, shingle,
+    // minhash, simhash, edit-distance, dot-product): a few thousand
+    // invocations here lets the JVM's tiered JIT compile the static kernel
+    // bodies once, before whichever benched query touches them first would
+    // otherwise pay the interpreted warmup inside its cold timing (r4's
+    // driver bench charged 14.6 s to text_langid that way). Each benched
+    // query still pays its own plan's Janino codegen — that stays timed.
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions._
+      val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(1000)
+        .select(col("text"), split(col("text"), " ").as("toks"))
+      d.select(
+          CharGrams(lower(col("text")), 3).as("g"),
+          WordGramHashes(col("toks"), 2).as("w"),
+          MinhashFromTokens(col("toks"), 3, 16, 4294967311L).as("m"),
+          EditDistance(substring(col("text"), 1, 64),
+            substring(col("text"), 33, 64)).as("ed"))
+        .select(HashArray60(col("g")).as("hg"), col("w"), col("m"), col("ed"))
+        .select(SimhashSignature(col("hg"), 48).as("sh"), col("w"), col("m"), col("ed"))
+        .count()
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(1000)
+        .select(col("embedding").cast("array<double>").as("v"))
+      e.select(DotProduct(col("v"), col("v"))).count()
+    } catch { case _: Throwable => () }
     // one-time materialization of the wire-envelope fixture (test
     // scaffolding standing in for the absent Kafka broker) — q0 should
     // measure decode→derive→filter→upsert, not fixture fabrication. Its

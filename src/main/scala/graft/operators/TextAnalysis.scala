@@ -78,25 +78,21 @@ object TextAnalysis {
       return docs.select($"doc_id", lit(null).cast("string").as("pred_lang"),
         $"lang".as("actual_lang"), lit(false).as("correct")).limit(0)
     }
-    val scored = docs.withColumn("hs",
-      array_sort(graft.functions.HashArray60($"grams")))
-    // argmax(score desc, lang asc) as ONE array_max over (score, -langRank)
-    // structs — struct ordering is lexicographic, so ties pick the largest
-    // -rank = the smallest lang, same as the oracle's row_number() ORDER BY
-    // score DESC, profile_lang ASC. Linear expression tree in #languages (a
-    // chained CASE accumulator doubles the tree per language — exponential).
-    val entries = profiles.zipWithIndex.map { case ((_, ph), i) =>
-      struct(
-        graft.functions.IntersectCardinality(col("hs"), typedLit(ph)).as("score"),
-        lit(-i).as("negRank"))
-    }
+    // argmax(score desc, lang asc) as ONE fused kernel over the inverted
+    // profile index (union postings, binary-searched per distinct doc gram):
+    // the previous per-language expression fan-out (typedLit profile +
+    // IntersectCardinality merge loop + struct, array_max'd) generated a
+    // class whose size grew with |langs| and dominated cold codegen+JIT —
+    // the r4 driver bench charged 14.6 s cold vs 0.7 s warm to this query.
+    // The kernel also skips HashArray60 + array_sort: one pass over the
+    // already-distinct gram array scores every language at once. Null index
+    // = no profile gram matched (inner-join parity: such a doc produces no
+    // row in the join-based formulation).
     val langNames = profiles.map(_._1)
-    scored.withColumn("best", array_max(array(entries: _*)))
-      // inner-join parity: a doc matching no profile gram of any language
-      // produces no row in the join-based formulation
-      .filter($"best.score" > 0)
-      .withColumn("pred_lang",
-        element_at(typedLit(langNames), -$"best.negRank" + 1))
+    docs.withColumn("bi", graft.functions.BestProfileIndex(
+        $"grams", profiles.map(_._2.toArray).toArray))
+      .filter($"bi".isNotNull)
+      .withColumn("pred_lang", element_at(typedLit(langNames), $"bi" + 1))
       .select($"doc_id", $"pred_lang", $"lang".as("actual_lang"),
         ($"pred_lang" === $"lang").as("correct"))
       .orderBy($"doc_id")
