@@ -46,7 +46,20 @@ object ScaleProbe {
           () => Dedup.contamination(spark, dir).count()),
         ("dedup_embedding_lsh", nVecs,
           () => Similarity.embeddingCandidates(spark, dir).count(),
-          () => Similarity.nearDupEmbedding(spark, dir).count())
+          () => Similarity.nearDupEmbedding(spark, dir).count()),
+        // A/B twins pinning the old compile-time constants (8-bit LSH bands,
+        // 4×12 simhash): past fixture scale the derived widths must admit
+        // MATERIALLY fewer background candidates than these — the measured
+        // evidence that the log₂(N) band-width derivation closes r3's
+        // "constants don't scale" gap. At fixture scale forced == derived
+        // and the twins cost nothing new.
+        ("dedup_embedding_lsh_fixed8", nVecs,
+          () => Similarity.embeddingCandidates(spark, dir, Some(8)).count(),
+          () => Similarity.nearDupEmbeddingImpl(spark, dir, Some(8)).count()),
+        ("dedup_simhash_fixed12", nDocs,
+          () => Dedup.simhashCandidates(spark, dir, Some(12)).count(),
+          () => Dedup.simhashCandidates(spark, dir, Some(12))
+            .filter(s"hamming <= ${Dedup.HammingThreshold}").count())
       )
       // SPARK_GRAFT_PROBE_ONLY=a,b (local tuning): restrict to named probes
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")

@@ -207,13 +207,31 @@ object Dedup {
   val SimhashBits = 48
   val HammingThreshold = 3
 
-  /** SimHash near-duplicate pairs: per-doc 48-bit signature (native
-    * codegen'd kernel [[graft.functions.SimhashSignature]]; bit j is the
-    * sign of Σ ±1 by bit j of each token's 48-bit hash), banded self-join on
-    * the three 16-bit slices (a pair within hamming ≤ 2 must agree exactly
-    * on at least one slice; hamming 3 recall is partial by design — a
-    * documented approximation, identical on both engines). 48 bits (not 64)
-    * keeps floor(h/2^j) exact in the oracle's double arithmetic. */
+  /** Band width in bits, derived from the corpus size instead of a
+    * compile-time constant (round-3 SCALING.md measured background C ≈
+    * nBands·N²/2^(bandBits+1) — with a FIXED 12-bit band the background
+    * collisions grow ∝ N², the one remaining 100 TB design gap the r3
+    * verdict named). bandBits = ⌈log₂N⌉ − 3 holds the expected per-band
+    * bucket size ≈ 8; floored at 12 so every fixture scale (≤ 32k docs)
+    * derives exactly the old 4×12 = 48-bit scheme (the DuckDB oracles stay
+    * bit-identical, and 48 bits keeps floor(h/2^j) exact in the oracle's
+    * double arithmetic); capped at 15 because the signature spends
+    * (k+1)·bandBits of the 60 hash bits each token carries. Past N ≈ 2³⁰
+    * the cap binds and exact hamming-≤3 recall additionally needs Manku's
+    * table-permutation generalization (more, permuted (k+1)-splits over a
+    * wider multi-word signature) — the banding below stays pigeonhole-
+    * complete at ANY width this function returns. Deriving costs one
+    * metadata-only parquet count. */
+  private[graft] def simhashBandBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(15, math.max(12, ceilLog2 - 3))
+  }
+
+  /** SimHash near-duplicate pairs: per-doc (k+1)·bandBits-bit signature
+    * (native codegen'd kernel [[graft.functions.SimhashSignature]]; bit j is
+    * the sign of Σ ±1 by bit j of each token's hash60), banded self-join on
+    * the k+1 = 4 band slices, exact hamming verify. 48-bit signature at
+    * every fixture scale ([[simhashBandBits]]). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     simhashCandidates(spark, dir)
@@ -222,23 +240,28 @@ object Dedup {
   }
 
   /** Distinct band-collision pairs with their hamming distance, BEFORE the
-    * hamming threshold — the candidate volume [[graft.ScaleProbe]] tracks. */
-  private[graft] def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+    * hamming threshold — the candidate volume [[graft.ScaleProbe]] tracks.
+    * `forceBandBits` exists for ScaleProbe A/Bs only (measuring the derived
+    * width against a forced constant); operators always derive. */
+  private[graft] def simhashCandidates(spark: SparkSession, dir: String,
+      forceBandBits: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", graft.functions.HashArray60(tokens($"text")).as("hs"))
-      .select($"doc_id",
-        graft.functions.SimhashSignature($"hs", SimhashBits).as("sim"))
-    val cached = graft.sources.Caches.shared(docs)
-    // Manku-style k+1 split: 4 bands of 12 bits for hamming ≤ 3 — any pair
-    // within the threshold has ≤ 3 differing bits spread over 4 bands, so
-    // BY PIGEONHOLE at least one band matches exactly. The banding is then
-    // a pure physical optimization with PROVABLY complete recall (the
+    // Manku-style k+1 split: any pair within hamming ≤ 3 has its ≤ 3
+    // differing bits spread over 4 bands, so BY PIGEONHOLE at least one
+    // band matches exactly. The banding is then a pure physical
+    // optimization with PROVABLY complete recall at any band width (the
     // earlier 3×16 split could miss a pair with one error in each band),
     // which is why the oracle states the plain all-pairs formulation
     // instead of mirroring the bands.
     val nBands = HammingThreshold + 1
-    val bandBits = SimhashBits / nBands
+    val bandBits = forceBandBits.getOrElse(
+      simhashBandBits(Tables.documents(spark, dir).count()))
+    val sigBits = nBands * bandBits
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", graft.functions.HashArray60(tokens($"text")).as("hs"))
+      .select($"doc_id",
+        graft.functions.SimhashSignature($"hs", sigBits).as("sim"))
+    val cached = graft.sources.Caches.shared(docs)
     val mask = (1L << bandBits) - 1
     val parts = cached.select($"doc_id", $"sim",
         explode(array((0 until nBands).map(b =>

@@ -231,12 +231,18 @@ object Similarity {
       .distinct()
   }
 
-  def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+  def nearDupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    nearDupEmbeddingImpl(spark, dir, None)
+
+  /** `forceBandBits` threads the ScaleProbe A/B knob through verification. */
+  private[graft] def nearDupEmbeddingImpl(spark: SparkSession, dir: String,
+      forceBandBits: Option[Int]): DataFrame = {
     import spark.implicits._
-    val bandBits = lshBandBits(Tables.embeddings(spark, dir).count())
+    val bandBits = forceBandBits.getOrElse(
+      lshBandBits(Tables.embeddings(spark, dir).count()))
     val c = graft.sources.Caches.shared(
       corpus(spark, dir).withColumn("keys", bandKeysCol(bandBits)))
-    val cand = embeddingCandidates(spark, dir)
+    val cand = embeddingCandidates(spark, dir, forceBandBits)
     val a = c.select($"vec_id".as("id_a"), $"v".as("va"), $"nrm".as("na"))
     val b = c.select($"vec_id".as("id_b"), $"v".as("vb"), $"nrm".as("nb"))
     cand.join(a, "id_a").join(b, "id_b")
