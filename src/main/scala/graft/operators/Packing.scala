@@ -71,6 +71,48 @@ object Packing {
       .orderBy($"doc_id")
   }
 
+  case class PackDoc(doc_id: Long, n_tokens: Long, shard: Int)
+  case class PackState(offset: Long)
+  case class PackOut(doc_id: Long, n_tokens: Long, shard: Int,
+                     bin_id: Long, bin_offset: Long)
+
+  /** Streaming sequence packing at ingest: each arriving doc is appended
+    * head-to-tail to its shard's running token stream and immediately gets
+    * its (bin_id, bin_offset) — `flatMapGroupsWithState` keyed by shard,
+    * state = ONE long (the shard's token offset), NoTimeout because the
+    * state is bounded by the shard count, not the corpus (it must outlive
+    * any watermark: the pack position is a running total forever).
+    *
+    * Semantics vs [[packing]], honestly: the batch operator is the
+    * deterministic hash-ordered GLOBAL re-pack (reproducible epochs); the
+    * stream packs in ARRIVAL order within each shard (bin_id is
+    * shard-local — (shard, bin_id) is the global bin key), because a global
+    * arrival order across an unbounded stream is neither available nor
+    * deterministic under replay. Both layouts are gap-free and chain
+    * per-shard starts contiguously (`StatefulSpec` pins contiguity across
+    * micro-batches and per-shard token-total agreement with the batch
+    * twin). Within a micro-batch docs sort by doc_id so a replayed batch
+    * packs identically. Scale: one shuffle on shard, O(shards) state. */
+  def packStream(docs: org.apache.spark.sql.Dataset[PackDoc])
+      : org.apache.spark.sql.Dataset[PackOut] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, rows: Iterator[PackDoc],
+         state: org.apache.spark.sql.streaming.GroupState[PackState]) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val placed = rows.toSeq.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.n_tokens
+            PackOut(d.doc_id, d.n_tokens, shard, start / SeqLen, start % SeqLen)
+          }
+          state.update(PackState(off))
+          placed.iterator
+      }
+  }
+
   val ChunkSize = 64
   val ChunkStride = 48
 

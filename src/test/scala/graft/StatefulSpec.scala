@@ -211,6 +211,37 @@ class StatefulSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("streaming packer chains per-shard offsets contiguously across micro-batches") {
+    import graft.operators.Packing
+    import graft.operators.Packing.{PackDoc, PackOut}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[PackDoc]
+    val q = Packing.packStream(in.toDS())
+      .writeStream.format("memory").queryName("pk").outputMode("append").start()
+    // batch 1: two shards; batch 2 must RESUME shard 0's offset (state), and
+    // doc 30's 3000 tokens straddle a 2048-token bin boundary
+    in.addData(PackDoc(10, 1000, 0), PackDoc(11, 500, 0), PackDoc(20, 2000, 1))
+    q.processAllAvailable()
+    in.addData(PackDoc(30, 3000, 0), PackDoc(21, 100, 1))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("pk").as[PackOut].collect()
+      .groupBy(_.shard).view.mapValues(_.sortBy(d => d.bin_id * Packing.SeqLen + d.bin_offset))
+    // contiguity: each doc starts exactly where the previous one ended
+    out.foreach { case (_, docs) =>
+      docs.foldLeft(0L) { (expected, d) =>
+        val start = d.bin_id * Packing.SeqLen + d.bin_offset
+        assert(start == expected, s"doc ${d.doc_id} starts at $start, expected $expected")
+        start + d.n_tokens
+      }
+    }
+    // cross-batch resume: doc 30 starts at shard 0's running total 1500
+    val d30 = out(0).find(_.doc_id == 30L).get
+    assert(d30.bin_id == 0L && d30.bin_offset == 1500L)
+    // per-shard token totals match the batch invariant (sum of inputs)
+    assert(out(0).map(_.n_tokens).sum == 4500L && out(1).map(_.n_tokens).sum == 2100L)
+  }
+
   test("sessionize rejects a watermark delay at or beyond the session gap") {
     import spark.implicits._
     val empty = spark.emptyDataset[graft.streaming.Stateful.SessionEvent]
