@@ -84,6 +84,9 @@ object SparkEntry {
     "q_sketch_quantiles"   -> (Relational.sketchQuantiles _),
     "pipeline_prepare"     -> (Curate.prepare _),
     "q21_stats"            -> (Relational.q21Stats _),
+    "text_pii_scrub"       -> (TextAnalysis.piiScrub _),
+    "text_vocab_oov"       -> (TextAnalysis.vocabOov _),
+    "pipeline_mixture"     -> (Sampling.mixture _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1033,6 +1036,67 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical PII construction + the same RE2/Java-common regexes, applied
+    // in the same fixed order (email, IP, phone); the digest pins every byte
+    // of the scrubbed text. DuckDB needs the explicit 'g' flag (Spark's
+    // regexp_replace is global by default).
+    "text_pii_scrub" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    concat(text, ' reach ', lang, doc_id, '@example.com',
+        |           ' or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |           ' from 10.', doc_id % 256, '.0.', n_chars % 256) AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ips,
+        |  CAST(length(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS INTEGER) AS n_clean_chars,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS digest
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // vocabulary = top-256 tokens (count desc, token asc — a deterministic
+    // cut); OOV counts token OCCURRENCES, hence the left join + count(v.tok)
+    "text_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |    ORDER BY cnt DESC, tok ASC LIMIT 256)
+        |),
+        |m AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens, count(v.tok) AS n_in_vocab
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(n_tokens - n_in_vocab AS INTEGER) AS n_oov,
+        |  CAST(n_tokens - n_in_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // integer-exact mixture thresholds: both engines cut the hash space at
+    // exactly floor(S*w*N / (W*n_s)), so the selected doc set is identical
+    "pipeline_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |w AS (SELECT source, n_s,
+        |        (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS wt FROM c),
+        |t AS (SELECT sum(n_s) AS n_total, sum(wt) AS w_total FROM w),
+        |r AS (SELECT source,
+        |        least(1000000, (1000000 * wt * n_total) // (w_total * n_s)) AS threshold
+        |      FROM w, t)
+        |SELECT doc_id, source, lang
+        |FROM documents JOIN r USING (source)
+        |WHERE CAST(concat('0x', substr(md5(concat('mix|', doc_id)),1,15)) AS BIGINT) % 1000000 < threshold
         |ORDER BY doc_id""".stripMargin,
   )
 }

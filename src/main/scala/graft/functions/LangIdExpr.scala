@@ -106,3 +106,49 @@ object BestProfileIndex {
     ColumnBridge.toColumn(BestProfileIndex(
       ColumnBridge.toExpression(grams), ProfileIndex(profiles)))
 }
+
+/** array<string> → int: how many elements (counting MULTIPLICITY — this is
+  * occurrence membership, not distinct intersection like
+  * [[IntersectCardinality]]) hash into the given sorted hash60 set. The set
+  * rides as a reference object (never codegen'd literals); each element
+  * costs one digest + one binary search over the ~set-size longs. Null
+  * elements are skipped. */
+case class CountInSet(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"count_in_set requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_set"
+
+  override def nullSafeEval(input: Any): Any =
+    CountInSet.count(input.asInstanceOf[ArrayData], set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashSet", set, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CountInSet.count($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+object CountInSet {
+  def count(arr: ArrayData, set: Array[Long]): Int = {
+    val n = arr.numElements()
+    var i = 0; var c = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) &&
+          java.util.Arrays.binarySearch(set, HashKernels.h60(arr.getUTF8String(i))) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def apply(arr: Column, sortedSet: Array[Long]): Column =
+    ColumnBridge.toColumn(CountInSet(ColumnBridge.toExpression(arr), sortedSet))
+}

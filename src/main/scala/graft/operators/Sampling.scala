@@ -79,6 +79,39 @@ object Sampling {
       .orderBy($"key_a", $"key_b")
   }
 
+  val MixtureScale = 1000000L
+
+  /** Source-mixture sampling (the domain-reweighting step of training-data
+    * assembly): each source gets a target share proportional to its weight,
+    * and documents are kept by content hash at the per-source rate that
+    * realizes the target mixture — deterministic across engines, reruns and
+    * cluster sizes, like every sampler here. The weights are a stand-in
+    * policy derived from the source name (w = src_index % 4 + 1); a real
+    * pipeline would join a curated weights table — same plan shape.
+    *
+    * All rate arithmetic is INTEGER: threshold_s = min(S, ⌊S·w_s·N /
+    * (W·n_s)⌋) in the S = [[MixtureScale]] hash space, so both engines cut
+    * at exactly the same hash values (a double rate could round a boundary
+    * hash differently). Scale: one tiny per-source count shuffle, a
+    * single-row totals aggregate, and a BROADCAST of the O(|sources|) rate
+    * table back onto the corpus — the corpus itself is touched once,
+    * filtered by a pure projection, never shuffled. */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val weighted = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", substring($"source", 4, 16).cast("long") % 4 + 1)
+    val totals = weighted.agg(sum($"n_s").as("n_total"), sum($"w").as("w_total"))
+    val rates = weighted.join(broadcast(totals), lit(true))
+      .select($"source", least(lit(MixtureScale),
+        expr(s"($MixtureScale * w * n_total) div (w_total * n_s)")).as("threshold"))
+    docs.join(broadcast(rates), "source")
+      .filter(pmod(hash60(concat(lit("mix|"), $"doc_id".cast("string"))),
+        lit(MixtureScale)) < $"threshold")
+      .select($"doc_id", $"source", $"lang")
+      .orderBy($"doc_id")
+  }
+
   /** Reproducible train/val/test split: each document's bucket is the
     * content hash of its id modulo 100 — <80 train, <90 val, else test.
     * A pure projection (no shuffle, no sampling state): the same document

@@ -165,6 +165,78 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  /** Redaction regexes — deliberately restricted to constructs Java's regex
+    * and RE2 (the DuckDB oracle's engine) interpret identically: character
+    * classes, bounded/unbounded counted repetition, no backreferences or
+    * lookaround. Order of application matters and is fixed: emails first
+    * (their local part could otherwise be half-eaten by the phone rule),
+    * then IPs (dotted quads are not phone-shaped — the phone class has no
+    * '.'), then phones. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scrubbing (the C4/Dolma-style redaction pass): emails, IPv4s and
+    * phone-shaped digit runs are replaced with typed placeholder tags, with
+    * per-document redaction counts for audit. The fixture corpus is
+    * synthetic word-soup with no PII, so the query CONSTRUCTS a PII-laden
+    * corpus deterministically from fixture columns (every doc gets an
+    * email, a phone and an IP derived from doc_id/lang/n_chars) and then
+    * scrubs it — the oracle performs the identical construction, so every
+    * row exercises every rule (no vacuous pass). Pure per-row projection:
+    * shuffle-free, embarrassingly parallel at any corpus size; the digest
+    * pins every byte of the scrubbed text. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = Tables.documents(spark, dir)
+      .select($"doc_id", concat(
+        $"text",
+        lit(" reach "), $"lang", $"doc_id".cast("string"), lit("@example.com"),
+        lit(" or +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), ($"doc_id" % 256).cast("string"),
+        lit(".0."), ($"n_chars" % 256).cast("string")).as("raw"))
+    raw.select($"doc_id",
+        size(regexp_extract_all($"raw", lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"raw", lit(Ipv4Re), lit(0))).as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace($"raw",
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("clean"))
+      .select($"doc_id", $"n_emails", $"n_ips",
+        length($"clean").as("n_clean_chars"), md5($"clean").as("digest"))
+      .orderBy($"doc_id")
+  }
+
+  val VocabSize = 256
+
+  /** Vocabulary build + out-of-vocabulary rate (the tokenizer-prep step):
+    * the corpus's [[VocabSize]] most frequent tokens (count desc, token asc
+    * — a deterministic cut) become the vocabulary; each document reports
+    * how many of its token OCCURRENCES fall outside it. Job 1 is one
+    * explode + gram-keyed count (map-side partial agg) + top-K — the vocab
+    * is O(VocabSize) rows, pulled to the driver like any broadcast-sized
+    * dimension. Job 2 is a pure projection: each doc's tokens are hashed
+    * and membership-counted against the sorted vocab postings via the same
+    * reference-object kernel pattern as language-ID — the corpus is never
+    * exploded a second time and never joined. */
+  def vocabOov(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Caches.shared(
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", tokens($"text").as("toks")))
+    val vocab = docs.select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"tok".asc)
+      .limit(VocabSize)
+      .select($"tok").collect().map(r =>
+        graft.functions.HashKernels.h60(r.getString(0)))
+    docs.select($"doc_id", size($"toks").as("n_tokens"),
+        graft.functions.CountInSet($"toks", vocab.sorted).as("n_in_vocab"))
+      .select($"doc_id", $"n_tokens",
+        ($"n_tokens" - $"n_in_vocab").as("n_oov"),
+        (($"n_tokens" - $"n_in_vocab").cast("double") /
+          $"n_tokens".cast("double")).as("oov_rate"))
+      .orderBy($"doc_id")
+  }
+
   val TopGrams = 50
 
   /** Corpus-level bigram frequency statistics: the [[TopGrams]] most frequent
