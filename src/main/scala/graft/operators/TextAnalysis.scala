@@ -195,15 +195,22 @@ object TextAnalysis {
         lit(" or +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
         lit(" from 10."), ($"doc_id" % 256).cast("string"),
         lit(".0."), ($"n_chars" % 256).cast("string")).as("raw"))
-    raw.select($"doc_id",
-        size(regexp_extract_all($"raw", lit(EmailRe), lit(0))).as("n_emails"),
-        size(regexp_extract_all($"raw", lit(Ipv4Re), lit(0))).as("n_ips"),
-        regexp_replace(regexp_replace(regexp_replace($"raw",
-          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("clean"))
+    piiScrubRows(raw)
       .select($"doc_id", $"n_emails", $"n_ips",
         length($"clean").as("n_clean_chars"), md5($"clean").as("digest"))
       .orderBy($"doc_id")
   }
+
+  /** The scrubbing projection over any (doc_id, raw) relation — stateless
+    * per-row redaction, so it applies identically to the batch corpus and
+    * to an arriving micro-batch (ingest-time PII gating);
+    * `StreamProjectionSpec` pins batch/stream agreement. */
+  def piiScrubRows(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id"),
+      size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("raw"), lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(col("raw"),
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>").as("clean"))
 
   val VocabSize = 256
 

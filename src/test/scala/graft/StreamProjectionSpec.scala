@@ -54,4 +54,28 @@ class StreamProjectionSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("pii scrubbing agrees batch vs stream on the same raw rows") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val rows = docRows(15).map { case (id, text, _) =>
+      (id, s"$text mail me at user$id@test.org or call +44 20 7946 $id from 192.168.0.$id")
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.piiScrubRows(in.toDF().toDF("doc_id", "raw"))
+      .writeStream.format("memory").queryName("sp").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sp").orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.TextAnalysis.piiScrubRows(
+        rows.toDF("doc_id", "raw")).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 15)
+    // and the scrub actually redacted each injected shape
+    assert(batch.forall(r => r(3).toString.contains("<EMAIL>") &&
+      r(3).toString.contains("<IP>") && r(3).toString.contains("<PHONE>")))
+  }
 }
