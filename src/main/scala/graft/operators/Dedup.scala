@@ -174,6 +174,18 @@ object Dedup {
     * shuffle on doc_id. Lineage is cut per iteration (localCheckpoint). */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the iterative loop below re-built per call would carry fresh
+    // localCheckpoint lineage, so plan-equality caching can never reuse it
+    // across the queries that compose it (curate, prepare) — memoize the
+    // converged labels handle instead; the trailing orderBy stays
+    // per-call presentation
+    graft.sources.Caches.memoized(spark, s"clusters|$dir") {
+      clustersConverged(spark, dir)
+    }.orderBy($"doc_id")
+  }
+
+  private def clustersConverged(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val edges = graft.sources.Caches.shared(
       minhashVerified(spark, dir).select($"id_a", $"id_b"))
     val sym = edges.union(edges.select($"id_b", $"id_a")).toDF("src", "dst")
@@ -199,7 +211,7 @@ object Dedup {
       labels = next.select($"doc_id", $"label")
       iter += 1
     }
-    labels.select($"doc_id", $"label".as("cluster_rep")).orderBy($"doc_id")
+    labels.select($"doc_id", $"label".as("cluster_rep"))
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -27,6 +27,21 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
 
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Memoize a RESULT handle by (session, key) — for deterministic
+    * pipelines whose plan `shared`'s plan-equality can never match across
+    * invocations: an iterative computation (label propagation) re-built per
+    * call carries fresh localCheckpoint lineage IDs, so the CacheManager
+    * sees a brand-new plan each time and the loop re-executes even though
+    * the result is identical. Returning the SAME DataFrame handle makes
+    * reuse trivial. Only for results that are pure functions of the key
+    * within a session (fixture-dir-derived, deterministic); `releaseAll`
+    * drops the memo with the caches. */
+  def memoized(spark: org.apache.spark.sql.SparkSession, key: String)
+      (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, key), build)
 
   /** Persist `df` unless an equal plan is already cached; track the handle. */
   def shared(df: DataFrame): DataFrame = synchronized {
@@ -49,5 +64,6 @@ object Caches {
       catch { case scala.util.control.NonFatal(_) => () }
     }
     tracked.clear()
+    memo.clear()
   }
 }
