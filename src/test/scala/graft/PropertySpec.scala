@@ -107,4 +107,55 @@ class PropertySpec extends SparkSpec {
       assert(out.count() == 0, s"k=$k: ${out.take(1).toSeq}")
     }
   }
+
+  // distinct-gram arrays over a small alphabet, so profile overlaps (and
+  // exact score ties, which exercise the lang-asc tiebreak) are common
+  private val gramsGen: Gen[Seq[String]] = for {
+    n <- Gen.choose(0, 25)
+    gs <- Gen.listOfN(n, Gen.oneOf("aa", "ab", "ba", "bb", "cc", "cd", "dé", "中中"))
+  } yield gs.distinct
+
+  test("BestProfileIndex equals the IntersectCardinality argmax formulation") {
+    import graft.functions.HashKernels.h60
+    val profileGen = Gen.listOfN(4,
+      Gen.someOf("aa", "ab", "ba", "bb", "cc", "cd", "dé", "中中").map(_.toSeq))
+    (1L to 5L).foreach { seed =>
+      val profiles: Array[Array[Long]] = sample(profileGen, seed)
+        .map(_.map(s => h60(s)).sorted.toArray).toArray
+      val rows = sample(Gen.listOfN(300, gramsGen), seed + 100)
+      val df = rows.map(Tuple1(_)).toDF("grams")
+      // reference formulation: the pre-round-5 per-language expression tree
+      val entries = profiles.toSeq.zipWithIndex.map { case (ph, i) =>
+        struct(
+          graft.functions.IntersectCardinality(
+            array_sort(graft.functions.HashArray60($"grams")), typedLit(ph.toSeq)).as("score"),
+          lit(-i).as("negRank"))
+      }
+      val out = df
+        .withColumn("fused", graft.functions.BestProfileIndex($"grams", profiles))
+        .withColumn("best", array_max(array(entries: _*)))
+        .select($"fused",
+          when($"best.score" > 0, -$"best.negRank").cast("int").as("chain"))
+        .filter(not($"fused" <=> $"chain"))
+      assert(out.count() == 0, s"seed=$seed: ${out.take(1).toSeq}")
+    }
+  }
+
+  test("CountInSet equals the per-token membership sum (with multiplicity)") {
+    import graft.functions.HashKernels.h60
+    val vocabStrings = Seq("aa", "ba", "cc", "dé")
+    val vocab = vocabStrings.map(s => h60(s)).sorted.toArray
+    // multiplicity matters: use NON-distinct token lists
+    val toksGen2 = for {
+      n <- Gen.choose(0, 25)
+      gs <- Gen.listOfN(n, Gen.oneOf("aa", "ab", "ba", "bb", "cc", "cd", "dé", "中中"))
+    } yield gs
+    val rows = sample(Gen.listOfN(400, toksGen2), 17L)
+    val df = rows.map(Tuple1(_)).toDF("toks")
+    val out = df.select(
+        graft.functions.CountInSet($"toks", vocab).as("fused"),
+        size(filter($"toks", t => t.isin(vocabStrings: _*))).as("chain"))
+      .filter(not($"fused" <=> $"chain"))
+    assert(out.count() == 0, out.take(1).toSeq.toString)
+  }
 }
