@@ -61,7 +61,28 @@ object GraftExtensions {
     ("word_gram_hashes",
       info("word_gram_hashes",
         "word_gram_hashes(toks, k) - sorted distinct hash60 of word k-grams"),
-      (args: Seq[Expression]) => WordGramHashes(args(0), literalInt(args(1), "word_gram_hashes"))))
+      (args: Seq[Expression]) => WordGramHashes(args(0), literalInt(args(1), "word_gram_hashes"))),
+    ("count_in_set",
+      info("count_in_set",
+        "count_in_set(toks, set) - token occurrences whose hash60 is in the literal array<bigint> set"),
+      (args: Seq[Expression]) => graft.functions.CountInSet(args(0),
+        literalLongArray(args(1), "count_in_set"))))
+
+  /** The membership set parameterizes a reference object, so it must be a
+    * literal array<bigint> — same analysis-time rejection rule as
+    * [[literalInt]]. */
+  private def literalLongArray(e: Expression, fn: String): Array[Long] = {
+    def fail() = throw new IllegalArgumentException(
+      s"$fn requires a literal array<bigint> set, got ${e.sql}")
+    if (!e.foldable) fail()
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val out = a.toLongArray()
+        java.util.Arrays.sort(out)
+        out
+      case _ => fail()
+    }
+  }
 
   /** The gram size parameterizes generated code, so it must be a literal
     * int — reject anything else with a readable analysis-time error instead

@@ -34,6 +34,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("literal integer gram size"), err.getMessage)
   }
 
+  test("count_in_set is SQL-callable with a literal set and rejects non-literals") {
+    GraftExtensions.register(spark)
+    val h = graft.functions.HashKernels.h60("aa")
+    val row = spark.sql(
+      s"SELECT count_in_set(array('aa', 'bb', 'aa'), array(${h}L)) AS c").head()
+    assert(row.getInt(0) == 2) // multiplicity counts
+    val err = intercept[Exception] {
+      spark.sql("SELECT count_in_set(array('a'), array(rand()*0))").collect()
+    }
+    assert(err.getMessage.contains("literal array<bigint> set"), err.getMessage)
+  }
+
   test("ragged/null dot_product input and empty minhash input yield null") {
     GraftExtensions.register(spark)
     val row = spark.sql(
