@@ -99,17 +99,36 @@ object Sampling {
   def mixture(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val weighted = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    mixtureRows(docs.select($"doc_id", $"source", $"lang"),
+        mixtureThresholds(spark, dir))
+      .orderBy($"doc_id")
+  }
+
+  /** The trained policy: per-source hash-space thresholds realizing the
+    * weighted target mixture (see [[mixture]]). O(|sources|) rows. */
+  def mixtureThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weighted = Tables.documents(spark, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_s"))
       .withColumn("w", substring($"source", 4, 16).cast("long") % 4 + 1)
     val totals = weighted.agg(sum($"n_s").as("n_total"), sum($"w").as("w_total"))
-    val rates = weighted.join(broadcast(totals), lit(true))
+    weighted.join(broadcast(totals), lit(true))
       .select($"source", least(lit(MixtureScale),
         expr(s"($MixtureScale * w * n_total) div (w_total * n_s)")).as("threshold"))
-    docs.join(broadcast(rates), "source")
-      .filter(pmod(hash60(concat(lit("mix|"), $"doc_id".cast("string"))),
-        lit(MixtureScale)) < $"threshold")
-      .select($"doc_id", $"source", $"lang")
-      .orderBy($"doc_id")
+  }
+
+  /** Apply a trained mixture policy to any (…, doc_id, source) relation:
+    * a stateless per-row hash test against the BROADCAST threshold table,
+    * so the same call gates an ingest STREAM (stream-static broadcast join
+    * — the policy is trained in batch over yesterday's corpus, applied at
+    * today's ingest; `StreamProjectionSpec` pins batch/stream agreement).
+    * Keeps exactly the caller's columns. */
+  def mixtureRows(rows: DataFrame, thresholds: DataFrame): DataFrame = {
+    val cols = rows.columns.map(col).toIndexedSeq
+    rows.join(broadcast(thresholds), "source")
+      .filter(pmod(hash60(concat(lit("mix|"), col("doc_id").cast("string"))),
+        lit(MixtureScale)) < col("threshold"))
+      .select(cols: _*)
   }
 
   /** Reproducible train/val/test split: each document's bucket is the

@@ -78,4 +78,28 @@ class StreamProjectionSpec extends SparkSpec {
     assert(batch.forall(r => r(3).toString.contains("<EMAIL>") &&
       r(3).toString.contains("<IP>") && r(3).toString.contains("<PHONE>")))
   }
+
+  test("mixture policy trained in batch gates a stream identically to batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val thresholds = graft.operators.Sampling.mixtureThresholds(spark, dir)
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"source").as[(Long, String)].head(60).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling.mixtureRows(
+        in.toDF().toDF("doc_id", "source"), thresholds)
+      .writeStream.format("memory").queryName("mx").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("mx").orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Sampling.mixtureRows(
+        rows.toDF("doc_id", "source"), thresholds).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // non-vacuous: the policy must actually drop something and keep something
+    assert(streamed.nonEmpty && streamed.size < rows.size)
+  }
 }
