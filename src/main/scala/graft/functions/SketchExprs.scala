@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * twins. Both participate in whole-stage codegen.
   */
 
-/** 48-bit SimHash over pre-hashed tokens (`array<long>`, values < 2^48):
-  * bit j of the result is set iff Σ_tokens (±1 by bit j of the hash) > 0.
-  * Exactly `list_sum([CASE WHEN floor(h/2^j)%2=1 ...])` of the oracle. */
+/** `bits`-wide SimHash over pre-hashed tokens (`array<long>`; `bits` ≤ 60 so
+  * every signature bit draws on a real hash60 bit — `Dedup.simhashBandBits`
+  * derives the width from corpus size, 48 at every fixture scale): bit j of
+  * the result is set iff Σ_tokens (±1 by bit j of the hash) > 0. Exactly
+  * `list_sum([CASE WHEN floor(h/2^j)%2=1 ...])` of the oracle (exact in
+  * double arithmetic while bits ≤ 52). */
 case class SimhashSignature(child: Expression, bits: Int)
     extends UnaryExpression {
 

@@ -20,8 +20,9 @@ import graft.functions.Vec._
   *    nearest cells ⇒ the scan shrinks by ~|cells|/NProbe. At 100 TB the
   *    assignment is a write-time partitioning (cluster-by cell_id), making
   *    probes partition-pruned scans.
-  *  - LSH near-dup: per-row 16-bit signature (no shuffle), banded self-join
-  *    on 4-bit bands moves only bucket collisions, then exact-cosine verify.
+  *  - LSH near-dup: per-row signature of 4 corpus-size-derived bands
+  *    ([[lshBandBits]]; no shuffle), banded self-join with hamming-1
+  *    multi-probe moves only bucket collisions, then exact-cosine verify.
   */
 object Similarity {
 

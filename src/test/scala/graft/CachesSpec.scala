@@ -27,6 +27,22 @@ class CachesSpec extends SparkSpec {
     assert(Caches.trackedCount == 0)
   }
 
+  test("memoized() returns the same handle per key and releaseAll drops it") {
+    import spark.implicits._
+    Caches.releaseAll()
+    var builds = 0
+    def build() = { builds += 1; spark.range(10).select($"id") }
+    val a = Caches.memoized(spark, "memo-test")(build())
+    val b = Caches.memoized(spark, "memo-test")(build())
+    assert((a eq b) && builds == 1)
+    val other = Caches.memoized(spark, "memo-test-2")(build())
+    assert(builds == 2 && !(other eq a))
+    Caches.releaseAll()
+    val c = Caches.memoized(spark, "memo-test")(build())
+    assert(builds == 3 && !(c eq a))
+    Caches.releaseAll()
+  }
+
   test("composed curate pipeline tracks caches and releases them all") {
     Caches.releaseAll()
     val dir = sf("sf0.001")
