@@ -97,4 +97,36 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate levels around one exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("pii scrub: pure projection — no exchange except the output sort") {
+    val p = plan(graft.operators.TextAnalysis.piiScrub(spark, dir))
+    // the redaction itself must not shuffle; the only exchange is the
+    // presentation orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    // reads only the columns the construction needs
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source"), readSchema)
+  }
+
+  test("mixture: corpus joins the broadcast rate table and is never hash-shuffled") {
+    val p = plan(graft.operators.Sampling.mixture(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // hash exchanges belong to the tiny per-source count/total aggregates,
+    // never to the corpus-sized side: every hashpartitioning line here
+    // repartitions `source`-keyed aggregate rows (O(|sources|))
+    p.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(l.contains("source"), l)
+    }
+  }
+
+  test("vocab OOV: one corpus explode for training, scoring is a kernel projection") {
+    val p = plan(graft.operators.TextAnalysis.vocabOov(spark, dir))
+    // scoring side: count_in_set runs as a projection over the cached docs —
+    // no join against a vocab relation, no second explode
+    assert(p.contains("count_in_set"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Generate") && l.contains("explode")), p)
+  }
 }
