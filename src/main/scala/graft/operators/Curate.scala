@@ -41,6 +41,32 @@ object Curate {
       .orderBy($"lang", $"rn")
   }
 
+  /** Ingest-time curation: the STREAMING twin of the batch pass, composed
+    * entirely from the library's stateless row stages so one call runs
+    * unchanged on a batch corpus or an arriving micro-batch —
+    *
+    *   quality gate ([[TextAnalysis.withQuality]] ≥ [[QualityFloor]])
+    *   → mixture gate ([[Sampling.mixtureRows]] vs a batch-trained
+    *     broadcast policy — yesterday's corpus trains, today's ingest gates)
+    *   → PII scrub ([[TextAnalysis.piiScrubRows]] on the text)
+    *   → context chunking ([[Packing.chunkRows]] over the SCRUBBED text)
+    *
+    * What the batch [[curate]] has that this cannot: corpus-global stages
+    * (language-ID profile training, near-dup clustering, deterministic
+    * stratified sampling) — those need the whole corpus and stay batch;
+    * the stream twin gates and prepares what arrives. No shuffle, no state:
+    * the only non-projection is the broadcast policy join.
+    * `StreamProjectionSpec` pins batch ≡ stream. */
+  def ingestRows(rows: DataFrame, thresholds: DataFrame): DataFrame = {
+    val gated = TextAnalysis.withQuality(rows)
+      .filter(col("quality") >= QualityFloor)
+      .select(rows.columns.map(col).toIndexedSeq: _*)
+    val mixed = Sampling.mixtureRows(gated, thresholds)
+    val scrubbed = TextAnalysis.piiScrubRows(
+      mixed.select(col("doc_id"), col("text").as("raw")))
+    Packing.chunkRows(scrubbed.select(col("doc_id"), col("clean").as("text")))
+  }
+
   /** The last mile: [[curate]]'s selected documents cut into model-context
     * chunks ([[Packing.chunkRows]]) — the full corpus → curated docs →
     * training-sequence shape a dataset release actually ships. The curated

@@ -110,18 +110,27 @@ object TextAnalysis {
     * stateless per-row scoring, so it applies identically to the batch
     * corpus and to an arriving micro-batch (ingest-time quality gating);
     * `StreamProjectionSpec` pins batch/stream agreement. */
-  def qualityRows(rows: DataFrame): DataFrame = {
+  def qualityRows(rows: DataFrame): DataFrame =
+    withQuality(rows).select(col("doc_id"), col("n_chars"),
+      col("stopword_ratio"), col("diversity"), col("mean_token_len"),
+      col("quality"))
+
+  /** [[qualityRows]]'s formula APPENDED to the caller's columns (text
+    * survives) — the shape a composing gate needs ([[graft.operators.Curate.ingestRows]]
+    * filters on quality and still chunks the text downstream). */
+  def withQuality(rows: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val stopRatio = (size(filter(toks, t => t.isin("the", "a"))).cast("double") / nTok)
     val diversity = (size(array_distinct(toks)).cast("double") / nTok)
     val meanLen = (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") / nTok)
-    rows.select(col("doc_id"), col("n_chars"),
-      stopRatio.as("stopword_ratio"),
-      diversity.as("diversity"),
-      meanLen.as("mean_token_len"),
-      (lit(0.25) * stopRatio + lit(0.5) * diversity +
-        lit(0.05) * meanLen).as("quality"))
+    rows
+      .withColumn("stopword_ratio", stopRatio)
+      .withColumn("diversity", diversity)
+      .withColumn("mean_token_len", meanLen)
+      .withColumn("quality",
+        lit(0.25) * col("stopword_ratio") + lit(0.5) * col("diversity") +
+          lit(0.05) * col("mean_token_len"))
   }
 
   /** Repetition-based quality metrics (the Gopher/C4-style filter family):

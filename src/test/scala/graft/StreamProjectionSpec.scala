@@ -102,4 +102,40 @@ class StreamProjectionSpec extends SparkSpec {
     // non-vacuous: the policy must actually drop something and keep something
     assert(streamed.nonEmpty && streamed.size < rows.size)
   }
+
+  test("ingest-time curation chain (quality -> mixture -> scrub -> chunk) agrees batch vs stream") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val thresholds = graft.operators.Sampling.mixtureThresholds(spark, dir)
+    // real fixture docs with PII injected into the text body, so the scrub
+    // stage inside the chain is exercised, not vacuous
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text", $"n_chars", $"source")
+      .as[(Long, String, Long, String)].head(80).toSeq
+      .map { case (id, text, nc, src) =>
+        // PII leads the text so the placeholder lands on a chunk boundary
+        // (chunk rows expose first/last tokens only)
+        (id, s"bot$id@spam.example $text", nc, src) }
+    val in = MemoryStream[(Long, String, Long, String)]
+    val q = graft.operators.Curate.ingestRows(
+        in.toDF().toDF("doc_id", "text", "n_chars", "source"), thresholds)
+      .writeStream.format("memory").queryName("ic").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ic").orderBy($"doc_id", $"chunk_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Curate.ingestRows(
+        rows.toDF("doc_id", "text", "n_chars", "source"), thresholds)
+      .orderBy($"doc_id", $"chunk_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the chain gates (mixture dropped some docs) and scrubs (the injected
+    // address became a placeholder token in some chunk)
+    val docIds = streamed.map(_.head).distinct
+    assert(docIds.nonEmpty && docIds.size < rows.size)
+    val toks = streamed.flatMap(r => Seq(r(4).toString, r(5).toString))
+    assert(toks.contains("<EMAIL>") && !toks.exists(_.contains("@")))
+  }
 }
