@@ -77,10 +77,23 @@ object Similarity {
     * NProbe nearest cells only. Approximate by design (recall < 1 when the
     * true neighbor lives outside probed cells) — the approximation is
     * deterministic and identical in the oracle. */
+  /** IVF cell stride: centroids are every `stride`-th vector, so the cell
+    * count is n/stride. Classic IVF sizing keeps cells ≈ √n (probe cost and
+    * cell size both ≈ √n — the balance point); stride = max(200, ⌊√n⌋)
+    * derives that above n ≈ 40 000 while pinning every fixture scale
+    * (50/500/2000 vectors) to the oracle's `vec_id % 200 = 0` selection.
+    * At 10⁹ vectors: ~31 623 cells, NProbe·√n ≈ 63 k cosines per query
+    * instead of 10⁹ — with write-time clustering by cell_id the probes are
+    * partition-pruned scans. Same fixture-floored-derivation pattern as
+    * [[lshBandBits]] / `Dedup.simhashBandBits`. */
+  private[graft] def ivfCellStride(n: Long): Long =
+    math.max(NCentroids.toLong, math.sqrt(n.toDouble).toLong)
+
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
-    val cents = c.filter($"vec_id" % NCentroids === 0)
+    val cents = c.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
     // nearest centroid per corpus vector: broadcast centroids fan each row
     // out ×|centroids| WITHIN its partition, and the argmax is a max_by
