@@ -87,6 +87,10 @@ object SparkEntry {
     "text_pii_scrub"       -> (TextAnalysis.piiScrub _),
     "text_vocab_oov"       -> (TextAnalysis.vocabOov _),
     "pipeline_mixture"     -> (Sampling.mixture _),
+    "text_boilerplate"     -> (TextAnalysis.boilerplate _),
+    "text_salient_terms"   -> (TextAnalysis.salientTerms _),
+    "sketch_heavy_hitters" -> (TextAnalysis.sketchHeavyHitters _),
+    "dedup_incremental"    -> (Dedup.incremental _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1098,5 +1102,84 @@ object SparkEntry {
         |FROM documents JOIN r USING (source)
         |WHERE CAST(concat('0x', substr(md5(concat('mix|', doc_id)),1,15)) AS BIGINT) % 1000000 < threshold
         |ORDER BY doc_id""".stripMargin,
+
+    // boilerplate-line removal: 10-token "lines" (deterministic stand-in for
+    // newline segmentation over the single-line fixture corpus), any line in
+    // >= 2 distinct docs is removed everywhere; md5 pins the kept text.
+    // Spark keys the frequency table by hash60(line) — output-identical
+    // absent 60-bit collisions (the minhash band-key precedent).
+    "text_boilerplate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+        |lines AS (
+        |  SELECT doc_id, unnest([{'pos': i, 'line': array_to_string(s[(i-1)*10+1:i*10], ' ')}
+        |                         for i in range(1, CAST(ceil(len(s)/10.0) AS INT)+1)]) AS u
+        |  FROM tok),
+        |flat AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM lines),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS df FROM flat GROUP BY line),
+        |boiler AS (SELECT line FROM freq WHERE df >= 2)
+        |SELECT f.doc_id,
+        |  CAST(count(*) AS INTEGER) AS n_lines,
+        |  CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN b.line IS NULL THEN f.line END, ' ' ORDER BY f.pos), '')) AS digest
+        |FROM flat f LEFT JOIN boiler b ON f.line = b.line
+        |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin,
+
+    // per-doc top-3 terms by (tf desc, df asc, tok asc) — integer-exact
+    // ranking, no floating-point idf, so the cut is engine-deterministic
+    "text_salient_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df FROM (
+        |  SELECT t.doc_id, t.tok, t.tf, d.df,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |                       ORDER BY t.tf DESC, d.df ASC, t.tok ASC) AS rank
+        |  FROM tf t JOIN df d ON t.tok = d.tok)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // sketch-oracle scheme (round 3): exact top-50 token counts are the
+    // oracle-checkable twin; the CMS bounded-error flags are literal TRUE —
+    // a false flag (estimate < exact, or over-count > eps*N) fails the gate
+    "sketch_heavy_hitters" ->
+      """SELECT CAST(row_number() OVER (ORDER BY exact_cnt DESC, tok ASC) AS INTEGER) AS rank,
+        |  tok, exact_cnt, TRUE AS est_ge_exact, TRUE AS est_within_bound
+        |FROM (SELECT tok, count(*) AS exact_cnt
+        |      FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+        |      GROUP BY tok ORDER BY exact_cnt DESC, tok ASC LIMIT 50)
+        |ORDER BY rank""".stripMargin,
+
+    // incremental dedup: arriving docs (doc_id % 10 = 0) vs the existing
+    // corpus through the SAME minhash banding as dedup_minhash_lsh (recall
+    // identical by construction), exact-Jaccard verified at 0.8
+    "dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS arriving_id, y.doc_id AS existing_id
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+        |    AND x.doc_id % 10 = 0 AND y.doc_id % 10 != 0
+        |)
+        |SELECT c.arriving_id, c.existing_id,
+        |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |  len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |FROM cand c JOIN sh a ON c.arriving_id = a.doc_id JOIN sh b ON c.existing_id = b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |ORDER BY arriving_id, existing_id""".stripMargin,
   )
 }

@@ -152,3 +152,56 @@ object CountInSet {
   def apply(arr: Column, sortedSet: Array[Long]): Column =
     ColumnBridge.toColumn(CountInSet(ColumnBridge.toExpression(arr), sortedSet))
 }
+
+/** array<string> → array<string>: the elements whose hash60 is NOT in the
+  * given sorted set, original order and multiplicity preserved (null
+  * elements are dropped — the inputs this kernel sees are split() products,
+  * which are never null). The filtering twin of [[CountInSet]]: same
+  * reference-object set, one digest + binary search per element. Used for
+  * boilerplate-line removal, where the frequent-line dictionary is the set
+  * and each document keeps only its non-boilerplate lines. */
+case class FilterNotInSet(child: Expression, set: Array[Long])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"filter_not_in_set requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "filter_not_in_set"
+
+  override def nullSafeEval(input: Any): Any =
+    FilterNotInSet.keep(input.asInstanceOf[ArrayData], set)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashSet", set, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.FilterNotInSet.keep($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FilterNotInSet =
+    copy(child = newChild)
+}
+
+object FilterNotInSet {
+  def keep(arr: ArrayData, set: Array[Long]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var i = 0; var m = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (java.util.Arrays.binarySearch(set, HashKernels.h60(s)) < 0) {
+          out(m) = s; m += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  def apply(arr: Column, sortedSet: Array[Long]): Column =
+    ColumnBridge.toColumn(FilterNotInSet(ColumnBridge.toExpression(arr), sortedSet))
+}

@@ -164,6 +164,46 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  val IncrementalStride = 10
+
+  /** Incremental dedup — the BATCH twin of [[nearDupStream]], oracled: a
+    * batch of "arriving" documents (every [[IncrementalStride]]-th doc
+    * stands in for the new crawl snapshot) is checked against the "existing"
+    * corpus (the rest) for near-duplicates, WITHOUT re-pairing the existing
+    * corpus against itself. This is the steady-state shape of production
+    * dedup: the corpus index (band buckets) is maintained once; each new
+    * batch only joins its own band keys against it — cost ∝ batch size, not
+    * corpus size. The banding and verification are exactly [[minhashLsh]]'s
+    * (signatures computed per-row, bucket equi-join, exact-Jaccard verify);
+    * the oracle mirrors the banding so recall is identical by construction,
+    * and pair multiplicity from multi-band collisions collapses in the same
+    * DISTINCT. Output: (arriving_id, existing_id, jaccard ≥ 0.8). */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Caches.shared(signed(spark, dir))
+    def buckets(pred: Column => Column, idName: String) = docs
+      .filter(pred($"doc_id" % IncrementalStride))
+      .select($"doc_id".as(idName), explode($"bands").as("b"))
+      .select(col(idName), $"b.band", $"b.key")
+    // candidate ids only through the bucket join + distinct; the gram
+    // arrays join back per verified candidate (minhashVerified's shape)
+    val cand = buckets(_ === 0, "arriving_id")
+      .join(buckets(_ =!= 0, "existing_id"), Seq("band", "key"))
+      .select($"arriving_id", $"existing_id")
+      .distinct()
+    val a = docs.select($"doc_id".as("arriving_id"), $"grams".as("gr_a"),
+      size($"grams").as("na"))
+    val b = docs.select($"doc_id".as("existing_id"), $"grams".as("gr_b"),
+      size($"grams").as("nb"))
+    val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
+    cand.join(a, "arriving_id").join(b, "existing_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .select($"arriving_id", $"existing_id", $"jaccard")
+      .orderBy($"arriving_id", $"existing_id")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the MinHash pair
     * graph, labeling every clustered doc with its component's minimum doc_id
     * (the survivor). Iterative min-label propagation to fixpoint — the graph

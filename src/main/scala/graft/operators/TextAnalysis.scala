@@ -253,6 +253,127 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  val LineTokens = 10
+  val BoilerplateDf = 2
+
+  /** Boilerplate-line removal (the CCNet/RefinedWeb line-level dedup pass):
+    * documents are segmented into fixed [[LineTokens]]-token "lines" (the
+    * fixture corpus is single-line word-soup, so the segmentation stands in
+    * for real newline splitting — deterministically mirrored by the oracle),
+    * any line occurring in ≥ [[BoilerplateDf]] DISTINCT documents is
+    * boilerplate (navigation chrome, cookie banners, template footers — and
+    * here, the shared spans of the fixture's planted near-dups), and every
+    * occurrence of a boilerplate line is removed. Output pins the kept text
+    * byte-for-byte via md5.
+    *
+    * Scale shape: the corpus is never shuffled. Job 1 aggregates line-hash
+    * document frequencies (one map-side-partial shuffle of line hashes,
+    * 8-byte keys) and keeps only lines with df ≥ threshold — the FREQUENT-
+    * line dictionary, which the heavy-hitter skew of real web text keeps
+    * small relative to the corpus (raising the threshold shrinks it
+    * monotonically). Job 2 broadcasts that dictionary as a reference-object
+    * hash set and filters each document's lines in place
+    * ([[graft.functions.FilterNotInSet]] — one digest + binary search per
+    * line, shuffle-free). If a corpus ever produced a dictionary too large
+    * to broadcast, the same pipeline degrades gracefully to an exploded
+    * anti-join + positional reassembly — documented, not needed at any
+    * measured scale. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Caches.shared(
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", transform(
+          sequence(lit(1), ceil(size($"toks").cast("double") / LineTokens).cast("int")),
+          i => concat_ws(" ", slice($"toks", (i - lit(1)) * LineTokens + 1, LineTokens)))
+          .as("lines")))
+    val frequent = docs
+      .select($"doc_id", explode($"lines").as("line"))
+      .select($"doc_id", hash60($"line").as("lh"))
+      .groupBy($"lh").agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= BoilerplateDf)
+      .select($"lh").collect().map(_.getLong(0)).sorted
+    docs
+      .withColumn("kept", graft.functions.FilterNotInSet($"lines", frequent))
+      .select($"doc_id",
+        size($"lines").as("n_lines"),
+        (size($"lines") - size($"kept")).as("n_removed"),
+        md5(concat_ws(" ", $"kept")).as("digest"))
+      .orderBy($"doc_id")
+  }
+
+  val SalientK = 3
+
+  /** Per-document salient terms (the tf-idf-style keyword extraction a
+    * curation pass uses for topic bucketing and cluster labeling): each
+    * document's top [[SalientK]] tokens ranked by term frequency descending,
+    * document frequency ascending (rarer across the corpus = more
+    * characteristic), token ascending — a fully integer-exact ordering, so
+    * the cut is deterministic on any engine (no floating-point idf).
+    *
+    * Scale shape: term frequencies are one (doc, token)-keyed count with
+    * map-side partial aggregation; document frequencies re-aggregate that
+    * result by token (vocabulary-sized output), and flow back via a
+    * BROADCAST join — the corpus-sized tf relation is never shuffled again.
+    * The top-k is a per-document window over rows already co-partitioned by
+    * the tf groupBy's hash partitioning on (doc_id, tok) — Catalyst inserts
+    * one exchange on doc_id for the window; at 100 TB both shuffles move
+    * (token, int) pairs, not documents. */
+  def salientTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "tok")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"tok".asc)))
+      .filter($"rank" <= SalientK)
+      .select($"doc_id", $"rank", $"tok", $"tf", $"df")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val HeavyK = 50
+  val CmsEps = 0.001
+  val CmsConfidence = 0.999
+  val CmsSeed = 42
+
+  /** Count-min-sketch heavy hitters: token occurrence counts estimated from
+    * a CMS built over the exploded corpus (`DataFrameStatFunctions
+    * .countMinSketch` — distributed mergeable sketch, one pass), reported
+    * for the exact top-[[HeavyK]] tokens with the same sketch-oracle scheme
+    * round 3 established for HLL/quantiles: the row carries the EXACT count
+    * (oracle-checkable) plus bounded-error flags the oracle states as
+    * literal TRUE — `est_ge_exact` (CMS never under-counts) and
+    * `est_within_bound` (over-count ≤ ε·N with the sketch's width; a false
+    * flag fails the hash gate, so the error bound IS verified at sf0.01).
+    *
+    * Scale shape: the sketch is a fixed ⌈2/ε⌉ × ⌈ln(1/δ)⌉ int table merged
+    * associatively across partitions (no shuffle of tokens — partial
+    * sketches merge on the driver); the exact top-k is the same map-side
+    * partial count + TakeOrdered as [[topGrams]]. Probing happens on the
+    * driver for k = 50 keys — broadcast-sized, like the langid profiles. */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.sources.Caches.shared(
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", explode(tokens($"text")).as("tok")))
+    val nTotal = toks.count()
+    val cms = toks.stat.countMinSketch("tok", CmsEps, CmsConfidence, CmsSeed)
+    val top = toks.groupBy($"tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"tok".asc)
+      .limit(HeavyK)
+      .collect()
+    val bound = (CmsEps * nTotal).toLong
+    val rows = top.zipWithIndex.map { case (r, i) =>
+      val est = cms.estimateCount(r.getString(0))
+      (i + 1, r.getString(0), r.getLong(1),
+        est >= r.getLong(1), est <= r.getLong(1) + bound)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("rank", "tok", "exact_cnt", "est_ge_exact", "est_within_bound")
+  }
+
   val TopGrams = 50
 
   /** Corpus-level bigram frequency statistics: the [[TopGrams]] most frequent
