@@ -285,7 +285,7 @@ object TextAnalysis {
         .select($"doc_id", tokens($"text").as("toks"))
         .select($"doc_id", transform(
           sequence(lit(1), ceil(size($"toks").cast("double") / LineTokens).cast("int")),
-          i => concat_ws(" ", slice($"toks", (i - lit(1)) * LineTokens + 1, LineTokens)))
+          i => concat_ws(" ", slice($"toks", (i - lit(1)) * LineTokens + lit(1), lit(LineTokens))))
           .as("lines")))
     val frequent = docs
       .select($"doc_id", explode($"lines").as("line"))
