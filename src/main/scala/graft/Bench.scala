@@ -98,7 +98,13 @@ object Bench {
       }
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
+    // ms precision keeps the one-line contract short: the harness that reads
+    // this line retains only the final ~2000 chars of output, and at 66+
+    // queries full double precision overflowed that window (the r6 line lost
+    // its '{"metric":' prefix and failed to parse). 3 decimals ≈ 1 ms, far
+    // below the run-to-run noise of any query here.
+    def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(fmt) }
       .mkString("{", ",", "}")
     val total = results.values.flatten.sum
     // single-line contract: strip control chars (Spark exception messages
@@ -109,7 +115,7 @@ object Bench {
           .replaceAll("[\\x00-\\x1f]", " ")
         s"\"" + k + "\":\"" + safe + "\""
       }.mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
     // intra-session the queries deliberately SHARE caches (Curate reusing
     // langId/clusters measures composition, not recompute); the drain here
     // demonstrates the bounded-memory exit path a long-lived host would use
