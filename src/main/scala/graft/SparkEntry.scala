@@ -91,6 +91,8 @@ object SparkEntry {
     "text_salient_terms"   -> (TextAnalysis.salientTerms _),
     "sketch_heavy_hitters" -> (TextAnalysis.sketchHeavyHitters _),
     "dedup_incremental"    -> (Dedup.incremental _),
+    "dedup_spans"          -> (Dedup.spanDedup _),
+    "dedup_semantic"       -> (Similarity.semanticDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1181,5 +1183,66 @@ object SparkEntry {
         |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         |ORDER BY arriving_id, existing_id""".stripMargin,
+
+    // CCNet-style span dedup: aligned 8-token spans, first occurrence
+    // (min doc_id, span_id) kept, all other occurrences dropped; per doc the
+    // kept spans are rejoined in order and digested. sum() is cast back to
+    // BIGINT (DuckDB widens integer sums to HUGEINT).
+    "dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS s,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1
+        |),
+        |sp AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS span_id,
+        |         array_to_string(s[CAST(i*8+1 AS BIGINT):CAST(least((i+1)*8, n) AS BIGINT)], ' ') AS span_text
+        |  FROM t, LATERAL (SELECT unnest(range(0, ((n - 1) // 8) + 1)) AS i)
+        |),
+        |f AS (
+        |  SELECT doc_id, span_id, span_text,
+        |         row_number() OVER (
+        |           PARTITION BY CAST(concat('0x', substr(md5(span_text),1,15)) AS BIGINT)
+        |           ORDER BY doc_id, span_id) AS rn
+        |  FROM sp
+        |)
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(concat('0x', substr(md5(coalesce(
+        |    string_agg(CASE WHEN rn = 1 THEN span_text END, ' ' ORDER BY span_id),
+        |    '')),1,15)) AS BIGINT) AS clean_digest
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: nearest-IVF-centroid cells (identical derivation to
+    // sim_topk_ivf's assigned CTE), within-cell pairs at cosine >= 0.4,
+    // dropped = higher id, keeper = min qualifying lower id
+    "dedup_semantic" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cent_id FROM (
+        |    SELECT vec_id, v, nrm, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |    FROM (
+        |      SELECT n.vec_id, n.v, n.nrm, cents.cent_id,
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |      FROM n CROSS JOIN cents))
+        |  WHERE arn = 1
+        |),
+        |pairs AS (
+        |  SELECT a.cent_id AS cell_id, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_sum([a.v[i]*b.v[i] for i in range(1,65)]) / (a.nrm*b.nrm), 6) AS cosine
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_b AS vec_id, min(id_a) AS keeper_id,
+        |  min(cell_id) AS cell_id, arg_min(cosine, id_a) AS cosine
+        |FROM pairs WHERE cosine >= 0.4
+        |GROUP BY id_b ORDER BY vec_id""".stripMargin,
   )
 }

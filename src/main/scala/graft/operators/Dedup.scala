@@ -410,6 +410,57 @@ object Dedup {
         explode(graft.functions.WordGramHashes($"toks", ContamGram)).as("gram"))
   }
 
+  // ------------------------------------------------------ span-level dedup
+
+  val SpanTokens = 8
+
+  /** CCNet-style SEGMENT-level deduplication: documents are segmented into
+    * aligned [[SpanTokens]]-token spans, and every span whose text occurs
+    * elsewhere in the corpus is dropped EXCEPT its first occurrence (first =
+    * smallest (doc_id, span_id)). This is the sub-document companion to the
+    * whole-document dedup family: boilerplate/template passages repeated
+    * across pages are removed while each document's unique content survives.
+    * Output: one row per document — (doc_id, n_spans, n_dropped,
+    * clean_digest = hash60 of the kept spans rejoined in order; "" when
+    * everything was dropped).
+    *
+    * Scale design: three linear shuffles and nothing else — (1) spans
+    * explode then groupBy span-hash with a partial-aggregated
+    * min(doc_id, span_id)/count (the shuffle moves one 8-byte hash + 16
+    * bytes of agg state per DISTINCT span, not span text); (2) the
+    * postings join back on the hash (span text rides the probe side only);
+    * (3) the per-document rebuild, whose collect_list state is bounded by
+    * document length. No pairwise anything: corpus-frequency dedup is a
+    * counting problem, not a similarity problem. At 100 TB the owner table
+    * is exactly CCNet's sharded hash table, here expressed as the natural
+    * groupBy. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+      .filter($"n" >= 1)
+    val spans = docs
+      .select($"doc_id", posexplode(transform(
+        sequence(lit(0), floor(($"n" - 1) / SpanTokens).cast("int")),
+        i => concat_ws(" ", slice($"toks", i * SpanTokens + 1, lit(SpanTokens)))))
+        .as(Seq("span_id", "span_text")))
+      .withColumn("h", hash60($"span_text"))
+    val owners = spans.groupBy($"h")
+      .agg(min(struct($"doc_id", $"span_id")).as("own"))
+    spans.join(owners, "h")
+      .withColumn("kept",
+        $"doc_id" === $"own.doc_id" && $"span_id" === $"own.span_id")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when($"kept", 0L).otherwise(1L)).as("n_dropped"),
+        hash60(concat_ws(" ", transform(
+          sort_array(collect_list(when($"kept",
+            struct($"span_id", $"span_text")))),
+          s => s.getField("span_text")))).as("clean_digest"))
+      .orderBy($"doc_id")
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   val LenBand = 16

@@ -89,27 +89,42 @@ object Similarity {
   private[graft] def ivfCellStride(n: Long): Long =
     math.max(NCentroids.toLong, math.sqrt(n.toDouble).toLong)
 
+  /** The IVF centroid set: every `stride`-th corpus vector. */
+  private def centroids(c: DataFrame, stride: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    c.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+  }
+
+  /** Nearest-centroid assignment of the whole corpus — (vec_id, v, nrm,
+    * cent_id). Broadcast centroids fan each row out ×|centroids| WITHIN its
+    * partition, and the argmax is a max_by aggregation — partial (map-side)
+    * aggregation collapses the fan-out back to one row per vector BEFORE the
+    * exchange, so the shuffle moves |corpus| rows, not |corpus|·|centroids|
+    * (a window over the replicated rows would shuffle the full fan-out).
+    * max_by on (csim, −cent_id) reproduces the (cosine desc, cent_id asc)
+    * tie-break exactly. Shared by [[topkIvf]] (probe target) and
+    * [[semanticDedup]] (cluster blocking) — the canonical "cluster once,
+    * reuse everywhere" structure of an embedding pipeline. */
+  private def assignedCells(c: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    c.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),
+        cosine6(col("v"), col("cv"), col("nrm"), col("cn")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cent_id"), struct(col("csim"), -col("cent_id"))).as("cent_id"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+  }
+
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
-    val cents = c.filter($"vec_id" % stride === 0)
-      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
-    // nearest centroid per corpus vector: broadcast centroids fan each row
-    // out ×|centroids| WITHIN its partition, and the argmax is a max_by
-    // aggregation — partial (map-side) aggregation collapses the fan-out
-    // back to one row per vector BEFORE the exchange, so the shuffle moves
-    // |corpus| rows, not |corpus|·|centroids| (a window over the replicated
-    // rows would shuffle the full fan-out). max_by on (csim, −cent_id)
-    // reproduces the (cosine desc, cent_id asc) tie-break exactly.
-    val assigned = c.join(broadcast(cents), lit(true))
-      .select($"vec_id", $"v", $"nrm", $"cent_id",
-        cosine6($"v", $"cv", $"nrm", $"cn").as("csim"))
-      .groupBy($"vec_id")
-      .agg(
-        max_by($"cent_id", struct($"csim", -$"cent_id")).as("cent_id"),
-        first($"v").as("v"), first($"nrm").as("nrm"))
-      .select($"vec_id", $"v", $"nrm", $"cent_id")
+    val cents = centroids(c, stride)
+    // shared-cached: semanticDedup assigns over the identical plan
+    val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
     // queries probe their NProbe nearest cells
     val q = c.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
@@ -130,6 +145,50 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= TopK)
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Cosine threshold for [[semanticDedup]] — pinned to the fixture's
+    * planted near-dup range (production SemDeDup on real text embeddings
+    * runs ≥ 0.95; the knob is a literal in both engines). */
+  val SemDedupCosine = NearDupCosine
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * corpus by nearest IVF centroid, compare pairs ONLY within a cluster,
+    * and drop every vector that has a sufficiently-cosine-similar
+    * lower-id keeper in its cell. Output: one row per DROPPED vector —
+    * (vec_id, keeper_id = min qualifying lower id, cell_id, cosine to that
+    * keeper, 6 dp).
+    *
+    * Scale design: the clustering reuses [[assignedCells]] (one broadcast
+    * fan-out + one |corpus|-row shuffle — shared plan, shared cache with
+    * [[topkIvf]]); the pair search is an equi-join on cent_id, so candidate
+    * volume is Σ|cell|² with |cell| ≈ √n by [[ivfCellStride]] — n^1.5
+    * total comparisons instead of n², and each cell's pairing is one
+    * shuffle partition's local work (the exact cost shape of published
+    * SemDeDup). The keeper reduction is a partial-aggregatable min/min_by
+    * per dropped id. A skewed mega-cell would concentrate one partition;
+    * production splits cells over a size cap with a salted sub-key —
+    * the within-cell pairing is closed under that refinement. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
+    val c = corpus(spark, dir)
+    val assigned = graft.sources.Caches.shared(
+      assignedCells(c, centroids(c, stride)))
+    val a = assigned.select($"cent_id", $"vec_id".as("id_a"),
+      $"v".as("va"), $"nrm".as("na"))
+    val b = assigned.select($"cent_id", $"vec_id".as("id_b"),
+      $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, "cent_id")
+      .filter($"id_a" < $"id_b")
+      .withColumn("cosine", cosine6($"va", $"vb", $"na", $"nb"))
+      .filter($"cosine" >= SemDedupCosine)
+      .groupBy($"id_b")
+      .agg(min($"id_a").as("keeper_id"),
+        min_by($"cosine", $"id_a").as("cosine"),
+        first($"cent_id").as("cell_id"))
+      .select($"id_b".as("vec_id"), $"keeper_id", $"cell_id", $"cosine")
+      .orderBy($"vec_id")
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]

@@ -138,4 +138,61 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b && a.size == 500)
   }
+
+  test("span dedup matches an exhaustive driver-side recompute") {
+    val out = Dedup.spanDedup(spark, dir)
+      .select($"doc_id", $"n_spans", $"n_dropped")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, s, d) => id -> ((s, d)) }.toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // exhaustive ground truth: first occurrence per span text across the
+    // corpus in (doc_id, span_id) order is kept, everything else drops
+    val seen = scala.collection.mutable.Set.empty[String]
+    val truth = docs.map { case (id, text) =>
+      val spans = text.split(" ", -1).grouped(Dedup.SpanTokens)
+        .map(_.mkString(" ")).toSeq
+      id -> ((spans.size.toLong, spans.count(s => !seen.add(s)).toLong))
+    }.toMap
+    assert(out.keySet == truth.keySet)
+    truth.foreach { case (id, (nSpans, nDropped)) =>
+      assert(out(id) == ((nSpans, nDropped)), s"doc $id")
+    }
+    assert(truth.values.map(_._2).sum > 0, "fixture should contain dup spans")
+  }
+
+  test("span dedup digest of an untouched doc equals the original text hash") {
+    import graft.functions.Text._
+    val joined = Dedup.spanDedup(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir), "doc_id")
+      .withColumn("orig_digest", hash60($"text"))
+    val untouched = joined.filter($"n_dropped" === 0)
+    // aligned spans rejoined with single spaces reconstruct the text exactly
+    assert(untouched.count() > 0)
+    assert(untouched.filter($"clean_digest" =!= $"orig_digest").count() == 0)
+    // and a doc that lost spans must NOT hash to its original text
+    assert(joined.filter($"n_dropped" > 0)
+      .filter($"clean_digest" === $"orig_digest").count() == 0)
+  }
+
+  test("semantic dedup drops only verified within-cell near-dups") {
+    val out = Similarity.semanticDedup(spark, dir)
+      .select($"vec_id", $"keeper_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    // keeper precedes the dropped vector and the reported cosine clears τ
+    assert(out.forall { case (v, k, c) => k < v && c >= Similarity.SemDedupCosine })
+    // dropped ids are distinct (one verdict per vector)
+    assert(out.map(_._1).distinct.length == out.length)
+    // independent cosine recompute from the raw vectors
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    out.foreach { case (v, k, c) =>
+      val (a, b) = (vecs(v).map(_.toDouble), vecs(k).map(_.toDouble))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble - c) < 1e-9,
+        s"pair ($k,$v)")
+    }
+  }
 }
