@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_incremental"    -> (Dedup.incremental _),
     "dedup_spans"          -> (Dedup.spanDedup _),
     "dedup_semantic"       -> (Similarity.semanticDedup _),
+    "dedup_bloom"          -> (Dedup.bloomContamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1244,5 +1245,39 @@ object SparkEntry {
         |  min(cell_id) AS cell_id, arg_min(cosine, id_a) AS cosine
         |FROM pairs WHERE cosine >= 0.4
         |GROUP BY id_b ORDER BY vec_id""".stripMargin,
+
+    // Bloom decontamination: the m=2^16-bit filter is DETERMINISTIC
+    // (k=4 double-hashed positions over the gram's hash60), so the oracle
+    // rebuilds the identical bitset and even the false-positive gap
+    // n_bloom_hits - n_exact_hits is hash-exact, not bounded-error
+    "dedup_bloom" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([CAST(concat('0x',substr(md5(s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]),1,15)) AS BIGINT) for i in range(1, len(s)-6)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 8
+        |),
+        |bp AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
+        |bits AS (
+        |  SELECT DISTINCT (gram % 65536 + j * ((gram // 65536) % 65536)) % 65536 AS pos
+        |  FROM bp, (SELECT unnest(range(0,4)) AS j)
+        |),
+        |c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
+        |pr AS (
+        |  SELECT doc_id, gram,
+        |    bool_and((gram % 65536 + j * ((gram // 65536) % 65536)) % 65536 IN
+        |             (SELECT pos FROM bits)) AS bloom_hit,
+        |    bool_or(gram IN (SELECT gram FROM bp)) AS exact_hit
+        |  FROM c, (SELECT unnest(range(0,4)) AS j)
+        |  GROUP BY doc_id, gram
+        |)
+        |SELECT d.doc_id, CAST(len(d.grams) AS INTEGER) AS n_grams,
+        |  CAST(count(*) FILTER (WHERE pr.bloom_hit) AS BIGINT) AS n_bloom_hits,
+        |  CAST(count(*) FILTER (WHERE pr.exact_hit) AS BIGINT) AS n_exact_hits,
+        |  count(*) FILTER (WHERE pr.exact_hit) >= 1 AS contaminated
+        |FROM (SELECT doc_id, grams FROM g WHERE doc_id % 50 <> 0) d
+        |JOIN pr ON d.doc_id = pr.doc_id
+        |GROUP BY d.doc_id, len(d.grams)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

@@ -376,6 +376,70 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  val BloomBits   = 1 << 16   // m: filter size in bits
+  val BloomHashes = 4         // k: double-hashed probe positions per gram
+
+  /** Bloom-filter decontamination — the constant-memory scale path of
+    * [[contamination]]. The exact operator broadcasts the full benchmark
+    * POSTINGS (gram, bench_id); at a production benchmark-suite size that
+    * broadcast is the binding constraint. Here the benchmark is folded into
+    * an m-bit Bloom filter (k = 4 positions per gram by Kirsch-Mitzenmacher
+    * double hashing of the gram's hash60), and every corpus gram probes the
+    * broadcast BITSET map-side — the overwhelming majority of grams die
+    * before any exchange or join, and only Bloom survivors reach the exact
+    * verification join (Bloom filters have no false negatives, so the
+    * verified result is exactly [[contamination]]'s membership). The filter
+    * build collects the distinct SET BIT positions — bounded by m = 65536
+    * regardless of benchmark size (the langid-profile collect pattern), so
+    * the broadcast is ≤ 8 KB where the postings broadcast grows with the
+    * benchmark.
+    *
+    * The filter is fully deterministic (positions are arithmetic on the
+    * portable hash60), so the oracle reconstructs the IDENTICAL bitset in
+    * SQL and every count — including the false-positive gap
+    * n_bloom_hits − n_exact_hits — is hash-exact across engines, not
+    * bounded-error. Output per corpus doc: (doc_id, n_grams, n_bloom_hits,
+    * n_exact_hits, contaminated = any exact hit). */
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= ContamGram)
+      .select($"doc_id",
+        graft.functions.WordGramHashes($"toks", ContamGram).as("grams"))
+    val bench = graft.sources.Caches.shared(
+      grams.filter($"doc_id" % ContamBenchStride === 0)
+        .select(explode($"grams").as("gram")).distinct())
+    def positions(g: Column): Seq[Column] = {
+      val h1 = g % BloomBits
+      val h2 = shiftright(g, 16) % BloomBits
+      (0 until BloomHashes).map(j => (h1 + lit(j.toLong) * h2) % BloomBits)
+    }
+    val setBits = bench
+      .select(explode(array(positions($"gram"): _*)).as("pos"))
+      .distinct().as[Long].collect()
+    val bits = Array.fill(BloomBits)(false)
+    setBits.foreach(p => bits(p.toInt) = true)
+    val bitsLit = typedLit(bits.toSeq)
+    def mightContain(g: Column): Column = positions(g)
+      .map(p => element_at(bitsLit, (p + 1).cast("int")))
+      .reduce(_ && _)
+    val corpus = grams.filter($"doc_id" % ContamBenchStride =!= 0)
+    val hits = corpus.select($"doc_id", explode($"grams").as("gram"))
+      .filter(mightContain($"gram"))
+      .join(broadcast(bench.withColumn("in_bench", lit(true))), Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bloom_hits"),
+        sum(when($"in_bench", 1L).otherwise(0L)).as("n_exact_hits"))
+    corpus.select($"doc_id", size($"grams").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_grams",
+        coalesce($"n_bloom_hits", lit(0L)).as("n_bloom_hits"),
+        coalesce($"n_exact_hits", lit(0L)).as("n_exact_hits"))
+      .withColumn("contaminated", $"n_exact_hits" >= 1)
+      .orderBy($"doc_id")
+  }
+
   /** Streaming twin of [[contamination]]: a STREAM of documents checked
     * against the static benchmark postings — a stream-static join, the shape
     * of online ingest hygiene (docs flagged as they arrive, before landing

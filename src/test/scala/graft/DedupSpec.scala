@@ -175,6 +175,21 @@ class DedupSpec extends SparkSpec {
       .filter($"clean_digest" === $"orig_digest").count() == 0)
   }
 
+  test("bloom contamination is a superset probe with no false negatives") {
+    val bloom = Dedup.bloomContamination(spark, dir)
+      .select($"doc_id", $"n_grams", $"n_bloom_hits", $"n_exact_hits")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(bloom.nonEmpty)
+    // no false negatives (exact ⊆ bloom) and hits bounded by the gram count
+    assert(bloom.forall { case (_, ng, nb, ne) => nb >= ne && nb <= ng })
+    // every pair the exact operator reports shares >= 8 grams with SOME
+    // bench doc, so the bloom op's exact count must be at least that
+    val bmap = bloom.map(r => r._1 -> r._4).toMap
+    Dedup.contamination(spark, dir)
+      .select($"doc_id", $"n_shared").as[(Long, Long)].collect()
+      .foreach { case (id, nShared) => assert(bmap(id) >= nShared, s"doc $id") }
+  }
+
   test("semantic dedup drops only verified within-cell near-dups") {
     val out = Similarity.semanticDedup(spark, dir)
       .select($"vec_id", $"keeper_id", $"cosine")
