@@ -47,6 +47,35 @@ object ScaleProbe {
         ("dedup_embedding_lsh", nVecs,
           () => Similarity.embeddingCandidates(spark, dir).count(),
           () => Similarity.nearDupEmbedding(spark, dir).count()),
+        // semantic dedup: C = within-cell scored pairs (Σ|cell|², ≈ n^1.5
+        // by the derived √n stride), O = dropped vectors
+        ("dedup_semantic", nVecs,
+          () => Similarity.semanticCandidates(spark, dir).count(),
+          () => Similarity.semanticDedup(spark, dir).count()),
+        // bloom contamination: C = bloom-SURVIVING corpus gram postings
+        // (what actually reaches the exact verify join — exact hits plus
+        // the deterministic false-positive background), O = flagged docs
+        ("dedup_bloom", nDocs,
+          () => {
+            import org.apache.spark.sql.functions.sum
+            Dedup.bloomContamination(spark, dir)
+              .agg(sum("n_bloom_hits")).collect()(0).getLong(0)
+          },
+          () => Dedup.bloomContamination(spark, dir)
+            .filter("contaminated").count()),
+        // span dedup: C = total span occurrences through the owner shuffle
+        // (linear in corpus tokens by construction), O = dropped spans
+        ("dedup_spans", nDocs,
+          () => {
+            import org.apache.spark.sql.functions.sum
+            Dedup.spanDedup(spark, dir)
+              .agg(sum("n_spans")).collect()(0).getLong(0)
+          },
+          () => {
+            import org.apache.spark.sql.functions.sum
+            Dedup.spanDedup(spark, dir)
+              .agg(sum("n_dropped")).collect()(0).getLong(0)
+          }),
         // A/B twins pinning the old compile-time constants (8-bit LSH bands,
         // 4×12 simhash): past fixture scale the derived widths must admit
         // MATERIALLY fewer background candidates than these — the measured

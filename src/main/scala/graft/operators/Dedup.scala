@@ -376,8 +376,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  val BloomBits   = 1 << 16   // m: filter size in bits
+  val BloomBits   = 1 << 16   // m floor: filter size in bits at fixture scale
   val BloomHashes = 4         // k: double-hashed probe positions per gram
+
+  /** Filter size in bits, derived from the benchmark gram count with the
+    * same fixture-floored pattern as [[simhashBandBits]] /
+    * `Similarity.lshBandBits`: a constant m would let the false-positive
+    * rate (1 − e^(−kn/m))^k climb toward 1 as the benchmark suite grows —
+    * ScaleProbe measures the surviving-gram volume growing ×73 for ×10
+    * corpus at fixed m = 2^16 precisely because the sf0.1 benchmark already
+    * loads 30 % of the bits. Deriving m ≥ 12·n (next power of two) holds
+    * ~12 bits/item ⇒ FPR ≈ 0.3 % at ANY benchmark size. The floor keeps
+    * every fixture scale (≤ 5 461 bench grams) at exactly 2^16 so the
+    * DuckDB oracle's literal bitset stays bit-identical; the 2^27 cap
+    * (16 MB broadcast) is where production would shard the filter
+    * per-executor instead of growing one literal. */
+  private[graft] def bloomBits(benchGrams: Long): Int = {
+    var m = BloomBits
+    // m/12 < n ⟺ m < 12n in integers, without overflowing 12·n
+    while (m < (1 << 27) && m.toLong / 12 < benchGrams) m <<= 1
+    m
+  }
 
   /** Bloom-filter decontamination — the constant-memory scale path of
     * [[contamination]]. The exact operator broadcasts the full benchmark
@@ -410,15 +429,19 @@ object Dedup {
     val bench = graft.sources.Caches.shared(
       grams.filter($"doc_id" % ContamBenchStride === 0)
         .select(explode($"grams").as("gram")).distinct())
+    // m derived from the benchmark size ([[bloomBits]]); == 2^16 at every
+    // fixture scale (sf0.1 benchmark: 4 457 grams, 12× = 53 484 < 2^16) so
+    // the oracle's literal-65536 arithmetic is bit-identical
+    val m = bloomBits(bench.count())
     def positions(g: Column): Seq[Column] = {
-      val h1 = g % BloomBits
-      val h2 = shiftright(g, 16) % BloomBits
-      (0 until BloomHashes).map(j => (h1 + lit(j.toLong) * h2) % BloomBits)
+      val h1 = g % m
+      val h2 = shiftright(g, 16) % m
+      (0 until BloomHashes).map(j => (h1 + lit(j.toLong) * h2) % m)
     }
     val setBits = bench
       .select(explode(array(positions($"gram"): _*)).as("pos"))
       .distinct().as[Long].collect()
-    val bits = Array.fill(BloomBits)(false)
+    val bits = Array.fill(m)(false)
     setBits.foreach(p => bits(p.toInt) = true)
     val bitsLit = typedLit(bits.toSeq)
     def mightContain(g: Column): Column = positions(g)

@@ -169,7 +169,10 @@ object Similarity {
     * per dropped id. A skewed mega-cell would concentrate one partition;
     * production splits cells over a size cap with a salted sub-key —
     * the within-cell pairing is closed under that refinement. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+  /** Within-cell scored pairs BEFORE the cosine threshold — the candidate
+    * volume [[graft.ScaleProbe]] tracks (Σ|cell|² over cells; bounded
+    * ≈ n^1.5 by the derived stride). */
+  private[graft] def semanticCandidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
@@ -182,6 +185,11 @@ object Similarity {
     a.join(b, "cent_id")
       .filter($"id_a" < $"id_b")
       .withColumn("cosine", cosine6($"va", $"vb", $"na", $"nb"))
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    semanticCandidates(spark, dir)
       .filter($"cosine" >= SemDedupCosine)
       .groupBy($"id_b")
       .agg(min($"id_a").as("keeper_id"),

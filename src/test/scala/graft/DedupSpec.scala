@@ -190,6 +190,18 @@ class DedupSpec extends SparkSpec {
       .foreach { case (id, nShared) => assert(bmap(id) >= nShared, s"doc $id") }
   }
 
+  test("bloom filter size derives from benchmark size above the fixture floor") {
+    // every fixture scale stays at the floor (oracle arithmetic unchanged)
+    assert(Dedup.bloomBits(347) == 65536)
+    assert(Dedup.bloomBits(4457) == 65536)
+    assert(Dedup.bloomBits(65536 / 12) == 65536)
+    // past the floor: next power of two holding >= 12 bits per item
+    assert(Dedup.bloomBits(65536 / 12 + 1) == 131072)
+    assert(Dedup.bloomBits(100000) == 1 << 21)
+    // capped where production shards the filter instead
+    assert(Dedup.bloomBits(Long.MaxValue / 16) == 1 << 27)
+  }
+
   test("semantic dedup drops only verified within-cell near-dups") {
     val out = Similarity.semanticDedup(spark, dir)
       .select($"vec_id", $"keeper_id", $"cosine")
