@@ -521,18 +521,23 @@ object Dedup {
     * counting problem, not a similarity problem. At 100 TB the owner table
     * is exactly CCNet's sharded hash table, here expressed as the natural
     * groupBy. */
+  /** Per-row span explode of any (doc_id, text) relation — a pure
+    * projection (like [[signRows]]), so it applies identically to the batch
+    * corpus and to an arriving micro-batch in [[spanDedupStream]]. */
+  private def spanRows(rows: DataFrame): DataFrame =
+    rows
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), floor((col("n") - 1) / SpanTokens).cast("int")),
+        i => concat_ws(" ", slice(col("toks"), i * SpanTokens + 1, lit(SpanTokens)))))
+        .as(Seq("span_id", "span_text")))
+      .withColumn("h", hash60(col("span_text")))
+
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", tokens($"text").as("toks"))
-      .withColumn("n", size($"toks"))
-      .filter($"n" >= 1)
-    val spans = docs
-      .select($"doc_id", posexplode(transform(
-        sequence(lit(0), floor(($"n" - 1) / SpanTokens).cast("int")),
-        i => concat_ws(" ", slice($"toks", i * SpanTokens + 1, lit(SpanTokens)))))
-        .as(Seq("span_id", "span_text")))
-      .withColumn("h", hash60($"span_text"))
+    val spans = spanRows(Tables.spread(Tables.documents(spark, dir)))
     val owners = spans.groupBy($"h")
       .agg(min(struct($"doc_id", $"span_id")).as("own"))
     spans.join(owners, "h")
@@ -546,6 +551,38 @@ object Dedup {
             struct($"span_id", $"span_text")))),
           s => s.getField("span_text")))).as("clean_digest"))
       .orderBy($"doc_id")
+  }
+
+  /** The static corpus side for [[spanDedupStream]]: every distinct span
+    * hash already present in the corpus. */
+  def spanCorpusHashes(spark: SparkSession, dir: String): DataFrame =
+    spanRows(Tables.documents(spark, dir)).select(col("h")).distinct()
+
+  /** Streaming twin of [[spanDedup]]: arriving (doc_id, text) documents are
+    * span-exploded PER ROW (pure projection, no stream state) and each span
+    * is checked against the STATIC corpus span-hash table — the ingest-time
+    * shape of segment dedup, where a new crawl batch sheds the boilerplate
+    * the corpus already holds before landing. Spans whose hash exists in
+    * the corpus are dropped (the corpus occurrence is the keeper by
+    * definition — it precedes anything arriving); the per-doc rebuild is an
+    * update-mode aggregation keyed by doc_id, bounded because one doc's
+    * spans arrive in one batch.
+    *
+    * Scale posture: the demo broadcasts the hash table like
+    * [[contaminationStream]]; at corpus scale the same plan is a
+    * stream-static SHUFFLE join on h against a bucketed corpus hash table,
+    * with only the arriving batch's spans moving. */
+  def spanDedupStream(docStream: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    spanRows(docStream)
+      .join(broadcast(corpusHashes.withColumn("in_corpus", lit(true))),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("in_corpus"), 1L).otherwise(0L)).as("n_dropped"),
+        hash60(concat_ws(" ", transform(
+          sort_array(collect_list(when(col("in_corpus").isNull,
+            struct(col("span_id"), col("span_text"))))),
+          s => s.getField("span_text")))).as("clean_digest"))
   }
 
   // ------------------------------------------------------- n-gram Jaccard

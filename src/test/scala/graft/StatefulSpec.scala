@@ -201,6 +201,37 @@ class StatefulSpec extends SparkSpec {
     assert(!flagged.exists(_._1 == 99998L), flagged.toSeq.toString)
   }
 
+  test("stream-static span dedup sheds corpus spans from arriving docs") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = sf("sf0.01")
+    val hashes = Dedup.spanCorpusHashes(spark, dir)
+    // an exact copy of corpus doc 7 arrives (every span already owned by the
+    // corpus → all dropped); a vocabulary-disjoint doc keeps everything
+    val copied = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" === 7).select($"text").as[String].head()
+    val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.spanDedupStream(in.toDF().toDF("doc_id", "text"), hashes)
+      .writeStream.format("memory").queryName("spandd").outputMode("update").start()
+    in.addData((99999L, copied), (99998L, noise))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("spandd")
+      .select($"doc_id", $"n_spans", $"n_dropped", $"clean_digest")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    import org.apache.spark.sql.functions.lit
+    val emptyDigest = spark.range(1)
+      .select(graft.functions.Text.hash60(lit("")).as("d")).as[Long].head()
+    val noiseDigest = spark.range(1)
+      .select(graft.functions.Text.hash60(lit(noise)).as("d")).as[Long].head()
+    val copy = out(99999L)
+    assert(copy._2 > 0 && copy._3 == copy._2, s"copy must shed all spans: $copy")
+    assert(copy._4 == emptyDigest)
+    val fresh = out(99998L)
+    assert(fresh._3 == 0L && fresh._4 == noiseDigest, s"fresh doc untouched: $fresh")
+  }
+
   test("batch and streaming session semantics agree on closed sessions") {
     import graft.operators.Windows
     // batch twin over the same fixture events
