@@ -537,7 +537,9 @@ object Dedup {
 
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val spans = spanRows(Tables.spread(Tables.documents(spark, dir)))
+    // both join sides (owner groupBy + probe) read the spans: materialize once
+    val spans = graft.sources.Caches.shared(
+      spanRows(Tables.spread(Tables.documents(spark, dir))))
     val owners = spans.groupBy($"h")
       .agg(min(struct($"doc_id", $"span_id")).as("own"))
     spans.join(owners, "h")
