@@ -98,12 +98,13 @@ object Bench {
       }
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    // ms precision keeps the one-line contract short: the harness that reads
-    // this line retains only the final ~2000 chars of output, and at 66+
-    // queries full double precision overflowed that window (the r6 line lost
-    // its '{"metric":' prefix and failed to parse). 3 decimals ≈ 1 ms, far
-    // below the run-to-run noise of any query here.
-    def fmt(d: Double): String = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // 2-decimal (10 ms) precision keeps the one-line contract short: the
+    // harness that reads this line retains only the final ~2000 chars of
+    // output, and at 66+ queries full double precision overflowed that
+    // window (the r6 line lost its '{"metric":' prefix and failed to
+    // parse). 10 ms is far below the run-to-run noise of any query here;
+    // ContractSpec pins the worst-case line length as the query set grows.
+    def fmt(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(fmt) }
       .mkString("{", ",", "}")
     val total = results.values.flatten.sum

@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_spans"          -> (Dedup.spanDedup _),
     "dedup_semantic"       -> (Similarity.semanticDedup _),
     "dedup_bloom"          -> (Dedup.bloomContamination _),
+    "text_bm25_topk"       -> (TextAnalysis.bm25TopK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1279,5 +1280,37 @@ object SparkEntry {
         |JOIN pr ON d.doc_id = pr.doc_id
         |GROUP BY d.doc_id, len(d.grams)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // BM25 top-10 retrieval: every 100th doc queries with its 8 rarest
+    // distinct tokens (df asc, tok asc); Robertson idf, k1=1.2, b=0.75;
+    // scores rounded 6dp BEFORE ranking so the tie-break is engine-stable.
+    // Expression shapes mirror the Spark side exactly (same association
+    // order, (1.2 + 1) folded in double on both engines)
+    "text_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl FROM t),
+        |d AS (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM t),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d GROUP BY doc_id, dl, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |q AS (
+        |  SELECT query_id, tok, df FROM (
+        |    SELECT tf.doc_id AS query_id, tf.tok, dfq.df,
+        |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfq.df ASC, tf.tok ASC) AS qrn
+        |    FROM tf JOIN dfq USING (tok) WHERE tf.doc_id % 100 = 0)
+        |  WHERE qrn <= 8
+        |),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1.0 + (n - q.df + 0.5) / (q.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS score
+        |  FROM tf JOIN q USING (tok) CROSS JOIN stats
+        |  WHERE tf.doc_id <> q.query_id
+        |  GROUP BY q.query_id, tf.doc_id
+        |)
+        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -333,6 +333,66 @@ object TextAnalysis {
       .orderBy($"doc_id", $"rank")
   }
 
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25QueryStride = 100
+  val Bm25QueryTerms = 8
+  val Bm25K = 10
+
+  /** BM25 top-k retrieval over an inverted index — the search half of a
+    * curation stack (find the corpus documents most relevant to a probe
+    * document: nearest-neighbor in lexical space, the sparse companion to
+    * [[Similarity.topkBruteForce]]'s dense ANN). Every
+    * [[Bm25QueryStride]]-th document queries the corpus with its
+    * [[Bm25QueryTerms]] RAREST distinct tokens (df ascending, token
+    * ascending — the idf-pruning every production engine applies, taken to
+    * its deterministic extreme; BM25's per-term sum only collects matching
+    * terms, so scoring via the postings join is exact for the pruned term
+    * set). Scores use the standard Robertson formulation with k1 = 1.2,
+    * b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½)), rounded 6 dp before
+    * ranking so the tie-break (score desc, doc_id asc) is engine-stable.
+    *
+    * Scale shape: tf is one (doc, token)-keyed count with map-side partial
+    * aggregation (the [[salientTerms]] index, reused structure); df
+    * re-aggregates it to vocabulary size; the query-term table is tiny by
+    * construction (|queries|·8 rows) and BROADCAST against the postings,
+    * so candidate volume is Σ df(rarest query terms) — the short posting
+    * lists, never the stopword lists, and never |queries| × |corpus|. The
+    * N/avgdl scalars are one metadata-cheap aggregate (the langid-profile
+    * collect pattern). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("dl"))
+    val (nDocs, avgdl) = docs
+      .agg(count(lit(1)).cast("double"), avg($"dl")).as[(Double, Double)].head()
+    val tf = graft.sources.Caches.shared(
+      docs.select($"doc_id", $"dl", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val qterms = tf.filter($"doc_id" % Bm25QueryStride === 0)
+      .select($"doc_id".as("query_id"), $"tok")
+      .join(broadcast(dfreq), "tok")
+      .withColumn("qrn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"df".asc, $"tok".asc)))
+      .filter($"qrn" <= Bm25QueryTerms)
+      .select($"query_id", $"tok", $"df")
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
+    val scored = tf.join(broadcast(qterms), "tok")
+      .filter($"doc_id" =!= $"query_id")
+      .withColumn("contrib", idf * ($"tf" * lit(Bm25K1 + 1)) /
+        ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / lit(avgdl))))
+      .groupBy($"query_id", $"doc_id")
+      .agg(round(sum($"contrib"), 6).as("score"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rank" <= Bm25K)
+      .select($"query_id", $"doc_id", $"rank", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
   val HeavyK = 50
   val CmsEps = 0.001
   val CmsConfidence = 0.999

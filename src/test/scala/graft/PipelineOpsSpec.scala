@@ -73,4 +73,44 @@ class PipelineOpsSpec extends SparkSpec {
     val b = Sampling.mixture(spark, dir).select($"doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("bm25 retrieval ranks are dense, ordered, positive, and never self") {
+    import graft.operators.TextAnalysis
+    val rows = TextAnalysis.bm25TopK(spark, dir)
+      .select($"query_id", $"doc_id", $"rank", $"score")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, d, _, s) => q != d && s > 0 })
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._3)
+      // ranks are 1..n with scores non-increasing under the rank order
+      assert(sorted.map(_._3).toSeq == (1 to rs.length).toSeq, s"query $q ranks")
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4
+        case _ => true
+      }, s"query $q score order")
+      assert(rs.length <= TextAnalysis.Bm25K)
+    }
+    // independent recompute of the query-term selection: every retrieved
+    // doc must share at least one of its query's 8 rarest tokens (it can
+    // only enter through the postings join). NOTE deliberately NOT
+    // asserted: "a minhash near-dup of the query ranks in its top-k" — the
+    // fixture's vocabulary is flat (every token df ≈ N), so idf barely
+    // separates a near-dup from background docs sharing the same common
+    // tokens with luckier tf/dl; the DuckDB oracle pins the exact ranking.
+    val toksById = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val dfMap = toksById.values.flatMap(_.distinct)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rare = toksById.collect {
+      case (id, ts) if id % TextAnalysis.Bm25QueryStride == 0 =>
+        id -> ts.distinct.sortBy(t => (dfMap(t), t))
+          .take(TextAnalysis.Bm25QueryTerms).toSet
+    }
+    rows.foreach { case (q, d, _, _) =>
+      assert(toksById(d).exists(rare(q)),
+        s"doc $d retrieved for query $q without sharing a rare term")
+    }
+  }
 }
