@@ -63,6 +63,11 @@ object ScaleProbe {
           },
           () => Dedup.bloomContamination(spark, dir)
             .filter("contaminated").count()),
+        // bm25: C = scored (query, doc) pairs from the rare-term postings
+        // join (Σ df over idf-pruned query terms), O = emitted top-k rows
+        ("text_bm25_topk", nDocs,
+          () => graft.operators.TextAnalysis.bm25Candidates(spark, dir).count(),
+          () => graft.operators.TextAnalysis.bm25TopK(spark, dir).count()),
         // span dedup: C = total span occurrences through the owner shuffle
         // (linear in corpus tokens by construction), O = dropped spans
         ("dedup_spans", nDocs,

@@ -360,7 +360,10 @@ object TextAnalysis {
     * lists, never the stopword lists, and never |queries| × |corpus|. The
     * N/avgdl scalars are one metadata-cheap aggregate (the langid-profile
     * collect pattern). */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+  /** Scored (query, doc) pairs BEFORE the top-k cut — the postings-join
+    * volume [[graft.ScaleProbe]] tracks (= Σ df over the rarest query
+    * terms; the quantity idf pruning keeps off the stopword lists). */
+  private[graft] def bm25Candidates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
@@ -380,13 +383,18 @@ object TextAnalysis {
       .select($"query_id", $"tok", $"df")
     val idf = log(lit(1.0) +
       (lit(nDocs) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
-    val scored = tf.join(broadcast(qterms), "tok")
+    tf.join(broadcast(qterms), "tok")
       .filter($"doc_id" =!= $"query_id")
       .withColumn("contrib", idf * ($"tf" * lit(Bm25K1 + 1)) /
         ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / lit(avgdl))))
       .groupBy($"query_id", $"doc_id")
       .agg(round(sum($"contrib"), 6).as("score"))
-    scored.withColumn("rank", row_number().over(
+  }
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    bm25Candidates(spark, dir)
+      .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
       .filter($"rank" <= Bm25K)
       .select($"query_id", $"doc_id", $"rank", $"score")
