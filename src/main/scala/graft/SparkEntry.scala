@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_semantic"       -> (Similarity.semanticDedup _),
     "dedup_bloom"          -> (Dedup.bloomContamination _),
     "text_bm25_topk"       -> (TextAnalysis.bm25TopK _),
+    "sim_kmeans"           -> (Similarity.kmeans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1312,5 +1313,60 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // k-means, 2 unrolled Lloyd rounds: seeds = vec_id % 200, cosine
+    // assignment (6dp, tie → lower cent_id), dim-wise means ROUNDED 6dp
+    // before reuse (re-pins both engines to identical centroids each
+    // round); output = final-round membership + checksums of the means
+    "sim_kmeans" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |c0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |a1 AS (
+        |  SELECT vec_id, v, cent_id FROM (
+        |    SELECT vec_id, v, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |    FROM (
+        |      SELECT n.vec_id, n.v, c0.cent_id,
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |      FROM n CROSS JOIN c0))
+        |  WHERE arn = 1
+        |),
+        |m1 AS (
+        |  SELECT cent_id, dim, round(avg(x), 6) AS m
+        |  FROM (SELECT cent_id, i - 1 AS dim, v[i] AS x
+        |        FROM a1, (SELECT unnest(range(1,65)) AS i))
+        |  GROUP BY cent_id, dim
+        |),
+        |c1 AS (
+        |  SELECT cent_id, cv, sqrt(list_sum([y*y for y in cv])) AS cn
+        |  FROM (SELECT cent_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cent_id)
+        |),
+        |a2 AS (
+        |  SELECT vec_id, v, cent_id FROM (
+        |    SELECT vec_id, v, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |    FROM (
+        |      SELECT n.vec_id, n.v, c1.cent_id,
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |      FROM n CROSS JOIN c1))
+        |  WHERE arn = 1
+        |),
+        |m2 AS (
+        |  SELECT cent_id, dim, round(avg(x), 6) AS m
+        |  FROM (SELECT cent_id, i - 1 AS dim, v[i] AS x
+        |        FROM a2, (SELECT unnest(range(1,65)) AS i))
+        |  GROUP BY cent_id, dim
+        |),
+        |c2 AS (SELECT cent_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY cent_id),
+        |counts AS (SELECT cent_id, count(*) AS n_members FROM a2 GROUP BY cent_id)
+        |SELECT c2.cent_id AS cluster_id, counts.n_members,
+        |  round(list_sum([y for y in cv]), 6) AS csum,
+        |  round(list_sum([y*y for y in cv]), 6) AS csumsq
+        |FROM c2 JOIN counts ON c2.cent_id = counts.cent_id
+        |ORDER BY cluster_id""".stripMargin,
   )
 }

@@ -199,6 +199,53 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  val KmeansIters = 2
+
+  /** Distributed k-means (Lloyd) over the embedding corpus — the clustering
+    * primitive the IVF index and [[semanticDedup]] presuppose (their
+    * centroid SEEDS are every `stride`-th vector; this operator runs the
+    * refinement those seeds would get in production). [[KmeansIters]]
+    * assignment→mean rounds, each: (1) nearest-centroid assignment by
+    * cosine ([[assignedCells]] — broadcast centroids, map-side max_by
+    * collapse, one |corpus|-row shuffle); (2) dim-wise arithmetic mean per
+    * cluster, ROUNDED 6 dp before reuse so both engines iterate from
+    * bit-identical centroids (double summation order across partitions is
+    * the one nondeterminism; rounding re-pins it each round, the
+    * [[labelCentroids]] convention). Output per surviving cluster:
+    * (cluster_id = seeding centroid's vec_id, n_members, centroid sum /
+    * sum-of-squares checksums over the rounded means — 64 dims pinned in
+    * two columns, the [[quantizeInt8]] convention).
+    *
+    * Scale shape per iteration: centroid fan-out is broadcast (k ≈ √n by
+    * [[ivfCellStride]]), the mean is a (cluster, dim)-keyed partial
+    * aggregation — shuffles move k·dims doubles, never vectors; iterations
+    * are a driver-side loop over fully-distributed rounds (no data through
+    * the driver). Empty clusters drop out, exactly as in textbook Lloyd. */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
+    val c = graft.sources.Caches.shared(corpus(spark, dir))
+    var cents = centroids(c, stride)
+    var assigned: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      assigned = assignedCells(c, cents)
+      val means = assigned
+        .select($"cent_id", posexplode($"v").as(Seq("dim", "x")))
+        .groupBy($"cent_id", $"dim").agg(round(avg($"x"), 6).as("m"))
+        .groupBy($"cent_id")
+        .agg(transform(sort_array(collect_list(struct($"dim", $"m"))),
+          s => s.getField("m")).as("cv"))
+      cents = means.select($"cent_id", $"cv", norm($"cv").as("cn"))
+    }
+    val counts = assigned.groupBy($"cent_id")
+      .agg(count(lit(1)).as("n_members"))
+    counts.join(cents, "cent_id")
+      .select($"cent_id".as("cluster_id"), $"n_members",
+        round(aggregate($"cv", lit(0.0), (a, x) => a + x), 6).as("csum"),
+        round(aggregate($"cv", lit(0.0), (a, x) => a + x * x), 6).as("csumsq"))
+      .orderBy($"cluster_id")
+  }
+
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]
     * Aggregator (UDAF surface): one 64-double buffer per (label × partition)
     * through the shuffle, exploded to scalar (label, dim, value) rows and

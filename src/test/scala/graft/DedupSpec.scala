@@ -175,6 +175,26 @@ class DedupSpec extends SparkSpec {
       .filter($"clean_digest" === $"orig_digest").count() == 0)
   }
 
+  test("kmeans partitions the whole corpus over the seeded clusters") {
+    val rows = Similarity.kmeans(spark, dir)
+      .select($"cluster_id", $"n_members", $"csum", $"csumsq")
+      .as[(Long, Long, Double, Double)].collect()
+    val nVecs = graft.sources.Tables.embeddings(spark, dir).count()
+    val nSeeds = graft.sources.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 200 === 0).count()
+    // every vector lands in exactly one surviving cluster; clusters only
+    // ever shrink from the seed set (empty ones drop, none appear)
+    assert(rows.map(_._2).sum == nVecs)
+    assert(rows.length <= nSeeds && rows.nonEmpty)
+    assert(rows.forall { case (_, n, _, sq) => n > 0 && sq > 0 })
+    // deterministic under recomputation (fixed seeds, fixed iterations,
+    // 6dp-rounded means)
+    val again = Similarity.kmeans(spark, dir)
+      .select($"cluster_id", $"n_members", $"csum", $"csumsq")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("bloom contamination is a superset probe with no false negatives") {
     val bloom = Dedup.bloomContamination(spark, dir)
       .select($"doc_id", $"n_grams", $"n_bloom_hits", $"n_exact_hits")
