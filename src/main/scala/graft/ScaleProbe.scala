@@ -63,6 +63,19 @@ object ScaleProbe {
           },
           () => Dedup.bloomContamination(spark, dir)
             .filter("contaminated").count()),
+        // A/B twin pinning the old 2^16 constant: past the fixture floor
+        // the derived m must admit MATERIALLY fewer false-positive
+        // survivors (at the sparse 40k fixture's 50k-gram benchmark a
+        // fixed 2^16 filter is 95% loaded — FPR ≈ 0.82, the filter is
+        // effectively transparent)
+        ("dedup_bloom_fixed16", nDocs,
+          () => {
+            import org.apache.spark.sql.functions.sum
+            Dedup.bloomContaminationImpl(spark, dir, Some(1 << 16))
+              .agg(sum("n_bloom_hits")).collect()(0).getLong(0)
+          },
+          () => Dedup.bloomContaminationImpl(spark, dir, Some(1 << 16))
+            .filter("contaminated").count()),
         // bm25: C = scored (query, doc) pairs from the rare-term postings
         // join (Σ df over idf-pruned query terms), O = emitted top-k rows
         ("text_bm25_topk", nDocs,

@@ -419,7 +419,13 @@ object Dedup {
     * n_bloom_hits − n_exact_hits — is hash-exact across engines, not
     * bounded-error. Output per corpus doc: (doc_id, n_grams, n_bloom_hits,
     * n_exact_hits, contaminated = any exact hit). */
-  def bloomContamination(spark: SparkSession, dir: String): DataFrame = {
+  def bloomContamination(spark: SparkSession, dir: String): DataFrame =
+    bloomContaminationImpl(spark, dir, None)
+
+  /** `forceBits` exists for ScaleProbe A/Bs only (measuring the derived m
+    * against a forced constant); operators always derive. */
+  private[graft] def bloomContaminationImpl(spark: SparkSession, dir: String,
+      forceBits: Option[Int]): DataFrame = {
     import spark.implicits._
     val grams = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
@@ -432,7 +438,7 @@ object Dedup {
     // m derived from the benchmark size ([[bloomBits]]); == 2^16 at every
     // fixture scale (sf0.1 benchmark: 4 457 grams, 12× = 53 484 < 2^16) so
     // the oracle's literal-65536 arithmetic is bit-identical
-    val m = bloomBits(bench.count())
+    val m = forceBits.getOrElse(bloomBits(bench.count()))
     def positions(g: Column): Seq[Column] = {
       val h1 = g % m
       val h2 = shiftright(g, 16) % m
