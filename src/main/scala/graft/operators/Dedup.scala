@@ -398,6 +398,27 @@ object Dedup {
     m
   }
 
+  /** The k probe positions of gram hash `g` in an m-bit filter
+    * (Kirsch-Mitzenmacher double hashing over the portable hash60). */
+  private def bloomPositions(g: Column, m: Int): Seq[Column] = {
+    val h1 = g % m
+    val h2 = shiftright(g, 16) % m
+    (0 until BloomHashes).map(j => (h1 + lit(j.toLong) * h2) % m)
+  }
+
+  /** Materialize the m-bit filter over a `gram` column. The collect is the
+    * distinct SET-BIT positions — bounded by m regardless of input size. */
+  private def buildBloom(grams: DataFrame, m: Int): Seq[Boolean] = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val setBits = grams
+      .select(explode(array(bloomPositions(col("gram"), m): _*)).as("pos"))
+      .distinct().as[Long].collect()
+    val bits = Array.fill(m)(false)
+    setBits.foreach(p => bits(p.toInt) = true)
+    bits.toSeq
+  }
+
   /** Bloom-filter decontamination — the constant-memory scale path of
     * [[contamination]]. The exact operator broadcasts the full benchmark
     * POSTINGS (gram, bench_id); at a production benchmark-suite size that
@@ -439,18 +460,9 @@ object Dedup {
     // fixture scale (sf0.1 benchmark: 4 457 grams, 12× = 53 484 < 2^16) so
     // the oracle's literal-65536 arithmetic is bit-identical
     val m = forceBits.getOrElse(bloomBits(bench.count()))
-    def positions(g: Column): Seq[Column] = {
-      val h1 = g % m
-      val h2 = shiftright(g, 16) % m
-      (0 until BloomHashes).map(j => (h1 + lit(j.toLong) * h2) % m)
-    }
-    val setBits = bench
-      .select(explode(array(positions($"gram"): _*)).as("pos"))
-      .distinct().as[Long].collect()
-    val bits = Array.fill(m)(false)
-    setBits.foreach(p => bits(p.toInt) = true)
-    val bitsLit = typedLit(bits.toSeq)
-    def mightContain(g: Column): Column = positions(g)
+    val bits = buildBloom(bench, m)
+    val bitsLit = typedLit(bits)
+    def mightContain(g: Column): Column = bloomPositions(g, m)
       .map(p => element_at(bitsLit, (p + 1).cast("int")))
       .reduce(_ && _)
     val corpus = grams.filter($"doc_id" % ContamBenchStride =!= 0)
@@ -467,6 +479,48 @@ object Dedup {
         coalesce($"n_exact_hits", lit(0L)).as("n_exact_hits"))
       .withColumn("contaminated", $"n_exact_hits" >= 1)
       .orderBy($"doc_id")
+  }
+
+  /** The static side for [[bloomContaminationStream]]: the materialized
+    * bitset plus the distinct benchmark grams for exact verification. */
+  def bloomBenchStatics(spark: SparkSession, dir: String): (Seq[Boolean], DataFrame) = {
+    import spark.implicits._
+    val bench = graft.sources.Caches.shared(
+      Tables.documents(spark, dir)
+        .filter($"doc_id" % ContamBenchStride === 0)
+        .select($"doc_id", tokens($"text").as("toks"))
+        .filter(size($"toks") >= ContamGram)
+        .select(explode(
+          graft.functions.WordGramHashes($"toks", ContamGram)).as("gram"))
+        .distinct())
+    (buildBloom(bench, bloomBits(bench.count())), bench)
+  }
+
+  /** Streaming twin of [[bloomContamination]] — constant-memory ingest
+    * hygiene: each arriving document's grams probe the literal bitset
+    * MAP-SIDE (a pure projection over the micro-batch; no stream state, no
+    * broadcast that grows with the benchmark), and only Bloom survivors
+    * reach the exact stream-static verification join. Update-mode counts
+    * keyed by doc_id, bounded because a doc's grams arrive in one batch.
+    * Flags docs with ≥ 1 exact benchmark gram. */
+  def bloomContaminationStream(docStream: DataFrame,
+      bits: Seq[Boolean], bench: DataFrame): DataFrame = {
+    val m = bits.length
+    val bitsLit = typedLit(bits)
+    def mightContain(g: Column): Column = bloomPositions(g, m)
+      .map(p => element_at(bitsLit, (p + 1).cast("int")))
+      .reduce(_ && _)
+    docStream
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ContamGram)
+      .select(col("doc_id"),
+        explode(graft.functions.WordGramHashes(col("toks"), ContamGram)).as("gram"))
+      .filter(mightContain(col("gram")))
+      .join(broadcast(bench.withColumn("in_bench", lit(true))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bloom_hits"),
+        sum(when(col("in_bench"), 1L).otherwise(0L)).as("n_exact_hits"))
+      .filter(col("n_exact_hits") >= 1)
   }
 
   /** Streaming twin of [[contamination]]: a STREAM of documents checked

@@ -201,6 +201,33 @@ class StatefulSpec extends SparkSpec {
     assert(!flagged.exists(_._1 == 99998L), flagged.toSeq.toString)
   }
 
+  test("stream bloom contamination flags arriving docs through the bitset probe") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = sf("sf0.01")
+    val (bits, bench) = Dedup.bloomBenchStatics(spark, dir)
+    // doc 92 shares 18 8-grams with bench doc 450 (the known contamination);
+    // a vocabulary-disjoint doc must die at the bloom probe
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id".isin(92, 1))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.bloomContaminationStream(in.toDF().toDF("doc_id", "text"), bits, bench)
+      .writeStream.format("memory").queryName("bloomc").outputMode("update").start()
+    in.addData(docs.toIndexedSeq :+ ((99998L, noise)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("bloomc")
+      .select($"doc_id", $"n_bloom_hits", $"n_exact_hits")
+      .as[(Long, Long, Long)].collect()
+    assert(flagged.map(_._1).toSet == Set(92L), flagged.toSeq.toString)
+    val f92 = flagged.find(_._1 == 92L).get
+    // no false negatives: the exact count matches the batch operator's 18,
+    // and bloom hits dominate it
+    assert(f92._3 == 18L && f92._2 >= f92._3)
+  }
+
   test("stream-static span dedup sheds corpus spans from arriving docs") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Dedup
