@@ -1261,13 +1261,13 @@ object SparkEntry {
         |),
         |bp AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0),
         |bits AS (
-        |  SELECT DISTINCT (gram % 65536 + j * ((gram // 65536) % 65536)) % 65536 AS pos
+        |  SELECT DISTINCT (gram % 65536 + j * ((gram // 1073741824) % 65536)) % 65536 AS pos
         |  FROM bp, (SELECT unnest(range(0,4)) AS j)
         |),
         |c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 50 <> 0),
         |pr AS (
         |  SELECT doc_id, gram,
-        |    bool_and((gram % 65536 + j * ((gram // 65536) % 65536)) % 65536 IN
+        |    bool_and((gram % 65536 + j * ((gram // 1073741824) % 65536)) % 65536 IN
         |             (SELECT pos FROM bits)) AS bloom_hit,
         |    bool_or(gram IN (SELECT gram FROM bp)) AS exact_hit
         |  FROM c, (SELECT unnest(range(0,4)) AS j)

@@ -399,10 +399,13 @@ object Dedup {
   }
 
   /** The k probe positions of gram hash `g` in an m-bit filter
-    * (Kirsch-Mitzenmacher double hashing over the portable hash60). */
+    * (Kirsch-Mitzenmacher double hashing over the portable hash60).
+    * h1 reads the low bits, h2 bits 30..57 — disjoint for every m up to
+    * the 2^27 cap, so the two hashes stay independent as m derives upward
+    * (overlapping bit ranges correlate the probes and cost real FPR). */
   private def bloomPositions(g: Column, m: Int): Seq[Column] = {
     val h1 = g % m
-    val h2 = shiftright(g, 16) % m
+    val h2 = shiftright(g, 30) % m
     (0 until BloomHashes).map(j => (h1 + lit(j.toLong) * h2) % m)
   }
 
@@ -429,10 +432,11 @@ object Dedup {
     * before any exchange or join, and only Bloom survivors reach the exact
     * verification join (Bloom filters have no false negatives, so the
     * verified result is exactly [[contamination]]'s membership). The filter
-    * build collects the distinct SET BIT positions — bounded by m = 65536
+    * build collects the distinct SET BIT positions — bounded by m
     * regardless of benchmark size (the langid-profile collect pattern), so
-    * the broadcast is ≤ 8 KB where the postings broadcast grows with the
-    * benchmark.
+    * the broadcast is ≤ 8 KB at the fixture-scale floor and capped at
+    * 16 MB by [[bloomBits]], where the postings broadcast grows without
+    * bound with the benchmark.
     *
     * The filter is fully deterministic (positions are arithmetic on the
     * portable hash60), so the oracle reconstructs the IDENTICAL bitset in
