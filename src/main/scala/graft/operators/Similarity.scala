@@ -152,23 +152,6 @@ object Similarity {
     * runs ≥ 0.95; the knob is a literal in both engines). */
   val SemDedupCosine = NearDupCosine
 
-  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
-    * corpus by nearest IVF centroid, compare pairs ONLY within a cluster,
-    * and drop every vector that has a sufficiently-cosine-similar
-    * lower-id keeper in its cell. Output: one row per DROPPED vector —
-    * (vec_id, keeper_id = min qualifying lower id, cell_id, cosine to that
-    * keeper, 6 dp).
-    *
-    * Scale design: the clustering reuses [[assignedCells]] (one broadcast
-    * fan-out + one |corpus|-row shuffle — shared plan, shared cache with
-    * [[topkIvf]]); the pair search is an equi-join on cent_id, so candidate
-    * volume is Σ|cell|² with |cell| ≈ √n by [[ivfCellStride]] — n^1.5
-    * total comparisons instead of n², and each cell's pairing is one
-    * shuffle partition's local work (the exact cost shape of published
-    * SemDeDup). The keeper reduction is a partial-aggregatable min/min_by
-    * per dropped id. A skewed mega-cell would concentrate one partition;
-    * production splits cells over a size cap with a salted sub-key —
-    * the within-cell pairing is closed under that refinement. */
   /** Within-cell scored pairs BEFORE the cosine threshold — the candidate
     * volume [[graft.ScaleProbe]] tracks (Σ|cell|² over cells; bounded
     * ≈ n^1.5 by the derived stride). */
@@ -187,6 +170,23 @@ object Similarity {
       .withColumn("cosine", cosine6($"va", $"vb", $"na", $"nb"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * corpus by nearest IVF centroid, compare pairs ONLY within a cluster,
+    * and drop every vector that has a sufficiently-cosine-similar
+    * lower-id keeper in its cell. Output: one row per DROPPED vector —
+    * (vec_id, keeper_id = min qualifying lower id, cell_id, cosine to that
+    * keeper, 6 dp).
+    *
+    * Scale design: the clustering reuses [[assignedCells]] (one broadcast
+    * fan-out + one |corpus|-row shuffle — shared plan, shared cache with
+    * [[topkIvf]]); the pair search is an equi-join on cent_id, so candidate
+    * volume is Σ|cell|² with |cell| ≈ √n by [[ivfCellStride]] — n^1.5
+    * total comparisons instead of n², and each cell's pairing is one
+    * shuffle partition's local work (the exact cost shape of published
+    * SemDeDup). The keeper reduction is a partial-aggregatable min/min_by
+    * per dropped id. A skewed mega-cell would concentrate one partition;
+    * production splits cells over a size cap with a salted sub-key —
+    * the within-cell pairing is closed under that refinement. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     semanticCandidates(spark, dir)

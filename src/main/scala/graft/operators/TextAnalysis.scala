@@ -339,27 +339,6 @@ object TextAnalysis {
   val Bm25QueryTerms = 8
   val Bm25K = 10
 
-  /** BM25 top-k retrieval over an inverted index — the search half of a
-    * curation stack (find the corpus documents most relevant to a probe
-    * document: nearest-neighbor in lexical space, the sparse companion to
-    * [[Similarity.topkBruteForce]]'s dense ANN). Every
-    * [[Bm25QueryStride]]-th document queries the corpus with its
-    * [[Bm25QueryTerms]] RAREST distinct tokens (df ascending, token
-    * ascending — the idf-pruning every production engine applies, taken to
-    * its deterministic extreme; BM25's per-term sum only collects matching
-    * terms, so scoring via the postings join is exact for the pruned term
-    * set). Scores use the standard Robertson formulation with k1 = 1.2,
-    * b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½)), rounded 6 dp before
-    * ranking so the tie-break (score desc, doc_id asc) is engine-stable.
-    *
-    * Scale shape: tf is one (doc, token)-keyed count with map-side partial
-    * aggregation (the [[salientTerms]] index, reused structure); df
-    * re-aggregates it to vocabulary size; the query-term table is tiny by
-    * construction (|queries|·8 rows) and BROADCAST against the postings,
-    * so candidate volume is Σ df(rarest query terms) — the short posting
-    * lists, never the stopword lists, and never |queries| × |corpus|. The
-    * N/avgdl scalars are one metadata-cheap aggregate (the langid-profile
-    * collect pattern). */
   /** Scored (query, doc) pairs BEFORE the top-k cut — the postings-join
     * volume [[graft.ScaleProbe]] tracks (= Σ df over the rarest query
     * terms; the quantity idf pruning keeps off the stopword lists). */
@@ -391,6 +370,27 @@ object TextAnalysis {
       .agg(round(sum($"contrib"), 6).as("score"))
   }
 
+  /** BM25 top-k retrieval over an inverted index — the search half of a
+    * curation stack (find the corpus documents most relevant to a probe
+    * document: nearest-neighbor in lexical space, the sparse companion to
+    * [[Similarity.topkBruteForce]]'s dense ANN). Every
+    * [[Bm25QueryStride]]-th document queries the corpus with its
+    * [[Bm25QueryTerms]] RAREST distinct tokens (df ascending, token
+    * ascending — the idf-pruning every production engine applies, taken to
+    * its deterministic extreme; BM25's per-term sum only collects matching
+    * terms, so scoring via the postings join is exact for the pruned term
+    * set). Scores use the standard Robertson formulation with k1 = 1.2,
+    * b = 0.75, idf = ln(1 + (N − df + ½)/(df + ½)), rounded 6 dp before
+    * ranking so the tie-break (score desc, doc_id asc) is engine-stable.
+    *
+    * Scale shape: tf is one (doc, token)-keyed count with map-side partial
+    * aggregation (the [[salientTerms]] index, reused structure); df
+    * re-aggregates it to vocabulary size; the query-term table is tiny by
+    * construction (|queries|·8 rows) and BROADCAST against the postings,
+    * so candidate volume is Σ df(rarest query terms) — the short posting
+    * lists, never the stopword lists, and never |queries| × |corpus|. The
+    * N/avgdl scalars are one metadata-cheap aggregate (the langid-profile
+    * collect pattern). */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bm25Candidates(spark, dir)
