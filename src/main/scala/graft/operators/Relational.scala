@@ -386,4 +386,50 @@ object Relational {
       .select($"event_id", $"k".as("user_id"), $"last_orderdate")
       .orderBy($"event_id")
   }
+
+  /** Table statistics profiling — the ANALYZE pass a lakehouse runs at
+    * write time so the optimizer can prune and size joins (min/max feed
+    * file skipping and partition pruning, ndv feeds join reordering and
+    * AQE build-side choice). One row per profiled lineitem column:
+    * (col_name, n_rows, n_nonnull, n_distinct, min_val, max_val) with
+    * min/max as doubles (dates as epoch days; the string column reports
+    * NULL bounds and its exact ndv).
+    *
+    * Scale shape: ONE pass over the table — a single global aggregate with
+    * multiple DISTINCT aggregates (Catalyst plans the standard Expand:
+    * each input row fans to one row per distinct column map-side, and
+    * every path partial-aggregates before the one exchange, so the shuffle
+    * carries the distinct values + a constant number of partial min/max/
+    * count cells, never the table). The row-per-column presentation is a
+    * driver-side union of six projections over that single aggregate row.
+    * At 100 TB the exact ndv (oracle-able here) is swapped for the HLL
+    * sketch the q_sketch_distinct family already provides — same plan
+    * shape without the Expand width. */
+  def profileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("ship_days",
+        datediff($"l_shipdate".cast("date"), to_date(lit("1970-01-01"))))
+    val numeric: Seq[(String, String)] = Seq(
+      "l_orderkey" -> "l_orderkey", "l_quantity" -> "l_quantity",
+      "l_extendedprice" -> "l_extendedprice", "l_discount" -> "l_discount",
+      "l_shipdate" -> "ship_days")
+    val statCols = Seq(count(lit(1)).as("n")) ++ numeric.flatMap { case (name, c) =>
+      Seq(count(col(c)).as(s"nn_$name"),
+        count_distinct(col(c)).as(s"nd_$name"),
+        min(col(c)).cast("double").as(s"mn_$name"),
+        max(col(c)).cast("double").as(s"mx_$name"))
+    } ++ Seq(count($"l_returnflag").as("nn_l_returnflag"),
+      count_distinct($"l_returnflag").as("nd_l_returnflag"))
+    val s = graft.sources.Caches.shared(
+      li.agg(statCols.head, statCols.tail: _*))
+    val rows = numeric.map { case (name, _) =>
+      s.select(lit(name).as("col_name"), $"n".as("n_rows"),
+        col(s"nn_$name").as("n_nonnull"), col(s"nd_$name").as("n_distinct"),
+        col(s"mn_$name").as("min_val"), col(s"mx_$name").as("max_val"))
+    } :+ s.select(lit("l_returnflag").as("col_name"), $"n".as("n_rows"),
+      $"nn_l_returnflag".as("n_nonnull"), $"nd_l_returnflag".as("n_distinct"),
+      lit(null).cast("double").as("min_val"), lit(null).cast("double").as("max_val"))
+    rows.reduce(_ unionByName _).orderBy($"col_name")
+  }
 }
