@@ -1284,33 +1284,45 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     // BM25 top-10 retrieval: every 100th doc queries with its 8 rarest
-    // distinct tokens (df asc, tok asc); Robertson idf, k1=1.2, b=0.75;
-    // scores rounded 6dp BEFORE ranking so the tie-break is engine-stable.
-    // Expression shapes mirror the Spark side exactly (same association
-    // order, (1.2 + 1) folded in double on both engines)
+    // distinct tokens (df asc, tok asc); terms over the df cap
+    // greatest(4096, N//20) are refused and counted per query as
+    // n_terms_dropped (the cap floor 4096 exceeds every selected-term df at
+    // the shipped fixture scales — max 3 885 at sf0.1 — so the fixture
+    // regime drops nothing; the knee is N ≈ 82k docs, above which the
+    // 5 %-of-corpus rule binds on both engines identically). Robertson idf,
+    // k1=1.2, b=0.75; scores rounded 6dp BEFORE ranking so the tie-break is
+    // engine-stable. Expression shapes mirror the Spark side exactly (same
+    // association order, (1.2 + 1) folded in double on both engines)
     "text_bm25_topk" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl FROM t),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl,
+        |          greatest(4096, count(*) // 20) AS dfcap FROM t),
         |d AS (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM t),
         |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d GROUP BY doc_id, dl, tok),
         |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
         |q AS (
-        |  SELECT query_id, tok, df FROM (
-        |    SELECT tf.doc_id AS query_id, tf.tok, dfq.df,
-        |      row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfq.df ASC, tf.tok ASC) AS qrn
-        |    FROM tf JOIN dfq USING (tok) WHERE tf.doc_id % 100 = 0)
-        |  WHERE qrn <= 8
+        |  SELECT query_id, tok, df, nd FROM (
+        |    SELECT query_id, tok, df, dfcap,
+        |      CAST(sum(CASE WHEN df > dfcap THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY query_id) AS INTEGER) AS nd
+        |    FROM (
+        |      SELECT tf.doc_id AS query_id, tf.tok, dfq.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfq.df ASC, tf.tok ASC) AS qrn
+        |      FROM tf JOIN dfq USING (tok) WHERE tf.doc_id % 100 = 0)
+        |    CROSS JOIN stats WHERE qrn <= 8)
+        |  WHERE df <= dfcap
         |),
         |sc AS (
         |  SELECT q.query_id, tf.doc_id,
         |    round(sum(ln(1.0 + (n - q.df + 0.5) / (q.df + 0.5)) *
         |      (tf.tf * (1.2 + 1)) /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS score
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS score,
+        |    min(q.nd) AS n_terms_dropped
         |  FROM tf JOIN q USING (tok) CROSS JOIN stats
         |  WHERE tf.doc_id <> q.query_id
         |  GROUP BY q.query_id, tf.doc_id
         |)
-        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score FROM (
+        |SELECT query_id, doc_id, CAST(rank AS INTEGER) AS rank, score, n_terms_dropped FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,

@@ -338,28 +338,59 @@ object TextAnalysis {
   val Bm25QueryStride = 100
   val Bm25QueryTerms = 8
   val Bm25K = 10
+  val Bm25DfCapFloor = 4096L
+
+  /** Hard document-frequency ceiling on query terms, derived from corpus
+    * size with the fixture-floored pattern of `Dedup.bloomBits` /
+    * `Dedup.simhashBandBits`: terms with df > max(4096, N/20) are DROPPED
+    * from the query before the postings join (and the drop is surfaced per
+    * query as `n_terms_dropped`). Rationale: candidate volume is Σ df over
+    * the selected terms, and on a vocabulary where even the 8 "rarest"
+    * tokens of a document are stopwords (SCALING.md measures the flat
+    * 31-token fixture at C ≈ (N/100)·8·0.05N — quadratic), "rarest" is no
+    * protection — a saturated posting list must be refused outright, the
+    * df-cutoff every production engine applies before WAND-style traversal.
+    * The recall cost is honest and visible (dropped terms can no longer
+    * match), never silent. The 4096 floor keeps every shipped fixture scale
+    * bit-identical (measured max selected df: 392 at N=500, 3 885 at
+    * N=5 000); above N ≈ 82k the 5 %-of-corpus rule binds. The oracle
+    * mirrors the same greatest(4096, N/20) arithmetic. */
+  private[graft] def bm25DfCap(nDocs: Long): Long =
+    math.max(Bm25DfCapFloor, nDocs / 20)
 
   /** Scored (query, doc) pairs BEFORE the top-k cut — the postings-join
     * volume [[graft.ScaleProbe]] tracks (= Σ df over the rarest query
-    * terms; the quantity idf pruning keeps off the stopword lists). */
-  private[graft] def bm25Candidates(spark: SparkSession, dir: String): DataFrame = {
+    * terms; the quantity idf pruning keeps off the stopword lists and the
+    * [[bm25DfCap]] ceiling bounds when the vocabulary has no rare terms).
+    * `forceCap` exists for ScaleProbe A/Bs only (measuring the derived
+    * floor against the bare N/20 rule); operators always derive. */
+  private[graft] def bm25Candidates(spark: SparkSession, dir: String,
+      forceCap: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", $"toks", size($"toks").as("dl"))
     val (nDocs, avgdl) = docs
       .agg(count(lit(1)).cast("double"), avg($"dl")).as[(Double, Double)].head()
+    val cap = forceCap.getOrElse(bm25DfCap(nDocs.toLong))
     val tf = graft.sources.Caches.shared(
       docs.select($"doc_id", $"dl", explode($"toks").as("tok"))
         .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // rank first, cap second: the cap is on the ranking key (df asc), so
+    // the capped set is a prefix of the ranking and rank-then-cap equals
+    // cap-then-rank — but rank-then-cap also exposes how many of the
+    // query's 8 rarest terms were refused (n_terms_dropped)
     val qterms = tf.filter($"doc_id" % Bm25QueryStride === 0)
       .select($"doc_id".as("query_id"), $"tok")
       .join(broadcast(dfreq), "tok")
       .withColumn("qrn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"df".asc, $"tok".asc)))
       .filter($"qrn" <= Bm25QueryTerms)
-      .select($"query_id", $"tok", $"df")
+      .withColumn("n_terms_dropped", sum(when($"df" > cap, 1).otherwise(0))
+        .over(Window.partitionBy($"query_id")).cast("int"))
+      .filter($"df" <= cap)
+      .select($"query_id", $"tok", $"df", $"n_terms_dropped")
     val idf = log(lit(1.0) +
       (lit(nDocs) - $"df" + lit(0.5)) / ($"df" + lit(0.5)))
     tf.join(broadcast(qterms), "tok")
@@ -367,7 +398,8 @@ object TextAnalysis {
       .withColumn("contrib", idf * ($"tf" * lit(Bm25K1 + 1)) /
         ($"tf" + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * $"dl" / lit(avgdl))))
       .groupBy($"query_id", $"doc_id")
-      .agg(round(sum($"contrib"), 6).as("score"))
+      .agg(round(sum($"contrib"), 6).as("score"),
+        min($"n_terms_dropped").as("n_terms_dropped"))
   }
 
   /** BM25 top-k retrieval over an inverted index — the search half of a
@@ -388,16 +420,23 @@ object TextAnalysis {
     * re-aggregates it to vocabulary size; the query-term table is tiny by
     * construction (|queries|·8 rows) and BROADCAST against the postings,
     * so candidate volume is Σ df(rarest query terms) — the short posting
-    * lists, never the stopword lists, and never |queries| × |corpus|. The
-    * N/avgdl scalars are one metadata-cheap aggregate (the langid-profile
-    * collect pattern). */
-  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    * lists, never the stopword lists, and never |queries| × |corpus| —
+    * with [[bm25DfCap]] refusing any saturated term outright (each output
+    * row carries the query's `n_terms_dropped` so degraded recall is
+    * visible). The N/avgdl scalars are one metadata-cheap aggregate (the
+    * langid-profile collect pattern). */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25TopKImpl(spark, dir, None)
+
+  /** `forceCap` threads the ScaleProbe A/B knob through the top-k cut. */
+  private[graft] def bm25TopKImpl(spark: SparkSession, dir: String,
+      forceCap: Option[Long]): DataFrame = {
     import spark.implicits._
-    bm25Candidates(spark, dir)
+    bm25Candidates(spark, dir, forceCap)
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
       .filter($"rank" <= Bm25K)
-      .select($"query_id", $"doc_id", $"rank", $"score")
+      .select($"query_id", $"doc_id", $"rank", $"score", $"n_terms_dropped")
       .orderBy($"query_id", $"rank")
   }
 

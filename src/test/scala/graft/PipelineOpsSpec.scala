@@ -113,4 +113,25 @@ class PipelineOpsSpec extends SparkSpec {
         s"doc $d retrieved for query $q without sharing a rare term")
     }
   }
+
+  test("bm25 df cap: floor regime drops nothing; forced N/20 cap refuses saturated terms") {
+    import graft.operators.TextAnalysis
+    // fixture floor (4096) exceeds every selected-term df at shipped scales:
+    // the derived cap must be a no-op and every row reports zero drops
+    val derived = TextAnalysis.bm25TopK(spark, dir)
+    assert(derived.filter($"n_terms_dropped" =!= 0).count() == 0)
+    // the bare N/20 rule (the production regime past the N ≈ 82k knee,
+    // forced here the way ScaleProbe's A/B twin does): on the flat fixture
+    // vocabulary it must refuse terms — visibly, via n_terms_dropped — and
+    // never emit MORE candidates than the uncapped floor regime
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    val forced = TextAnalysis.bm25TopKImpl(spark, dir, Some(n / 20)).cache()
+    val capped = TextAnalysis.bm25Candidates(spark, dir, Some(n / 20)).count()
+    val floored = TextAnalysis.bm25Candidates(spark, dir).count()
+    assert(capped < floored, s"forced cap admitted $capped !< $floored")
+    if (forced.count() > 0)
+      assert(forced.filter($"n_terms_dropped" > 0).count() > 0,
+        "saturated-term refusals must be visible in n_terms_dropped")
+    forced.unpersist()
+  }
 }
