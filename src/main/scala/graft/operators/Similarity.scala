@@ -152,22 +152,64 @@ object Similarity {
     * runs ≥ 0.95; the knob is a literal in both engines). */
   val SemDedupCosine = NearDupCosine
 
+  /** Cell-size cap above which [[semanticCandidates]] splits a cell into
+    * salted sub-blocks. A within-cell self-join concentrates Σ|cell|² work
+    * on |cell| shuffle keys — one skewed mega-cell (a dense embedding
+    * region: boilerplate pages, deduplicated-to-death templates) pins a
+    * whole partition. Above the cap a cell of size s becomes g = ⌈s/cap⌉
+    * blocks and the pairing runs per ORDERED BLOCK PAIR (p ≤ q), so the
+    * largest single task is ~cap² pairs no matter how skewed the cell.
+    * 4096² ≈ 16.8 M cosines per task ≈ seconds of one core; every fixture
+    * cell is far below the cap, so the shipped scales run g = 1 — the
+    * plain within-cell join, bit-identical plan semantics. */
+  val SemCellCap = 4096
+
   /** Within-cell scored pairs BEFORE the cosine threshold — the candidate
     * volume [[graft.ScaleProbe]] tracks (Σ|cell|² over cells; bounded
-    * ≈ n^1.5 by the derived stride). */
-  private[graft] def semanticCandidates(spark: SparkSession, dir: String): DataFrame = {
+    * ≈ n^1.5 by the derived stride).
+    *
+    * Pairing is closed under the salted sub-cell split: a cell of size s
+    * splits into g = ⌈s/[[SemCellCap]]⌉ blocks (blk = hash(vec_id) mod g), the
+    * a-side replicates each row to block pairs (p = blk, q ∈ blk..g−1) and
+    * the b-side to (p ∈ 0..blk, q = blk), so every unordered pair {i, j}
+    * meets in EXACTLY the task (min(blkᵢ,blkⱼ), max(blkᵢ,blkⱼ)) — once
+    * across blocks (p < q, ids normalized after), once within a block
+    * (p = q, id_a < id_b) — and the join keys (cent_id, p, q) spread a
+    * mega-cell's quadratic work over g(g+1)/2 shuffle keys at the price of
+    * (g+1)× replication of that cell's rows (linear; the pairing is
+    * quadratic). g = 1 degenerates to the plain join: identical output by
+    * construction, which is why the oracle keeps the unsalted formulation.
+    * `forceCellCap` exists for the spec/ScaleProbe A/B only. */
+  private[graft] def semanticCandidates(spark: SparkSession, dir: String,
+      forceCellCap: Option[Int] = None): DataFrame = {
     import spark.implicits._
+    val cap = forceCellCap.getOrElse(SemCellCap)
     val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
     val assigned = graft.sources.Caches.shared(
       assignedCells(c, centroids(c, stride)))
-    val a = assigned.select($"cent_id", $"vec_id".as("id_a"),
-      $"v".as("va"), $"nrm".as("na"))
-    val b = assigned.select($"cent_id", $"vec_id".as("id_b"),
-      $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, "cent_id")
-      .filter($"id_a" < $"id_b")
+    val sizes = assigned.groupBy($"cent_id").agg(count(lit(1)).as("cell_n"))
+    // block key hashes the id (Murmur3) rather than vec_id mod g: cell
+    // membership is cosine-determined, so raw ids alias badly mod small g;
+    // the salt never reaches the output, so it needs no oracle mirror
+    val blocks = assigned.join(broadcast(sizes), "cent_id")
+      .withColumn("g", ceil($"cell_n".cast("double") / cap).cast("int"))
+      .withColumn("blk", pmod(hash($"vec_id"), $"g").cast("int"))
+    val a = blocks.select($"cent_id", $"vec_id".as("id_a"),
+        $"v".as("va"), $"nrm".as("na"), $"blk".as("pa"),
+        explode(sequence($"blk", $"g" - 1)).as("qa"))
+    val b = blocks.select($"cent_id".as("cent_b"), $"vec_id".as("id_b"),
+        $"v".as("vb"), $"nrm".as("nb"),
+        explode(sequence(lit(0), $"blk")).as("pb"), $"blk".as("qb"))
+    a.join(b,
+        $"cent_id" === $"cent_b" && $"pa" === $"pb" && $"qa" === $"qb" &&
+          ($"pa" < $"qa" || $"id_a" < $"id_b"))
       .withColumn("cosine", cosine6($"va", $"vb", $"na", $"nb"))
+      // cosine is symmetric; normalize cross-block pairs to id_a < id_b
+      .select($"cent_id", $"pa", $"qa",
+        least($"id_a", $"id_b").as("id_a"),
+        greatest($"id_a", $"id_b").as("id_b"),
+        $"cosine")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
@@ -184,17 +226,25 @@ object Similarity {
     * total comparisons instead of n², and each cell's pairing is one
     * shuffle partition's local work (the exact cost shape of published
     * SemDeDup). The keeper reduction is a partial-aggregatable min/min_by
-    * per dropped id. A skewed mega-cell would concentrate one partition;
-    * production splits cells over a size cap with a salted sub-key —
-    * the within-cell pairing is closed under that refinement. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    * per dropped id. A skewed mega-cell no longer concentrates one
+    * partition: cells above [[SemCellCap]] split into salted sub-blocks
+    * whose pairing is provably closed (see [[semanticCandidates]]), so the
+    * largest task is ~cap² pairs at any skew. min(cent_id) — not first —
+    * keeps the cell_id reduction deterministic by construction (each id_b
+    * has exactly one cell, but the aggregate shouldn't rely on it). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupImpl(spark, dir, None)
+
+  /** `forceCellCap` threads the spec's A/B knob through the reduction. */
+  private[graft] def semanticDedupImpl(spark: SparkSession, dir: String,
+      forceCellCap: Option[Int]): DataFrame = {
     import spark.implicits._
-    semanticCandidates(spark, dir)
+    semanticCandidates(spark, dir, forceCellCap)
       .filter($"cosine" >= SemDedupCosine)
       .groupBy($"id_b")
       .agg(min($"id_a").as("keeper_id"),
         min_by($"cosine", $"id_a").as("cosine"),
-        first($"cent_id").as("cell_id"))
+        min($"cent_id").as("cell_id"))
       .select($"id_b".as("vec_id"), $"keeper_id", $"cell_id", $"cosine")
       .orderBy($"vec_id")
   }

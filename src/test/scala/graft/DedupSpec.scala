@@ -222,6 +222,38 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.bloomBits(Long.MaxValue / 16) == 1 << 27)
   }
 
+  test("semantic dedup salted sub-cell split: identical output, bounded per-task pairing") {
+    // sf0.001 is itself a mega-cell (stride floor 200 => every vector
+    // assigns to the single seed), so forcing a small cap exercises the
+    // salted split on genuinely skewed data
+    val cap = 8
+    val plain = Similarity.semanticDedup(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val salted = Similarity.semanticDedupImpl(spark, dir, Some(cap))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(plain == salted, "salted split must not change the dropped set")
+    // pair coverage is exact: same candidate multiset either way
+    val cPlain = Similarity.semanticCandidates(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    val cSalted = Similarity.semanticCandidates(spark, dir, Some(cap))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(cPlain == cSalted)
+    assert(cPlain.distinct.size == cPlain.size, "each pair exactly once")
+    // the split threshold does its job: no (cell, p, q) task exceeds ~cap²
+    // pairs (4× slack for hash-block size variation at this tiny cap),
+    // while the unsalted mega-cell concentrates ALL pairs in one task
+    val taskSizes = Similarity.semanticCandidates(spark, dir, Some(cap))
+      .groupBy($"cent_id", $"pa", $"qa").count()
+      .select($"count").as[Long].collect()
+    assert(taskSizes.max <= 4L * cap * cap,
+      s"max task ${taskSizes.max} pairs > 4·cap²=${4 * cap * cap}")
+    val unsaltedMax = Similarity.semanticCandidates(spark, dir)
+      .groupBy($"cent_id", $"pa", $"qa").count()
+      .select($"count").as[Long].collect().max
+    assert(taskSizes.max < unsaltedMax,
+      s"salting should shrink the worst task ($unsaltedMax -> ${taskSizes.max})")
+  }
+
   test("semantic dedup drops only verified within-cell near-dups") {
     val out = Similarity.semanticDedup(spark, dir)
       .select($"vec_id", $"keeper_id", $"cosine")
