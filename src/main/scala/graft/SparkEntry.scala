@@ -1327,10 +1327,14 @@ object SparkEntry {
         |  FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // k-means, 2 unrolled Lloyd rounds: seeds = vec_id % 200, cosine
-    // assignment (6dp, tie → lower cent_id), dim-wise means ROUNDED 6dp
-    // before reuse (re-pins both engines to identical centroids each
-    // round); output = final-round membership + checksums of the means
+    // k-means, 2 unrolled Lloyd rounds (the Spark side is convergence-
+    // driven with max-iters pinned at 2 for this oracle; the fixture's
+    // round-2 centroid shift is far above the 1e-4 eps, so the stop
+    // condition cannot fire inside the oracle regime): seeds =
+    // vec_id % 200, cosine assignment (6dp, tie → lower cent_id), dim-wise
+    // means ROUNDED 6dp before reuse (re-pins both engines to identical
+    // centroids each round); output = final-round membership + checksums
+    // of the means + per-cluster assignment inertia sum(1 − csim)
     "sim_kmeans" ->
       """WITH n AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -1359,8 +1363,8 @@ object SparkEntry {
         |  FROM (SELECT cent_id, list(m ORDER BY dim) AS cv FROM m1 GROUP BY cent_id)
         |),
         |a2 AS (
-        |  SELECT vec_id, v, cent_id FROM (
-        |    SELECT vec_id, v, cent_id,
+        |  SELECT vec_id, v, cent_id, csim FROM (
+        |    SELECT vec_id, v, cent_id, csim,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
         |    FROM (
         |      SELECT n.vec_id, n.v, c1.cent_id,
@@ -1375,10 +1379,12 @@ object SparkEntry {
         |  GROUP BY cent_id, dim
         |),
         |c2 AS (SELECT cent_id, list(m ORDER BY dim) AS cv FROM m2 GROUP BY cent_id),
-        |counts AS (SELECT cent_id, count(*) AS n_members FROM a2 GROUP BY cent_id)
+        |counts AS (SELECT cent_id, count(*) AS n_members,
+        |           round(sum(1.0 - csim), 6) AS inertia FROM a2 GROUP BY cent_id)
         |SELECT c2.cent_id AS cluster_id, counts.n_members,
         |  round(list_sum([y for y in cv]), 6) AS csum,
-        |  round(list_sum([y*y for y in cv]), 6) AS csumsq
+        |  round(list_sum([y*y for y in cv]), 6) AS csumsq,
+        |  counts.inertia
         |FROM c2 JOIN counts ON c2.cent_id = counts.cent_id
         |ORDER BY cluster_id""".stripMargin,
 

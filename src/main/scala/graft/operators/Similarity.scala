@@ -97,15 +97,16 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment of the whole corpus — (vec_id, v, nrm,
-    * cent_id). Broadcast centroids fan each row out ×|centroids| WITHIN its
-    * partition, and the argmax is a max_by aggregation — partial (map-side)
-    * aggregation collapses the fan-out back to one row per vector BEFORE the
-    * exchange, so the shuffle moves |corpus| rows, not |corpus|·|centroids|
-    * (a window over the replicated rows would shuffle the full fan-out).
-    * max_by on (csim, −cent_id) reproduces the (cosine desc, cent_id asc)
-    * tie-break exactly. Shared by [[topkIvf]] (probe target) and
-    * [[semanticDedup]] (cluster blocking) — the canonical "cluster once,
-    * reuse everywhere" structure of an embedding pipeline. */
+    * cent_id, csim). Broadcast centroids fan each row out ×|centroids|
+    * WITHIN its partition, and the argmax is a max_by aggregation — partial
+    * (map-side) aggregation collapses the fan-out back to one row per vector
+    * BEFORE the exchange, so the shuffle moves |corpus| rows, not
+    * |corpus|·|centroids| (a window over the replicated rows would shuffle
+    * the full fan-out). max_by on (csim, −cent_id) reproduces the (cosine
+    * desc, cent_id asc) tie-break exactly; csim (= max) rides along for
+    * [[kmeans]]'s inertia accounting. Shared by [[topkIvf]] (probe target)
+    * and [[semanticDedup]] (cluster blocking) — the canonical "cluster
+    * once, reuse everywhere" structure of an embedding pipeline. */
   private def assignedCells(c: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     c.join(broadcast(cents), lit(true))
@@ -114,8 +115,9 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(
         max_by(col("cent_id"), struct(col("csim"), -col("cent_id"))).as("cent_id"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"))
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+        max(col("csim")).as("csim"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"), col("csim"))
   }
 
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -249,51 +251,164 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
-  val KmeansIters = 2
+  /** The static sides for [[semanticDedupStream]]: the IVF centroids pulled
+    * to the driver (bounded: n/stride ≈ √n rows by [[ivfCellStride]] — the
+    * langid-profile collect pattern; at 10⁹ vectors ~31k × 64 doubles
+    * ≈ 16 MB, the same payload the assignment broadcast already carries)
+    * and the corpus cell table (cell_id, corpus_id, cv, cn) — the
+    * [[assignedCells]] output an ingest pipeline would maintain as a
+    * cell-clustered table. */
+  def semanticStatics(spark: SparkSession, dir: String)
+      : (Seq[(Long, Seq[Double], Double)], DataFrame) = {
+    import spark.implicits._
+    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
+    val c = corpus(spark, dir)
+    val cents = centroids(c, stride)
+      .select($"cent_id", $"cv", $"cn")
+      .as[(Long, Seq[Double], Double)].collect().toSeq.sortBy(_._1)
+    val cells = assignedCells(c, centroids(c, stride))
+      .select($"cent_id".as("cell_id"), $"vec_id".as("corpus_id"),
+        $"v".as("cv"), $"nrm".as("cn"))
+    (cents, cells)
+  }
+
+  /** Streaming twin of [[semanticDedup]] — the ingest-hygiene shape for
+    * embeddings (the one family member minhash/span/bloom already had):
+    * each arriving (vec_id, embedding) row is assigned to its nearest IVF
+    * centroid PER ROW (a stateless argmax expression over the driver-held
+    * centroid literals — bit-identical tie-break to [[assignedCells]]'s
+    * max_by: max cosine6, ties to the lower cent_id), stream-static joined
+    * against ONLY its cell's slice of the corpus table, and flagged when an
+    * exact cosine clears [[SemDedupCosine]]. The corpus vector is the
+    * keeper BY DEFINITION (it precedes anything arriving — the
+    * [[graft.operators.Dedup.spanDedupStream]] convention), so the
+    * update-mode reduction keeps the minimum qualifying corpus_id; state is
+    * keyed by vec_id and bounded because a vector arrives in one batch.
+    *
+    * Scale posture: the demo broadcasts the cell table; at corpus scale the
+    * same plan is a stream-static SHUFFLE join on cell_id against a
+    * cell-clustered corpus table (partition-pruned to probed cells), with
+    * only the arriving batch's vectors moving. */
+  def semanticDedupStream(vecStream: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)], corpusCells: DataFrame): DataFrame = {
+    require(cents.nonEmpty, "semanticDedupStream needs at least one centroid")
+    val scored = cents.map { case (id, cv, cn) =>
+      struct(
+        cosine6(col("v"), typedLit(cv), col("nrm"), lit(cn)).as("csim"),
+        lit(-id).as("negid"))
+    }
+    vecStream
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      // (max csim, max −id) = the (cosine desc, cent_id asc) argmax
+      .withColumn("cell_id", -array_max(array(scored: _*)).getField("negid"))
+      .join(broadcast(corpusCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine6(col("v"), col("cv"), col("nrm"), col("cn")))
+      .filter(col("cosine") >= SemDedupCosine)
+      .groupBy(col("vec_id"))
+      .agg(min(col("corpus_id")).as("keeper_id"),
+        min_by(col("cosine"), col("corpus_id")).as("cosine"),
+        min(col("cell_id")).as("cell_id"))
+  }
+
+  /** Convergence threshold for [[kmeansLoop]]: a round whose maximum
+    * per-component centroid movement is ≤ ε (in 6dp-pinned coordinates)
+    * stops the loop — textbook Lloyd's stop condition, meaningful because
+    * the means are re-pinned to 6 dp each round (a shift below 5·10⁻⁷
+    * literally cannot be represented, so ε = 10⁻⁴ is ~200 pinning units). */
+  val KmeansEps = 1e-4
+
+  /** The DEMO iteration bound: the DuckDB oracle unrolls exactly 2 Lloyd
+    * rounds, so the oracled query pins maxIters = 2 (the fixture does NOT
+    * converge earlier — round 2's measured shift is ≫ ε — so the stop
+    * condition never fires inside the oracle regime; `DedupSpec` drives
+    * [[kmeansLoop]] to ACTUAL convergence on a planted fixture).
+    * Production raises this bound and lets ε govern. */
+  val KmeansMaxIters = 2
 
   /** Distributed k-means (Lloyd) over the embedding corpus — the clustering
     * primitive the IVF index and [[semanticDedup]] presuppose (their
     * centroid SEEDS are every `stride`-th vector; this operator runs the
-    * refinement those seeds would get in production). [[KmeansIters]]
-    * assignment→mean rounds, each: (1) nearest-centroid assignment by
-    * cosine ([[assignedCells]] — broadcast centroids, map-side max_by
-    * collapse, one |corpus|-row shuffle); (2) dim-wise arithmetic mean per
-    * cluster, ROUNDED 6 dp before reuse so both engines iterate from
-    * bit-identical centroids (double summation order across partitions is
-    * the one nondeterminism; rounding re-pins it each round, the
-    * [[labelCentroids]] convention). Output per surviving cluster:
-    * (cluster_id = seeding centroid's vec_id, n_members, centroid sum /
-    * sum-of-squares checksums over the rounded means — 64 dims pinned in
-    * two columns, the [[quantizeInt8]] convention).
+    * refinement those seeds would get in production). Assignment→mean
+    * rounds until the centroid shift drops to [[KmeansEps]] or
+    * [[KmeansMaxIters]] caps the loop, each round: (1) nearest-centroid
+    * assignment by cosine ([[assignedCells]] — broadcast centroids,
+    * map-side max_by collapse, one |corpus|-row shuffle); (2) dim-wise
+    * arithmetic mean per cluster, ROUNDED 6 dp before reuse so both
+    * engines iterate from bit-identical centroids (double summation order
+    * across partitions is the one nondeterminism; rounding re-pins it each
+    * round, the [[labelCentroids]] convention). Output per surviving
+    * cluster: (cluster_id = seeding centroid's vec_id, n_members, centroid
+    * sum / sum-of-squares checksums over the rounded means — 64 dims
+    * pinned in two columns, the [[quantizeInt8]] convention — plus the
+    * cluster's assignment inertia Σ(1 − csim), 6 dp, oracle-checked).
     *
     * Scale shape per iteration: centroid fan-out is broadcast (k ≈ √n by
     * [[ivfCellStride]]), the mean is a (cluster, dim)-keyed partial
-    * aggregation — shuffles move k·dims doubles, never vectors; iterations
-    * are a driver-side loop over fully-distributed rounds (no data through
-    * the driver). Empty clusters drop out, exactly as in textbook Lloyd. */
+    * aggregation — shuffles move k·dims doubles, never vectors; the
+    * per-round shift/inertia checks are one tiny k-row join and one
+    * partial-aggregated scalar over the cached assignment; iterations are
+    * a driver-side loop over fully-distributed rounds (no data through the
+    * driver), with the k×dims means localCheckpointed per round so lineage
+    * stays O(1) in the iteration count. Empty clusters drop out, exactly
+    * as in textbook Lloyd. */
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
     val c = graft.sources.Caches.shared(corpus(spark, dir))
-    var cents = centroids(c, stride)
+    kmeansLoop(c, centroids(c, stride), KmeansEps, KmeansMaxIters)._1
+  }
+
+  /** The production k-means surface: seeds in, (result, per-round
+    * (max centroid shift, assignment inertia)) out. The loop stops when a
+    * round's max per-component shift is ≤ `eps` or after `maxIters`
+    * rounds, whichever is first; per-round inertia makes the convergence
+    * trajectory observable (it is non-increasing on a well-posed run). */
+  private[graft] def kmeansLoop(c: DataFrame, seeds: DataFrame,
+      eps: Double, maxIters: Int): (DataFrame, List[(Double, Double)]) = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    var cents = seeds
     var assigned: DataFrame = null
-    for (_ <- 1 to KmeansIters) {
-      assigned = assignedCells(c, cents)
+    var rounds = List.empty[(Double, Double)]
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      assigned = graft.sources.Caches.shared(assignedCells(c, cents))
+      val inertia = assigned
+        .agg(round(sum(lit(1.0) - $"csim"), 6)).as[Double].head()
       val means = assigned
         .select($"cent_id", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cent_id", $"dim").agg(round(avg($"x"), 6).as("m"))
         .groupBy($"cent_id")
         .agg(transform(sort_array(collect_list(struct($"dim", $"m"))),
           s => s.getField("m")).as("cv"))
-      cents = means.select($"cent_id", $"cv", norm($"cv").as("cn"))
+        .select($"cent_id", $"cv", norm($"cv").as("cn"))
+        .localCheckpoint()
+      // max per-component movement vs the previous round's centroids —
+      // a k-row join of two 6dp-pinned tiny tables, one collected scalar.
+      // A dropped (emptied) cluster contributes no row; the survivors'
+      // movement is the Lloyd stop quantity.
+      val shift = means.select($"cent_id", $"cv")
+        .join(cents.select($"cent_id", $"cv".as("pv")), "cent_id")
+        .agg(max(array_max(zip_with($"cv", $"pv", (a, b) => abs(a - b)))))
+        .as[Double].head()
+      rounds = rounds :+ ((shift, inertia))
+      cents = means
+      converged = shift <= eps
+      iter += 1
     }
     val counts = assigned.groupBy($"cent_id")
-      .agg(count(lit(1)).as("n_members"))
-    counts.join(cents, "cent_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(lit(1.0) - $"csim"), 6).as("inertia"))
+    val out = counts.join(cents, "cent_id")
       .select($"cent_id".as("cluster_id"), $"n_members",
         round(aggregate($"cv", lit(0.0), (a, x) => a + x), 6).as("csum"),
-        round(aggregate($"cv", lit(0.0), (a, x) => a + x * x), 6).as("csumsq"))
+        round(aggregate($"cv", lit(0.0), (a, x) => a + x * x), 6).as("csumsq"),
+        $"inertia")
       .orderBy($"cluster_id")
+    (out, rounds)
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]

@@ -195,6 +195,29 @@ class DedupSpec extends SparkSpec {
     assert(rows.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("kmeans stop condition fires on a planted converged fixture; max-iters bounds the rest") {
+    // corpus = exact copies of the two unit-axis seeds: round-1 means equal
+    // the seeds (0/1 components are 6dp-exact), so the measured shift is 0
+    // and the loop must stop after ONE round despite an 8-round budget
+    def axis(hot: Int): Seq[Double] = Seq.tabulate(64)(d => if (d == hot) 1.0 else 0.0)
+    val c = (0 until 8).map(i => (i.toLong, axis(i % 2))).toDF("vec_id", "v")
+      .withColumn("nrm", graft.functions.Vec.norm($"v"))
+    val seeds = Seq((100L, axis(0)), (101L, axis(1))).toDF("cent_id", "cv")
+      .withColumn("cn", graft.functions.Vec.norm($"cv"))
+    val (out, rounds) = Similarity.kmeansLoop(c, seeds, Similarity.KmeansEps, 8)
+    assert(rounds.length == 1 && rounds.head._1 <= Similarity.KmeansEps,
+      s"planted fixture must converge in one round: $rounds")
+    val res = out.select($"cluster_id", $"n_members", $"inertia")
+      .as[(Long, Long, Double)].collect()
+    assert(res.map(_._2).sum == 8 && res.forall(_._3 == 0.0), res.toSeq.toString)
+    // with a convergence threshold that can never fire, the max-iteration
+    // bound must govern (and each round reports its shift/inertia)
+    val (_, capped) = Similarity.kmeansLoop(c, seeds, -1.0, 3)
+    assert(capped.length == 3, capped.toString)
+    // inertia is non-increasing over the trajectory
+    assert(capped.map(_._2).sliding(2).forall { case Seq(a, b) => b <= a; case _ => true })
+  }
+
   test("bloom contamination is a superset probe with no false negatives") {
     val bloom = Dedup.bloomContamination(spark, dir)
       .select($"doc_id", $"n_grams", $"n_bloom_hits", $"n_exact_hits")

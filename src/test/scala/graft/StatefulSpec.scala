@@ -259,6 +259,44 @@ class StatefulSpec extends SparkSpec {
     assert(fresh._3 == 0L && fresh._4 == noiseDigest, s"fresh doc untouched: $fresh")
   }
 
+  test("stream-static semantic dedup flags an arriving near-copy of a corpus vector") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = sf("sf0.001")
+    val (cents, cells) = Similarity.semanticStatics(spark, dir)
+    // an exact copy of corpus vector 7 arrives under a new id (cosine 1.0
+    // with its twin, so SOME corpus keeper qualifies); a near-axis probe
+    // arrives alongside — its cosine to any fixture vector is ≤ ~1/|v| ≈
+    // 0.25 < τ = 0.4, so it must pass through unflagged
+    val copied = graft.sources.Tables.embeddings(spark, dir)
+      .filter($"vec_id" === 7).select($"embedding").as[Array[Float]].head()
+    val axis = Array.tabulate(64)(d => if (d == 0) 8f else 0f)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.semanticDedupStream(
+        in.toDF().toDF("vec_id", "embedding"), cents, cells)
+      .writeStream.format("memory").queryName("semdd").outputMode("update").start()
+    in.addData((999999L, copied), (999998L, axis))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("semdd")
+      .select($"vec_id", $"keeper_id", $"cosine", $"cell_id")
+      .as[(Long, Long, Double, Long)].collect()
+    val copy = out.find(_._1 == 999999L)
+    assert(copy.nonEmpty, s"arriving near-copy not flagged: ${out.toSeq}")
+    // the corpus is the keeper by definition; vec 7 itself qualifies at
+    // cosine 1.0, so the min-id keeper is at most 7 and clears τ
+    assert(copy.get._2 <= 7L && copy.get._3 >= Similarity.SemDedupCosine, copy.toString)
+    assert(!out.exists(_._1 == 999998L), s"axis probe wrongly flagged: ${out.toSeq}")
+    // batch parity: the same operator over the same rows as a batch frame
+    // (every stage is stateless except the final update-mode reduction)
+    val batch = Similarity.semanticDedupStream(
+        Seq((999999L, copied), (999998L, axis)).toDF("vec_id", "embedding"),
+        cents, cells)
+      .select($"vec_id", $"keeper_id", $"cosine", $"cell_id")
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq)
+  }
+
   test("batch and streaming session semantics agree on closed sessions") {
     import graft.operators.Windows
     // batch twin over the same fixture events
