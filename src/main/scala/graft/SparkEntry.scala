@@ -97,6 +97,7 @@ object SparkEntry {
     "text_bm25_topk"       -> (TextAnalysis.bm25TopK _),
     "sim_kmeans"           -> (Similarity.kmeans _),
     "q_profile_stats"      -> (Relational.profileStats _),
+    "q_profile_hll"        -> (Relational.profileStatsSketch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1410,6 +1411,39 @@ object SparkEntry {
         |  FROM lineitem
         |)
         |SELECT col_name, n AS n_rows, n_nonnull, n_distinct, min_val, max_val FROM s, LATERAL (
+        |  VALUES
+        |    ('l_orderkey', nn_ok, nd_ok, mn_ok, mx_ok),
+        |    ('l_quantity', nn_q, nd_q, mn_q, mx_q),
+        |    ('l_extendedprice', nn_ep, nd_ep, mn_ep, mx_ep),
+        |    ('l_discount', nn_d, nd_d, mn_d, mx_d),
+        |    ('l_shipdate', nn_sd, nd_sd, mn_sd, mx_sd),
+        |    ('l_returnflag', nn_rf, nd_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+        |  ) AS t(col_name, n_nonnull, n_distinct, min_val, max_val)
+        |ORDER BY col_name""".stripMargin,
+
+    // HLL twin of q_profile_stats (round-3 sketch-oracle scheme): exact
+    // ndv is the checkable twin; ndv_within_rsd is literal TRUE — a sketch
+    // estimate drifting past 15% of exact fails the hash gate
+    "q_profile_hll" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    count(l_orderkey) AS nn_ok, count(DISTINCT l_orderkey) AS nd_ok,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS mn_ok, CAST(max(l_orderkey) AS DOUBLE) AS mx_ok,
+        |    count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+        |    CAST(min(l_quantity) AS DOUBLE) AS mn_q, CAST(max(l_quantity) AS DOUBLE) AS mx_q,
+        |    count(l_extendedprice) AS nn_ep, count(DISTINCT l_extendedprice) AS nd_ep,
+        |    CAST(min(l_extendedprice) AS DOUBLE) AS mn_ep, CAST(max(l_extendedprice) AS DOUBLE) AS mx_ep,
+        |    count(l_discount) AS nn_d, count(DISTINCT l_discount) AS nd_d,
+        |    CAST(min(l_discount) AS DOUBLE) AS mn_d, CAST(max(l_discount) AS DOUBLE) AS mx_d,
+        |    count(l_shipdate) AS nn_sd,
+        |    count(DISTINCT CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS nd_sd,
+        |    CAST(min(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS DOUBLE) AS mn_sd,
+        |    CAST(max(CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS DOUBLE) AS mx_sd,
+        |    count(l_returnflag) AS nn_rf, count(DISTINCT l_returnflag) AS nd_rf
+        |  FROM lineitem
+        |)
+        |SELECT col_name, n AS n_rows, n_nonnull, n_distinct,
+        |  TRUE AS ndv_within_rsd, min_val, max_val FROM s, LATERAL (
         |  VALUES
         |    ('l_orderkey', nn_ok, nd_ok, mn_ok, mx_ok),
         |    ('l_quantity', nn_q, nd_q, mn_q, mx_q),

@@ -256,6 +256,19 @@ object TextAnalysis {
   val LineTokens = 10
   val BoilerplateDf = 2
 
+  /** Dictionary-size threshold for [[boilerplate]]'s two physical plans:
+    * at or below the cap the frequent-line dictionary is collected and
+    * broadcast as a reference-object hash set (one binary search per line,
+    * corpus never re-shuffled); above it the literal would stress the
+    * driver/plan (2²⁰ longs ≈ 8 MB is the comfortable ceiling, the
+    * [[graft.operators.Dedup.bloomBits]] cap philosophy), so the SAME
+    * semantics run as a flagged left join of the exploded (doc, pos, line)
+    * postings against the dictionary TABLE — the anti-join degradation the
+    * r7 scaladoc documented — with positional reassembly in the per-doc
+    * aggregate. Both plans are output-identical by construction (the spec
+    * A/Bs them); every measured corpus sits far below the cap. */
+  val BoilerplateDictCap = 1 << 20
+
   /** Boilerplate-line removal (the CCNet/RefinedWeb line-level dedup pass):
     * documents are segmented into fixed [[LineTokens]]-token "lines" (the
     * fixture corpus is single-line word-soup, so the segmentation stands in
@@ -274,12 +287,20 @@ object TextAnalysis {
     * monotonically). Job 2 broadcasts that dictionary as a reference-object
     * hash set and filters each document's lines in place
     * ([[graft.functions.FilterNotInSet]] — one digest + binary search per
-    * line, shuffle-free). If a corpus ever produced a dictionary too large
-    * to broadcast, the same pipeline degrades gracefully to an exploded
-    * anti-join + positional reassembly — documented, not needed at any
-    * measured scale. */
-  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    * line, shuffle-free). A dictionary above [[BoilerplateDictCap]]
+    * switches job 2 to the exploded flagged-left-join plan (anti-join = the
+    * flag-null rows) with positional reassembly — same output, one extra
+    * linear shuffle instead of an overgrown broadcast literal. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateImpl(spark, dir, None)
+
+  /** `forceDictCap` exists for the A/B spec only (driving the oversized-
+    * dictionary plan on a fixture whose dictionary is small); operators
+    * always use [[BoilerplateDictCap]]. */
+  private[graft] def boilerplateImpl(spark: SparkSession, dir: String,
+      forceDictCap: Option[Long]): DataFrame = {
     import spark.implicits._
+    val cap = forceDictCap.getOrElse(BoilerplateDictCap.toLong)
     val docs = graft.sources.Caches.shared(
       Tables.spread(Tables.documents(spark, dir))
         .select($"doc_id", tokens($"text").as("toks"))
@@ -287,19 +308,42 @@ object TextAnalysis {
           sequence(lit(1), ceil(size($"toks").cast("double") / LineTokens).cast("int")),
           i => concat_ws(" ", slice($"toks", (i - lit(1)) * LineTokens + lit(1), lit(LineTokens))))
           .as("lines")))
-    val frequent = docs
+    val freq = graft.sources.Caches.shared(docs
       .select($"doc_id", explode($"lines").as("line"))
       .select($"doc_id", hash60($"line").as("lh"))
       .groupBy($"lh").agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= BoilerplateDf)
-      .select($"lh").collect().map(_.getLong(0)).sorted
-    docs
-      .withColumn("kept", graft.functions.FilterNotInSet($"lines", frequent))
-      .select($"doc_id",
-        size($"lines").as("n_lines"),
-        (size($"lines") - size($"kept")).as("n_removed"),
-        md5(concat_ws(" ", $"kept")).as("digest"))
-      .orderBy($"doc_id")
+      .select($"lh"))
+    if (freq.count() <= cap) {
+      val frequent = freq.collect().map(_.getLong(0)).sorted
+      docs
+        .withColumn("kept", graft.functions.FilterNotInSet($"lines", frequent))
+        .select($"doc_id",
+          size($"lines").as("n_lines"),
+          (size($"lines") - size($"kept")).as("n_removed"),
+          md5(concat_ws(" ", $"kept")).as("digest"))
+        .orderBy($"doc_id")
+    } else {
+      // oversized dictionary: explode to (doc, pos, line) postings, flag
+      // boilerplate lines with a left join against the dictionary TABLE
+      // (the anti-join's kept rows are exactly the flag-null ones, and the
+      // flag doubles as the removal count), reassemble per document in
+      // line order. Shuffles: the join on lh and the per-doc aggregate —
+      // both linear in line count; collect_list state is bounded by
+      // document length exactly like spanDedup's rebuild.
+      docs
+        .select($"doc_id", posexplode($"lines").as(Seq("pos", "line")))
+        .withColumn("lh", hash60($"line"))
+        .join(freq.withColumn("boiler", lit(true)), Seq("lh"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).cast("int").as("n_lines"),
+          sum(when($"boiler", 1).otherwise(0)).cast("int").as("n_removed"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when($"boiler".isNull,
+              struct($"pos", $"line")))),
+            s => s.getField("line")))).as("digest"))
+        .orderBy($"doc_id")
+    }
   }
 
   val SalientK = 3

@@ -114,6 +114,19 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate anti-join fallback is output-identical to the broadcast-set plan") {
+    import graft.operators.TextAnalysis
+    val set = TextAnalysis.boilerplate(spark, dir)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    // force cap 0: every dictionary is "oversized" → the flagged-left-join
+    // + positional-reassembly plan must reproduce the broadcast plan's
+    // output byte-for-byte (digest included)
+    val anti = TextAnalysis.boilerplateImpl(spark, dir, Some(0L))
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1).toSeq
+    assert(set == anti)
+    assert(set.exists(_._3 > 0), "fixture must actually remove boilerplate lines")
+  }
+
   test("bm25 df cap: floor regime drops nothing; forced N/20 cap refuses saturated terms") {
     import graft.operators.TextAnalysis
     // fixture floor (4096) exceeds every selected-term df at shipped scales:
