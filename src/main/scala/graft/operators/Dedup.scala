@@ -164,10 +164,38 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** Fixture-floored knobs (bloom m, the IVF stride, the role-carving
+    * strides below) are hard-coded at their FLOOR as literals in the DuckDB
+    * oracle twins (m = 65536, `% 200`, `% 50`, …). Above the derivation
+    * knee the operator is still correct — production has no oracle — but a
+    * driver-style comparison would hash-diverge with no obvious cause, so
+    * leaving the floor is announced loudly here instead of discovered as a
+    * confusing mismatch. Returns `derived` unchanged. */
+  private[graft] def warnIfPastOracleFloor(knob: String, derived: Long, floor: Long): Long = {
+    if (derived != floor)
+      System.err.println(s"[graft] $knob derived to $derived — oracle twins pin " +
+        s"the floor $floor as a literal and would hash-diverge at this scale")
+    derived
+  }
+
   val IncrementalStride = 10
 
+  /** Arriving-batch stride, derived from corpus size with the fixture-
+    * floored pattern of [[bloomBits]] / `TextAnalysis.bm25DfCap`: the
+    * fixture carves every stride-th document as the "new crawl" batch, and
+    * a CONSTANT stride means that batch grows linearly with the corpus —
+    * but a production increment is bounded by ingest cadence, not corpus
+    * size, and the operator's whole cost claim is "∝ batch, not corpus".
+    * max(10, n/4096) saturates the carved batch at ≈ 4096 docs; the floor
+    * holds at every fixture scale (500/5 000 docs, and the 40k probe point
+    * sits just under the n = 40 960 knee), keeping the oracle's
+    * `doc_id % 10` literal bit-identical. */
+  private[graft] def incrementalStride(nDocs: Long): Long =
+    warnIfPastOracleFloor("incremental-dedup batch stride",
+      math.max(IncrementalStride, nDocs / 4096), IncrementalStride)
+
   /** Incremental dedup — the BATCH twin of [[nearDupStream]], oracled: a
-    * batch of "arriving" documents (every [[IncrementalStride]]-th doc
+    * batch of "arriving" documents (every [[incrementalStride]]-th doc
     * stands in for the new crawl snapshot) is checked against the "existing"
     * corpus (the rest) for near-duplicates, WITHOUT re-pairing the existing
     * corpus against itself. This is the steady-state shape of production
@@ -180,9 +208,10 @@ object Dedup {
     * DISTINCT. Output: (arriving_id, existing_id, jaccard ≥ 0.8). */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val stride = incrementalStride(Tables.documents(spark, dir).count())
     val docs = graft.sources.Caches.shared(signed(spark, dir))
     def buckets(pred: Column => Column, idName: String) = docs
-      .filter(pred($"doc_id" % IncrementalStride))
+      .filter(pred($"doc_id" % stride))
       .select($"doc_id".as(idName), explode($"bands").as("b"))
       .select(col(idName), $"b.band", $"b.key")
     // candidate ids only through the bucket join + distinct; the gram
@@ -334,6 +363,18 @@ object Dedup {
   val ContamGram = 8
   val ContamMinShared = 8
 
+  /** Benchmark-set stride, derived from corpus size (same fixture-floored
+    * pattern as [[incrementalStride]]): every stride-th doc stands in for
+    * the held-out eval suite, and a benchmark is a BOUNDED external
+    * artifact — carving it with a constant stride would grow it linearly
+    * with the corpus and with it the broadcast postings / bloom load.
+    * max(50, n/1000) saturates the carved set at ≈ 1 000 docs; the floor
+    * holds at every fixture scale and the 40k probe (knee n = 50 000),
+    * keeping the oracle's `doc_id % 50` literal bit-identical. */
+  private[graft] def contamBenchStride(nDocs: Long): Long =
+    warnIfPastOracleFloor("contamination benchmark stride",
+      math.max(ContamBenchStride, nDocs / 1000), ContamBenchStride)
+
   /** Benchmark decontamination: flag corpus documents sharing ≥ 8 distinct
     * word-8-grams with any "benchmark" document (here every 50th doc stands
     * in for the held-out eval set). The canonical pre-training hygiene pass:
@@ -361,15 +402,16 @@ object Dedup {
     * the posting-join volume [[graft.ScaleProbe]] tracks per scale factor. */
   private[graft] def contaminationOverlaps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val stride = contamBenchStride(Tables.documents(spark, dir).count())
     val grams = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= ContamGram)
       .select($"doc_id",
         graft.functions.WordGramHashes($"toks", ContamGram).as("grams"))
       .withColumn("ng", size($"grams"))
-    val bench = grams.filter($"doc_id" % ContamBenchStride === 0)
+    val bench = grams.filter($"doc_id" % stride === 0)
       .select($"doc_id".as("bench_id"), explode($"grams").as("gram"))
-    val corpus = grams.filter($"doc_id" % ContamBenchStride =!= 0)
+    val corpus = grams.filter($"doc_id" % stride =!= 0)
       .select($"doc_id", $"ng", explode($"grams").as("gram"))
     corpus.join(broadcast(bench), "gram")
       .groupBy($"doc_id", $"ng", $"bench_id")
@@ -378,6 +420,13 @@ object Dedup {
 
   val BloomBits   = 1 << 16   // m floor: filter size in bits at fixture scale
   val BloomHashes = 4         // k: double-hashed probe positions per gram
+  /** Hard ceiling on m: the filter rides the plan as an m-element Boolean
+    * literal (1 byte/bit in the literal array), so 2^24 ≈ 16 MB is the
+    * largest the plan can reasonably carry — past it production shards the
+    * filter per-executor instead of growing one literal, and [[buildBloom]]
+    * refuses outright rather than letting a 100+ MB literal (and its
+    * driver-side bit collect) hang planning. */
+  val MaxBloomLiteralBits = 1 << 24
 
   /** Filter size in bits, derived from the benchmark gram count with the
     * same fixture-floored pattern as [[simhashBandBits]] /
@@ -388,20 +437,20 @@ object Dedup {
     * loads 30 % of the bits. Deriving m ≥ 12·n (next power of two) holds
     * ~12 bits/item ⇒ FPR ≈ 0.3 % at ANY benchmark size. The floor keeps
     * every fixture scale (≤ 5 461 bench grams) at exactly 2^16 so the
-    * DuckDB oracle's literal bitset stays bit-identical; the 2^27 cap
-    * (16 MB broadcast) is where production would shard the filter
-    * per-executor instead of growing one literal. */
+    * DuckDB oracle's literal bitset stays bit-identical; the
+    * [[MaxBloomLiteralBits]] cap is where production would shard the
+    * filter per-executor instead of growing one literal. */
   private[graft] def bloomBits(benchGrams: Long): Int = {
     var m = BloomBits
     // m/12 < n ⟺ m < 12n in integers, without overflowing 12·n
-    while (m < (1 << 27) && m.toLong / 12 < benchGrams) m <<= 1
-    m
+    while (m < MaxBloomLiteralBits && m.toLong / 12 < benchGrams) m <<= 1
+    warnIfPastOracleFloor("bloom filter bits (m)", m, BloomBits).toInt
   }
 
   /** The k probe positions of gram hash `g` in an m-bit filter
     * (Kirsch-Mitzenmacher double hashing over the portable hash60).
     * h1 reads the low bits, h2 bits 30..57 — disjoint for every m up to
-    * the 2^27 cap, so the two hashes stay independent as m derives upward
+    * the [[MaxBloomLiteralBits]] cap, so the two hashes stay independent as m derives upward
     * (overlapping bit ranges correlate the probes and cost real FPR). */
   private def bloomPositions(g: Column, m: Int): Seq[Column] = {
     val h1 = g % m
@@ -412,6 +461,9 @@ object Dedup {
   /** Materialize the m-bit filter over a `gram` column. The collect is the
     * distinct SET-BIT positions — bounded by m regardless of input size. */
   private def buildBloom(grams: DataFrame, m: Int): Seq[Boolean] = {
+    require(m <= MaxBloomLiteralBits,
+      s"bloom m=$m exceeds the $MaxBloomLiteralBits-element plan-literal ceiling — " +
+        "shard the filter per-executor instead of growing one literal")
     val spark = grams.sparkSession
     import spark.implicits._
     val setBits = grams
@@ -452,13 +504,14 @@ object Dedup {
   private[graft] def bloomContaminationImpl(spark: SparkSession, dir: String,
       forceBits: Option[Int]): DataFrame = {
     import spark.implicits._
+    val stride = contamBenchStride(Tables.documents(spark, dir).count())
     val grams = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= ContamGram)
       .select($"doc_id",
         graft.functions.WordGramHashes($"toks", ContamGram).as("grams"))
     val bench = graft.sources.Caches.shared(
-      grams.filter($"doc_id" % ContamBenchStride === 0)
+      grams.filter($"doc_id" % stride === 0)
         .select(explode($"grams").as("gram")).distinct())
     // m derived from the benchmark size ([[bloomBits]]); == 2^16 at every
     // fixture scale (sf0.1 benchmark: 4 457 grams, 12× = 53 484 < 2^16) so
@@ -469,7 +522,7 @@ object Dedup {
     def mightContain(g: Column): Column = bloomPositions(g, m)
       .map(p => element_at(bitsLit, (p + 1).cast("int")))
       .reduce(_ && _)
-    val corpus = grams.filter($"doc_id" % ContamBenchStride =!= 0)
+    val corpus = grams.filter($"doc_id" % stride =!= 0)
     val hits = corpus.select($"doc_id", explode($"grams").as("gram"))
       .filter(mightContain($"gram"))
       .join(broadcast(bench.withColumn("in_bench", lit(true))), Seq("gram"), "left")
@@ -489,9 +542,10 @@ object Dedup {
     * bitset plus the distinct benchmark grams for exact verification. */
   def bloomBenchStatics(spark: SparkSession, dir: String): (Seq[Boolean], DataFrame) = {
     import spark.implicits._
+    val stride = contamBenchStride(Tables.documents(spark, dir).count())
     val bench = graft.sources.Caches.shared(
       Tables.documents(spark, dir)
-        .filter($"doc_id" % ContamBenchStride === 0)
+        .filter($"doc_id" % stride === 0)
         .select($"doc_id", tokens($"text").as("toks"))
         .filter(size($"toks") >= ContamGram)
         .select(explode(
@@ -553,8 +607,9 @@ object Dedup {
   /** The static benchmark postings for [[contaminationStream]]. */
   def contaminationBenchPostings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val stride = contamBenchStride(Tables.documents(spark, dir).count())
     Tables.documents(spark, dir)
-      .filter($"doc_id" % ContamBenchStride === 0)
+      .filter($"doc_id" % stride === 0)
       .select($"doc_id".as("bench_id"), tokens($"text").as("toks"))
       .filter(size($"toks") >= ContamGram)
       .select($"bench_id",

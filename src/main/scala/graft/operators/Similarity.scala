@@ -87,7 +87,8 @@ object Similarity {
     * partition-pruned scans. Same fixture-floored-derivation pattern as
     * [[lshBandBits]] / `Dedup.simhashBandBits`. */
   private[graft] def ivfCellStride(n: Long): Long =
-    math.max(NCentroids.toLong, math.sqrt(n.toDouble).toLong)
+    graft.operators.Dedup.warnIfPastOracleFloor("ivf cell stride",
+      math.max(NCentroids.toLong, math.sqrt(n.toDouble).toLong), NCentroids.toLong)
 
   /** The IVF centroid set: every `stride`-th corpus vector. */
   private def centroids(c: DataFrame, stride: Long): DataFrame = {

@@ -402,6 +402,18 @@ object TextAnalysis {
   private[graft] def bm25DfCap(nDocs: Long): Long =
     math.max(Bm25DfCapFloor, nDocs / 20)
 
+  /** Query-workload stride, derived from corpus size (the fixture-floored
+    * pattern of `Dedup.contamBenchStride`): every stride-th document
+    * queries the corpus, and a constant stride grows the workload linearly
+    * with the corpus — but a retrieval workload is externally bounded, and
+    * the operator's cost claim is per-query. max(100, n/500) saturates the
+    * carved workload at ≈ 500 queries; the floor holds at every fixture
+    * scale and the 40k probe (knee n = 50 000), keeping the oracle's
+    * `doc_id % 100` literal bit-identical. */
+  private[graft] def bm25QueryStride(nDocs: Long): Long =
+    graft.operators.Dedup.warnIfPastOracleFloor("bm25 query stride",
+      math.max(Bm25QueryStride, nDocs / 500), Bm25QueryStride)
+
   /** Scored (query, doc) pairs BEFORE the top-k cut — the postings-join
     * volume [[graft.ScaleProbe]] tracks (= Σ df over the rarest query
     * terms; the quantity idf pruning keeps off the stopword lists and the
@@ -425,7 +437,7 @@ object TextAnalysis {
     // the capped set is a prefix of the ranking and rank-then-cap equals
     // cap-then-rank — but rank-then-cap also exposes how many of the
     // query's 8 rarest terms were refused (n_terms_dropped)
-    val qterms = tf.filter($"doc_id" % Bm25QueryStride === 0)
+    val qterms = tf.filter($"doc_id" % bm25QueryStride(nDocs.toLong) === 0)
       .select($"doc_id".as("query_id"), $"tok")
       .join(broadcast(dfreq), "tok")
       .withColumn("qrn", row_number().over(
@@ -450,7 +462,7 @@ object TextAnalysis {
     * curation stack (find the corpus documents most relevant to a probe
     * document: nearest-neighbor in lexical space, the sparse companion to
     * [[Similarity.topkBruteForce]]'s dense ANN). Every
-    * [[Bm25QueryStride]]-th document queries the corpus with its
+    * [[bm25QueryStride]]-th document queries the corpus with its
     * [[Bm25QueryTerms]] RAREST distinct tokens (df ascending, token
     * ascending — the idf-pruning every production engine applies, taken to
     * its deterministic extreme; BM25's per-term sum only collects matching

@@ -242,7 +242,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.bloomBits(65536 / 12 + 1) == 131072)
     assert(Dedup.bloomBits(100000) == 1 << 21)
     // capped where production shards the filter instead
-    assert(Dedup.bloomBits(Long.MaxValue / 16) == 1 << 27)
+    assert(Dedup.bloomBits(Long.MaxValue / 16) == Dedup.MaxBloomLiteralBits)
+    assert(Dedup.MaxBloomLiteralBits == 1 << 24)
+  }
+
+  test("role-carving strides derive from corpus size above their fixture floors") {
+    import graft.operators.TextAnalysis
+    // floor regime: every shipped fixture (500/5000 docs) and the 40k
+    // probe point keep the oracle literals (% 50, % 10, % 100) bit-identical
+    for (n <- Seq(500L, 5000L, 40000L)) {
+      assert(Dedup.contamBenchStride(n) == Dedup.ContamBenchStride)
+      assert(Dedup.incrementalStride(n) == Dedup.IncrementalStride)
+      assert(TextAnalysis.bm25QueryStride(n) == TextAnalysis.Bm25QueryStride)
+    }
+    // past the knee the carved role sets saturate instead of growing
+    // linearly: bench ≈ 1000 docs, arriving batch ≈ 4096, queries ≈ 500
+    assert(Dedup.contamBenchStride(1000000L) == 1000L)      // bench = n/stride = 1000
+    assert(Dedup.incrementalStride(1000000L) == 244L)       // batch ≈ 4098
+    assert(TextAnalysis.bm25QueryStride(1000000L) == 2000L) // queries = 500
   }
 
   test("semantic dedup salted sub-cell split: identical output, bounded per-task pairing") {
