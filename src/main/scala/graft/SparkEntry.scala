@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curate, Dedup, Ingest, Multimodal, Packing, Relational, Sampling, Similarity, Skew, TextAnalysis, Windows}
+import graft.operators.{Curate, Dedup, Ingest, Layout, Multimodal, Packing, Relational, Sampling, Similarity, Skew, TextAnalysis, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,6 +98,8 @@ object SparkEntry {
     "sim_kmeans"           -> (Similarity.kmeans _),
     "q_profile_stats"      -> (Relational.profileStats _),
     "q_profile_hll"        -> (Relational.profileStatsSketch _),
+    "q_bucketed_join"      -> (Layout.bucketedJoin _),
+    "q_shuffle_seeded"     -> (Sampling.seededShuffle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1453,5 +1455,30 @@ object SparkEntry {
         |    ('l_returnflag', nn_rf, nd_rf, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
         |  ) AS t(col_name, n_nonnull, n_distinct, min_val, max_val)
         |ORDER BY col_name""".stripMargin,
+
+    // The bucketed tables hold byte-identical rows to the parquet fixtures
+    // (bucketing only changes LAYOUT), so the oracle is the plain join —
+    // what q_bucketed_join verifies is that the co-located plan computes
+    // exactly what the shuffled plan would.
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS total_qty,
+        |  max(l_extendedprice) AS max_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |HAVING count(*) >= 4
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_shuffle_seeded" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('ep1|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(h % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h ASC, doc_id ASC) AS INTEGER) AS pos,
+        |  doc_id
+        |FROM h
+        |ORDER BY shard, pos""".stripMargin,
   )
 }

@@ -131,6 +131,39 @@ object Sampling {
       .select(cols: _*)
   }
 
+  val ShuffleEpoch = 1
+  val ShuffleShards = 8
+
+  /** Deterministic seeded corpus shuffle — the epoch-ordering step of a
+    * training run: every document gets a pseudo-random position from the
+    * content hash of (epoch, doc_id), partitioned into [[ShuffleShards]]
+    * shards with a per-shard position. Changing the epoch seed permutes the
+    * whole corpus; the same epoch always reproduces the same order on any
+    * engine, cluster size, or rerun — `shuffle()`/`rand()` can do neither.
+    *
+    * Scale: one shuffle on the shard key, then a per-shard local sort — the
+    * exact cost of materializing an epoch. Production sizes shards so each
+    * sorts in memory (100 TB / 2 GB ⇒ ~50 k shards; the fixture uses 8)
+    * and writes `sortWithinPartitions(h)` shard files, skipping the global
+    * per-shard `pos` when consumers only need the order, not the index. */
+  def seededShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    seededShuffleRows(
+        Tables.documents(spark, dir).select($"doc_id"), ShuffleEpoch)
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+  }
+
+  /** The reusable epoch-shuffle core over any (…, doc_id) relation. */
+  def seededShuffleRows(rows: DataFrame, epoch: Int): DataFrame = {
+    val h = hash60(concat(lit(s"ep$epoch|"), col("doc_id").cast("string")))
+    rows.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)))
+      .drop("h")
+  }
+
   /** Reproducible train/val/test split: each document's bucket is the
     * content hash of its id modulo 100 — <80 train, <90 val, else test.
     * A pure projection (no shuffle, no sampling state): the same document

@@ -38,4 +38,29 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("q_bucketed_join: join AND per-orderkey agg ride the buckets; only the presentation sort shuffles") {
+    val df = graft.operators.Layout.bucketedJoin(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the merge hint must not have been overridden by a broadcast
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // no hash exchange anywhere: the scans' bucket partitioning carries the
+    // join and the groupBy; the single allowed exchange is the final
+    // rangepartitioning for orderBy
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+
+    // and it computes exactly what the shuffled plan computes
+    import org.apache.spark.sql.functions._
+    val plainOrders = graft.sources.Tables.orders(spark, sf("sf0.001"))
+    val plainLi = graft.sources.Tables.lineitem(spark, sf("sf0.001"))
+    val plain = plainOrders.join(plainLi, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_quantity"), 2).as("total_qty"),
+        max($"l_extendedprice").as("max_price"))
+      .filter($"n_items" >= 4)
+    assert(df.exceptAll(plain).count() == 0 && plain.exceptAll(df).count() == 0)
+  }
 }

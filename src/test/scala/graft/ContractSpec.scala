@@ -39,9 +39,10 @@ class ContractSpec extends SparkSpec {
     // line the CURRENT query set can emit at Bench's ms precision and keep
     // slack for a handful of future queries.
     // worst case: every query at 10–99 s (a single >=100 s query would have
-    // long since failed the bench gate itself)
+    // long since failed the bench gate itself); Bench.fmtQ caps >=10 s
+    // values at 1 dp, so a worst-case entry carries 4 value chars
     val line = s"""{"metric":"total","value":9999.99,"unit":"sec","queries":{""" +
-      SparkEntry.queries.keys.map(k => s""""$k":99.99""").mkString(",") +
+      SparkEntry.queries.keys.map(k => s""""$k":99.9""").mkString(",") +
       s"""},"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1880,
       s"bench line would be ${line.length} chars — trim precision or query names")
