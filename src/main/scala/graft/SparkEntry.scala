@@ -100,6 +100,7 @@ object SparkEntry {
     "q_profile_hll"        -> (Relational.profileStatsSketch _),
     "q_bucketed_join"      -> (Layout.bucketedJoin _),
     "q_shuffle_seeded"     -> (Sampling.seededShuffle _),
+    "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1480,5 +1481,25 @@ object SparkEntry {
         |  doc_id
         |FROM h
         |ORDER BY shard, pos""".stripMargin,
+
+    "text_lm_ppl" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |uni AS (
+        |  SELECT tok, count(*) AS c1
+        |  FROM (SELECT unnest(s) AS tok FROM toks) GROUP BY tok),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |bg AS (
+        |  SELECT doc_id, p.w1 AS w1, p.bgram AS bgram FROM (
+        |    SELECT doc_id,
+        |      unnest([{'w1': s[i], 'bgram': s[i] || ' ' || s[i+1]} for i in range(1, len(s))]) AS p
+        |    FROM toks WHERE len(s) >= 2)),
+        |bgc AS (SELECT bgram AS bgk, count(*) AS c2 FROM bg GROUP BY bgram),
+        |scored AS (
+        |  SELECT doc_id, -ln((c2 + 0.5) / (c1 + 0.5 * v)) AS nll
+        |  FROM bg JOIN bgc ON bgram = bgk JOIN uni ON w1 = tok, vocab)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(nll), 6) AS avg_nll,
+        |  round(exp(round(avg(nll), 6)), 2) AS ppl
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

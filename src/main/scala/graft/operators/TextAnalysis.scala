@@ -561,4 +561,56 @@ object TextAnalysis {
       .orderBy($"n_occurrences".desc, $"gram".asc)
       .limit(TopGrams)
   }
+
+  /** Add-k smoothing mass for [[lmPerplexity]] (k = 0.5, Jeffreys). */
+  val LmAddK = 0.5
+
+  /** Bigram language-model perplexity scoring — the CCNet-style quality
+    * filter (Wenzek et al. 2020): train an n-gram LM on the corpus, score
+    * every document by its average per-token negative log-likelihood, and
+    * gate ingestion on the resulting perplexity (low ppl ⇒ fluent in-domain
+    * text, high ppl ⇒ noise/boilerplate/other-language). The LM here is the
+    * corpus's own add-k-smoothed bigram model — self-scoring, the setup of
+    * in-domain filtering; swapping the training corpus changes only the
+    * first input. P(w₂|w₁) = (c(w₁w₂)+k) / (c(w₁)+k·V) with k = [[LmAddK]]
+    * and V the unigram vocabulary size; per-doc score = mean −ln P over its
+    * bigrams (6 dp — summation order is partitioning-dependent), plus the
+    * geometric-mean perplexity e^score (2 dp).
+    *
+    * Scale shape: counts are two partial-aggregated shuffles (bigram,
+    * unigram); scoring joins the per-doc bigram stream to both count tables
+    * ON THE TOKEN KEYS — shuffle joins, because at 100 TB the LM tables are
+    * vocabulary-scale (billions of bigrams) and cannot broadcast; V rides
+    * as a broadcast scalar. The per-doc reduction is one partial-agg
+    * shuffle on doc_id. Nothing collects; every stage is linear in corpus
+    * tokens. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexityRows(Tables.spread(Tables.documents(spark, dir)))
+
+  /** The reusable core over any (…, doc_id, text) relation. */
+  def lmPerplexityRows(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val toks = graft.sources.Caches.shared(
+      rows.select($"doc_id", tokens($"text").as("s")))
+    val uni = toks.select(explode($"s").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = toks.filter(size($"s") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"s") - 1),
+        i => struct(element_at($"s", i).as("w1"),
+          concat_ws(" ", element_at($"s", i), element_at($"s", i + 1)).as("bgram")))).as("p"))
+      .select($"doc_id", $"p.w1", $"p.bgram")
+    val bgc = bg.groupBy($"bgram").agg(count(lit(1)).as("c2"))
+    bg.join(bgc, "bgram")
+      .join(uni, $"w1" === $"tok")
+      .join(broadcast(vocab), lit(true))
+      .select($"doc_id",
+        (-log(($"c2" + LmAddK) / ($"c1" + $"v" * LmAddK))).as("nll"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"nll"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp($"avg_nll"), 2))
+      .orderBy($"doc_id")
+  }
 }

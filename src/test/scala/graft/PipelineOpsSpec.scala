@@ -114,6 +114,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("lm perplexity: repeated in-model text scores lower than one-off tokens") {
+    import org.apache.spark.sql.functions._
+    // docs 1..3 repeat the same fluent bigrams (high LM probability);
+    // doc 4 is all hapax tokens (every bigram unseen elsewhere)
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the rug"),
+      (4L, "zyx wvu tsr qpo nml kji")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.lmPerplexityRows(docs)
+      .orderBy($"doc_id").collect()
+    // n_bigrams = tokens - 1 (all docs have 6 tokens)
+    assert(out.forall(_.getLong(1) == 5), out.mkString(";"))
+    val nll = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(1L) == nll(2L)) // identical docs score identically
+    assert(nll(1L) < nll(3L))  // one novel bigram costs likelihood
+    assert(nll(3L) < nll(4L))  // hapax-only text is the least likely
+    // ppl is the exp of avg_nll, rounded
+    val r1 = out(0)
+    assert(math.abs(r1.getDouble(3) - math.exp(r1.getDouble(2))) < 0.01)
+  }
+
   test("boilerplate anti-join fallback is output-identical to the broadcast-set plan") {
     import graft.operators.TextAnalysis
     val set = TextAnalysis.boilerplate(spark, dir)
