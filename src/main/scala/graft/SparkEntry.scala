@@ -101,6 +101,7 @@ object SparkEntry {
     "q_bucketed_join"      -> (Layout.bucketedJoin _),
     "q_shuffle_seeded"     -> (Sampling.seededShuffle _),
     "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
+    "sim_topk_pq"          -> (Similarity.topkPq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1501,5 +1502,43 @@ object SparkEntry {
         |  round(avg(nll), 6) AS avg_nll,
         |  round(exp(round(avg(nll), 6)), 2) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sim_topk_pq" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 8 = 0),
+        |mm AS (SELECT unnest(range(0, 8)) AS m),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code, nrm FROM (
+        |    SELECT n.vec_id, mm.m, cb.cid, n.nrm,
+        |      row_number() OVER (PARTITION BY n.vec_id, mm.m ORDER BY
+        |        round(list_sum([(n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cid ASC) AS rn
+        |    FROM n CROSS JOIN cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |dt AS (
+        |  SELECT q.vec_id AS query_id, q.nrm AS qn, mm.m, cb.cid,
+        |    round(list_sum([q.v[mm.m*8+i] * cb.cv[mm.m*8+i] for i in range(1, 9)]), 6) AS d
+        |  FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q CROSS JOIN cb CROSS JOIN mm),
+        |adc AS (
+        |  SELECT dt.query_id, codes.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(codes.nrm)), 6) AS adc_cosine
+        |  FROM codes JOIN dt ON dt.m = codes.m AND dt.cid = codes.code
+        |  WHERE codes.vec_id != dt.query_id
+        |  GROUP BY dt.query_id, codes.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc) WHERE rr <= 50),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short s JOIN n qn ON qn.vec_id = s.query_id JOIN n nn ON nn.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM ex) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

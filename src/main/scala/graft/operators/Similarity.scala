@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -410,6 +410,118 @@ object Similarity {
         $"inertia")
       .orderBy($"cluster_id")
     (out, rounds)
+  }
+
+  /** Product-quantization geometry: [[PqM]] subspaces × [[PqSubDims]] dims
+    * = the 64-dim embedding. */
+  val PqM = 8
+  val PqSubDims = 8
+
+  /** PQ codebook stride: codebook entries are every `stride`-th corpus
+    * vector, so the codebook size is n/stride. Production PQ wants a FIXED
+    * codebook size (~256 codes/subspace — one byte per code); stride =
+    * max(8, ⌈n/256⌉) converges to 256 codes above n ≈ 2048 while pinning
+    * every fixture scale (500/2000 vectors ⇒ stride 8) to the oracle's
+    * `vec_id % 8 = 0` selection. Same fixture-floored-derivation pattern
+    * as [[ivfCellStride]]. */
+  private[graft] def pqStride(n: Long): Long =
+    graft.operators.Dedup.warnIfPastOracleFloor("pq codebook stride",
+      math.max(8L, (n + 255L) / 256L), 8L)
+
+  /** ADC shortlist depth for [[topkPq]]'s exact re-rank: 5×[[TopK]]. On the
+    * fixture this lifts recall@10 vs [[topkBruteForce]] from ≈0.3 (raw ADC
+    * order — 62 seeded codes against near-random 64-dim vectors, PQ's worst
+    * case) to ≈0.75; `DedupSpec` pins the measured floor. */
+  val PqRerank = 5 * TopK
+
+  /** Squared L2 distance restricted to subspace `m`, 6 dp (the engine-
+    * stable comparison key — the [[graft.functions.Vec.cosine6]] convention).
+    * Used for ENCODING (nearest codebook entry is an L2 question). */
+  private def subDist(v: Column, c: Column, m: Int): Column =
+    round((0 until PqSubDims).map { i =>
+      val d = m * PqSubDims + i + 1
+      (element_at(v, d) - element_at(c, d)) * (element_at(v, d) - element_at(c, d))
+    }.reduce(_ + _), 6)
+
+  /** Inner product restricted to subspace `m`, 6 dp. Used for the ADC
+    * lookup table: Σₘ dot(q⊆ₘ, cb⊆ₘ) approximates dot(q, v), which over
+    * the stored per-vector norm becomes approximate COSINE — the metric
+    * every other `sim_*` operator ranks by (so PQ recall is measurable
+    * against [[topkBruteForce]] exactly). */
+  private def subDot(v: Column, c: Column, m: Int): Column =
+    round((0 until PqSubDims).map { i =>
+      val d = m * PqSubDims + i + 1
+      element_at(v, d) * element_at(c, d)
+    }.reduce(_ + _), 6)
+
+  /** ANN top-k via product quantization with asymmetric distance computation
+    * (Jégou et al. 2011) — the 100 TB memory path for similarity search:
+    * each corpus vector is stored as [[PqM]] one-byte codes (32× smaller
+    * than float32), each code the nearest codebook entry in its subspace;
+    * a query computes one |codebook|×[[PqM]] distance table and every
+    * corpus distance is then [[PqM]] table lookups summed — no float vector
+    * is touched at scan time. Codebook entries are every [[pqStride]]-th
+    * corpus vector (seeded, like the IVF centroids; [[kmeans]] is the
+    * refinement they'd get in production).
+    *
+    * Scale shape: encoding is a broadcast codebook fan-out with a map-side
+    * min_by collapse — the shuffle moves n×[[PqM]] code rows, not the
+    * fan-out (the [[assignedCells]] structure); the query distance table is
+    * tiny and BROADCAST, so the ADC scan is shuffle-free per corpus row,
+    * and the per-(query, vector) sum is one partial-aggregated exchange.
+    * The [[PqRerank]] shortlist is then re-ranked by EXACT cosine, touching
+    * full-precision vectors only for R×|queries| point lookups — the
+    * shortlist-then-rerank serving pipeline of every production PQ system.
+    * Like every approximate operator here, the approximation is
+    * deterministic and reproduced exactly by the oracle. */
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = pqStride(Tables.embeddings(spark, dir).count())
+    val c = corpus(spark, dir)
+    val cb = c.filter($"vec_id" % stride === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    // encode: nearest codebook entry (L2) per (vector, subspace), ties to
+    // the lower code id — map-side min_by collapses the fan-out
+    // pre-exchange; the stored index row is (vec_id, m, code, nrm)
+    val codes = c.join(broadcast(cb), lit(true))
+      .select($"vec_id", $"nrm", $"cid", explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), subDist($"v", $"cv", m).as("d"))): _*)).as("s"))
+      .groupBy($"vec_id", $"s.m")
+      .agg(min_by($"cid", struct($"s.d", $"cid")).as("code"),
+        min($"nrm").as("nrm"))
+    // the query's asymmetric lookup table: subspace dot products per code
+    val dt = c.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      .join(broadcast(cb), lit(true))
+      .select($"query_id", $"qn", $"cid".as("dcid"),
+        explode(array((0 until PqM).map(m =>
+          struct(lit(m).as("m"), subDot($"qv", $"cv", m).as("d"))): _*)).as("s"))
+      .select($"query_id", $"qn", $"dcid", $"s.m".as("dm"), $"s.d".as("d"))
+    val adc = codes.join(broadcast(dt), $"m" === $"dm" && $"code" === $"dcid")
+      .filter($"vec_id" =!= $"query_id")
+      .groupBy($"query_id", $"vec_id")
+      .agg(round(sum($"d") / (min($"qn") * min($"nrm")), 6).as("adc_cosine"))
+    // shortlist [[PqRerank]] per query on the approximate order, then
+    // re-rank the survivors by EXACT cosine — the standard PQ serving
+    // pipeline: the full-precision vectors are touched only for the
+    // shortlist (point lookups of R×|queries| rows), never scanned
+    val wShort = Window.partitionBy($"query_id")
+      .orderBy($"adc_cosine".desc, $"vec_id".asc)
+    val short = adc.withColumn("rr", row_number().over(wShort))
+      .filter($"rr" <= PqRerank)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    val q = c.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val exact = short.join(broadcast(q), "query_id")
+      .join(c.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        cosine6($"qv", $"v", $"qn", $"nrm").as("cosine"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    exact.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"neighbor_id", $"cosine", $"rank")
+      .orderBy($"query_id", $"rank")
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]

@@ -77,6 +77,28 @@ class DedupSpec extends SparkSpec {
     assert(ivf.keySet == brute.keySet)
   }
 
+  test("pq topk: exact-cosine values, and rerank recall@10 vs brute force >= 0.7") {
+    val brute = Similarity.topkBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    val pq = Similarity.topkPq(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    // the re-rank stage reports EXACT cosines: any (query, neighbor) pair
+    // both lists carry must agree bit-for-bit
+    val bruteCos = brute.map(r => (r._1, r._2) -> r._3).toMap
+    assert(pq.collect { case (q, n, c) if bruteCos.contains((q, n)) =>
+      c == bruteCos((q, n)) }.forall(identity))
+    // recall@10 floor (measured 0.76 on this fixture; 62 seeded codes vs
+    // near-random vectors is PQ's worst case — rerank carries the recall)
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pqSets = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(pqSets.keySet == bruteSets.keySet)
+    val recalls = bruteSets.map { case (q, bs) =>
+      (bs & pqSets(q)).size.toDouble / Similarity.TopK }
+    assert(recalls.sum / recalls.size >= 0.7, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("language profiles are deterministic and predictions cover all docs") {
     val out = TextAnalysis.langId(spark, dir)
     assert(out.count() == 500)
