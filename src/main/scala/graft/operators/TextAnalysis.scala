@@ -613,4 +613,52 @@ object TextAnalysis {
       .withColumn("ppl", round(exp($"avg_nll"), 2))
       .orderBy($"doc_id")
   }
+
+  /** The persisted LM artifact [[lmScoreStream]] applies at ingest: bigram
+    * counts, unigram counts, vocabulary size — trained in batch over the
+    * reference corpus (yesterday's corpus, in the [[Sampling.mixtureRows]]
+    * convention). */
+  def lmModel(spark: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    import spark.implicits._
+    val toks = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("s"))
+    val uni = toks.select(explode($"s").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c1"))
+    val bgc = toks.filter(size($"s") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"s") - 1),
+        i => concat_ws(" ", element_at($"s", i), element_at($"s", i + 1)))).as("bgram"))
+      .groupBy($"bgram").agg(count(lit(1)).as("c2"))
+    (bgc, uni, uni.count())
+  }
+
+  /** Streaming twin of [[lmPerplexity]] — the ingest-hygiene shape for LM
+    * quality gating: each arriving (doc_id, text) row is scored against the
+    * batch-trained model per row. Counts join LEFT (an arriving doc may
+    * carry bigrams the model never saw; add-k smoothing prices them at
+    * k/(c1+kV), down to 1/V for unseen histories — on in-model text the
+    * left joins match every row and the scores equal [[lmPerplexityRows]]'s
+    * bit-for-bit, which `StreamProjectionSpec` pins). The per-doc reduction
+    * is an update-mode aggregate keyed by doc_id; state is bounded because
+    * a document arrives in one batch (the [[Dedup.spanDedupStream]]
+    * convention).
+    *
+    * Scale posture: the demo broadcasts the count tables; at corpus scale
+    * the same plan is a stream-static SHUFFLE join on the token keys
+    * against the persisted vocabulary-scale model, with only the arriving
+    * batch's bigrams moving. */
+  def lmScoreStream(docStream: DataFrame, bgc: DataFrame, uni: DataFrame,
+      vocabSize: Long): DataFrame = {
+    val toks = docStream.select(col("doc_id"), tokens(col("text")).as("s"))
+    toks.filter(size(col("s")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("w1"),
+          concat_ws(" ", element_at(col("s"), i), element_at(col("s"), i + 1)).as("bgram")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bgram").as("bgram"))
+      .join(broadcast(bgc), Seq("bgram"), "left")
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"), "left")
+      .withColumn("nll", -log((coalesce(col("c2"), lit(0L)) + LmAddK) /
+        (coalesce(col("c1"), lit(0L)) + vocabSize * LmAddK)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 6).as("avg_nll"))
+  }
 }

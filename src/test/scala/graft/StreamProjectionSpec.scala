@@ -79,6 +79,39 @@ class StreamProjectionSpec extends SparkSpec {
       r(3).toString.contains("<IP>") && r(3).toString.contains("<PHONE>")))
   }
 
+  test("LM model trained in batch scores a stream identically to batch; unseen text priced by smoothing") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val (bgc, uni, v) = graft.operators.TextAnalysis.lmModel(spark, dir)
+    val corpusRows = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(30).toSeq
+    // plus a doc of tokens the model has never seen: every bigram prices at
+    // the unseen-history floor 1/V => avg_nll = ln(V)
+    val novel = (999999L, "qqxx wwyy eezz")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis.lmScoreStream(
+        in.toDF().toDF("doc_id", "text"), bgc, uni, v)
+      .writeStream.format("memory").queryName("lms").outputMode("update").start()
+    in.addData(corpusRows :+ novel: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lms")
+      .groupBy($"doc_id").agg(org.apache.spark.sql.functions.last($"avg_nll").as("avg_nll"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed.contains(novel._1))
+    assert(math.abs(streamed(novel._1) - math.log(v.toDouble)) < 1e-6,
+      s"novel doc nll ${streamed(novel._1)} vs ln(V)=${math.log(v.toDouble)}")
+    // corpus docs scored by the full-corpus model in stream = batch scores
+    // from the same full-corpus model (lmPerplexity trains on the FULL
+    // corpus, and these 30 docs are a subset of it)
+    val fullBatch = graft.operators.TextAnalysis.lmPerplexity(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    corpusRows.foreach { case (id, _) =>
+      assert(streamed(id) == fullBatch(id), s"doc $id: ${streamed(id)} vs ${fullBatch(id)}")
+    }
+  }
+
   test("mixture policy trained in batch gates a stream identically to batch") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
