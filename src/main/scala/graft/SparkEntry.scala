@@ -102,6 +102,7 @@ object SparkEntry {
     "q_shuffle_seeded"     -> (Sampling.seededShuffle _),
     "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
     "sim_topk_pq"          -> (Similarity.topkPq _),
+    "pipeline_dsir"        -> (Sampling.dsir _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1540,5 +1541,26 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM ex) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    "pipeline_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS s FROM documents),
+        |grams AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5('dsir|' || g), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(s || CASE WHEN len(s) >= 2
+        |      THEN [s[i] || ' ' || s[i+1] for i in range(1, len(s))]
+        |      ELSE CAST([] AS VARCHAR[]) END) AS g
+        |    FROM toks)),
+        |tgt AS (SELECT b, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY b),
+        |raw AS (SELECT b, count(*) AS cr FROM grams GROUP BY b),
+        |totals AS (SELECT sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS t, count(*) AS r FROM grams),
+        |scored AS (
+        |  SELECT doc_id,
+        |    ln((coalesce(ct, 0) + 0.5) / (t + 0.5 * 1024)) - ln((cr + 0.5) / (r + 0.5 * 1024)) AS lw
+        |  FROM grams JOIN raw USING (b) LEFT JOIN tgt USING (b), totals)
+        |SELECT doc_id, count(*) AS n_grams, round(sum(lw), 6) AS logw,
+        |  round(sum(lw), 6) >= 0 AS selected
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -131,6 +131,57 @@ object Sampling {
       .select(cols: _*)
   }
 
+  val DsirBuckets = 1024L
+  val DsirAlpha = 0.5
+  val DsirTargetLang = "en"
+
+  /** DSIR — data selection by importance resampling (Xie et al. 2023): score
+    * every raw document by how much more likely its hashed n-gram features
+    * are under a TARGET domain than under the raw corpus, then keep the
+    * documents the target distribution up-weights. Features are unigrams +
+    * bigrams hashed into [[DsirBuckets]] buckets (the paper's hashing trick:
+    * the model is FIXED-SIZE regardless of corpus scale — that is what makes
+    * it broadcastable below); bucket distributions are add-α smoothed and
+    * the per-doc score is the summed log-likelihood ratio
+    * Σ₉ [ln p̂(h(g)) − ln q̂(h(g))]. The fixture's target domain is
+    * `lang = 'en'` — a stand-in for "a small trusted high-quality sample";
+    * `selected` marks docs the ratio favors (logw ≥ 0).
+    *
+    * Scale shape: one cached gram projection feeds (a) the two bucket-count
+    * aggregates — FIXED [[DsirBuckets]]-row tables, broadcast back — and
+    * (b) the scoring pass: per-gram broadcast joins + one partial-aggregated
+    * doc_id reduction. The corpus is read once, shuffled once (the doc_id
+    * agg); nothing vocabulary-scale moves, because the hashing trick capped
+    * the feature space. */
+  def dsir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", $"lang", graft.functions.Text.tokens($"text").as("s"))
+    val grams = graft.sources.Caches.shared(
+      docs.select($"doc_id", $"lang", explode(concat($"s",
+          when(size($"s") >= 2, transform(sequence(lit(1), size($"s") - 1),
+            i => concat_ws(" ", element_at($"s", i), element_at($"s", i + 1))))
+            .otherwise(array().cast("array<string>")))).as("g"))
+        .select($"doc_id", $"lang",
+          pmod(hash60(concat(lit("dsir|"), $"g")), lit(DsirBuckets)).as("b")))
+    val tgt = grams.filter($"lang" === DsirTargetLang)
+      .groupBy($"b").agg(count(lit(1)).as("ct"))
+    val raw = grams.groupBy($"b").agg(count(lit(1)).as("cr"))
+    val totals = grams.agg(
+      sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("t"),
+      count(lit(1)).as("r"))
+    grams.join(broadcast(raw), "b")
+      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(totals), lit(true))
+      .select($"doc_id",
+        (log((coalesce($"ct", lit(0L)) + DsirAlpha) / ($"t" + lit(0.5) * DsirBuckets)) -
+         log(($"cr" + DsirAlpha) / ($"r" + lit(0.5) * DsirBuckets))).as("lw"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"), round(sum($"lw"), 6).as("logw"))
+      .withColumn("selected", $"logw" >= 0)
+      .orderBy($"doc_id")
+  }
+
   val ShuffleEpoch = 1
   val ShuffleShards = 8
 

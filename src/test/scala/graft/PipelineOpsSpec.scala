@@ -114,6 +114,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dsir importance weights favor the target domain and the flag matches the score") {
+    val out = Sampling.dsir(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir).select($"doc_id", $"lang"), "doc_id")
+    val means = out.groupBy($"lang").agg(avg($"logw").as("m"))
+      .as[(String, Double)].collect().toMap
+    // the target domain must out-score every other language on average
+    assert(means(Sampling.DsirTargetLang) > means.filter(_._1 != Sampling.DsirTargetLang).values.max,
+      means.toString)
+    assert(out.filter($"selected" =!= ($"logw" >= 0)).count() == 0)
+    // selection is non-vacuous both ways
+    val n = out.count(); val sel = out.filter($"selected").count()
+    assert(sel > 0 && sel < n)
+  }
+
   test("lm perplexity: repeated in-model text scores lower than one-off tokens") {
     import org.apache.spark.sql.functions._
     // docs 1..3 repeat the same fluent bigrams (high LM probability);
