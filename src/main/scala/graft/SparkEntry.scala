@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curate, Dedup, Ingest, Layout, Multimodal, Packing, Relational, Sampling, Similarity, Skew, TextAnalysis, Windows}
+import graft.operators.{Curate, Dedup, Ingest, Layout, Multimodal, Packing, Relational, Sampling, Similarity, Skew, TextAnalysis, Tokenizer, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -103,6 +103,7 @@ object SparkEntry {
     "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
     "sim_topk_pq"          -> (Similarity.topkPq _),
     "pipeline_dsir"        -> (Sampling.dsir _),
+    "text_bpe"             -> (Tokenizer.bpeTrain _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1562,5 +1563,92 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_grams, round(sum(lw), 6) AS logw,
         |  round(sum(lw), 6) >= 0 AS selected
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bpe" ->
+      """WITH r0 AS (
+        |  SELECT count(*) AS freq,
+        |    [w[i] for i in range(1, len(w)+1)] || ['</w>'] AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w != '' GROUP BY w),
+        |p1 AS (
+        |  SELECT l, r, cnt FROM (
+        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |      SELECT freq, p.l AS l, p.r AS r FROM (
+        |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r0))
+        |    WHERE l != r GROUP BY l, r)
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |r1 AS (
+        |  SELECT freq, list_filter([CASE
+        |      WHEN s[i] = p1.l AND i < len(s) AND s[i+1] = p1.r THEN p1.l || p1.r
+        |      WHEN i > 1 AND s[i-1] = p1.l AND s[i] = p1.r THEN NULL
+        |      ELSE s[i] END for i in range(1, len(s)+1)], x -> x IS NOT NULL) AS s
+        |  FROM r0, p1),
+        |p2 AS (
+        |  SELECT l, r, cnt FROM (
+        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |      SELECT freq, p.l AS l, p.r AS r FROM (
+        |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r1))
+        |    WHERE l != r GROUP BY l, r)
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |r2 AS (
+        |  SELECT freq, list_filter([CASE
+        |      WHEN s[i] = p2.l AND i < len(s) AND s[i+1] = p2.r THEN p2.l || p2.r
+        |      WHEN i > 1 AND s[i-1] = p2.l AND s[i] = p2.r THEN NULL
+        |      ELSE s[i] END for i in range(1, len(s)+1)], x -> x IS NOT NULL) AS s
+        |  FROM r1, p2),
+        |p3 AS (
+        |  SELECT l, r, cnt FROM (
+        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |      SELECT freq, p.l AS l, p.r AS r FROM (
+        |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r2))
+        |    WHERE l != r GROUP BY l, r)
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |r3 AS (
+        |  SELECT freq, list_filter([CASE
+        |      WHEN s[i] = p3.l AND i < len(s) AND s[i+1] = p3.r THEN p3.l || p3.r
+        |      WHEN i > 1 AND s[i-1] = p3.l AND s[i] = p3.r THEN NULL
+        |      ELSE s[i] END for i in range(1, len(s)+1)], x -> x IS NOT NULL) AS s
+        |  FROM r2, p3),
+        |p4 AS (
+        |  SELECT l, r, cnt FROM (
+        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |      SELECT freq, p.l AS l, p.r AS r FROM (
+        |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r3))
+        |    WHERE l != r GROUP BY l, r)
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |r4 AS (
+        |  SELECT freq, list_filter([CASE
+        |      WHEN s[i] = p4.l AND i < len(s) AND s[i+1] = p4.r THEN p4.l || p4.r
+        |      WHEN i > 1 AND s[i-1] = p4.l AND s[i] = p4.r THEN NULL
+        |      ELSE s[i] END for i in range(1, len(s)+1)], x -> x IS NOT NULL) AS s
+        |  FROM r3, p4),
+        |p5 AS (
+        |  SELECT l, r, cnt FROM (
+        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |      SELECT freq, p.l AS l, p.r AS r FROM (
+        |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r4))
+        |    WHERE l != r GROUP BY l, r)
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        |r5 AS (
+        |  SELECT freq, list_filter([CASE
+        |      WHEN s[i] = p5.l AND i < len(s) AND s[i+1] = p5.r THEN p5.l || p5.r
+        |      WHEN i > 1 AND s[i-1] = p5.l AND s[i] = p5.r THEN NULL
+        |      ELSE s[i] END for i in range(1, len(s)+1)], x -> x IS NOT NULL) AS s
+        |  FROM r4, p5),
+        |p6 AS (
+        |  SELECT l, r, cnt FROM (
+        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |      SELECT freq, p.l AS l, p.r AS r FROM (
+        |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r5))
+        |    WHERE l != r GROUP BY l, r)
+        |  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)
+        |SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, merged, CAST(weight AS BIGINT) AS weight FROM (
+        |SELECT 1 AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS weight FROM p1
+        |UNION ALL SELECT 2 AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS weight FROM p2
+        |UNION ALL SELECT 3 AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS weight FROM p3
+        |UNION ALL SELECT 4 AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS weight FROM p4
+        |UNION ALL SELECT 5 AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS weight FROM p5
+        |UNION ALL SELECT 6 AS rank, l AS left_sym, r AS right_sym, l || r AS merged, cnt AS weight FROM p6)
+        |ORDER BY rank""".stripMargin,
   )
 }

@@ -31,20 +31,18 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("bench JSON line fits the harness's retained-output window") {
-    // the harness keeps only the last ~2000 chars of bench stdout (and the
-    // trailing sbt success line consumes ~80 of them); round 6's
-    // full-double-precision line overflowed the window and the round's
-    // numbers were lost (BENCH_r06 parsed: null). Reconstruct the longest
-    // line the CURRENT query set can emit at Bench's ms precision and keep
-    // slack for a handful of future queries.
-    // worst case: every query at 10–99 s (a single >=100 s query would have
-    // long since failed the bench gate itself); Bench.fmtQ caps >=10 s
-    // values at 1 dp, so a worst-case entry carries 4 value chars
+  test("bench JSON line fits the harness's retained-output window at the precision floor") {
+    // the harness keeps only the last 2000 chars of bench stdout (measured
+    // across BENCH_r01..r07 tails; sbt's trailing success line consumes
+    // ~75); round 6's full-double-precision line overflowed the window and
+    // the round's numbers were lost (BENCH_r06 parsed: null). Bench
+    // degrades per-query precision (2 dp -> 1 -> 0) until the line fits,
+    // so the invariant to pin is that the 0-dp FLOOR fits with slack:
+    // worst case, every query at 10-99 s -> 2 value chars per entry.
     val line = s"""{"metric":"total","value":9999.99,"unit":"sec","queries":{""" +
-      SparkEntry.queries.keys.map(k => s""""$k":99.9""").mkString(",") +
+      SparkEntry.queries.keys.map(k => s""""$k":99""").mkString(",") +
       s"""},"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1880,
-      s"bench line would be ${line.length} chars — trim precision or query names")
+      s"bench line would be ${line.length} chars at the 0-dp floor — trim query names")
   }
 }
