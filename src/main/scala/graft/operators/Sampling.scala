@@ -155,31 +155,61 @@ object Sampling {
     * the feature space. */
   def dsir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", $"lang", graft.functions.Text.tokens($"text").as("s"))
+    val (tgt, raw, totals) = dsirModel(spark, dir)
+    dsirScoreRows(Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"text"), tgt, raw, totals)
+      .orderBy($"doc_id")
+  }
+
+  /** The hashed-bucket feature projection shared by training and scoring:
+    * (…, b) rows, one per unigram/bigram occurrence. */
+  private def dsirGrams(rows: DataFrame): DataFrame = {
+    val keep = rows.columns.filter(_ != "text").map(col).toIndexedSeq
+    val toks = rows.withColumn("s", graft.functions.Text.tokens(col("text")))
+    toks.select(keep :+ explode(concat(col("s"),
+        when(size(col("s")) >= 2, transform(sequence(lit(1), size(col("s")) - 1),
+          i => concat_ws(" ", element_at(col("s"), i), element_at(col("s"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("g"): _*)
+      .select(keep :+ pmod(hash60(concat(lit("dsir|"), col("g"))),
+        lit(DsirBuckets)).as("b"): _*)
+  }
+
+  /** The trained DSIR artifact: target/raw bucket-count tables plus the
+    * (t, r) totals row — all FIXED-size ([[DsirBuckets]] rows), the
+    * property that lets [[dsirScoreRows]] broadcast them at any corpus
+    * scale. */
+  def dsirModel(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
     val grams = graft.sources.Caches.shared(
-      docs.select($"doc_id", $"lang", explode(concat($"s",
-          when(size($"s") >= 2, transform(sequence(lit(1), size($"s") - 1),
-            i => concat_ws(" ", element_at($"s", i), element_at($"s", i + 1))))
-            .otherwise(array().cast("array<string>")))).as("g"))
-        .select($"doc_id", $"lang",
-          pmod(hash60(concat(lit("dsir|"), $"g")), lit(DsirBuckets)).as("b")))
+      dsirGrams(Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"lang", $"text")))
     val tgt = grams.filter($"lang" === DsirTargetLang)
       .groupBy($"b").agg(count(lit(1)).as("ct"))
     val raw = grams.groupBy($"b").agg(count(lit(1)).as("cr"))
     val totals = grams.agg(
       sum(when($"lang" === DsirTargetLang, 1L).otherwise(0L)).as("t"),
       count(lit(1)).as("r"))
-    grams.join(broadcast(raw), "b")
+    (tgt, raw, totals)
+  }
+
+  /** Score any (doc_id, text) relation against a trained model — batch or
+    * STREAM (broadcast model joins + an update-mode per-doc reduction; the
+    * [[graft.operators.TextAnalysis.lmScoreStream]] shape). Raw counts join
+    * LEFT too: an arriving document may hash into buckets the training
+    * corpus never touched, and both distributions then price it at their
+    * smoothing floor. */
+  def dsirScoreRows(rows: DataFrame, tgt: DataFrame, raw: DataFrame,
+      totals: DataFrame): DataFrame = {
+    dsirGrams(rows.select(col("doc_id"), col("text")))
+      .join(broadcast(raw), Seq("b"), "left")
       .join(broadcast(tgt), Seq("b"), "left")
       .join(broadcast(totals), lit(true))
-      .select($"doc_id",
-        (log((coalesce($"ct", lit(0L)) + DsirAlpha) / ($"t" + lit(0.5) * DsirBuckets)) -
-         log(($"cr" + DsirAlpha) / ($"r" + lit(0.5) * DsirBuckets))).as("lw"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"), round(sum($"lw"), 6).as("logw"))
-      .withColumn("selected", $"logw" >= 0)
-      .orderBy($"doc_id")
+      .select(col("doc_id"),
+        (log((coalesce(col("ct"), lit(0L)) + DsirAlpha) / (col("t") + lit(0.5) * DsirBuckets)) -
+         log((coalesce(col("cr"), lit(0L)) + DsirAlpha) / (col("r") + lit(0.5) * DsirBuckets))).as("lw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), round(sum(col("lw")), 6).as("logw"))
+      .withColumn("selected", col("logw") >= 0)
   }
 
   val ShuffleEpoch = 1

@@ -82,4 +82,31 @@ object Tokenizer {
       .toDF("rank", "left_sym", "right_sym", "merged", "weight")
       .orderBy($"rank")
   }
+
+  /** Tokenize (doc_id, text) rows with a TRAINED merge list — batch or
+    * STREAM: the ingest-time application of [[bpeTrain]]'s artifact. Words
+    * explode to rows (BPE never merges across a word boundary), each word's
+    * char+`</w>` symbols run the merges in rank order as CHAINED PROJECTIONS
+    * — one materialized column per merge, deliberately not a folded nested
+    * lambda, which would re-evaluate the whole chain per element reference
+    * (the [[graft.functions.Text.wordShingles]] pitfall, exponential in the
+    * merge count) — and the per-doc reduction counts words and symbols
+    * before/after merging, making the learned compression observable. In a
+    * stream the reduction is update-mode keyed by doc_id, state bounded by
+    * single-batch arrival. */
+  def bpeEncodeRows(rows: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val words = rows
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), concat(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))), array(lit("</w>"))).as("s"))
+      .withColumn("n0", size(col("s")))
+    val encoded = merges.foldLeft(words) { case (df, (l, r)) =>
+      df.withColumn("s", applyMerge(col("s"), l, r))
+    }
+    encoded.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n0")).as("n_char_symbols"),
+        sum(size(col("s"))).as("n_bpe_symbols"))
+  }
 }

@@ -112,6 +112,32 @@ class StreamProjectionSpec extends SparkSpec {
     }
   }
 
+  test("DSIR model trained in batch scores a stream identically to batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val (tgt, raw, totals) = graft.operators.Sampling.dsirModel(spark, dir)
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(30).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling.dsirScoreRows(
+        in.toDF().toDF("doc_id", "text"), tgt, raw, totals)
+      .writeStream.format("memory").queryName("dsir").outputMode("update").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir")
+      .groupBy($"doc_id").agg(org.apache.spark.sql.functions.last($"logw").as("logw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the oracled batch query scores these same docs with the same
+    // full-corpus model — stream scores must match bit-for-bit
+    val batch = graft.operators.Sampling.dsir(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach { case (id, _) =>
+      assert(streamed(id) == batch(id), s"doc $id: ${streamed(id)} vs ${batch(id)}")
+    }
+  }
+
   test("mixture policy trained in batch gates a stream identically to batch") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._

@@ -23,6 +23,36 @@ class TokenizerSpec extends SparkSpec {
     assert(applied(Seq("a"), "a", "b") == Seq("a"))
   }
 
+  test("bpe encoding with trained merges compresses and agrees batch vs stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val dir = sf("sf0.001")
+    val merges = Tokenizer.bpeTrain(spark, dir)
+      .as[(Int, String, String, String, Long)].collect()
+      .sortBy(_._1).map(m => (m._2, m._3)).toSeq
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(25).toSeq
+    val batch = Tokenizer.bpeEncodeRows(rows.toDF("doc_id", "text"), merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every doc: 0 < n_bpe <= n_chars, and the corpus-trained merges must
+    // actually fire somewhere (global compression)
+    assert(batch.values.forall { case (_, c, b) => b > 0 && b <= c })
+    assert(batch.values.map(_._3).sum < batch.values.map(_._2).sum)
+    val in = MemoryStream[(Long, String)]
+    val q = Tokenizer.bpeEncodeRows(in.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe").outputMode("update").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bpe")
+      .groupBy($"doc_id").agg(
+        org.apache.spark.sql.functions.last($"n_words").as("w"),
+        org.apache.spark.sql.functions.last($"n_char_symbols").as("c"),
+        org.apache.spark.sql.functions.last($"n_bpe_symbols").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+  }
+
   test("bpe training is deterministic and well-formed on the fixture") {
     val dir = sf("sf0.001")
     val out = Tokenizer.bpeTrain(spark, dir)
