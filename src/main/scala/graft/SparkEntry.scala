@@ -104,6 +104,7 @@ object SparkEntry {
     "sim_topk_pq"          -> (Similarity.topkPq _),
     "pipeline_dsir"        -> (Sampling.dsir _),
     "text_bpe"             -> (Tokenizer.bpeTrain _),
+    "q_zorder"             -> (Layout.zorderStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1563,6 +1564,16 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_grams, round(sum(lw), 6) AS logw,
         |  round(sum(lw), 6) >= 0 AS selected
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_zorder" ->
+      """WITH z AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(list_sum([ (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i+1)) for i in range(0, 16) ]) AS BIGINT) AS z
+        |  FROM lineitem)
+        |SELECT z >> 16 AS zbucket, count(*) AS n,
+        |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+        |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
 
     "text_bpe" ->
       """WITH r0 AS (

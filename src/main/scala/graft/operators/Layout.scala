@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -55,6 +55,43 @@ object Layout {
       }
     }
     (specs(0)._1, specs(1)._1)
+  }
+
+  /** Bits interleaved per dimension by [[zvalue]]. */
+  val ZBits = 16
+
+  /** Bit-interleaved Z-value (Morton code) of two non-negative integer
+    * columns: bit i of x lands at position 2i, bit i of y at 2i+1. The
+    * terms occupy disjoint bits, so summation IS the bitwise OR — written
+    * as + because both engines fold a sum chain identically. Sorting by
+    * this key clusters rows so that any contiguous run covers a small
+    * RECTANGLE of (x, y) space — the property that makes min/max file
+    * statistics selective for predicates on EITHER dimension, where a
+    * single-column sort leaves the other dimension's per-file range global.
+    * `LayoutSpec` measures exactly that on written chunks. */
+  def zvalue(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-order clustering summary of lineitem on (l_partkey, l_suppkey):
+    * rows bucketed by their Morton code's high bits, per-bucket count and
+    * min/max of BOTH dimensions — the footer statistics a z-sorted write
+    * would carry, and therefore what a scan with a predicate on either key
+    * would prune against. Pure projection + one bucket-keyed partial
+    * aggregation; at 100 TB this is the write-time `sortWithinPartitions`
+    * key of the fact table, not a query-time cost. */
+  def zorderStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey",
+        zvalue($"l_partkey", $"l_suppkey").as("z"))
+      .groupBy(shiftright($"z", 16).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+        min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"))
+      .orderBy($"zbucket")
   }
 
   /** Co-located fact⋈fact join over the bucketed tables: per-order line
