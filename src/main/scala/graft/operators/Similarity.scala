@@ -481,14 +481,18 @@ object Similarity {
     val cb = c.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"))
     // encode: nearest codebook entry (L2) per (vector, subspace), ties to
-    // the lower code id — map-side min_by collapses the fan-out
-    // pre-exchange; the stored index row is (vec_id, m, code, nrm)
+    // the lower code id. The 8 subspace argmins run as 8 PARALLEL min_by
+    // aggregates over the un-exploded (vector, codebook-entry) pairs —
+    // map-side partials collapse n×|cb| rows to n BEFORE the exchange, 8×
+    // fewer aggregated rows than exploding a row per subspace; the stored
+    // index row is then unpivoted to (vec_id, m, code, nrm)
+    val codeCols = (0 until PqM).map(m =>
+      min_by($"cid", struct(subDist($"v", $"cv", m), $"cid")).as(s"c$m"))
     val codes = c.join(broadcast(cb), lit(true))
-      .select($"vec_id", $"nrm", $"cid", explode(array((0 until PqM).map(m =>
-        struct(lit(m).as("m"), subDist($"v", $"cv", m).as("d"))): _*)).as("s"))
-      .groupBy($"vec_id", $"s.m")
-      .agg(min_by($"cid", struct($"s.d", $"cid")).as("code"),
-        min($"nrm").as("nrm"))
+      .groupBy($"vec_id")
+      .agg(min($"nrm").as("nrm"), codeCols: _*)
+      .select($"vec_id", $"nrm",
+        posexplode(array((0 until PqM).map(m => col(s"c$m")): _*)).as(Seq("m", "code")))
     // the query's asymmetric lookup table: subspace dot products per code
     val dt = c.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
