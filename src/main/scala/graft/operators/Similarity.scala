@@ -465,10 +465,13 @@ object Similarity {
     * refinement they'd get in production).
     *
     * Scale shape: encoding is a broadcast codebook fan-out with a map-side
-    * min_by collapse — the shuffle moves n×[[PqM]] code rows, not the
-    * fan-out (the [[assignedCells]] structure); the query distance table is
-    * tiny and BROADCAST, so the ADC scan is shuffle-free per corpus row,
-    * and the per-(query, vector) sum is one partial-aggregated exchange.
+    * min_by collapse — the shuffle moves n code rows (one [[PqM]]-wide row
+    * per vector), never the fan-out; each query's full distance table is
+    * collapsed to ONE flat array row (|codebook|×[[PqM]] doubles, indexed
+    * by dense code idx × subspace) and BROADCAST, so the ADC scan is a
+    * shuffle-free projection: per (corpus row × query) the approximate
+    * cosine is [[PqM]] `element_at` lookups summed inline — no exploded
+    * (vec, m, code) rows, no join on code, no n×|queries| hash aggregate.
     * The [[PqRerank]] shortlist is then re-ranked by EXACT cosine, touching
     * full-precision vectors only for R×|queries| point lookups — the
     * shortlist-then-rerank serving pipeline of every production PQ system.
@@ -478,33 +481,47 @@ object Similarity {
     import spark.implicits._
     val stride = pqStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
+    // dense code idx ordered by cid: ties in the per-subspace argmin break
+    // to the lower cid, which is the lower idx — order-isomorphic, so the
+    // oracle's cid-keyed formulation is reproduced exactly. The window runs
+    // on ≤~256 codebook rows (one partition, trivially small).
     val cb = c.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"))
+      .withColumn("cidx", row_number().over(Window.orderBy($"cid")) - 1)
     // encode: nearest codebook entry (L2) per (vector, subspace), ties to
     // the lower code id. The 8 subspace argmins run as 8 PARALLEL min_by
     // aggregates over the un-exploded (vector, codebook-entry) pairs —
-    // map-side partials collapse n×|cb| rows to n BEFORE the exchange, 8×
-    // fewer aggregated rows than exploding a row per subspace; the stored
-    // index row is then unpivoted to (vec_id, m, code, nrm)
+    // map-side partials collapse n×|cb| rows to n BEFORE the exchange; the
+    // stored row keeps the codes as one PqM-length array (the byte-per-code
+    // layout PQ exists for), not PqM exploded rows
     val codeCols = (0 until PqM).map(m =>
-      min_by($"cid", struct(subDist($"v", $"cv", m), $"cid")).as(s"c$m"))
+      min_by($"cidx", struct(subDist($"v", $"cv", m), $"cid")).as(s"c$m"))
     val codes = c.join(broadcast(cb), lit(true))
       .groupBy($"vec_id")
       .agg(min($"nrm").as("nrm"), codeCols: _*)
       .select($"vec_id", $"nrm",
-        posexplode(array((0 until PqM).map(m => col(s"c$m")): _*)).as(Seq("m", "code")))
-    // the query's asymmetric lookup table: subspace dot products per code
+        array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
+    // the query's asymmetric lookup table, collapsed to a single flat array
+    // per query: slot cidx*PqM + m + 1 holds dot(q⊆ₘ, cb[cidx]⊆ₘ). ~2k
+    // doubles per query — broadcast to every scan task
     val dt = c.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
       .join(broadcast(cb), lit(true))
-      .select($"query_id", $"qn", $"cid".as("dcid"),
-        explode(array((0 until PqM).map(m =>
-          struct(lit(m).as("m"), subDot($"qv", $"cv", m).as("d"))): _*)).as("s"))
-      .select($"query_id", $"qn", $"dcid", $"s.m".as("dm"), $"s.d".as("d"))
-    val adc = codes.join(broadcast(dt), $"m" === $"dm" && $"code" === $"dcid")
+      .groupBy($"query_id")
+      .agg(min($"qn").as("qn"),
+        flatten(transform(
+          array_sort(collect_list(struct($"cidx",
+            array((0 until PqM).map(m => subDot($"qv", $"cv", m)): _*).as("ds")))),
+          e => e("ds"))).as("dtarr"))
+    // ADC scan: corpus codes × broadcast query tables, approximate cosine
+    // computed inline — fixed m-ascending sum of the 8 table lookups
+    val adcSum = (0 until PqM).map(m =>
+      element_at($"dtarr", element_at($"codes", m + 1) * PqM + m + 1))
+      .reduce(_ + _)
+    val adc = codes.join(broadcast(dt), lit(true))
       .filter($"vec_id" =!= $"query_id")
-      .groupBy($"query_id", $"vec_id")
-      .agg(round(sum($"d") / (min($"qn") * min($"nrm")), 6).as("adc_cosine"))
+      .select($"query_id", $"vec_id",
+        round(adcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
     // shortlist [[PqRerank]] per query on the approximate order, then
     // re-rank the survivors by EXACT cosine — the standard PQ serving
     // pipeline: the full-precision vectors are touched only for the
