@@ -257,31 +257,89 @@ object Dedup {
     import spark.implicits._
     val edges = graft.sources.Caches.shared(
       minhashVerified(spark, dir).select($"id_a", $"id_b"))
-    val sym = edges.union(edges.select($"id_b", $"id_a")).toDF("src", "dst")
-    var labels = edges.select(explode(array($"id_a", $"id_b")).as("doc_id"))
-      .distinct()
-      .withColumn("label", $"doc_id")
-      .localCheckpoint()
-    var iter = 0
-    var changed = true
-    while (changed && iter < 20) {
-      val prop = sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy($"dst").agg(min($"label").as("nlabel"))
-        .withColumnRenamed("dst", "doc_id")
-      // carry a changed flag instead of re-joining old vs new labels — the
-      // convergence check is then a count on already-checkpointed data (no
-      // extra shuffle per iteration)
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select($"doc_id",
-          least($"label", coalesce($"nlabel", $"label")).as("label"),
-          (coalesce($"nlabel", $"label") < $"label").as("chg"))
-        .localCheckpoint()
-      changed = next.filter($"chg").limit(1).count() > 0
-      labels = next.select($"doc_id", $"label")
-      iter += 1
-    }
-    labels.select($"doc_id", $"label".as("cluster_rep"))
+    connectedComponents(edges)._1.select($"doc_id", $"label".as("cluster_rep"))
   }
+
+  /** Connected components by alternating large-star / small-star (Kiveris
+    * et al. 2014, "Connected Components in MapReduce and Beyond") — the
+    * label of each component is its MINIMUM node id, identical to the
+    * oracle's recursive transitive closure. Replaces min-label propagation:
+    * propagation needs O(graph diameter) rounds, so a duplicate CHAIN
+    * (templated pages drifting edit by edit — a real shape at crawl scale)
+    * of length > the round cap silently got WRONG labels; star contraction
+    * converges in O(log² n) rounds on ANY shape (10 rounds on a 300-node
+    * path — ~log₂ halvings + 1 confirmation, `DedupSpec`; min-label needs
+    * 299), so the round cap is a loud failure bound, not a
+    * silent correctness cliff. Each half-round is two hash-shuffles (a min
+    * aggregate keyed by node + a same-key join back — AQE plans the join
+    * off the agg's partitioning) over the current edge set, which only
+    * SHRINKS as stars contract; no collect_set, so a hub node's neighbor
+    * list never materializes in one row. Convergence = edge fixpoint,
+    * checked with an order-independent (count, Σxxhash64) fingerprint on
+    * the localCheckpoint'd edge set (one metadata-cheap job per round).
+    * Returns (labels: doc_id/label, rounds). */
+  private[graft] def connectedComponents(edgesIn: DataFrame): (DataFrame, Int) = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    // canonical orientation (hi > lo), self-loops dropped
+    val init = edgesIn.toDF("a", "b").filter($"a" =!= $"b")
+      .select(greatest($"a", $"b").as("hi"), least($"a", $"b").as("lo"))
+      .distinct()
+    // large-star(u): every neighbor v > u rewires to min(Γ(u) ∪ {u});
+    // emitted (v, m) keeps v > u ≥ m, so orientation is preserved
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select($"hi".as("u"), $"lo".as("v"))
+        .union(e.select($"lo".as("u"), $"hi".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+      sym.join(mins, "u")
+        .filter($"v" > $"u")
+        .select($"v".as("hi"), least($"mn", $"u").as("lo"))
+        .distinct()
+    }
+    // small-star(u): neighbors of u are all < u under (hi, lo) keying;
+    // every neighbor (and u itself) rewires to the minimum one
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy($"hi").agg(min($"lo").as("mn"))
+      e.join(mins, "hi")
+        .filter($"lo" =!= $"mn")
+        .select($"lo".as("hi"), $"mn".as("lo"))
+        .union(mins.select($"hi", $"mn".as("lo")))
+        .distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor over DISTINCT edges: order-independent and overflow-free
+      // under ANSI (sum of hashes is not)
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = init.localCheckpoint()
+    var fp = fingerprint(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < MaxCcRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val nfp = fingerprint(edges)
+      converged = nfp == fp
+      fp = nfp
+      rounds += 1
+    }
+    require(converged, s"connectedComponents did not reach an edge fixpoint in " +
+      s"$MaxCcRounds rounds — O(log² n) convergence makes this unreachable for " +
+      "any real corpus; refusing to emit possibly-unmerged cluster labels")
+    // fixpoint is a star forest: each child carries exactly one (child, root)
+    // edge; roots label themselves
+    val labels = edges.select($"hi".as("doc_id"), $"lo".as("label"))
+      .union(edges.select($"lo".as("doc_id"), $"lo".as("label")))
+      .distinct()
+    (labels, rounds)
+  }
+
+  /** Round bound for [[connectedComponents]] — a loud-failure guard far
+    * above the O(log² n) requirement (measured: 10 rounds on a 300-node
+    * path, 2–3 on the fixture's near-clique clusters; pessimal theory for
+    * 10¹² nodes is ~40 pairs). */
+  private[graft] val MaxCcRounds = 50
 
   // ---------------------------------------------------------------- SimHash
 

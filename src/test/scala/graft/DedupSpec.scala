@@ -336,4 +336,31 @@ class DedupSpec extends SparkSpec {
         s"pair ($k,$v)")
     }
   }
+
+  test("connected components: chain, cliques, and forest all label by min in O(log^2 n) rounds") {
+    // a 300-node path is the adversarial shape for min-label propagation
+    // (needs 299 propagation rounds); star contraction must close it fast
+    val chain = spark.range(0, 299).selectExpr("id as a", "id + 1 as b")
+    val (labels, rounds) = Dedup.connectedComponents(chain.toDF)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == 300 && got.values.forall(_ == 0L), "one component labeled 0")
+    // measured: 10 = 9 contracting rounds (~log2 300 halvings) + 1
+    // fixpoint-confirmation round; min-label propagation would need 299
+    assert(rounds <= 12, s"path-300 converged in $rounds rounds (diameter-free bound)")
+
+    // two cliques + an isolated edge, shuffled orientation and duplicates
+    val cliqueEdges = for {
+      base <- Seq(1000L, 2000L); i <- 0 until 6; j <- 0 until 6 if i != j
+    } yield (base + i, base + j)
+    val e2 = (cliqueEdges ++ Seq((7L, 5L), (5L, 7L))).toDF("a", "b")
+    val (l2, _) = Dedup.connectedComponents(e2)
+    val m2 = l2.as[(Long, Long)].collect().toMap
+    assert((0 until 6).forall(i => m2(1000L + i) == 1000L))
+    assert((0 until 6).forall(i => m2(2000L + i) == 2000L))
+    assert(m2(5L) == 5L && m2(7L) == 5L)
+
+    // empty edge set: no labels, zero rounds, no failure
+    val (l3, r3) = Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b"))
+    assert(l3.isEmpty && r3 == 0)
+  }
 }
