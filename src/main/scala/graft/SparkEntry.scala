@@ -102,6 +102,7 @@ object SparkEntry {
     "q_shuffle_seeded"     -> (Sampling.seededShuffle _),
     "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
     "sim_topk_pq"          -> (Similarity.topkPq _),
+    "sim_topk_ivfpq"       -> (Similarity.topkIvfPq _),
     "pipeline_dsir"        -> (Sampling.dsir _),
     "text_bpe"             -> (Tokenizer.bpeTrain _),
     "q_zorder"             -> (Layout.zorderStats _),
@@ -1531,6 +1532,67 @@ object SparkEntry {
         |  FROM codes JOIN dt ON dt.m = codes.m AND dt.cid = codes.code
         |  WHERE codes.vec_id != dt.query_id
         |  GROUP BY dt.query_id, codes.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc) WHERE rr <= 50),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short s JOIN n qn ON qn.vec_id = s.query_id JOIN n nn ON nn.vec_id = s.neighbor_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM ex) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF × PQ: the sim_topk_ivf probe CTEs bound WHICH vectors are scanned,
+    // the sim_topk_pq code/distance-table CTEs bound WHAT the scan reads —
+    // the adc aggregate is the PQ one restricted through the probes join
+    "sim_topk_ivfpq" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT n.vec_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS arn
+        |    FROM n CROSS JOIN cents)
+        |  WHERE arn = 1),
+        |probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT q.vec_id AS query_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum([q.v[i]*cv[i] for i in range(1,65)]) / (q.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS prn
+        |    FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q CROSS JOIN cents)
+        |  WHERE prn <= 2),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 8 = 0),
+        |mm AS (SELECT unnest(range(0, 8)) AS m),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code, nrm FROM (
+        |    SELECT n.vec_id, mm.m, cb.cid, n.nrm,
+        |      row_number() OVER (PARTITION BY n.vec_id, mm.m ORDER BY
+        |        round(list_sum([(n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cid ASC) AS rn
+        |    FROM n CROSS JOIN cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |dt AS (
+        |  SELECT q.vec_id AS query_id, q.nrm AS qn, mm.m, cb.cid,
+        |    round(list_sum([q.v[mm.m*8+i] * cb.cv[mm.m*8+i] for i in range(1, 9)]), 6) AS d
+        |  FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q CROSS JOIN cb CROSS JOIN mm),
+        |adc AS (
+        |  SELECT p.query_id, codes.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(codes.nrm)), 6) AS adc_cosine
+        |  FROM probes p
+        |  JOIN assigned a ON a.cent_id = p.cent_id
+        |  JOIN codes ON codes.vec_id = a.vec_id
+        |  JOIN dt ON dt.query_id = p.query_id AND dt.m = codes.m AND dt.cid = codes.code
+        |  WHERE codes.vec_id != p.query_id
+        |  GROUP BY p.query_id, codes.vec_id),
         |short AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr

@@ -481,30 +481,53 @@ object Similarity {
     import spark.implicits._
     val stride = pqStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
-    // dense code idx ordered by cid: ties in the per-subspace argmin break
-    // to the lower cid, which is the lower idx — order-isomorphic, so the
-    // oracle's cid-keyed formulation is reproduced exactly. The window runs
-    // on ≤~256 codebook rows (one partition, trivially small).
-    val cb = c.filter($"vec_id" % stride === 0)
+    val cb = pqCodebook(c, stride)
+    val codes = pqEncode(c, cb)
+    val dt = pqQueryTables(c, cb)
+    // ADC scan: corpus codes × broadcast query tables, approximate cosine
+    // computed inline — fixed m-ascending sum of the 8 table lookups
+    val adc = codes.join(broadcast(dt), lit(true))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(pqAdcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
+    pqRerank(c, adc)
+  }
+
+  /** PQ codebook with a dense code idx ordered by cid: ties in the
+    * per-subspace argmin break to the lower cid, which is the lower idx —
+    * order-isomorphic, so the oracle's cid-keyed formulation is reproduced
+    * exactly. The window runs on ≤~256 codebook rows (one partition,
+    * trivially small). */
+  private def pqCodebook(c: DataFrame, stride: Long): DataFrame = {
+    import c.sparkSession.implicits._
+    c.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"))
       .withColumn("cidx", row_number().over(Window.orderBy($"cid")) - 1)
-    // encode: nearest codebook entry (L2) per (vector, subspace), ties to
-    // the lower code id. The 8 subspace argmins run as 8 PARALLEL min_by
-    // aggregates over the un-exploded (vector, codebook-entry) pairs —
-    // map-side partials collapse n×|cb| rows to n BEFORE the exchange; the
-    // stored row keeps the codes as one PqM-length array (the byte-per-code
-    // layout PQ exists for), not PqM exploded rows
+  }
+
+  /** Encode: nearest codebook entry (L2) per (vector, subspace), ties to
+    * the lower code id. The 8 subspace argmins run as 8 PARALLEL min_by
+    * aggregates over the un-exploded (vector, codebook-entry) pairs —
+    * map-side partials collapse n×|cb| rows to n BEFORE the exchange; the
+    * stored row keeps the codes as one [[PqM]]-length array (the
+    * byte-per-code layout PQ exists for), not PqM exploded rows. */
+  private def pqEncode(c: DataFrame, cb: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
     val codeCols = (0 until PqM).map(m =>
       min_by($"cidx", struct(subDist($"v", $"cv", m), $"cid")).as(s"c$m"))
-    val codes = c.join(broadcast(cb), lit(true))
+    c.join(broadcast(cb), lit(true))
       .groupBy($"vec_id")
       .agg(min($"nrm").as("nrm"), codeCols: _*)
       .select($"vec_id", $"nrm",
         array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
-    // the query's asymmetric lookup table, collapsed to a single flat array
-    // per query: slot cidx*PqM + m + 1 holds dot(q⊆ₘ, cb[cidx]⊆ₘ). ~2k
-    // doubles per query — broadcast to every scan task
-    val dt = c.filter($"vec_id" % QueryStride === 0)
+  }
+
+  /** Each query's asymmetric lookup table, collapsed to a single flat
+    * array per query: slot cidx*[[PqM]] + m + 1 holds dot(q⊆ₘ, cb[cidx]⊆ₘ).
+    * ~2k doubles per query — broadcast to every scan task. */
+  private def pqQueryTables(c: DataFrame, cb: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    c.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
       .join(broadcast(cb), lit(true))
       .groupBy($"query_id")
@@ -513,19 +536,21 @@ object Similarity {
           array_sort(collect_list(struct($"cidx",
             array((0 until PqM).map(m => subDot($"qv", $"cv", m)): _*).as("ds")))),
           e => e("ds"))).as("dtarr"))
-    // ADC scan: corpus codes × broadcast query tables, approximate cosine
-    // computed inline — fixed m-ascending sum of the 8 table lookups
-    val adcSum = (0 until PqM).map(m =>
-      element_at($"dtarr", element_at($"codes", m + 1) * PqM + m + 1))
+  }
+
+  /** Inline ADC approximate dot: fixed m-ascending sum of the [[PqM]]
+    * table lookups (columns `codes` + `dtarr` in scope). */
+  private def pqAdcSum: Column =
+    (0 until PqM).map(m =>
+      element_at(col("dtarr"), element_at(col("codes"), m + 1) * PqM + m + 1))
       .reduce(_ + _)
-    val adc = codes.join(broadcast(dt), lit(true))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id",
-        round(adcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
-    // shortlist [[PqRerank]] per query on the approximate order, then
-    // re-rank the survivors by EXACT cosine — the standard PQ serving
-    // pipeline: the full-precision vectors are touched only for the
-    // shortlist (point lookups of R×|queries| rows), never scanned
+
+  /** Shortlist [[PqRerank]] per query on the approximate order, then
+    * re-rank the survivors by EXACT cosine — the standard PQ serving
+    * pipeline: the full-precision vectors are touched only for the
+    * shortlist (point lookups of R×|queries| rows), never scanned. */
+  private def pqRerank(c: DataFrame, adc: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
     val wShort = Window.partitionBy($"query_id")
       .orderBy($"adc_cosine".desc, $"vec_id".asc)
     val short = adc.withColumn("rr", row_number().over(wShort))
@@ -543,6 +568,53 @@ object Similarity {
       .filter($"rank" <= TopK)
       .select($"query_id", $"neighbor_id", $"cosine", $"rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** ANN top-k via IVF × PQ — the production serving composition at 100 TB
+    * (FAISS's IVFADC layout, Jégou et al. 2011): the IVF coarse quantizer
+    * bounds WHICH vectors are scanned (each query touches only its
+    * [[NProbe]] nearest cells — [[topkIvf]]'s structure) and PQ bounds WHAT
+    * the scan reads per vector (8 one-byte codes + a norm, 32× smaller than
+    * the float vector — [[topkPq]]'s structure). Composition: the per-cell
+    * inverted lists carry (vec_id, codes, nrm); a query's probe set joins
+    * its cells' lists on the cell id (an equi-join on the blocking key, the
+    * [[assignedCells]] shape), the broadcast flat distance table scores
+    * each listed vector with [[PqM]] inline lookups, and the [[PqRerank]]
+    * shortlist re-ranks by exact cosine. Per-query scan cost drops from
+    * n×8 lookups ([[topkPq]]) to (n×[[NProbe]]/cells)×8 — the two
+    * approximations compound; recall vs brute force is pinned in
+    * `DedupSpec`. Cell stride and codebook stride both derive from corpus
+    * size above their fixture floors ([[ivfCellStride]], [[pqStride]]). */
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
+    val c = corpus(spark, dir)
+    val cents = centroids(c, ivfCellStride(n))
+    val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
+    val cb = pqCodebook(c, pqStride(n))
+    // inverted lists in PQ layout: cell id → (vec_id, codes, nrm)
+    val lists = pqEncode(c, cb)
+      .join(assigned.select($"vec_id", $"cent_id"), "vec_id")
+    // queries probe their NProbe nearest cells (the topkIvf probe shape),
+    // each probe row carrying the query's broadcast-ready distance table
+    val q = c.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"csim".desc, $"cent_id".asc)
+    val probes = q.join(broadcast(cents), lit(true))
+      .select($"query_id", $"qv", $"qn", $"cent_id",
+        cosine6($"qv", $"cv", $"qn", $"cn").as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= NProbe)
+      .select($"query_id", $"cent_id")
+      .join(broadcast(pqQueryTables(c, cb)), "query_id")
+    // ADC scan over probed cells only: equi-join on the cell id, inline
+    // 8-lookup approximate cosine per listed vector
+    val adc = lists.join(broadcast(probes), "cent_id")
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id",
+        round(pqAdcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
+    pqRerank(c, adc)
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]

@@ -99,6 +99,33 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.7, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("ivf-pq topk: exact-cosine values, subset of probed cells, recall floor vs ivf") {
+    val ivfpq = Similarity.topkIvfPq(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+    // re-rank reports EXACT cosines — agree bit-for-bit with brute force
+    // wherever both lists carry the pair
+    val bruteCos = Similarity.topkBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id", $"cosine")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivfpq.nonEmpty)
+    assert(ivfpq.collect { case (q, n, c) if bruteCos.contains((q, n)) =>
+      c == bruteCos((q, n)) }.forall(identity))
+    // the IVF stage bounds the candidate set: every reported neighbor must
+    // also be reachable by plain IVF's scan (same cells, exact scoring) —
+    // PQ can only LOSE candidates to its shortlist, never add cells
+    val ivfSets = Similarity.topkIvf(spark, dir)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pqSets = ivfpq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(pqSets.keySet == ivfSets.keySet)
+    // recall@10 of the composition vs the IVF-only scan (isolates the PQ
+    // shortlist loss from the cell-probing loss); floor measured on fixture
+    val recalls = ivfSets.map { case (q, is) =>
+      (is & pqSets(q)).size.toDouble / math.min(Similarity.TopK, is.size) }
+    assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("language profiles are deterministic and predictions cover all docs") {
     val out = TextAnalysis.langId(spark, dir)
     assert(out.count() == 500)
