@@ -104,6 +104,7 @@ object SparkEntry {
     "sim_topk_pq"          -> (Similarity.topkPq _),
     "sim_topk_ivfpq"       -> (Similarity.topkIvfPq _),
     "pipeline_dsir"        -> (Sampling.dsir _),
+    "pipeline_temperature" -> (Sampling.temperatureMixture _),
     "text_bpe"             -> (Tokenizer.bpeTrain _),
     "q_zorder"             -> (Layout.zorderStats _),
   )
@@ -1605,6 +1606,21 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM ex) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // temperature mixture: τ = 1/2 via sqrt (IEEE-correctly-rounded in both
+    // engines — bit-portable policy doubles); decision is the integer-hash
+    // test in the same 10^6 space as pipeline_mixture
+    "pipeline_temperature" ->
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text,' ')) AS nt FROM documents),
+        |l AS (SELECT lang, sum(nt) AS tok_l FROM d GROUP BY lang),
+        |t AS (SELECT sum(tok_l) AS tok_total, sum(sqrt(tok_l)) AS z FROM l),
+        |r AS (SELECT lang, least(1000000,
+        |        CAST(round(1000000 * tok_total * sqrt(tok_l) / (2 * z * tok_l)) AS BIGINT)) AS threshold
+        |      FROM l, t)
+        |SELECT d.doc_id, d.lang, CAST(d.nt AS BIGINT) AS n_ws_tokens, r.threshold,
+        |  CAST(concat('0x', substr(md5(concat('tmix|', doc_id)),1,15)) AS BIGINT) % 1000000 < threshold AS selected
+        |FROM d JOIN r USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "pipeline_dsir" ->
       """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS s FROM documents),

@@ -131,6 +131,61 @@ object Sampling {
       .select(cols: _*)
   }
 
+  /** Token budget of [[temperatureMixture]]: keep half the corpus tokens. */
+  val TempBudgetDen = 2L
+
+  /** Temperature-scaled mixture over languages with a TOKEN budget — the
+    * multilingual balancing method of mBERT/XLM-R/mT5: sampling mass
+    * p_ℓ ∝ (tokens_ℓ)^τ flattens the head languages and up-weights the
+    * tail, and each language's per-doc keep rate is the one that spends a
+    * global token budget B (here tokens_total/[[TempBudgetDen]]) in
+    * proportion p_ℓ: rate_ℓ = min(1, B·p_ℓ/tokens_ℓ). τ is pinned at 1/2,
+    * i.e. `sqrt` — IEEE 754 requires sqrt be correctly rounded, so the
+    * policy doubles are bit-identical in every engine (a general pow(x, τ)
+    * is only faithfully rounded and could flip a boundary hash); the doc
+    * decision itself is the [[mixture]] integer-hash test. Scale shape:
+    * one per-language token-sum shuffle (map-side partials), a one-row
+    * totals aggregate, the O(|langs|) policy BROADCAST back; the corpus is
+    * touched once and never shuffled. Emits every doc with its `selected`
+    * flag (the gated-ingest view is [[temperatureMixtureRows]]). */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(graft.functions.Text.tokens($"text")).cast("long").as("n_ws_tokens"))
+    temperatureMixtureRows(docs, temperatureThresholds(spark, dir))
+      .orderBy($"doc_id")
+  }
+
+  /** The trained policy: per-language keep thresholds in the
+    * [[MixtureScale]] hash space. threshold_ℓ = min(S, round(S·T·√t_ℓ /
+    * ([[TempBudgetDen]]·z·t_ℓ))) with T = Σt_ℓ, z = Σ√t_ℓ. */
+  def temperatureThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perLang = Tables.documents(spark, dir)
+      .select($"lang", size(graft.functions.Text.tokens($"text")).cast("long").as("nt"))
+      .groupBy($"lang").agg(sum($"nt").as("tok_l"))
+    val totals = perLang.agg(sum($"tok_l").as("tok_total"),
+      sum(sqrt($"tok_l")).as("z"))
+    perLang.join(broadcast(totals), lit(true))
+      .select($"lang", least(lit(MixtureScale),
+        round(lit(MixtureScale) * $"tok_total" * sqrt($"tok_l") /
+          (lit(TempBudgetDen) * $"z" * $"tok_l")).cast("long")).as("threshold"))
+  }
+
+  /** Apply a trained temperature policy to any (…, doc_id, lang) relation —
+    * stateless broadcast-join + integer hash test, so it gates an ingest
+    * STREAM exactly like [[mixtureRows]] does. Carries the policy
+    * `threshold` and the decision `selected` alongside the caller's
+    * columns. */
+  def temperatureMixtureRows(rows: DataFrame, thresholds: DataFrame): DataFrame = {
+    val cols = rows.columns.map(col).toIndexedSeq
+    rows.join(broadcast(thresholds), "lang")
+      .select(cols :+ col("threshold") :+
+        (pmod(hash60(concat(lit("tmix|"), col("doc_id").cast("string"))),
+          lit(MixtureScale)) < col("threshold")).as("selected"): _*)
+  }
+
   val DsirBuckets = 1024L
   val DsirAlpha = 0.5
   val DsirTargetLang = "en"

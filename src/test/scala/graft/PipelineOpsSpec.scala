@@ -74,6 +74,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperature mixture flattens language shares toward the token budget") {
+    val out = Sampling.temperatureMixture(spark, dir)
+      .select($"doc_id", $"lang", $"n_ws_tokens", $"threshold", $"selected")
+      .as[(Long, String, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_._2)
+    // per-language realized keep RATE tracks the policy threshold, and the
+    // temperature exponent makes the rate anti-monotone in language size:
+    // a smaller language never gets a lower threshold than a bigger one
+    val sizes = byLang.view.mapValues(_.map(_._3).sum).toMap
+    val thresholds = byLang.view.mapValues(_.head._4).toMap
+    for (a <- sizes.keys; b <- sizes.keys; if sizes(a) < sizes(b))
+      assert(thresholds(a) >= thresholds(b),
+        s"lang $a (${sizes(a)} toks) threshold ${thresholds(a)} < lang $b (${sizes(b)}) ${thresholds(b)}")
+    // the selected token mass lands near the budget (hash noise only): the
+    // budget is tok_total / TempBudgetDen, rates are exact, selection is a
+    // uniform hash test per doc
+    val total = out.map(_._3).sum.toDouble
+    val selected = out.filter(_._5).map(_._3).sum.toDouble
+    val target = total / Sampling.TempBudgetDen
+    assert(math.abs(selected - target) / target < 0.15,
+      s"selected $selected vs budget $target")
+    // deterministic across invocations
+    val again = Sampling.temperatureMixture(spark, dir)
+      .filter($"selected").select($"doc_id").as[Long].collect().toSet
+    assert(again == out.filter(_._5).map(_._1).toSet)
+  }
+
   test("bm25 retrieval ranks are dense, ordered, positive, and never self") {
     import graft.operators.TextAnalysis
     val rows = TextAnalysis.bm25TopK(spark, dir)

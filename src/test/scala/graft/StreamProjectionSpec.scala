@@ -162,6 +162,31 @@ class StreamProjectionSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < rows.size)
   }
 
+  test("temperature policy trained in batch gates a stream identically to batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val thresholds = graft.operators.Sampling.temperatureThresholds(spark, dir)
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"lang").as[(Long, String)].head(60).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling.temperatureMixtureRows(
+        in.toDF().toDF("doc_id", "lang"), thresholds)
+      .writeStream.format("memory").queryName("tmx").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tmx").orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Sampling.temperatureMixtureRows(
+        rows.toDF("doc_id", "lang"), thresholds).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // non-vacuous: both decisions occur in the streamed window
+    val flags = streamed.map(_.last).toSet
+    assert(flags == Set(true, false))
+  }
+
   test("ingest-time curation chain (quality -> mixture -> scrub -> chunk) agrees batch vs stream") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
