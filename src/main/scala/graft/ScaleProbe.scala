@@ -105,7 +105,17 @@ object ScaleProbe {
         ("dedup_simhash_fixed12", nDocs, () =>
           (Dedup.simhashCandidates(spark, dir, Some(12)).count(),
             Dedup.simhashCandidates(spark, dir, Some(12))
-              .filter(s"hamming <= ${Dedup.HammingThreshold}").count()))
+              .filter(s"hamming <= ${Dedup.HammingThreshold}").count())),
+        // ANN scan volume: C = ADC-scored (query, vector) pairs, O = final
+        // top-k rows. The full-corpus PQ scan is n×|queries| by
+        // construction; the IVF×PQ twin shows what cell probing saves
+        // (NProbe/|cells| of the corpus per query)
+        ("sim_topk_pq", nVecs, () =>
+          (Similarity.pqAdcScan(spark, dir).count(),
+            Similarity.topkPq(spark, dir).count())),
+        ("sim_topk_ivfpq", nVecs, () =>
+          (Similarity.ivfPqAdcScan(spark, dir).count(),
+            Similarity.topkIvfPq(spark, dir).count()))
       )
       // SPARK_GRAFT_PROBE_ONLY=a,b (local tuning): restrict to named probes
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")

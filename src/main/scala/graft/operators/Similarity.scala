@@ -477,7 +477,13 @@ object Similarity {
     * shortlist-then-rerank serving pipeline of every production PQ system.
     * Like every approximate operator here, the approximation is
     * deterministic and reproduced exactly by the oracle. */
-  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+  def topkPq(spark: SparkSession, dir: String): DataFrame =
+    pqRerank(corpus(spark, dir), pqAdcScan(spark, dir))
+
+  /** The full-corpus ADC scan — (query, vector) approximate cosines, the
+    * scan volume [[graft.ScaleProbe]] tracks (n×|queries| by construction;
+    * [[ivfPqAdcScan]] is the cell-bounded comparison). */
+  private[graft] def pqAdcScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stride = pqStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
@@ -486,11 +492,10 @@ object Similarity {
     val dt = pqQueryTables(c, cb)
     // ADC scan: corpus codes × broadcast query tables, approximate cosine
     // computed inline — fixed m-ascending sum of the 8 table lookups
-    val adc = codes.join(broadcast(dt), lit(true))
+    codes.join(broadcast(dt), lit(true))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         round(pqAdcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
-    pqRerank(c, adc)
   }
 
   /** PQ codebook with a dense code idx ordered by cid: ties in the
@@ -585,7 +590,13 @@ object Similarity {
     * approximations compound; recall vs brute force is pinned in
     * `DedupSpec`. Cell stride and codebook stride both derive from corpus
     * size above their fixture floors ([[ivfCellStride]], [[pqStride]]). */
-  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
+    pqRerank(corpus(spark, dir), ivfPqAdcScan(spark, dir))
+
+  /** The cell-bounded ADC scan — (query, vector) approximate cosines over
+    * probed cells only; its row count vs [[pqAdcScan]]'s measures what the
+    * IVF stage saves ([[graft.ScaleProbe]]). */
+  private[graft] def ivfPqAdcScan(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.embeddings(spark, dir).count()
     val c = corpus(spark, dir)
@@ -610,11 +621,10 @@ object Similarity {
       .join(broadcast(pqQueryTables(c, cb)), "query_id")
     // ADC scan over probed cells only: equi-join on the cell id, inline
     // 8-lookup approximate cosine per listed vector
-    val adc = lists.join(broadcast(probes), "cent_id")
+    lists.join(broadcast(probes), "cent_id")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id",
         round(pqAdcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
-    pqRerank(c, adc)
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]
