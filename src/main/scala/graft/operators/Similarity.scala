@@ -516,15 +516,17 @@ object Similarity {
     * map-side partials collapse n×|cb| rows to n BEFORE the exchange; the
     * stored row keeps the codes as one [[PqM]]-length array (the
     * byte-per-code layout PQ exists for), not PqM exploded rows. */
-  private def pqEncode(c: DataFrame, cb: DataFrame): DataFrame = {
+  private def pqEncode(c: DataFrame, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     import c.sparkSession.implicits._
-    val codeCols = (0 until PqM).map(m =>
-      min_by($"cidx", struct(subDist($"v", $"cv", m), $"cid")).as(s"c$m"))
+    val codeCols = carry.map(k => min(col(k)).as(k)) ++
+      (0 until PqM).map(m =>
+        min_by($"cidx", struct(subDist($"v", $"cv", m), $"cid")).as(s"c$m"))
     c.join(broadcast(cb), lit(true))
       .groupBy($"vec_id")
       .agg(min($"nrm").as("nrm"), codeCols: _*)
-      .select($"vec_id", $"nrm",
-        array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"))
+      .select($"vec_id" +: $"nrm" +: carry.map(col) :+
+        array((0 until PqM).map(m => col(s"c$m")): _*).as("codes"): _*)
   }
 
   /** Each query's asymmetric lookup table, collapsed to a single flat
@@ -603,9 +605,11 @@ object Similarity {
     val cents = centroids(c, ivfCellStride(n))
     val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
     val cb = pqCodebook(c, pqStride(n))
-    // inverted lists in PQ layout: cell id → (vec_id, codes, nrm)
-    val lists = pqEncode(c, cb)
-      .join(assigned.select($"vec_id", $"cent_id"), "vec_id")
+    // inverted lists in PQ layout: cell id → (vec_id, codes, nrm), encoded
+    // straight FROM the assignment frame — cent_id rides the encode groupBy
+    // (each vector has exactly one cell), so there is no n×n join of codes
+    // back to assignments
+    val lists = pqEncode(assigned, cb, carry = Seq("cent_id"))
     // queries probe their NProbe nearest cells (the topkIvf probe shape),
     // each probe row carrying the query's broadcast-ready distance table
     val q = c.filter($"vec_id" % QueryStride === 0)
