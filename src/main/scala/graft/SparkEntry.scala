@@ -103,6 +103,7 @@ object SparkEntry {
     "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
     "sim_topk_pq"          -> (Similarity.topkPq _),
     "sim_topk_ivfpq"       -> (Similarity.topkIvfPq _),
+    "sim_balanced_sample"  -> (Similarity.balancedSample _),
     "pipeline_dsir"        -> (Sampling.dsir _),
     "pipeline_temperature" -> (Sampling.temperatureMixture _),
     "text_bpe"             -> (Tokenizer.bpeTrain _),
@@ -1606,6 +1607,33 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM ex) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // cell-balanced diversity subsample: the sim_topk_ivf assignment CTE +
+    // a per-cell quota over the content-hash order (mixture hash idiom)
+    "sim_balanced_sample" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT n.vec_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS arn
+        |    FROM n CROSS JOIN cents)
+        |  WHERE arn = 1),
+        |q AS (SELECT ((count(*) // 4) + (SELECT count(*) FROM cents) - 1)
+        |             // (SELECT count(*) FROM cents) AS quota FROM n),
+        |pos AS (
+        |  SELECT vec_id, cent_id AS cell_id,
+        |    CAST(row_number() OVER (PARTITION BY cent_id ORDER BY
+        |      CAST(concat('0x', substr(md5(concat('div|', vec_id)),1,15)) AS BIGINT) % 1000000 ASC,
+        |      vec_id ASC) AS INTEGER) AS pos
+        |  FROM assigned)
+        |SELECT vec_id, cell_id, pos, pos <= quota AS selected
+        |FROM pos, q ORDER BY vec_id""".stripMargin,
 
     // temperature mixture: τ = 1/2 via sqrt (IEEE-correctly-rounded in both
     // engines — bit-portable policy doubles); decision is the integer-hash

@@ -290,6 +290,43 @@ object Similarity {
     * same plan is a stream-static SHUFFLE join on cell_id against a
     * cell-clustered corpus table (partition-pruned to probed cells), with
     * only the arriving batch's vectors moving. */
+  /** Sample budget denominator for [[balancedSample]]: keep n/4 vectors. */
+  val BalancedSampleDen = 4L
+
+  /** Cell-balanced diversity subsample — the cluster-coverage selection of
+    * data-pruning pipelines (each embedding cell contributes at most a
+    * quota, so dense regions — boilerplate, templated text — cannot
+    * dominate the sample the way they would under uniform sampling; the
+    * complement of [[semanticDedup]], which removes near-duplicates
+    * WITHIN cells, this flattens mass ACROSS cells). Quota = ⌈budget /
+    * |cells|⌉ with budget = n/[[BalancedSampleDen]]; within a cell,
+    * selection order is the deterministic content-hash position (the
+    * [[Sampling.mixture]] convention — engine/rerun/cluster invariant),
+    * vec_id tie-broken. Scale shape: the shared cell assignment (one
+    * corpus shuffle, reused by IVF/SemDeDup/k-means) plus ONE window over
+    * cells — each cell sorts locally; a mega-cell's sort is |cell| log
+    * |cell| on one partition, the documented salting escape hatch of
+    * [[semanticCandidates]] applies identically. Emits every vector with
+    * its position and `selected` flag. */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.embeddings(spark, dir).count()
+    val c = corpus(spark, dir)
+    val cents = centroids(c, ivfCellStride(n))
+    val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
+    val nCells = cents.count()
+    val quota = (n / BalancedSampleDen + nCells - 1) / nCells
+    val w = Window.partitionBy($"cent_id")
+      .orderBy($"h".asc, $"vec_id".asc)
+    assigned.select($"vec_id", $"cent_id")
+      .withColumn("h", pmod(graft.functions.Text.hash60(
+        concat(lit("div|"), $"vec_id".cast("string"))), lit(Sampling.MixtureScale)))
+      .withColumn("pos", row_number().over(w))
+      .select($"vec_id", $"cent_id".as("cell_id"), $"pos",
+        ($"pos" <= quota).as("selected"))
+      .orderBy($"vec_id")
+  }
+
   def semanticDedupStream(vecStream: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)], corpusCells: DataFrame): DataFrame = {
     require(cents.nonEmpty, "semanticDedupStream needs at least one centroid")

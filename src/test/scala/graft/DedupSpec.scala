@@ -126,6 +126,29 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("balanced sample: per-cell quota exact, dense cells cannot dominate") {
+    val out = Similarity.balancedSample(spark, dir)
+      .select($"vec_id", $"cell_id", $"pos", $"selected")
+      .as[(Long, Long, Int, Boolean)].collect()
+    assert(out.nonEmpty)
+    val n = out.length.toLong
+    val cells = out.groupBy(_._2)
+    val quota = (n / Similarity.BalancedSampleDen + cells.size - 1) / cells.size
+    // selection is exactly pos <= quota, so each cell contributes
+    // min(quota, |cell|) — a dense cell is capped at the same quota as a
+    // sparse one (the point of the operator)
+    cells.foreach { case (cell, members) =>
+      val sel = members.count(_._4)
+      assert(sel == math.min(quota, members.size), s"cell $cell kept $sel")
+      // positions are a dense 1..|cell| ranking
+      assert(members.map(_._3).sorted.toSeq == (1 to members.size))
+    }
+    // deterministic: rerun selects the identical vector set
+    val again = Similarity.balancedSample(spark, dir)
+      .filter($"selected").select($"vec_id").as[Long].collect().toSet
+    assert(again == out.filter(_._4).map(_._1).toSet)
+  }
+
   test("language profiles are deterministic and predictions cover all docs") {
     val out = TextAnalysis.langId(spark, dir)
     assert(out.count() == 500)
