@@ -62,6 +62,11 @@ object GraftExtensions {
       info("word_gram_hashes",
         "word_gram_hashes(toks, k) - sorted distinct hash60 of word k-grams"),
       (args: Seq[Expression]) => WordGramHashes(args(0), literalInt(args(1), "word_gram_hashes"))),
+    ("positional_gram_hashes",
+      info("positional_gram_hashes",
+        "positional_gram_hashes(toks, k) - hash60 of word k-grams in position order"),
+      (args: Seq[Expression]) => graft.functions.PositionalGramHashes(args(0),
+        literalInt(args(1), "positional_gram_hashes"))),
     ("count_in_set",
       info("count_in_set",
         "count_in_set(toks, set) - token occurrences whose hash60 is in the literal array<bigint> set"),

@@ -106,6 +106,14 @@ object ScaleProbe {
           (Dedup.simhashCandidates(spark, dir, Some(12)).count(),
             Dedup.simhashCandidates(spark, dir, Some(12))
               .filter(s"hamming <= ${Dedup.HammingThreshold}").count())),
+        // substring dedup: C = total gram anchors through the postings
+        // shuffle (Σ(n_toks − k + 1), linear in corpus tokens by
+        // construction), O = duplicated anchors
+        ("dedup_substrings", nDocs, () =>
+          Dedup.substringDedup(spark, dir)
+            .agg(coalesce(sum(col("n_grams")), lit(0L)),
+              coalesce(sum(col("n_dup_starts")), lit(0L)))
+            .as[(Long, Long)].head()),
         // ANN scan volume: C = ADC-scored (query, vector) pairs, O = final
         // top-k rows. The full-corpus PQ scan is n×|queries| by
         // construction; the IVF×PQ twin shows what cell probing saves

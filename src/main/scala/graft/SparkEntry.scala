@@ -104,6 +104,7 @@ object SparkEntry {
     "sim_topk_pq"          -> (Similarity.topkPq _),
     "sim_topk_ivfpq"       -> (Similarity.topkIvfPq _),
     "sim_balanced_sample"  -> (Similarity.balancedSample _),
+    "dedup_substrings"     -> (Dedup.substringDedup _),
     "pipeline_dsir"        -> (Sampling.dsir _),
     "pipeline_temperature" -> (Sampling.temperatureMixture _),
     "text_bpe"             -> (Tokenizer.bpeTrain _),
@@ -1607,6 +1608,44 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM ex) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // substring-level exact dedup: duplicated 8-gram anchors (all but the
+    // global first occurrence of each gram) merged into maximal duplicated
+    // spans per doc via gaps-and-islands. The oracle groups by the gram
+    // STRING where Spark groups by its hash60 — output-identical absent
+    // 60-bit collisions (the text_boilerplate precedent)
+    "dedup_substrings" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+        |g AS (SELECT doc_id, len(s) AS n_toks,
+        |        [{'pos': i, 'gram': array_to_string(s[i:i+7], ' ')}
+        |         for i in range(1, greatest(len(s)-6, 1))] AS gs
+        |      FROM tok),
+        |anchors AS (SELECT doc_id, u.pos AS pos, u.gram AS gram
+        |            FROM (SELECT doc_id, unnest(gs) AS u FROM g)),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+        |    FROM anchors) WHERE rn > 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dup)),
+        |spans AS (SELECT doc_id, isl, min(pos) AS f, max(pos) AS l, count(*) AS ns
+        |          FROM isl GROUP BY doc_id, isl),
+        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |                  CAST(sum(ns) AS BIGINT) AS n_dup_starts,
+        |                  CAST(sum(l - f + 8) AS BIGINT) AS n_dup_tokens
+        |           FROM spans GROUP BY doc_id)
+        |SELECT g.doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+        |  coalesce(n_dup_starts, 0) AS n_dup_starts,
+        |  coalesce(n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(n_dup_tokens, 0) AS n_dup_tokens,
+        |  round(coalesce(n_dup_tokens, 0) * 1.0 / greatest(n_toks, 1), 6) AS dup_frac
+        |FROM g LEFT JOIN perdoc ON g.doc_id = perdoc.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     // cell-balanced diversity subsample: the sim_topk_ivf assignment CTE +
     // a per-cell quota over the content-hash order (mixture hash idiom)

@@ -66,6 +66,17 @@ object ShingleKernels {
     out
   }
 
+  /** hash60 of every word k-gram IN POSITION ORDER (index i = the gram
+    * starting at token i) — the positional-anchor contract of substring
+    * dedup, where WHERE a duplicated gram sits matters. */
+  def gramH60Positional(toks: ArrayData, k: Int): GenericArrayData = {
+    val f8 = windowFirst8(toks, k)
+    val hs = new Array[Long](f8.length)
+    var i = 0
+    while (i < f8.length) { hs(i) = f8(i) >>> 4; i += 1 }
+    new GenericArrayData(hs)
+  }
+
   /** SORTED DISTINCT hash60 (= first8 >>> 4) of every word k-gram — the
     * input contract of [[IntersectCardinality]] pairwise verification. */
   def gramH60Sorted(toks: ArrayData, k: Int): GenericArrayData = {
@@ -138,6 +149,39 @@ case class WordGramHashes(child: Expression, k: Int) extends UnaryExpression {
 object WordGramHashes {
   def apply(toks: Column, k: Int): Column =
     ColumnBridge.toColumn(WordGramHashes(ColumnBridge.toExpression(toks), k))
+}
+
+/** array<string> tokens → array<long>: hash60 of every word k-gram in
+  * POSITION order (element i = the gram anchored at token i; empty below k
+  * tokens) — [[WordGramHashes]] without the sort/distinct, for operators
+  * that need to know WHERE a gram sits ([[graft.operators.Dedup]] substring
+  * dedup). Same fused single-pass digest, same oracle bit-contract per
+  * element. */
+case class PositionalGramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"word gram size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"positional_gram_hashes requires array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.gramH60Positional(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleKernels.gramH60Positional($a, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalGramHashes =
+    copy(child = newChild)
+}
+
+object PositionalGramHashes {
+  def apply(toks: Column, k: Int): Column =
+    ColumnBridge.toColumn(PositionalGramHashes(ColumnBridge.toExpression(toks), k))
 }
 
 /** array<string> tokens → array<long>(perms): MinHash signature of the word

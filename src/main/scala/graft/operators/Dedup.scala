@@ -764,6 +764,85 @@ object Dedup {
           s => s.getField("span_text")))).as("clean_digest"))
   }
 
+  // -------------------------------------------- substring-level exact dedup
+
+  /** Anchor width (tokens) for [[substringDedup]] — the fixture-scale stand-
+    * in for Lee et al.'s 50-token threshold (fixture docs are ~40 tokens). */
+  val SubstrGram = 8
+
+  /** Exact SUBSTRING-level duplicate measurement (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better", at k-gram
+    * anchor resolution): every [[SubstrGram]]-token window that occurs
+    * anywhere else in the corpus — at ANY offset, unlike [[spanDedup]]'s
+    * ALIGNED segments — marks its positions duplicated, except the gram's
+    * single global first occurrence (min (doc_id, pos)); per document,
+    * overlapping/adjacent duplicated anchors merge into MAXIMAL duplicated
+    * spans (gaps-and-islands: a new island starts when the next anchor
+    * begins more than [[SubstrGram]] tokens after the previous — beyond
+    * overlap or adjacency), and the duplicated-token count is the union
+    * length Σ(last − first + k) over islands. Output per doc: n_grams,
+    * n_dup_starts (duplicated anchors), n_dup_spans (islands),
+    * n_dup_tokens (union length), dup_frac (of the doc's tokens, 6 dp).
+    *
+    * Scale design: linear shuffles only — (1) the positional gram hashes
+    * are ONE compiled pass per doc ([[graft.functions.PositionalGramHashes]],
+    * no gram string materialized), exploded to (hash, doc, pos) anchors;
+    * (2) global first-occurrence ranking is a window over the gram hash —
+    * the same hash-partitioned shuffle a groupBy would make, state one
+    * row_number per key; (3) island merging is a per-doc window (lag +
+    * running sum), bounded by document length. No pairwise step anywhere:
+    * like [[spanDedup]] this is counting, not similarity — the 100 TB cost
+    * is Θ(corpus tokens) through three exchanges. The suffix-array
+    * formulation of the paper finds duplicates at ANY length ≥ threshold;
+    * anchoring at k-grams is the standard distributed approximation (a
+    * duplicated run of L ≥ k tokens is covered exactly by its L − k + 1
+    * duplicated anchors — the island reconstructs the full run). */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.PositionalGramHashes
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n_toks"),
+        PositionalGramHashes(col("t"), SubstrGram).as("gh"))
+    val anchors = toks
+      .select(col("doc_id"), col("n_toks"), posexplode(col("gh")).as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("n_toks"), (col("pos0") + 1).as("pos"), col("h"))
+    // global first occurrence of each gram survives; every later occurrence
+    // is a duplicated anchor. row_number over the gram hash = the postings
+    // shuffle; rn > 1 ⇔ (count > 1 ∧ not first)
+    val wFirst = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("pos"))
+    val dup = anchors
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    // gaps-and-islands per doc: new island when the anchor starts beyond
+    // the previous anchor's reach (prev + k)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = dup
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > SubstrGram, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("f"), max(col("pos")).as("l"),
+        count(lit(1)).as("ns"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("ns")).as("n_dup_starts"),
+        sum(col("l") - col("f") + SubstrGram).as("n_dup_tokens"))
+    toks.select(col("doc_id"), col("n_toks"),
+        greatest(size(col("gh")), lit(0)).cast("long").as("n_grams"))
+      .join(islands, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_starts"), lit(0L)).as("n_dup_starts"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)) /
+          greatest(col("n_toks"), lit(1)).cast("double"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   val LenBand = 16

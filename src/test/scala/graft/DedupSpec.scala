@@ -233,6 +233,49 @@ class DedupSpec extends SparkSpec {
     assert(truth.values.map(_._2).sum > 0, "fixture should contain dup spans")
   }
 
+  test("substring dedup matches an exhaustive driver-side recompute") {
+    val k = Dedup.SubstrGram
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().sortBy(_._1)
+    // ground truth: global first occurrence per gram string, later
+    // occurrences are duplicated anchors, islands merge within k
+    val occs = scala.collection.mutable.LinkedHashMap[String, List[(Long, Int)]]()
+    for ((id, text) <- docs) {
+      val t = text.split(" ", -1)
+      for (i <- 0 to t.length - k)
+        occs.updateWith(t.slice(i, i + k).mkString(" "))(
+          o => Some((id, i + 1) :: o.getOrElse(Nil)))
+    }
+    val dupAnchors = occs.values.flatMap { o =>
+      o.reverse.drop(1)  // reverse-accumulated: drop the FIRST occurrence
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val truth = docs.map { case (id, text) =>
+      val n = text.split(" ", -1).length
+      val ps = dupAnchors.getOrElse(id, Nil)
+      var spans = 0L; var tokens = 0L
+      var first = -1; var last = -1
+      for (p <- ps) {
+        if (first < 0) { first = p; last = p }
+        else if (p - last > k) { spans += 1; tokens += last - first + k; first = p; last = p }
+        else last = p
+      }
+      if (first >= 0) { spans += 1; tokens += last - first + k }
+      id -> ((math.max(n - k + 1, 0).toLong, ps.size.toLong, spans, tokens,
+        BigDecimal(tokens.toDouble / math.max(n, 1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = Dedup.substringDedup(spark, dir)
+      .select($"doc_id", $"n_grams", $"n_dup_starts", $"n_dup_spans",
+        $"n_dup_tokens", $"dup_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == docs.length)
+    got.foreach { case (id, ng, nds, nsp, ntk, fr) =>
+      assert(truth(id) == ((ng, nds, nsp, ntk, fr)), s"doc $id: got ($ng,$nds,$nsp,$ntk,$fr) want ${truth(id)}")
+    }
+    // non-vacuous: the fixture's planted near-dups create duplicated spans
+    assert(got.exists(_._4 > 0))
+  }
+
   test("span dedup digest of an untouched doc equals the original text hash") {
     import graft.functions.Text._
     val joined = Dedup.spanDedup(spark, dir)
