@@ -843,6 +843,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct corpus gram-anchor hashes — the static side of
+    * [[substringDedupStream]] (the [[spanCorpusHashes]] pattern). */
+  def substringCorpusHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+      .select(graft.functions.PositionalGramHashes(
+        graft.functions.Text.tokens(col("text")), SubstrGram).as("gh"))
+      .select(explode(col("gh")).as("h")).distinct()
+
+  /** Streaming twin of [[substringDedup]]: arriving (doc_id, text) docs are
+    * anchor-exploded per row and checked against the STATIC corpus gram
+    * table (any corpus occurrence marks the anchor duplicated — the corpus
+    * precedes anything arriving, so there is no first-occurrence exemption
+    * in-stream, the [[spanDedupStream]] convention). Because streaming
+    * forbids ordered windows, the per-doc island merge runs as a CLOSED
+    * FORM over the sorted duplicated-anchor positions: with gaps
+    * gᵢ = aᵢ₊₁ − aᵢ, the union length is k + Σ min(gᵢ, k) (a gap beyond k
+    * starts a new island and the finished one contributes its full k-token
+    * tail; a gap within k contributes exactly the gap) and the island
+    * count is 1 + |{gᵢ > k}| — pure array expressions over one
+    * update-mode collect_list bounded by document length, value-identical
+    * to the batch window formulation (`StatefulSpec` cross-checks). */
+  def substringDedupStream(docStream: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val k = SubstrGram
+    val anchors = docStream
+      .select(col("doc_id"), graft.functions.PositionalGramHashes(
+        graft.functions.Text.tokens(col("text")), k).as("gh"))
+      .select(col("doc_id"), posexplode(col("gh")).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val marked = anchors
+      .join(broadcast(corpusHashes.withColumn("in_corpus", lit(true))),
+        Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sort_array(collect_list(when(col("in_corpus"), col("pos")))).as("dups"))
+    val gapLen = greatest(size(col("dups")) - 1, lit(0))
+    val gaps = zip_with(
+      slice(col("dups"), lit(2), gapLen),
+      slice(col("dups"), lit(1), gapLen),
+      (a, b) => a - b)
+    marked.select(col("doc_id"), col("n_grams"),
+      size(col("dups")).cast("long").as("n_dup_starts"),
+      when(size(col("dups")) === 0, 0L)
+        .otherwise(lit(1L) + size(filter(gaps, g => g > k)).cast("long"))
+        .as("n_dup_spans"),
+      when(size(col("dups")) === 0, 0L)
+        .otherwise(lit(k.toLong) + coalesce(
+          aggregate(gaps, lit(0L), (acc, g) => acc + least(g, lit(k))), lit(0L)))
+        .as("n_dup_tokens"))
+  }
+
   // ------------------------------------------------------- n-gram Jaccard
 
   val LenBand = 16

@@ -259,6 +259,41 @@ class StatefulSpec extends SparkSpec {
     assert(fresh._3 == 0L && fresh._4 == noiseDigest, s"fresh doc untouched: $fresh")
   }
 
+  test("stream-static substring dedup: closed-form islands match the batch window math") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    val dir = sf("sf0.01")
+    val hashes = Dedup.substringCorpusHashes(spark, dir)
+    val k = Dedup.SubstrGram
+    // an exact corpus copy (every anchor duplicated -> one island covering
+    // the whole doc), a vocabulary-disjoint doc (zero), and a half-breed:
+    // corpus prefix + disjoint suffix -> exactly one island, union length
+    // = prefix anchors span
+    val copied = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" === 7).select($"text").as[String].head()
+    val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
+    val mixed = copied.split(" ", -1).take(16).mkString(" ") + " " + noise
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.substringDedupStream(in.toDF().toDF("doc_id", "text"), hashes)
+      .writeStream.format("memory").queryName("subdd").outputMode("update").start()
+    in.addData((99999L, copied), (99998L, noise), (99997L, mixed))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("subdd")
+      .select($"doc_id", $"n_grams", $"n_dup_starts", $"n_dup_spans", $"n_dup_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val nCopy = copied.split(" ", -1).length
+    val copy = out(99999L)
+    assert(copy._2 == nCopy - k + 1 && copy._3 == copy._2, s"copy all dup: $copy")
+    assert(copy._4 == 1L && copy._5 == nCopy, s"copy = one island covering the doc: $copy")
+    val fresh = out(99998L)
+    assert(fresh._3 == 0L && fresh._4 == 0L && fresh._5 == 0L, s"fresh untouched: $fresh")
+    // mixed: anchors 1..16-k+1 are corpus grams (suffix windows cross into
+    // noise vocabulary), one island, union = 16 tokens
+    val mix = out(99997L)
+    assert(mix._3 == 16 - k + 1 && mix._4 == 1L && mix._5 == 16L, s"mixed prefix island: $mix")
+  }
+
   test("stream-static semantic dedup flags an arriving near-copy of a corpus vector") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Similarity
