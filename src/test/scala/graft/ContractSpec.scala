@@ -36,9 +36,11 @@ class ContractSpec extends SparkSpec {
     // across BENCH_r01..r07 tails; sbt's trailing success line consumes
     // ~75); round 6's full-double-precision line overflowed the window and
     // the round's numbers were lost (BENCH_r06 parsed: null). Bench
-    // degrades per-query precision (2 dp -> 1 -> 0) until the line fits,
-    // so the invariant to pin is that the 0-dp FLOOR fits with slack:
-    // worst case, every query at 10-99 s -> 2 value chars per entry.
+    // degrades per-query precision (2 dp -> 1 dp -> 1 dp for the >=0.95 s
+    // tail only -> 0 dp) until the line fits — full ms precision always
+    // lands in BENCH_FULL.json — so the invariant to pin is that the 0-dp
+    // FLOOR fits with slack: worst case, every query at 10-99 s -> 2
+    // value chars per entry.
     val line = s"""{"metric":"total","value":9999.99,"unit":"sec","queries":{""" +
       SparkEntry.queries.keys.map(k => s""""$k":99""").mkString(",") +
       s"""},"sf":"/root/testdata/sf0.1"}"""
