@@ -414,8 +414,6 @@ object Similarity {
     var iter = 0
     while (!converged && iter < maxIters) {
       assigned = graft.sources.Caches.shared(assignedCells(c, cents))
-      val inertia = assigned
-        .agg(round(sum(lit(1.0) - $"csim"), 6)).as[Double].head()
       val means = assigned
         .select($"cent_id", posexplode($"v").as(Seq("dim", "x")))
         .groupBy($"cent_id", $"dim").agg(round(avg($"x"), 6).as("m"))
@@ -423,15 +421,18 @@ object Similarity {
         .agg(transform(sort_array(collect_list(struct($"dim", $"m"))),
           s => s.getField("m")).as("cv"))
         .select($"cent_id", $"cv", norm($"cv").as("cn"))
-        .localCheckpoint()
+        .localCheckpoint() // this job also fills the assigned cache
       // max per-component movement vs the previous round's centroids —
-      // a k-row join of two 6dp-pinned tiny tables, one collected scalar.
-      // A dropped (emptied) cluster contributes no row; the survivors'
-      // movement is the Lloyd stop quantity.
-      val shift = means.select($"cent_id", $"cv")
+      // a k-row join of two 6dp-pinned tiny tables. A dropped (emptied)
+      // cluster contributes no row; the survivors' movement is the Lloyd
+      // stop quantity. Collected TOGETHER with the round's inertia (a
+      // scalar over the cached assignment) as one 1-row cross of two
+      // 1-row aggregates — one Spark action per round, not two.
+      val (shift, inertia) = means.select($"cent_id", $"cv")
         .join(cents.select($"cent_id", $"cv".as("pv")), "cent_id")
         .agg(max(array_max(zip_with($"cv", $"pv", (a, b) => abs(a - b)))))
-        .as[Double].head()
+        .crossJoin(assigned.agg(round(sum(lit(1.0) - $"csim"), 6)))
+        .as[(Double, Double)].head()
       rounds = rounds :+ ((shift, inertia))
       cents = means
       converged = shift <= eps
