@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
+    "sim_hybrid_rrf"       -> (Similarity.hybridRrf _),
     "sim_label_centroids"  -> (Similarity.labelCentroids _),
     "sim_topk_ivf"         -> (Similarity.topkIvf _),
     "text_tokens"          -> (TextAnalysis.tokenCounts _),
@@ -497,6 +498,68 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid RRF: the bm25 lexical leg (same CTE chain as text_bm25_topk,
+    // n_terms_dropped omitted — the fused row doesn't carry it) full-outer
+    // joined with the dense cosine leg (same CTE chain as sim_topk_brute),
+    // each doc scoring sum over present legs of 1/(60 + rank), 6dp, top-10
+    // per query on (rrf_score desc, doc_id asc); absent legs rank 0
+    "sim_hybrid_rrf" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl,
+        |          greatest(4096, count(*) // 20) AS dfcap FROM t),
+        |d AS (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM t),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d GROUP BY doc_id, dl, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |q AS (
+        |  SELECT query_id, tok, df FROM (
+        |    SELECT query_id, tok, df, dfcap FROM (
+        |      SELECT tf.doc_id AS query_id, tf.tok, dfq.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfq.df ASC, tf.tok ASC) AS qrn
+        |      FROM tf JOIN dfq USING (tok) WHERE tf.doc_id % 100 = 0)
+        |    CROSS JOIN stats WHERE qrn <= 8)
+        |  WHERE df <= dfcap
+        |),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1.0 + (n - q.df + 0.5) / (q.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS score
+        |  FROM tf JOIN q USING (tok) CROSS JOIN stats
+        |  WHERE tf.doc_id <> q.query_id
+        |  GROUP BY q.query_id, tf.doc_id
+        |),
+        |lex AS (
+        |  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS lex_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM sc) WHERE rank <= 10),
+        |nv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM nv WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, nv.vec_id AS doc_id,
+        |    round(list_sum([qv[i]*v[i] for i in range(1,65)]) / (qn*nrm), 6) AS cosine
+        |  FROM nv CROSS JOIN qv WHERE nv.vec_id != query_id),
+        |sem AS (
+        |  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS sem_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |f AS (
+        |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+        |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    coalesce(lex.lex_rank, 0) AS lex_rank,
+        |    coalesce(sem.sem_rank, 0) AS sem_rank,
+        |    round(coalesce(1.0/(60 + lex.lex_rank), 0) +
+        |          coalesce(1.0/(60 + sem.sem_rank), 0), 6) AS rrf_score
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+        |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+        |  CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |  FROM f)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_ivf" ->
       """WITH n AS (

@@ -669,6 +669,50 @@ object Similarity {
         round(pqAdcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
   }
 
+  /** Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009): the
+    * standard k = 60 — large enough that rank differences deep in a list
+    * barely move the fused score, small enough that top ranks dominate. */
+  val RrfK = 60
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the LEXICAL ranking
+    * ([[TextAnalysis.bm25TopK]] — sparse, term-match) and the DENSE ranking
+    * ([[topkBruteForce]] — embedding cosine) for the shared stride-100
+    * query workload (`documents.doc_id` and `embeddings.vec_id` are the
+    * same id space in this lake, the `sim_*`/`text_*` convention). Each
+    * retrieved doc scores Σ_legs 1/([[RrfK]] + rank_leg) over the legs that
+    * returned it (rank-only fusion — RRF deliberately ignores the
+    * incomparable BM25/cosine score scales), rounded 6 dp; ties break on
+    * doc_id ascending; top [[TopK]] per query survive. This is the serving
+    * composition every RAG retrieval stack runs — lexical recall for rare
+    * exact terms, dense recall for paraphrase — expressed as a full-outer
+    * equi-join of the two legs' top-k lists.
+    *
+    * Scale shape: strictly the sum of its legs (each already bounded:
+    * BM25's capped postings join, ANN's broadcast query scan — at 100 TB
+    * the dense leg swaps in [[topkIvfPq]], same output contract) plus a
+    * fusion join and window over ≤ 2·[[TopK]] rows PER QUERY — workload-
+    * sized, corpus-independent. Legs absent from a doc contribute nothing;
+    * `lex_rank`/`sem_rank` = 0 mark "not retrieved by that leg". */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = TextAnalysis.bm25TopK(spark, dir)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val sem = topkBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(RrfK) + $"lex_rank"), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + $"sem_rank"), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"rrf_score".desc, $"doc_id".asc)))
+      .filter($"rank" <= TopK)
+      .select($"query_id", $"doc_id",
+        coalesce($"lex_rank", lit(0)).as("lex_rank"),
+        coalesce($"sem_rank", lit(0)).as("sem_rank"),
+        $"rrf_score", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]
     * Aggregator (UDAF surface): one 64-double buffer per (label × partition)
     * through the shuffle, exploded to scalar (label, dim, value) rows and

@@ -126,6 +126,38 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("hybrid rrf: fused score reconstructs from the legs' ranks exactly") {
+    val lex = TextAnalysis.bm25TopK(spark, dir)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sem = Similarity.topkBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val fused = Similarity.hybridRrf(spark, dir)
+      .select($"query_id", $"doc_id", $"lex_rank", $"sem_rank", $"rrf_score")
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(fused.nonEmpty)
+    fused.foreach { case (q, d, lr, sr, s) =>
+      // reported leg ranks are the legs' own (0 = leg did not retrieve)
+      assert(lr == lex.getOrElse((q, d), 0), s"lex_rank ($q,$d)")
+      assert(sr == sem.getOrElse((q, d), 0), s"sem_rank ($q,$d)")
+      val expect = BigDecimal(
+        (if (lr > 0) 1.0 / (Similarity.RrfK + lr) else 0.0) +
+        (if (sr > 0) 1.0 / (Similarity.RrfK + sr) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(s == expect, s"rrf score ($q,$d): $s != $expect")
+    }
+    // fusion property: with k=60 and top-10 legs, ANY doc both legs
+    // retrieved (score >= 2/(60+10)) strictly beats ANY single-leg doc
+    // (score <= 1/(60+1)) — consensus dominates, RRF's design point
+    fused.groupBy(_._1).values.foreach { rows =>
+      val both = rows.filter(r => r._3 > 0 && r._4 > 0).map(_._5)
+      val single = rows.filter(r => r._3 == 0 || r._4 == 0).map(_._5)
+      if (both.nonEmpty && single.nonEmpty)
+        assert(both.min > single.max, s"consensus must dominate: $rows")
+    }
+  }
+
   test("balanced sample: per-cell quota exact, dense cells cannot dominate") {
     val out = Similarity.balancedSample(spark, dir)
       .select($"vec_id", $"cell_id", $"pos", $"selected")
