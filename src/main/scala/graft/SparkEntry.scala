@@ -69,6 +69,7 @@ object SparkEntry {
     "q_multimodal_meta"    -> (Multimodal.metadata _),
     "q_multimodal_frames"  -> (Multimodal.frameSample _),
     "q_media_lake"         -> (Multimodal.mediaLake _),
+    "media_frame_dedup"    -> (Multimodal.frameDedup _),
     "q_sample_systematic"  -> (Sampling.systematic _),
     "q_sample_stratified"  -> (Sampling.stratified _),
     "q_edit_distance"      -> (Sampling.editDistance _),
@@ -745,6 +746,34 @@ object SparkEntry {
         |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INTEGER) AS n_frames,
         |  hex(encode(substr(text, 1, 8))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // frame-level storage dedup: first occurrence of a frame hash (by
+    // packed (doc_id, frame_idx) min — doc_id*2^24 + frame_idx) owns it;
+    // every later occurrence is a frame a hash-addressed store would not
+    // re-write. Same frame-hash arithmetic as q_multimodal_frames.
+    "media_frame_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INTEGER) AS n_frames
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, text, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx FROM m
+        |),
+        |fh AS (
+        |  SELECT doc_id, frame_idx,
+        |    CAST(octet_length(encode(substr(text, frame_idx*64 + 1, 64))) AS BIGINT) AS fb,
+        |    CAST(concat('0x', substr(md5(hex(encode(substr(text, frame_idx*64 + 1, 64)))),1,15)) AS BIGINT) AS h
+        |  FROM f
+        |),
+        |own AS (SELECT h, min(doc_id*16777216 + frame_idx) AS own_key FROM fh GROUP BY h)
+        |SELECT fh.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN fh.doc_id*16777216 + fh.frame_idx <> own.own_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
+        |  CAST(sum(fb) AS BIGINT) AS payload_bytes,
+        |  CAST(sum(CASE WHEN fh.doc_id*16777216 + fh.frame_idx <> own.own_key THEN fb ELSE 0 END) AS BIGINT) AS bytes_saved
+        |FROM fh JOIN own ON fh.h = own.h
+        |GROUP BY fh.doc_id ORDER BY fh.doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH m AS (

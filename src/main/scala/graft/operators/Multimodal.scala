@@ -70,6 +70,90 @@ object Multimodal {
   private def substring_index_bytes(data: Column, i: Column): Column =
     data.substr(i * FrameBytes + 1, lit(FrameBytes))
 
+  /** (doc_id, frame_idx, frame byte length, frame content hash) for every
+    * fixed-size frame of every payload — the shared scan of
+    * [[frameDedup]] / [[mediaFrameHashes]] (the [[frameSample]] generator
+    * fanout, no shuffle). */
+  private def frameHashes(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withMedia(docs)
+      .select($"doc_id", $"media.data".as("data"),
+        $"media.meta.n_frames".as("n_frames"))
+      .select($"doc_id",
+        posexplode(transform(sequence(lit(0), $"n_frames" - 1),
+          i => substring_index_bytes($"data", i))).as(Seq("frame_idx", "frame")))
+      .select($"doc_id", $"frame_idx",
+        length($"frame").as("frame_bytes"), hash60(hex($"frame")).as("fh"))
+  }
+
+  /** Global first-occurrence key: (doc_id, frame_idx) packed into one
+    * BIGINT so the owner reduction is a plain partial-aggregatable `min`
+    * (a struct-min or window-rank formulation would concentrate a hot
+    * frame hash — think the all-zeros padding frame — in one task; min is
+    * combinable map-side, so even a frame every document shares collapses
+    * before the exchange). Bounds: frame_idx < 2²⁴ (16M frames = a 1 GiB
+    * payload at 64 B/frame) and doc_id < 2³⁹ — beyond either, re-key. */
+  private def occKey(docId: Column, frameIdx: Column): Column =
+    docId * lit(1L << 24) + frameIdx
+
+  /** Frame-level storage dedup over the media lake — the content-defined-
+    * chunking question a blob store asks before ingesting media: which
+    * fixed-size frames has it already stored, and how many bytes does
+    * dedup save? Corpus-wide first-occurrence-wins by frame hash (the
+    * [[graft.operators.Dedup.spanDedup]] counting formulation on BINARY
+    * frames — no pairwise step exists in the problem): a frame is
+    * DUPLICATED iff an earlier (doc_id, frame_idx) emitted the same bytes.
+    * Output per document: frame/byte totals and the duplicated share —
+    * `bytes_saved` is exactly the storage a hash-addressed frame store
+    * would not re-write.
+    *
+    * Scale shape: three linear steps — generator frame fanout (no
+    * shuffle), one groupBy(frame hash) min-reduction (map-side combinable
+    * even under hot-frame skew, see [[occKey]]), one equi-join back on the
+    * hash (co-partitioned with the owner table the groupBy just produced)
+    * + per-doc count. Never a pair join; C is exactly linear in payload
+    * bytes. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frames = frameHashes(Tables.spread(Tables.documents(spark, dir)))
+    val owners = frames
+      .groupBy($"fh").agg(min(occKey($"doc_id", $"frame_idx")).as("own_key"))
+    frames.join(owners, "fh")
+      .withColumn("dup", occKey($"doc_id", $"frame_idx") =!= $"own_key")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_frames"),
+        sum($"frame_bytes").cast("long").as("payload_bytes"),
+        sum(when($"dup", $"frame_bytes").otherwise(0L)).cast("long").as("bytes_saved"))
+      .orderBy($"doc_id")
+  }
+
+  /** Distinct corpus frame hashes — the static side of
+    * [[frameDedupStream]] (the `Dedup.spanCorpusHashes` pattern). */
+  def mediaFrameHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    frameHashes(Tables.documents(spark, dir)).select($"fh").distinct()
+  }
+
+  /** Streaming twin of [[frameDedup]] — ingest-time storage dedup: each
+    * arriving (doc_id, text) payload is frame-hashed per row (no
+    * stream-side shuffle) and checked against the STATIC corpus frame
+    * table; any corpus occurrence marks the frame already-stored (the
+    * corpus precedes the stream, so there is no in-stream first-occurrence
+    * exemption — the `Dedup.spanDedupStream` convention). Output per
+    * arriving doc: how many frames / bytes the store must actually write. */
+  def frameDedupStream(docStream: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    import docStream.sparkSession.implicits._
+    frameHashes(docStream)
+      .join(broadcast(corpusHashes.withColumn("stored", lit(true))),
+        Seq("fh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_frames"),
+        sum(when($"stored", 1L).otherwise(0L)).as("n_stored_frames"),
+        sum(when($"stored", lit(0L)).otherwise($"frame_bytes")).cast("long")
+          .as("bytes_to_write"))
+  }
+
   /** Media-lake round trip — the binary-payload end-to-end the reference's
     * sole-value-column write implies (cassandra_sink.scala:113): every
     * document's UTF-8 bytes land as an individual `<doc_id>.bin` blob via

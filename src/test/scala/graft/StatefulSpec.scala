@@ -259,6 +259,36 @@ class StatefulSpec extends SparkSpec {
     assert(fresh._3 == 0L && fresh._4 == noiseDigest, s"fresh doc untouched: $fresh")
   }
 
+  test("stream-static frame dedup: arriving corpus payload needs no writes") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Multimodal
+    val dir = sf("sf0.01")
+    val hashes = Multimodal.mediaFrameHashes(spark, dir)
+    // an exact copy of corpus doc 7's payload (every frame already stored
+    // → zero bytes to write); a byte-disjoint payload writes everything
+    val copied = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" === 7).select($"text").as[String].head()
+    val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.frameDedupStream(
+        in.toDF().toDF("doc_id", "text")
+          .withColumn("lang", org.apache.spark.sql.functions.lit("xx")),
+        hashes)
+      .writeStream.format("memory").queryName("framedd").outputMode("update").start()
+    in.addData((99999L, copied), (99998L, noise))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("framedd")
+      .select($"doc_id", $"n_frames", $"n_stored_frames", $"bytes_to_write")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val copy = out(99999L)
+    assert(copy._2 > 0 && copy._3 == copy._2 && copy._4 == 0L,
+      s"corpus copy already fully stored: $copy")
+    val fresh = out(99998L)
+    assert(fresh._3 == 0L && fresh._4 == noise.getBytes("UTF-8").length.toLong,
+      s"fresh payload writes every byte: $fresh")
+  }
+
   test("stream-static substring dedup: closed-form islands match the batch window math") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Dedup
