@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
     "sim_hybrid_rrf"       -> (Similarity.hybridRrf _),
+    "sim_linear_probe"     -> (Similarity.linearProbe _),
     "sim_label_centroids"  -> (Similarity.labelCentroids _),
     "sim_topk_ivf"         -> (Similarity.topkIvf _),
     "text_tokens"          -> (TextAnalysis.tokenCounts _),
@@ -499,6 +500,33 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // linear probe, 2 unrolled GD rounds (the sim_kmeans convention):
+    // x = [1, v], y = (label < 5), round-1 pred is exactly 0 (w=0), each
+    // round's STEP lr*2*avg((pred-y)*x_d) is rounded 6dp (lr folded in so
+    // the weight update subtracts two exact 6dp decimals and never lands
+    // on a rounding halfway case) and the weight re-rounded 6dp; least squares
+    // keeps the arithmetic IEEE-exact (no transcendentals)
+    "sim_linear_probe" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, y, i AS dim,
+        |    CASE WHEN i = 0 THEN 1.0 ELSE v[i] END AS x
+        |  FROM e, (SELECT unnest(range(0, 65)) AS i)),
+        |g1 AS (SELECT dim, round(2*0.5*avg((0.0 - y)*x), 6) AS s FROM u GROUP BY dim),
+        |w1 AS (SELECT dim, round(0.0 - s, 6) AS w FROM g1),
+        |p2 AS (
+        |  SELECT u.vec_id, sum(w1.w * u.x) AS pred
+        |  FROM u JOIN w1 USING (dim) GROUP BY u.vec_id),
+        |g2 AS (
+        |  SELECT u.dim, round(2*0.5*avg((p2.pred - u.y)*u.x), 6) AS s
+        |  FROM u JOIN p2 ON u.vec_id = p2.vec_id GROUP BY u.dim),
+        |w2 AS (SELECT w1.dim, round(w1.w - g2.s, 6) AS w
+        |  FROM w1 JOIN g2 ON w1.dim = g2.dim)
+        |SELECT CAST(dim AS INTEGER) AS dim, w AS weight FROM w2 ORDER BY dim""".stripMargin,
 
     // hybrid RRF: the bm25 lexical leg (same CTE chain as text_bm25_topk,
     // n_terms_dropped omitted — the fused row doesn't carry it) full-outer

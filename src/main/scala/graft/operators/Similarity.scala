@@ -669,6 +669,82 @@ object Similarity {
         round(pqAdcSum / ($"qn" * $"nrm"), 6).as("adc_cosine"))
   }
 
+  /** Linear-probe GD rounds pinned for the oracle (the [[KmeansMaxIters]]
+    * convention: the DuckDB twin unrolls exactly 2; `DedupSpec` drives the
+    * loop further and checks the loss trajectory). */
+  val ProbeIters = 2
+  val ProbeLr = 0.5
+
+  /** Distributed linear-probe training over the embedding corpus — the
+    * representation-probing op an LLM data pipeline runs to ask "is this
+    * attribute linearly readable from the embedding?", and the training
+    * loop a model-based quality filter distills heuristic labels into.
+    * Least-squares probe y ≈ w·[1,x] on the binary target label < 5,
+    * trained by full-batch gradient descent: per round, grad_d =
+    * 2·avg((pred − y)·x_d) rounded 6 dp, w ← w − lr·grad re-pinned 6 dp
+    * (the [[kmeans]] convention — both engines iterate from bit-identical
+    * weights; least squares keeps every op IEEE-exact arithmetic, no
+    * transcendentals to diverge between engines). Output: the trained
+    * 65-dim weight vector, one row per dimension (dim 0 = bias).
+    *
+    * Scale shape per round: prediction is a per-row fold over the weight
+    * LITERAL (w is 65 doubles held driver-side — the langid-profile
+    * bounded-collect pattern; no weight table is ever joined), the
+    * gradient is one (dim)-keyed partial aggregation over the posexploded
+    * features — the shuffle moves 65 partials per map task, never vectors
+    * — and the round's weight update is a 65-row collect. Iterations are
+    * a driver loop over fully-distributed rounds, exactly [[kmeansLoop]]'s
+    * structure. */
+  def linearProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (w, _) = linearProbeLoop(
+      Tables.spread(Tables.embeddings(spark, dir))
+        .select($"vec_id", asDouble($"embedding").as("v"),
+          when($"label" < 5, 1.0).otherwise(0.0).as("y")),
+      ProbeLr, ProbeIters)
+    spark.createDataFrame(w.zipWithIndex.map { case (x, d) => (d, x) })
+      .toDF("dim", "weight").orderBy($"dim")
+  }
+
+  /** The production probe surface: (trained weights, per-round in-sample
+    * MSE) — the loss trajectory makes training observable (non-increasing
+    * on a well-posed run; `DedupSpec` asserts it). */
+  private[graft] def linearProbeLoop(data: DataFrame, lr: Double,
+      iters: Int): (Array[Double], List[Double]) = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val dims = Dims + 1
+    val feats = graft.sources.Caches.shared(
+      data.select($"vec_id", $"y",
+        concat(array(lit(1.0)), $"v").as("x")))
+    var w = Array.fill(dims)(0.0)
+    var losses = List.empty[Double]
+    for (_ <- 1 to iters) {
+      val wLit = typedLit(w.toSeq)
+      val pred = aggregate(zip_with($"x", wLit, (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t)
+      // one pass: per-dim STEP partials (lr folded into the 6dp-rounded
+      // aggregate — rounding lr·g instead of g keeps the weight update
+      // w − step a difference of two exact 6dp decimals, which never
+      // lands on a rounding boundary; rounding g alone did: half of a
+      // 6dp value is exactly the .5·10⁻⁶ halfway case, where engines'
+      // round() disagree) + the round's MSE
+      val rows = feats
+        .select($"y", pred.as("p"), posexplode($"x").as(Seq("dim", "xd")))
+        .groupBy($"dim")
+        .agg(round(lit(2.0 * lr) * avg(($"p" - $"y") * $"xd"), 6).as("step"),
+          round(avg(($"p" - $"y") * ($"p" - $"y")), 6).as("mse"))
+        .collect()
+      losses = losses :+ rows.head.getDouble(2)
+      rows.foreach { r =>
+        val d = r.getInt(0)
+        w(d) = BigDecimal(w(d) - r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    (w, losses)
+  }
+
   /** Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009): the
     * standard k = 60 — large enough that rank differences deep in a list
     * barely move the fused score, small enough that top ranks dominate. */

@@ -126,6 +126,37 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("linear probe: weights match an exhaustive driver-side GD recompute; loss non-increasing") {
+    def round6(d: Double): Double =
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val data = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", $"label")
+      .as[(Long, Array[Float], Int)].collect()
+      .map { case (_, v, l) =>
+        (1.0 +: v.map(_.toDouble)) -> (if (l < 5) 1.0 else 0.0) }
+    val n = data.length.toDouble
+    var w = Array.fill(Similarity.Dims + 1)(0.0)
+    var prevMse = Double.MaxValue
+    (1 to Similarity.ProbeIters).foreach { _ =>
+      val preds = data.map { case (x, _) =>
+        x.indices.map(d => w(d) * x(d)).sum }
+      val mse = data.zip(preds).map { case ((_, y), p) =>
+        (p - y) * (p - y) }.sum / n
+      assert(mse <= prevMse + 1e-9, s"loss must not increase: $prevMse -> $mse")
+      prevMse = mse
+      val steps = w.indices.map(d => round6(Similarity.ProbeLr *
+        2.0 * data.zip(preds).map { case ((x, y), p) => (p - y) * x(d) }.sum / n))
+      w = w.indices.map(d => round6(w(d) - steps(d))).toArray
+    }
+    val got = Similarity.linearProbe(spark, dir)
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(got.length == w.length)
+    // 6dp re-pinning makes both trajectories bit-identical up to the
+    // distributed avg's partition-order noise, absorbed by the rounding
+    got.zip(w).zipWithIndex.foreach { case ((a, b), d) =>
+      assert(math.abs(a - b) <= 1e-6 + 1e-9, s"dim $d: $a != $b") }
+  }
+
   test("hybrid rrf: fused score reconstructs from the legs' ranks exactly") {
     val lex = TextAnalysis.bm25TopK(spark, dir)
       .select($"query_id", $"doc_id", $"rank")
