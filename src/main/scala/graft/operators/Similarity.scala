@@ -745,6 +745,26 @@ object Similarity {
     (w, losses)
   }
 
+  /** Streaming serve twin of [[linearProbe]] — the trained weights applied
+    * to arriving vectors at ingest (the model-based quality gate: train
+    * offline on the corpus, select at wire speed). The weight vector is a
+    * 65-double LITERAL folded into a per-row zip_with/aggregate projection
+    * — NO join, NO shuffle, NO state; every arriving vector scores in one
+    * codegen'd pass, the cheapest possible serving plan (the
+    * `TextAnalysis.lmScoreStream` pattern taken to its no-state extreme).
+    * `selected` thresholds the least-squares prediction at 0.5 — the
+    * class boundary of the probe's binary target. */
+  def probeScoreStream(vecStream: DataFrame, w: Array[Double]): DataFrame = {
+    val wLit = typedLit(w.toSeq)
+    vecStream
+      .select(col("vec_id"),
+        concat(array(lit(1.0)), asDouble(col("embedding"))).as("x"))
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0.0), (acc, t) => acc + t), 6).as("score"))
+      .withColumn("selected", col("score") >= 0.5)
+  }
+
   /** Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009): the
     * standard k = 60 — large enough that rank differences deep in a list
     * barely move the fused score, small enough that top ranks dominate. */

@@ -259,6 +259,41 @@ class StatefulSpec extends SparkSpec {
     assert(fresh._3 == 0L && fresh._4 == noiseDigest, s"fresh doc untouched: $fresh")
   }
 
+  test("streaming probe scoring: trained weights applied at ingest match batch math") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = sf("sf0.01")
+    // train offline on the corpus (the artifact a serving job would load)
+    val (w, _) = Similarity.linearProbeLoop(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select($"vec_id", graft.functions.Vec.asDouble($"embedding").as("v"),
+          org.apache.spark.sql.functions.when($"label" < 5, 1.0).otherwise(0.0).as("y")),
+      Similarity.ProbeLr, Similarity.ProbeIters)
+    // stream a handful of corpus vectors through the serve twin
+    val sample = graft.sources.Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 500 === 0)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Similarity.probeScoreStream(
+        in.toDF().toDF("vec_id", "embedding"), w)
+      .writeStream.format("memory").queryName("probest").outputMode("append").start()
+    in.addData(sample.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("probest")
+      .select($"vec_id", $"score", $"selected")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == sample.length && sample.nonEmpty)
+    sample.foreach { case (id, emb) =>
+      val x = 1.0 +: emb.map(_.toDouble)
+      val expect = BigDecimal(x.indices.map(d => w(d) * x(d)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (_, score, sel) = out(id)
+      assert(math.abs(score - expect) <= 1e-9, s"vec $id: $score != $expect")
+      assert(sel == (score >= 0.5))
+    }
+  }
+
   test("stream-static frame dedup: arriving corpus payload needs no writes") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Multimodal
