@@ -123,7 +123,15 @@ object ScaleProbe {
             Similarity.topkPq(spark, dir).count())),
         ("sim_topk_ivfpq", nVecs, () =>
           (Similarity.ivfPqAdcScan(spark, dir).count(),
-            Similarity.topkIvfPq(spark, dir).count()))
+            Similarity.topkIvfPq(spark, dir).count())),
+        // frame dedup: C = total frames through the owner shuffle (linear
+        // in payload bytes by construction — the dedup_spans shape on
+        // binary frames), O = duplicated frames
+        ("media_frame_dedup", nDocs, () =>
+          graft.operators.Multimodal.frameDedup(spark, dir)
+            .agg(coalesce(sum(col("n_frames")), lit(0L)),
+              coalesce(sum(col("n_dup_frames")), lit(0L)))
+            .as[(Long, Long)].head())
       )
       // SPARK_GRAFT_PROBE_ONLY=a,b (local tuning): restrict to named probes
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
