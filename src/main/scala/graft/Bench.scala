@@ -1,6 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The one-line stdout contract must survive the harness's 2000-char
+    * stdout tail (sbt's trailing [success] line consumes ~75 of it; round
+    * 6's full-double-precision line overflowed the window and the round's
+    * numbers were lost). Per-query values self-degrade — 2 dp, then 1 dp,
+    * then 1 dp only for the ≥0.95 s slow tail, then the all-0-dp floor,
+    * then an EMERGENCY level that keeps entries slowest-first while the
+    * map fits and reports the rest as `"q_omitted":n` — so precision (and
+    * finally coverage) is sacrificed where it carries the least signal
+    * BEFORE parseability ever is. The emergency level fits BY CONSTRUCTION
+    * at any query count (`ContractSpec` drives the worst case); the full
+    * ms-precision map always lands in BENCH_FULL.json. */
+  private[graft] val QsBudget = 1780
+
+  private def fmt(d: Double): String =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def fmtQ(d: Double, p: Int): String =
+    BigDecimal(d).setScale(math.min(p, if (d < 10) 2 else 1),
+      BigDecimal.RoundingMode.HALF_UP).toString
+
+  private[graft] def benchLine(
+      results: scala.collection.Map[String, Option[Double]],
+      errors: scala.collection.Map[String, String],
+      total: Double, sfDir: String): String = {
+    val ladder: Seq[Double => String] = Seq(
+      fmtQ(_, 2), fmtQ(_, 1),
+      d => if (d >= 0.95) fmtQ(d, 1) else fmtQ(d, 0),
+      fmtQ(_, 0))
+    def qsAt(f: Double => String): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(f) }
+        .mkString("{", ",", "}")
+    val qs = ladder.map(qsAt).find(_.length <= QsBudget).getOrElse {
+      // emergency: slowest-first, keep what fits, count the omissions —
+      // the slow tail is what the per-round trend comparison reads
+      val omittedSlot = 24 // worst-case ,"q_omitted":nnn + brace slack
+      val kept = scala.collection.mutable.ListBuffer[String]()
+      var len = 1 // opening brace
+      var omitted = 0
+      results.toSeq.sortBy { case (_, v) => -v.getOrElse(0.0) }.foreach {
+        case (k, v) =>
+          val e = s"\"" + k + "\":" + v.fold("null")(fmtQ(_, 0))
+          if (len + e.length + 1 + omittedSlot <= QsBudget) {
+            kept += e; len += e.length + 1
+          } else omitted += 1
+      }
+      (kept :+ s"\"q_omitted\":$omitted").mkString("{", ",", "}")
+    }
+    // single-line contract: strip control chars (Spark exception messages
+    // routinely contain newlines) on top of quote/backslash escaping
+    val errJson = if (errors.isEmpty) "" else
+      errors.map { case (k, v) =>
+        val safe = v.replace("\\", "\\\\").replace("\"", "'")
+          .replaceAll("[\\x00-\\x1f]", " ")
+        s"\"" + k + "\":\"" + safe + "\""
+      }.mkString(",\"errors\":{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -98,37 +157,9 @@ object Bench {
       }
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
-    // 2-decimal (10 ms) precision keeps the one-line contract short: the
-    // harness that reads this line retains only the final ~2000 chars of
-    // output, and at 66+ queries full double precision overflowed that
-    // window (the r6 line lost its '{"metric":' prefix and failed to
-    // parse). 10 ms is far below the run-to-run noise of any query here;
-    // ContractSpec pins the worst-case line length as the query set grows.
-    def fmt(d: Double): String = BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    // The one-line contract must survive the harness's 2000-char stdout
-    // tail (sbt's [success] line consumes ~75 of it; r6's full-precision
-    // line overflowed and the round's numbers were lost). Per-query values
-    // self-degrade — 2 dp, then 1 dp, then 1 dp only for the ≥0.95 s slow
-    // tail (the sub-second mass rounds to 0/1 but the queries whose trend
-    // the per-round comparison actually reads keep a real decimal), then
-    // the all-0-dp floor — until the line fits: precision is sacrificed
-    // where it carries the least signal BEFORE parseability ever is, and
-    // the floor is guaranteed to fit for any query count ContractSpec
-    // admits. Full precision always lands in the side file below.
-    def fmtQ(d: Double, p: Int): String =
-      BigDecimal(d).setScale(math.min(p, if (d < 10) 2 else 1),
-        BigDecimal.RoundingMode.HALF_UP).toString
-    val ladder: Seq[Double => String] = Seq(
-      fmtQ(_, 2), fmtQ(_, 1),
-      d => if (d >= 0.95) fmtQ(d, 1) else fmtQ(d, 0),
-      fmtQ(_, 0))
-    def qsAt(f: Double => String): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(f) }
-        .mkString("{", ",", "}")
-    val qs = ladder.map(qsAt).find(_.length <= 1780).getOrElse(qsAt(ladder.last))
     val total = results.values.flatten.sum
     // the stdout line is the parse-safe contract; the side file carries the
-    // ms-precision per-query numbers the line can no longer fit at 88
+    // ms-precision per-query numbers the line can no longer fit at 90+
     // queries (committed per round as BENCH_FULL.json for trend reading)
     try {
       val full = results.map { case (k, v) =>
@@ -140,15 +171,7 @@ object Bench {
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}
 """.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // read-only cwd must not kill the bench
-    // single-line contract: strip control chars (Spark exception messages
-    // routinely contain newlines) on top of quote/backslash escaping
-    val errJson = if (errors.isEmpty) "" else
-      errors.map { case (k, v) =>
-        val safe = v.replace("\\", "\\\\").replace("\"", "'")
-          .replaceAll("[\\x00-\\x1f]", " ")
-        s"\"" + k + "\":\"" + safe + "\""
-      }.mkString(",\"errors\":{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}""")
+    println(benchLine(results, errors, total, sfDir))
     // intra-session the queries deliberately SHARE caches (Curate reusing
     // langId/clusters measures composition, not recompute); the drain here
     // demonstrates the bounded-memory exit path a long-lived host would use

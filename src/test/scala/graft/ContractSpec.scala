@@ -31,20 +31,33 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("bench JSON line fits the harness's retained-output window at the precision floor") {
+  test("bench JSON line fits the harness's retained-output window in the worst case") {
     // the harness keeps only the last 2000 chars of bench stdout (measured
     // across BENCH_r01..r07 tails; sbt's trailing success line consumes
     // ~75); round 6's full-double-precision line overflowed the window and
     // the round's numbers were lost (BENCH_r06 parsed: null). Bench
     // degrades per-query precision (2 dp -> 1 dp -> 1 dp for the >=0.95 s
-    // tail only -> 0 dp) until the line fits — full ms precision always
-    // lands in BENCH_FULL.json — so the invariant to pin is that the 0-dp
-    // FLOOR fits with slack: worst case, every query at 10-99 s -> 2
-    // value chars per entry.
-    val line = s"""{"metric":"total","value":9999.99,"unit":"sec","queries":{""" +
-      SparkEntry.queries.keys.map(k => s""""$k":99""").mkString(",") +
-      s"""},"sf":"/root/testdata/sf0.1"}"""
-    assert(line.length <= 1880,
-      s"bench line would be ${line.length} chars at the 0-dp floor — trim query names")
+    // tail only -> 0 dp) and finally COVERAGE (slowest-first entries +
+    // "q_omitted":n) until the line fits — full ms precision always lands
+    // in BENCH_FULL.json — so the invariant is that the emergency level
+    // bounds the line for ANY query count/durations. Worst case: every
+    // query at 99.49 s (max 0-dp width), the realistic-mix case, and the
+    // all-null case must all fit the ~1925-char post-[success] budget.
+    import scala.collection.immutable.ListMap
+    val worst = ListMap(SparkEntry.queries.keys.map(_ -> Option(99.49)).toSeq: _*)
+    val mixed = ListMap(SparkEntry.queries.keys.zipWithIndex.map { case (k, i) =>
+      k -> Option(if (i % 3 == 0) 12.345 else 0.42) }.toSeq: _*)
+    val nulls = ListMap(SparkEntry.queries.keys.map(_ -> Option.empty[Double]).toSeq: _*)
+    Seq(worst, mixed, nulls).foreach { rs =>
+      val line = Bench.benchLine(rs, Map.empty, 9999.99, "/root/testdata/sf0.1")
+      assert(line.length <= 1880,
+        s"bench line would be ${line.length} chars — emergency truncation failed")
+      assert(line.contains("\"metric\":\"total\""))
+    }
+    // emergency keeps the slow tail: with every query slow, the omitted
+    // counter appears and at least 60 of the slowest entries survive
+    val w = Bench.benchLine(worst, Map.empty, 9999.99, "sf")
+    assert(w.contains("\"q_omitted\":"), "worst case must reach the emergency level")
+    assert(w.count(_ == ':') >= 60, s"emergency level kept too few entries: $w")
   }
 }
