@@ -49,7 +49,7 @@ object Similarity {
     math.min(24, math.max(8, ceilLog2 - 3))
   }
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.spread(Tables.embeddings(spark, dir))
       .select($"vec_id", asDouble($"embedding").as("v"))
@@ -541,20 +541,43 @@ object Similarity {
     * order-isomorphic, so the oracle's cid-keyed formulation is reproduced
     * exactly. The window runs on ≤~256 codebook rows (one partition,
     * trivially small). */
-  private def pqCodebook(c: DataFrame, stride: Long): DataFrame = {
+  private[graft] def pqCodebook(c: DataFrame, stride: Long): DataFrame = {
     import c.sparkSession.implicits._
     c.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"))
       .withColumn("cidx", row_number().over(Window.orderBy($"cid")) - 1)
   }
 
+  /** The flat cidx-ordered codebook literal the native encoder reads:
+    * entry e's 64 dims at offset e·64 — a bounded driver collect (≤ 256
+    * entries × [[Dims]] doubles, the centroid-literal pattern). */
+  private def pqFlatCodebook(cb: DataFrame): Array[Double] = {
+    import cb.sparkSession.implicits._
+    cb.orderBy($"cidx").select($"cv").as[Array[Double]].collect().flatten
+  }
+
   /** Encode: nearest codebook entry (L2) per (vector, subspace), ties to
-    * the lower code id. The 8 subspace argmins run as 8 PARALLEL min_by
-    * aggregates over the un-exploded (vector, codebook-entry) pairs —
-    * map-side partials collapse n×|cb| rows to n BEFORE the exchange; the
-    * stored row keeps the codes as one [[PqM]]-length array (the
-    * byte-per-code layout PQ exists for), not PqM exploded rows. */
-  private def pqEncode(c: DataFrame, cb: DataFrame,
+    * the lower code id — as ONE shuffle-free projection through the native
+    * [[graft.functions.PqEncode]] kernel (the codebook travels as a
+    * reference object, not a join side): each vector's 8 codes cost one
+    * row, not 256 joined rows through 8 min_by aggregation buffers and an
+    * exchange. Selection semantics are bit-identical to the DataFrame
+    * fanout twin [[pqEncodeViaJoin]] (`DedupSpec` pins equality on the
+    * fixtures); the stored row keeps the codes as one [[PqM]]-length
+    * array (the byte-per-code layout PQ exists for). */
+  private[graft] def pqEncode(c: DataFrame, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    import c.sparkSession.implicits._
+    val flat = pqFlatCodebook(cb)
+    c.select($"vec_id" +: $"nrm" +: carry.map(col) :+
+      graft.functions.PqEncode($"v", flat, PqM, PqSubDims).as("codes"): _*)
+  }
+
+  /** The encode-via-fanout DataFrame twin (corpus × broadcast codebook,
+    * 8 parallel min_by aggregates with map-side partials): the formulation
+    * [[pqEncode]] replaced, kept as the semantic reference `DedupSpec`
+    * checks the native kernel against. */
+  private[graft] def pqEncodeViaJoin(c: DataFrame, cb: DataFrame,
       carry: Seq[String] = Nil): DataFrame = {
     import c.sparkSession.implicits._
     val codeCols = carry.map(k => min(col(k)).as(k)) ++

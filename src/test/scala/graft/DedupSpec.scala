@@ -126,6 +126,35 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("pq encode: native kernel codes equal the min_by join twin (incl. exact ties)") {
+    val c = Similarity.corpus(spark, dir)
+    val cb = Similarity.pqCodebook(c, 8L) // the fixture-floor codebook stride
+    def collectCodes(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"codes")
+      .as[(Long, Seq[Int])].collect().map(r => r._1 -> r._2).toMap
+    val viaKernel = collectCodes(Similarity.pqEncode(c, cb))
+    val viaJoin = collectCodes(Similarity.pqEncodeViaJoin(c, cb))
+    assert(viaKernel.keySet == viaJoin.keySet && viaKernel.nonEmpty)
+    viaKernel.foreach { case (id, ks) =>
+      assert(ks == viaJoin(id), s"vec $id: kernel $ks != join ${viaJoin(id)}") }
+    // exact-tie fixture: a vector EQUIDISTANT from two codebook entries in
+    // every subspace must take the lower code id on both paths
+    import org.apache.spark.sql.functions.{lit => flit}
+    val a = Array.fill(64)(0.0)
+    val b = Array.fill(64)(2.0)
+    val mid = Array.fill(64)(1.0) // dist² = 64·1 to both entries per subspace
+    val tieC = Seq((0L, a.toSeq), (8L, b.toSeq), (99L, mid.toSeq))
+      .toDF("vec_id", "v").withColumn("nrm", flit(1.0))
+    val tieCb = Seq((0L, a.toSeq), (8L, b.toSeq)).toDF("cid", "cv")
+      .withColumn("cidx",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"cid")) - 1)
+    val k = collectCodes(Similarity.pqEncode(tieC, tieCb))
+    val j = collectCodes(Similarity.pqEncodeViaJoin(tieC, tieCb))
+    assert(k(99L) == Seq.fill(Similarity.PqM)(0), s"tie must take lower cid: ${k(99L)}")
+    assert(k == j, s"tie fixture diverged: $k vs $j")
+  }
+
   test("linear probe: weights match an exhaustive driver-side GD recompute; loss non-increasing") {
     def round6(d: Double): Double =
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
