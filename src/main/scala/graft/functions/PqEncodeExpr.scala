@@ -68,8 +68,12 @@ object PqKernels {
   * aggregate — no fan-out, no aggregation buffers, no exchange. The
   * DataFrame twin is kept as `Similarity.pqEncodeViaJoin` and `DedupSpec`
   * pins bit-equality of the two on every fixture scale. */
-case class PqEncode(child: Expression, cb: Array[Double], m: Int, subDims: Int)
+case class PqEncode(child: Expression, cb: Seq[Double], m: Int, subDims: Int)
     extends UnaryExpression {
+
+  // Seq field keeps case-class VALUE equality for plan-equality cache
+  // dedup/canonicalization; the kernel reads a primitive array
+  @transient private lazy val cbArr = cb.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, false) => TypeCheckResult.TypeCheckSuccess
@@ -83,10 +87,10 @@ case class PqEncode(child: Expression, cb: Array[Double], m: Int, subDims: Int)
 
   override def nullSafeEval(input: Any): Any =
     new GenericArrayData(
-      PqKernels.pqEncode(input.asInstanceOf[ArrayData], cb, m, subDims))
+      PqKernels.pqEncode(input.asInstanceOf[ArrayData], cbArr, m, subDims))
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+    val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[]")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -100,6 +104,6 @@ case class PqEncode(child: Expression, cb: Array[Double], m: Int, subDims: Int)
 }
 
 object PqEncode {
-  def apply(v: Column, cb: Array[Double], m: Int, subDims: Int): Column =
+  def apply(v: Column, cb: Seq[Double], m: Int, subDims: Int): Column =
     ColumnBridge.toColumn(PqEncode(ColumnBridge.toExpression(v), cb, m, subDims))
 }

@@ -91,24 +91,47 @@ object Similarity {
       math.max(NCentroids.toLong, math.sqrt(n.toDouble).toLong), NCentroids.toLong)
 
   /** The IVF centroid set: every `stride`-th corpus vector. */
-  private def centroids(c: DataFrame, stride: Long): DataFrame = {
+  private[graft] def centroids(c: DataFrame, stride: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     c.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
   }
 
   /** Nearest-centroid assignment of the whole corpus — (vec_id, v, nrm,
-    * cent_id, csim). Broadcast centroids fan each row out ×|centroids|
-    * WITHIN its partition, and the argmax is a max_by aggregation — partial
-    * (map-side) aggregation collapses the fan-out back to one row per vector
-    * BEFORE the exchange, so the shuffle moves |corpus| rows, not
-    * |corpus|·|centroids| (a window over the replicated rows would shuffle
-    * the full fan-out). max_by on (csim, −cent_id) reproduces the (cosine
-    * desc, cent_id asc) tie-break exactly; csim (= max) rides along for
-    * [[kmeans]]'s inertia accounting. Shared by [[topkIvf]] (probe target)
-    * and [[semanticDedup]] (cluster blocking) — the canonical "cluster
-    * once, reuse everywhere" structure of an embedding pipeline. */
-  private def assignedCells(c: DataFrame, cents: DataFrame): DataFrame = {
+    * cent_id, csim) — as a SHUFFLE-FREE projection through the native
+    * [[graft.functions.NearestCentroid]] kernel: the centroid set travels
+    * into tasks as driver-collected reference arrays (k ≈ √n by
+    * [[ivfCellStride]], the centroid-literal pattern), and each vector's
+    * argmax by (round6 cosine desc, cent_id asc) runs as one primitive
+    * loop — no ×|centroids| fan-out rows, no aggregation buffers, no
+    * exchange (the earlier max_by formulation is kept as
+    * [[assignedCellsViaJoin]] and `DedupSpec` pins bit-equality). csim
+    * rides along for [[kmeans]]'s inertia accounting. Shared by
+    * [[topkIvf]] (probe target) and [[semanticDedup]] (cluster blocking) —
+    * the canonical "cluster once, reuse everywhere" structure of an
+    * embedding pipeline; NearestCentroid's Seq fields keep the two call
+    * sites PLAN-EQUAL so `Caches.shared` dedups them into one
+    * materialization. */
+  private[graft] def assignedCells(c: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // centroid-literal collect (cent_id-ascending — the kernel's tie order),
+    // bounded at k ≈ √n by ivfCellStride; the semanticDedupStream pattern
+    val rows = cents.select(col("cent_id"), col("cv"), col("cn"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    c.select(col("vec_id"), col("v"), col("nrm"),
+        graft.functions.NearestCentroid(col("v"), col("nrm"),
+          rows.map(_._1).toSeq, rows.flatMap(_._2).toSeq,
+          rows.map(_._3).toSeq, Dims).as("nc"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("nc.cent_id").as("cent_id"), col("nc.csim").as("csim"))
+  }
+
+  /** The assign-via-fanout DataFrame twin (corpus × broadcast centroids,
+    * map-side max_by collapse): the formulation [[assignedCells]] replaced
+    * with the native [[graft.functions.NearestCentroid]] projection, kept
+    * as the semantic reference `DedupSpec` checks the kernel against. */
+  private[graft] def assignedCellsViaJoin(c: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     c.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"),

@@ -126,6 +126,33 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("nearest-centroid kernel equals the max_by join twin on every vector") {
+    val c = Similarity.corpus(spark, dir)
+    val cents = Similarity.centroids(c, Similarity.NCentroids.toLong)
+    def collectAssign(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"cent_id", $"csim")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val viaKernel = collectAssign(Similarity.assignedCells(c, cents))
+    val viaJoin = collectAssign(Similarity.assignedCellsViaJoin(c, cents))
+    assert(viaKernel.keySet == viaJoin.keySet && viaKernel.nonEmpty)
+    viaKernel.foreach { case (id, a) =>
+      assert(a == viaJoin(id), s"vec $id: kernel $a != join ${viaJoin(id)}") }
+    // exact-tie fixture: a vector equidistant (same cosine) from two
+    // centroids must take the lower cent_id on both paths
+    import org.apache.spark.sql.functions.{lit => flit}
+    val e1 = (Array(1.0, 1.0) ++ Array.fill(62)(0.0)).toSeq  // bisector of e2/e3
+    val tieC = Seq((99L, e1)).toDF("vec_id", "v")
+      .withColumn("nrm", org.apache.spark.sql.functions.sqrt(flit(2.0)))
+    val c2 = ((1.0 +: Array.fill(63)(0.0)).toSeq, 1.0)
+    val c3 = ((0.0 +: 1.0 +: Array.fill(62)(0.0)).toSeq, 1.0)
+    val tieCents = Seq((5L, c2._1, c2._2), (7L, c3._1, c3._2))
+      .toDF("cent_id", "cv", "cn")
+    val k = collectAssign(Similarity.assignedCells(tieC, tieCents))
+    val j = collectAssign(Similarity.assignedCellsViaJoin(tieC, tieCents))
+    assert(k(99L)._1 == 5L, s"tie must take lower cent_id: ${k(99L)}")
+    assert(k == j, s"tie fixture diverged: $k vs $j")
+  }
+
   test("pq encode: native kernel codes equal the min_by join twin (incl. exact ties)") {
     val c = Similarity.corpus(spark, dir)
     val cb = Similarity.pqCodebook(c, 8L) // the fixture-floor codebook stride
