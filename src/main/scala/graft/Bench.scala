@@ -117,6 +117,18 @@ object Bench {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(1000)
         .select(col("embedding").cast("array<double>").as("v"))
       e.select(DotProduct(col("v"), col("v"))).count()
+      // ... the PQ-encode and nearest-centroid kernels joined the static-
+      // kernel family in round 8 — same JIT-warmup treatment (tiny fake
+      // codebook/centroid constants; the loops they compile are the ones
+      // every sim_* query runs)
+      val fakeCb = Seq.tabulate(16 * 64)(i => (i % 7).toDouble / 7.0)
+      val fakeIds = Seq.tabulate(16)(_.toLong)
+      val fakeNorms = Seq.fill(16)(1.0)
+      e.select(
+          PqEncode(col("v"), fakeCb, 8, 8).as("codes"),
+          NearestCentroid(col("v"), DotProduct(col("v"), col("v")),
+            fakeIds, fakeCb, fakeNorms, 64).as("nc"))
+        .count()
     } catch { case _: Throwable => () }
     // one-time materialization of the wire-envelope fixture (test
     // scaffolding standing in for the absent Kafka broker) — q0 should
