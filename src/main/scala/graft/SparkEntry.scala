@@ -55,6 +55,7 @@ object SparkEntry {
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
     "sim_hybrid_rrf"       -> (Similarity.hybridRrf _),
     "sim_linear_probe"     -> (Similarity.linearProbe _),
+    "sim_cluster_assign"   -> (Similarity.clusterAssign _),
     "sim_label_centroids"  -> (Similarity.labelCentroids _),
     "sim_topk_ivf"         -> (Similarity.topkIvf _),
     "text_tokens"          -> (TextAnalysis.tokenCounts _),
@@ -589,6 +590,25 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
         |  FROM f)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the shared IVF assignment as its own query: argmax over centroids by
+    // (round6 cosine desc, cent_id asc) — pins the native NearestCentroid
+    // kernel against DuckDB's window-rank formulation directly
+    "sim_cluster_assign" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0)
+        |SELECT vec_id, cent_id AS cell_id, csim FROM (
+        |  SELECT vec_id, cent_id, csim,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |  FROM (
+        |    SELECT n.vec_id, cents.cent_id,
+        |      round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |    FROM n CROSS JOIN cents))
+        |WHERE arn = 1 ORDER BY vec_id""".stripMargin,
 
     "sim_topk_ivf" ->
       """WITH n AS (

@@ -144,6 +144,23 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"), col("cent_id"), col("csim"))
   }
 
+  /** The cluster-assignment surface as its own oracled query: every vector's
+    * IVF cell and similarity — the table the "cluster once, reuse
+    * everywhere" family ([[topkIvf]], [[semanticDedup]], [[topkIvfPq]],
+    * [[kmeans]] round 1) all read. Exists (beyond its standalone use as the
+    * partition-layout table a write-time `cluster by cell_id` consumes) to
+    * pin the native [[graft.functions.NearestCentroid]] kernel against the
+    * DuckDB argmax at EVERY fixture scale, not just through downstream
+    * query results. */
+  def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
+    val c = corpus(spark, dir)
+    graft.sources.Caches.shared(assignedCells(c, centroids(c, stride)))
+      .select($"vec_id", $"cent_id".as("cell_id"), $"csim")
+      .orderBy($"vec_id")
+  }
+
   def topkIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
