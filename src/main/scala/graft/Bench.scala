@@ -92,6 +92,12 @@ object Bench {
           Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))))
         .filter(col("rn") <= 5).count()
       li.orderBy(col("l_shipdate")).limit(100).count()
+      // multi-distinct Expand + sketch aggregates: q_profile_stats /
+      // q_sketch_* / sketch_heavy_hitters pay their first-touch JIT here
+      li.agg(countDistinct(col("l_returnflag")), countDistinct(col("l_linestatus")),
+          approx_count_distinct(col("l_orderkey")),
+          expr("approx_percentile(l_quantity, array(0.5, 0.9), 100)"))
+        .count()
     } catch { case _: Throwable => () }
     // ... and the shared NATIVE KERNELS (md5/hash60, char-gram, shingle,
     // minhash, simhash, edit-distance, dot-product): a few thousand
