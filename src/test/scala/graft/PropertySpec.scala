@@ -141,6 +141,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NearestCentroid kernel equals the max_by join twin on random vectors") {
+    import graft.operators.Similarity
+    // random doubles INCLUDING near-tie clusters: vectors drawn from a
+    // coarse value grid make rounded-cosine collisions common, driving the
+    // kernel through its boundary-zone BigDecimal fallback
+    val vecGen = Gen.listOfN(64, Gen.oneOf(-0.5, -0.25, 0.0, 0.25, 0.5, 0.125))
+    (1L to 3L).foreach { seed =>
+      val vecs = sample(Gen.listOfN(120, vecGen), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = vecs.toDF("vec_id", "v")
+        .withColumn("nrm", sqrt(graft.functions.DotProduct($"v", $"v")))
+        .filter($"nrm" > 0)
+      val cents = df.filter($"vec_id" % 10 === 0)
+        .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
+      val k = Similarity.assignedCells(df, cents)
+        .select($"vec_id", $"cent_id", $"csim")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val j = Similarity.assignedCellsViaJoin(df, cents)
+        .select($"vec_id", $"cent_id", $"csim")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(k == j, s"seed=$seed: first diff ${k.zip(j).find(p => p._1 != p._2)}")
+    }
+  }
+
+  test("PqEncode kernel equals the min_by join twin on random vectors") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val vecGen = Gen.listOfN(64, Gen.oneOf(-0.5, -0.25, 0.0, 0.25, 0.5, 0.125))
+    (1L to 3L).foreach { seed =>
+      val vecs = sample(Gen.listOfN(120, vecGen), seed)
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = vecs.toDF("vec_id", "v").withColumn("nrm", lit(1.0))
+      val cb = df.filter($"vec_id" % 15 === 0)
+        .select($"vec_id".as("cid"), $"v".as("cv"))
+        .withColumn("cidx", row_number().over(Window.orderBy($"cid")) - 1)
+      val k = Similarity.pqEncode(df, cb).select($"vec_id", $"codes")
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      val j = Similarity.pqEncodeViaJoin(df, cb).select($"vec_id", $"codes")
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      assert(k == j, s"seed=$seed: first diff ${k.zip(j).find(p => p._1 != p._2)}")
+    }
+  }
+
   test("CountInSet equals the per-token membership sum (with multiplicity)") {
     import graft.functions.HashKernels.h60
     val vocabStrings = Seq("aa", "ba", "cc", "dé")
