@@ -61,16 +61,26 @@ object Similarity {
   def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
-    val q = c.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val scored = c.join(broadcast(q), $"vec_id" =!= $"query_id")
+    topkBruteForceFor(c, c.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The dense leg for an EXTERNAL query workload — `queries` is
+    * (query_id, qv, qn); the retrieval-serving surface ([[hybridRrfFor]]
+    * feeds arriving micro-batches through it). Same broadcast-queries
+    * shuffle-free scan; the batch operator's stride workload flows through
+    * this SAME code path. */
+  private[graft] def topkBruteForceFor(c: DataFrame,
+      queries: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    val scored = c.join(broadcast(queries), $"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine6($"qv", $"v", $"qn", $"nrm").as("cosine"))
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= TopK)
-      .orderBy($"query_id", $"rank")
   }
 
   /** IVF top-k: corpus bucketed by nearest centroid; queries probe the
@@ -854,10 +864,40 @@ object Similarity {
     * `lex_rank`/`sem_rank` = 0 mark "not retrieved by that leg". */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lex = TextAnalysis.bm25TopK(spark, dir)
+    fuseRrf(
+      TextAnalysis.bm25TopK(spark, dir)
+        .select($"query_id", $"doc_id", $"rank".as("lex_rank")),
+      topkBruteForce(spark, dir)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank")))
+  }
+
+  /** Hybrid retrieval for an EXTERNAL query workload — `queries` is
+    * (query_id, text, embedding), i.e. an arriving micro-batch of probe
+    * documents: both legs run through the same code paths the oracled
+    * batch operator exercises (a corpus-id query returns bit-identical
+    * rows either way — `StatefulSpec` pins the parity), fused by the same
+    * RRF stage. This IS the serving path: [[serveRetrievalStream]] applies
+    * it per micro-batch. */
+  def hybridRrfFor(spark: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    import spark.implicits._
+    val qToks = queries.select($"query_id",
+      explode(array_distinct(graft.functions.Text.tokens($"text"))).as("tok"))
+    val lex = TextAnalysis.bm25TopKFor(spark, dir, qToks)
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
-    val sem = topkBruteForce(spark, dir)
+    val qv = queries.select($"query_id", asDouble($"embedding").as("qv"))
+      .withColumn("qn", norm($"qv"))
+    val sem = topkBruteForceFor(corpus(spark, dir), qv)
       .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank"))
+    fuseRrf(lex, sem)
+  }
+
+  /** The RRF fusion stage shared by the batch operator and the serving
+    * path: full-outer join of the legs' top-k lists, Σ 1/(k+rank) over
+    * present legs, top-[[TopK]] per query. Workload-sized by construction
+    * (≤ 2·[[TopK]] rows per query reach it). */
+  private def fuseRrf(lex: DataFrame, sem: DataFrame): DataFrame = {
+    import lex.sparkSession.implicits._
     lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_score", round(
         coalesce(lit(1.0) / (lit(RrfK) + $"lex_rank"), lit(0.0)) +
@@ -870,6 +910,26 @@ object Similarity {
         coalesce($"sem_rank", lit(0)).as("sem_rank"),
         $"rrf_score", $"rank")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Retrieval serving at ingest: arriving (query_id, text, embedding)
+    * probe documents are retrieved against the STATIC corpus index per
+    * micro-batch via `foreachBatch` — the request/response shape a RAG
+    * stack actually runs (a retrieval query is a multi-stage DAG: two legs
+    * + fusion; `foreachBatch` is Structured Streaming's sanctioned way to
+    * run full batch plans per micro-batch, the `KeyedUpsertSink.merge`
+    * convention). Results append to `outDir` as parquet with the batch id
+    * riding along — an idempotent-enough audit trail for the demo;
+    * production would write to a keyed serving store. */
+  def serveRetrievalStream(queryStream: DataFrame, spark: SparkSession,
+      dir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    queryStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hybridRrfFor(spark, dir, batch)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]

@@ -420,25 +420,44 @@ object TextAnalysis {
     * [[bm25DfCap]] ceiling bounds when the vocabulary has no rare terms).
     * `forceCap` exists for ScaleProbe A/Bs only (measuring the derived
     * floor against the bare N/20 rule); operators always derive. */
-  private[graft] def bm25Candidates(spark: SparkSession, dir: String,
-      forceCap: Option[Long] = None): DataFrame = {
+  /** The corpus-side index artifacts every BM25 surface shares: the
+    * (doc, dl, tok, tf) postings (cache-shared, so every caller reads ONE
+    * materialization), the vocabulary-sized document frequencies, and the
+    * N/avgdl scalars (one metadata-cheap aggregate). */
+  private def bm25Index(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Double, Double) = {
     import spark.implicits._
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
       .select($"doc_id", $"toks", size($"toks").as("dl"))
     val (nDocs, avgdl) = docs
       .agg(count(lit(1)).cast("double"), avg($"dl")).as[(Double, Double)].head()
-    val cap = forceCap.getOrElse(bm25DfCap(nDocs.toLong))
     val tf = graft.sources.Caches.shared(
       docs.select($"doc_id", $"dl", explode($"toks").as("tok"))
         .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    (tf, dfreq, nDocs, avgdl)
+  }
+
+  /** BM25 scores for an EXTERNAL query workload — `queryToks` is one row
+    * per DISTINCT (query_id, tok); this is the retrieval-serving surface
+    * ([[graft.operators.Similarity.hybridRrfFor]] feeds arriving micro-
+    * batches through it). Terms absent from the corpus vocabulary drop at
+    * the dfreq join: BM25's per-term sum only collects matching terms, so
+    * an unseen term can never contribute — refusing it a rarest-8 slot is
+    * the production behavior, not a loss. The batch operator's stride
+    * workload flows through this SAME code path, so the oracle pins the
+    * serving semantics too. */
+  private[graft] def bm25ScoreQueries(spark: SparkSession, dir: String,
+      queryToks: DataFrame, forceCap: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (tf, dfreq, nDocs, avgdl) = bm25Index(spark, dir)
+    val cap = forceCap.getOrElse(bm25DfCap(nDocs.toLong))
     // rank first, cap second: the cap is on the ranking key (df asc), so
     // the capped set is a prefix of the ranking and rank-then-cap equals
     // cap-then-rank — but rank-then-cap also exposes how many of the
     // query's 8 rarest terms were refused (n_terms_dropped)
-    val qterms = tf.filter($"doc_id" % bm25QueryStride(nDocs.toLong) === 0)
-      .select($"doc_id".as("query_id"), $"tok")
+    val qterms = queryToks
       .join(broadcast(dfreq), "tok")
       .withColumn("qrn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"df".asc, $"tok".asc)))
@@ -456,6 +475,28 @@ object TextAnalysis {
       .groupBy($"query_id", $"doc_id")
       .agg(round(sum($"contrib"), 6).as("score"),
         min($"n_terms_dropped").as("n_terms_dropped"))
+  }
+
+  private[graft] def bm25Candidates(spark: SparkSession, dir: String,
+      forceCap: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val (tf, _, nDocs, _) = bm25Index(spark, dir)
+    bm25ScoreQueries(spark, dir,
+      tf.filter($"doc_id" % bm25QueryStride(nDocs.toLong) === 0)
+        .select($"doc_id".as("query_id"), $"tok"),
+      forceCap)
+  }
+
+  /** Ranked BM25 top-k for an external query workload (the
+    * [[bm25TopKImpl]] cut over [[bm25ScoreQueries]]). */
+  private[graft] def bm25TopKFor(spark: SparkSession, dir: String,
+      queryToks: DataFrame): DataFrame = {
+    import spark.implicits._
+    bm25ScoreQueries(spark, dir, queryToks)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rank" <= Bm25K)
+      .select($"query_id", $"doc_id", $"rank", $"score", $"n_terms_dropped")
   }
 
   /** BM25 top-k retrieval over an inverted index — the search half of a

@@ -259,6 +259,38 @@ class StatefulSpec extends SparkSpec {
     assert(fresh._3 == 0L && fresh._4 == noiseDigest, s"fresh doc untouched: $fresh")
   }
 
+  test("retrieval serving: streamed corpus queries return the batch operator's rows") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Similarity
+    val dir = sf("sf0.01")
+    // the batch operator's stride-100 workload includes query 100 and 300;
+    // serve those SAME ids through the foreachBatch path
+    val probe = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id".isin(100L, 300L)).select($"doc_id", $"text")
+      .join(graft.sources.Tables.embeddings(spark, dir)
+        .withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .select($"doc_id".as("query_id"), $"text", $"embedding")
+      .as[(Long, String, Array[Float])].collect()
+    assert(probe.length == 2)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-serve").toString + "/out"
+    val in = MemoryStream[(Long, String, Array[Float])]
+    val q = Similarity.serveRetrievalStream(
+        in.toDF().toDF("query_id", "text", "embedding"), spark, dir, outDir)
+      .start()
+    in.addData(probe.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val served = spark.read.parquet(outDir)
+      .select($"query_id", $"doc_id", $"lex_rank", $"sem_rank", $"rrf_score", $"rank")
+      .as[(Long, Long, Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._6))
+    val batch = Similarity.hybridRrf(spark, dir)
+      .filter($"query_id".isin(100L, 300L))
+      .select($"query_id", $"doc_id", $"lex_rank", $"sem_rank", $"rrf_score", $"rank")
+      .as[(Long, Long, Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._6))
+    assert(served.nonEmpty && served.toSeq == batch.toSeq,
+      s"serve != batch:\n${served.toSeq}\n${batch.toSeq}")
+  }
+
   test("streaming probe scoring: trained weights applied at ingest match batch math") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Similarity
