@@ -380,16 +380,17 @@ object Similarity {
   def semanticDedupStream(vecStream: DataFrame,
       cents: Seq[(Long, Seq[Double], Double)], corpusCells: DataFrame): DataFrame = {
     require(cents.nonEmpty, "semanticDedupStream needs at least one centroid")
-    val scored = cents.map { case (id, cv, cn) =>
-      struct(
-        cosine6(col("v"), typedLit(cv), col("nrm"), lit(cn)).as("csim"),
-        lit(-id).as("negid"))
-    }
+    // the same native argmax kernel the batch assignment uses (until late
+    // r8 this was a k-wide array-of-structs expression tree — fine at 141
+    // cells, pathological codegen at the 31k cells a 10⁹-vector corpus
+    // derives; the kernel is O(k) per row with a fixed-size plan)
+    val sorted = cents.sortBy(_._1)
     vecStream
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      // (max csim, max −id) = the (cosine desc, cent_id asc) argmax
-      .withColumn("cell_id", -array_max(array(scored: _*)).getField("negid"))
+      .withColumn("cell_id", graft.functions.NearestCentroid(
+        col("v"), col("nrm"), sorted.map(_._1), sorted.flatMap(_._2),
+        sorted.map(_._3), Dims).getField("cent_id"))
       .join(broadcast(corpusCells), Seq("cell_id"))
       .filter(col("vec_id") =!= col("corpus_id"))
       .withColumn("cosine", cosine6(col("v"), col("cv"), col("nrm"), col("cn")))
