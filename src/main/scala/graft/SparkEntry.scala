@@ -72,6 +72,7 @@ object SparkEntry {
     "q_multimodal_frames"  -> (Multimodal.frameSample _),
     "q_media_lake"         -> (Multimodal.mediaLake _),
     "media_frame_dedup"    -> (Multimodal.frameDedup _),
+    "media_near_dup"       -> (Multimodal.mediaNearDup _),
     "q_sample_systematic"  -> (Sampling.systematic _),
     "q_sample_stratified"  -> (Sampling.stratified _),
     "q_edit_distance"      -> (Sampling.editDistance _),
@@ -794,6 +795,38 @@ object SparkEntry {
         |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INTEGER) AS n_frames,
         |  hex(encode(substr(text, 1, 8))) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // perceptual media near-dup: 48-bit simhash over the payload's frame
+    // hashes (same frame-hash arithmetic as q_multimodal_frames, same
+    // simhash bit math as dedup_simhash), all-pairs witness — the Spark
+    // side's banding is pigeonhole-complete for hamming <= 3, so the
+    // oracle states the declared semantics instead of mirroring bands
+    "media_near_dup" ->
+      """WITH m AS (
+        |  SELECT doc_id, text,
+        |    CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 64) AS INTEGER) AS n_frames
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, text, CAST(unnest(range(0, n_frames)) AS INTEGER) AS frame_idx FROM m
+        |),
+        |fh AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(hex(encode(substr(text, frame_idx*64 + 1, 64)))),1,15)) AS BIGINT) % 281474976710656 AS h
+        |  FROM f
+        |),
+        |hs AS (SELECT doc_id, list(h) AS hs FROM fh GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, CAST(list_sum(
+        |    [ CASE WHEN list_sum([ CASE WHEN CAST(floor(h / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
+        |      THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,48) ]) AS BIGINT) AS sim
+        |  FROM hs
+        |)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        |WHERE CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // frame-level storage dedup: first occurrence of a frame hash (by
     // packed (doc_id, frame_idx) min — doc_id*2^24 + frame_idx) owns it;

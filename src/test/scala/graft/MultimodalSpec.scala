@@ -31,6 +31,32 @@ class MultimodalSpec extends SparkSpec {
     assert(mismatches == 0)
   }
 
+  test("media near-dup banding is complete: equals exhaustive hamming over signatures") {
+    import graft.operators.Dedup
+    val nBands = Dedup.HammingThreshold + 1
+    val bits = Dedup.simhashBandBits(
+      graft.sources.Tables.documents(spark, dir).count())
+    val sigs = Multimodal.mediaSignatures(
+        graft.sources.Tables.documents(spark, dir), nBands * bits)
+      .as[(Long, Long)].collect()
+    // exhaustive all-pairs ground truth (500 sigs -> 125k cheap XORs)
+    val truth = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= Dedup.HammingThreshold
+    } yield (a, b, h)).sortBy(p => (p._1, p._2)).toSeq
+    val got = Multimodal.mediaNearDup(spark, dir)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got.nonEmpty, "fixture must yield at least one perceptual pair")
+    assert(got == truth, s"banding missed/invented pairs:\n$got\n$truth")
+    // a planted byte-identical payload pair collides at hamming 0
+    val planted = Multimodal.mediaSignatures(
+        Seq((1L, "same payload bytes", "en"), (2L, "same payload bytes", "en"))
+          .toDF("doc_id", "text", "lang"), nBands * bits)
+      .as[(Long, Long)].collect().map(_._2)
+    assert(planted(0) == planted(1))
+  }
+
   test("feature extraction is deterministic, batched, and total") {
     val media = Multimodal.withMedia(graft.sources.Tables.documents(spark, dir))
     val f1 = Multimodal.extractFeatures(media).as[(Long, Array[Long])].collect()
