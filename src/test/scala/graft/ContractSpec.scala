@@ -50,7 +50,9 @@ class ContractSpec extends SparkSpec {
     val nulls = ListMap(SparkEntry.queries.keys.map(_ -> Option.empty[Double]).toSeq: _*)
     Seq(worst, mixed, nulls).foreach { rs =>
       val line = Bench.benchLine(rs, Map.empty, 9999.99, "/root/testdata/sf0.1")
-      assert(line.length <= 1880,
+      // by-construction max: QsBudget + 86 chars of fixed line overhead
+      // (prefix/total/suffix); +75 for sbt's [success] tail stays ≤ 2000
+      assert(line.length <= Bench.QsBudget + 86,
         s"bench line would be ${line.length} chars — emergency truncation failed")
       assert(line.contains("\"metric\":\"total\""))
     }
