@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curate, Dedup, Ingest, Layout, Multimodal, Packing, Relational, Sampling, Similarity, Skew, TextAnalysis, Tokenizer, Windows}
+import graft.operators.{Curate, Dedup, Ingest, Layout, Multimodal, Packing, Relational, Sampling, Sequence, Similarity, Skew, TextAnalysis, Tokenizer, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
+    "sim_hard_negatives"   -> (Similarity.hardNegatives _),
     "sim_hybrid_rrf"       -> (Similarity.hybridRrf _),
     "sim_linear_probe"     -> (Similarity.linearProbe _),
     "sim_cluster_assign"   -> (Similarity.clusterAssign _),
@@ -65,6 +66,8 @@ object SparkEntry {
     "text_fingerprint"     -> (TextAnalysis.fingerprint _),
     "dedup_contamination"  -> (Dedup.contamination _),
     "q_interval_join"      -> (Windows.intervalJoin _),
+    "q_funnel"             -> (Sequence.funnel _),
+    "q_retention"          -> (Sequence.retention _),
     "q_window_tumbling"    -> (Windows.tumbling _),
     "q_window_sliding"     -> (Windows.sliding _),
     "q_window_session"     -> (Windows.sessions _),
@@ -503,6 +506,28 @@ object SparkEntry {
         |  FROM scored) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 
+    // same brute scan as sim_topk_brute with the label-mismatch predicate
+    // in the join; anchor_label/neg_label ride along
+    "sim_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+        |             label AS anchor_label FROM n WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, anchor_label, n.vec_id AS neighbor_id,
+        |    n.label AS neg_label,
+        |    round(list_sum([qv[i]*v[i] for i in range(1,65)]) / (qn*nrm), 6) AS cosine
+        |  FROM n CROSS JOIN q
+        |  WHERE n.vec_id != query_id AND n.label != anchor_label
+        |)
+        |SELECT query_id, anchor_label, neighbor_id, neg_label, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
     // linear probe, 2 unrolled GD rounds (the sim_kmeans convention):
     // x = [1, v], y = (label < 5), round-1 pred is exactly 0 (w=0), each
     // round's STEP lr*2*avg((pred-y)*x_d) is rounded 6dp (lr folded in so
@@ -746,6 +771,42 @@ object SparkEntry {
         |JOIN (SELECT * FROM ev WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND c.ms <= p.ms AND c.ms > p.ms - 1800000
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+
+    // Global min-chain formulation; the Spark side is the window-chained
+    // running-min over one (user, ms)-sort — Sequence.funnel's scaladoc
+    // carries the exact-equivalence argument (strict-ms comparisons agree
+    // on equal-timestamp ties in both formulations).
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+        |),
+        |t1 AS (SELECT user_id, min(ms) AS m FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ms) AS m FROM ev e
+        |       JOIN t1 ON e.user_id = t1.user_id
+        |       WHERE e.event_type = 'click'
+        |         AND e.ms > t1.m AND e.ms <= t1.m + 86400000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ms) AS m FROM ev e
+        |       JOIN t2 ON e.user_id = t2.user_id
+        |       WHERE e.event_type = 'purchase'
+        |         AND e.ms > t2.m AND e.ms <= t2.m + 86400000 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM t1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+        |ORDER BY step""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day FROM events
+        |),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT f.cohort_day AS cohort_day,
+        |  (ev.day - f.cohort_day) // 7 AS week_offset,
+        |  count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_window_tumbling" ->
       """SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,

@@ -83,6 +83,39 @@ object Similarity {
       .filter($"rank" <= TopK)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor (the
+    * stride-100 workload), the [[TopK]] highest-cosine vectors with a
+    * DIFFERENT label — the near-miss negatives that make embedding training
+    * converge (easy random negatives carry no gradient signal). Output
+    * (query_id, anchor_label, neighbor_id, neg_label, cosine, rank).
+    *
+    * Shape: identical to [[topkBruteForceFor]]'s broadcast-anchors
+    * shuffle-free corpus scan, plus the label-mismatch predicate pushed
+    * into the join condition — candidates with the anchor's label are
+    * dropped BEFORE the cosine is computed, not filtered after ranking
+    * (ranking-then-filtering would under-fill k). At 10⁹ vectors the exact
+    * scan swaps for the IVF cell-blocked variant exactly as [[topkIvf]]
+    * does for [[topkBruteForce]] — hard negatives are by definition NEAR
+    * the anchor, so within-cell mining loses only the easy tail. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"vec_id", asDouble($"embedding").as("v"), $"label")
+      .withColumn("nrm", norm($"v"))
+    val anchors = n.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"label".as("anchor_label"))
+    val scored = n.join(broadcast(anchors),
+        $"vec_id" =!= $"query_id" && $"label" =!= $"anchor_label")
+      .select($"query_id", $"anchor_label", $"vec_id".as("neighbor_id"),
+        $"label".as("neg_label"), cosine6($"qv", $"v", $"qn", $"nrm").as("cosine"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= TopK)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** IVF top-k: corpus bucketed by nearest centroid; queries probe the
     * NProbe nearest cells only. Approximate by design (recall < 1 when the
     * true neighbor lives outside probed cells) — the approximation is

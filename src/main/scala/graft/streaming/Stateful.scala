@@ -151,4 +151,46 @@ object Stateful {
           }
       }
   }
+
+  case class FunnelEvent(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
+  case class FunnelState(stage: Int, anchorMs: Long)
+  case class FunnelOut(user_id: Long, stage: Int)
+
+  /** Streaming twin of `operators.Sequence.funnel`: per-user funnel stage
+    * maintained incrementally at ingest via mapGroupsWithState (update
+    * mode), same strict-ms + [[graft.operators.Sequence.FunnelDeadlineMs]]
+    * advance rule — each micro-batch emits the user's current stage (0–3).
+    *
+    * Parity contract: with per-user in-order arrival the fold visits events
+    * in the same (ms, event_id) order the batch twin's window sort does, so
+    * the final stage per user is bit-identical (`StatefulSpec` pins it).
+    * Under out-of-order arrival the stream is a LOWER BOUND: stage advance
+    * is monotone and a late event below the current anchor can never
+    * advance (the strict-ms rule rejects it), but an early-arriving later
+    * step consumed before its prerequisite is not revisited — the batch
+    * twin re-sorts, a one-pass stream cannot. The deliberate alternative
+    * (buffering every user's full history in state) is exactly the
+    * unbounded-state trap the reference's Cassandra table falls into.
+    *
+    * State is one (Int, Long) per user — no watermark needed for size, a
+    * production deployment would add a TTL for abandoned users. */
+  def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val steps = graft.operators.Sequence.FunnelSteps
+    val deadline = graft.operators.Sequence.FunnelDeadlineMs
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (s.stage < 3 && e.event_type == steps(s.stage) &&
+                (s.stage == 0 || (t > s.anchorMs && t <= s.anchorMs + deadline)))
+              s = FunnelState(s.stage + 1, t)
+          }
+          state.update(s)
+          FunnelOut(userId, s.stage)
+      }
+  }
 }

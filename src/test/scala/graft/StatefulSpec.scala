@@ -483,4 +483,46 @@ class StatefulSpec extends SparkSpec {
     graft.streaming.Stateful.sessionize(empty, watermarkDelay = "10 minutes")
     assert(graft.streaming.Stateful.parseDelayMs("45 seconds") == 45000L)
   }
+
+  test("streaming funnel advances stages across batches with the strict-ms + deadline rule") {
+    import graft.streaming.Stateful.{FunnelEvent, FunnelOut}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = Stateful.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    // user 1: full in-order conversion inside the 24h deadline, across batches
+    // user 2: click BEFORE any view — must not advance past the later view
+    // user 3: click exactly at the view's ms — strict > rejects the tie
+    in.addData(
+      FunnelEvent(1, 10, "view", ts(0)), FunnelEvent(1, 11, "click", ts(5)),
+      FunnelEvent(2, 20, "click", ts(0)), FunnelEvent(2, 21, "view", ts(1)),
+      FunnelEvent(3, 30, "view", ts(2)), FunnelEvent(3, 31, "click", ts(2)))
+    q.processAllAvailable()
+    in.addData(FunnelEvent(1, 12, "purchase", ts(9)))
+    q.processAllAvailable()
+    q.stop()
+    // stage is monotone per user, so max = the latest emitted stage
+    val last = spark.table("funnel").as[FunnelOut].collect()
+      .groupBy(_.user_id).map { case (u, outs) => u -> outs.map(_.stage).max }
+    assert(last(1L) == 3) // view->click->purchase, state carried across batches
+    assert(last(2L) == 1) // out-of-order click not revisited (documented lower bound)
+    assert(last(3L) == 1) // equal-ms click fails the strict comparison
+  }
+
+  test("streaming funnel deadline: a step past 24h does not convert") {
+    import graft.streaming.Stateful.{FunnelEvent, FunnelOut}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[FunnelEvent]
+    val q = Stateful.funnelStages(in.toDS())
+      .writeStream.format("memory").queryName("funnel_late").outputMode("update").start()
+    val dayMin = (graft.operators.Sequence.FunnelDeadlineMs / 60000L).toInt
+    in.addData(
+      FunnelEvent(5, 1, "view", ts(0)),
+      FunnelEvent(5, 2, "click", ts(dayMin + 1)), // 24h+1min after the view
+      FunnelEvent(5, 3, "purchase", ts(dayMin + 2)))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_late").as[FunnelOut].collect().last
+    assert(last.stage == 1) // stuck at the view: the click missed the deadline
+  }
 }
