@@ -108,6 +108,7 @@ object SparkEntry {
     "q_profile_hll"        -> (Relational.profileStatsSketch _),
     "q_bucketed_join"      -> (Layout.bucketedJoin _),
     "q_shuffle_seeded"     -> (Sampling.seededShuffle _),
+    "pipeline_curriculum"  -> (Sampling.curriculum _),
     "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
     "sim_topk_pq"          -> (Similarity.topkPq _),
     "sim_topk_ivfpq"       -> (Similarity.topkIvfPq _),
@@ -1723,6 +1724,28 @@ object SparkEntry {
         |  doc_id
         |FROM h
         |ORDER BY shard, pos""".stripMargin,
+
+    // quality formula = the text_quality oracle's; thresholds = the
+    // q19_percentile quantile_cont convention (6dp); hash/shard/pos = the
+    // q_shuffle_seeded scheme with the 'cur1|' salt
+    "pipeline_curriculum" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |  0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |  0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality
+        |  FROM t),
+        |th AS (SELECT round(quantile_cont(quality, 0.75), 6) AS t1,
+        |              round(quantile_cont(quality, 0.5), 6) AS t2,
+        |              round(quantile_cont(quality, 0.25), 6) AS t3 FROM q),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN quality >= t1 THEN 1 WHEN quality >= t2 THEN 2
+        |       WHEN quality >= t3 THEN 3 ELSE 4 END AS band,
+        |  CAST(concat('0x', substr(md5('cur1|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM q CROSS JOIN th)
+        |SELECT doc_id, band, CAST(h % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY band, h % 8 ORDER BY h ASC, doc_id ASC) AS INTEGER) AS pos
+        |FROM b ORDER BY band, shard, pos""".stripMargin,
 
     "text_lm_ppl" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),

@@ -290,6 +290,43 @@ object Sampling {
       .orderBy($"shard", $"pos")
   }
 
+  /** Curriculum ordering: documents banded into quality quartiles (band 1 =
+    * top quartile — served first in an easy-to-hard curriculum schedule),
+    * deterministically shuffled WITHIN each band by the [[seededShuffleRows]]
+    * content-hash scheme. The training loader reads (band, shard, pos)
+    * ascending: quality-ordered across bands, reproducibly random inside.
+    *
+    * Banding is threshold-broadcast, not rank-based: the three quartile
+    * boundaries come from ONE exact-percentile aggregate (6dp-rounded — the
+    * `q19_percentile` cross-engine convention; at 100 TB swap in
+    * approx_percentile, same one-row broadcast) and band assignment is a
+    * pure projection against the broadcast row. A global `ntile` window
+    * would order the whole corpus through a single partition — the exact
+    * single-reducer trap the seeded shuffle's sharding exists to avoid.
+    * Within-band positions reuse the sharded per-partition sort, so no
+    * partition ever sorts more than one band-shard (~N/32 fixture rows,
+    * shard-count-sized in production). */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.qualityRows(Tables.documents(spark, dir))
+      .select($"doc_id", $"quality")
+    val th = q.agg(
+      round(percentile($"quality", lit(0.75)), 6).as("t1"),
+      round(percentile($"quality", lit(0.5)), 6).as("t2"),
+      round(percentile($"quality", lit(0.25)), 6).as("t3"))
+    val h = hash60(concat(lit("cur1|"), $"doc_id".cast("string")))
+    q.join(broadcast(th), lit(true))
+      .withColumn("band",
+        when($"quality" >= $"t1", 1).when($"quality" >= $"t2", 2)
+          .when($"quality" >= $"t3", 3).otherwise(4))
+      .withColumn("h", h)
+      .withColumn("shard", pmod($"h", lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"band", $"shard").orderBy($"h".asc, $"doc_id".asc)))
+      .select($"doc_id", $"band", $"shard", $"pos")
+      .orderBy($"band", $"shard", $"pos")
+  }
+
   /** The reusable epoch-shuffle core over any (…, doc_id) relation. */
   def seededShuffleRows(rows: DataFrame, epoch: Int): DataFrame = {
     val h = hash60(concat(lit(s"ep$epoch|"), col("doc_id").cast("string")))
