@@ -54,6 +54,7 @@ object SparkEntry {
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
     "sim_hard_negatives"   -> (Similarity.hardNegatives _),
+    "sim_ann_recall"       -> (Similarity.annRecall _),
     "sim_hybrid_rrf"       -> (Similarity.hybridRrf _),
     "sim_linear_probe"     -> (Similarity.linearProbe _),
     "sim_cluster_assign"   -> (Similarity.clusterAssign _),
@@ -674,6 +675,63 @@ object SparkEntry {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
         |  FROM scored) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // truth = the sim_topk_brute chain; approx = the sim_topk_ivf chain;
+    // recall@10 = overlap / 10 per query
+    "sim_ann_recall" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |bscored AS (
+        |  SELECT query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum([qv[i]*v[i] for i in range(1,65)]) / (qn*nrm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id != query_id
+        |),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM bscored) WHERE rank <= 10),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, cent_id FROM (
+        |    SELECT vec_id, v, nrm, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |    FROM (
+        |      SELECT n.vec_id, n.v, n.nrm, cents.cent_id,
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |      FROM n CROSS JOIN cents))
+        |  WHERE arn = 1
+        |),
+        |probes AS (
+        |  SELECT query_id, qv, qn, cent_id FROM (
+        |    SELECT query_id, qv, qn, cent_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS prn
+        |    FROM (
+        |      SELECT query_id, qv, qn, cents.cent_id,
+        |        round(list_sum([qv[i]*cv[i] for i in range(1,65)]) / (qn*cn), 6) AS csim
+        |      FROM q CROSS JOIN cents))
+        |  WHERE prn <= 2
+        |),
+        |iscored AS (
+        |  SELECT query_id, a.vec_id AS neighbor_id,
+        |    round(list_sum([qv[i]*a.v[i] for i in range(1,65)]) / (qn*a.nrm), 6) AS cosine
+        |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        |  WHERE a.vec_id != p.query_id
+        |),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM iscored) WHERE rank <= 10),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS n_hits FROM truth t
+        |  JOIN approx a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+        |FROM (SELECT query_id FROM truth GROUP BY 1) t
+        |LEFT JOIN hits h ON t.query_id = h.query_id
+        |ORDER BY t.query_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

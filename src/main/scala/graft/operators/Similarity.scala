@@ -233,6 +233,33 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** ANN index quality evaluation: recall@[[TopK]] of the IVF index
+    * ([[topkIvf]], NProbe cells) against the exact brute-force ground truth
+    * ([[topkBruteForce]]) — per query (query_id, n_hits, recall), the
+    * measurement every index deployment runs before trusting the
+    * approximate path. recall = |IVF∩truth| / k, 6dp (exact small-int
+    * division — engine-stable).
+    *
+    * Scale shape: the two legs keep their own (already bounded) plans and
+    * the comparison adds only workload-sized work — a semi join of two
+    * ≤ k-per-query lists and a per-query count. At 10⁹ vectors the ground
+    * truth leg is the expensive one; production evaluates on a sampled
+    * query set (this operator's stride workload IS that sample) and the
+    * truth scan amortizes across NProbe/recall sweeps. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = topkBruteForce(spark, dir).select($"query_id", $"neighbor_id")
+    val approx = topkIvf(spark, dir).select($"query_id", $"neighbor_id")
+    val hitCounts = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy($"query_id").agg(count(lit(1)).as("n_truth"))
+      .join(hitCounts, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)) / lit(TopK.toDouble), 6).as("recall"))
+      .orderBy($"query_id")
+  }
+
   /** Cosine threshold for [[semanticDedup]] — pinned to the fixture's
     * planted near-dup range (production SemDeDup on real text embeddings
     * runs ≥ 0.95; the knob is a literal in both engines). */
