@@ -308,23 +308,46 @@ object Sampling {
     * shard-count-sized in production). */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val q = TextAnalysis.qualityRows(Tables.documents(spark, dir))
-      .select($"doc_id", $"quality")
-    val th = q.agg(
+    val h = hash60(concat(lit("cur1|"), $"doc_id".cast("string")))
+    curriculumRows(
+        Tables.documents(spark, dir).select($"doc_id", $"text"),
+        curriculumThresholds(spark, dir))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"band", $"shard").orderBy(h.asc, $"doc_id".asc)))
+      .select($"doc_id", $"band", $"shard", $"pos")
+      .orderBy($"band", $"shard", $"pos")
+  }
+
+  /** The trained curriculum policy: one row of 6dp quartile boundaries over
+    * the corpus quality distribution (exact percentile at fixture scale,
+    * approx_percentile at 100 TB — same one-row shape either way). */
+  def curriculumThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.qualityRows(Tables.documents(spark, dir)).agg(
       round(percentile($"quality", lit(0.75)), 6).as("t1"),
       round(percentile($"quality", lit(0.5)), 6).as("t2"),
       round(percentile($"quality", lit(0.25)), 6).as("t3"))
-    val h = hash60(concat(lit("cur1|"), $"doc_id".cast("string")))
-    q.join(broadcast(th), lit(true))
+  }
+
+  /** Apply a trained curriculum policy to any (…, doc_id, text) relation:
+    * band + shard assignment as a stateless projection against the
+    * broadcast threshold row, so the same call classifies an ingest STREAM
+    * (the [[mixtureRows]] batch-trained/stream-applied convention;
+    * `StreamProjectionSpec` pins agreement). The global per-(band, shard)
+    * `pos` stays batch-only — a global index is meaningless mid-stream;
+    * streamed docs carry their (band, shard) placement and the batch
+    * re-pack assigns positions when the epoch materializes. */
+  def curriculumRows(rows: DataFrame, thresholds: DataFrame): DataFrame = {
+    val cols = rows.columns.map(col).toIndexedSeq
+    TextAnalysis.withQuality(rows)
+      .join(broadcast(thresholds), lit(true))
       .withColumn("band",
-        when($"quality" >= $"t1", 1).when($"quality" >= $"t2", 2)
-          .when($"quality" >= $"t3", 3).otherwise(4))
-      .withColumn("h", h)
-      .withColumn("shard", pmod($"h", lit(ShuffleShards.toLong)).cast("int"))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy($"band", $"shard").orderBy($"h".asc, $"doc_id".asc)))
-      .select($"doc_id", $"band", $"shard", $"pos")
-      .orderBy($"band", $"shard", $"pos")
+        when(col("quality") >= col("t1"), 1).when(col("quality") >= col("t2"), 2)
+          .when(col("quality") >= col("t3"), 3).otherwise(4))
+      .withColumn("shard",
+        pmod(hash60(concat(lit("cur1|"), col("doc_id").cast("string"))),
+          lit(ShuffleShards.toLong)).cast("int"))
+      .select(cols :+ col("band") :+ col("shard"): _*)
   }
 
   /** The reusable epoch-shuffle core over any (…, doc_id) relation. */

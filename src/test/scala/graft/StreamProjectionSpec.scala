@@ -162,6 +162,31 @@ class StreamProjectionSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < rows.size)
   }
 
+  test("curriculum policy trained in batch bands a stream identically to batch") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dir = sf("sf0.001")
+    val thresholds = graft.operators.Sampling.curriculumThresholds(spark, dir)
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(60).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sampling.curriculumRows(
+        in.toDF().toDF("doc_id", "text"), thresholds)
+      .writeStream.format("memory").queryName("curr").outputMode("append").start()
+    in.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curr").orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Sampling.curriculumRows(
+        rows.toDF("doc_id", "text"), thresholds).orderBy($"doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // non-vacuous: the quartile policy must actually split the sample
+    val bands = streamed.map(_(2)).distinct
+    assert(bands.size >= 3)
+  }
+
   test("temperature policy trained in batch gates a stream identically to batch") {
     implicit val ctx = spark.sqlContext
     import spark.implicits._
