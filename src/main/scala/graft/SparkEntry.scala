@@ -45,6 +45,7 @@ object SparkEntry {
     "q18_pivot"        -> (Relational.q18Pivot _),
     "q19_percentile"   -> (Relational.q19Percentile _),
     "q20_array_funcs"  -> (Relational.q20ArrayFuncs _),
+    "q_map_funcs"      -> (Relational.qMapFuncs _),
     // north-star: dedup / similarity / text analysis / windows / multimodal
     "dedup_exact"          -> (Dedup.exact _),
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
@@ -343,6 +344,19 @@ object SparkEntry {
         |  embedding[1] AS first_dim,
         |  CAST(len([x for x in embedding if x > 0]) AS INTEGER) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // the map is an in-plan representation on the Spark side; the oracle
+    // computes the same extracted scalars relationally
+    "q_map_funcs" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS INTEGER) AS n_statuses,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS BIGINT) AS n_open,
+        |  CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS BIGINT) AS n_filled,
+        |  CAST(sum(n) AS BIGINT) AS n_total
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT lang, source, min(doc_id) AS representative, count(*) AS n_docs

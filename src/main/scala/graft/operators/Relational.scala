@@ -357,6 +357,28 @@ object Relational {
       .orderBy($"vec_id")
   }
 
+  /** MapType scalar functions (the §2.3 "map fns" row): per priority a
+    * status→count map is BUILT (`map_from_entries` over a sort_array'd
+    * entry list — deterministic key order), then consumed with
+    * `map_keys`/`map_values`/`element_at`/higher-order `aggregate`. The
+    * oracle computes the same scalars relationally — maps are an in-plan
+    * representation here, not a storage format, so only the extracted
+    * values need to be engine-portable. All builtins, codegen'd. */
+  def qMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus").count()
+      .groupBy($"o_orderpriority")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct($"o_orderstatus", $"count")))).as("m"))
+      .select($"o_orderpriority",
+        size(map_keys($"m")).as("n_statuses"),
+        coalesce(element_at($"m", "O"), lit(0L)).as("n_open"),
+        coalesce(element_at($"m", "F"), lit(0L)).as("n_filled"),
+        aggregate(map_values($"m"), lit(0L), _ + _).as("n_total"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** As-of join (operator Spark lacks natively): for each event, the most
     * recent order date of the same customer at-or-before the event time.
     *
