@@ -55,21 +55,8 @@ object Sequence {
     * argument onto qualified clicks for the purchase step. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ev = Tables.events(spark, dir)
-      .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
-    val prev = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val staged = ev
-      .withColumn("t1_prev", min(when($"event_type" === FunnelSteps(0), $"ms")).over(prev))
-      .withColumn("c2", $"event_type" === FunnelSteps(1) &&
-        $"ms" > $"t1_prev" && $"ms" <= $"t1_prev" + FunnelDeadlineMs)
-      .withColumn("t2_prev", min(when($"c2", $"ms")).over(prev))
-      .withColumn("c3", $"event_type" === FunnelSteps(2) &&
-        $"ms" > $"t2_prev" && $"ms" <= $"t2_prev" + FunnelDeadlineMs)
-    val perUser = staged.groupBy($"user_id").agg(
-      max(when($"event_type" === FunnelSteps(0), 1).otherwise(0)).as("s1"),
-      max(when($"c2", 1).otherwise(0)).as("s2"),
-      max(when($"c3", 1).otherwise(0)).as("s3"))
+    val perUser = funnelUserFlags(Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms")))
     perUser
       .agg(sum($"s1").as("u1"), sum($"s2").as("u2"), sum($"s3").as("u3"))
       .select(explode(array(
@@ -78,6 +65,29 @@ object Sequence {
         struct(lit(3).as("step"), lit(FunnelSteps(2)).as("event_type"), $"u3".as("users")))).as("f"))
       .select($"f.step", $"f.event_type", $"f.users")
       .orderBy($"step")
+  }
+
+  /** The per-user stage flags over any (user_id, event_id, event_type, ms)
+    * relation — (user_id, s1, s2, s3) with s_k = 1 iff step k was completed
+    * under the strict-ms + deadline rule. Exposed so the batch≡stream
+    * parity spec can drive the SAME events through this window chain and
+    * through `Stateful.funnelStages`' fold (`SequenceSpec`); the reached
+    * stage is s1+s2+s3 by the chain's monotonicity (s_{k+1} ⇒ s_k). */
+  private[graft] def funnelUserFlags(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
+    val prev = Window.partitionBy($"user_id").orderBy($"ms", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("t1_prev", min(when($"event_type" === FunnelSteps(0), $"ms")).over(prev))
+      .withColumn("c2", $"event_type" === FunnelSteps(1) &&
+        $"ms" > $"t1_prev" && $"ms" <= $"t1_prev" + FunnelDeadlineMs)
+      .withColumn("t2_prev", min(when($"c2", $"ms")).over(prev))
+      .withColumn("c3", $"event_type" === FunnelSteps(2) &&
+        $"ms" > $"t2_prev" && $"ms" <= $"t2_prev" + FunnelDeadlineMs)
+      .groupBy($"user_id").agg(
+        max(when($"event_type" === FunnelSteps(0), 1).otherwise(0)).as("s1"),
+        max(when($"c2", 1).otherwise(0)).as("s2"),
+        max(when($"c3", 1).otherwise(0)).as("s3"))
   }
 
   /** Weekly cohort retention: cohort = the user's first-touch epoch DAY
