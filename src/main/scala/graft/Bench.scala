@@ -30,10 +30,34 @@ object Bench {
       fmtQ(_, 2), fmtQ(_, 1),
       d => if (d >= 0.95) fmtQ(d, 1) else fmtQ(d, 0),
       fmtQ(_, 0))
+    // single-line contract: strip control chars (Spark exception messages
+    // routinely contain newlines) on top of quote/backslash escaping.
+    // Built FIRST: the errors block spends from the same budget as the
+    // queries map, or an errorful run would overflow the window exactly
+    // when its numbers matter most.
+    val errJson = if (errors.isEmpty) "" else {
+      // the block itself is capped (~600 chars ≈ 4 full-length messages):
+      // a catastrophic all-queries-fail run must still print a parseable
+      // line with SOME diagnostics, not 15 kB of stack-trace heads
+      val entries = errors.toSeq.map { case (k, v) =>
+        val safe = v.replace("\\", "\\\\").replace("\"", "'")
+          .replaceAll("[\\x00-\\x1f]", " ")
+        s"\"" + k + "\":\"" + safe + "\""
+      }
+      val kept = scala.collection.mutable.ListBuffer[String]()
+      var len = 0
+      entries.foreach { e =>
+        if (len + e.length + 1 <= 600) { kept += e; len += e.length + 1 }
+      }
+      if (kept.size < entries.size)
+        kept += s"\"errors_omitted\":\"${entries.size - kept.size}\""
+      kept.mkString(",\"errors\":{", ",", "}")
+    }
+    val budget = QsBudget - errJson.length
     def qsAt(f: Double => String): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(f) }
         .mkString("{", ",", "}")
-    val qs = ladder.map(qsAt).find(_.length <= QsBudget).getOrElse {
+    val qs = ladder.map(qsAt).find(_.length <= budget).getOrElse {
       // emergency: slowest-first, keep what fits, count the omissions —
       // the slow tail is what the per-round trend comparison reads
       val omittedSlot = 24 // worst-case ,"q_omitted":nnn + brace slack
@@ -43,20 +67,12 @@ object Bench {
       results.toSeq.sortBy { case (_, v) => -v.getOrElse(0.0) }.foreach {
         case (k, v) =>
           val e = s"\"" + k + "\":" + v.fold("null")(fmtQ(_, 0))
-          if (len + e.length + 1 + omittedSlot <= QsBudget) {
+          if (len + e.length + 1 + omittedSlot <= budget) {
             kept += e; len += e.length + 1
           } else omitted += 1
       }
       (kept :+ s"\"q_omitted\":$omitted").mkString("{", ",", "}")
     }
-    // single-line contract: strip control chars (Spark exception messages
-    // routinely contain newlines) on top of quote/backslash escaping
-    val errJson = if (errors.isEmpty) "" else
-      errors.map { case (k, v) =>
-        val safe = v.replace("\\", "\\\\").replace("\"", "'")
-          .replaceAll("[\\x00-\\x1f]", " ")
-        s"\"" + k + "\":\"" + safe + "\""
-      }.mkString(",\"errors\":{", ",", "}")
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
   }
 

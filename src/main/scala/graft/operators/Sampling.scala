@@ -308,12 +308,11 @@ object Sampling {
     * shard-count-sized in production). */
   def curriculum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val h = hash60(concat(lit("cur1|"), $"doc_id".cast("string")))
-    curriculumRows(
+    curriculumBanded(
         Tables.documents(spark, dir).select($"doc_id", $"text"),
         curriculumThresholds(spark, dir))
       .withColumn("pos", row_number().over(
-        Window.partitionBy($"band", $"shard").orderBy(h.asc, $"doc_id".asc)))
+        Window.partitionBy($"band", $"shard").orderBy($"h".asc, $"doc_id".asc)))
       .select($"doc_id", $"band", $"shard", $"pos")
       .orderBy($"band", $"shard", $"pos")
   }
@@ -339,26 +338,36 @@ object Sampling {
     * re-pack assigns positions when the epoch materializes. */
   def curriculumRows(rows: DataFrame, thresholds: DataFrame): DataFrame = {
     val cols = rows.columns.map(col).toIndexedSeq
-    TextAnalysis.withQuality(rows)
-      .join(broadcast(thresholds), lit(true))
-      .withColumn("band",
-        when(col("quality") >= col("t1"), 1).when(col("quality") >= col("t2"), 2)
-          .when(col("quality") >= col("t3"), 3).otherwise(4))
-      .withColumn("shard",
-        pmod(hash60(concat(lit("cur1|"), col("doc_id").cast("string"))),
-          lit(ShuffleShards.toLong)).cast("int"))
+    curriculumBanded(rows, thresholds)
       .select(cols :+ col("band") :+ col("shard"): _*)
   }
 
-  /** The reusable epoch-shuffle core over any (…, doc_id) relation. */
-  def seededShuffleRows(rows: DataFrame, epoch: Int): DataFrame = {
-    val h = hash60(concat(lit(s"ep$epoch|"), col("doc_id").cast("string")))
-    rows.withColumn("h", h)
+  /** Banded docs WITH the content hash still attached — [[curriculum]]
+    * orders by it, [[curriculumRows]] drops it. One hash evaluation. */
+  private def curriculumBanded(rows: DataFrame, thresholds: DataFrame): DataFrame =
+    withHashShard(
+      TextAnalysis.withQuality(rows)
+        .join(broadcast(thresholds), lit(true))
+        .withColumn("band",
+          when(col("quality") >= col("t1"), 1).when(col("quality") >= col("t2"), 2)
+            .when(col("quality") >= col("t3"), 3).otherwise(4)),
+      "cur1|")
+
+  /** The salted content-hash + shard assignment shared by the epoch
+    * shuffle and the curriculum (ONE definition of the ordering scheme:
+    * h = hash60(salt ∥ doc_id), shard = h mod [[ShuffleShards]] — a change
+    * here must land in the q_shuffle_seeded AND pipeline_curriculum
+    * oracles together). */
+  private[graft] def withHashShard(rows: DataFrame, salt: String): DataFrame =
+    rows.withColumn("h", hash60(concat(lit(salt), col("doc_id").cast("string"))))
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
+
+  /** The reusable epoch-shuffle core over any (…, doc_id) relation. */
+  def seededShuffleRows(rows: DataFrame, epoch: Int): DataFrame =
+    withHashShard(rows, s"ep$epoch|")
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)))
       .drop("h")
-  }
 
   /** Reproducible train/val/test split: each document's bucket is the
     * content hash of its id modulo 100 — <80 train, <90 val, else test.

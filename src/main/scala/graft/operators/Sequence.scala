@@ -97,8 +97,14 @@ object Sequence {
     * semantics to diverge on. */
   def retention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // FLOOR division via the pmod identity: Spark's `div` truncates toward
+    // zero where the oracle's DuckDB `//` floors — they agree only for
+    // ms ≥ 0, and a pre-1970 timestamp would silently shift its cohort by
+    // a day. (week_offset below is a plain `div`: day − cohort_day ≥ 0 by
+    // the min, so truncation IS floor there.)
     val ev = Tables.events(spark, dir)
-      .select($"user_id", expr("unix_millis(ts) div 86400000").as("day"))
+      .select($"user_id",
+        expr("(unix_millis(ts) - pmod(unix_millis(ts), 86400000)) div 86400000").as("day"))
     val firstTouch = Window.partitionBy($"user_id")
     ev.withColumn("cohort_day", min($"day").over(firstTouch))
       .withColumn("week_offset", expr("(day - cohort_day) div 7"))

@@ -252,7 +252,7 @@ object Similarity {
     val approx = topkIvf(spark, dir).select($"query_id", $"neighbor_id")
     val hitCounts = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
-    truth.groupBy($"query_id").agg(count(lit(1)).as("n_truth"))
+    truth.select($"query_id").distinct()
       .join(hitCounts, Seq("query_id"), "left")
       .select($"query_id",
         coalesce($"n_hits", lit(0L)).as("n_hits"),

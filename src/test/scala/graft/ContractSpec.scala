@@ -48,12 +48,24 @@ class ContractSpec extends SparkSpec {
     val mixed = ListMap(SparkEntry.queries.keys.zipWithIndex.map { case (k, i) =>
       k -> Option(if (i % 3 == 0) 12.345 else 0.42) }.toSeq: _*)
     val nulls = ListMap(SparkEntry.queries.keys.map(_ -> Option.empty[Double]).toSeq: _*)
-    Seq(worst, mixed, nulls).foreach { rs =>
-      val line = Bench.benchLine(rs, Map.empty, 9999.99, "/root/testdata/sf0.1")
+    // errorful runs spend the errors block from the SAME budget: the
+    // all-fail case is the catastrophic ceiling (capped errors block +
+    // q_omitted map) and must fit like the clean cases
+    val allErrors = SparkEntry.queries.keys.map(k =>
+      k -> ("SparkException: " + ("x" * 120))).toMap
+    val someErrors = allErrors.take(2)
+    Seq((worst, Map.empty[String, String]), (mixed, Map.empty[String, String]),
+        (nulls, Map.empty[String, String]), (worst, someErrors),
+        (nulls, allErrors)).foreach { case (rs, errs) =>
+      val line = Bench.benchLine(rs, errs, 9999.99, "/root/testdata/sf0.1")
       // by-construction max: QsBudget + 86 chars of fixed line overhead
-      // (prefix/total/suffix); +75 for sbt's [success] tail stays ≤ 2000
+      // (prefix/total/suffix); +75 for sbt's [success] tail stays ≤ 2000.
+      // The literal window bound is asserted INDEPENDENTLY of QsBudget so
+      // raising the budget past the window cannot self-certify.
       assert(line.length <= Bench.QsBudget + 86,
         s"bench line would be ${line.length} chars — emergency truncation failed")
+      assert(line.length <= 1925,
+        s"bench line ${line.length} chars exceeds the post-[success] window")
       assert(line.contains("\"metric\":\"total\""))
     }
     // emergency keeps the slow tail: with every query slow, the omitted
@@ -61,5 +73,11 @@ class ContractSpec extends SparkSpec {
     val w = Bench.benchLine(worst, Map.empty, 9999.99, "sf")
     assert(w.contains("\"q_omitted\":"), "worst case must reach the emergency level")
     assert(w.count(_ == ':') >= 60, s"emergency level kept too few entries: $w")
+    // ... and an errorful run still reports both error detail and timings
+    val e = Bench.benchLine(worst, someErrors, 9999.99, "sf")
+    assert(e.contains("\"errors\":{") && e.contains("SparkException"))
+    // catastrophic all-fail: errors block capped, counter present
+    val c = Bench.benchLine(nulls, allErrors, 0.0, "sf")
+    assert(c.contains("\"errors_omitted\":"), "all-fail errors block must cap")
   }
 }

@@ -491,22 +491,30 @@ class StatefulSpec extends SparkSpec {
     val q = Stateful.funnelStages(in.toDS())
       .writeStream.format("memory").queryName("funnel").outputMode("update").start()
     // user 1: full in-order conversion inside the 24h deadline, across batches
-    // user 2: click BEFORE any view — must not advance past the later view
+    // user 2: click with EARLIER event time than any view (in-order arrival;
+    //         the batch twin also rejects it — no preceding view)
     // user 3: click exactly at the view's ms — strict > rejects the tie
+    // user 4: OUT-OF-ORDER ARRIVAL — click@5min in batch 1, its view@0 only
+    //         in batch 2: the one-pass fold never revisits the click, so the
+    //         stream finishes at 1 where the batch re-sort would reach 2 —
+    //         the documented lower bound under late arrival
     in.addData(
       FunnelEvent(1, 10, "view", ts(0)), FunnelEvent(1, 11, "click", ts(5)),
       FunnelEvent(2, 20, "click", ts(0)), FunnelEvent(2, 21, "view", ts(1)),
-      FunnelEvent(3, 30, "view", ts(2)), FunnelEvent(3, 31, "click", ts(2)))
+      FunnelEvent(3, 30, "view", ts(2)), FunnelEvent(3, 31, "click", ts(2)),
+      FunnelEvent(4, 40, "click", ts(5)))
     q.processAllAvailable()
-    in.addData(FunnelEvent(1, 12, "purchase", ts(9)))
+    in.addData(FunnelEvent(1, 12, "purchase", ts(9)),
+      FunnelEvent(4, 41, "view", ts(0)))
     q.processAllAvailable()
     q.stop()
     // stage is monotone per user, so max = the latest emitted stage
     val last = spark.table("funnel").as[FunnelOut].collect()
       .groupBy(_.user_id).map { case (u, outs) => u -> outs.map(_.stage).max }
     assert(last(1L) == 3) // view->click->purchase, state carried across batches
-    assert(last(2L) == 1) // out-of-order click not revisited (documented lower bound)
+    assert(last(2L) == 1) // click before any view cannot advance (batch agrees)
     assert(last(3L) == 1) // equal-ms click fails the strict comparison
+    assert(last(4L) == 1) // late view: stream is a lower bound (batch says 2)
   }
 
   test("streaming funnel deadline: a step past 24h does not convert") {
