@@ -124,6 +124,16 @@ object ScaleProbe {
         ("sim_topk_ivfpq", nVecs, () =>
           (Similarity.ivfPqAdcScan(spark, dir).count(),
             Similarity.topkIvfPq(spark, dir).count())),
+        // hard negatives: C = label-mismatch scored (anchor, candidate)
+        // pairs. The exact scan is ≈ n×|anchors| by construction; the IVF
+        // cell-blocked twin shows what probing saves (NProbe/|cells| of the
+        // corpus per anchor — the dense-serving-leg scan-volume story)
+        ("sim_hard_negatives", nVecs, () =>
+          (Similarity.hardNegativeCandidates(spark, dir).count(),
+            Similarity.hardNegatives(spark, dir).count())),
+        ("sim_hard_negatives_ivf", nVecs, () =>
+          (Similarity.hardNegativeIvfCandidates(spark, dir).count(),
+            Similarity.hardNegativesIvf(spark, dir).count())),
         // frame dedup: C = total frames through the owner shuffle (linear
         // in payload bytes by construction — the dedup_spans shape on
         // binary frames), O = duplicated frames

@@ -120,6 +120,8 @@ object SparkEntry {
     "pipeline_temperature" -> (Sampling.temperatureMixture _),
     "text_bpe"             -> (Tokenizer.bpeTrain _),
     "q_zorder"             -> (Layout.zorderStats _),
+    "sim_hybrid_rrf_ann"   -> (Similarity.hybridRrfAnn _),
+    "sim_hard_negatives_ivf" -> (Similarity.hardNegativesIvf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1937,6 +1939,151 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM ex) WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF cell-blocked hard negatives: the sim_topk_ivf assignment/probe
+    // CTEs (labels riding along) + the sim_hard_negatives label-mismatch
+    // scoring restricted to probed cells
+    "sim_hard_negatives_ivf" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, nrm, label, cent_id FROM (
+        |    SELECT vec_id, v, nrm, label, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |    FROM (
+        |      SELECT n.vec_id, n.v, n.nrm, n.label, cents.cent_id,
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |      FROM n CROSS JOIN cents))
+        |  WHERE arn = 1
+        |),
+        |probes AS (
+        |  SELECT query_id, qv, qn, anchor_label, cent_id FROM (
+        |    SELECT query_id, qv, qn, anchor_label, cent_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, cent_id ASC) AS prn
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qn,
+        |        q.label AS anchor_label, cents.cent_id,
+        |        round(list_sum([q.v[i]*cv[i] for i in range(1,65)]) / (q.nrm*cn), 6) AS csim
+        |      FROM (SELECT * FROM n WHERE vec_id % 100 = 0) q CROSS JOIN cents))
+        |  WHERE prn <= 2
+        |),
+        |scored AS (
+        |  SELECT query_id, anchor_label, a.vec_id AS neighbor_id, a.label AS neg_label,
+        |    round(list_sum([qv[i]*a.v[i] for i in range(1,65)]) / (qn*a.nrm), 6) AS cosine
+        |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id
+        |  WHERE a.vec_id != p.query_id AND a.label != p.anchor_label
+        |)
+        |SELECT query_id, anchor_label, neighbor_id, neg_label, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |  FROM scored) WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid RRF with the IVFADC dense leg: sim_hybrid_rrf's lexical CTE
+    // chain fused with sim_topk_ivfpq's chain (CTE names disjoint by
+    // construction) — same fusion arithmetic, ANN-leg ranks
+    "sim_hybrid_rrf_ann" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl,
+        |          greatest(4096, count(*) // 20) AS dfcap FROM t),
+        |d AS (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM t),
+        |tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM d GROUP BY doc_id, dl, tok),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |q AS (
+        |  SELECT query_id, tok, df FROM (
+        |    SELECT query_id, tok, df, dfcap FROM (
+        |      SELECT tf.doc_id AS query_id, tf.tok, dfq.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id ORDER BY dfq.df ASC, tf.tok ASC) AS qrn
+        |      FROM tf JOIN dfq USING (tok) WHERE tf.doc_id % 100 = 0)
+        |    CROSS JOIN stats WHERE qrn <= 8)
+        |  WHERE df <= dfcap
+        |),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1.0 + (n - q.df + 0.5) / (q.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS score
+        |  FROM tf JOIN q USING (tok) CROSS JOIN stats
+        |  WHERE tf.doc_id <> q.query_id
+        |  GROUP BY q.query_id, tf.doc_id
+        |),
+        |lex AS (
+        |  SELECT query_id, doc_id, CAST(rank AS INTEGER) AS lex_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM sc) WHERE rank <= 10),
+        |nv AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM nv WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT nv.vec_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+        |        round(list_sum([nv.v[i]*cv[i] for i in range(1,65)]) / (nv.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS arn
+        |    FROM nv CROSS JOIN cents)
+        |  WHERE arn = 1),
+        |probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT qq.vec_id AS query_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |        round(list_sum([qq.v[i]*cv[i] for i in range(1,65)]) / (qq.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS prn
+        |    FROM (SELECT * FROM nv WHERE vec_id % 100 = 0) qq CROSS JOIN cents)
+        |  WHERE prn <= 2),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM nv WHERE vec_id % 8 = 0),
+        |mm AS (SELECT unnest(range(0, 8)) AS m),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code, nrm FROM (
+        |    SELECT nv.vec_id, mm.m, cb.cid, nv.nrm,
+        |      row_number() OVER (PARTITION BY nv.vec_id, mm.m ORDER BY
+        |        round(list_sum([(nv.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (nv.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cid ASC) AS rn
+        |    FROM nv CROSS JOIN cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |dt AS (
+        |  SELECT qq.vec_id AS query_id, qq.nrm AS qn, mm.m, cb.cid,
+        |    round(list_sum([qq.v[mm.m*8+i] * cb.cv[mm.m*8+i] for i in range(1, 9)]), 6) AS d
+        |  FROM (SELECT * FROM nv WHERE vec_id % 100 = 0) qq CROSS JOIN cb CROSS JOIN mm),
+        |adc AS (
+        |  SELECT p.query_id, codes.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(codes.nrm)), 6) AS adc_cosine
+        |  FROM probes p
+        |  JOIN assigned a ON a.cent_id = p.cent_id
+        |  JOIN codes ON codes.vec_id = a.vec_id
+        |  JOIN dt ON dt.query_id = p.query_id AND dt.m = codes.m AND dt.cid = codes.code
+        |  WHERE codes.vec_id != p.query_id
+        |  GROUP BY p.query_id, codes.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc) WHERE rr <= 50),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short s JOIN nv qn ON qn.vec_id = s.query_id JOIN nv nn ON nn.vec_id = s.neighbor_id),
+        |sem AS (
+        |  SELECT query_id, neighbor_id AS doc_id, CAST(rank AS INTEGER) AS sem_rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |    FROM ex) WHERE rank <= 10),
+        |f AS (
+        |  SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+        |    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |    coalesce(lex.lex_rank, 0) AS lex_rank,
+        |    coalesce(sem.sem_rank, 0) AS sem_rank,
+        |    round(coalesce(1.0/(60 + lex.lex_rank), 0) +
+        |          coalesce(1.0/(60 + sem.sem_rank), 0), 6) AS rrf_score
+        |  FROM lex FULL OUTER JOIN sem
+        |    ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+        |SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+        |  CAST(rank AS INTEGER) AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |  FROM f)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // substring-level exact dedup: duplicated 8-gram anchors (all but the
     // global first occurrence of each gram) merged into maximal duplicated

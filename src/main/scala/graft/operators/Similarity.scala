@@ -56,13 +56,21 @@ object Similarity {
       .withColumn("nrm", norm($"v"))
   }
 
+  /** The stride-100 query workload every batch `sim_*` operator shares —
+    * (query_id, qv, qn). External workloads (an arriving micro-batch) build
+    * the same shape and flow through the same `...For` code paths. */
+  private[graft] def strideQueries(c: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
+    c.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+  }
+
   /** Exact brute-force cosine top-k: every ~100th vector queries the whole
     * corpus. Output (query_id, neighbor_id, rank, cosine·1e-6-rounded). */
   def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
-    topkBruteForceFor(c, c.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")))
+    topkBruteForceFor(c, strideQueries(c))
       .orderBy($"query_id", $"rank")
   }
 
@@ -93,11 +101,17 @@ object Similarity {
     * shuffle-free corpus scan, plus the label-mismatch predicate pushed
     * into the join condition — candidates with the anchor's label are
     * dropped BEFORE the cosine is computed, not filtered after ranking
-    * (ranking-then-filtering would under-fill k). At 10⁹ vectors the exact
-    * scan swaps for the IVF cell-blocked variant exactly as [[topkIvf]]
-    * does for [[topkBruteForce]] — hard negatives are by definition NEAR
-    * the anchor, so within-cell mining loses only the easy tail. */
-  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    * (ranking-then-filtering would under-fill k). The exact scan is the
+    * ground-truth formulation; [[hardNegativesIvf]] is the cell-blocked
+    * production variant at 10⁹ vectors. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    rankNegatives(hardNegativeCandidates(spark, dir))
+
+  /** The exact scored (anchor, candidate) rows BEFORE ranking — the scan
+    * volume [[graft.ScaleProbe]] tracks (≈ n×|anchors| by construction;
+    * [[hardNegativeIvfCandidates]] is the cell-bounded comparison). */
+  private[graft] def hardNegativeCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val n = Tables.spread(Tables.embeddings(spark, dir))
       .select($"vec_id", asDouble($"embedding").as("v"), $"label")
@@ -105,15 +119,66 @@ object Similarity {
     val anchors = n.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
         $"label".as("anchor_label"))
-    val scored = n.join(broadcast(anchors),
+    n.join(broadcast(anchors),
         $"vec_id" =!= $"query_id" && $"label" =!= $"anchor_label")
       .select($"query_id", $"anchor_label", $"vec_id".as("neighbor_id"),
         $"label".as("neg_label"), cosine6($"qv", $"v", $"qn", $"nrm").as("cosine"))
+  }
+
+  /** The shared per-anchor top-k ranking of scored negative candidates. */
+  private def rankNegatives(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val w = Window.partitionBy($"query_id")
       .orderBy($"cosine".desc, $"neighbor_id".asc)
     scored.withColumn("rank", row_number().over(w))
       .filter($"rank" <= TopK)
       .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF cell-blocked hard-negative mining — the 10⁹-vector production
+    * variant of [[hardNegatives]]: each anchor mines only its [[NProbe]]
+    * nearest IVF cells (exactly [[topkIvf]]'s probe structure over the
+    * shared [[assignedCells]] table), so the per-anchor scan drops from n
+    * to n·[[NProbe]]/cells. Hard negatives are by definition NEAR the
+    * anchor — the same embedding region its probed cells cover — so
+    * within-cell mining loses only the easy (useless-gradient) tail; the
+    * recall floor vs the exact scan is pinned in `DedupSpec` and the scan
+    * drop measured by [[graft.ScaleProbe]].
+    *
+    * Scale shape: one label equi-join onto the shared assignment (vec_id
+    * co-partitioned; at 100 TB the label rides the cell-clustered corpus
+    * table and the join disappears), broadcast anchor-probes joined on the
+    * cell id (the [[ivfPqAdcScan]] shape), label-mismatch predicate inside
+    * the join — never a post-rank filter. */
+  def hardNegativesIvf(spark: SparkSession, dir: String): DataFrame =
+    rankNegatives(hardNegativeIvfCandidates(spark, dir))
+
+  /** The cell-bounded scored rows BEFORE ranking ([[graft.ScaleProbe]]'s
+    * comparison row against [[hardNegativeCandidates]]). */
+  private[graft] def hardNegativeIvfCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val cents = centroids(c, ivfCellStride(Tables.embeddings(spark, dir).count()))
+    val labels = Tables.spread(Tables.embeddings(spark, dir))
+      .select($"vec_id", $"label")
+    val labeled = graft.sources.Caches.shared(assignedCells(c, cents))
+      .join(labels, "vec_id")
+    val anchors = labeled.filter($"vec_id" % QueryStride === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        $"label".as("anchor_label"))
+    val wProbe = Window.partitionBy($"query_id")
+      .orderBy($"csim".desc, $"cent_id".asc)
+    val probes = anchors.join(broadcast(cents), lit(true))
+      .select($"query_id", $"qv", $"qn", $"anchor_label", $"cent_id",
+        cosine6($"qv", $"cv", $"qn", $"cn").as("csim"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter($"prn" <= NProbe)
+      .select($"query_id", $"qv", $"qn", $"anchor_label", $"cent_id")
+    labeled.join(broadcast(probes), "cent_id")
+      .filter($"vec_id" =!= $"query_id" && $"label" =!= $"anchor_label")
+      .select($"query_id", $"anchor_label", $"vec_id".as("neighbor_id"),
+        $"label".as("neg_label"), cosine6($"qv", $"v", $"qn", $"nrm").as("cosine"))
   }
 
   /** IVF top-k: corpus bucketed by nearest centroid; queries probe the
@@ -626,8 +691,10 @@ object Similarity {
     * shortlist-then-rerank serving pipeline of every production PQ system.
     * Like every approximate operator here, the approximation is
     * deterministic and reproduced exactly by the oracle. */
-  def topkPq(spark: SparkSession, dir: String): DataFrame =
-    pqRerank(corpus(spark, dir), pqAdcScan(spark, dir))
+  def topkPq(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    pqRerank(c, strideQueries(c), pqAdcScan(spark, dir))
+  }
 
   /** The full-corpus ADC scan — (query, vector) approximate cosines, the
     * scan volume [[graft.ScaleProbe]] tracks (n×|queries| by construction;
@@ -638,7 +705,7 @@ object Similarity {
     val c = corpus(spark, dir)
     val cb = pqCodebook(c, stride)
     val codes = pqEncode(c, cb)
-    val dt = pqQueryTables(c, cb)
+    val dt = pqQueryTables(strideQueries(c), cb)
     // ADC scan: corpus codes × broadcast query tables, approximate cosine
     // computed inline — fixed m-ascending sum of the 8 table lookups
     codes.join(broadcast(dt), lit(true))
@@ -703,12 +770,12 @@ object Similarity {
 
   /** Each query's asymmetric lookup table, collapsed to a single flat
     * array per query: slot cidx*[[PqM]] + m + 1 holds dot(q⊆ₘ, cb[cidx]⊆ₘ).
-    * ~2k doubles per query — broadcast to every scan task. */
-  private def pqQueryTables(c: DataFrame, cb: DataFrame): DataFrame = {
-    import c.sparkSession.implicits._
-    c.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-      .join(broadcast(cb), lit(true))
+    * ~2k doubles per query — broadcast to every scan task. `q` is any
+    * (query_id, qv, qn) workload ([[strideQueries]] or an external
+    * micro-batch). */
+  private def pqQueryTables(q: DataFrame, cb: DataFrame): DataFrame = {
+    import q.sparkSession.implicits._
+    q.join(broadcast(cb), lit(true))
       .groupBy($"query_id")
       .agg(min($"qn").as("qn"),
         flatten(transform(
@@ -727,16 +794,15 @@ object Similarity {
   /** Shortlist [[PqRerank]] per query on the approximate order, then
     * re-rank the survivors by EXACT cosine — the standard PQ serving
     * pipeline: the full-precision vectors are touched only for the
-    * shortlist (point lookups of R×|queries| rows), never scanned. */
-  private def pqRerank(c: DataFrame, adc: DataFrame): DataFrame = {
+    * shortlist (point lookups of R×|queries| rows), never scanned. `q` is
+    * the (query_id, qv, qn) workload the ADC scan ran for. */
+  private def pqRerank(c: DataFrame, q: DataFrame, adc: DataFrame): DataFrame = {
     import c.sparkSession.implicits._
     val wShort = Window.partitionBy($"query_id")
       .orderBy($"adc_cosine".desc, $"vec_id".asc)
     val short = adc.withColumn("rr", row_number().over(wShort))
       .filter($"rr" <= PqRerank)
       .select($"query_id", $"vec_id".as("neighbor_id"))
-    val q = c.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val exact = short.join(broadcast(q), "query_id")
       .join(c.select($"vec_id".as("neighbor_id"), $"v", $"nrm"), "neighbor_id")
       .select($"query_id", $"neighbor_id",
@@ -765,12 +831,28 @@ object Similarity {
     * `DedupSpec`. Cell stride and codebook stride both derive from corpus
     * size above their fixture floors ([[ivfCellStride]], [[pqStride]]). */
   def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
-    pqRerank(corpus(spark, dir), ivfPqAdcScan(spark, dir))
+    topkIvfPqFor(spark, dir, strideQueries(corpus(spark, dir)))
+
+  /** IVFADC for an EXTERNAL (query_id, qv, qn) workload — the serving
+    * entry point [[hybridRrfFor]]'s dense leg runs per micro-batch. Every
+    * per-query stage (probe selection, distance table, ADC scan, rerank)
+    * is independent across queries, so a corpus-id query returns
+    * bit-identical rows to the batch operator's stride workload
+    * (`StatefulSpec` pins the parity). */
+  def topkIvfPqFor(spark: SparkSession, dir: String,
+      q: DataFrame): DataFrame =
+    pqRerank(corpus(spark, dir), q, ivfPqAdcScan(spark, dir, q))
+
+  /** The cell-bounded ADC scan for the batch stride workload —
+    * [[graft.ScaleProbe]]'s comparison row against [[pqAdcScan]]. */
+  private[graft] def ivfPqAdcScan(spark: SparkSession, dir: String): DataFrame =
+    ivfPqAdcScan(spark, dir, strideQueries(corpus(spark, dir)))
 
   /** The cell-bounded ADC scan — (query, vector) approximate cosines over
     * probed cells only; its row count vs [[pqAdcScan]]'s measures what the
     * IVF stage saves ([[graft.ScaleProbe]]). */
-  private[graft] def ivfPqAdcScan(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfPqAdcScan(spark: SparkSession, dir: String,
+      q: DataFrame): DataFrame = {
     import spark.implicits._
     val n = Tables.embeddings(spark, dir).count()
     val c = corpus(spark, dir)
@@ -784,8 +866,6 @@ object Similarity {
     val lists = pqEncode(assigned, cb, carry = Seq("cent_id"))
     // queries probe their NProbe nearest cells (the topkIvf probe shape),
     // each probe row carrying the query's broadcast-ready distance table
-    val q = c.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"csim".desc, $"cent_id".asc)
     val probes = q.join(broadcast(cents), lit(true))
@@ -794,7 +874,7 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter($"prn" <= NProbe)
       .select($"query_id", $"cent_id")
-      .join(broadcast(pqQueryTables(c, cb)), "query_id")
+      .join(broadcast(pqQueryTables(q, cb)), "query_id")
     // ADC scan over probed cells only: equi-join on the cell id, inline
     // 8-lookup approximate cosine per listed vector
     lists.join(broadcast(probes), "cent_id")
@@ -919,7 +999,8 @@ object Similarity {
     *
     * Scale shape: strictly the sum of its legs (each already bounded:
     * BM25's capped postings join, ANN's broadcast query scan — at 100 TB
-    * the dense leg swaps in [[topkIvfPq]], same output contract) plus a
+    * the dense leg swaps in [[topkIvfPq]], WIRED as [[hybridRrfAnn]] and
+    * the serving default) plus a
     * fusion join and window over ≤ 2·[[TopK]] rows PER QUERY — workload-
     * sized, corpus-independent. Legs absent from a doc contribute nothing;
     * `lex_rank`/`sem_rank` = 0 mark "not retrieved by that leg". */
@@ -932,15 +1013,37 @@ object Similarity {
         .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank")))
   }
 
+  /** [[hybridRrf]] with the PRODUCTION dense leg: the [[topkIvfPq]] IVFADC
+    * index instead of the exact corpus scan. Same fusion stage, same output
+    * contract; per-query dense cost drops from n cosines to
+    * (n·[[NProbe]]/cells) 8-lookup ADC sums + [[PqRerank]] exact re-ranks —
+    * the swap the exact operator's scaladoc promises at 100 TB, shipped as
+    * its own oracled query so the fused ANN behavior is hash-pinned too.
+    * Recall of the fused list vs [[hybridRrf]]'s is pinned in `DedupSpec`
+    * (the dense legs' own recall floor rides `sim_ann_recall` /
+    * the PQ specs). */
+  def hybridRrfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    fuseRrf(
+      TextAnalysis.bm25TopK(spark, dir)
+        .select($"query_id", $"doc_id", $"rank".as("lex_rank")),
+      topkIvfPq(spark, dir)
+        .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank")))
+  }
+
   /** Hybrid retrieval for an EXTERNAL query workload — `queries` is
     * (query_id, text, embedding), i.e. an arriving micro-batch of probe
     * documents: both legs run through the same code paths the oracled
-    * batch operator exercises (a corpus-id query returns bit-identical
+    * batch operators exercise (a corpus-id query returns bit-identical
     * rows either way — `StatefulSpec` pins the parity), fused by the same
     * RRF stage. This IS the serving path: [[serveRetrievalStream]] applies
-    * it per micro-batch. */
-  def hybridRrfFor(spark: SparkSession, dir: String,
-      queries: DataFrame): DataFrame = {
+    * it per micro-batch. `annDense` picks the dense leg: the default true
+    * routes through the [[topkIvfPqFor]] IVFADC index (the production
+    * serving plan — a corpus scan per query is a scale-killer); false keeps
+    * the exact [[topkBruteForceFor]] scan (ground truth / recall-eval
+    * runs). */
+  def hybridRrfFor(spark: SparkSession, dir: String, queries: DataFrame,
+      annDense: Boolean = true): DataFrame = {
     import spark.implicits._
     val qToks = queries.select($"query_id",
       explode(array_distinct(graft.functions.Text.tokens($"text"))).as("tok"))
@@ -948,9 +1051,11 @@ object Similarity {
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
     val qv = queries.select($"query_id", asDouble($"embedding").as("qv"))
       .withColumn("qn", norm($"qv"))
-    val sem = topkBruteForceFor(corpus(spark, dir), qv)
-      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank"))
-    fuseRrf(lex, sem)
+    val dense =
+      if (annDense) topkIvfPqFor(spark, dir, qv)
+      else topkBruteForceFor(corpus(spark, dir), qv)
+    fuseRrf(lex,
+      dense.select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank")))
   }
 
   /** The RRF fusion stage shared by the batch operator and the serving
@@ -981,13 +1086,15 @@ object Similarity {
     * run full batch plans per micro-batch, the `KeyedUpsertSink.merge`
     * convention). Results append to `outDir` as parquet with the batch id
     * riding along — an idempotent-enough audit trail for the demo;
-    * production would write to a keyed serving store. */
+    * production would write to a keyed serving store. The dense leg is the
+    * [[topkIvfPqFor]] IVFADC index by default ([[hybridRrfFor]]'s
+    * `annDense`) — serving never scans the corpus per query. */
   def serveRetrievalStream(queryStream: DataFrame, spark: SparkSession,
-      dir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      dir: String, outDir: String, annDense: Boolean = true): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     queryStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        hybridRrfFor(spark, dir, batch)
+        hybridRrfFor(spark, dir, batch, annDense)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }

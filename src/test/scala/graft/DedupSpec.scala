@@ -126,6 +126,55 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("ivf hard negatives: label contract holds and recall floor vs the exact scan") {
+    val exact = Similarity.hardNegatives(spark, dir)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val ivf = Similarity.hardNegativesIvf(spark, dir)
+      .select($"query_id", $"anchor_label", $"neighbor_id", $"neg_label")
+      .as[(Long, Int, Long, Int)].collect()
+    assert(ivf.nonEmpty)
+    // the label-mismatch predicate holds on every emitted row
+    assert(ivf.forall { case (_, al, _, nl) => al != nl })
+    val ivfSets = ivf.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    assert(ivfSets.keySet == exact.keySet.toSet)
+    // hard negatives live NEAR the anchor — the anchor's probed cells hold
+    // most of them; floor measured on the fixture (the sim_ann_recall
+    // methodology applied to the mining variant)
+    val recalls = exact.map { case (q, es) =>
+      (es & ivfSets(q)).size.toDouble / es.size }
+    assert(recalls.sum / recalls.size >= 0.5, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
+  test("hybrid rrf ann: shared lexical leg, ANN dense leg, overlap floor vs exact fusion") {
+    val exact = Similarity.hybridRrf(spark, dir)
+      .select($"query_id", $"doc_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val ann = Similarity.hybridRrfAnn(spark, dir)
+      .select($"query_id", $"doc_id", $"lex_rank", $"sem_rank")
+      .as[(Long, Long, Int, Int)].collect()
+    assert(ann.nonEmpty)
+    // the lexical leg is SHARED: wherever the ANN fusion reports a lex rank
+    // it must be bm25's own rank for that (query, doc)
+    val lex = TextAnalysis.bm25TopK(spark, dir)
+      .select($"query_id", $"doc_id", $"rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ann.forall { case (q, d, lr, _) => lr == lex.getOrElse((q, d), 0) })
+    // the dense leg is the IVFADC index: its ranks are topkIvfPq's own
+    val dense = Similarity.topkIvfPq(spark, dir)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ann.forall { case (q, d, _, sr) => sr == dense.getOrElse((q, d), 0) })
+    // fused-list overlap floor vs the exact-leg fusion (the ANN legs'
+    // own recall floors ride the PQ specs; fusion can only dampen the
+    // difference — the lexical half is identical)
+    val annSets = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(annSets.keySet == exact.keySet.toSet)
+    val overlaps = exact.map { case (q, es) =>
+      (es & annSets(q)).size.toDouble / es.size }
+    assert(overlaps.sum / overlaps.size >= 0.6, s"mean overlap ${overlaps.sum / overlaps.size}")
+  }
+
   test("nearest-centroid kernel equals the max_by join twin on every vector") {
     val c = Similarity.corpus(spark, dir)
     val cents = Similarity.centroids(c, Similarity.NCentroids.toLong)

@@ -272,6 +272,7 @@ class StatefulSpec extends SparkSpec {
       .select($"doc_id".as("query_id"), $"text", $"embedding")
       .as[(Long, String, Array[Float])].collect()
     assert(probe.length == 2)
+    // default serving path: the IVFADC dense leg — parity vs hybridRrfAnn
     val outDir = java.nio.file.Files.createTempDirectory("graft-serve").toString + "/out"
     val in = MemoryStream[(Long, String, Array[Float])]
     val q = Similarity.serveRetrievalStream(
@@ -280,15 +281,29 @@ class StatefulSpec extends SparkSpec {
     in.addData(probe.toSeq)
     q.processAllAvailable()
     q.stop()
-    val served = spark.read.parquet(outDir)
+    def collectRows(df: org.apache.spark.sql.DataFrame) = df
       .select($"query_id", $"doc_id", $"lex_rank", $"sem_rank", $"rrf_score", $"rank")
       .as[(Long, Long, Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._6))
-    val batch = Similarity.hybridRrf(spark, dir)
-      .filter($"query_id".isin(100L, 300L))
-      .select($"query_id", $"doc_id", $"lex_rank", $"sem_rank", $"rrf_score", $"rank")
-      .as[(Long, Long, Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._6))
+    val served = collectRows(spark.read.parquet(outDir))
+    val batch = collectRows(
+      Similarity.hybridRrfAnn(spark, dir).filter($"query_id".isin(100L, 300L)))
     assert(served.nonEmpty && served.toSeq == batch.toSeq,
       s"serve != batch:\n${served.toSeq}\n${batch.toSeq}")
+    // exact-dense option: parity vs the brute-force-leg batch operator
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft-serve").toString + "/out"
+    val in2 = MemoryStream[(Long, String, Array[Float])]
+    val q2 = Similarity.serveRetrievalStream(
+        in2.toDF().toDF("query_id", "text", "embedding"), spark, dir, outDir2,
+        annDense = false)
+      .start()
+    in2.addData(probe.toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val served2 = collectRows(spark.read.parquet(outDir2))
+    val batch2 = collectRows(
+      Similarity.hybridRrf(spark, dir).filter($"query_id".isin(100L, 300L)))
+    assert(served2.nonEmpty && served2.toSeq == batch2.toSeq,
+      s"serve(exact) != batch:\n${served2.toSeq}\n${batch2.toSeq}")
   }
 
   test("streaming probe scoring: trained weights applied at ingest match batch math") {
