@@ -13,8 +13,13 @@ import org.apache.spark.sql.types._
 /** Static nearest-centroid kernel shared by interpreted eval and codegen. */
 object CentroidKernels {
 
+  // non-finite guard: a zero-norm vector or centroid yields NaN/±Inf
+  // cosines, and BigDecimal(NaN) throws NumberFormatException — crashing
+  // the task where the max_by join twin degrades gracefully (Spark's
+  // round() passes NaN through). Non-finite values skip the rounding.
   private def round6(d: Double): Double =
-    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (!java.lang.Double.isFinite(d)) d
+    else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Argmax over centroids by (round(cos, 6) desc, cent_id asc) — EXACTLY
     * the DataFrame formulation's max_by(cent_id, struct(cosine6, −cent_id))

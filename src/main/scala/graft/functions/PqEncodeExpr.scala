@@ -11,8 +11,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 /** Static PQ-encoding kernel shared by interpreted eval and codegen. */
 object PqKernels {
 
+  // non-finite guard (the CentroidKernels convention): a NaN/Inf input
+  // element makes the squared distance non-finite, and BigDecimal(NaN)
+  // throws — pass non-finite values through un-rounded instead of
+  // crashing the task.
   private def round6(d: Double): Double =
-    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (!java.lang.Double.isFinite(d)) d
+    else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Nearest-codebook-entry codes for one vector, all `m` subspaces in one
     * pass over the flat codebook (entry e's subspace-s block starts at

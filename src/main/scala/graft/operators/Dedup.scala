@@ -866,16 +866,20 @@ object Dedup {
     * to the batch window formulation (`StatefulSpec` cross-checks). */
   def substringDedupStream(docStream: DataFrame, corpusHashes: DataFrame): DataFrame = {
     val k = SubstrGram
+    // posexplode_OUTER: a doc with fewer than k tokens has no anchors, but
+    // must still emit its n_grams=0 row like the batch twin — the outer
+    // explode keeps one all-null row per anchorless doc (count(pos) counts
+    // only real anchors; the null key finds no corpus match)
     val anchors = docStream
       .select(col("doc_id"), graft.functions.PositionalGramHashes(
         graft.functions.Text.tokens(col("text")), k).as("gh"))
-      .select(col("doc_id"), posexplode(col("gh")).as(Seq("pos0", "h")))
+      .select(col("doc_id"), posexplode_outer(col("gh")).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
     val marked = anchors
       .join(broadcast(corpusHashes.withColumn("in_corpus", lit(true))),
         Seq("h"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
+      .agg(count(col("pos")).as("n_grams"),
         sort_array(collect_list(when(col("in_corpus"), col("pos")))).as("dups"))
     val gapLen = greatest(size(col("dups")) - 1, lit(0))
     val gaps = zip_with(

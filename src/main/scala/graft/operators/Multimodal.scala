@@ -92,9 +92,17 @@ object Multimodal {
     * frame hash — think the all-zeros padding frame — in one task; min is
     * combinable map-side, so even a frame every document shares collapses
     * before the exchange). Bounds: frame_idx < 2²⁴ (16M frames = a 1 GiB
-    * payload at 64 B/frame) and doc_id < 2³⁹ — beyond either, re-key. */
+    * payload at 64 B/frame) and doc_id < 2³⁹ — beyond either the packed
+    * key would silently corrupt first-occurrence ownership, so the bound
+    * is ENFORCED with raise_error (a loud task failure, the
+    * `Dedup.connectedComponents` round-cap convention) rather than
+    * documented-only. */
   private def occKey(docId: Column, frameIdx: Column): Column =
-    docId * lit(1L << 24) + frameIdx
+    when(frameIdx >= lit(1L << 24) || docId >= lit(1L << 39) ||
+        frameIdx < 0 || docId < 0,
+      raise_error(concat(lit("occKey overflow: doc_id="), docId,
+        lit(" frame_idx="), frameIdx, lit(" exceed the 2^39/2^24 packing"))))
+      .otherwise(docId * lit(1L << 24) + frameIdx)
 
   /** Frame-level storage dedup over the media lake — the content-defined-
     * chunking question a blob store asks before ingesting media: which
@@ -163,8 +171,13 @@ object Multimodal {
     import spark.implicits._
     import graft.operators.Dedup
     val nBands = Dedup.HammingThreshold + 1
-    val bandBits = Dedup.simhashBandBits(
-      Tables.documents(spark, dir).count())
+    // the media_near_dup oracle pins the 48-bit (4×12) signature as a
+    // literal; past the ~32k-doc knee the derived width grows and the
+    // DuckDB twin would silently hash-diverge — warn loudly there (the
+    // bm25QueryStride convention)
+    val bandBits = Dedup.warnIfPastOracleFloor("media simhash band bits",
+      Dedup.simhashBandBits(Tables.documents(spark, dir).count()).toLong,
+      12L).toInt
     val sigs = graft.sources.Caches.shared(mediaSignatures(
       Tables.spread(Tables.documents(spark, dir)), nBands * bandBits))
     val mask = (1L << bandBits) - 1

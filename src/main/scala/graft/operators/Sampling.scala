@@ -177,13 +177,16 @@ object Sampling {
     * stateless broadcast-join + integer hash test, so it gates an ingest
     * STREAM exactly like [[mixtureRows]] does. Carries the policy
     * `threshold` and the decision `selected` alongside the caller's
-    * columns. */
+    * columns. LEFT join: a language absent from the trained policy (a new
+    * language appearing mid-stream) must SURFACE with threshold 0 /
+    * selected = false — the conservative reject — rather than silently
+    * vanish from the gate the way an inner join would drop it. */
   def temperatureMixtureRows(rows: DataFrame, thresholds: DataFrame): DataFrame = {
     val cols = rows.columns.map(col).toIndexedSeq
-    rows.join(broadcast(thresholds), "lang")
-      .select(cols :+ col("threshold") :+
+    rows.join(broadcast(thresholds), Seq("lang"), "left")
+      .select(cols :+ coalesce(col("threshold"), lit(0L)).as("threshold") :+
         (pmod(hash60(concat(lit("tmix|"), col("doc_id").cast("string"))),
-          lit(MixtureScale)) < col("threshold")).as("selected"): _*)
+          lit(MixtureScale)) < coalesce(col("threshold"), lit(0L))).as("selected"): _*)
   }
 
   val DsirBuckets = 1024L

@@ -165,6 +165,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("kernels survive non-finite cosines (zero-norm vector) without crashing") {
+    // a zero-norm vector makes every cosine NaN; the kernel must degrade
+    // like the join twin (Spark round() passes NaN through) instead of
+    // throwing NumberFormatException from BigDecimal(NaN)
+    val vecs = Seq(
+      (0L, Seq.fill(64)(0.0)),            // zero norm → NaN cosines
+      (1L, Seq.tabulate(64)(i => if (i == 0) 1.0 else 0.0)),
+      (2L, Seq.tabulate(64)(i => if (i == 1) 1.0 else 0.0)))
+    val df = vecs.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(graft.functions.DotProduct($"v", $"v")))
+    // centroids: the finite-norm rows only (a NaN CENTROID poisons every
+    // assignment identically in kernel and twin — not the case under test)
+    val cents = df.filter($"nrm" > 0)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
+    // must not throw; the zero-norm row's csim is NaN, the others finite
+    val rows = graft.operators.Similarity.assignedCells(df, cents)
+      .select($"vec_id", $"csim").as[(Long, Double)].collect().toMap
+    assert(rows(0L).isNaN && !rows(1L).isNaN && !rows(2L).isNaN)
+    // PqEncode with a NaN codebook entry: encodes without throwing
+    val cbFlat = Seq.fill(64)(Double.NaN) ++ Seq.tabulate(64)(_ * 0.01)
+    val codes = df.select(
+        graft.functions.PqEncode($"v", cbFlat, 8, 8).as("codes"))
+      .as[Seq[Int]].collect()
+    assert(codes.length == 3 && codes.forall(_.length == 8))
+  }
+
   test("PqEncode kernel equals the min_by join twin on random vectors") {
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window

@@ -388,12 +388,18 @@ class StatefulSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val q = Dedup.substringDedupStream(in.toDF().toDF("doc_id", "text"), hashes)
       .writeStream.format("memory").queryName("subdd").outputMode("update").start()
-    in.addData((99999L, copied), (99998L, noise), (99997L, mixed))
+    // ... and a doc SHORTER than the gram width: no anchors, but the row
+    // must still surface with all-zero counts (batch-twin parity — the
+    // r8-era inner explode silently dropped it)
+    val short = "tiny doc"
+    in.addData((99999L, copied), (99998L, noise), (99997L, mixed), (99996L, short))
     q.processAllAvailable()
     q.stop()
     val out = spark.table("subdd")
       .select($"doc_id", $"n_grams", $"n_dup_starts", $"n_dup_spans", $"n_dup_tokens")
       .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val shortRow = out(99996L)
+    assert(shortRow == ((99996L, 0L, 0L, 0L, 0L)), s"short doc zeros: $shortRow")
     val nCopy = copied.split(" ", -1).length
     val copy = out(99999L)
     assert(copy._2 == nCopy - k + 1 && copy._3 == copy._2, s"copy all dup: $copy")

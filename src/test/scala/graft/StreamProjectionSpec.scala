@@ -194,19 +194,26 @@ class StreamProjectionSpec extends SparkSpec {
     val thresholds = graft.operators.Sampling.temperatureThresholds(spark, dir)
     val rows = graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"lang").as[(Long, String)].head(60).toSeq
+    // ... plus a language the policy never saw: it must SURFACE with
+    // threshold 0 / selected=false (conservative reject), not silently
+    // vanish the way the old inner join dropped it
+    val unseen = (999999L, "xx-unseen")
     val in = MemoryStream[(Long, String)]
     val q = graft.operators.Sampling.temperatureMixtureRows(
         in.toDF().toDF("doc_id", "lang"), thresholds)
       .writeStream.format("memory").queryName("tmx").outputMode("append").start()
-    in.addData(rows: _*)
+    in.addData(rows :+ unseen: _*)
     q.processAllAvailable()
     q.stop()
     val streamed = spark.table("tmx").orderBy($"doc_id")
       .collect().map(_.toSeq).toSeq
     val batch = graft.operators.Sampling.temperatureMixtureRows(
-        rows.toDF("doc_id", "lang"), thresholds).orderBy($"doc_id")
+        (rows :+ unseen).toDF("doc_id", "lang"), thresholds).orderBy($"doc_id")
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
+    val unseenRow = streamed.find(_.head == 999999L)
+    assert(unseenRow.exists(r => r(2) == 0L && r(3) == false),
+      s"unseen language must surface rejected: $unseenRow")
     // non-vacuous: both decisions occur in the streamed window
     val flags = streamed.map(_.last).toSet
     assert(flags == Set(true, false))
