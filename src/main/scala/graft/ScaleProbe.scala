@@ -141,6 +141,14 @@ object ScaleProbe {
           graft.operators.Multimodal.frameDedup(spark, dir)
             .agg(coalesce(sum(col("n_frames")), lit(0L)),
               coalesce(sum(col("n_dup_frames")), lit(0L)))
+            .as[(Long, Long)].head()),
+        // cdc dedup: same counting formulation on content-defined chunks —
+        // C = chunks through the owner shuffle (linear in payload bytes;
+        // the boundary scan is per-row, shuffle-free), O = duplicated chunks
+        ("media_cdc_dedup", nDocs, () =>
+          graft.operators.Multimodal.cdcDedup(spark, dir)
+            .agg(coalesce(sum(col("n_chunks")), lit(0L)),
+              coalesce(sum(col("n_dup_chunks")), lit(0L)))
             .as[(Long, Long)].head())
       )
       // SPARK_GRAFT_PROBE_ONLY=a,b (local tuning): restrict to named probes

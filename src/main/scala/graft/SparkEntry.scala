@@ -122,6 +122,8 @@ object SparkEntry {
     "q_zorder"             -> (Layout.zorderStats _),
     "sim_hybrid_rrf_ann"   -> (Similarity.hybridRrfAnn _),
     "sim_hard_negatives_ivf" -> (Similarity.hardNegativesIvf _),
+    "media_cdc_dedup"      -> (Multimodal.cdcDedup _),
+    "media_near_dup_cdc"   -> (Multimodal.mediaNearDupCdc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -991,6 +993,75 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN fh.doc_id*16777216 + fh.frame_idx <> own.own_key THEN fb ELSE 0 END) AS BIGINT) AS bytes_saved
         |FROM fh JOIN own ON fh.h = own.h
         |GROUP BY fh.doc_id ORDER BY fh.doc_id""".stripMargin,
+
+    // content-defined chunking: chunk END positions are every i in [8, n-1]
+    // whose trailing-8-byte-window hash60 ≡ 0 mod 64, plus n; chunk j runs
+    // (prev end, end]. Same md5-hash60 arithmetic as the frame oracles —
+    // boundaries are pure content predicates, which is the whole point
+    // (alignment robustness), and both engines compute them identically
+    "media_cdc_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |bounds AS (
+        |  SELECT doc_id, text, n,
+        |    list_append(
+        |      [i for i in range(8, n)
+        |       if CAST(concat('0x', substr(md5(hex(encode(substr(text, i-7, 8)))),1,15)) AS BIGINT) % 64 = 0],
+        |      n) AS ends
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id, CAST(u.j AS INTEGER) AS chunk_idx,
+        |    CAST(u.e - u.s AS BIGINT) AS chunk_bytes,
+        |    CAST(concat('0x', substr(md5(hex(encode(substr(text, u.s + 1, u.e - u.s)))),1,15)) AS BIGINT) AS ch
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest([{'j': j,
+        |               's': CASE WHEN j = 0 THEN 0 ELSE ends[j] END,
+        |               'e': ends[j+1]}
+        |              for j in range(0, len(ends))]) AS u
+        |    FROM bounds)),
+        |own AS (SELECT ch, min(doc_id*16777216 + chunk_idx) AS own_key FROM chunks GROUP BY ch)
+        |SELECT chunks.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN chunks.doc_id*16777216 + chunks.chunk_idx <> own.own_key THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(chunk_bytes) AS BIGINT) AS payload_bytes,
+        |  CAST(sum(CASE WHEN chunks.doc_id*16777216 + chunks.chunk_idx <> own.own_key THEN chunk_bytes ELSE 0 END) AS BIGINT) AS bytes_saved
+        |FROM chunks JOIN own ON chunks.ch = own.ch
+        |GROUP BY chunks.doc_id ORDER BY chunks.doc_id""".stripMargin,
+
+    // perceptual near-dup over the CDC chunk fingerprint: the media_near_dup
+    // sig/banding CTEs fed by the media_cdc_dedup chunk CTEs
+    "media_near_dup_cdc" ->
+      """WITH b AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |bounds AS (
+        |  SELECT doc_id, text, n,
+        |    list_append(
+        |      [i for i in range(8, n)
+        |       if CAST(concat('0x', substr(md5(hex(encode(substr(text, i-7, 8)))),1,15)) AS BIGINT) % 64 = 0],
+        |      n) AS ends
+        |  FROM b),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(hex(encode(substr(text, u.s + 1, u.e - u.s)))),1,15)) AS BIGINT) % 281474976710656 AS h
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest([{'s': CASE WHEN j = 0 THEN 0 ELSE ends[j] END,
+        |               'e': ends[j+1]}
+        |              for j in range(0, len(ends))]) AS u
+        |    FROM bounds)),
+        |hs AS (SELECT doc_id, list(h) AS hs FROM chunks GROUP BY doc_id),
+        |sig AS (
+        |  SELECT doc_id, CAST(list_sum(
+        |    [ CASE WHEN list_sum([ CASE WHEN CAST(floor(h / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for h in hs ]) > 0
+        |      THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,48) ]) AS BIGINT) AS sim
+        |  FROM hs
+        |)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        |WHERE CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH m AS (

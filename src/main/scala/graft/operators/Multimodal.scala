@@ -74,7 +74,7 @@ object Multimodal {
     * fixed-size frame of every payload — the shared scan of
     * [[frameDedup]] / [[mediaFrameHashes]] (the [[frameSample]] generator
     * fanout, no shuffle). */
-  private def frameHashes(docs: DataFrame): DataFrame = {
+  private[graft] def frameHashes(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     withMedia(docs)
       .select($"doc_id", $"media.data".as("data"),
@@ -136,6 +136,124 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------- content-defined chunking
+
+  /** CDC window width in bytes: the boundary decision reads only the last
+    * [[CdcWindow]] bytes, which is what makes chunk boundaries CONTENT
+    * properties — an edit re-aligns every boundary whose window it does
+    * not touch. */
+  val CdcWindow = 8
+
+  /** Boundary divisor: a position ends a chunk when its window hash ≡ 0
+    * (mod [[CdcDivisor]]) ⇒ expected chunk size = [[CdcDivisor]] bytes,
+    * matching [[FrameBytes]] so the fixed-vs-CDC comparison is
+    * size-for-size. */
+  val CdcDivisor = 64
+
+  /** Content-defined chunk boundaries of a binary payload: END positions
+    * (1-based, ascending) of every chunk — each i ∈ [[[CdcWindow]], n−1]
+    * whose trailing-window hash60 ≡ 0 mod [[CdcDivisor]], plus n itself.
+    * The window hash is the engine-exact md5-based hash60 over the
+    * window's hex — O([[CdcWindow]]) per byte (a constant 8), where
+    * production swaps in an O(1) gear/Rabin rolling hash inside a native
+    * kernel with identical boundary semantics; the fixture keeps the
+    * md5 formulation because the DuckDB oracle reproduces it bit-for-bit.
+    * Pure per-position predicate (no min/max chunk clamp — the classic
+    * clamp makes boundary i depend on boundary i−1, a sequential chain;
+    * unclamped CDC is fully data-parallel and its degenerate tails are
+    * bounded in expectation by the divisor geometry). */
+  private def cdcEnds(data: Column, n: Column): Column =
+    concat(
+      when(n > CdcWindow,
+        filter(sequence(lit(CdcWindow), greatest(n - 1, lit(CdcWindow))),
+          i => pmod(hash60(hex(data.substr(i - (CdcWindow - 1), lit(CdcWindow)))),
+            lit(CdcDivisor)) === 0))
+        .otherwise(array().cast("array<int>")),
+      array(n))
+
+  /** Per-payload chunk structs (start, len) from the boundary ends —
+    * shared by the exploding scan and the per-row signature. */
+  private def cdcSpans(ends: Column): Column =
+    zip_with(concat(array(lit(0)), slice(ends, lit(1), size(ends) - 1)), ends,
+      (s, e) => struct((s + 1).as("cs"), (e - s).as("ln")))
+
+  /** (doc_id, chunk_idx, chunk_bytes, ch) for every content-defined chunk
+    * of every payload — the CDC twin of [[frameHashes]] (generator fanout,
+    * no shuffle). */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    withMedia(docs)
+      .select($"doc_id", $"media.data".as("data"),
+        length($"media.data").as("n"))
+      .select($"doc_id", $"data",
+        posexplode(cdcSpans(cdcEnds($"data", $"n"))).as(Seq("chunk_idx", "sp")))
+      .select($"doc_id", $"chunk_idx",
+        $"sp.ln".cast("long").as("chunk_bytes"),
+        hash60(hex($"data".substr($"sp.cs", $"sp.ln"))).as("ch"))
+  }
+
+  /** Frame-level storage dedup over CONTENT-DEFINED chunks — the
+    * alignment-robust production variant of [[frameDedup]]: fixed-offset
+    * framing loses every frame after an early byte edit (one inserted byte
+    * shifts all later 64-byte windows), while CDC boundaries are content
+    * properties, so a shifted payload re-aligns at the first surviving
+    * boundary and every later chunk still collides with the store
+    * (`MultimodalSpec` proves the shifted-payload case both ways). Same
+    * counting formulation, same packed-min owner reduction, same linear
+    * scale shape as [[frameDedup]] — only the chunker changed. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = cdcChunks(Tables.spread(Tables.documents(spark, dir)))
+    val owners = chunks
+      .groupBy($"ch").agg(min(occKey($"doc_id", $"chunk_idx")).as("own_key"))
+    chunks.join(owners, "ch")
+      .withColumn("dup", occKey($"doc_id", $"chunk_idx") =!= $"own_key")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum($"chunk_bytes").cast("long").as("payload_bytes"),
+        sum(when($"dup", $"chunk_bytes").otherwise(0L)).cast("long").as("bytes_saved"))
+      .orderBy($"doc_id")
+  }
+
+  /** Distinct corpus CDC chunk hashes — the static side of
+    * [[cdcDedupStream]]. */
+  def cdcCorpusHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cdcChunks(Tables.documents(spark, dir)).select($"ch").distinct()
+  }
+
+  /** Streaming twin of [[cdcDedup]] — ingest-time storage dedup with the
+    * alignment-robust chunker (the [[frameDedupStream]] contract: corpus
+    * precedes the stream, any corpus occurrence marks a chunk
+    * already-stored; per arriving doc, what the store must write). */
+  def cdcDedupStream(docStream: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    import docStream.sparkSession.implicits._
+    cdcChunks(docStream)
+      .join(broadcast(corpusHashes.withColumn("stored", lit(true))),
+        Seq("ch"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when($"stored", 1L).otherwise(0L)).as("n_stored_chunks"),
+        sum(when($"stored", lit(0L)).otherwise($"chunk_bytes")).cast("long")
+          .as("bytes_to_write"))
+  }
+
+  /** Per-payload CDC fingerprint: [[graft.functions.SimhashSignature]]
+    * bit-majority over the payload's content-defined chunk hashes — the
+    * shift-robust twin of [[mediaSignatures]] (same per-row no-shuffle
+    * shape; the hash ARRAY is computed inline, never exploded). */
+  private[graft] def cdcSignatures(docs: DataFrame, sigBits: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    withMedia(docs)
+      .select($"doc_id", $"media.data".as("data"),
+        length($"media.data").as("n"))
+      .select($"doc_id", transform(cdcSpans(cdcEnds($"data", $"n")),
+        sp => hash60(hex($"data".substr(sp.getField("cs"), sp.getField("ln"))))).as("chs"))
+      .select($"doc_id",
+        graft.functions.SimhashSignature($"chs", sigBits).as("sim"))
+  }
+
   /** Per-payload perceptual fingerprint: the [[graft.functions.SimhashSignature]]
     * bit-majority over the payload's frame hashes — the TMK-style video/
     * media fingerprint structure (per-frame hashes voted into one
@@ -161,24 +279,45 @@ object Multimodal {
     * frame), so text-level near-dups mostly do NOT land within the
     * threshold — the fixture yields a small handful of pairs (2 at sf0.01)
     * and that is the true semantics of frame-level fingerprinting, stated
-    * rather than inflated; [[frameDedup]] is the alignment-robust
-    * counterpart at sub-payload granularity.
+    * rather than inflated. [[mediaNearDupCdc]] is the alignment-ROBUST
+    * variant (content-defined chunk boundaries re-align after an edit)
+    * and the production choice; this fixed-offset form is kept as the
+    * cheap-chunker baseline the A/B spec measures against.
     *
     * Scale shape: identical to `Dedup.simhash` — per-row signature, Manku
     * k+1 banded self-join (pigeonhole-complete at any derived band width),
     * exact hamming verify on collisions only. */
-  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame =
+    bandedSigPairs(spark, dir, mediaSignatures, "media simhash band bits")
+
+  /** Perceptual near-duplicate media pairs over the CONTENT-DEFINED chunk
+    * fingerprint ([[cdcSignatures]]) — the alignment-robust variant of
+    * [[mediaNearDup]]: a byte inserted early in a payload shifts every
+    * fixed-offset frame (so [[mediaNearDup]]'s signatures diverge to
+    * ~half-random hamming) but re-aligns CDC chunks at the first surviving
+    * boundary, so the shifted payload's chunk-hash vote — and with it the
+    * signature — stays within the hamming threshold (`MultimodalSpec`
+    * drives exactly that A/B). Same Manku banding, same scale shape. */
+  def mediaNearDupCdc(spark: SparkSession, dir: String): DataFrame =
+    bandedSigPairs(spark, dir, cdcSignatures, "media cdc simhash band bits")
+
+  /** The shared Manku-banded signature self-join of the two perceptual
+    * near-dup variants: per-row signature, (k+1)-band equi-join
+    * (pigeonhole-complete at hamming ≤ k), exact hamming verify on
+    * collisions only — `Dedup.simhash`'s structure on media signatures. */
+  private def bandedSigPairs(spark: SparkSession, dir: String,
+      sigOf: (DataFrame, Int) => DataFrame, knob: String): DataFrame = {
     import spark.implicits._
     import graft.operators.Dedup
     val nBands = Dedup.HammingThreshold + 1
-    // the media_near_dup oracle pins the 48-bit (4×12) signature as a
+    // the media near-dup oracles pin the 48-bit (4×12) signature as a
     // literal; past the ~32k-doc knee the derived width grows and the
     // DuckDB twin would silently hash-diverge — warn loudly there (the
     // bm25QueryStride convention)
-    val bandBits = Dedup.warnIfPastOracleFloor("media simhash band bits",
+    val bandBits = Dedup.warnIfPastOracleFloor(knob,
       Dedup.simhashBandBits(Tables.documents(spark, dir).count()).toLong,
       12L).toInt
-    val sigs = graft.sources.Caches.shared(mediaSignatures(
+    val sigs = graft.sources.Caches.shared(sigOf(
       Tables.spread(Tables.documents(spark, dir)), nBands * bandBits))
     val mask = (1L << bandBits) - 1
     val parts = sigs.select($"doc_id", $"sim",

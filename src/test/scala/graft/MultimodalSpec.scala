@@ -57,6 +57,57 @@ class MultimodalSpec extends SparkSpec {
     assert(planted(0) == planted(1))
   }
 
+  test("cdc chunks cover every byte exactly once and size near the divisor") {
+    val chunks = Multimodal.cdcChunks(graft.sources.Tables.documents(spark, dir))
+      .groupBy($"doc_id").agg(sum($"chunk_bytes").as("total"),
+        count(lit(1)).as("n"))
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", length($"text").as("len"))
+    val joined = chunks.join(docs, "doc_id")
+    assert(joined.filter($"total" =!= $"len").count() == 0)
+    // mean chunk size should sit near the divisor geometry (expected 64 B;
+    // wide tolerance — unclamped CDC has a geometric size distribution)
+    val (totBytes, totChunks) = joined
+      .agg(sum($"total"), sum($"n")).as[(Long, Long)].head()
+    val mean = totBytes.toDouble / totChunks
+    assert(mean > 16 && mean < 256, s"mean chunk $mean")
+  }
+
+  test("cdc chunking survives a byte shift that defeats fixed-offset framing") {
+    // corpus doc + the same payload with ONE byte prepended: every
+    // fixed-offset frame after the edit shifts (near-zero hash overlap),
+    // while CDC boundaries re-align at the first surviving boundary
+    // (high overlap) — the reason content-defined chunking exists
+    // a multi-KB payload (fixture docs concatenated) so the chunk count is
+    // large enough that only the edit-touched prefix chunk differs
+    val text = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .filter($"doc_id" < 12).orderBy($"doc_id")
+      .select($"text").as[String].collect().mkString(" ")
+    val docs = Seq((1L, text, "en"), (2L, "X" + text, "en"))
+      .toDF("doc_id", "text", "lang")
+    def hashSets(df: org.apache.spark.sql.DataFrame, hcol: String) = df
+      .select($"doc_id", col(hcol)).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cdc = hashSets(Multimodal.cdcChunks(docs), "ch")
+    val cdcOverlap = (cdc(1L) & cdc(2L)).size.toDouble / cdc(1L).size
+    val fixed = hashSets(Multimodal.frameHashes(docs), "fh")
+    val fixedOverlap = (fixed(1L) & fixed(2L)).size.toDouble / fixed(1L).size
+    assert(cdcOverlap >= 0.8, s"cdc overlap $cdcOverlap")
+    assert(fixedOverlap <= 0.1, s"fixed-offset overlap $fixedOverlap")
+    // the same contrast at the fingerprint level: the CDC signature of the
+    // shifted payload stays within the near-dup hamming threshold, the
+    // fixed-offset signature drifts to ~half-random distance
+    import graft.operators.Dedup
+    def hamming(sigs: Map[Long, Long]) =
+      java.lang.Long.bitCount(sigs(1L) ^ sigs(2L))
+    def sigMap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"sim").as[(Long, Long)].collect().toMap
+    val hCdc = hamming(sigMap(Multimodal.cdcSignatures(docs, 48)))
+    val hFixed = hamming(sigMap(Multimodal.mediaSignatures(docs, 48)))
+    assert(hCdc <= Dedup.HammingThreshold, s"cdc sig hamming $hCdc")
+    assert(hFixed > Dedup.HammingThreshold, s"fixed sig hamming $hFixed")
+  }
+
   test("feature extraction is deterministic, batched, and total") {
     val media = Multimodal.withMedia(graft.sources.Tables.documents(spark, dir))
     val f1 = Multimodal.extractFeatures(media).as[(Long, Array[Long])].collect()

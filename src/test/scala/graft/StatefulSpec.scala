@@ -371,6 +371,40 @@ class StatefulSpec extends SparkSpec {
       s"fresh payload writes every byte: $fresh")
   }
 
+  test("stream-static cdc dedup: a byte-SHIFTED corpus payload still mostly collides") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Multimodal
+    val dir = sf("sf0.01")
+    val hashes = Multimodal.cdcCorpusHashes(spark, dir)
+    val copied = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" === 7).select($"text").as[String].head()
+    val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.cdcDedupStream(
+        in.toDF().toDF("doc_id", "text")
+          .withColumn("lang", org.apache.spark.sql.functions.lit("xx")),
+        hashes)
+      .writeStream.format("memory").queryName("cdcdd").outputMode("update").start()
+    // the SHIFTED copy is the case fixed-offset framing cannot serve: one
+    // prepended byte, and frameDedupStream would re-write ~everything;
+    // CDC boundaries re-align, so the store skips most of the payload
+    in.addData((99999L, copied), (99998L, "X" + copied), (99997L, noise))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cdcdd")
+      .select($"doc_id", $"n_chunks", $"n_stored_chunks", $"bytes_to_write")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val copy = out(99999L)
+    assert(copy._2 > 0 && copy._3 == copy._2 && copy._4 == 0L,
+      s"exact corpus copy already fully stored: $copy")
+    val shifted = out(99998L)
+    assert(shifted._3.toDouble / shifted._2 >= 0.8,
+      s"shifted copy must still mostly collide: $shifted")
+    val fresh = out(99997L)
+    assert(fresh._3 == 0L && fresh._4 == noise.getBytes("UTF-8").length.toLong,
+      s"fresh payload writes every byte: $fresh")
+  }
+
   test("stream-static substring dedup: closed-form islands match the batch window math") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Dedup
