@@ -700,12 +700,19 @@ object Similarity {
     * scan volume [[graft.ScaleProbe]] tracks (n×|queries| by construction;
     * [[ivfPqAdcScan]] is the cell-bounded comparison). */
   private[graft] def pqAdcScan(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val stride = pqStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
-    val cb = pqCodebook(c, stride)
+    pqAdcScanFor(c, strideQueries(c),
+      pqCodebook(c, pqStride(Tables.embeddings(spark, dir).count())))
+  }
+
+  /** The full-corpus ADC scan for an arbitrary (corpus, query workload,
+    * codebook) triple — the [[pqAdcScan]] core, reused by the refined-
+    * codebook surface and the spec A/Bs. */
+  private[graft] def pqAdcScanFor(c: DataFrame, q: DataFrame,
+      cb: DataFrame): DataFrame = {
+    import c.sparkSession.implicits._
     val codes = pqEncode(c, cb)
-    val dt = pqQueryTables(strideQueries(c), cb)
+    val dt = pqQueryTables(q, cb)
     // ADC scan: corpus codes × broadcast query tables, approximate cosine
     // computed inline — fixed m-ascending sum of the 8 table lookups
     codes.join(broadcast(dt), lit(true))
@@ -732,6 +739,93 @@ object Similarity {
   private def pqFlatCodebook(cb: DataFrame): Array[Double] = {
     import cb.sparkSession.implicits._
     cb.orderBy($"cidx").select($"cv").as[Array[Double]].collect().flatten
+  }
+
+  /** Rounds for [[pqRefineCodebook]] (convergence usually bites first —
+    * the per-round max entry shift is checked against [[KmeansEps]], the
+    * [[kmeansLoop]] convention). */
+  val PqRefineIters = 4
+
+  /** k-means refinement of a PQ codebook — the training step production PQ
+    * runs (Jégou et al. 2011 §III: codebooks are per-subspace k-means
+    * centroids, not raw samples; the strided [[pqCodebook]] is exactly the
+    * SEED set such a training run starts from). Per round, every vector's
+    * 8 subspace codes come from the native [[graft.functions.PqEncode]]
+    * kernel against the current codebook (shuffle-free projection), and
+    * each (entry, subspace) refines to the dim-wise mean of its assigned
+    * sub-vectors, 6dp-re-pinned (the [[kmeansLoop]] convention — rounds
+    * iterate from bit-identical values on any partitioning). Entries that
+    * attract no vectors in a subspace keep their previous values (textbook
+    * Lloyd). Stops at [[KmeansEps]] max component shift or `iters`.
+    *
+    * Scale shape per round: one posexploded (subspace, entry, dim)-keyed
+    * partial aggregation — the shuffle moves 256×64 doubles of partials
+    * per map task, never vectors; the refined table (≤ 256×64 doubles)
+    * collects to the driver and re-enters as literals (the
+    * centroid-literal pattern). Returns (refined codebook in [[pqCodebook]]
+    * shape, per-round mean quantization error — non-increasing on a
+    * well-posed run, `DedupSpec` asserts it).
+    *
+    * NOT wired into the oracled queries: the DuckDB twins pin the strided
+    * seed codebook (below the fixture knee the seeds ARE the shipped
+    * behavior); this is the production surface above it, recall-pinned by
+    * `DedupSpec` at the sparse probe point. */
+  private[graft] def pqRefineCodebook(c: DataFrame, cb0: DataFrame,
+      iters: Int = PqRefineIters): (DataFrame, List[Double]) = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    // (cidx, cid, flat cv) — mutated per round, re-entered as literals
+    var entries = cb0.orderBy($"cidx")
+      .select($"cidx", $"cid", $"cv")
+      .as[(Int, Long, Seq[Double])].collect()
+    var errs = List.empty[Double]
+    var iter = 0
+    var converged = false
+    while (!converged && iter < iters) {
+      val cbDf = spark.createDataFrame(entries.toSeq)
+        .toDF("cidx", "cid", "cv")
+      val enc = pqEncode(c, cbDf, carry = Seq("v"))
+      // per (subspace, entry, dim) mean of assigned sub-vectors + the
+      // round's quantization error, one pass over the posexploded dims
+      val cbLit = typedLit(entries.map(_._3).toSeq)
+      val old = element_at(element_at(cbLit, $"cidx" + 1), $"dim0" + 1)
+      val rows = enc
+        .select($"codes", posexplode($"v").as(Seq("dim0", "x")))
+        .select(($"dim0" / PqSubDims).cast("int").as("sub"), $"dim0", $"x",
+          element_at($"codes", ($"dim0" / PqSubDims).cast("int") + 1).as("cidx"))
+        .groupBy($"sub", $"cidx", $"dim0")
+        .agg(round(avg($"x"), 6).as("m"),
+          sum(($"x" - old) * ($"x" - old)).as("se"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val n = rows.map(_.getLong(5)).sum.toDouble / Dims
+      errs = errs :+ (rows.map(_.getDouble(4)).sum / math.max(n, 1.0))
+      var shift = 0.0
+      val next = entries.map { case (cidx, cid, cv) => (cidx, cid, cv.toArray) }
+      rows.foreach { r =>
+        val (cidx, dim0, m) = (r.getInt(1), r.getInt(2), r.getDouble(3))
+        shift = math.max(shift, math.abs(next(cidx)._3(dim0) - m))
+        next(cidx)._3(dim0) = m
+      }
+      entries = next.map { case (cidx, cid, a) => (cidx, cid, a.toSeq) }
+      converged = shift <= KmeansEps
+      iter += 1
+    }
+    (spark.createDataFrame(entries.toSeq).toDF("cidx", "cid", "cv")
+      .select($"cid", $"cv", $"cidx"), errs)
+  }
+
+  /** PQ top-k served from the k-means-REFINED codebook — the production
+    * variant of [[topkPq]] above the fixture knee (same shortlist+rerank
+    * pipeline; only the codebook training changed). Not oracled: the
+    * refined entries are trained values, not corpus rows — `DedupSpec`
+    * pins its recall against the strided-seed baseline instead. */
+  def topkPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    val (cb, _) = pqRefineCodebook(c,
+      pqCodebook(c, pqStride(Tables.embeddings(spark, dir).count())))
+    val q = strideQueries(c)
+    pqRerank(c, q, pqAdcScanFor(c, q, cb))
   }
 
   /** Encode: nearest codebook entry (L2) per (vector, subspace), ties to
@@ -796,7 +890,7 @@ object Similarity {
     * pipeline: the full-precision vectors are touched only for the
     * shortlist (point lookups of R×|queries| rows), never scanned. `q` is
     * the (query_id, qv, qn) workload the ADC scan ran for. */
-  private def pqRerank(c: DataFrame, q: DataFrame, adc: DataFrame): DataFrame = {
+  private[graft] def pqRerank(c: DataFrame, q: DataFrame, adc: DataFrame): DataFrame = {
     import c.sparkSession.implicits._
     val wShort = Window.partitionBy($"query_id")
       .orderBy($"adc_cosine".desc, $"vec_id".asc)

@@ -175,6 +175,49 @@ class DedupSpec extends SparkSpec {
     assert(overlaps.sum / overlaps.size >= 0.6, s"mean overlap ${overlaps.sum / overlaps.size}")
   }
 
+  test("k-means-refined PQ codebook: error non-increasing, recall@10 >= strided seeds past the knee") {
+    // the sparse probe point's embedding side (the ScaleFixture generator
+    // arithmetic, 20k iid vectors — PQ's worst case and the scale where
+    // pqStride leaves its fixture floor, so the refined path is exactly
+    // the production regime the strided oracle no longer covers)
+    val nVecs = 20000L
+    import graft.functions.HashKernels.h60
+    val c = graft.sources.Caches.shared(spark.range(nVecs).as[Long].map { i =>
+        val v = Array.tabulate(Similarity.Dims) { d =>
+          ((h60(s"vec|$i|$d") % 2001L) - 1000L).toDouble / 1000.0 }
+        (i, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+      }.toDF("vec_id", "v", "nrm"))
+    val q = Similarity.strideQueries(c)
+    val cb0 = Similarity.pqCodebook(c, Similarity.pqStride(nVecs))
+    val (cb1, errs) = Similarity.pqRefineCodebook(c, cb0)
+    // Lloyd's guarantee: per-round quantization error never increases,
+    // and training genuinely moves the codebook (strict first-round drop)
+    assert(errs.size >= 2, s"rounds: $errs")
+    assert(errs.zip(errs.tail).forall { case (a, b) => b <= a + 1e-9 }, s"errs: $errs")
+    assert(errs.last < errs.head * 0.999, s"no real improvement: $errs")
+    // recall@10 vs exact ground truth: the refined codebook must hold or
+    // beat the strided seeds (it optimizes exactly the quantization error
+    // the ADC ordering runs on)
+    val truth = Similarity.topkBruteForceFor(c, q)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(cb: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.pqRerank(c, q, Similarity.pqAdcScanFor(c, q, cb))
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.map { case (k, ts) => (ts & got.getOrElse(k, Set())).size.toDouble / ts.size }
+      rs.sum / rs.size
+    }
+    val rSeed = recallOf(cb0)
+    val rRefined = recallOf(cb1)
+    System.err.println(f"[graft] pq refine @${nVecs}: err ${errs.head}%.4f -> " +
+      f"${errs.last}%.4f over ${errs.size} rounds, recall@10 seed $rSeed%.4f " +
+      f"-> refined $rRefined%.4f")
+    // deterministic fixture + deterministic training ⇒ pin the measured
+    // IMPROVEMENT, not just non-regression (measured 0.52 → 0.635)
+    assert(rRefined >= rSeed + 0.05, s"refined $rRefined vs strided $rSeed")
+  }
+
   test("nearest-centroid kernel equals the max_by join twin on every vector") {
     val c = Similarity.corpus(spark, dir)
     val cents = Similarity.centroids(c, Similarity.NCentroids.toLong)
