@@ -19,12 +19,35 @@ import graft.sources.Tables
   * table that was being written anyway, amortized over every downstream
   * join/aggregation on the key; `sortBy` additionally persists per-bucket
   * order so the merge side skips its local sort when each bucket is one
-  * file. Bucket count would be sized so a bucket ≈ one task's memory
-  * (e.g. 100 TB / 2 GB ⇒ ~50 k buckets); the fixture uses 16.
+  * file. Bucket count is sized so a bucket ≈ one task's memory
+  * (100 TB / 2 GiB ⇒ ~50 k buckets) — derived by [[nBuckets]] from the
+  * source bytes, fixture-floored at 16.
   */
 object Layout {
 
+  /** Fixture floor for the bucket count — [[nBuckets]] derives above. */
   val NBuckets = 16
+
+  /** Target bytes per bucket: one task's working set (~2 GiB). */
+  private[graft] val BucketBytes = 2L << 30
+
+  /** Bucket count derived from the LARGER side's on-disk bytes (both
+    * tables must agree for the co-located SMJ): max([[NBuckets]],
+    * ⌈bytes/2 GiB⌉) — the scaladoc's "100 TB ⇒ ~50 k buckets" sizing as
+    * code. Unlike the shard/stride knobs this is PLAN-pinned, not
+    * oracle-pinned (bucket count never changes results, only layout), so
+    * no oracle-floor warning: the fixture derives the floor and
+    * `BucketingSpec` pins the exchange-free plan there. Sizing reads the
+    * source parquet's file lengths — metadata-only. */
+  private[graft] def nBuckets(bytes: Long): Int =
+    math.max(NBuckets.toLong, (bytes + BucketBytes - 1) / BucketBytes).toInt
+
+  /** On-disk bytes of a fixture table (filesystem metadata, no scan). */
+  private def tableBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(p).getLength
+  }
 
   /** Per-fixture-dir tag isolating catalog/table state across sf dirs. */
   private def tag(dir: String): String =
@@ -36,6 +59,9 @@ object Layout {
     * entry). Returns the (orders, lineitem) table names. */
   def bucketedTables(spark: SparkSession, dir: String): (String, String) = {
     val t = tag(dir)
+    val buckets = nBuckets(math.max(
+      tableBytes(spark, s"$dir/orders.parquet"),
+      tableBytes(spark, s"$dir/lineitem.parquet")))
     val specs = Seq(
       (s"graft_orders_$t", "o_orderkey", () => Tables.orders(spark, dir)),
       (s"graft_lineitem_$t", "l_orderkey", () => Tables.lineitem(spark, dir)))
@@ -46,8 +72,8 @@ object Layout {
         // uses, so each write task holds exactly one bucket ⇒ one file per
         // bucket (not tasks×buckets small files) and the per-bucket sortBy
         // sorts whole buckets — the layout SMJ wants
-        load().repartition(NBuckets, col(key)).write.format("parquet")
-          .bucketBy(NBuckets, key).sortBy(key)
+        load().repartition(buckets, col(key)).write.format("parquet")
+          .bucketBy(buckets, key).sortBy(key)
           .option("path",
             s"${System.getProperty("java.io.tmpdir")}/graft-warehouse/$t/$name")
           .mode("overwrite")

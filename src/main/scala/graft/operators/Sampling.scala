@@ -271,7 +271,26 @@ object Sampling {
   }
 
   val ShuffleEpoch = 1
+
+  /** Fixture floor for the shard count — [[shuffleShards]] derives above. */
   val ShuffleShards = 8
+
+  /** Docs per shard at the production sizing the epoch-shuffle scaladoc
+    * states (a shard must sort in one task's ~2 GiB memory; at ~4 KiB per
+    * document that is 2¹⁹ docs). */
+  private[graft] val ShardDocs = 512L * 1024
+
+  /** Shard count derived from corpus size with the fixture-floored pattern
+    * of `Similarity.ivfCellStride`: max([[ShuffleShards]], ⌈n/2¹⁹⌉) — the
+    * "100 TB ⇒ ~50 k shards" sizing as code (25 G docs ⇒ ~48 k shards).
+    * Shard ids are ORACLE-VISIBLE columns (q_shuffle_seeded,
+    * pipeline_curriculum pin `mod 8` literals), so every fixture scale
+    * must stay at the floor and the derivation warns loudly past it.
+    * Costs one metadata-only parquet count. */
+  private[graft] def shuffleShards(n: Long): Long =
+    graft.operators.Dedup.warnIfPastOracleFloor("shuffle shards",
+      math.max(ShuffleShards.toLong, (n + ShardDocs - 1) / ShardDocs),
+      ShuffleShards.toLong)
 
   /** Deterministic seeded corpus shuffle — the epoch-ordering step of a
     * training run: every document gets a pseudo-random position from the
@@ -288,7 +307,8 @@ object Sampling {
   def seededShuffle(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     seededShuffleRows(
-        Tables.documents(spark, dir).select($"doc_id"), ShuffleEpoch)
+        Tables.documents(spark, dir).select($"doc_id"), ShuffleEpoch,
+        shuffleShards(Tables.documents(spark, dir).count()))
       .select($"shard", $"pos", $"doc_id")
       .orderBy($"shard", $"pos")
   }
@@ -313,7 +333,8 @@ object Sampling {
     import spark.implicits._
     curriculumBanded(
         Tables.documents(spark, dir).select($"doc_id", $"text"),
-        curriculumThresholds(spark, dir))
+        curriculumThresholds(spark, dir),
+        shuffleShards(Tables.documents(spark, dir).count()))
       .withColumn("pos", row_number().over(
         Window.partitionBy($"band", $"shard").orderBy($"h".asc, $"doc_id".asc)))
       .select($"doc_id", $"band", $"shard", $"pos")
@@ -347,27 +368,33 @@ object Sampling {
 
   /** Banded docs WITH the content hash still attached — [[curriculum]]
     * orders by it, [[curriculumRows]] drops it. One hash evaluation. */
-  private def curriculumBanded(rows: DataFrame, thresholds: DataFrame): DataFrame =
+  private def curriculumBanded(rows: DataFrame, thresholds: DataFrame,
+      shards: Long = ShuffleShards.toLong): DataFrame =
     withHashShard(
       TextAnalysis.withQuality(rows)
         .join(broadcast(thresholds), lit(true))
         .withColumn("band",
           when(col("quality") >= col("t1"), 1).when(col("quality") >= col("t2"), 2)
             .when(col("quality") >= col("t3"), 3).otherwise(4)),
-      "cur1|")
+      "cur1|", shards)
 
   /** The salted content-hash + shard assignment shared by the epoch
     * shuffle and the curriculum (ONE definition of the ordering scheme:
     * h = hash60(salt ∥ doc_id), shard = h mod [[ShuffleShards]] — a change
     * here must land in the q_shuffle_seeded AND pipeline_curriculum
     * oracles together). */
-  private[graft] def withHashShard(rows: DataFrame, salt: String): DataFrame =
+  private[graft] def withHashShard(rows: DataFrame, salt: String,
+      shards: Long = ShuffleShards.toLong): DataFrame =
     rows.withColumn("h", hash60(concat(lit(salt), col("doc_id").cast("string"))))
-      .withColumn("shard", pmod(col("h"), lit(ShuffleShards.toLong)).cast("int"))
+      .withColumn("shard", pmod(col("h"), lit(shards)).cast("int"))
 
-  /** The reusable epoch-shuffle core over any (…, doc_id) relation. */
-  def seededShuffleRows(rows: DataFrame, epoch: Int): DataFrame =
-    withHashShard(rows, s"ep$epoch|")
+  /** The reusable epoch-shuffle core over any (…, doc_id) relation. The
+    * `shards` default serves the STREAM twins (an arriving micro-batch
+    * cannot count the corpus; the trained/static policy carries the shard
+    * count in production, and every fixture derives the floor anyway). */
+  def seededShuffleRows(rows: DataFrame, epoch: Int,
+      shards: Long = ShuffleShards.toLong): DataFrame =
+    withHashShard(rows, s"ep$epoch|", shards)
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)))
       .drop("h")

@@ -27,10 +27,10 @@ import graft.functions.Text.tokens
   * fan-out + partial-aggregated count over vocab-scale rows, (2) a ONE-ROW
   * collect (the argmax pair — the langid-profile bounded-collect pattern),
   * (3) a pure per-row merge application, localCheckpointed so lineage stays
-  * O(1) in rounds. A production run training 30k merges would batch
+  * O(1) in rounds. A production run training 30k merges batches
   * non-interacting top-k pairs per round to amortize round latency — same
-  * plan shape, fewer rounds; [[BpeMerges]] = 6 keeps the oracle's unrolled
-  * SQL finite. */
+  * plan shape, ~k× fewer rounds, shipped as [[bpeTrainBatched]];
+  * [[BpeMerges]] = 6 keeps the oracle's unrolled SQL finite. */
 object Tokenizer {
 
   val BpeMerges = 6
@@ -67,7 +67,10 @@ object Tokenizer {
     var words = wordTable(spark, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (k <- 1 to BpeMerges) {
-      val (l, r, cnt) = words
+      // fully-merged single-symbol words contribute no pairs and must not
+      // reach the fan-out (sequence(1, 0) descends and element_at walks
+      // out of bounds — latent until a long training run collapses a word)
+      val (l, r, cnt) = words.filter(size($"s") >= 2)
         .select($"freq", explode(transform(sequence(lit(1), size($"s") - 1),
           i => struct(element_at($"s", i).as("l"), element_at($"s", i + 1).as("r")))).as("p"))
         .filter($"p.l" =!= $"p.r")
@@ -78,6 +81,81 @@ object Tokenizer {
       if (k < BpeMerges)
         words = words.select($"freq", applyMerge($"s", l, r).as("s")).localCheckpoint()
     }
+    spark.createDataFrame(merges.result())
+      .toDF("rank", "left_sym", "right_sym", "merged", "weight")
+      .orderBy($"rank")
+  }
+
+  /** Candidate pool multiplier for [[bpeTrainBatched]]: each round collects
+    * the top `BatchPoolFactor`·k candidates and greedily packs up to k
+    * non-interacting ones — a deeper pool survives dense interaction
+    * clusters without another aggregation pass. */
+  val BatchPoolFactor = 8
+
+  /** Two merge pairs INTERACT when one's right symbol is the other's left
+    * (their matches can share a position: in `x a b`, (x,a) and (a,b)
+    * overlap at the `a`) — the condition under which simultaneous
+    * application is ambiguous AND under which applying one changes the
+    * other's count. Pairwise non-interacting pairs have provably disjoint
+    * matches and invariant counts, so a whole batch applies from ONE count
+    * table with each member's weight exactly what sequential training
+    * would have recorded. */
+  private[graft] def interacts(a: (String, String), b: (String, String)): Boolean =
+    a._2 == b._1 || b._2 == a._1
+
+  /** Batched BPE training — the production round structure for 30k-merge
+    * runs: per round, ONE pair-count aggregation (the [[bpeTrain]] plan),
+    * one bounded collect of the top [[BatchPoolFactor]]·k candidates, and
+    * a greedy pack of up to k pairwise non-interacting pairs applied as k
+    * chained projections before the next count. Driver round-trips drop
+    * from `nMerges` to ~`nMerges`/k (SCALING.md records the measured
+    * round count at the 1k-merge demo scale).
+    *
+    * Exactness: within a batch, non-interaction makes member counts
+    * invariant under the other members' application (see [[interacts]]),
+    * so selected weights equal sequential training's. The one divergence
+    * window is a pair CREATED by an earlier batch member (containing its
+    * merged symbol) out-ranking a later member — sequential training would
+    * pick the created pair first; batching defers it to the next round's
+    * count table. Tail-order drift bounded by the batch width, zero on the
+    * fixture (`TokenizerSpec` pins batched ≡ sequential there), and the
+    * standard trade of every batched BPE trainer. */
+  def bpeTrainBatched(spark: SparkSession, dir: String,
+      nMerges: Int = BpeMerges, batchK: Int = 2): DataFrame = {
+    import spark.implicits._
+    var words = wordTable(spark, dir).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var rounds = 0
+    while (rank < nMerges) {
+      val pool = words.filter(size($"s") >= 2) // the bpeTrain guard
+        .select($"freq", explode(transform(sequence(lit(1), size($"s") - 1),
+          i => struct(element_at($"s", i).as("l"), element_at($"s", i + 1).as("r")))).as("p"))
+        .filter($"p.l" =!= $"p.r")
+        .groupBy($"p.l".as("l"), $"p.r".as("r")).agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"l".asc, $"r".asc)
+        .limit(BatchPoolFactor * batchK).as[(String, String, Long)].collect()
+      if (pool.isEmpty) { rank = nMerges }
+      else {
+        val batch = pool.foldLeft(Vector.empty[(String, String, Long)]) {
+          case (acc, cand) =>
+            if (acc.size >= math.min(batchK, nMerges - rank)) acc
+            else if (acc.exists(s => interacts((s._1, s._2), (cand._1, cand._2)))) acc
+            else acc :+ cand
+        }
+        batch.foreach { case (l, r, cnt) =>
+          rank += 1
+          merges += ((rank, l, r, l + r, cnt))
+        }
+        if (rank < nMerges)
+          words = batch.foldLeft(words) { case (df, (l, r, _)) =>
+            df.select($"freq", applyMerge($"s", l, r).as("s"))
+          }.localCheckpoint()
+        rounds += 1
+      }
+    }
+    System.err.println(s"[graft] bpe batched: ${merges.result().size} merges " +
+      s"in $rounds rounds (k=$batchK)")
     spark.createDataFrame(merges.result())
       .toDF("rank", "left_sym", "right_sym", "merged", "weight")
       .orderBy($"rank")

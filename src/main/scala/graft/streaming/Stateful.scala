@@ -168,29 +168,89 @@ object Stateful {
     * is monotone and a late event below the current anchor can never
     * advance (the strict-ms rule rejects it), but an early-arriving later
     * step consumed before its prerequisite is not revisited — the batch
-    * twin re-sorts, a one-pass stream cannot. The deliberate alternative
-    * (buffering every user's full history in state) is exactly the
-    * unbounded-state trap the reference's Cassandra table falls into.
+    * twin re-sorts, a one-pass stream cannot. [[funnelStagesReordered]]
+    * closes exactly that gap with a WATERMARK-BOUNDED reorder buffer;
+    * buffering every user's FULL history would be the unbounded-state trap
+    * the reference's Cassandra table falls into, and stays refused.
     *
     * State is one (Int, Long) per user — no watermark needed for size, a
     * production deployment would add a TTL for abandoned users. */
   def funnelStages(events: Dataset[FunnelEvent]): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
-    val steps = graft.operators.Sequence.FunnelSteps
-    val deadline = graft.operators.Sequence.FunnelDeadlineMs
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
           rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            if (s.stage < 3 && e.event_type == steps(s.stage) &&
-                (s.stage == 0 || (t > s.anchorMs && t <= s.anchorMs + deadline)))
-              s = FunnelState(s.stage + 1, t)
+            s = funnelStep(s, e.ts.getTime, e.event_type)
           }
           state.update(s)
           FunnelOut(userId, s.stage)
+      }
+  }
+
+  /** One application of the strict-ms + deadline advance rule (shared by
+    * both streaming funnels; bit-identical to the batch window chain). */
+  private def funnelStep(s: FunnelState, t: Long, typ: String): FunnelState = {
+    val steps = graft.operators.Sequence.FunnelSteps
+    val deadline = graft.operators.Sequence.FunnelDeadlineMs
+    if (s.stage < 3 && typ == steps(s.stage) &&
+        (s.stage == 0 || (t > s.anchorMs && t <= s.anchorMs + deadline)))
+      FunnelState(s.stage + 1, t)
+    else s
+  }
+
+  /** Buffered events are (ms, event_id, event_type); `stage`/`anchorMs` is
+    * the COMMITTED fold over everything the watermark has sealed. */
+  case class FunnelBufState(stage: Int, anchorMs: Long,
+                            buf: Seq[(Long, Long, String)])
+
+  /** [[funnelStages]] with a WATERMARK-BOUNDED REORDER BUFFER — exact
+    * batch-twin parity under out-of-order arrival within the watermark
+    * horizon (the case the one-pass fold legitimately lower-bounds: an
+    * early-arriving later step consumed before its prerequisite is never
+    * revisited). Per user, arriving events buffer in state; once the
+    * watermark passes an event's time, no earlier event can still arrive
+    * (later rows are dropped as late input), so the sealed prefix folds
+    * into the committed stage IN GLOBAL (ms, event_id) ORDER — drains
+    * happen in watermark order, and each drain's band (wm_prev, wm_new]
+    * is disjoint and ascending, so the committed fold replays exactly the
+    * batch twin's sort. Each invocation emits the user's current ESTIMATE
+    * (committed + a fold over the still-pending buffer): optimistic,
+    * monotone-converging to the exact stage once the watermark seals the
+    * horizon (`SequenceSpec` pins final-value parity on a workload where
+    * the unbuffered fold provably diverges; an estimate may transiently
+    * step DOWN when an earlier-ms event fills in and re-anchors the
+    * deadline — that is the honest reading of incomplete data).
+    *
+    * State: one (stage, anchor) plus ONLY the horizon's events per user —
+    * the watermark evicts, which is the entire difference from the
+    * unbounded full-history buffer this family refuses on principle.
+    * Event-time timeout (watermark + pending min) drives drains even when
+    * a user receives no further events — the [[sessionize]] convention. */
+  def funnelStagesReordered(events: Dataset[FunnelEvent],
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def fold(s0: FunnelState, evs: Seq[(Long, Long, String)]): FunnelState =
+      evs.sortBy(e => (e._1, e._2)).foldLeft(s0) {
+        case (s, (t, _, typ)) => funnelStep(s, t, typ) }
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelBufState]) =>
+          val prev = state.getOption.getOrElse(FunnelBufState(0, Long.MinValue, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val all = prev.buf ++
+            rows.map(e => (e.ts.getTime, e.event_id, e.event_type))
+          // sealed band: nothing below the watermark can still arrive
+          val (ripe, pending) = all.partition(_._1 <= wm)
+          val committed = fold(FunnelState(prev.stage, prev.anchorMs), ripe)
+          state.update(FunnelBufState(committed.stage, committed.anchorMs, pending))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pending.map(_._1).min, wm + 1))
+          Iterator.single(FunnelOut(userId, fold(committed, pending).stage))
       }
   }
 }

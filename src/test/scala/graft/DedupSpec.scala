@@ -588,6 +588,25 @@ class DedupSpec extends SparkSpec {
     assert(TextAnalysis.bm25QueryStride(1000000L) == 2000L) // queries = 500
   }
 
+  test("layout constants derive from input size above their fixture floors") {
+    import graft.operators.{Layout, Sampling}
+    // shuffle shards: every shipped fixture and the 40k probe point keep
+    // the oracle's `mod 8` literal; past 2^19 docs a shard outgrows one
+    // task's sort memory and the count derives (25 G docs ⇒ ~48 k shards,
+    // the documented 100 TB figure)
+    for (n <- Seq(500L, 5000L, 40000L))
+      assert(Sampling.shuffleShards(n) == Sampling.ShuffleShards.toLong)
+    assert(Sampling.shuffleShards(1L << 19) == 8L)
+    assert(Sampling.shuffleShards((1L << 19) * 8 + 1) == 9L)
+    assert(Sampling.shuffleShards(25L * 1000 * 1000 * 1000) == 47684L)
+    // bucket count: floor at 16 until a bucket outgrows ~2 GiB; 100 TB of
+    // fact table derives the documented ~50 k buckets
+    assert(Layout.nBuckets(0L) == 16)
+    assert(Layout.nBuckets(16L * Layout.BucketBytes) == 16)
+    assert(Layout.nBuckets(16L * Layout.BucketBytes + 1) == 17)
+    assert(Layout.nBuckets(100L * 1000 * 1000 * 1000 * 1000) == 46567)
+  }
+
   test("semantic dedup salted sub-cell split: identical output, bounded per-task pairing") {
     // sf0.001 is itself a mega-cell (stride floor 200 => every vector
     // assigns to the single seed), so forcing a small cap exercises the

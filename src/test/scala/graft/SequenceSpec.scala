@@ -53,4 +53,60 @@ class SequenceSpec extends SparkSpec {
     // non-vacuous: the workload must exercise more than one final stage
     assert(batchStages.values.toSet.size >= 2)
   }
+
+  test("reorder-buffered funnel matches batch bit-for-bit under out-of-order arrival") {
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "error", "signup")
+    val base = 1700000000000L
+    // a 6-hour span at 6-minute granularity (ties occur), randomized users
+    val random = (for { u <- 1L to 15L; i <- 1 to 10 } yield {
+      val t = base + rnd.nextInt(60).toLong * 360000L
+      FunnelEvent(u, u * 100 + i, types(rnd.nextInt(types.size)), new Timestamp(t))
+    }).toSeq
+    // ... plus a user whose funnel arrives fully REVERSED across batches —
+    // the case the one-pass fold provably lower-bounds (purchase and click
+    // are consumed before their prerequisites and never revisited)
+    val rev = Seq(
+      FunnelEvent(99L, 9903L, "purchase", new Timestamp(base + 3 * 360000L)),
+      FunnelEvent(99L, 9902L, "click", new Timestamp(base + 2 * 360000L)),
+      FunnelEvent(99L, 9901L, "view", new Timestamp(base + 1 * 360000L)))
+    val all = random ++ rev
+    val batchStages = Sequence.funnelUserFlags(
+        all.toDF().select($"user_id", $"event_id", $"event_type",
+          unix_millis($"ts").as("ms")))
+      .select($"user_id", ($"s1" + $"s2" + $"s3").as("stage"))
+      .as[(Long, Int)].collect().toMap
+    assert(batchStages(99L) == 3)
+    // deliver in REVERSE event-time order over three micro-batches; the
+    // 7-hour watermark delay covers the whole span, so nothing is late
+    val batches = (random.sortBy(e => (-e.ts.getTime, e.event_id)) ++ rev)
+      .grouped((all.size + 2) / 3).toSeq
+    // a far-future sentinel (other user) advances the watermark past every
+    // real event so the buffers drain and the estimates converge
+    val sentinel = FunnelEvent(100000L, 1L, "error",
+      new Timestamp(base + 20L * 3600 * 1000))
+    def lastStages(out: Seq[FunnelOut]): Map[Long, Int] =
+      out.zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1.stage }
+    val in = MemoryStream[FunnelEvent]
+    val q = Stateful.funnelStagesReordered(in.toDS(), "7 hours")
+      .writeStream.format("memory").queryName("seq_reorder").outputMode("update").start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    in.addData(sentinel)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = lastStages(spark.table("seq_reorder").as[FunnelOut].collect().toSeq)
+    assert((streamed - sentinel.user_id) == batchStages,
+      s"reordered stream != batch:\n${(streamed - sentinel.user_id).toSeq.sorted}\n${batchStages.toSeq.sorted}")
+    // the unbuffered one-pass fold on the same delivery provably diverges
+    // on the reversed user — the gap the reorder buffer exists to close
+    val in2 = MemoryStream[FunnelEvent]
+    val q2 = Stateful.funnelStages(in2.toDS())
+      .writeStream.format("memory").queryName("seq_unbuffered").outputMode("update").start()
+    rev.foreach { e => in2.addData(e); q2.processAllAvailable() }
+    q2.stop()
+    val plain = lastStages(spark.table("seq_unbuffered").as[FunnelOut].collect().toSeq)
+    assert(plain(99L) < 3, s"one-pass fold should lower-bound here: $plain")
+  }
 }

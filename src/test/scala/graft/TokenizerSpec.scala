@@ -65,4 +65,44 @@ class TokenizerSpec extends SparkSpec {
       .as[(Int, String, String, String, Long)].collect()
     assert(out.toSeq == again.toSeq)
   }
+
+  test("batched bpe training equals sequential on the fixture, in fewer rounds") {
+    val dir = sf("sf0.001")
+    val seq = Tokenizer.bpeTrain(spark, dir)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // non-interacting batch members keep sequential counts AND sequential
+    // selection order — ranks, symbols and weights all bit-identical at
+    // the widths whose batches re-count before a created pair can rank
+    for (k <- Seq(2, 3)) {
+      val batched = Tokenizer.bpeTrainBatched(spark, dir,
+          Tokenizer.BpeMerges, batchK = k)
+        .as[(Int, String, String, String, Long)].collect().toSeq
+      assert(batched == seq, s"batchK=$k:\n$batched\n$seq")
+    }
+    // ... and the ONE documented divergence window, pinned exactly: at
+    // k = 6 the whole run is one batch, so sequential's 6th pick — the
+    // pair ("er","</w>") CREATED by merge 1 — cannot be seen; the batch
+    // defers it and takes the next uncreated pair instead. Everything
+    // before the created pair's rank is still bit-identical.
+    val one = Tokenizer.bpeTrainBatched(spark, dir,
+        Tokenizer.BpeMerges, batchK = 6)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(one.take(5) == seq.take(5), s"prefix must agree:\n$one\n$seq")
+    val mergedSyms = seq.take(5).map(_._4).toSet
+    assert(mergedSyms.contains(seq(5)._2) || mergedSyms.contains(seq(5)._3),
+      s"sequential's divergent pick must be a created pair: ${seq(5)}")
+    assert(!mergedSyms.contains(one(5)._2) && !mergedSyms.contains(one(5)._3),
+      s"the batch's pick must predate the batch: ${one(5)}")
+  }
+
+  test("interaction predicate matches the overlap semantics applyMerge relies on") {
+    // (x,a)+(a,b): share the middle symbol -> matches can overlap
+    assert(Tokenizer.interacts(("x", "a"), ("a", "b")))
+    assert(Tokenizer.interacts(("a", "b"), ("x", "a")))
+    // disjoint symbol boundaries -> provably disjoint matches
+    assert(!Tokenizer.interacts(("a", "b"), ("c", "d")))
+    // shared LEFT symbols (a,b)+(a,c) never overlap (one position cannot
+    // hold both b and c)
+    assert(!Tokenizer.interacts(("a", "b"), ("a", "c")))
+  }
 }
