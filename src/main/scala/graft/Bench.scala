@@ -203,65 +203,67 @@ object Bench {
     // whose count() completes; a query with zero successful runs reports
     // null + an entry in "errors" instead of its (fast) failure time.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = benched.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
-            None
-        }
+    // one timed execution; a failure lands in `into` instead of a (fast)
+    // failure time — shared by the cold contract pass and the steady pass
+    def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        into: scala.collection.mutable.Map[String, String]): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          into(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}"
+          None
       }
+    }
+    // ms-precision side-file line (BENCH_FULL / BENCH_STEADY share it)
+    def writeSideFile(envKey: String, default: String, metric: String,
+        qs: scala.collection.Map[String, Option[Double]], extra: String = ""): Unit =
+      try {
+        val json = qs.map { case (k, v) =>
+          s"\"" + k + "\":" + v.fold("null")(d =>
+            BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+        }.mkString("{", ",", "}")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(sys.env.getOrElse(envKey, default)),
+          s"""{"metric":"$metric","value":${fmt(qs.values.flatten.sum)},"unit":"sec","queries":$json$extra,"sf":"$sfDir"}
+""".getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    val results = benched.map { case (name, fn) =>
+      val times = (1 to runs).flatMap(_ => timedRun(name, fn, errors))
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
     val total = results.values.flatten.sum
     // the stdout line is the parse-safe contract; the side file carries the
     // ms-precision per-query numbers the line can no longer fit at 90+
     // queries (committed per round as BENCH_FULL.json for trend reading)
-    try {
-      val full = results.map { case (k, v) =>
-        s"\"" + k + "\":" + v.fold("null")(d =>
-          BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-      }.mkString("{", ",", "}")
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON", "BENCH_FULL.json")),
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,"sf":"$sfDir"}
-""".getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // read-only cwd must not kill the bench
+    writeSideFile("SPARK_GRAFT_BENCH_JSON", "BENCH_FULL.json", "total", results)
     println(benchLine(results, errors, total, sfDir))
     // steady-state pass: re-run every query once more (plans/JIT now warm)
     // and record best-of-2 per query — the trend-reading companion to the
     // cold contract numbers above (a cold-run JIT anomaly reads as a
     // regression against r N−1 unless the steady file disambiguates; the
     // stdout line is already printed, so a crash here cannot cost the
-    // round's numbers). Skipped when the caller asked for multi-run
-    // timing (n ≥ 2 is already steady) or opts out via
-    // SPARK_GRAFT_BENCH_STEADY=0.
+    // round's numbers). A query that fails WARM keeps its cold time as the
+    // best-of-2 but is named in the file's "warm_errors" block — a
+    // steady-state-only failure must not read as healthy. Skipped when the
+    // caller asked for multi-run timing (n ≥ 2 is already steady) or opts
+    // out via SPARK_GRAFT_BENCH_STEADY=0.
     if (runs == 1 && sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY", "1") == "1") {
-      try {
-        val steady = benched.map { case (name, fn) =>
-          val warm = try {
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            Some((System.nanoTime() - t0) / 1e9)
-          } catch { case _: Throwable => None }
-          val candidates: Seq[Double] = results.get(name).flatten.toSeq ++ warm.toSeq
-          name -> candidates.reduceOption((a, b) => math.min(a, b))
-        }
-        val stotal = steady.values.flatten.sum
-        val sjson = steady.map { case (k, v) =>
-          s"\"" + k + "\":" + v.fold("null")(d =>
-            BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-        }.mkString("{", ",", "}")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(
-            sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY_JSON", "BENCH_STEADY.json")),
-          s"""{"metric":"total_steady","value":${fmt(stotal)},"unit":"sec","queries":$sjson,"sf":"$sfDir"}
-""".getBytes("UTF-8"))
-      } catch { case _: Throwable => () }
+      val warmErrors = scala.collection.mutable.LinkedHashMap[String, String]()
+      val steady = benched.map { case (name, fn) =>
+        val candidates: Seq[Double] =
+          results.get(name).flatten.toSeq ++ timedRun(name, fn, warmErrors).toSeq
+        name -> candidates.reduceOption((a, b) => math.min(a, b))
+      }
+      val warmJson = if (warmErrors.isEmpty) "" else
+        warmErrors.map { case (k, v) =>
+          s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "'")
+            .replaceAll("[\\x00-\\x1f]", " ") + "\""
+        }.mkString(",\"warm_errors\":{", ",", "}")
+      writeSideFile("SPARK_GRAFT_BENCH_STEADY_JSON", "BENCH_STEADY.json",
+        "total_steady", steady, warmJson)
     }
     // intra-session the queries deliberately SHARE caches (Curate reusing
     // langId/clusters measures composition, not recompute); the drain here

@@ -277,8 +277,7 @@ object Similarity {
     // shared-cached: semanticDedup assigns over the identical plan
     val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
     // queries probe their NProbe nearest cells
-    val q = c.filter($"vec_id" % QueryStride === 0)
-      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val q = strideQueries(c)
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"csim".desc, $"cent_id".asc)
     val probes = q.join(broadcast(cents), lit(true))
@@ -711,7 +710,9 @@ object Similarity {
   private[graft] def pqAdcScanFor(c: DataFrame, q: DataFrame,
       cb: DataFrame): DataFrame = {
     import c.sparkSession.implicits._
-    val codes = pqEncode(c, cb)
+    // the stored code table is the index — built once per session, reused
+    // across workloads (the inverted-lists convention of ivfPqAdcScan)
+    val codes = graft.sources.Caches.shared(pqEncode(c, cb))
     val dt = pqQueryTables(q, cb)
     // ADC scan: corpus codes × broadcast query tables, approximate cosine
     // computed inline — fixed m-ascending sum of the 8 table lookups
@@ -956,8 +957,14 @@ object Similarity {
     // inverted lists in PQ layout: cell id → (vec_id, codes, nrm), encoded
     // straight FROM the assignment frame — cent_id rides the encode groupBy
     // (each vector has exactly one cell), so there is no n×n join of codes
-    // back to assignments
-    val lists = pqEncode(assigned, cb, carry = Seq("cent_id"))
+    // back to assignments. Shared-cached: the encoded index is built ONCE
+    // per session and every serving micro-batch ([[topkIvfPqFor]] via
+    // [[serveRetrievalStream]]) probes the same materialization — encoding
+    // the corpus per request would be the serving scale-killer (the flat
+    // codebook literal is a deterministic collect, so the plans are EQUAL
+    // across calls and the CacheManager dedups them)
+    val lists = graft.sources.Caches.shared(
+      pqEncode(assigned, cb, carry = Seq("cent_id")))
     // queries probe their NProbe nearest cells (the topkIvf probe shape),
     // each probe row carrying the query's broadcast-ready distance table
     val wProbe = Window.partitionBy($"query_id")

@@ -92,16 +92,24 @@ object Tokenizer {
     * clusters without another aggregation pass. */
   val BatchPoolFactor = 8
 
-  /** Two merge pairs INTERACT when one's right symbol is the other's left
-    * (their matches can share a position: in `x a b`, (x,a) and (a,b)
-    * overlap at the `a`) — the condition under which simultaneous
-    * application is ambiguous AND under which applying one changes the
-    * other's count. Pairwise non-interacting pairs have provably disjoint
-    * matches and invariant counts, so a whole batch applies from ONE count
-    * table with each member's weight exactly what sequential training
-    * would have recorded. */
-  private[graft] def interacts(a: (String, String), b: (String, String)): Boolean =
-    a._2 == b._1 || b._2 == a._1
+  /** Two merge pairs INTERACT when simultaneous application from one count
+    * table is not equivalent to sequential application: (1) one's right
+    * symbol is the other's left — their matches can share a position (in
+    * `x a b`, (x,a) and (a,b) overlap at the `a`), which is also when
+    * applying one destroys occurrences of the other; (2) one's MERGED
+    * symbol is a component of the other — applying (ab,c)→"abc" CREATES
+    * occurrences of a pair like (x,"abc") if the symbol "abc" already
+    * exists in the vocabulary, so the latter's pooled count is stale; (3)
+    * both produce the same merged string (symbol-identity conflation).
+    * Pairwise non-interacting pairs have provably disjoint matches and
+    * invariant counts, so a whole batch applies from ONE count table with
+    * each member's weight exactly what sequential training would have
+    * recorded. */
+  private[graft] def interacts(a: (String, String), b: (String, String)): Boolean = {
+    val (ma, mb) = (a._1 + a._2, b._1 + b._2)
+    a._2 == b._1 || b._2 == a._1 ||
+      ma == b._1 || ma == b._2 || mb == a._1 || mb == a._2 || ma == mb
+  }
 
   /** Batched BPE training — the production round structure for 30k-merge
     * runs: per round, ONE pair-count aggregation (the [[bpeTrain]] plan),
@@ -123,6 +131,9 @@ object Tokenizer {
   def bpeTrainBatched(spark: SparkSession, dir: String,
       nMerges: Int = BpeMerges, batchK: Int = 2): DataFrame = {
     import spark.implicits._
+    // a non-positive k would spin the round loop forever (each iteration
+    // packs an empty batch and re-runs the full pair count) — fail loudly
+    require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     var words = wordTable(spark, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0

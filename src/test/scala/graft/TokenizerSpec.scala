@@ -104,5 +104,13 @@ class TokenizerSpec extends SparkSpec {
     // shared LEFT symbols (a,b)+(a,c) never overlap (one position cannot
     // hold both b and c)
     assert(!Tokenizer.interacts(("a", "b"), ("a", "c")))
+    // one's MERGED symbol is the other's component: applying (ab,c)->"abc"
+    // CREATES (x,"abc") occurrences when "abc" is already a vocabulary
+    // symbol, so the pooled count of (x,"abc") is stale -> interacting
+    assert(Tokenizer.interacts(("ab", "c"), ("x", "abc")))
+    assert(Tokenizer.interacts(("x", "abc"), ("ab", "c")))
+    assert(Tokenizer.interacts(("ab", "c"), ("abc", "y")))
+    // two spellings of the same merged string conflate symbol identity
+    assert(Tokenizer.interacts(("a", "bc"), ("ab", "c")))
   }
 }
