@@ -124,6 +124,7 @@ object SparkEntry {
     "sim_hard_negatives_ivf" -> (Similarity.hardNegativesIvf _),
     "media_cdc_dedup"      -> (Multimodal.cdcDedup _),
     "media_near_dup_cdc"   -> (Multimodal.mediaNearDupCdc _),
+    "sim_ann_recall_pq"    -> (Similarity.annRecallPq _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -993,6 +994,84 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN fh.doc_id*16777216 + fh.frame_idx <> own.own_key THEN fb ELSE 0 END) AS BIGINT) AS bytes_saved
         |FROM fh JOIN own ON fh.h = own.h
         |GROUP BY fh.doc_id ORDER BY fh.doc_id""".stripMargin,
+
+    // recall of the FULL IVFADC serving leg vs exact ground truth: the
+    // sim_ann_recall truth/hits CTEs around the complete sim_topk_ivfpq
+    // chain (both approximations compounded)
+    "sim_ann_recall_pq" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |bscored AS (
+        |  SELECT query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum([qv[i]*v[i] for i in range(1,65)]) / (qn*nrm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id != query_id
+        |),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM bscored) WHERE rank <= 10),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT n.vec_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS arn
+        |    FROM n CROSS JOIN cents)
+        |  WHERE arn = 1),
+        |probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT qq.vec_id AS query_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |        round(list_sum([qq.v[i]*cv[i] for i in range(1,65)]) / (qq.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS prn
+        |    FROM (SELECT * FROM n WHERE vec_id % 100 = 0) qq CROSS JOIN cents)
+        |  WHERE prn <= 2),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 8 = 0),
+        |mm AS (SELECT unnest(range(0, 8)) AS m),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code, nrm FROM (
+        |    SELECT n.vec_id, mm.m, cb.cid, n.nrm,
+        |      row_number() OVER (PARTITION BY n.vec_id, mm.m ORDER BY
+        |        round(list_sum([(n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cid ASC) AS rn
+        |    FROM n CROSS JOIN cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |dt AS (
+        |  SELECT qq.vec_id AS query_id, qq.nrm AS qn, mm.m, cb.cid,
+        |    round(list_sum([qq.v[mm.m*8+i] * cb.cv[mm.m*8+i] for i in range(1, 9)]), 6) AS d
+        |  FROM (SELECT * FROM n WHERE vec_id % 100 = 0) qq CROSS JOIN cb CROSS JOIN mm),
+        |adc AS (
+        |  SELECT p.query_id, codes.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(codes.nrm)), 6) AS adc_cosine
+        |  FROM probes p
+        |  JOIN assigned a ON a.cent_id = p.cent_id
+        |  JOIN codes ON codes.vec_id = a.vec_id
+        |  JOIN dt ON dt.query_id = p.query_id AND dt.m = codes.m AND dt.cid = codes.code
+        |  WHERE codes.vec_id != p.query_id
+        |  GROUP BY p.query_id, codes.vec_id),
+        |short AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc) WHERE rr <= 50),
+        |ex AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short s JOIN n qn ON qn.vec_id = s.query_id JOIN n nn ON nn.vec_id = s.neighbor_id),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM ex) WHERE rank <= 10),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS n_hits FROM truth t
+        |  JOIN approx a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
+        |FROM (SELECT query_id FROM truth GROUP BY 1) t
+        |LEFT JOIN hits h ON t.query_id = h.query_id
+        |ORDER BY t.query_id""".stripMargin,
 
     // content-defined chunking: chunk END positions are every i in [8, n-1]
     // whose trailing-8-byte-window hash60 ≡ 0 mod 64, plus n; chunk j runs

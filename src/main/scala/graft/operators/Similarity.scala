@@ -310,10 +310,23 @@ object Similarity {
     * truth leg is the expensive one; production evaluates on a sampled
     * query set (this operator's stride workload IS that sample) and the
     * truth scan amortizes across NProbe/recall sweeps. */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val truth = topkBruteForce(spark, dir).select($"query_id", $"neighbor_id")
-    val approx = topkIvf(spark, dir).select($"query_id", $"neighbor_id")
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(topkBruteForce(spark, dir), topkIvf(spark, dir))
+
+  /** recall@[[TopK]] of the FULL IVFADC serving leg ([[topkIvfPq]]) vs the
+    * exact ground truth — the recall number the production index actually
+    * ships with (IVF cell loss AND PQ shortlist loss compounded; the
+    * IVF-only twin [[annRecall]] isolates the cell term). Same
+    * workload-sized comparison shape. */
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(topkBruteForce(spark, dir), topkIvfPq(spark, dir))
+
+  /** The shared recall comparison: per query, |approx ∩ truth| / k over
+    * two ≤ k-per-query lists — every post-leg operator is workload-sized. */
+  private def annRecallOf(truthLeg: DataFrame, approxLeg: DataFrame): DataFrame = {
+    import truthLeg.sparkSession.implicits._
+    val truth = truthLeg.select($"query_id", $"neighbor_id")
+    val approx = approxLeg.select($"query_id", $"neighbor_id")
     val hitCounts = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
     truth.select($"query_id").distinct()
