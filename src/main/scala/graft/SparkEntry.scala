@@ -127,6 +127,10 @@ object SparkEntry {
     "sim_ann_recall_pq"    -> (Similarity.annRecallPq _),
   )
 
+  /** The gear CDC byte table as a DuckDB list literal — single source of
+    * truth with the native kernel (both derive from hash60("gear|b")). */
+  private val GearSqlTable = graft.functions.GearKernels.gearSqlList
+
   def oracleSql: Map[String, String] = Map(
     // End-to-end twin of the reference pipeline: computes the keyed-upsert
     // final state directly from `events`, verifying the whole Spark-side
@@ -1074,20 +1078,22 @@ object SparkEntry {
         |ORDER BY t.query_id""".stripMargin,
 
     // content-defined chunking: chunk END positions are every i in [8, n-1]
-    // whose trailing-8-byte-window hash60 ≡ 0 mod 64, plus n; chunk j runs
-    // (prev end, end]. Same md5-hash60 arithmetic as the frame oracles —
-    // boundaries are pure content predicates, which is the whole point
-    // (alignment robustness), and both engines compute them identically
+    // whose trailing-8-byte-window GEAR sum's mid bits ≡ 0 mod 64, plus n;
+    // chunk j runs (prev end, end]. The gear table is interpolated from the
+    // SAME derivation the native kernel uses (GearKernels.gearSqlList), and
+    // the sum fits int64 exactly — the oracle computes the window hash
+    // closed-form where the kernel rolls it in O(1)/byte
     "media_cdc_dedup" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |gear AS (SELECT $GearSqlTable AS g),
         |bounds AS (
         |  SELECT doc_id, text, n,
         |    list_append(
         |      [i for i in range(8, n)
-        |       if CAST(concat('0x', substr(md5(hex(encode(substr(text, i-7, 8)))),1,15)) AS BIGINT) % 64 = 0],
+        |       if ((list_sum([g[ord(substr(text, i - t, 1)) + 1] * (1 << t) for t in range(0, 8)]) // 1048576) % 64) = 0],
         |      n) AS ends
-        |  FROM b),
+        |  FROM b CROSS JOIN gear),
         |chunks AS (
         |  SELECT doc_id, CAST(u.j AS INTEGER) AS chunk_idx,
         |    CAST(u.e - u.s AS BIGINT) AS chunk_bytes,
@@ -1111,15 +1117,16 @@ object SparkEntry {
     // perceptual near-dup over the CDC chunk fingerprint: the media_near_dup
     // sig/banding CTEs fed by the media_cdc_dedup chunk CTEs
     "media_near_dup_cdc" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |gear AS (SELECT $GearSqlTable AS g),
         |bounds AS (
         |  SELECT doc_id, text, n,
         |    list_append(
         |      [i for i in range(8, n)
-        |       if CAST(concat('0x', substr(md5(hex(encode(substr(text, i-7, 8)))),1,15)) AS BIGINT) % 64 = 0],
+        |       if ((list_sum([g[ord(substr(text, i - t, 1)) + 1] * (1 << t) for t in range(0, 8)]) // 1048576) % 32) = 0],
         |      n) AS ends
-        |  FROM b),
+        |  FROM b CROSS JOIN gear),
         |chunks AS (
         |  SELECT doc_id,
         |    CAST(concat('0x', substr(md5(hex(encode(substr(text, u.s + 1, u.e - u.s)))),1,15)) AS BIGINT) % 281474976710656 AS h

@@ -142,34 +142,37 @@ object Multimodal {
     * [[CdcWindow]] bytes, which is what makes chunk boundaries CONTENT
     * properties — an edit re-aligns every boundary whose window it does
     * not touch. */
-  val CdcWindow = 8
+  val CdcWindow = graft.functions.GearKernels.GearWindow
 
-  /** Boundary divisor: a position ends a chunk when its window hash ≡ 0
-    * (mod [[CdcDivisor]]) ⇒ expected chunk size = [[CdcDivisor]] bytes,
-    * matching [[FrameBytes]] so the fixed-vs-CDC comparison is
-    * size-for-size. */
-  val CdcDivisor = 64
+  /** Boundary divisor: a position ends a chunk when its window gear-hash's
+    * mid bits ≡ 0 (mod [[CdcDivisor]]) ⇒ expected chunk size =
+    * [[CdcDivisor]] bytes, matching [[FrameBytes]] so the fixed-vs-CDC
+    * comparison is size-for-size. */
+  val CdcDivisor = graft.functions.GearKernels.GearDivisor.toInt
+
+  /** The PERCEPTUAL fingerprint chunks finer than the storage dedup: the
+    * bit-majority signature needs enough chunk-hash votes per payload to
+    * stay stable under partial edits (fixture payloads are ~400 B — 64 B
+    * chunks give ~7 votes, too few for a 48-bit majority; 32 B gives ~13
+    * and the near-dup family stays non-vacuous at every fixture scale).
+    * A granularity policy knob, like [[CdcDivisor]]; the oracle pins the
+    * same literal. */
+  val FingerprintDivisor = 32L
 
   /** Content-defined chunk boundaries of a binary payload: END positions
-    * (1-based, ascending) of every chunk — each i ∈ [[[CdcWindow]], n−1]
-    * whose trailing-window hash60 ≡ 0 mod [[CdcDivisor]], plus n itself.
-    * The window hash is the engine-exact md5-based hash60 over the
-    * window's hex — O([[CdcWindow]]) per byte (a constant 8), where
-    * production swaps in an O(1) gear/Rabin rolling hash inside a native
-    * kernel with identical boundary semantics; the fixture keeps the
-    * md5 formulation because the DuckDB oracle reproduces it bit-for-bit.
-    * Pure per-position predicate (no min/max chunk clamp — the classic
-    * clamp makes boundary i depend on boundary i−1, a sequential chain;
-    * unclamped CDC is fully data-parallel and its degenerate tails are
-    * bounded in expectation by the divisor geometry). */
-  private def cdcEnds(data: Column, n: Column): Column =
-    concat(
-      when(n > CdcWindow,
-        filter(sequence(lit(CdcWindow), greatest(n - 1, lit(CdcWindow))),
-          i => pmod(hash60(hex(data.substr(i - (CdcWindow - 1), lit(CdcWindow)))),
-            lit(CdcDivisor)) === 0))
-        .otherwise(array().cast("array<int>")),
-      array(n))
+    * (1-based, ascending) of every chunk, plus n itself — ONE pass through
+    * the native [[graft.functions.GearChunkEnds]] gear-hash kernel (the
+    * FastCDC-family O(1)/byte rolling boundary scan production CDC stores
+    * run; boundary iff the trailing-[[CdcWindow]]-byte gear sum's mid bits
+    * ≡ 0 mod [[CdcDivisor]] — exact int64 arithmetic the DuckDB oracles
+    * reproduce closed-form, gear table interpolated from the same
+    * derivation). Pure per-position predicate (no min/max chunk clamp —
+    * the classic clamp makes boundary i depend on boundary i−1, a
+    * sequential chain; unclamped CDC is fully data-parallel and its
+    * degenerate tails are bounded in expectation by the divisor
+    * geometry). */
+  private def cdcEnds(data: Column, divisor: Long): Column =
+    graft.functions.GearChunkEnds(data, divisor)
 
   /** Per-payload chunk structs (start, len) from the boundary ends —
     * shared by the exploding scan and the per-row signature. */
@@ -183,10 +186,9 @@ object Multimodal {
   private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     withMedia(docs)
-      .select($"doc_id", $"media.data".as("data"),
-        length($"media.data").as("n"))
+      .select($"doc_id", $"media.data".as("data"))
       .select($"doc_id", $"data",
-        posexplode(cdcSpans(cdcEnds($"data", $"n"))).as(Seq("chunk_idx", "sp")))
+        posexplode(cdcSpans(cdcEnds($"data", CdcDivisor))).as(Seq("chunk_idx", "sp")))
       .select($"doc_id", $"chunk_idx",
         $"sp.ln".cast("long").as("chunk_bytes"),
         hash60(hex($"data".substr($"sp.cs", $"sp.ln"))).as("ch"))
@@ -246,9 +248,8 @@ object Multimodal {
   private[graft] def cdcSignatures(docs: DataFrame, sigBits: Int): DataFrame = {
     import docs.sparkSession.implicits._
     withMedia(docs)
-      .select($"doc_id", $"media.data".as("data"),
-        length($"media.data").as("n"))
-      .select($"doc_id", transform(cdcSpans(cdcEnds($"data", $"n")),
+      .select($"doc_id", $"media.data".as("data"))
+      .select($"doc_id", transform(cdcSpans(cdcEnds($"data", FingerprintDivisor)),
         sp => hash60(hex($"data".substr(sp.getField("cs"), sp.getField("ln"))))).as("chs"))
       .select($"doc_id",
         graft.functions.SimhashSignature($"chs", sigBits).as("sim"))

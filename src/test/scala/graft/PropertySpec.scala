@@ -191,6 +191,39 @@ class PropertySpec extends SparkSpec {
     assert(codes.length == 3 && codes.forall(_.length == 8))
   }
 
+  test("gear chunk kernel's rolling hash equals the closed-form window sum") {
+    import graft.functions.GearKernels
+    // independent closed-form reference: h_i = sum_t gear[b_{i-t}] * 2^t,
+    // boundary iff (h >> 20) % divisor == 0 — exactly what the DuckDB
+    // oracles compute; the kernel's O(1)/byte rolling de-windowing must
+    // reproduce it bit-for-bit on arbitrary byte content
+    def reference(data: Array[Byte], divisor: Long): Seq[Int] = {
+      val n = data.length
+      if (n <= GearKernels.GearWindow) Seq(n)
+      else {
+        val b = (GearKernels.GearWindow to n - 1).filter { i =>
+          val h = (0 until GearKernels.GearWindow).map { t =>
+            GearKernels.gearTable(data(i - 1 - t) & 0xff) << t }.sum
+          ((h >>> 20) % divisor) == 0L
+        }
+        b :+ n
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    for (len <- Seq(0, 1, 7, 8, 9, 64, 1000); div <- Seq(32L, 64L)) {
+      val data = Array.fill(len)(rnd.nextInt(256).toByte)
+      val got = GearKernels.chunkEnds(data, div).toIntArray().toSeq
+      assert(got == reference(data, div), s"len=$len div=$div")
+    }
+    // ... and on real fixture text bytes (the ASCII regime the oracle's
+    // ord()-based closed form runs in)
+    val text = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .filter($"doc_id" < 5).select($"text").as[String].collect().mkString(" ")
+    val bytes = text.getBytes("UTF-8")
+    assert(GearKernels.chunkEnds(bytes, 64L).toIntArray().toSeq ==
+      reference(bytes, 64L))
+  }
+
   test("PqEncode kernel equals the min_by join twin on random vectors") {
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window
