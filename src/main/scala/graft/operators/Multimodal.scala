@@ -311,21 +311,10 @@ object Multimodal {
     import spark.implicits._
     import graft.operators.Dedup
     val nBands = Dedup.HammingThreshold + 1
-    // the media near-dup oracles pin the 48-bit (4×12) signature as a
-    // literal; past the ~32k-doc knee the derived width grows and the
-    // DuckDB twin would silently hash-diverge — warn loudly there (the
-    // bm25QueryStride convention)
-    val bandBits = Dedup.warnIfPastOracleFloor(knob,
-      Dedup.simhashBandBits(Tables.documents(spark, dir).count()).toLong,
-      12L).toInt
+    val bandBits = mediaBandBits(spark, dir, knob)
     val sigs = graft.sources.Caches.shared(sigOf(
       Tables.spread(Tables.documents(spark, dir)), nBands * bandBits))
-    val mask = (1L << bandBits) - 1
-    val parts = sigs.select($"doc_id", $"sim",
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("part"),
-            shiftright($"sim", b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("p"))
-      .select($"doc_id", $"sim", $"p.part", $"p.key")
+    val parts = sigBandParts(sigs, nBands, bandBits)
     parts.as("x").join(parts.as("y"),
         $"x.part" === $"y.part" && $"x.key" === $"y.key" &&
           $"x.doc_id" < $"y.doc_id")
@@ -334,6 +323,68 @@ object Multimodal {
       .distinct()
       .filter($"hamming" <= Dedup.HammingThreshold)
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** (doc_id, sim, part, key): each signature exploded to its Manku band
+    * keys — shared by the batch self-join and the serving bucket table. */
+  private def sigBandParts(sigs: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
+    sigs.select(col("doc_id"), col("sim"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("part"),
+            shiftright(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("p"))
+      .select(col("doc_id"), col("sim"), col("p.part"), col("p.key"))
+  }
+
+  /** Fixture-floored band width for the media fingerprints ([[mediaNearDup]]
+    * family): derived from corpus size, warned past the 48-bit oracle
+    * regime (the `Dedup.simhashBandBits` scheme). */
+  private def mediaBandBits(spark: SparkSession, dir: String, knob: String): Int = {
+    import graft.operators.Dedup
+    Dedup.warnIfPastOracleFloor(knob,
+      Dedup.simhashBandBits(Tables.documents(spark, dir).count()).toLong,
+      12L).toInt
+  }
+
+  /** The static corpus side for [[mediaNearDupStream]]: every corpus
+    * payload's CDC-fingerprint band keys with the full signature riding
+    * along for the exact hamming verify — (part, key, corpus_id,
+    * corpus_sim), the `Dedup.minhashCorpusBuckets` pattern. */
+  def mediaCorpusBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val nBands = Dedup.HammingThreshold + 1
+    val bandBits = mediaBandBits(spark, dir, "media cdc simhash band bits")
+    sigBandParts(cdcSignatures(Tables.documents(spark, dir), nBands * bandBits),
+      nBands, bandBits)
+      .select(col("part"), col("key"), col("doc_id").as("corpus_id"),
+        col("sim").as("corpus_sim"))
+  }
+
+  /** Streaming twin of [[mediaNearDupCdc]] — perceptual near-dup detection
+    * at ingest: each arriving payload is CDC-fingerprinted PER ROW (pure
+    * projection, no stream state), its band keys stream-static joined
+    * against the corpus bucket table, bucket collisions verified with the
+    * exact signature hamming, and multi-band matches of the same pair
+    * collapsed in an update-mode (doc_id, corpus_id) aggregation (the
+    * [[graft.operators.Dedup.nearDupStream]] contract on media
+    * fingerprints). `bandBits` must be the width the bucket table was
+    * built with (fixture floor 12; production carries it with the index).
+    *
+    * Scale posture: the demo broadcasts the bucket table; at corpus scale
+    * the same plan is a stream-static SHUFFLE join on (part, key) against
+    * a bucketed signature table — only the arriving batch's band keys
+    * move. */
+  def mediaNearDupStream(docStream: DataFrame, corpusBuckets: DataFrame,
+      bandBits: Int = 12): DataFrame = {
+    import graft.operators.Dedup
+    val nBands = Dedup.HammingThreshold + 1
+    sigBandParts(cdcSignatures(docStream, nBands * bandBits), nBands, bandBits)
+      .join(broadcast(corpusBuckets), Seq("part", "key"))
+      .filter(col("doc_id") =!= col("corpus_id"))
+      .withColumn("hamming", bit_count(col("sim").bitwiseXOR(col("corpus_sim"))))
+      .filter(col("hamming") <= Dedup.HammingThreshold)
+      .groupBy(col("doc_id"), col("corpus_id"))
+      .agg(min(col("hamming")).as("hamming"))
   }
 
   /** Distinct corpus frame hashes — the static side of

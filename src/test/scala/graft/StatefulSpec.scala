@@ -405,6 +405,37 @@ class StatefulSpec extends SparkSpec {
       s"fresh payload writes every byte: $fresh")
   }
 
+  test("stream-static media near-dup: shifted corpus payload flagged at ingest, noise passes") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{Dedup, Multimodal}
+    val dir = sf("sf0.01")
+    val buckets = Multimodal.mediaCorpusBuckets(spark, dir)
+    val copied = graft.sources.Tables.documents(spark, dir)
+      .filter($"doc_id" === 7).select($"text").as[String].head()
+    val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = Multimodal.mediaNearDupStream(
+        in.toDF().toDF("doc_id", "text")
+          .withColumn("lang", org.apache.spark.sql.functions.lit("xx")),
+        buckets)
+      .writeStream.format("memory").queryName("mediand").outputMode("update").start()
+    // an exact re-upload (hamming 0 to its corpus twin), a byte-SHIFTED
+    // re-upload (the case the fixed-offset fingerprint cannot catch — CDC
+    // chunks re-align so it stays within the threshold), and disjoint noise
+    in.addData((99999L, copied), (99998L, "X" + copied), (99997L, noise))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("mediand")
+      .select($"doc_id", $"corpus_id", $"hamming")
+      .as[(Long, Long, Int)].collect()
+    val exact = out.filter(_._1 == 99999L)
+    assert(exact.exists(r => r._2 == 7L && r._3 == 0), s"re-upload: ${exact.toSeq}")
+    val shifted = out.filter(_._1 == 99998L)
+    assert(shifted.exists(r => r._2 == 7L && r._3 <= Dedup.HammingThreshold),
+      s"shifted re-upload must still collide: ${shifted.toSeq}")
+    assert(!out.exists(_._1 == 99997L), s"noise must pass: ${out.toSeq}")
+  }
+
   test("stream-static substring dedup: closed-form islands match the batch window math") {
     implicit val ctx = spark.sqlContext
     import graft.operators.Dedup
