@@ -71,7 +71,13 @@ object GraftExtensions {
       info("count_in_set",
         "count_in_set(toks, set) - token occurrences whose hash60 is in the literal array<bigint> set"),
       (args: Seq[Expression]) => graft.functions.CountInSet(args(0),
-        literalLongArray(args(1), "count_in_set"))))
+        literalLongArray(args(1), "count_in_set"))),
+    ("gear_chunk_ends",
+      info("gear_chunk_ends",
+        "gear_chunk_ends(data[, divisor]) - content-defined chunk end positions of a binary payload (gear rolling hash; expected chunk size = divisor bytes, default 64)"),
+      (args: Seq[Expression]) => graft.functions.GearChunkEnds(args(0),
+        if (args.size >= 2) literalInt(args(1), "gear_chunk_ends").toLong
+        else graft.functions.GearKernels.GearDivisor)))
 
   /** The membership set parameterizes a reference object, so it must be a
     * literal array<bigint> — same analysis-time rejection rule as

@@ -34,6 +34,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("literal integer gram size"), err.getMessage)
   }
 
+  test("gear_chunk_ends is SQL-callable, honors the divisor, and covers the payload") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT gear_chunk_ends(encode('tiny', 'UTF-8')) AS short,
+        |       gear_chunk_ends(encode(repeat('abcdef ', 200), 'UTF-8')) AS d64,
+        |       gear_chunk_ends(encode(repeat('abcdef ', 200), 'UTF-8'), 16) AS d16
+        |""".stripMargin).head()
+    // below the window: one chunk covering the whole payload
+    assert(row.getSeq[Int](0) == Seq(4))
+    val (d64, d16) = (row.getSeq[Int](1), row.getSeq[Int](2))
+    // ends ascend and always close at n; a finer divisor only ADDS cuts
+    assert(d64.last == 1400 && d64 == d64.sorted && d16.last == 1400)
+    assert(d16.size >= d64.size)
+    assert(d64.toSet.subsetOf(d16.toSet),
+      "coarser boundaries are a subset: divisor 64 zeros imply divisor-16 zeros... " +
+        s"d64=$d64 d16=$d16")
+  }
+
   test("count_in_set is SQL-callable with a literal set and rejects non-literals") {
     GraftExtensions.register(spark)
     val h = graft.functions.HashKernels.h60("aa")
