@@ -269,14 +269,22 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
-  def topkIvf(spark: SparkSession, dir: String): DataFrame = {
+  def topkIvf(spark: SparkSession, dir: String): DataFrame =
+    topkIvfWith(spark, dir, NProbe)
+
+  /** [[topkIvf]] at an explicit probe depth — the recall/cost knob every
+    * IVF deployment tunes; `DedupSpec` sweeps it against exact truth and
+    * SCALING.md records the measured frontier (the oracled query pins
+    * [[NProbe]] = 2). */
+  private[graft] def topkIvfWith(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
     val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
     val c = corpus(spark, dir)
     val cents = centroids(c, stride)
     // shared-cached: semanticDedup assigns over the identical plan
     val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
-    // queries probe their NProbe nearest cells
+    // queries probe their nprobe nearest cells
     val q = strideQueries(c)
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"csim".desc, $"cent_id".asc)
@@ -284,7 +292,7 @@ object Similarity {
       .select($"query_id", $"qv", $"qn", $"cent_id",
         cosine6($"qv", $"cv", $"qn", $"cn").as("csim"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter($"prn" <= NProbe)
+      .filter($"prn" <= nprobe)
       .select($"query_id", $"qv", $"qn", $"cent_id")
     val scored = probes.join(assigned, "cent_id")
       .filter($"vec_id" =!= $"query_id")

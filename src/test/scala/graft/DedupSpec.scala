@@ -126,6 +126,30 @@ class DedupSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.6, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("nprobe sweep: recall climbs monotonically to 1.0 at full cell coverage") {
+    // the recall/cost frontier an IVF deployment tunes: more probed cells
+    // ⇒ candidate supersets ⇒ recall vs exact truth is non-decreasing,
+    // reaching 1.0 when every cell is probed (the scan degenerates to
+    // brute force). sf0.001 derives ≤ 3 cells, so nprobe 3 = exhaustive.
+    val truth = Similarity.topkBruteForce(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val frontier = (1 to 3).map { np =>
+      val got = Similarity.topkIvfWith(spark, dir, np)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.map { case (k, ts) =>
+        (ts & got.getOrElse(k, Set())).size.toDouble / ts.size }
+      np -> rs.sum / rs.size
+    }
+    System.err.println(s"[graft] ivf nprobe frontier: " +
+      frontier.map { case (np, r) => f"$np -> $r%.3f" }.mkString(", "))
+    frontier.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a - 1e-9, s"recall must not drop with more probes: $frontier")
+    }
+    assert(frontier.last._2 == 1.0, s"full coverage must be exact: $frontier")
+  }
+
   test("ivf hard negatives: label contract holds and recall floor vs the exact scan") {
     val exact = Similarity.hardNegatives(spark, dir)
       .select($"query_id", $"neighbor_id")
