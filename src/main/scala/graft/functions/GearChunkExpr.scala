@@ -82,6 +82,10 @@ object GearKernels {
   * finer grain for vote density). */
 case class GearChunkEnds(child: Expression,
     divisor: Long = GearKernels.GearDivisor) extends UnaryExpression {
+  // analysis-time rejection (the literalInt convention): a non-positive
+  // divisor would otherwise surface as a per-row ArithmeticException deep
+  // inside a task
+  require(divisor >= 1, s"gear_chunk_ends divisor must be >= 1, got $divisor")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess

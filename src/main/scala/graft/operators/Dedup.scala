@@ -171,6 +171,21 @@ object Dedup {
     * driver-style comparison would hash-diverge with no obvious cause, so
     * leaving the floor is announced loudly here instead of discovered as a
     * confusing mismatch. Returns `derived` unchanged. */
+  /** (doc_id, sim, part, key): a signature frame exploded to its Manku
+    * band keys — THE banding scheme (simhash text near-dup, both media
+    * fingerprint variants, and the media serving bucket table all split
+    * signatures through this one definition). */
+  private[graft] def sigBandParts(sigs: DataFrame, nBands: Int,
+      bandBits: Int): DataFrame = {
+    import sigs.sparkSession.implicits._
+    val mask = (1L << bandBits) - 1
+    sigs.select($"doc_id", $"sim",
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("part"),
+            shiftright($"sim", b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("p"))
+      .select($"doc_id", $"sim", $"p.part", $"p.key")
+  }
+
   private[graft] def warnIfPastOracleFloor(knob: String, derived: Long, floor: Long): Long = {
     if (derived != floor)
       System.err.println(s"[graft] $knob derived to $derived — oracle twins pin " +
@@ -401,12 +416,7 @@ object Dedup {
       .select($"doc_id",
         graft.functions.SimhashSignature($"hs", sigBits).as("sim"))
     val cached = graft.sources.Caches.shared(docs)
-    val mask = (1L << bandBits) - 1
-    val parts = cached.select($"doc_id", $"sim",
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("part"),
-            shiftright($"sim", b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("p"))
-      .select($"doc_id", $"sim", $"p.part", $"p.key")
+    val parts = sigBandParts(cached, nBands, bandBits)
     parts.as("x").join(parts.as("y"),
         $"x.part" === $"y.part" && $"x.key" === $"y.key" &&
           $"x.doc_id" < $"y.doc_id")

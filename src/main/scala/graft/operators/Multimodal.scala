@@ -314,7 +314,7 @@ object Multimodal {
     val bandBits = mediaBandBits(spark, dir, knob)
     val sigs = graft.sources.Caches.shared(sigOf(
       Tables.spread(Tables.documents(spark, dir)), nBands * bandBits))
-    val parts = sigBandParts(sigs, nBands, bandBits)
+    val parts = Dedup.sigBandParts(sigs, nBands, bandBits)
     parts.as("x").join(parts.as("y"),
         $"x.part" === $"y.part" && $"x.key" === $"y.key" &&
           $"x.doc_id" < $"y.doc_id")
@@ -323,17 +323,6 @@ object Multimodal {
       .distinct()
       .filter($"hamming" <= Dedup.HammingThreshold)
       .orderBy($"id_a", $"id_b")
-  }
-
-  /** (doc_id, sim, part, key): each signature exploded to its Manku band
-    * keys — shared by the batch self-join and the serving bucket table. */
-  private def sigBandParts(sigs: DataFrame, nBands: Int, bandBits: Int): DataFrame = {
-    val mask = (1L << bandBits) - 1
-    sigs.select(col("doc_id"), col("sim"),
-        explode(array((0 until nBands).map(b =>
-          struct(lit(b).as("part"),
-            shiftright(col("sim"), b * bandBits).bitwiseAND(lit(mask)).as("key"))): _*)).as("p"))
-      .select(col("doc_id"), col("sim"), col("p.part"), col("p.key"))
   }
 
   /** Fixture-floored band width for the media fingerprints ([[mediaNearDup]]
@@ -346,18 +335,24 @@ object Multimodal {
       12L).toInt
   }
 
-  /** The static corpus side for [[mediaNearDupStream]]: every corpus
-    * payload's CDC-fingerprint band keys with the full signature riding
-    * along for the exact hamming verify — (part, key, corpus_id,
-    * corpus_sim), the `Dedup.minhashCorpusBuckets` pattern. */
-  def mediaCorpusBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** The static side for [[mediaNearDupStream]]: the derived band width
+    * AND every corpus payload's CDC-fingerprint band keys with the full
+    * signature riding along for the exact hamming verify — (part, key,
+    * corpus_id, corpus_sim). Returned AS A PAIR (the `semanticStatics`
+    * convention) so the stream side fingerprints at exactly the width the
+    * bucket table was built with: past the ~32k-doc knee the derived
+    * width grows, and a caller-must-know default would silently stop
+    * matching (different signature widths never collide). */
+  def mediaStatics(spark: SparkSession, dir: String): (Int, DataFrame) = {
     import graft.operators.Dedup
     val nBands = Dedup.HammingThreshold + 1
     val bandBits = mediaBandBits(spark, dir, "media cdc simhash band bits")
-    sigBandParts(cdcSignatures(Tables.documents(spark, dir), nBands * bandBits),
-      nBands, bandBits)
+    val buckets = Dedup.sigBandParts(
+        cdcSignatures(Tables.documents(spark, dir), nBands * bandBits),
+        nBands, bandBits)
       .select(col("part"), col("key"), col("doc_id").as("corpus_id"),
         col("sim").as("corpus_sim"))
+    (bandBits, buckets)
   }
 
   /** Streaming twin of [[mediaNearDupCdc]] — perceptual near-dup detection
@@ -367,18 +362,19 @@ object Multimodal {
     * exact signature hamming, and multi-band matches of the same pair
     * collapsed in an update-mode (doc_id, corpus_id) aggregation (the
     * [[graft.operators.Dedup.nearDupStream]] contract on media
-    * fingerprints). `bandBits` must be the width the bucket table was
-    * built with (fixture floor 12; production carries it with the index).
+    * fingerprints). `bandBits` comes from [[mediaStatics]] together with
+    * the bucket table — the pair keeps the stream fingerprint width and
+    * the index width provably equal.
     *
     * Scale posture: the demo broadcasts the bucket table; at corpus scale
     * the same plan is a stream-static SHUFFLE join on (part, key) against
     * a bucketed signature table — only the arriving batch's band keys
     * move. */
-  def mediaNearDupStream(docStream: DataFrame, corpusBuckets: DataFrame,
-      bandBits: Int = 12): DataFrame = {
+  def mediaNearDupStream(docStream: DataFrame, bandBits: Int,
+      corpusBuckets: DataFrame): DataFrame = {
     import graft.operators.Dedup
     val nBands = Dedup.HammingThreshold + 1
-    sigBandParts(cdcSignatures(docStream, nBands * bandBits), nBands, bandBits)
+    Dedup.sigBandParts(cdcSignatures(docStream, nBands * bandBits), nBands, bandBits)
       .join(broadcast(corpusBuckets), Seq("part", "key"))
       .filter(col("doc_id") =!= col("corpus_id"))
       .withColumn("hamming", bit_count(col("sim").bitwiseXOR(col("corpus_sim"))))

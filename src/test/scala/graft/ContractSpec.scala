@@ -27,6 +27,23 @@ class ContractSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("fixture text is ASCII — the byte/char conflation the oracles rely on") {
+    // the media/CDC oracle SQL indexes text by CHARACTER (substr/ord) while
+    // the Spark side scans UTF-8 BYTES; they agree only while every fixture
+    // document is pure ASCII (a multi-byte char would shift every later
+    // position AND send ord() past the 256-entry gear table, silently
+    // dropping boundaries). Enforce the assumption where it lives instead
+    // of discovering it as an unexplained hash mismatch.
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("sf0.001", "sf0.01")) {
+      val nonAscii = graft.sources.Tables.documents(spark, sf(d))
+        .filter(length(col("text")) =!= length(encode(col("text"), "UTF-8")))
+        .count()
+      assert(nonAscii == 0, s"$d: $nonAscii non-ASCII documents break the " +
+        "byte/char oracle convention (see media_cdc_dedup oracle)")
+    }
+  }
+
   test("entry (flagship) returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -50,6 +50,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(d64.toSet.subsetOf(d16.toSet),
       "coarser boundaries are a subset: divisor 64 zeros imply divisor-16 zeros... " +
         s"d64=$d64 d16=$d16")
+    // non-positive divisor: rejected at analysis, not as a per-row
+    // ArithmeticException inside a task (the literalInt convention)
+    val err = intercept[Exception] {
+      spark.sql("SELECT gear_chunk_ends(encode('abc', 'UTF-8'), 0)").collect()
+    }
+    assert(err.getMessage.contains("divisor must be >= 1"), err.getMessage)
   }
 
   test("count_in_set is SQL-callable with a literal set and rejects non-literals") {

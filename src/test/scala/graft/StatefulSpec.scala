@@ -409,7 +409,7 @@ class StatefulSpec extends SparkSpec {
     implicit val ctx = spark.sqlContext
     import graft.operators.{Dedup, Multimodal}
     val dir = sf("sf0.01")
-    val buckets = Multimodal.mediaCorpusBuckets(spark, dir)
+    val (bandBits, buckets) = Multimodal.mediaStatics(spark, dir)
     val copied = graft.sources.Tables.documents(spark, dir)
       .filter($"doc_id" === 7).select($"text").as[String].head()
     val noise = (1 to 40).map(i => s"zqxv$i wkjy$i").mkString(" ")
@@ -417,7 +417,7 @@ class StatefulSpec extends SparkSpec {
     val q = Multimodal.mediaNearDupStream(
         in.toDF().toDF("doc_id", "text")
           .withColumn("lang", org.apache.spark.sql.functions.lit("xx")),
-        buckets)
+        bandBits, buckets)
       .writeStream.format("memory").queryName("mediand").outputMode("update").start()
     // an exact re-upload (hamming 0 to its corpus twin), a byte-SHIFTED
     // re-upload (the case the fixed-offset fingerprint cannot catch — CDC
