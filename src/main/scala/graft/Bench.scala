@@ -250,7 +250,9 @@ object Bench {
     // steady-state-only failure must not read as healthy. Skipped when the
     // caller asked for multi-run timing (n ≥ 2 is already steady) or opts
     // out via SPARK_GRAFT_BENCH_STEADY=0.
-    if (runs == 1 && sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY", "1") == "1") {
+    val ranSteady =
+      runs == 1 && sys.env.getOrElse("SPARK_GRAFT_BENCH_STEADY", "1") == "1"
+    if (ranSteady) {
       val warmErrors = scala.collection.mutable.LinkedHashMap[String, String]()
       val steady = benched.map { case (name, fn) =>
         val candidates: Seq[Double] =
@@ -270,5 +272,13 @@ object Bench {
     // demonstrates the bounded-memory exit path a long-lived host would use
     graft.sources.Caches.releaseAll()
     spark.stop()
+    // re-print the contract line as the LAST stdout act: the harness reads
+    // a bounded stdout TAIL, and round 9 proved the steady pass's log
+    // output can scroll the earlier print out of it (BENCH_r09.json came
+    // back parsed:null). The early print stays for crash-safety; this one
+    // — after every later log source (steady pass, cache drain, session
+    // stop) — is what the tail actually reads. Identical content: the
+    // contract reports the COLD numbers either way.
+    if (ranSteady) println(benchLine(results, errors, total, sfDir))
   }
 }

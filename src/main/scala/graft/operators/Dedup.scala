@@ -164,13 +164,6 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
-  /** Fixture-floored knobs (bloom m, the IVF stride, the role-carving
-    * strides below) are hard-coded at their FLOOR as literals in the DuckDB
-    * oracle twins (m = 65536, `% 200`, `% 50`, …). Above the derivation
-    * knee the operator is still correct — production has no oracle — but a
-    * driver-style comparison would hash-diverge with no obvious cause, so
-    * leaving the floor is announced loudly here instead of discovered as a
-    * confusing mismatch. Returns `derived` unchanged. */
   /** (doc_id, sim, part, key): a signature frame exploded to its Manku
     * band keys — THE banding scheme (simhash text near-dup, both media
     * fingerprint variants, and the media serving bucket table all split
@@ -186,6 +179,13 @@ object Dedup {
       .select($"doc_id", $"sim", $"p.part", $"p.key")
   }
 
+  /** Fixture-floored knobs (bloom m, the IVF stride, the role-carving
+    * strides below) are hard-coded at their FLOOR as literals in the DuckDB
+    * oracle twins (m = 65536, `% 200`, `% 50`, …). Above the derivation
+    * knee the operator is still correct — production has no oracle — but a
+    * driver-style comparison would hash-diverge with no obvious cause, so
+    * leaving the floor is announced loudly here instead of discovered as a
+    * confusing mismatch. Returns `derived` unchanged. */
   private[graft] def warnIfPastOracleFloor(knob: String, derived: Long, floor: Long): Long = {
     if (derived != floor)
       System.err.println(s"[graft] $knob derived to $derived — oracle twins pin " +

@@ -746,13 +746,21 @@ object Similarity {
   /** PQ codebook with a dense code idx ordered by cid: ties in the
     * per-subspace argmin break to the lower cid, which is the lower idx —
     * order-isomorphic, so the oracle's cid-keyed formulation is reproduced
-    * exactly. The window runs on ≤~256 codebook rows (one partition,
-    * trivially small). */
+    * exactly. cidx is assigned at a bounded driver collect (≤ ~256 entries
+    * by [[pqStride]] — the centroid-literal pattern [[assignedCells]]
+    * uses) rather than an unpartitioned window: same cid-ascending rank,
+    * no single-partition Window exchange and no "No Partition Defined"
+    * WARN per build (that flood displaced the round-9 bench contract
+    * line). The LocalRelation the collect re-enters as is value-equal
+    * across calls, so downstream `Caches.shared` plans still dedup. */
   private[graft] def pqCodebook(c: DataFrame, stride: Long): DataFrame = {
-    import c.sparkSession.implicits._
-    c.filter($"vec_id" % stride === 0)
+    val spark = c.sparkSession
+    import spark.implicits._
+    val entries = c.filter($"vec_id" % stride === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"))
-      .withColumn("cidx", row_number().over(Window.orderBy($"cid")) - 1)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .zipWithIndex.map { case ((cid, cv), i) => (cid, cv, i) }
+    spark.createDataFrame(entries.toIndexedSeq).toDF("cid", "cv", "cidx")
   }
 
   /** The flat cidx-ordered codebook literal the native encoder reads:

@@ -121,11 +121,15 @@ object Tokenizer {
     *
     * Exactness: within a batch, non-interaction makes member counts
     * invariant under the other members' application (see [[interacts]]),
-    * so selected weights equal sequential training's. The one divergence
-    * window is a pair CREATED by an earlier batch member (containing its
-    * merged symbol) out-ranking a later member — sequential training would
-    * pick the created pair first; batching defers it to the next round's
-    * count table. Tail-order drift bounded by the batch width, zero on the
+    * so selected weights equal sequential training's. The divergence
+    * window is selection ORDER at the batch boundary, two ways: a pair
+    * CREATED by an earlier batch member (containing its merged symbol) can
+    * out-rank a later member — sequential training would pick the created
+    * pair first — and a pre-existing candidate skipped for interacting
+    * with a selected member is deferred even where sequential training
+    * would still pick it next at its post-merge count. Both cases push the
+    * candidate to the next round's count table. Tail-order drift bounded
+    * by the batch width, zero on the
     * fixture (`TokenizerSpec` pins batched ≡ sequential there), and the
     * standard trade of every batched BPE trainer. */
   def bpeTrainBatched(spark: SparkSession, dir: String,
