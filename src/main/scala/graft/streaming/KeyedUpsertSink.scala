@@ -12,7 +12,9 @@ import org.apache.spark.sql.{DataFrame, ForeachWriter, Row}
   * JVM-global registry so driver and local-mode executor threads share state;
   * on a real cluster this adapter would wrap an external keyed store (the
   * pipeline code on the Spark side is identical — that's the point of the
-  * `ForeachWriter` seam).
+  * `ForeachWriter` seam). This map store backs ONLY the reference-fidelity
+  * [[KeyedUpsertForeachWriter]] adapter; the engine's default batch-merge
+  * path is the fully distributed [[ParquetKeyedStore]].
   */
 object KeyedStores {
   private val stores =
@@ -49,7 +51,7 @@ object KeyedStores {
   *
   * Scale note: row-at-a-time writes are the reference's throughput floor
   * (SURVEY.md §4.1). This class exists for fidelity + tests; the engine's
-  * canonical sink is the set-oriented [[KeyedUpsertBatch]].
+  * canonical sink is the set-oriented distributed [[ParquetKeyedStore]].
   */
 class KeyedUpsertForeachWriter(storeName: String, keyOrdinal: Int = 0)
     extends ForeachWriter[Row] {
@@ -71,43 +73,21 @@ class KeyedUpsertForeachWriter(storeName: String, keyOrdinal: Int = 0)
     if (errorOrNull == null) KeyedStores.markCommitted(storeName, pid, epoch)
 }
 
-/** The engine's canonical sink: set-oriented merge per micro-batch via
-  * `foreachBatch` (SURVEY.md §7.5.5). Each batch is reduced to its latest row
-  * per key (one shuffle, map-side combine) before a single store-wide merge —
-  * O(distinct keys in batch) store operations instead of O(rows).
-  *
-  * At 100 TB this merge would target a transactional table format (MERGE INTO
-  * semantics, partition-parallel); the batch-side reduction and the
-  * last-write-wins contract are unchanged.
-  */
-object KeyedUpsertBatch {
-  /** foreachBatch((df, id) => merge(...)) body for the in-memory test store.
-    * `orderCol` decides the winner within the batch (event-time LWW); across
-    * batches, later batch wins. The batch is REDUCED distributively first;
-    * only the per-key winners (O(distinct keys)) reach the driver-side map —
-    * the map stands in for an external keyed database's bulk-write API. */
-  def merge(storeName: String, keyCol: String, orderCol: String)(
-      batch: DataFrame, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions._
-    val reduced = graft.operators.Ingest
-      .latestPerKey(batch, keyCol, col(orderCol).cast("long"))
-    val store = KeyedStores.store(storeName)
-    reduced.collect().foreach { row =>
-      val key = row.get(row.fieldIndex(keyCol))
-      if (key != null) store.put(key.toString, row.toSeq)
-    }
-  }
-}
-
-/** Fully distributed keyed store: a compacted parquet table with
-  * last-write-wins semantics — the local stand-in for the reference's
-  * Cassandra table that never routes data through the driver.
+/** The engine's CANONICAL sink (SURVEY.md §7.5.5): set-oriented merge per
+  * micro-batch via `foreachBatch` into a fully distributed keyed store — a
+  * compacted parquet table with last-write-wins semantics, the local
+  * stand-in for the reference's Cassandra table that never routes data
+  * through the driver. This is the default `StreamPipeline.startBatchMerge`
+  * wires; the driver-side map store above survives only as the
+  * reference-fidelity [[KeyedUpsertForeachWriter]] adapter.
   *
   * Merge = read current state ∪ new batch → window-dedup per key → write new
   * generation directory → flip the `_CURRENT` pointer (atomic rename).
-  * Every step is a distributed DataFrame op; driver code only moves the
-  * pointer. Generations make readers immune to concurrent compaction. At
-  * 100 TB the same shape is a MERGE INTO on a transactional table format;
+  * Every step is a distributed DataFrame op — no `collect()` anywhere in
+  * the merge plan; driver code only moves the pointer. `orderCol` decides
+  * the winner within the unioned state (event-time LWW). Generations make
+  * readers immune to concurrent compaction. At 100 TB the same shape is a
+  * MERGE INTO on a transactional table format (partition-parallel write);
   * the LWW contract and the batch-side reduction are identical.
   */
 class ParquetKeyedStore(rootDir: String, keyCol: String, orderCol: String) {

@@ -30,24 +30,15 @@ object StreamPipeline {
       .foreach(new KeyedUpsertForeachWriter(storeName))
       .start()
 
-  /** Set-oriented canonical variant: foreachBatch merge (SURVEY.md §7.5.5). */
-  def startBatchMerge(envelope: DataFrame, storeName: String,
-                      checkpoint: String): StreamingQuery =
-    transform(envelope).writeStream
-      .queryName("KafkaToKeyedStoreBatch")
-      .outputMode("update")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch(KeyedUpsertBatch.merge(storeName, "fx_marker", "timestamp_ms") _)
-      .trigger(Trigger.AvailableNow())
-      .start()
-
-  /** Fully distributed variant: foreachBatch merging into a compacted
-    * parquet keyed table — no data through the driver (event-time LWW). */
-  def startParquetMerge(envelope: DataFrame, storeDir: String,
-                        checkpoint: String): StreamingQuery = {
+  /** Set-oriented CANONICAL variant (SURVEY.md §7.5.5): foreachBatch
+    * merging into the fully distributed compacted parquet keyed table —
+    * event-time LWW, no data through the driver. The row-wise map-store
+    * path above remains only as the reference-fidelity adapter. */
+  def startBatchMerge(envelope: DataFrame, storeDir: String,
+                      checkpoint: String): StreamingQuery = {
     val store = new ParquetKeyedStore(storeDir, "fx_marker", "timestamp_ms")
     transform(envelope).writeStream
-      .queryName("KafkaToParquetKeyedStore")
+      .queryName("KafkaToKeyedStoreBatch")
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .foreachBatch(store.merge _)

@@ -37,36 +37,38 @@ class StreamPipelineSpec extends SparkSpec {
     assert(state("EUR/CHF")(1) == "1530305100969")
   }
 
-  test("foreachBatch sink: set-oriented merge is event-time LWW within batch") {
-    val store = "t_batch"
-    KeyedStores.clear(store)
+  test("foreachBatch sink (default parquet store): event-time LWW within batch") {
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[String]
+    val storeDir = Files.createTempDirectory("pq_batch").toString
     val cp = Files.createTempDirectory("cp_batch").toString
+    val in = MemoryStream[String]
     in.addData(fixture: _*)
-    val q = StreamPipeline.startBatchMerge(in.toDF(), store, cp)
+    val q = StreamPipeline.startBatchMerge(in.toDF(), storeDir, cp)
     q.awaitTermination()
-    val state = KeyedStores.snapshot(store)
+    import spark.implicits._
+    val store = new graft.streaming.ParquetKeyedStore(storeDir, "fx_marker", "timestamp_ms")
+    val state = store.read(spark).get
+      .select($"fx_marker", $"timestamp_ms").as[(String, String)].collect().toMap
     assert(state.keySet == Set("EUR/GBP", "USD/CHF", "EUR/CHF"))
     // within-batch winner is by timestamp_ms, deterministically
-    assert(state("EUR/GBP")(1) == "1530305200000")
-    assert(state("USD/CHF")(1) == "1530305100815")
+    assert(state("EUR/GBP") == "1530305200000")
+    assert(state("USD/CHF") == "1530305100815")
   }
 
-  test("parquet keyed store: distributed LWW merge across micro-batches") {
+  test("default batch merge: distributed LWW across micro-batches, no driver collect") {
     implicit val sqlCtx = spark.sqlContext
     val storeDir = Files.createTempDirectory("pq_store").toString
     val cp = Files.createTempDirectory("cp_pq").toString
     val in = MemoryStream[String]
     in.addData(fixture: _*)
-    val q = StreamPipeline.startParquetMerge(in.toDF(), storeDir, cp)
+    val q = StreamPipeline.startBatchMerge(in.toDF(), storeDir, cp)
     q.awaitTermination()
     // second run, same store: EUR/CHF gets a newer tick, USD/CHF an older one
     val cp2 = Files.createTempDirectory("cp_pq2").toString
     val in2 = MemoryStream[String]
     in2.addData("""{"timestamp_ms": "1530306000000", "fx_marker": "EUR/CHF"}
                   |{"timestamp_ms": "1530300000001", "fx_marker": "USD/CHF"}""".stripMargin)
-    val q2 = StreamPipeline.startParquetMerge(in2.toDF(), storeDir, cp2)
+    val q2 = StreamPipeline.startBatchMerge(in2.toDF(), storeDir, cp2)
     q2.awaitTermination()
     import spark.implicits._
     val store = new graft.streaming.ParquetKeyedStore(storeDir, "fx_marker", "timestamp_ms")
