@@ -125,6 +125,7 @@ object SparkEntry {
     "media_cdc_dedup"      -> (Multimodal.cdcDedup _),
     "media_near_dup_cdc"   -> (Multimodal.mediaNearDupCdc _),
     "sim_ann_recall_pq"    -> (Similarity.annRecallPq _),
+    "sim_ann_recall_pq_refined" -> (Similarity.annRecallPqRefined _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -1075,6 +1076,131 @@ object SparkEntry {
         |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
         |FROM (SELECT query_id FROM truth GROUP BY 1) t
         |LEFT JOIN hits h ON t.query_id = h.query_id
+        |ORDER BY t.query_id""".stripMargin,
+
+    // PQ codebook TRAINING end-to-end: two unrolled Lloyd rounds (encode =
+    // the sim_topk_pq argmin CTE keyed by cidx; refine = per
+    // (entry, subspace, dim) 6dp mean with keep-previous fallback), then
+    // the seeded and refined serving chains side by side against the brute
+    // truth — Similarity.annRecallPqRefined with earlyStop = false
+    "sim_ann_recall_pq_refined" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |bscored AS (
+        |  SELECT query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum([qv[i]*v[i] for i in range(1,65)]) / (qn*nrm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id != query_id),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM bscored) WHERE rank <= 10),
+        |mm AS (SELECT unnest(range(0, 8)) AS m),
+        |dd AS (SELECT unnest(range(0, 64)) AS dim0),
+        |cb0 AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS cidx, v AS cv
+        |  FROM n WHERE vec_id % 8 = 0),
+        |codes0 AS (
+        |  SELECT vec_id, m, cidx, nrm FROM (
+        |    SELECT n.vec_id, mm.m, cb.cidx, n.nrm,
+        |      row_number() OVER (PARTITION BY n.vec_id, mm.m ORDER BY
+        |        round(list_sum([(n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cidx ASC) AS rn
+        |    FROM n CROSS JOIN cb0 cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |means1 AS (
+        |  SELECT c.cidx, dd.dim0, round(avg(n.v[dd.dim0 + 1]), 6) AS mv
+        |  FROM codes0 c JOIN n ON n.vec_id = c.vec_id JOIN dd ON dd.dim0 // 8 = c.m
+        |  GROUP BY c.cidx, dd.dim0),
+        |cb1 AS (
+        |  SELECT cb0.cidx, list(coalesce(m.mv, cb0.cv[dd.dim0 + 1]) ORDER BY dd.dim0) AS cv
+        |  FROM cb0 CROSS JOIN dd
+        |  LEFT JOIN means1 m ON m.cidx = cb0.cidx AND m.dim0 = dd.dim0
+        |  GROUP BY cb0.cidx),
+        |codes1 AS (
+        |  SELECT vec_id, m, cidx FROM (
+        |    SELECT n.vec_id, mm.m, cb.cidx,
+        |      row_number() OVER (PARTITION BY n.vec_id, mm.m ORDER BY
+        |        round(list_sum([(n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cidx ASC) AS rn
+        |    FROM n CROSS JOIN cb1 cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |means2 AS (
+        |  SELECT c.cidx, dd.dim0, round(avg(n.v[dd.dim0 + 1]), 6) AS mv
+        |  FROM codes1 c JOIN n ON n.vec_id = c.vec_id JOIN dd ON dd.dim0 // 8 = c.m
+        |  GROUP BY c.cidx, dd.dim0),
+        |cb2 AS (
+        |  SELECT cb1.cidx, list(coalesce(m.mv, cb1.cv[dd.dim0 + 1]) ORDER BY dd.dim0) AS cv
+        |  FROM cb1 CROSS JOIN dd
+        |  LEFT JOIN means2 m ON m.cidx = cb1.cidx AND m.dim0 = dd.dim0
+        |  GROUP BY cb1.cidx),
+        |codes2 AS (
+        |  SELECT vec_id, m, cidx, nrm FROM (
+        |    SELECT n.vec_id, mm.m, cb.cidx, n.nrm,
+        |      row_number() OVER (PARTITION BY n.vec_id, mm.m ORDER BY
+        |        round(list_sum([(n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cidx ASC) AS rn
+        |    FROM n CROSS JOIN cb2 cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |dt0 AS (
+        |  SELECT q.query_id, q.qn, mm.m, cb.cidx,
+        |    round(list_sum([q.qv[mm.m*8+i] * cb.cv[mm.m*8+i] for i in range(1, 9)]), 6) AS d
+        |  FROM q CROSS JOIN cb0 cb CROSS JOIN mm),
+        |dt2 AS (
+        |  SELECT q.query_id, q.qn, mm.m, cb.cidx,
+        |    round(list_sum([q.qv[mm.m*8+i] * cb.cv[mm.m*8+i] for i in range(1, 9)]), 6) AS d
+        |  FROM q CROSS JOIN cb2 cb CROSS JOIN mm),
+        |adc0 AS (
+        |  SELECT dt.query_id, c.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(c.nrm)), 6) AS adc_cosine
+        |  FROM codes0 c JOIN dt0 dt ON dt.m = c.m AND dt.cidx = c.cidx
+        |  WHERE c.vec_id != dt.query_id
+        |  GROUP BY dt.query_id, c.vec_id),
+        |adc2 AS (
+        |  SELECT dt.query_id, c.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(c.nrm)), 6) AS adc_cosine
+        |  FROM codes2 c JOIN dt2 dt ON dt.m = c.m AND dt.cidx = c.cidx
+        |  WHERE c.vec_id != dt.query_id
+        |  GROUP BY dt.query_id, c.vec_id),
+        |short0 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc0) WHERE rr <= 50),
+        |short2 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc2) WHERE rr <= 50),
+        |ex0 AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short0 s JOIN n qn ON qn.vec_id = s.query_id JOIN n nn ON nn.vec_id = s.neighbor_id),
+        |ex2 AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short2 s JOIN n qn ON qn.vec_id = s.query_id JOIN n nn ON nn.vec_id = s.neighbor_id),
+        |approx0 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM ex0) WHERE rank <= 10),
+        |approx2 AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM ex2) WHERE rank <= 10),
+        |hits0 AS (
+        |  SELECT t.query_id, count(*) AS n_hits FROM truth t
+        |  JOIN approx0 a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY 1),
+        |hits2 AS (
+        |  SELECT t.query_id, count(*) AS n_hits FROM truth t
+        |  JOIN approx2 a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT t.query_id,
+        |  coalesce(h0.n_hits, 0) AS hits_seeded,
+        |  round(coalesce(h0.n_hits, 0) / 10.0, 6) AS recall_seeded,
+        |  coalesce(h2.n_hits, 0) AS hits_refined,
+        |  round(coalesce(h2.n_hits, 0) / 10.0, 6) AS recall_refined
+        |FROM (SELECT query_id FROM truth GROUP BY 1) t
+        |LEFT JOIN hits0 h0 ON t.query_id = h0.query_id
+        |LEFT JOIN hits2 h2 ON t.query_id = h2.query_id
         |ORDER BY t.query_id""".stripMargin,
 
     // content-defined chunking: chunk END positions are every i in [8, n-1]

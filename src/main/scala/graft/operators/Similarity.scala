@@ -329,6 +329,43 @@ object Similarity {
   def annRecallPq(spark: SparkSession, dir: String): DataFrame =
     annRecallOf(topkBruteForce(spark, dir), topkIvfPq(spark, dir))
 
+  /** Lloyd rounds the oracled refined-recall harness runs: FIXED 2 rounds,
+    * no convergence early-exit, so the DuckDB twin can unroll the identical
+    * training closed-form. Production [[topkPqRefined]] keeps the adaptive
+    * [[KmeansEps]] stop over [[PqRefineIters]] rounds. */
+  val PqRefineOracleIters = 2
+
+  /** recall@[[TopK]] of the SEEDED ([[topkPq]]) and k-means-REFINED
+    * ([[pqRefineCodebook]]) PQ serving legs against the exact ground truth,
+    * side by side per query — the oracled pin of the codebook-training
+    * claim: the refinement chain (encode → per-(entry, subspace, dim) mean
+    * → re-encode) runs end-to-end in BOTH engines, so the trained codebook
+    * itself is hash-checked, not just spec-floored. Fixed
+    * [[PqRefineOracleIters]] Lloyd rounds (see there); the ≥-seeded
+    * improvement floor above the stride knee stays pinned in `DedupSpec`
+    * at the sparse probe point, where refinement has room to move.
+    *
+    * Scale shape: the three legs keep their own bounded plans (brute truth
+    * is the deliberate ground-truth scan, the two PQ legs are broadcast-
+    * table ADC scans); refinement adds [[PqRefineOracleIters]] posexploded
+    * partial aggregations bounded by 256×64 doubles of partials per map
+    * task; the comparison itself is workload-sized ([[annRecallOf]] ×2). */
+  def annRecallPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val q = strideQueries(c)
+    val cb0 = pqCodebook(c, pqStride(Tables.embeddings(spark, dir).count()))
+    val (cb1, _) = pqRefineCodebook(c, cb0, PqRefineOracleIters, earlyStop = false)
+    val truth = topkBruteForce(spark, dir)
+    val seeded = annRecallOf(truth, pqRerank(c, q, pqAdcScanFor(c, q, cb0)))
+      .select($"query_id", $"n_hits".as("hits_seeded"),
+        $"recall".as("recall_seeded"))
+    val refined = annRecallOf(truth, pqRerank(c, q, pqAdcScanFor(c, q, cb1)))
+      .select($"query_id", $"n_hits".as("hits_refined"),
+        $"recall".as("recall_refined"))
+    seeded.join(refined, "query_id").orderBy($"query_id")
+  }
+
   /** The shared recall comparison: per query, |approx ∩ truth| / k over
     * two ≤ k-per-query lists — every post-leg operator is workload-sized. */
   private def annRecallOf(truthLeg: DataFrame, approxLeg: DataFrame): DataFrame = {
@@ -796,12 +833,16 @@ object Similarity {
     * shape, per-round mean quantization error — non-increasing on a
     * well-posed run, `DedupSpec` asserts it).
     *
-    * NOT wired into the oracled queries: the DuckDB twins pin the strided
-    * seed codebook (below the fixture knee the seeds ARE the shipped
-    * behavior); this is the production surface above it, recall-pinned by
-    * `DedupSpec` at the sparse probe point. */
+    * Oracle surface: [[annRecallPqRefined]] pins this training END-TO-END
+    * at fixed [[PqRefineOracleIters]] rounds (`earlyStop = false` — the
+    * DuckDB twin unrolls exactly that many Lloyd rounds; an adaptive stop
+    * would need the convergence test replicated per unrolled round). The
+    * serving queries' twins still pin the strided seed codebook (below the
+    * fixture knee the seeds are the shipped behavior); the convergence-
+    * driven production run above the knee is recall-pinned by `DedupSpec`
+    * at the sparse probe point. */
   private[graft] def pqRefineCodebook(c: DataFrame, cb0: DataFrame,
-      iters: Int = PqRefineIters): (DataFrame, List[Double]) = {
+      iters: Int = PqRefineIters, earlyStop: Boolean = true): (DataFrame, List[Double]) = {
     val spark = c.sparkSession
     import spark.implicits._
     // (cidx, cid, flat cv) — mutated per round, re-entered as literals
@@ -811,7 +852,7 @@ object Similarity {
     var errs = List.empty[Double]
     var iter = 0
     var converged = false
-    while (!converged && iter < iters) {
+    while (!(earlyStop && converged) && iter < iters) {
       val cbDf = spark.createDataFrame(entries.toSeq)
         .toDF("cidx", "cid", "cv")
       val enc = pqEncode(c, cbDf, carry = Seq("v"))

@@ -242,6 +242,18 @@ class DedupSpec extends SparkSpec {
     assert(rRefined >= rSeed + 0.05, s"refined $rRefined vs strided $rSeed")
   }
 
+  test("oracled refined-recall harness: refined holds or beats seeded on the fixture") {
+    // the ORACLED surface of the refinement claim (fixed 2 Lloyd rounds,
+    // hash-compared against DuckDB by the driver) must itself show
+    // refined >= seeded in the mean — the sparse-probe test above pins the
+    // strict improvement where the stride leaves its floor
+    val rows = Similarity.annRecallPqRefined(spark, dir)
+      .select($"recall_seeded", $"recall_refined").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val (ms, mr) = (rows.map(_._1).sum / rows.length, rows.map(_._2).sum / rows.length)
+    assert(mr >= ms, s"refined mean $mr below seeded mean $ms")
+  }
+
   test("nearest-centroid kernel equals the max_by join twin on every vector") {
     val c = Similarity.corpus(spark, dir)
     val cents = Similarity.centroids(c, Similarity.NCentroids.toLong)
