@@ -242,6 +242,58 @@ class DedupSpec extends SparkSpec {
     assert(rRefined >= rSeed + 0.05, s"refined $rRefined vs strided $rSeed")
   }
 
+  test("lloyd-refined IVF cells: recall-per-probe beats strided seeds past the knee") {
+    // the sparse probe point (the ScaleFixture generator arithmetic —
+    // SPARK_GRAFT_IVF_REFINE_N overrides for the SCALING.md 40k row);
+    // strided seeds are the oracled behavior below the ivfCellStride knee,
+    // Lloyd-trained cells the production surface above it — the IVF mirror
+    // of the PQ-codebook refinement test above
+    val nVecs = sys.env.get("SPARK_GRAFT_IVF_REFINE_N").map(_.toLong).getOrElse(20000L)
+    import graft.functions.HashKernels.h60
+    // CLUSTERED fixture (unlike the iid one the PQ test uses): vectors sit
+    // around 150 planted centers with ±0.3 noise — the structure real
+    // embedding corpora have and a trained coarse quantizer exists to find.
+    // On structureless iid vectors Lloyd has nothing to learn and measured
+    // recall-per-probe does NOT improve (−0.027 at this probe point) — the
+    // honest boundary of the claim, stated here rather than hidden.
+    val nClusters = 150
+    val c = graft.sources.Caches.shared(spark.range(nVecs).as[Long].map { i =>
+        val cl = (h60(s"cl|$i") % nClusters).toInt
+        val v = Array.tabulate(Similarity.Dims) { d =>
+          val center = ((h60(s"ctr|$cl|$d") % 2001L) - 1000L).toDouble / 1000.0
+          val noise = ((h60(s"nz|$i|$d") % 601L) - 300L).toDouble / 1000.0
+          center + noise
+        }
+        (i, v.toSeq, math.sqrt(v.map(x => x * x).sum))
+      }.toDF("vec_id", "v", "nrm"))
+    val q = Similarity.strideQueries(c)
+    val seeds = Similarity.centroids(c, Similarity.ivfCellStride(nVecs))
+    val (cents, _, rounds) = Similarity.kmeansRounds(c, seeds, Similarity.KmeansEps, 4)
+    // training genuinely moves and settles: assignment inertia never rises
+    assert(rounds.nonEmpty)
+    assert(rounds.map(_._2).sliding(2).forall {
+      case Seq(a, b) => b <= a + 1e-6; case _ => true }, rounds.toString)
+    val truth = Similarity.topkBruteForceFor(c, q)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(cc: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.topkIvfFor(c, cc, q, Similarity.NProbe)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = truth.map { case (k, ts) => (ts & got.getOrElse(k, Set())).size.toDouble / ts.size }
+      rs.sum / rs.size
+    }
+    val rSeed = recallOf(seeds)
+    val rRefined = recallOf(cents)
+    System.err.println(f"[graft] ivf refine @${nVecs}: ${rounds.size} rounds, " +
+      f"recall@10/nprobe=${Similarity.NProbe} seed $rSeed%.4f -> refined $rRefined%.4f")
+    // deterministic fixture + deterministic training ⇒ pin the measured
+    // improvement at the default 20k point (measured in SCALING.md)
+    if (nVecs == 20000L) assert(rRefined >= rSeed + 0.03,
+      s"refined $rRefined vs strided $rSeed")
+    else assert(rRefined >= rSeed - 1e-9, s"refined $rRefined vs strided $rSeed")
+  }
+
   test("oracled refined-recall harness: refined holds or beats seeded on the fixture") {
     // the ORACLED surface of the refinement claim (fixed 2 Lloyd rounds,
     // hash-compared against DuckDB by the driver) must itself show
