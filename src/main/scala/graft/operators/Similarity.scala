@@ -56,6 +56,37 @@ object Similarity {
       .withColumn("nrm", norm($"v"))
   }
 
+  /** Memoized embeddings row count — every index-build leg sizes its
+    * stride from n, and a serving composition ([[hybridRrfAnn]]: probe
+    * selection + distance tables + encode cache) used to re-run the count
+    * job per leg per invocation. One metadata job per (session, dir). */
+  private[graft] def nVecs(spark: SparkSession, dir: String): Long =
+    graft.sources.Caches.memoizedCount(spark, s"sim-nvecs|$dir")(
+      Tables.embeddings(spark, dir).count())
+
+  /** The stride-seeded IVF assignment table, memoized per (session, dir):
+    * [[assignedCells]] eagerly collects the centroid literal (a corpus
+    * scan), so even with the materialization itself deduped by
+    * `Caches.shared`'s plan equality, every caller used to pay the collect
+    * job again. Returning the SAME handle makes the whole build — collect,
+    * kernel plan, persist — once-per-session, which is the serving posture
+    * ("cluster once, reuse everywhere") the scaladocs promise. Only for
+    * the STRIDE seed set; trained cell sets ([[topkIvfRefined]]) build
+    * their own assignment. */
+  private[graft] def strideAssigned(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"sim-ivf-assigned|$dir") {
+      val c = corpus(spark, dir)
+      graft.sources.Caches.shared(
+        assignedCells(c, centroids(c, ivfCellStride(nVecs(spark, dir)))))
+    }
+
+  /** The strided PQ codebook, memoized per (session, dir) — [[pqCodebook]]
+    * is an eager bounded collect (≤ 256 entries); serving re-collected it
+    * per invocation. */
+  private[graft] def stridePqCodebook(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"sim-pq-codebook|$dir")(
+      pqCodebook(corpus(spark, dir), pqStride(nVecs(spark, dir))))
+
   /** The stride-100 query workload every batch `sim_*` operator shares —
     * (query_id, qv, qn). External workloads (an arriving micro-batch) build
     * the same shape and flow through the same `...For` code paths. */
@@ -159,10 +190,10 @@ object Similarity {
       dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
-    val cents = centroids(c, ivfCellStride(Tables.embeddings(spark, dir).count()))
+    val cents = centroids(c, ivfCellStride(nVecs(spark, dir)))
     val labels = Tables.spread(Tables.embeddings(spark, dir))
       .select($"vec_id", $"label")
-    val labeled = graft.sources.Caches.shared(assignedCells(c, cents))
+    val labeled = strideAssigned(spark, dir)
       .join(labels, "vec_id")
     val anchors = labeled.filter($"vec_id" % QueryStride === 0)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
@@ -262,9 +293,7 @@ object Similarity {
     * query results. */
   def clusterAssign(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
-    val c = corpus(spark, dir)
-    graft.sources.Caches.shared(assignedCells(c, centroids(c, stride)))
+    strideAssigned(spark, dir)
       .select($"vec_id", $"cent_id".as("cell_id"), $"csim")
       .orderBy($"vec_id")
   }
@@ -279,8 +308,9 @@ object Similarity {
   private[graft] def topkIvfWith(spark: SparkSession, dir: String,
       nprobe: Int): DataFrame = {
     val c = corpus(spark, dir)
-    val cents = centroids(c, ivfCellStride(Tables.embeddings(spark, dir).count()))
-    topkIvfFor(c, cents, strideQueries(c), nprobe)
+    val cents = centroids(c, ivfCellStride(nVecs(spark, dir)))
+    topkIvfFor(c, cents, strideQueries(c), nprobe,
+      Some(strideAssigned(spark, dir)))
   }
 
   /** [[topkIvf]] over Lloyd-REFINED cells: the IVF centroid set trained by
@@ -302,7 +332,7 @@ object Similarity {
   def topkIvfRefined(spark: SparkSession, dir: String,
       nprobe: Int = NProbe, iters: Int = KmeansMaxIters): DataFrame = {
     val c = corpus(spark, dir)
-    val seeds = centroids(c, ivfCellStride(Tables.embeddings(spark, dir).count()))
+    val seeds = centroids(c, ivfCellStride(nVecs(spark, dir)))
     val (cents, _, _) = kmeansRounds(c, seeds, KmeansEps, iters)
     topkIvfFor(c, cents, strideQueries(c), nprobe)
   }
@@ -311,10 +341,14 @@ object Similarity {
     * and (query_id, qv, qn) workload — shared by the strided-seed surface
     * ([[topkIvfWith]]) and the Lloyd-refined one ([[topkIvfRefined]]). */
   private[graft] def topkIvfFor(c: DataFrame, cents: DataFrame,
-      q: DataFrame, nprobe: Int): DataFrame = {
+      q: DataFrame, nprobe: Int,
+      prebuiltAssigned: Option[DataFrame] = None): DataFrame = {
     import c.sparkSession.implicits._
-    // shared-cached: semanticDedup assigns over the identical plan
-    val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
+    // shared-cached: semanticDedup assigns over the identical plan; the
+    // stride callers pass the memoized [[strideAssigned]] handle so the
+    // centroid-literal collect doesn't re-run per invocation
+    val assigned = prebuiltAssigned.getOrElse(
+      graft.sources.Caches.shared(assignedCells(c, cents)))
     // queries probe their nprobe nearest cells
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"csim".desc, $"cent_id".asc)
@@ -384,7 +418,7 @@ object Similarity {
     import spark.implicits._
     val c = corpus(spark, dir)
     val q = strideQueries(c)
-    val cb0 = pqCodebook(c, pqStride(Tables.embeddings(spark, dir).count()))
+    val cb0 = stridePqCodebook(spark, dir)
     val (cb1, _) = pqRefineCodebook(c, cb0, PqRefineOracleIters, earlyStop = false)
     val truth = topkBruteForce(spark, dir)
     val seeded = annRecallOf(truth, pqRerank(c, q, pqAdcScanFor(c, q, cb0)))
@@ -449,10 +483,7 @@ object Similarity {
       forceCellCap: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val cap = forceCellCap.getOrElse(SemCellCap)
-    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
-    val c = corpus(spark, dir)
-    val assigned = graft.sources.Caches.shared(
-      assignedCells(c, centroids(c, stride)))
+    val assigned = strideAssigned(spark, dir)
     val sizes = assigned.groupBy($"cent_id").agg(count(lit(1)).as("cell_n"))
     // block key hashes the id (Murmur3) rather than vec_id mod g: cell
     // membership is cosine-determined, so raw ids alias badly mod small g;
@@ -524,7 +555,7 @@ object Similarity {
   def semanticStatics(spark: SparkSession, dir: String)
       : (Seq[(Long, Seq[Double], Double)], DataFrame) = {
     import spark.implicits._
-    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
+    val stride = ivfCellStride(nVecs(spark, dir))
     val c = corpus(spark, dir)
     val cents = centroids(c, stride)
       .select($"cent_id", $"cv", $"cn")
@@ -572,11 +603,12 @@ object Similarity {
     * its position and `selected` flag. */
   def balancedSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = Tables.embeddings(spark, dir).count()
+    val n = nVecs(spark, dir)
     val c = corpus(spark, dir)
     val cents = centroids(c, ivfCellStride(n))
-    val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
-    val nCells = cents.count()
+    val assigned = strideAssigned(spark, dir)
+    val nCells = graft.sources.Caches.memoizedCount(spark,
+      s"sim-ncells|$dir")(cents.count())
     val quota = (n / BalancedSampleDen + nCells - 1) / nCells
     val w = Window.partitionBy($"cent_id")
       .orderBy($"h".asc, $"vec_id".asc)
@@ -656,7 +688,7 @@ object Similarity {
     * as in textbook Lloyd. */
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stride = ivfCellStride(Tables.embeddings(spark, dir).count())
+    val stride = ivfCellStride(nVecs(spark, dir))
     val c = graft.sources.Caches.shared(corpus(spark, dir))
     kmeansLoop(c, centroids(c, stride), KmeansEps, KmeansMaxIters)._1
   }
@@ -801,8 +833,7 @@ object Similarity {
     * [[ivfPqAdcScan]] is the cell-bounded comparison). */
   private[graft] def pqAdcScan(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    pqAdcScanFor(c, strideQueries(c),
-      pqCodebook(c, pqStride(Tables.embeddings(spark, dir).count())))
+    pqAdcScanFor(c, strideQueries(c), stridePqCodebook(spark, dir))
   }
 
   /** The full-corpus ADC scan for an arbitrary (corpus, query workload,
@@ -936,8 +967,7 @@ object Similarity {
     * pins its recall against the strided-seed baseline instead. */
   def topkPqRefined(spark: SparkSession, dir: String): DataFrame = {
     val c = corpus(spark, dir)
-    val (cb, _) = pqRefineCodebook(c,
-      pqCodebook(c, pqStride(Tables.embeddings(spark, dir).count())))
+    val (cb, _) = pqRefineCodebook(c, stridePqCodebook(spark, dir))
     val q = strideQueries(c)
     pqRerank(c, q, pqAdcScanFor(c, q, cb))
   }
@@ -1038,15 +1068,20 @@ object Similarity {
     * approximations compound; recall vs brute force is pinned in
     * `DedupSpec`. Cell stride and codebook stride both derive from corpus
     * size above their fixture floors ([[ivfCellStride]], [[pqStride]]). */
-  def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
-    topkIvfPqFor(spark, dir, strideQueries(corpus(spark, dir)))
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val q = strideQueries(corpus(spark, dir))
+    pqRerank(corpus(spark, dir), q,
+      ivfPqAdcScan(spark, dir, q, qKey = Some("stride")))
+  }
 
   /** IVFADC for an EXTERNAL (query_id, qv, qn) workload — the serving
     * entry point [[hybridRrfFor]]'s dense leg runs per micro-batch. Every
     * per-query stage (probe selection, distance table, ADC scan, rerank)
     * is independent across queries, so a corpus-id query returns
     * bit-identical rows to the batch operator's stride workload
-    * (`StatefulSpec` pins the parity). */
+    * (`StatefulSpec` pins the parity). External workloads differ per
+    * micro-batch, so their distance tables are (correctly) not memoized —
+    * only the static index legs are. */
   def topkIvfPqFor(spark: SparkSession, dir: String,
       q: DataFrame): DataFrame =
     pqRerank(corpus(spark, dir), q, ivfPqAdcScan(spark, dir, q))
@@ -1054,32 +1089,38 @@ object Similarity {
   /** The cell-bounded ADC scan for the batch stride workload —
     * [[graft.ScaleProbe]]'s comparison row against [[pqAdcScan]]. */
   private[graft] def ivfPqAdcScan(spark: SparkSession, dir: String): DataFrame =
-    ivfPqAdcScan(spark, dir, strideQueries(corpus(spark, dir)))
+    ivfPqAdcScan(spark, dir, strideQueries(corpus(spark, dir)),
+      qKey = Some("stride"))
 
   /** The cell-bounded ADC scan — (query, vector) approximate cosines over
     * probed cells only; its row count vs [[pqAdcScan]]'s measures what the
-    * IVF stage saves ([[graft.ScaleProbe]]). */
+    * IVF stage saves ([[graft.ScaleProbe]]). `qKey` names a STABLE query
+    * workload (the stride set) whose distance-table aggregate may be
+    * memoized+persisted across invocations; external micro-batches pass
+    * None and pay only their own workload-sized table build. */
   private[graft] def ivfPqAdcScan(spark: SparkSession, dir: String,
-      q: DataFrame): DataFrame = {
+      q: DataFrame, qKey: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val n = Tables.embeddings(spark, dir).count()
     val c = corpus(spark, dir)
-    val cents = centroids(c, ivfCellStride(n))
-    val assigned = graft.sources.Caches.shared(assignedCells(c, cents))
-    val cb = pqCodebook(c, pqStride(n))
+    val cents = centroids(c, ivfCellStride(nVecs(spark, dir)))
+    val cb = stridePqCodebook(spark, dir)
     // inverted lists in PQ layout: cell id → (vec_id, codes, nrm), encoded
     // straight FROM the assignment frame — cent_id rides the encode groupBy
     // (each vector has exactly one cell), so there is no n×n join of codes
-    // back to assignments. Shared-cached: the encoded index is built ONCE
-    // per session and every serving micro-batch ([[topkIvfPqFor]] via
-    // [[serveRetrievalStream]]) probes the same materialization — encoding
-    // the corpus per request would be the serving scale-killer (the flat
-    // codebook literal is a deterministic collect, so the plans are EQUAL
-    // across calls and the CacheManager dedups them)
-    val lists = graft.sources.Caches.shared(
-      pqEncode(assigned, cb, carry = Seq("cent_id")))
+    // back to assignments. Memoized+shared-cached: the encoded index is
+    // built ONCE per session — count, centroid collect, codebook collect
+    // and encode plan all reuse one handle — and every serving micro-batch
+    // ([[topkIvfPqFor]] via [[serveRetrievalStream]]) probes the same
+    // materialization; encoding the corpus per request would be the
+    // serving scale-killer
+    val lists = graft.sources.Caches.memoized(spark, s"sim-ivfpq-lists|$dir")(
+      graft.sources.Caches.shared(
+        pqEncode(strideAssigned(spark, dir), cb, carry = Seq("cent_id"))))
     // queries probe their NProbe nearest cells (the topkIvf probe shape),
     // each probe row carrying the query's broadcast-ready distance table
+    val qt = qKey.fold(pqQueryTables(q, cb))(k =>
+      graft.sources.Caches.memoized(spark, s"sim-pq-qt|$dir|$k")(
+        graft.sources.Caches.shared(pqQueryTables(q, cb))))
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"csim".desc, $"cent_id".asc)
     val probes = q.join(broadcast(cents), lit(true))
@@ -1088,7 +1129,7 @@ object Similarity {
       .withColumn("prn", row_number().over(wProbe))
       .filter($"prn" <= NProbe)
       .select($"query_id", $"cent_id")
-      .join(broadcast(pqQueryTables(q, cb)), "query_id")
+      .join(broadcast(qt), "query_id")
     // ADC scan over probed cells only: equi-join on the cell id, inline
     // 8-lookup approximate cosine per listed vector
     lists.join(broadcast(probes), "cent_id")
@@ -1406,7 +1447,7 @@ object Similarity {
       forceBandBits: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val bandBits = forceBandBits.getOrElse(
-      lshBandBits(Tables.embeddings(spark, dir).count()))
+      lshBandBits(nVecs(spark, dir)))
     val c = graft.sources.Caches.shared(
       corpus(spark, dir).withColumn("keys", bandKeysCol(bandBits)))
     val left = c.select($"vec_id", explode(array((0 until LshBands).map(b =>
@@ -1435,7 +1476,7 @@ object Similarity {
       forceBandBits: Option[Int]): DataFrame = {
     import spark.implicits._
     val bandBits = forceBandBits.getOrElse(
-      lshBandBits(Tables.embeddings(spark, dir).count()))
+      lshBandBits(nVecs(spark, dir)))
     val c = graft.sources.Caches.shared(
       corpus(spark, dir).withColumn("keys", bandKeysCol(bandBits)))
     val cand = embeddingCandidates(spark, dir, forceBandBits)

@@ -29,6 +29,8 @@ object Caches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val counts =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
 
   /** Memoize a RESULT handle by (session, key) — for deterministic
     * pipelines whose plan `shared`'s plan-equality can never match across
@@ -42,6 +44,20 @@ object Caches {
   def memoized(spark: org.apache.spark.sql.SparkSession, key: String)
       (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, key), build)
+
+  /** Memoize a SCALAR by (session, key) — for the eager per-invocation
+    * driver actions an index build runs before any plan exists (a corpus
+    * row count sizing a stride, a collected seed table's cardinality).
+    * Same contract as [[memoized]]: only for values that are pure
+    * functions of the key within a session; dropped by `releaseAll`. */
+  def memoizedCount(spark: org.apache.spark.sql.SparkSession, key: String)
+      (build: => Long): Long =
+    counts.getOrElseUpdate((spark, key), build)
+
+  /** Number of memoized handles+scalars — with [[trackedCount]], the
+    * "did this query build shared state?" signal `Bench`'s cache_build
+    * accounting reads around each cold run. */
+  def memoCount: Int = memo.size + counts.size
 
   /** Persist `df` unless an equal plan is already cached; track the handle. */
   def shared(df: DataFrame): DataFrame = synchronized {
@@ -65,5 +81,6 @@ object Caches {
     }
     tracked.clear()
     memo.clear()
+    counts.clear()
   }
 }
