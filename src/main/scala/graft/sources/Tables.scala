@@ -33,15 +33,38 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long (legacy conf) and truncate to a microsecond
-    * TimestampType — Spark's native precision. Sub-µs digits are dropped
-    * (floor), matching DuckDB comparisons at any realistic granularity. */
+  /** Schema-adaptive `events` loader. The fixture generator has stamped
+    * `events.ts` as parquet TIMESTAMP(NANOS) in some generations and
+    * TIMESTAMP(MICROS) (no UTC adjustment → TIMESTAMP_NTZ on read) in others,
+    * so the loader branches on what the footer actually declares:
+    *
+    *   - plain read succeeds, `ts: TIMESTAMP_NTZ` → cast to session-TZ
+    *     TimestampType (session TZ is pinned to UTC by every entrypoint, so
+    *     the instant is unchanged and matches DuckDB's naive read);
+    *   - plain read succeeds, `ts: TIMESTAMP` → pass through;
+    *   - plain read rejects the footer (Spark's vectorized reader refuses
+    *     TIMESTAMP(NANOS)) → re-read with the `nanosAsLong` legacy conf and
+    *     floor-truncate nanos to Spark's native microsecond TimestampType.
+    *
+    * The side-effectful legacy conf is only touched on the NANOS fallback
+    * path, never for current fixtures. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val df =
+      try table(spark, dir, "events")
+      catch {
+        case e: Exception
+            if Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+              .exists(t => Option(t.getMessage).exists(_.contains("NANOS"))) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(spark, dir, "events")
+      }
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
