@@ -280,5 +280,19 @@ object Bench {
     // stop) — is what the tail actually reads. Identical content: the
     // contract reports the COLD numbers either way.
     if (ranSteady) println(benchLine(results, errors, total, sfDir))
+    // REFUSE to close quietly on a broken query set: round 10 shipped with
+    // 9 dead queries whose only trace was nulls in the side file. The
+    // contract line above is already printed (numbers are never lost);
+    // this banner is the loud round-close signal the snapshot must not
+    // ignore. SPARK_GRAFT_STRICT_EXIT=1 additionally turns it into a
+    // nonzero exit for CI-style gating.
+    if (errors.nonEmpty) {
+      val names = errors.keys.mkString(", ")
+      System.err.println("!" * 72)
+      System.err.println(s"[bench] REFUSING CLEAN CLOSE: ${errors.size} queries FAILED: $names")
+      System.err.println("[bench] a shrinking query set is a fixture/loader drift alarm, not noise")
+      System.err.println("!" * 72)
+      if (sys.env.get("SPARK_GRAFT_STRICT_EXIT").contains("1")) sys.exit(1)
+    }
   }
 }

@@ -20,10 +20,12 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val checked = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     checked.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // each query's intermediate caches are dropped before the next runs:
@@ -47,5 +49,38 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Loud round-close drift alarm (round 10 shipped 9 dead queries whose
+    // only trace was a silently smaller CORRECTNESS key-set): scream when
+    // any query failed, and when a query that was green in the NEWEST
+    // committed CORRECTNESS_r*.json produced no result this run. All
+    // outputs are already written above, so the banner costs nothing.
+    // SPARK_GRAFT_STRICT_EXIT=1 turns the banner into a nonzero exit.
+    if (only.isEmpty) {
+      val prevGreen: Set[String] =
+        try {
+          val files = new java.io.File(".").listFiles()
+            .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
+          if (files == null || files.isEmpty) Set.empty
+          else {
+            val latest = files.maxBy(_.getName)
+            // top-level keys of the driver's per-query result map
+            "\"(\\w+)\"\\s*:\\s*\\{".r
+              .findAllMatchIn(Files.readString(latest.toPath))
+              .map(_.group(1)).toSet
+          }
+        } catch { case _: Throwable => Set.empty }
+      val vanished = (prevGreen -- SparkEntry.queries.keySet) ++
+        (prevGreen & failed.keySet.toSet)
+      if (failed.nonEmpty || vanished.nonEmpty) {
+        System.err.println("!" * 72)
+        if (failed.nonEmpty) System.err.println(
+          s"[verify] REFUSING CLEAN CLOSE: ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
+        if (vanished.nonEmpty) System.err.println(
+          s"[verify] key-set SHRANK vs last round's CORRECTNESS file: ${vanished.mkString(", ")}")
+        System.err.println("[verify] fixture/loader drift — fix before snapshotting the round")
+        System.err.println("!" * 72)
+        if (sys.env.get("SPARK_GRAFT_STRICT_EXIT").contains("1")) sys.exit(2)
+      }
+    }
   }
 }

@@ -203,9 +203,21 @@ object Multimodal {
     * (`MultimodalSpec` proves the shifted-payload case both ways). Same
     * counting formulation, same packed-min owner reduction, same linear
     * scale shape as [[frameDedup]] — only the chunker changed. */
+  /** The corpus chunk table, memoized per (session, dir) and pinned via
+    * `Caches.shared`: the native gear-hash boundary scan is the expensive
+    * leg, and [[cdcDedup]] consumes the table TWICE per invocation (owner
+    * reduction + join back) while [[cdcCorpusHashes]] re-derives the same
+    * chunks for the stream twin's static side. One scan per session serves
+    * all of them; the pinned table is chunk-count-sized (linear in corpus
+    * bytes / mean chunk size, spillable) and dropped by `releaseAll`. */
+  private[graft] def cdcCorpusChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"media-cdc-chunks|$dir")(
+      graft.sources.Caches.shared(
+        cdcChunks(Tables.spread(Tables.documents(spark, dir)))))
+
   def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val chunks = cdcChunks(Tables.spread(Tables.documents(spark, dir)))
+    val chunks = cdcCorpusChunks(spark, dir)
     val owners = chunks
       .groupBy($"ch").agg(min(occKey($"doc_id", $"chunk_idx")).as("own_key"))
     chunks.join(owners, "ch")
@@ -222,7 +234,7 @@ object Multimodal {
     * [[cdcDedupStream]]. */
   def cdcCorpusHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    cdcChunks(Tables.documents(spark, dir)).select($"ch").distinct()
+    cdcCorpusChunks(spark, dir).select($"ch").distinct()
   }
 
   /** Streaming twin of [[cdcDedup]] — ingest-time storage dedup with the

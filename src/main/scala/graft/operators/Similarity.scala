@@ -97,13 +97,22 @@ object Similarity {
   }
 
   /** Exact brute-force cosine top-k: every ~100th vector queries the whole
-    * corpus. Output (query_id, neighbor_id, rank, cosine·1e-6-rounded). */
-  def topkBruteForce(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val c = corpus(spark, dir)
-    topkBruteForceFor(c, strideQueries(c))
-      .orderBy($"query_id", $"rank")
-  }
+    * corpus. Output (query_id, neighbor_id, rank, cosine·1e-6-rounded).
+    *
+    * Memoized per (session, dir): this deliberately-exhaustive scan is the
+    * shared ground truth for THREE recall harnesses ([[annRecall]],
+    * [[annRecallPq]], [[annRecallPqRefined]]) plus its own `sim_topk_brute`
+    * query — without the memo one bench session runs the full corpus×queries
+    * scan four times. The result is workload-sized (n_queries × [[TopK]]
+    * rows), so pinning it via `Caches.shared` is bounded. */
+  def topkBruteForce(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"sim-truth-topk|$dir") {
+      import spark.implicits._
+      val c = corpus(spark, dir)
+      graft.sources.Caches.shared(
+        topkBruteForceFor(c, strideQueries(c))
+          .orderBy($"query_id", $"rank"))
+    }
 
   /** The dense leg for an EXTERNAL query workload — `queries` is
     * (query_id, qv, qn); the retrieval-serving surface ([[hybridRrfFor]]
@@ -1068,11 +1077,20 @@ object Similarity {
     * approximations compound; recall vs brute force is pinned in
     * `DedupSpec`. Cell stride and codebook stride both derive from corpus
     * size above their fixture floors ([[ivfCellStride]], [[pqStride]]). */
-  def topkIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val q = strideQueries(corpus(spark, dir))
-    pqRerank(corpus(spark, dir), q,
-      ivfPqAdcScan(spark, dir, q, qKey = Some("stride")))
-  }
+  def topkIvfPq(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"sim-ivfpq-topk|$dir") {
+      // memoized like [[topkBruteForce]]: the stride-workload IVFADC list is
+      // the dense leg of BOTH `sim_topk_ivfpq` and the serving-default
+      // [[hybridRrfAnn]] — without the memo the fused query re-pays probe
+      // selection + rerank per invocation while its brute twin reads the
+      // cached truth leg, which is exactly the steady-state gap the bench
+      // showed. Result is workload-sized (n_queries × [[TopK]] rows);
+      // external micro-batches still flow uncached through [[topkIvfPqFor]].
+      val q = strideQueries(corpus(spark, dir))
+      graft.sources.Caches.shared(
+        pqRerank(corpus(spark, dir), q,
+          ivfPqAdcScan(spark, dir, q, qKey = Some("stride"))))
+    }
 
   /** IVFADC for an EXTERNAL (query_id, qv, qn) workload — the serving
     * entry point [[hybridRrfFor]]'s dense leg runs per micro-batch. Every

@@ -15,6 +15,20 @@ class ContractSpec extends SparkSpec {
     assert(q.diff(o).isEmpty, s"non-oracled queries: ${q.diff(o)}")
   }
 
+  test("every query ANALYZES on sf0.001 — fixture drift fails here by name") {
+    // cheap analysis-only sweep (no execution): a regenerated fixture whose
+    // schema no longer matches a loader (round 10: events.ts nanos→micros)
+    // must fail THIS test with every broken query named, not surface as
+    // silently missing CORRECTNESS keys at round close
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf("sf0.001")).schema; None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}") }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries no longer analyze on the current fixtures:\n" +
+        failures.mkString("\n"))
+  }
+
   test("every query runs on sf0.001 and returns rows with non-empty schema") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
