@@ -58,6 +58,24 @@ object ScaleFixture {
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // events at the driver fixture's DENSITY (sf0.01: 10k events / 150
+    // users / 30 days) but nDocs events: users scale with N so the
+    // per-user event rate — and with it the watermark-horizon reorder
+    // buffer ScaleProbe's funnel_state measures — should stay ~constant.
+    // That constancy IS the linear-state claim for the streaming funnel.
+    val nUsers = math.max(10L, nDocs * 150 / 10000)
+    val spanMs = 30L * 24 * 3600 * 1000
+    val types = Array("view", "click", "signup", "purchase", "error")
+    spark.range(nDocs).as[Long].map { i =>
+      val ts = new java.sql.Timestamp(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli +
+          h60(s"ets|$i") % spanMs)
+      (i, ts, h60(s"eu|$i") % nUsers,
+        types((h60(s"ety|$i") % types.length).toInt),
+        (h60(s"ev|$i") % 1000L).toDouble / 10.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     println(s"""{"fixture":"$outDir","docs":$nDocs,"vecs":$nVecs}""")
     spark.stop()
   }

@@ -33,6 +33,9 @@ object ScaleProbe {
     args.foreach { dir =>
       val nDocs = graft.sources.Tables.documents(spark, dir).count()
       val nVecs = graft.sources.Tables.embeddings(spark, dir).count()
+      val nEvents =
+        try graft.sources.Tables.events(spark, dir).count()
+        catch { case scala.util.control.NonFatal(_) => 0L }
       // C and O from ONE materialized result (the operator runs once per
       // probe, not once per aggregate); coalesce guards the null sum an
       // empty corpus would produce
@@ -149,7 +152,22 @@ object ScaleProbe {
           graft.operators.Multimodal.cdcDedup(spark, dir)
             .agg(coalesce(sum(col("n_chunks")), lit(0L)),
               coalesce(sum(col("n_dup_chunks")), lit(0L)))
-            .as[(Long, Long)].head())
+            .as[(Long, Long)].head()),
+        // streaming-funnel state bound: the reorder buffer holds, per user,
+        // only events inside the watermark horizon (10 min), so its worst
+        // case is the max per-(user, horizon-window) event count. C = total
+        // events through the groupBy shuffle (linear by construction); O =
+        // that max — the linear-state claim is C ∝ N with O ~constant
+        // (users scale with N, per-user rate doesn't)
+        ("funnel_state", nEvents, () => {
+          val ev = graft.sources.Tables.events(spark, dir)
+          (ev.count(),
+            ev.groupBy(col("user_id"),
+                org.apache.spark.sql.functions.window(col("ts"), "10 minutes"))
+              .count()
+              .agg(coalesce(org.apache.spark.sql.functions.max(col("count")), lit(0L)))
+              .as[Long].head())
+        })
       )
       // SPARK_GRAFT_PROBE_ONLY=a,b (local tuning): restrict to named probes
       val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
