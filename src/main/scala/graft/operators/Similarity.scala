@@ -59,7 +59,14 @@ object Similarity {
   /** Memoized embeddings row count — every index-build leg sizes its
     * stride from n, and a serving composition ([[hybridRrfAnn]]: probe
     * selection + distance tables + encode cache) used to re-run the count
-    * job per leg per invocation. One metadata job per (session, dir). */
+    * job per leg per invocation. One metadata job per (session, dir).
+    *
+    * CONTRACT: a fixture dir is immutable within a session. A dir whose
+    * contents change mid-session would freeze n (and every stride/index
+    * leg derived from it) at its first-read value; the invalidation point
+    * is `Caches.releaseAll()` — the same pipeline boundary that drops the
+    * index materializations this count sizes, so count and indexes can
+    * never disagree. */
   private[graft] def nVecs(spark: SparkSession, dir: String): Long =
     graft.sources.Caches.memoizedCount(spark, s"sim-nvecs|$dir")(
       Tables.embeddings(spark, dir).count())
@@ -1135,9 +1142,14 @@ object Similarity {
       graft.sources.Caches.shared(
         pqEncode(strideAssigned(spark, dir), cb, carry = Seq("cent_id"))))
     // queries probe their NProbe nearest cells (the topkIvf probe shape),
-    // each probe row carrying the query's broadcast-ready distance table
+    // each probe row carrying the query's broadcast-ready distance table.
+    // The memo key carries a "stridecb" tag naming the codebook the tables
+    // were built against: valid because `cb` is pinned to stridePqCodebook
+    // in this scope — a variant taking a caller-supplied codebook (e.g. a
+    // Lloyd-refined one) MUST key on that codebook's identity instead, or
+    // it would silently reuse tables from the wrong codebook
     val qt = qKey.fold(pqQueryTables(q, cb))(k =>
-      graft.sources.Caches.memoized(spark, s"sim-pq-qt|$dir|$k")(
+      graft.sources.Caches.memoized(spark, s"sim-pq-qt|stridecb|$dir|$k")(
         graft.sources.Caches.shared(pqQueryTables(q, cb))))
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"csim".desc, $"cent_id".asc)

@@ -54,11 +54,6 @@ object Caches {
       (build: => Long): Long =
     counts.getOrElseUpdate((spark, key), build)
 
-  /** Number of memoized handles+scalars — with [[trackedCount]], the
-    * "did this query build shared state?" signal `Bench`'s cache_build
-    * accounting reads around each cold run. */
-  def memoCount: Int = memo.size + counts.size
-
   /** Persist `df` unless an equal plan is already cached; track the handle. */
   def shared(df: DataFrame): DataFrame = synchronized {
     if (df.storageLevel == StorageLevel.NONE) {

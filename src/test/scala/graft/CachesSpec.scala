@@ -43,6 +43,21 @@ class CachesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("memoizedCount() builds once per key and releaseAll drops the memo") {
+    Caches.releaseAll()
+    var builds = 0
+    def build(): Long = { builds += 1; 42L }
+    assert(Caches.memoizedCount(spark, "count-test")(build()) == 42L)
+    assert(Caches.memoizedCount(spark, "count-test")(build()) == 42L)
+    assert(builds == 1, "second lookup must return the cached scalar")
+    assert(Caches.memoizedCount(spark, "count-test-2")(build()) == 42L)
+    assert(builds == 2, "a different key must build its own value")
+    Caches.releaseAll()
+    assert(Caches.memoizedCount(spark, "count-test")(build()) == 42L)
+    assert(builds == 3, "releaseAll must drop the scalar memo")
+    Caches.releaseAll()
+  }
+
   test("composed curate pipeline tracks caches and releases them all") {
     Caches.releaseAll()
     val dir = sf("sf0.001")
