@@ -425,19 +425,29 @@ object TextAnalysis {
     * materialization), the vocabulary-sized document frequencies, and the
     * N/avgdl scalars (one metadata-cheap aggregate). */
   private def bm25Index(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Double, Double) = {
-    import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", $"toks", size($"toks").as("dl"))
-    val (nDocs, avgdl) = docs
-      .agg(count(lit(1)).cast("double"), avg($"dl")).as[(Double, Double)].head()
-    val tf = graft.sources.Caches.shared(
-      docs.select($"doc_id", $"dl", explode($"toks").as("tok"))
-        .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf")))
-    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-    (tf, dfreq, nDocs, avgdl)
-  }
+      : (DataFrame, DataFrame, Double, Double) =
+    // memoized per (session, dir): the (nDocs, avgdl) scalars are an EAGER
+    // aggregate — without the memo every BM25 surface (the top-k query,
+    // BOTH hybrid-RRF legs, every serving micro-batch) re-tokenized the
+    // corpus per invocation just to recompute two constants, which was the
+    // entire zero-warm-benefit steady cost the bench showed. The postings
+    // and df tables ride the same memo (df is vocabulary-sized).
+    graft.sources.Caches.memoizedValue(spark, s"text-bm25-index|$dir") {
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", tokens($"text").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").as("dl"))
+      // scalars from `docs`, not from tf: explode drops zero-token docs,
+      // and a zero-token doc still counts toward N and pulls avgdl down
+      val (nDocs, avgdl) = docs
+        .agg(count(lit(1)).cast("double"), avg($"dl")).as[(Double, Double)].head()
+      val tf = graft.sources.Caches.shared(
+        docs.select($"doc_id", $"dl", explode($"toks").as("tok"))
+          .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf")))
+      val dfreq = graft.sources.Caches.shared(
+        tf.groupBy($"tok").agg(count(lit(1)).as("df")))
+      (tf, dfreq, nDocs, avgdl)
+    }
 
   /** BM25 scores for an EXTERNAL query workload — `queryToks` is one row
     * per DISTINCT (query_id, tok); this is the retrieval-serving surface

@@ -29,8 +29,8 @@ object Caches {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
-  private val counts =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Long]
+  private val values =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), Any]
 
   /** Memoize a RESULT handle by (session, key) — for deterministic
     * pipelines whose plan `shared`'s plan-equality can never match across
@@ -45,14 +45,21 @@ object Caches {
       (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((spark, key), build)
 
-  /** Memoize a SCALAR by (session, key) — for the eager per-invocation
-    * driver actions an index build runs before any plan exists (a corpus
-    * row count sizing a stride, a collected seed table's cardinality).
-    * Same contract as [[memoized]]: only for values that are pure
-    * functions of the key within a session; dropped by `releaseAll`. */
+  /** Memoize an arbitrary VALUE by (session, key) — for the eager
+    * per-invocation driver actions an index build runs before any plan
+    * exists (a corpus row count sizing a stride, an index's collected
+    * scalars, a tuple of index artifacts). Same contract as [[memoized]]:
+    * only for values that are pure functions of the key within a session
+    * (immutable fixture dir); dropped by `releaseAll`. */
+  def memoizedValue[T](spark: org.apache.spark.sql.SparkSession, key: String)
+      (build: => T): T =
+    values.getOrElseUpdate((spark, key), build).asInstanceOf[T]
+
+  /** [[memoizedValue]] at Long — kept as the named entry point the stride
+    * sizing call sites read naturally. */
   def memoizedCount(spark: org.apache.spark.sql.SparkSession, key: String)
       (build: => Long): Long =
-    counts.getOrElseUpdate((spark, key), build)
+    memoizedValue(spark, key)(build)
 
   /** Persist `df` unless an equal plan is already cached; track the handle. */
   def shared(df: DataFrame): DataFrame = synchronized {
@@ -76,6 +83,6 @@ object Caches {
     }
     tracked.clear()
     memo.clear()
-    counts.clear()
+    values.clear()
   }
 }
