@@ -223,7 +223,7 @@ object Dedup {
     * DISTINCT. Output: (arriving_id, existing_id, jaccard ≥ 0.8). */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stride = incrementalStride(Tables.documents(spark, dir).count())
+    val stride = incrementalStride(Tables.nDocs(spark, dir))
     val docs = graft.sources.Caches.shared(signed(spark, dir))
     def buckets(pred: Column => Column, idName: String) = docs
       .filter(pred($"doc_id" % stride))
@@ -409,7 +409,7 @@ object Dedup {
     // instead of mirroring the bands.
     val nBands = HammingThreshold + 1
     val bandBits = forceBandBits.getOrElse(
-      simhashBandBits(Tables.documents(spark, dir).count()))
+      simhashBandBits(Tables.nDocs(spark, dir)))
     val sigBits = nBands * bandBits
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", graft.functions.HashArray60(tokens($"text")).as("hs"))
@@ -470,7 +470,7 @@ object Dedup {
     * the posting-join volume [[graft.ScaleProbe]] tracks per scale factor. */
   private[graft] def contaminationOverlaps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stride = contamBenchStride(Tables.documents(spark, dir).count())
+    val stride = contamBenchStride(Tables.nDocs(spark, dir))
     val grams = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= ContamGram)
@@ -572,7 +572,7 @@ object Dedup {
   private[graft] def bloomContaminationImpl(spark: SparkSession, dir: String,
       forceBits: Option[Int]): DataFrame = {
     import spark.implicits._
-    val stride = contamBenchStride(Tables.documents(spark, dir).count())
+    val stride = contamBenchStride(Tables.nDocs(spark, dir))
     val grams = Tables.spread(Tables.documents(spark, dir))
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= ContamGram)
@@ -610,7 +610,7 @@ object Dedup {
     * bitset plus the distinct benchmark grams for exact verification. */
   def bloomBenchStatics(spark: SparkSession, dir: String): (Seq[Boolean], DataFrame) = {
     import spark.implicits._
-    val stride = contamBenchStride(Tables.documents(spark, dir).count())
+    val stride = contamBenchStride(Tables.nDocs(spark, dir))
     val bench = graft.sources.Caches.shared(
       Tables.documents(spark, dir)
         .filter($"doc_id" % stride === 0)
@@ -675,7 +675,7 @@ object Dedup {
   /** The static benchmark postings for [[contaminationStream]]. */
   def contaminationBenchPostings(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stride = contamBenchStride(Tables.documents(spark, dir).count())
+    val stride = contamBenchStride(Tables.nDocs(spark, dir))
     Tables.documents(spark, dir)
       .filter($"doc_id" % stride === 0)
       .select($"doc_id".as("bench_id"), tokens($"text").as("toks"))

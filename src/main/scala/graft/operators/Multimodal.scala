@@ -343,7 +343,7 @@ object Multimodal {
   private def mediaBandBits(spark: SparkSession, dir: String, knob: String): Int = {
     import graft.operators.Dedup
     Dedup.warnIfPastOracleFloor(knob,
-      Dedup.simhashBandBits(Tables.documents(spark, dir).count()).toLong,
+      Dedup.simhashBandBits(Tables.nDocs(spark, dir)).toLong,
       12L).toInt
   }
 

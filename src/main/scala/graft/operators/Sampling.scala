@@ -308,7 +308,7 @@ object Sampling {
     import spark.implicits._
     seededShuffleRows(
         Tables.documents(spark, dir).select($"doc_id"), ShuffleEpoch,
-        shuffleShards(Tables.documents(spark, dir).count()))
+        shuffleShards(Tables.nDocs(spark, dir)))
       .select($"shard", $"pos", $"doc_id")
       .orderBy($"shard", $"pos")
   }
@@ -334,7 +334,7 @@ object Sampling {
     curriculumBanded(
         Tables.documents(spark, dir).select($"doc_id", $"text"),
         curriculumThresholds(spark, dir),
-        shuffleShards(Tables.documents(spark, dir).count()))
+        shuffleShards(Tables.nDocs(spark, dir)))
       .withColumn("pos", row_number().over(
         Window.partitionBy($"band", $"shard").orderBy($"h".asc, $"doc_id".asc)))
       .select($"doc_id", $"band", $"shard", $"pos")

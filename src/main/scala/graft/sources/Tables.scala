@@ -67,5 +67,12 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  /** Memoized corpus row count — the knob-derivation inputs (band widths,
+    * strides, bloom sizing) need N eagerly before any plan exists, and
+    * every operator used to run its own count job per invocation. Same
+    * immutable-dir-within-session contract as every `Caches` memo;
+    * `releaseAll()` invalidates. */
+  def nDocs(spark: SparkSession, dir: String): Long =
+    Caches.memoizedCount(spark, s"ndocs|$dir")(documents(spark, dir).count())
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
