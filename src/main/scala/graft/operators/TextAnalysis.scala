@@ -533,7 +533,13 @@ object TextAnalysis {
     * visible). The N/avgdl scalars are one metadata-cheap aggregate (the
     * langid-profile collect pattern). */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    bm25TopKImpl(spark, dir, None)
+    // memoized like Similarity.topkBruteForce / topkIvfPq: the stride
+    // workload's ranked list is the lexical leg of BOTH hybrid-RRF queries
+    // and its own query — the scoring join (Σ df scored pairs) re-ran per
+    // invocation with only the index memoized. Result is workload-sized
+    // (≤ |queries|·k rows); external workloads stay uncached ([[bm25TopKFor]]).
+    graft.sources.Caches.memoized(spark, s"text-bm25-topk|$dir")(
+      graft.sources.Caches.shared(bm25TopKImpl(spark, dir, None)))
 
   /** `forceCap` threads the ScaleProbe A/B knob through the top-k cut. */
   private[graft] def bm25TopKImpl(spark: SparkSession, dir: String,
