@@ -437,7 +437,10 @@ object Similarity {
     val cb0 = stridePqCodebook(spark, dir)
     val (cb1, _) = pqRefineCodebook(c, cb0, PqRefineOracleIters, earlyStop = false)
     val truth = topkBruteForce(spark, dir)
-    val seeded = annRecallOf(truth, pqRerank(c, q, pqAdcScanFor(c, q, cb0)))
+    // the seeded leg IS `sim_topk_pq`'s ranked list (same corpus, same
+    // stride workload, same strided codebook) — read the memoized handle
+    // instead of re-running the full ADC scan + rerank
+    val seeded = annRecallOf(truth, topkPq(spark, dir))
       .select($"query_id", $"n_hits".as("hits_seeded"),
         $"recall".as("recall_seeded"))
     val refined = annRecallOf(truth, pqRerank(c, q, pqAdcScanFor(c, q, cb1)))
@@ -839,10 +842,16 @@ object Similarity {
     * shortlist-then-rerank serving pipeline of every production PQ system.
     * Like every approximate operator here, the approximation is
     * deterministic and reproduced exactly by the oracle. */
-  def topkPq(spark: SparkSession, dir: String): DataFrame = {
-    val c = corpus(spark, dir)
-    pqRerank(c, strideQueries(c), pqAdcScan(spark, dir))
-  }
+  def topkPq(spark: SparkSession, dir: String): DataFrame =
+    // memoized like [[topkBruteForce]]: the seeded-codebook ranked list is
+    // also the "seeded" comparison leg of [[annRecallPqRefined]], which
+    // otherwise re-pays the full n×|queries| ADC scan + rerank the
+    // `sim_topk_pq` query already ran. Workload-sized result.
+    graft.sources.Caches.memoized(spark, s"sim-pq-topk|$dir") {
+      val c = corpus(spark, dir)
+      graft.sources.Caches.shared(
+        pqRerank(c, strideQueries(c), pqAdcScan(spark, dir)))
+    }
 
   /** The full-corpus ADC scan — (query, vector) approximate cosines, the
     * scan volume [[graft.ScaleProbe]] tracks (n×|queries| by construction;
