@@ -121,9 +121,18 @@ object Multimodal {
     * hash (co-partitioned with the owner table the groupBy just produced)
     * + per-doc count. Never a pair join; C is exactly linear in payload
     * bytes. */
+  /** The corpus frame table, memoized per (session, dir) — the
+    * [[cdcCorpusChunks]] pattern on fixed-offset frames: [[frameDedup]]
+    * consumes it twice per invocation and [[mediaFrameHashes]] re-derives
+    * the same scan for the stream twin's static side. */
+  private[graft] def corpusFrameHashes(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"media-frames|$dir")(
+      graft.sources.Caches.shared(
+        frameHashes(Tables.spread(Tables.documents(spark, dir)))))
+
   def frameDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val frames = frameHashes(Tables.spread(Tables.documents(spark, dir)))
+    val frames = corpusFrameHashes(spark, dir)
     val owners = frames
       .groupBy($"fh").agg(min(occKey($"doc_id", $"frame_idx")).as("own_key"))
     frames.join(owners, "fh")
@@ -399,7 +408,7 @@ object Multimodal {
     * [[frameDedupStream]] (the `Dedup.spanCorpusHashes` pattern). */
   def mediaFrameHashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    frameHashes(Tables.documents(spark, dir)).select($"fh").distinct()
+    corpusFrameHashes(spark, dir).select($"fh").distinct()
   }
 
   /** Streaming twin of [[frameDedup]] — ingest-time storage dedup: each
