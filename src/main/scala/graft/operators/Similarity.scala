@@ -1133,7 +1133,8 @@ object Similarity {
     * memoized+persisted across invocations; external micro-batches pass
     * None and pay only their own workload-sized table build. */
   private[graft] def ivfPqAdcScan(spark: SparkSession, dir: String,
-      q: DataFrame, qKey: Option[String] = None): DataFrame = {
+      q: DataFrame, qKey: Option[String] = None,
+      extraLists: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
     val cents = centroids(c, ivfCellStride(nVecs(spark, dir)))
@@ -1147,9 +1148,15 @@ object Similarity {
     // ([[topkIvfPqFor]] via [[serveRetrievalStream]]) probes the same
     // materialization; encoding the corpus per request would be the
     // serving scale-killer
-    val lists = graft.sources.Caches.memoized(spark, s"sim-ivfpq-lists|$dir")(
+    val baseLists = graft.sources.Caches.memoized(spark, s"sim-ivfpq-lists|$dir")(
       graft.sources.Caches.shared(
         pqEncode(strideAssigned(spark, dir), cb, carry = Seq("cent_id"))))
+    // ingest-appended delta lists ([[appendIndexStream]]) ride the same
+    // scan: the pinned base materialization is untouched and the delta is
+    // a plain union — the FAISS-style "inverted lists grow, quantizers
+    // stay" maintenance contract
+    val lists = extraLists.fold(baseLists)(d =>
+      baseLists.unionByName(d.select(baseLists.columns.map(col).toIndexedSeq: _*)))
     // queries probe their NProbe nearest cells (the topkIvf probe shape),
     // each probe row carrying the query's broadcast-ready distance table.
     // The memo key carries a "stridecb" tag naming the codebook the tables
@@ -1392,6 +1399,66 @@ object Similarity {
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outDir)
       }
+  }
+
+  // ------------- incremental IVF-PQ index maintenance (ingest-time append)
+
+  /** Encode an arriving vector batch into the PINNED serving index's layout
+    * — (vec_id, nrm, cent_id, codes), the exact inverted-list row the base
+    * index stores. Cell assignment uses the base corpus's centroid set and
+    * PQ codes the base's strided codebook: incremental maintenance NEVER
+    * moves the quantizers (the FAISS IVF-add contract — lists grow,
+    * coarse/fine quantizers stay until an explicit retrain), so an
+    * appended vector is bit-identical to what a full rebuild at the same
+    * quantizers would store, which is exactly what `IndexMaintenanceSpec`
+    * pins. `vecs` is (vec_id, embedding) — the raw arrival schema. */
+  private[graft] def encodeForIndex(spark: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val v = vecs.select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    val cents = centroids(corpus(spark, dir), ivfCellStride(nVecs(spark, dir)))
+    pqEncode(assignedCells(v, cents), stridePqCodebook(spark, dir),
+      carry = Seq("cent_id"))
+  }
+
+  /** Ingest-time index maintenance: arriving (vec_id, embedding) rows are
+    * assigned + encoded against the pinned index per micro-batch and
+    * APPENDED to the delta store — the write half of the grow-only
+    * inverted-list contract ([[encodeForIndex]]). Encoding is pure, so a
+    * replayed epoch appends byte-identical rows; [[readIndexDelta]]
+    * dedups by vec_id on read, making replay harmless (the
+    * `KeyedUpsertSink` idempotency convention, resolved at read time
+    * because parquet append cannot upsert). */
+  def appendIndexStream(vecStream: DataFrame, spark: SparkSession,
+      dir: String, storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    vecStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        encodeForIndex(spark, dir, batch)
+          .write.mode("append").parquet(storeDir)
+      }
+  }
+
+  /** The replay-safe read of the appended delta lists. */
+  def readIndexDelta(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir).dropDuplicates("vec_id")
+
+  /** IVFADC serving over base index ∪ ingest-appended delta: the query a
+    * RAG stack runs five minutes after new documents arrived, without a
+    * rebuild. The base lists stay one pinned materialization; the delta
+    * joins the same cell-bounded ADC scan ([[ivfPqAdcScan]]'s
+    * `extraLists`), and the exact rerank reads the union corpus.
+    * `deltaVecs` is the (vec_id, embedding) side table of the appended
+    * vectors (at 100 TB: the same lake partition the ingest wrote). */
+  def topkIvfPqWithDelta(spark: SparkSession, dir: String, q: DataFrame,
+      deltaVecs: DataFrame, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val dv = deltaVecs.select($"vec_id", asDouble($"embedding").as("v"))
+      .withColumn("nrm", norm($"v"))
+    pqRerank(corpus(spark, dir).unionByName(dv), q,
+      ivfPqAdcScan(spark, dir, q,
+        extraLists = Some(readIndexDelta(spark, storeDir))))
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]
