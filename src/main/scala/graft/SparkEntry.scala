@@ -114,6 +114,7 @@ object SparkEntry {
     "text_lm_ppl"          -> (TextAnalysis.lmPerplexity _),
     "sim_topk_pq"          -> (Similarity.topkPq _),
     "sim_topk_ivfpq"       -> (Similarity.topkIvfPq _),
+    "sim_index_append"     -> (Similarity.indexAppend _),
     "sim_balanced_sample"  -> (Similarity.balancedSample _),
     "dedup_substrings"     -> (Dedup.substringDedup _),
     "pipeline_dsir"        -> (Sampling.dsir _),
@@ -2123,6 +2124,42 @@ object SparkEntry {
         |  round(avg(nll), 6) AS avg_nll,
         |  round(exp(round(avg(nll), 6)), 2) AS ppl
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ingest-append encode (incremental index maintenance): every 10th
+    // base vector re-arrives under id+10^6; assignment = argmax round-6
+    // cosine vs the BASE stride centroids (ties to lower cell), codes =
+    // per-subspace argmin round-6 L2 vs the BASE stride codebook (ties to
+    // lower cid) — the pinned-quantizer contract, re-derived in SQL
+    "sim_index_append" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |delta AS (
+        |  SELECT vec_id + 1000000 AS vec_id, v, nrm FROM n WHERE vec_id % 10 = 0),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, nrm, cent_id FROM (
+        |    SELECT d.vec_id, d.nrm, cents.cent_id,
+        |      row_number() OVER (PARTITION BY d.vec_id ORDER BY
+        |        round(list_sum([d.v[i]*cv[i] for i in range(1,65)]) / (d.nrm*cn), 6) DESC,
+        |        cents.cent_id ASC) AS arn
+        |    FROM delta d CROSS JOIN cents)
+        |  WHERE arn = 1),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 8 = 0),
+        |mm AS (SELECT unnest(range(0, 8)) AS m),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code FROM (
+        |    SELECT d.vec_id, mm.m, cb.cid,
+        |      row_number() OVER (PARTITION BY d.vec_id, mm.m ORDER BY
+        |        round(list_sum([(d.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (d.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cid ASC) AS rn
+        |    FROM delta d CROSS JOIN cb CROSS JOIN mm)
+        |  WHERE rn = 1)
+        |SELECT a.vec_id, round(a.nrm, 6) AS nrm, a.cent_id,
+        |  CAST(c.m AS INTEGER) AS m, c.code
+        |FROM assigned a JOIN codes c ON c.vec_id = a.vec_id
+        |ORDER BY a.vec_id, c.m""".stripMargin,
 
     "sim_topk_pq" ->
       """WITH n AS (

@@ -1444,6 +1444,34 @@ object Similarity {
   def readIndexDelta(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(storeDir).dropDuplicates("vec_id")
 
+  /** The deterministic BATCH twin of the ingest-append encode, as its own
+    * oracled query: every 10th base vector re-arrives under a fresh id
+    * (base id + 10⁶ — the re-upload shape) and is encoded against the
+    * pinned quantizers exactly as [[appendIndexStream]] stores it. Output
+    * is the stored list row exploded to scalar rows (vec_id, nrm·6dp,
+    * cent_id, m, code) with the code reported as the codebook entry's CID
+    * (the strided source vec_id — a stable engine-neutral name for the
+    * entry, where the packed array stores the positional cidx). DuckDB
+    * re-derives assignment (argmax round-6 cosine, ties to lower cell)
+    * and codes (argmin round-6 subspace L2, ties to lower cid) from the
+    * same parquet, so the maintenance encode is hash-pinned end-to-end;
+    * `IndexMaintenanceSpec` separately pins that the STREAMED append
+    * stores these same rows batch-for-batch. */
+  def indexAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delta = Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val cidByIdx = stridePqCodebook(spark, dir)
+      .orderBy($"cidx").select($"cid").as[Long].collect().toSeq
+    encodeForIndex(spark, dir, delta)
+      .select($"vec_id", round($"nrm", 6).as("nrm"), $"cent_id",
+        posexplode($"codes").as(Seq("m", "cidx")))
+      .select($"vec_id", $"nrm", $"cent_id", $"m",
+        element_at(typedLit(cidByIdx), $"cidx" + 1).as("code"))
+      .orderBy($"vec_id", $"m")
+  }
+
   /** IVFADC serving over base index ∪ ingest-appended delta: the query a
     * RAG stack runs five minutes after new documents arrived, without a
     * rebuild. The base lists stay one pinned materialization; the delta
