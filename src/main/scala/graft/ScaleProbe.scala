@@ -153,6 +153,22 @@ object ScaleProbe {
             .agg(coalesce(sum(col("n_chunks")), lit(0L)),
               coalesce(sum(col("n_dup_chunks")), lit(0L)))
             .as[(Long, Long)].head()),
+        // incremental index maintenance: C = cell-bounded ADC scan rows
+        // when a 10% re-upload delta is unioned into the lists (the
+        // sim_index_append slice), O = scan rows without it. The delta adds
+        // its fraction of the corpus to every probed cell, so C/O must
+        // track 1 + |delta|/n — scan growth linear in appended volume,
+        // never a rebuild
+        ("sim_ivfpq_delta_scan", nVecs, () => {
+          import graft.operators.Similarity
+          val delta = graft.sources.Tables.embeddings(spark, dir)
+            .filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+          val q = Similarity.strideQueries(Similarity.corpus(spark, dir))
+          val enc = Similarity.encodeForIndex(spark, dir, delta)
+          (Similarity.ivfPqAdcScan(spark, dir, q, extraLists = Some(enc)).count(),
+            Similarity.ivfPqAdcScan(spark, dir, q).count())
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total
