@@ -62,6 +62,7 @@ object SparkEntry {
     "sim_label_centroids"  -> (Similarity.labelCentroids _),
     "sim_topk_ivf"         -> (Similarity.topkIvf _),
     "text_tokens"          -> (TextAnalysis.tokenCounts _),
+    "text_postings_append" -> (TextAnalysis.postingsAppend _),
     "text_langid"          -> (TextAnalysis.langId _),
     "text_quality"         -> (TextAnalysis.quality _),
     "text_repetition"      -> (TextAnalysis.repetition _),
@@ -757,6 +758,23 @@ object SparkEntry {
         |FROM (SELECT query_id FROM truth GROUP BY 1) t
         |LEFT JOIN hits h ON t.query_id = h.query_id
         |ORDER BY t.query_id""".stripMargin,
+
+    // lexical segment-append encode (incremental postings maintenance):
+    // every 10th document re-arrives under id+10^6; the stored row is
+    // (doc_id, dl, tok, tf) with dl = whitespace token count — df/N/avgdl
+    // stay pinned at the base index (the stale-idf segment contract), so
+    // only the per-batch tokenize+count is on trial here
+    "text_postings_append" ->
+      """WITH delta AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS dl,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM delta)
+        |SELECT doc_id, dl, tok, count(*) AS tf
+        |FROM toks GROUP BY doc_id, dl, tok
+        |ORDER BY doc_id, tok""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -459,9 +459,17 @@ object TextAnalysis {
     * workload flows through this SAME code path, so the oracle pins the
     * serving semantics too. */
   private[graft] def bm25ScoreQueries(spark: SparkSession, dir: String,
-      queryToks: DataFrame, forceCap: Option[Long] = None): DataFrame = {
+      queryToks: DataFrame, forceCap: Option[Long] = None,
+      extraPostings: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
-    val (tf, dfreq, nDocs, avgdl) = bm25Index(spark, dir)
+    val (baseTf, dfreq, nDocs, avgdl) = bm25Index(spark, dir)
+    // ingest-appended postings segments ([[appendPostingsStream]]) join
+    // the same scoring scan; df/N/avgdl stay PINNED at the base index's
+    // values until an explicit reindex — the segment-append contract of
+    // every incremental search engine (stale idf, bounded by segment-merge
+    // cadence), matching the pinned-quantizer rule of the dense leg
+    val tf = extraPostings.fold(baseTf)(d =>
+      baseTf.unionByName(d.select(baseTf.columns.map(col).toIndexedSeq: _*)))
     val cap = forceCap.getOrElse(bm25DfCap(nDocs.toLong))
     // rank first, cap second: the cap is on the ranking key (df asc), so
     // the capped set is a prefix of the ranking and rank-then-cap equals
@@ -503,6 +511,72 @@ object TextAnalysis {
       queryToks: DataFrame): DataFrame = {
     import spark.implicits._
     bm25ScoreQueries(spark, dir, queryToks)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
+      .filter($"rank" <= Bm25K)
+      .select($"query_id", $"doc_id", $"rank", $"score", $"n_terms_dropped")
+  }
+
+  // ------------- incremental postings maintenance (ingest-time append)
+
+  /** Tokenize an arriving (doc_id, text) batch into the postings layout
+    * the base index stores — (doc_id, dl, tok, tf). Pure per-batch work
+    * (tokenize + local count); the pinned df/N/avgdl stats are NOT touched,
+    * so an appended posting scores exactly as the same row would in a
+    * rebuilt segment under the same stats ([[bm25ScoreQueries]]). */
+  private[graft] def encodeForPostings(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("tok"))
+      .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Ingest-time lexical index maintenance: arriving (doc_id, text) rows
+    * are tokenized into postings per micro-batch and APPENDED as a new
+    * segment — the Lucene-segment contract mirrored on the dense leg's
+    * [[graft.operators.Similarity.appendIndexStream]]: segments grow,
+    * the corpus statistics (df, N, avgdl) stay pinned until an explicit
+    * reindex, so retrieval sees new documents immediately at the honest
+    * price of stale idf. Encoding is pure; replayed epochs append
+    * byte-identical rows that [[readPostingsDelta]]'s (doc_id, tok) dedup
+    * hides. */
+  def appendPostingsStream(docStream: DataFrame, spark: SparkSession,
+      dir: String, storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        encodeForPostings(batch)
+          .write.mode("append").parquet(storeDir)
+      }
+  }
+
+  /** The replay-safe read of the appended postings segments. */
+  def readPostingsDelta(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(storeDir).dropDuplicates("doc_id", "tok")
+
+  /** The deterministic BATCH twin of the segment-append encode, as its own
+    * oracled query (the [[graft.operators.Similarity.indexAppend]]
+    * convention): every 10th document re-arrives under a fresh id and is
+    * tokenized into exactly the postings rows [[appendPostingsStream]]
+    * stores — DuckDB re-derives them from the same parquet, hash-pinning
+    * the lexical maintenance encode end-to-end. */
+  def postingsAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    encodeForPostings(
+        Tables.documents(spark, dir)
+          .filter($"doc_id" % 10 === 0)
+          .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .orderBy($"doc_id", $"tok")
+  }
+
+  /** BM25 serving over base index ∪ ingest-appended segments: the query a
+    * curation stack runs five minutes after new documents arrived, without
+    * a reindex. Pinned-stats contract per [[bm25ScoreQueries]]. */
+  def bm25TopKWithDelta(spark: SparkSession, dir: String,
+      queryToks: DataFrame, storeDir: String): DataFrame = {
+    import spark.implicits._
+    bm25ScoreQueries(spark, dir, queryToks,
+        extraPostings = Some(readPostingsDelta(spark, storeDir)))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
       .filter($"rank" <= Bm25K)

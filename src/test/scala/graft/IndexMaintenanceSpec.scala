@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
 import graft.sources.{Caches, Tables}
 
 /** Incremental IVF-PQ index maintenance: arriving vectors are assigned and
@@ -80,6 +80,56 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(top.exists(r => r.getLong(r.fieldIndex("neighbor_id")) == 1000000L &&
         math.abs(r.getDouble(r.fieldIndex("cosine")) - 1.0) < 1e-9),
       s"appended exact twin of the probe not in top-k: ${top.map(_.toSeq).mkString(", ")}")
+    Caches.releaseAll()
+  }
+
+  test("lexical segments: streamed postings equal batch encode, pinned-idf serving retrieves appends") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-postings-delta").toString + "/seg"
+    // re-uploaded fixture docs under fresh ids — tokenization nontrivial,
+    // and a base query's rarest terms exist verbatim in its appended twin
+    val rows: Seq[(Long, String)] = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(20).toSeq
+      .map { case (id, t) => (id + 1000000L, t) }
+
+    val in = MemoryStream[(Long, String)]
+    val q = TextAnalysis.appendPostingsStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, store)
+      .start()
+    in.addData(rows.slice(8, 20): _*); q.processAllAvailable()
+    in.addData(rows.slice(0, 8): _*);  q.processAllAvailable()
+    q.stop()
+
+    val streamed = TextAnalysis.readPostingsDelta(spark, store)
+      .orderBy($"doc_id", $"tok").collect().map(_.toSeq).toSeq
+    val batch = TextAnalysis.encodeForPostings(rows.toDF("doc_id", "text"))
+      .orderBy($"doc_id", $"tok").collect().map(_.toSeq).toSeq
+    assert(streamed == batch, "postings segment differs from batch encode")
+
+    // replay an epoch: byte-identical rows vanish behind the dedup
+    TextAnalysis.encodeForPostings(rows.slice(8, 20).toDF("doc_id", "text"))
+      .write.mode("append").parquet(store)
+    assert(TextAnalysis.readPostingsDelta(spark, store)
+        .orderBy($"doc_id", $"tok").collect().map(_.toSeq).toSeq == batch,
+      "epoch replay leaked through the (doc_id, tok) dedup")
+
+    // pinned-idf serving: query with doc 0's tokens — its appended twin
+    // carries the same tf/dl for every query term, so it must tie the base
+    // doc's score and surface in the top-k
+    val probeToks = Tables.documents(spark, dir)
+      .filter($"doc_id" === 0L)
+      .select(org.apache.spark.sql.functions.lit(0L).as("query_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_distinct(
+            graft.functions.Text.tokens($"text"))).as("tok"))
+    val served = TextAnalysis.bm25TopKWithDelta(spark, dir, probeToks, store)
+      .collect()
+    assert(served.nonEmpty)
+    assert(served.exists(_.getLong(1) == 1000000L),
+      s"appended twin of the probe doc not retrieved: ${served.map(_.toSeq).mkString(", ")}")
     Caches.releaseAll()
   }
 }
