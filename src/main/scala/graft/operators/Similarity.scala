@@ -1359,6 +1359,30 @@ object Similarity {
       dense.select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank")))
   }
 
+  /** Hybrid retrieval over BOTH delta-maintained legs — the end-to-end
+    * "new documents searchable now, no rebuild" serving composition:
+    * the lexical leg reads base postings ∪ appended segments under pinned
+    * idf ([[TextAnalysis.bm25TopKWithDelta]]), the dense leg reads base
+    * inverted lists ∪ appended PQ rows under pinned quantizers
+    * ([[topkIvfPqWithDelta]]), and the same RRF stage fuses them.
+    * `queries` is the (query_id, text, embedding) arrival schema of
+    * [[hybridRrfFor]]; `postingsDir`/`listsDir` are the two legs' delta
+    * stores and `deltaVecs` the appended vectors' side table (for the
+    * exact re-rank). */
+  def hybridRrfWithDelta(spark: SparkSession, dir: String, queries: DataFrame,
+      postingsDir: String, deltaVecs: DataFrame, listsDir: String): DataFrame = {
+    import spark.implicits._
+    val qToks = queries.select($"query_id",
+      explode(array_distinct(graft.functions.Text.tokens($"text"))).as("tok"))
+    val lex = TextAnalysis.bm25TopKWithDelta(spark, dir, qToks, postingsDir)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val qv = queries.select($"query_id", asDouble($"embedding").as("qv"))
+      .withColumn("qn", norm($"qv"))
+    val dense = topkIvfPqWithDelta(spark, dir, qv, deltaVecs, listsDir)
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank"))
+    fuseRrf(lex, dense)
+  }
+
   /** The RRF fusion stage shared by the batch operator and the serving
     * path: full-outer join of the legs' top-k lists, Σ 1/(k+rank) over
     * present legs, top-[[TopK]] per query. Workload-sized by construction

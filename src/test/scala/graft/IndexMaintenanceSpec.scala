@@ -132,4 +132,37 @@ class IndexMaintenanceSpec extends SparkSpec {
       s"appended twin of the probe doc not retrieved: ${served.map(_.toSeq).mkString(", ")}")
     Caches.releaseAll()
   }
+
+  test("fused serving retrieves an appended document through BOTH delta legs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, col, explode, lit}
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-hybrid-delta").toString
+    // the re-uploaded entity: doc 0's text under id+10^6 in the lexical
+    // segment, vec 0's embedding under the same fresh id in the dense lists
+    val docTwin = Tables.documents(spark, dir).filter($"doc_id" === 0L)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    TextAnalysis.encodeForPostings(docTwin)
+      .write.mode("append").parquet(s"$tmp/seg")
+    val vecTwin = Tables.embeddings(spark, dir).filter($"vec_id" === 0L)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    Similarity.encodeForIndex(spark, dir, vecTwin)
+      .write.mode("append").parquet(s"$tmp/lists")
+
+    // probe = the base entity itself (text + embedding)
+    val probe = Tables.documents(spark, dir).filter($"doc_id" === 0L)
+      .select(lit(0L).as("query_id"), $"text")
+      .crossJoin(Tables.embeddings(spark, dir).filter($"vec_id" === 0L)
+        .select($"embedding"))
+    val fused = Similarity.hybridRrfWithDelta(spark, dir, probe,
+      s"$tmp/seg", vecTwin, s"$tmp/lists").collect()
+    val twin = fused.find(_.getLong(fused.head.fieldIndex("doc_id")) == 1000000L)
+    assert(twin.isDefined,
+      s"appended entity missing from the fused list: ${fused.map(_.toSeq).mkString(", ")}")
+    assert(twin.get.getInt(twin.get.fieldIndex("lex_rank")) > 0 &&
+        twin.get.getInt(twin.get.fieldIndex("sem_rank")) > 0,
+      s"appended entity not retrieved by BOTH legs: ${twin.get.toSeq}")
+    Caches.releaseAll()
+  }
 }
