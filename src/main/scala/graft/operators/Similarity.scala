@@ -1011,7 +1011,7 @@ object Similarity {
     import c.sparkSession.implicits._
     val flat = pqFlatCodebook(cb)
     c.select($"vec_id" +: $"nrm" +: carry.map(col) :+
-      graft.functions.PqEncode($"v", flat, PqM, PqSubDims).as("codes"): _*)
+      graft.functions.PqEncode($"v", flat.toIndexedSeq, PqM, PqSubDims).as("codes"): _*)
   }
 
   /** The encode-via-fanout DataFrame twin (corpus × broadcast codebook,
@@ -1217,7 +1217,7 @@ object Similarity {
         .select($"vec_id", asDouble($"embedding").as("v"),
           when($"label" < 5, 1.0).otherwise(0.0).as("y")),
       ProbeLr, ProbeIters)
-    spark.createDataFrame(w.zipWithIndex.map { case (x, d) => (d, x) })
+    spark.createDataFrame(w.zipWithIndex.map { case (x, d) => (d, x) }.toIndexedSeq)
       .toDF("dim", "weight").orderBy($"dim")
   }
 
