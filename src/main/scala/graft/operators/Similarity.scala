@@ -1167,6 +1167,16 @@ object Similarity {
     val qt = qKey.fold(pqQueryTables(q, cb))(k =>
       graft.sources.Caches.memoized(spark, s"sim-pq-qt|stridecb|$dir|$k")(
         graft.sources.Caches.shared(pqQueryTables(q, cb))))
+    ivfPqAdcScanOver(lists, cents, qt, q)
+  }
+
+  /** The probe-select + cell-bounded ADC core over EXPLICIT index frames —
+    * shared by the in-session build above and the persisted-index serving
+    * path ([[topkIvfPqFromSaved]]); `qt` is the per-query distance-table
+    * frame built against the SAME codebook the lists were encoded with. */
+  private def ivfPqAdcScanOver(lists: DataFrame, cents: DataFrame,
+      qt: DataFrame, q: DataFrame): DataFrame = {
+    import q.sparkSession.implicits._
     val wProbe = Window.partitionBy($"query_id")
       .orderBy($"csim".desc, $"cent_id".asc)
     val probes = q.join(broadcast(cents), lit(true))
@@ -1467,6 +1477,39 @@ object Similarity {
   /** The replay-safe read of the appended delta lists. */
   def readIndexDelta(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(storeDir).dropDuplicates("vec_id")
+
+  /** Persist the built IVFADC index — inverted lists + both quantizers —
+    * as three parquet tables. At 100 TB the index build (corpus scan,
+    * assignment, encode) is a batch job whose output OUTLIVES the session:
+    * serving processes load the artifacts and never re-derive them
+    * ([[topkIvfPqFromSaved]]). The exact-rerank stage still reads the
+    * vector lake (`embeddings`), which stays the source of truth — the
+    * index carries only codes, cells, and norms (the 32×-compressed
+    * serving working set). */
+  def saveIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val c = corpus(spark, dir)
+    val cents = centroids(c, ivfCellStride(nVecs(spark, dir)))
+    val cb = stridePqCodebook(spark, dir)
+    pqEncode(strideAssigned(spark, dir), cb, carry = Seq("cent_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/lists")
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cb.write.mode("overwrite").parquet(s"$indexDir/codebook")
+  }
+
+  /** IVFADC serving from a PERSISTED index ([[saveIndex]]): probe
+    * selection, distance tables and the cell-bounded scan all read the
+    * loaded artifacts — nothing is re-derived from the raw vectors except
+    * the exact re-rank's candidate lookups. A fresh session serving a
+    * prebuilt index starts here; `IndexMaintenanceSpec` pins bit-equality
+    * with the in-session build. */
+  def topkIvfPqFromSaved(spark: SparkSession, dir: String, q: DataFrame,
+      indexDir: String): DataFrame = {
+    val lists = spark.read.parquet(s"$indexDir/lists")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    pqRerank(corpus(spark, dir), q,
+      ivfPqAdcScanOver(lists, cents, pqQueryTables(q, cb), q))
+  }
 
   /** The deterministic BATCH twin of the ingest-append encode, as its own
     * oracled query: every 10th base vector re-arrives under a fresh id

@@ -165,4 +165,27 @@ class IndexMaintenanceSpec extends SparkSpec {
       s"appended entity not retrieved by BOTH legs: ${twin.get.toSeq}")
     Caches.releaseAll()
   }
+
+  test("a persisted index serves bit-identically to the in-session build") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-index-save").toString
+    Similarity.saveIndex(spark, dir, idx)
+    def probes = {
+      val c = Similarity.corpus(spark, dir)
+      c.filter($"vec_id" % 500 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    }
+    val inSession = Similarity.topkIvfPqFor(spark, dir, probes)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    // a fresh serving session holds none of the build's memos
+    Caches.releaseAll()
+    val fromSaved = Similarity.topkIvfPqFromSaved(spark, dir, probes, idx)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(fromSaved == inSession,
+      "persisted-index serving differs from the in-session build")
+    assert(fromSaved.nonEmpty)
+    Caches.releaseAll()
+  }
 }
