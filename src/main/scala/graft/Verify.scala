@@ -56,17 +56,51 @@ object Verify {
     // outputs are already written above, so the banner costs nothing.
     // SPARK_GRAFT_STRICT_EXIT=1 turns the banner into a nonzero exit.
     if (only.isEmpty) {
+      // top-level keys of the driver's per-query result map, by brace-depth
+      // scan: a regex over the whole file would also collect any FUTURE
+      // nested-object key inside a query entry and then report it forever
+      // as "vanished" — depth 1 is the only level query names live at
+      def topLevelKeys(json: String): Set[String] = {
+        val keys = scala.collection.mutable.Set.empty[String]
+        var depth = 0; var inStr = false; var esc = false
+        var pendingKey: String = null
+        val sb = new StringBuilder
+        json.foreach { c =>
+          if (inStr) {
+            if (esc) esc = false
+            else if (c == '\\') esc = true
+            else if (c == '"') {
+              inStr = false
+              if (depth == 1 && pendingKey == null) pendingKey = sb.toString
+            } else sb.append(c)
+          } else c match {
+            case '"' => inStr = true; sb.clear()
+            case '{' | '[' => depth += 1
+            case '}' | ']' => depth -= 1; if (depth <= 1) pendingKey = null
+            case ':' =>
+              if (depth == 1 && pendingKey != null) { keys += pendingKey; pendingKey = null }
+            case ',' => if (depth == 1) pendingKey = null
+            case _ => ()
+          }
+        }
+        keys.toSet
+      }
+      // resolved repo root, not bare CWD: running Verify from elsewhere
+      // must say the check is off, not silently disable it
+      val root = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_REPO_ROOT", "."))
       val prevGreen: Set[String] =
         try {
-          val files = new java.io.File(".").listFiles()
+          val files = Option(root.listFiles()).getOrElse(Array.empty)
             .filter(f => f.getName.matches("CORRECTNESS_r\\d+\\.json"))
-          if (files == null || files.isEmpty) Set.empty
-          else {
+          if (files.isEmpty) {
+            System.err.println(s"[verify] note: no CORRECTNESS_r*.json under " +
+              s"${root.getAbsolutePath} — key-set drift check has nothing to compare " +
+              "(set SPARK_GRAFT_REPO_ROOT if running outside the repo root)")
+            Set.empty
+          } else {
             val latest = files.maxBy(_.getName)
-            // top-level keys of the driver's per-query result map
-            "\"(\\w+)\"\\s*:\\s*\\{".r
-              .findAllMatchIn(Files.readString(latest.toPath))
-              .map(_.group(1)).toSet
+            topLevelKeys(Files.readString(latest.toPath))
           }
         } catch { case _: Throwable => Set.empty }
       val vanished = (prevGreen -- SparkEntry.queries.keySet) ++

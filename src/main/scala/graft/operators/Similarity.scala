@@ -433,9 +433,6 @@ object Similarity {
   def annRecallPqRefined(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = corpus(spark, dir)
-    val q = strideQueries(c)
-    val cb0 = stridePqCodebook(spark, dir)
-    val (cb1, _) = pqRefineCodebook(c, cb0, PqRefineOracleIters, earlyStop = false)
     val truth = topkBruteForce(spark, dir)
     // the seeded leg IS `sim_topk_pq`'s ranked list (same corpus, same
     // stride workload, same strided codebook) — read the memoized handle
@@ -443,11 +440,27 @@ object Similarity {
     val seeded = annRecallOf(truth, topkPq(spark, dir))
       .select($"query_id", $"n_hits".as("hits_seeded"),
         $"recall".as("recall_seeded"))
-    val refined = annRecallOf(truth, pqRerank(c, q, pqAdcScanFor(c, q, cb1)))
+    val refined = annRecallOf(truth, refinedTopk(spark, dir))
       .select($"query_id", $"n_hits".as("hits_refined"),
         $"recall".as("recall_refined"))
     seeded.join(refined, "query_id").orderBy($"query_id")
   }
+
+  /** The oracle-rounds refined-codebook ranked list, memoized like
+    * `sim-pq-topk`: its inputs (the refined codebook — a pure function of
+    * the pinned seeds and the fixed [[PqRefineOracleIters]] Lloyd rounds —
+    * and the encoded corpus) are memo-stable within a session, yet the
+    * 2-round training collect + full ADC scan + rerank used to re-run per
+    * invocation — the entire steady tail of `sim_ann_recall_pq_refined`.
+    * `MemoParitySpec` pins memo-vs-fresh equality. */
+  private[graft] def refinedTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"sim-pq-refined-topk|$dir") {
+      val c = corpus(spark, dir)
+      val q = strideQueries(c)
+      val (cb1, _) = pqRefineCodebook(c, stridePqCodebook(spark, dir),
+        PqRefineOracleIters, earlyStop = false)
+      graft.sources.Caches.shared(pqRerank(c, q, pqAdcScanFor(c, q, cb1)))
+    }
 
   /** The shared recall comparison: per query, |approx ∩ truth| / k over
     * two ≤ k-per-query lists — every post-leg operator is workload-sized. */

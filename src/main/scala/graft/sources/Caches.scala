@@ -50,10 +50,20 @@ object Caches {
     * exists (a corpus row count sizing a stride, an index's collected
     * scalars, a tuple of index artifacts). Same contract as [[memoized]]:
     * only for values that are pure functions of the key within a session
-    * (immutable fixture dir); dropped by `releaseAll`. */
+    * (immutable fixture dir); dropped by `releaseAll`. The ClassTag check
+    * makes two call sites accidentally sharing a key at DIFFERENT types
+    * fail fast with the colliding key name, instead of a
+    * ClassCastException far from the offending call (erasure limits the
+    * check to the outer class — a Tuple4 of the wrong element types still
+    * slips — but that is exactly the distant-CCE case this can catch). */
   def memoizedValue[T](spark: org.apache.spark.sql.SparkSession, key: String)
-      (build: => T): T =
-    values.getOrElseUpdate((spark, key), build).asInstanceOf[T]
+      (build: => T)(implicit ct: scala.reflect.ClassTag[T]): T = {
+    val v = values.getOrElseUpdate((spark, key), build)
+    ct.unapply(v).getOrElse(throw new IllegalStateException(
+      s"Caches.memoizedValue key '$key' already holds a ${v.getClass.getName} " +
+        s"but this call site requested ${ct.runtimeClass.getName} — " +
+        "two call sites are colliding on the key"))
+  }
 
   /** [[memoizedValue]] at Long — kept as the named entry point the stride
     * sizing call sites read naturally. */

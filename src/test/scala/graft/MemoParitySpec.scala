@@ -44,6 +44,17 @@ class MemoParitySpec extends SparkSpec {
         Similarity.pqAdcScan(spark, dir))
     })
 
+    // refined-PQ ranked list: memo vs a rebuild of the training chain
+    // (fixed oracle Lloyd rounds) + ADC scan + rerank
+    assertSameRows("refinedTopk", Similarity.refinedTopk(spark, dir), {
+      val c = Similarity.corpus(spark, dir)
+      val q = Similarity.strideQueries(c)
+      val (cb1, _) = Similarity.pqRefineCodebook(c,
+        Similarity.stridePqCodebook(spark, dir),
+        Similarity.PqRefineOracleIters, earlyStop = false)
+      Similarity.pqRerank(c, q, Similarity.pqAdcScanFor(c, q, cb1))
+    })
+
     // BM25 stride workload: memo vs the un-memoized impl
     assertSameRows("bm25TopK", TextAnalysis.bm25TopK(spark, dir),
       TextAnalysis.bm25TopKImpl(spark, dir, None))
