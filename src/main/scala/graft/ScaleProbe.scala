@@ -169,6 +169,49 @@ object ScaleProbe {
           (Similarity.ivfPqAdcScan(spark, dir, q, extraLists = Some(enc)).count(),
             Similarity.ivfPqAdcScan(spark, dir, q).count())
         }),
+        // compaction parity: C = serving scan rows AFTER compacting the
+        // delta into the persisted base — with a replayed pre-compaction
+        // epoch sitting in the store; O = the pre-compaction base ∪ delta
+        // union scan. C/O must be exactly 1.0: compaction plus replay adds
+        // ZERO scan rows (the delta overhead is gone, nothing double-lists)
+        ("sim_ivfpq_compacted_scan", nVecs, () => {
+          import graft.operators.Similarity
+          val delta = graft.sources.Tables.embeddings(spark, dir)
+            .filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+          val q = Similarity.strideQueries(Similarity.corpus(spark, dir))
+          val enc = Similarity.encodeForIndex(spark, dir, delta)
+          val o = Similarity.ivfPqAdcScan(spark, dir, q,
+            extraLists = Some(enc)).count()
+          val idx = java.nio.file.Files
+            .createTempDirectory("probe-compact").toString
+          val store = s"$idx/store"
+          Similarity.saveIndex(spark, dir, idx)
+          enc.withColumn("epoch", lit(0L)).write.mode("append").parquet(store)
+          Similarity.compactIndex(spark, idx, store)
+          // crash-replay of the compacted epoch into the truncated store
+          enc.withColumn("epoch", lit(0L)).write.mode("append").parquet(store)
+          (Similarity.ivfPqAdcScanSaved(spark, q, idx, Some(store)).count(), o)
+        }),
+        // drift-advisory cost: C = rows entering the recall comparison
+        // (pinned truth + delta-served lists, each ≤ |queries|·k), O =
+        // advisory rows (= |queries|). Both are WORKLOAD-sized — the
+        // per-batch advisory never scans the corpus beyond the serving
+        // scan itself (truth and baseline legs are session-memoized)
+        ("sim_drift_check", nVecs, () => {
+          import graft.operators.Similarity
+          val delta = graft.sources.Tables.embeddings(spark, dir)
+            .filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+          val store = java.nio.file.Files
+            .createTempDirectory("probe-drift").toString + "/lists"
+          Similarity.encodeForIndex(spark, dir, delta)
+            .withColumn("epoch", lit(0L)).write.mode("overwrite").parquet(store)
+          val q = Similarity.strideQueries(Similarity.corpus(spark, dir))
+          val served = Similarity.topkIvfPqWithDelta(spark, dir, q, delta, store)
+          val c = Similarity.topkBruteForce(spark, dir).count() + served.count()
+          (c, Similarity.indexDrift(spark, dir).count())
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

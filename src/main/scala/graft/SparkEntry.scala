@@ -128,6 +128,7 @@ object SparkEntry {
     "media_near_dup_cdc"   -> (Multimodal.mediaNearDupCdc _),
     "sim_ann_recall_pq"    -> (Similarity.annRecallPq _),
     "sim_ann_recall_pq_refined" -> (Similarity.annRecallPqRefined _),
+    "sim_index_drift"      -> (Similarity.indexDrift _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -1095,6 +1096,137 @@ object SparkEntry {
         |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall
         |FROM (SELECT query_id FROM truth GROUP BY 1) t
         |LEFT JOIN hits h ON t.query_id = h.query_id
+        |ORDER BY t.query_id""".stripMargin,
+
+    // quantizer-drift advisory: the sim_ann_recall_pq chain run TWICE —
+    // once over the base corpus (the shipped baseline) and once over
+    // base ∪ the %10 re-arrival delta (the delta-serving leg, quantizers
+    // and truth pinned to the base) — then 6dp mean-vs-mean against the
+    // literal 0.05 margin
+    "sim_index_drift" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings),
+        |u AS (SELECT vec_id, v, nrm FROM n
+        |      UNION ALL
+        |      SELECT vec_id + 1000000, v, nrm FROM n WHERE vec_id % 10 = 0),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id % 100 = 0),
+        |bscored AS (
+        |  SELECT query_id, n.vec_id AS neighbor_id,
+        |    round(list_sum([qv[i]*v[i] for i in range(1,65)]) / (qn*nrm), 6) AS cosine
+        |  FROM n CROSS JOIN q WHERE n.vec_id != query_id),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM bscored) WHERE rank <= 10),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |cb AS (SELECT vec_id AS cid, v AS cv FROM n WHERE vec_id % 8 = 0),
+        |mm AS (SELECT unnest(range(0, 8)) AS m),
+        |probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT qq.vec_id AS query_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY qq.vec_id ORDER BY
+        |        round(list_sum([qq.v[i]*cv[i] for i in range(1,65)]) / (qq.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS prn
+        |    FROM (SELECT * FROM n WHERE vec_id % 100 = 0) qq CROSS JOIN cents)
+        |  WHERE prn <= 2),
+        |dt AS (
+        |  SELECT qq.vec_id AS query_id, qq.nrm AS qn, mm.m, cb.cid,
+        |    round(list_sum([qq.v[mm.m*8+i] * cb.cv[mm.m*8+i] for i in range(1, 9)]), 6) AS d
+        |  FROM (SELECT * FROM n WHERE vec_id % 100 = 0) qq CROSS JOIN cb CROSS JOIN mm),
+        |assigned_b AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT n.vec_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS arn
+        |    FROM n CROSS JOIN cents)
+        |  WHERE arn = 1),
+        |codes_b AS (
+        |  SELECT vec_id, m, cid AS code, nrm FROM (
+        |    SELECT n.vec_id, mm.m, cb.cid, n.nrm,
+        |      row_number() OVER (PARTITION BY n.vec_id, mm.m ORDER BY
+        |        round(list_sum([(n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (n.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cid ASC) AS rn
+        |    FROM n CROSS JOIN cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |adc_b AS (
+        |  SELECT p.query_id, codes_b.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(codes_b.nrm)), 6) AS adc_cosine
+        |  FROM probes p
+        |  JOIN assigned_b a ON a.cent_id = p.cent_id
+        |  JOIN codes_b ON codes_b.vec_id = a.vec_id
+        |  JOIN dt ON dt.query_id = p.query_id AND dt.m = codes_b.m AND dt.cid = codes_b.code
+        |  WHERE codes_b.vec_id != p.query_id
+        |  GROUP BY p.query_id, codes_b.vec_id),
+        |short_b AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc_b) WHERE rr <= 50),
+        |ex_b AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short_b s JOIN n qn ON qn.vec_id = s.query_id JOIN n nn ON nn.vec_id = s.neighbor_id),
+        |approx_b AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM ex_b) WHERE rank <= 10),
+        |hits_b AS (
+        |  SELECT t.query_id, count(*) AS n_hits FROM truth t
+        |  JOIN approx_b a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY 1),
+        |mb AS (
+        |  SELECT round(avg(round(coalesce(h.n_hits, 0) / 10.0, 6)), 6) AS m
+        |  FROM (SELECT query_id FROM truth GROUP BY 1) t
+        |  LEFT JOIN hits_b h ON t.query_id = h.query_id),
+        |assigned_u AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT u.vec_id, cents.cent_id,
+        |      row_number() OVER (PARTITION BY u.vec_id ORDER BY
+        |        round(list_sum([u.v[i]*cv[i] for i in range(1,65)]) / (u.nrm*cn), 6) DESC,
+        |        cent_id ASC) AS arn
+        |    FROM u CROSS JOIN cents)
+        |  WHERE arn = 1),
+        |codes_u AS (
+        |  SELECT vec_id, m, cid AS code, nrm FROM (
+        |    SELECT u.vec_id, mm.m, cb.cid, u.nrm,
+        |      row_number() OVER (PARTITION BY u.vec_id, mm.m ORDER BY
+        |        round(list_sum([(u.v[mm.m*8+i] - cb.cv[mm.m*8+i]) * (u.v[mm.m*8+i] - cb.cv[mm.m*8+i]) for i in range(1, 9)]), 6) ASC,
+        |        cb.cid ASC) AS rn
+        |    FROM u CROSS JOIN cb CROSS JOIN mm)
+        |  WHERE rn = 1),
+        |adc_u AS (
+        |  SELECT p.query_id, codes_u.vec_id AS neighbor_id,
+        |    round(sum(dt.d) / (min(dt.qn) * min(codes_u.nrm)), 6) AS adc_cosine
+        |  FROM probes p
+        |  JOIN assigned_u a ON a.cent_id = p.cent_id
+        |  JOIN codes_u ON codes_u.vec_id = a.vec_id
+        |  JOIN dt ON dt.query_id = p.query_id AND dt.m = codes_u.m AND dt.cid = codes_u.code
+        |  WHERE codes_u.vec_id != p.query_id
+        |  GROUP BY p.query_id, codes_u.vec_id),
+        |short_u AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_cosine DESC, neighbor_id ASC) AS rr
+        |    FROM adc_u) WHERE rr <= 50),
+        |ex_u AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    round(list_sum([qn.v[i]*nn.v[i] for i in range(1,65)]) / (qn.nrm*nn.nrm), 6) AS cosine
+        |  FROM short_u s JOIN n qn ON qn.vec_id = s.query_id JOIN u nn ON nn.vec_id = s.neighbor_id),
+        |approx_u AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM ex_u) WHERE rank <= 10),
+        |hits_u AS (
+        |  SELECT t.query_id, count(*) AS n_hits FROM truth t
+        |  JOIN approx_u a ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        |  GROUP BY 1),
+        |mu AS (
+        |  SELECT round(avg(round(coalesce(h.n_hits, 0) / 10.0, 6)), 6) AS m
+        |  FROM (SELECT query_id FROM truth GROUP BY 1) t
+        |  LEFT JOIN hits_u h ON t.query_id = h.query_id)
+        |SELECT t.query_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall,
+        |  (SELECT m FROM mu) < (SELECT m FROM mb) - 0.05 AS retrain_advised
+        |FROM (SELECT query_id FROM truth GROUP BY 1) t
+        |LEFT JOIN hits_u h ON t.query_id = h.query_id
         |ORDER BY t.query_id""".stripMargin,
 
     // PQ codebook TRAINING end-to-end: two unrolled Lloyd rounds (encode =

@@ -1165,11 +1165,11 @@ object Similarity {
       graft.sources.Caches.shared(
         pqEncode(strideAssigned(spark, dir), cb, carry = Seq("cent_id"))))
     // ingest-appended delta lists ([[appendIndexStream]]) ride the same
-    // scan: the pinned base materialization is untouched and the delta is
-    // a plain union — the FAISS-style "inverted lists grow, quantizers
-    // stay" maintenance contract
-    val lists = extraLists.fold(baseLists)(d =>
-      baseLists.unionByName(d.select(baseLists.columns.map(col).toIndexedSeq: _*)))
+    // scan: the pinned base materialization is untouched and the delta
+    // unions in — the FAISS-style "inverted lists grow, quantizers
+    // stay" maintenance contract ([[mergeDeltaRows]] for why it is an
+    // anti-join union, not a plain union)
+    val lists = extraLists.fold(baseLists)(mergeDeltaRows(baseLists, _, "vec_id"))
     // queries probe their NProbe nearest cells (the topkIvf probe shape),
     // each probe row carrying the query's broadcast-ready distance table.
     // The memo key carries a "stridecb" tag naming the codebook the tables
@@ -1181,6 +1181,21 @@ object Similarity {
       graft.sources.Caches.memoized(spark, s"sim-pq-qt|stridecb|$dir|$k")(
         graft.sources.Caches.shared(pqQueryTables(q, cb))))
     ivfPqAdcScanOver(lists, cents, qt, q)
+  }
+
+  /** Base ∪ delta with the base's rows dropped for any key the delta
+    * re-lists — the read-side merge every delta-serving leg uses. Before a
+    * compaction this is a no-op union (appended keys are fresh); after
+    * [[compactIndex]] it is what makes a REPLAYED old epoch invisible (its
+    * rows are already merged into the base), and under a genuine same-key
+    * re-upload the delta (newer) row deterministically wins. The anti-join
+    * probes the base with only the delta's key column — AQE broadcasts the
+    * small side; the base materialization is never shuffled. */
+  private def mergeDeltaRows(base: DataFrame, delta: DataFrame,
+      key: String): DataFrame = {
+    val dd = delta.select(base.columns.map(col).toIndexedSeq: _*)
+    base.join(dd.select(col(key)).distinct(), Seq(key), "left_anti")
+      .unionByName(dd)
   }
 
   /** The probe-select + cell-bounded ADC core over EXPLICIT index frames —
@@ -1406,6 +1421,36 @@ object Similarity {
     fuseRrf(lex, dense)
   }
 
+  /** Hybrid retrieval with BOTH legs served from COLD persisted artifacts
+    * — the posture a fresh serving session (or a 1000-executor job server
+    * that did not build the index) actually starts in: the lexical leg
+    * loads the [[TextAnalysis.savePostingsIndex]] artifacts, the dense leg
+    * the [[saveIndex]] artifacts; nothing is re-derived from the corpus
+    * except the exact re-rank's vector lookups (the lake stays the source
+    * of truth). Optional delta stores union in exactly as in
+    * [[hybridRrfWithDelta]]. `IndexMaintenanceSpec` pins bit-equality with
+    * the in-session build under a full memo drop. */
+  def hybridRrfFromSaved(spark: SparkSession, dir: String, queries: DataFrame,
+      denseIndexDir: String, lexIndexDir: String,
+      segStore: Option[String] = None, listsStore: Option[String] = None,
+      deltaVecs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val qToks = queries.select($"query_id",
+      explode(array_distinct(graft.functions.Text.tokens($"text"))).as("tok"))
+    val lex = TextAnalysis.bm25TopKFromSaved(spark, lexIndexDir, qToks, segStore)
+      .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
+    val qv = queries.select($"query_id", asDouble($"embedding").as("qv"))
+      .withColumn("qn", norm($"qv"))
+    val dense = (listsStore match {
+      case Some(store) => topkIvfPqFromSavedWithDelta(spark, dir, qv,
+        denseIndexDir, store,
+        deltaVecs.getOrElse(spark.emptyDataset[(Long, Array[Float])]
+          .toDF("vec_id", "embedding")))
+      case None => topkIvfPqFromSaved(spark, dir, qv, denseIndexDir)
+    }).select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank"))
+    fuseRrf(lex, dense)
+  }
+
   /** The RRF fusion stage shared by the batch operator and the serving
     * path: full-outer join of the legs' top-k lists, Σ 1/(k+rank) over
     * present legs, top-[[TopK]] per query. Workload-sized by construction
@@ -1472,24 +1517,41 @@ object Similarity {
   /** Ingest-time index maintenance: arriving (vec_id, embedding) rows are
     * assigned + encoded against the pinned index per micro-batch and
     * APPENDED to the delta store — the write half of the grow-only
-    * inverted-list contract ([[encodeForIndex]]). Encoding is pure, so a
-    * replayed epoch appends byte-identical rows; [[readIndexDelta]]
-    * dedups by vec_id on read, making replay harmless (the
-    * `KeyedUpsertSink` idempotency convention, resolved at read time
-    * because parquet append cannot upsert). */
+    * inverted-list contract ([[encodeForIndex]]). Each batch's rows carry
+    * the stream's EPOCH id, so the read side ([[readIndexDelta]]) is a
+    * deterministic keyed upsert: a replayed epoch appends byte-identical
+    * rows that collapse on the (vec_id, epoch) key, and a genuine
+    * re-upload of a CHANGED payload under the same vec_id in a later
+    * epoch deterministically wins (latest epoch per key) — resolved at
+    * read time because parquet append cannot upsert. */
   def appendIndexStream(vecStream: DataFrame, spark: SparkSession,
       dir: String, storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     vecStream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         encodeForIndex(spark, dir, batch)
+          .withColumn("epoch", lit(epoch))
           .write.mode("append").parquet(storeDir)
       }
   }
 
-  /** The replay-safe read of the appended delta lists. */
-  def readIndexDelta(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir).dropDuplicates("vec_id")
+  /** The replay-safe read of the appended delta lists: byte-identical
+    * replay copies collapse on the full (vec_id, epoch) key, then the
+    * LATEST epoch wins per vec_id — a deterministic upsert (within one
+    * epoch a key appears once: the ingest contract of any keyed sink).
+    * Epoch-less stores (a pre-epoch layout, or a side table written by a
+    * batch backfill) keep the plain key dedup — safe only under the
+    * append-only/byte-identical-replay contract. */
+  def readIndexDelta(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.parquet(storeDir)
+    if (raw.columns.contains("epoch"))
+      raw.dropDuplicates("vec_id", "epoch")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy($"vec_id").orderBy($"epoch".desc)))
+        .filter($"_rn" === 1).drop("_rn", "epoch")
+    else raw.dropDuplicates("vec_id")
+  }
 
   /** Persist the built IVFADC index — inverted lists + both quantizers —
     * as three parquet tables. At 100 TB the index build (corpus scan,
@@ -1516,12 +1578,205 @@ object Similarity {
     * prebuilt index starts here; `IndexMaintenanceSpec` pins bit-equality
     * with the in-session build. */
   def topkIvfPqFromSaved(spark: SparkSession, dir: String, q: DataFrame,
-      indexDir: String): DataFrame = {
-    val lists = spark.read.parquet(s"$indexDir/lists")
+      indexDir: String): DataFrame =
+    pqRerank(corpus(spark, dir), q, ivfPqAdcScanSaved(spark, q, indexDir, None))
+
+  /** The cell-bounded ADC scan over PERSISTED artifacts, optionally ∪ a
+    * delta store — the scan stage [[topkIvfPqFromSaved]]/
+    * [[topkIvfPqFromSavedWithDelta]] rank; exposed separately so
+    * [[graft.ScaleProbe]] can count serving scan rows across a
+    * compaction. */
+  private[graft] def ivfPqAdcScanSaved(spark: SparkSession, q: DataFrame,
+      indexDir: String, storeDir: Option[String]): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/lists")
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
-    pqRerank(corpus(spark, dir), q,
-      ivfPqAdcScanOver(lists, cents, pqQueryTables(q, cb), q))
+    val lists = storeDir.fold(base)(s =>
+      mergeDeltaRows(base, readIndexDelta(spark, s), "vec_id"))
+    ivfPqAdcScanOver(lists, cents, pqQueryTables(q, cb), q)
+  }
+
+  /** IVFADC serving from a persisted index ∪ an appended delta store —
+    * the cold-start twin of [[topkIvfPqWithDelta]]: lists, quantizers and
+    * the delta segments all come from disk; `deltaVecs` is the appended
+    * vectors' lake partition (the exact re-rank's source for appended
+    * ids). Serve-before-compaction ≡ serve-after-compaction bit-for-bit:
+    * [[compactIndex]] only moves byte-identical rows from the delta store
+    * into the base lists, and [[mergeDeltaRows]] makes the move (and any
+    * replayed epoch left behind) invisible to the scan. */
+  def topkIvfPqFromSavedWithDelta(spark: SparkSession, dir: String,
+      q: DataFrame, indexDir: String, storeDir: String,
+      deltaVecs: DataFrame): DataFrame =
+    pqRerank(lakeWithDelta(spark, dir, deltaVecs), q,
+      ivfPqAdcScanSaved(spark, q, indexDir, Some(storeDir)))
+
+  /** Merge the ingest-appended delta store back into the persisted base
+    * lists — the batch compaction job that returns serving cost C/O to
+    * 1.0, OFF the serving path (run it where the index build ran, not in
+    * the query path). Quantizers are NOT retrained: compaction moves
+    * byte-identical rows, so serving before and after is bit-equal
+    * (`IndexMaintenanceSpec` pins it); a retrain is a fresh [[saveIndex]]
+    * over the grown lake, scheduled when [[retrainAdvised]] trips.
+    *
+    * Crash-safety ordering: the merged lists land in a sibling directory
+    * first, then swap in, then the delta store truncates to a schema-only
+    * parquet. A crash between swap and truncate leaves delta rows in BOTH
+    * base and store — which [[mergeDeltaRows]] already serves correctly
+    * (that overlap is the same state a post-compaction epoch replay
+    * creates), so every crash point is serve-consistent. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      storeDir: String): Unit = {
+    val delta = readIndexDelta(spark, storeDir)
+    if (delta.isEmpty) return
+    val base = spark.read.parquet(s"$indexDir/lists")
+    val tmp = s"$indexDir/lists_compacting"
+    mergeDeltaRows(base, delta, "vec_id")
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val listsPath = new org.apache.hadoop.fs.Path(s"$indexDir/lists")
+    val fs = listsPath.getFileSystem(conf)
+    fs.delete(listsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), listsPath)
+    truncateStore(spark, storeDir)
+  }
+
+  /** Truncate an append store to a schema-only parquet dir (row-free but
+    * readable): the store must survive compaction so a restarted stream
+    * can keep appending — and so a replayed pre-compaction epoch has a
+    * place to land (its rows are then hidden by [[mergeDeltaRows]]). */
+  private[graft] def truncateStore(spark: SparkSession, storeDir: String): Unit = {
+    val schema = spark.read.parquet(storeDir).schema
+    spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(storeDir)
+  }
+
+  /** The replay-safe read of an appended raw-vector lake partition
+    * ((vec_id, embedding, epoch) rows; [[readIndexDelta]] semantics). */
+  def readVecsDelta(spark: SparkSession, vecsDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(vecsDir)
+      .dropDuplicates("vec_id", "epoch")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"epoch".desc)))
+      .filter($"_rn" === 1).drop("_rn", "epoch")
+  }
+
+  /** Mean-recall MARGIN under the shipped baseline past which
+    * [[retrainAdvised]] trips. The advisory is relative, not an absolute
+    * floor: the IVFADC leg's own approximation loss already prices mean
+    * recall below 1.0, so "drifted" means "measurably below what this
+    * index scored on the snapshot it was trained on". */
+  val DriftRecallMargin = 0.05
+
+  /** Quantizer-drift check: recall@[[TopK]] of the DELTA-SERVING leg
+    * (base lists ∪ appended delta under pinned quantizers) against the
+    * MEMOIZED brute-force truth of the base snapshot, on the stride probe
+    * set — compared to the SAME index's shipped recall on that snapshot
+    * ([[topkIvfPq]] vs truth, both session-memoized). Appends drawn from
+    * the trained distribution leave the two means equal (adding vectors
+    * never improves a truth row's rank, and far-away vectors never enter
+    * a top-k); a drifted ingest — new content crowding the probe
+    * neighborhoods — pushes base-truth neighbors out of the served top-k
+    * and the delta mean falls below baseline − [[DriftRecallMargin]]: the
+    * signal that the pinned quantizers/statistics no longer describe the
+    * lake and a retrain (fresh [[saveIndex]] over the grown lake) should
+    * be scheduled. Per-batch cost is workload-sized beyond the serving
+    * scan itself: the truth and baseline legs are memoized, and the
+    * comparison joins two ≤ k-per-query lists (≤ 2·|queries|·k rows —
+    * [[graft.ScaleProbe]] measures the volume). */
+  def indexDriftCheckFrames(spark: SparkSession, dir: String,
+      deltaVecs: DataFrame, deltaLists: DataFrame): DataFrame = {
+    import spark.implicits._
+    val q = strideQueries(corpus(spark, dir))
+    val served = pqRerank(lakeWithDelta(spark, dir, deltaVecs), q,
+      ivfPqAdcScan(spark, dir, q, extraLists = Some(deltaLists)))
+    // both means re-pinned 6dp before the margin compare: the comparison
+    // must be engine-stable at the boundary, and an unrounded avg is
+    // summation-order-dependent in the last bits
+    val baseline = annRecallOf(topkBruteForce(spark, dir), topkIvfPq(spark, dir))
+      .agg(round(avg($"recall"), 6).as("base_mean"))
+    annRecallOf(topkBruteForce(spark, dir), served)
+      .crossJoin(broadcast(baseline))
+      .withColumn("mean_recall",
+        round(avg($"recall").over(Window.partitionBy()), 6))
+      .withColumn("retrain_advised",
+        $"mean_recall" < $"base_mean" - lit(DriftRecallMargin))
+      .select($"query_id", $"n_hits", $"recall", $"retrain_advised")
+      .orderBy($"query_id")
+  }
+
+  /** [[indexDriftCheckFrames]] reading the delta store. */
+  def indexDriftCheck(spark: SparkSession, dir: String, storeDir: String,
+      deltaVecs: DataFrame): DataFrame =
+    indexDriftCheckFrames(spark, dir, deltaVecs,
+      readIndexDelta(spark, storeDir))
+
+  /** The advisory scalar a maintenance loop acts on: (mean recall vs the
+    * pinned truth, trip flag). */
+  def retrainAdvised(spark: SparkSession, dir: String, storeDir: String,
+      deltaVecs: DataFrame): (Double, Boolean) = {
+    import spark.implicits._
+    indexDriftCheck(spark, dir, storeDir, deltaVecs)
+      .agg(avg($"recall"), max($"retrain_advised"))
+      .as[(Double, Boolean)].head()
+  }
+
+  /** The deterministic BATCH twin of the drift check, as its own oracled
+    * query: the [[indexAppend]] delta (every 10th vector re-arriving
+    * under a fresh id) is served through base ∪ delta and compared to the
+    * pinned base truth and baseline. Each re-arrived exact twin takes a
+    * top-k slot its base original's neighbor list never held, so the
+    * delta mean sits below the shipped baseline — DuckDB re-derives the
+    * full chain (union-corpus assignment/encode/scan, base brute truth,
+    * BOTH recalls, mean-vs-mean against the literal margin). */
+  def indexDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delta = Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    indexDriftCheckFrames(spark, dir, delta,
+      encodeForIndex(spark, dir, delta))
+  }
+
+  /** The full maintenance loop as ONE ingest stream — append, advise,
+    * compact: per micro-batch the arriving vectors are (1) encoded
+    * against the pinned quantizers and appended to `maintDir/lists`, (2)
+    * appended raw to `maintDir/vecs` (the lake partition the rerank and a
+    * future retrain read), (3) drift-checked against the pinned truth
+    * with the advisory row appended to `maintDir/advisory`, and (4) when
+    * the delta fraction reaches `compactAt` of the persisted base,
+    * [[compactIndex]] folds the delta into `indexDir` — all off the query
+    * path. Every write is epoch-stamped, so a restart that replays an
+    * epoch — even ACROSS a compaction boundary — is invisible to serving
+    * ([[mergeDeltaRows]]; `IndexMaintenanceSpec` pins it). */
+  def maintainIndexStream(vecStream: DataFrame, spark: SparkSession,
+      dir: String, indexDir: String, maintDir: String,
+      compactAt: Double = 0.25,
+      advise: Boolean = true): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    vecStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        encodeForIndex(spark, dir, batch)
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(s"$maintDir/lists")
+        batch.select($"vec_id", $"embedding")
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(s"$maintDir/vecs")
+        val dv = readVecsDelta(spark, s"$maintDir/vecs")
+        if (advise) {
+          val (meanRecall, advised) =
+            retrainAdvised(spark, dir, s"$maintDir/lists", dv)
+          Seq((epoch, meanRecall, advised))
+            .toDF("epoch", "mean_recall", "retrain_advised")
+            .write.mode("append").parquet(s"$maintDir/advisory")
+        }
+        val nBase = spark.read.parquet(s"$indexDir/lists").count()
+        val nDelta = readIndexDelta(spark, s"$maintDir/lists").count()
+        if (nDelta > 0 && nDelta >= compactAt * nBase)
+          compactIndex(spark, indexDir, s"$maintDir/lists")
+      }
   }
 
   /** The deterministic BATCH twin of the ingest-append encode, as its own
@@ -1561,12 +1816,20 @@ object Similarity {
     * vectors (at 100 TB: the same lake partition the ingest wrote). */
   def topkIvfPqWithDelta(spark: SparkSession, dir: String, q: DataFrame,
       deltaVecs: DataFrame, storeDir: String): DataFrame = {
+    pqRerank(lakeWithDelta(spark, dir, deltaVecs), q,
+      ivfPqAdcScan(spark, dir, q,
+        extraLists = Some(readIndexDelta(spark, storeDir))))
+  }
+
+  /** The exact-rerank's vector source under maintenance: base lake ∪ the
+    * appended vectors' side table, delta winning on a same-id re-upload
+    * ([[mergeDeltaRows]] semantics on the raw vectors). */
+  private def lakeWithDelta(spark: SparkSession, dir: String,
+      deltaVecs: DataFrame): DataFrame = {
     import spark.implicits._
     val dv = deltaVecs.select($"vec_id", asDouble($"embedding").as("v"))
       .withColumn("nrm", norm($"v"))
-    pqRerank(corpus(spark, dir).unionByName(dv), q,
-      ivfPqAdcScan(spark, dir, q,
-        extraLists = Some(readIndexDelta(spark, storeDir))))
+    mergeDeltaRows(corpus(spark, dir), dv, "vec_id")
   }
 
   /** Per-label embedding centroids via the typed [[graft.functions.CentroidAgg]]

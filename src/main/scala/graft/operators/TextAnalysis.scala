@@ -461,15 +461,35 @@ object TextAnalysis {
   private[graft] def bm25ScoreQueries(spark: SparkSession, dir: String,
       queryToks: DataFrame, forceCap: Option[Long] = None,
       extraPostings: Option[DataFrame] = None): DataFrame = {
-    import spark.implicits._
     val (baseTf, dfreq, nDocs, avgdl) = bm25Index(spark, dir)
+    bm25ScoreOver(baseTf, dfreq, nDocs, avgdl, queryToks, forceCap,
+      extraPostings)
+  }
+
+  /** The scoring core over EXPLICIT index artifacts — shared by the
+    * in-session build ([[bm25ScoreQueries]]) and the persisted-index
+    * serving path ([[bm25TopKFromSaved]]). */
+  private def bm25ScoreOver(baseTf: DataFrame, dfreq: DataFrame,
+      nDocs: Double, avgdl: Double, queryToks: DataFrame,
+      forceCap: Option[Long] = None,
+      extraPostings: Option[DataFrame] = None): DataFrame = {
+    val spark = baseTf.sparkSession
+    import spark.implicits._
     // ingest-appended postings segments ([[appendPostingsStream]]) join
     // the same scoring scan; df/N/avgdl stay PINNED at the base index's
     // values until an explicit reindex — the segment-append contract of
     // every incremental search engine (stale idf, bounded by segment-merge
-    // cadence), matching the pinned-quantizer rule of the dense leg
-    val tf = extraPostings.fold(baseTf)(d =>
-      baseTf.unionByName(d.select(baseTf.columns.map(col).toIndexedSeq: _*)))
+    // cadence), matching the pinned-quantizer rule of the dense leg.
+    // The anti-join drops base postings of any doc the delta re-lists:
+    // before a compaction that is a no-op (appended ids are fresh); after
+    // [[compactPostings]] it is what makes a REPLAYED old epoch invisible
+    // (its rows are already merged into the base) — latest wins, per doc.
+    val tf = extraPostings.fold(baseTf) { d =>
+      val dd = d.select(baseTf.columns.map(col).toIndexedSeq: _*)
+      baseTf.join(broadcast(dd.select($"doc_id").distinct()),
+          Seq("doc_id"), "left_anti")
+        .unionByName(dd)
+    }
     val cap = forceCap.getOrElse(bm25DfCap(nDocs.toLong))
     // rank first, cap second: the cap is on the ranking key (df asc), so
     // the capped set is a prefix of the ranking and rank-then-cap equals
@@ -508,14 +528,8 @@ object TextAnalysis {
   /** Ranked BM25 top-k for an external query workload (the
     * [[bm25TopKImpl]] cut over [[bm25ScoreQueries]]). */
   private[graft] def bm25TopKFor(spark: SparkSession, dir: String,
-      queryToks: DataFrame): DataFrame = {
-    import spark.implicits._
-    bm25ScoreQueries(spark, dir, queryToks)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
-      .filter($"rank" <= Bm25K)
-      .select($"query_id", $"doc_id", $"rank", $"score", $"n_terms_dropped")
-  }
+      queryToks: DataFrame): DataFrame =
+    bm25RankCut(bm25ScoreQueries(spark, dir, queryToks))
 
   // ------------- incremental postings maintenance (ingest-time append)
 
@@ -544,15 +558,67 @@ object TextAnalysis {
       dir: String, storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     docStream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
         encodeForPostings(batch)
+          .withColumn("epoch", lit(epoch))
           .write.mode("append").parquet(storeDir)
       }
   }
 
-  /** The replay-safe read of the appended postings segments. */
-  def readPostingsDelta(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir).dropDuplicates("doc_id", "tok")
+  /** The replay-safe read of the appended postings segments: byte-identical
+    * replay copies collapse on the full (doc_id, tok, epoch) key, then the
+    * LATEST epoch wins per DOCUMENT — the whole posting set of the newest
+    * version replaces the old one (a changed re-upload may have dropped
+    * tokens; row-level latest-wins would leak the removed ones). Epoch-less
+    * stores (pre-epoch layout / batch backfills) keep the plain key dedup,
+    * safe only under the append-only/byte-identical-replay contract. */
+  def readPostingsDelta(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.parquet(storeDir)
+    if (raw.columns.contains("epoch"))
+      raw.dropDuplicates("doc_id", "tok", "epoch")
+        .withColumn("_maxe", max($"epoch").over(
+          Window.partitionBy($"doc_id")))
+        .filter($"epoch" === $"_maxe").drop("_maxe", "epoch")
+    else raw.dropDuplicates("doc_id", "tok")
+  }
+
+  /** Merge the appended postings segments back into the persisted base
+    * postings ([[savePostingsIndex]] artifacts) — the segment-merge half
+    * of the Lucene contract, off the serving path (the
+    * [[graft.operators.Similarity.compactIndex]] twin for the sparse leg).
+    * The df/N/avgdl statistics stay PINNED (compaction moves byte-identical
+    * posting rows, so serving before and after is bit-equal —
+    * `IndexMaintenanceSpec` pins it); refreshing the statistics is a
+    * reindex ([[savePostingsIndex]] over the grown corpus), a separate
+    * scheduled job. Same crash-safety ordering as the dense twin: merged
+    * postings land in a sibling dir, swap in, then the store truncates —
+    * a crash between swap and truncate leaves rows in both base and store,
+    * which the serving-side merge already handles (the post-compaction
+    * replay state). */
+  def compactPostings(spark: SparkSession, indexDir: String,
+      storeDir: String): Unit = {
+    import spark.implicits._
+    val delta = readPostingsDelta(spark, storeDir)
+    if (delta.isEmpty) return
+    val base = spark.read.parquet(s"$indexDir/postings")
+    val dd = delta.select(base.columns.map(col).toIndexedSeq: _*)
+    val tmp = s"$indexDir/postings_compacting"
+    base.join(broadcast(dd.select($"doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .unionByName(dd)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val fs = postingsPath.getFileSystem(conf)
+    fs.delete(postingsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), postingsPath)
+    graft.operators.Similarity.truncateStore(spark, storeDir)
+    // the loaded-artifact memo now points at the PRE-compaction file set —
+    // drop it (and unpersist its cached frames) so the next load reads the
+    // merged base; index artifacts are mutable at exactly this boundary
+    graft.sources.Caches.invalidate(spark, s"text-bm25-index-saved|$indexDir")
+  }
 
   /** The deterministic BATCH twin of the segment-append encode, as its own
     * oracled query (the [[graft.operators.Similarity.indexAppend]]
@@ -573,14 +639,62 @@ object TextAnalysis {
     * curation stack runs five minutes after new documents arrived, without
     * a reindex. Pinned-stats contract per [[bm25ScoreQueries]]. */
   def bm25TopKWithDelta(spark: SparkSession, dir: String,
-      queryToks: DataFrame, storeDir: String): DataFrame = {
-    import spark.implicits._
-    bm25ScoreQueries(spark, dir, queryToks,
-        extraPostings = Some(readPostingsDelta(spark, storeDir)))
+      queryToks: DataFrame, storeDir: String): DataFrame =
+    bm25RankCut(bm25ScoreQueries(spark, dir, queryToks,
+      extraPostings = Some(readPostingsDelta(spark, storeDir))))
+
+  /** The shared rank cut over a scored (query_id, doc_id, score,
+    * n_terms_dropped) frame. */
+  private def bm25RankCut(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id".asc)))
       .filter($"rank" <= Bm25K)
       .select($"query_id", $"doc_id", $"rank", $"score", $"n_terms_dropped")
+  }
+
+  /** Persist the built lexical index — postings, document frequencies, and
+    * the (N, avgdl) scalars — as three parquet tables (the
+    * [[graft.operators.Similarity.saveIndex]] convention for the sparse
+    * leg). At 100 TB the tokenize + postings build is a batch job whose
+    * output OUTLIVES the session: a serving process loads the artifacts
+    * and never re-tokenizes the corpus ([[bm25TopKFromSaved]]). */
+  def savePostingsIndex(spark: SparkSession, dir: String,
+      indexDir: String): Unit = {
+    import spark.implicits._
+    val (tf, dfreq, nDocs, avgdl) = bm25Index(spark, dir)
+    tf.write.mode("overwrite").parquet(s"$indexDir/postings")
+    dfreq.write.mode("overwrite").parquet(s"$indexDir/df")
+    Seq((nDocs, avgdl)).toDF("n_docs", "avgdl")
+      .write.mode("overwrite").parquet(s"$indexDir/stats")
+  }
+
+  /** Load persisted lexical-index artifacts ([[savePostingsIndex]]).
+    * Memoized per (session, indexDir): the stats row is an eager
+    * one-row collect and per-micro-batch serving must not re-read it. */
+  private[graft] def loadPostingsIndex(spark: SparkSession, indexDir: String)
+      : (DataFrame, DataFrame, Double, Double) =
+    graft.sources.Caches.memoizedValue(spark, s"text-bm25-index-saved|$indexDir") {
+      import spark.implicits._
+      val tf = graft.sources.Caches.shared(
+        spark.read.parquet(s"$indexDir/postings"))
+      val dfreq = graft.sources.Caches.shared(
+        spark.read.parquet(s"$indexDir/df"))
+      val (nDocs, avgdl) = spark.read.parquet(s"$indexDir/stats")
+        .select($"n_docs", $"avgdl").as[(Double, Double)].head()
+      (tf, dfreq, nDocs, avgdl)
+    }
+
+  /** BM25 serving from a PERSISTED index, optionally ∪ an appended segment
+    * store: scoring reads only the loaded artifacts — a fresh serving
+    * session starts here; `IndexMaintenanceSpec` pins bit-equality with
+    * the in-session build. */
+  def bm25TopKFromSaved(spark: SparkSession, indexDir: String,
+      queryToks: DataFrame, storeDir: Option[String] = None): DataFrame = {
+    val (tf, dfreq, nDocs, avgdl) = loadPostingsIndex(spark, indexDir)
+    bm25RankCut(bm25ScoreOver(tf, dfreq, nDocs, avgdl, queryToks,
+      extraPostings = storeDir.map(readPostingsDelta(spark, _))))
   }
 
   /** BM25 top-k retrieval over an inverted index — the search half of a

@@ -80,6 +80,34 @@ object Caches {
     df
   }
 
+  /** Drop every memo/value entry of `spark` whose key starts with
+    * `prefix`, unpersisting any DataFrame handles the dropped entries hold
+    * (including inside tuples) — the invalidation hook for the ONE place
+    * the immutable-dir contract does not apply: persisted index artifacts,
+    * which change at a compaction boundary. Callers (compaction jobs)
+    * invalidate their own key namespace; everything else stays cached. */
+  def invalidate(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): Unit = synchronized {
+    def unp(x: Any): Unit = x match {
+      case ds: org.apache.spark.sql.Dataset[_] =>
+        try ds.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        tracked.filterInPlace(_ ne ds)
+      case p: Product => p.productIterator.foreach(unp)
+      case _ => ()
+    }
+    memo.filterInPlace { case ((s, k), df) =>
+      val drop = (s eq spark) && k.startsWith(prefix)
+      if (drop) unp(df)
+      !drop
+    }
+    values.filterInPlace { case ((s, k), v) =>
+      val drop = (s eq spark) && k.startsWith(prefix)
+      if (drop) unp(v)
+      !drop
+    }
+  }
+
   /** Number of currently tracked (persisted, unreleased) handles. */
   def trackedCount: Int = synchronized(tracked.size)
 

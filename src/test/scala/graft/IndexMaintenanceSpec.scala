@@ -56,10 +56,13 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(streamed == batch, "delta store differs from one-shot batch encode")
     assert(streamed.size == 30)
 
-    // replay: re-deliver one epoch's rows; the appended duplicates are
-    // byte-identical and vanish behind the read-side dedup
+    // replay: re-deliver epoch 0's rows under its original epoch stamp;
+    // the appended duplicates are byte-identical and collapse on the
+    // (vec_id, epoch) key behind the read-side dedup
     Similarity.encodeForIndex(spark, dir,
         rows.slice(10, 20).toDF("vec_id", "embedding"))
+      .withColumn(
+        "epoch", org.apache.spark.sql.functions.lit(0L))
       .write.mode("append").parquet(store)
     val replayed = Similarity.readIndexDelta(spark, store)
       .orderBy($"vec_id").collect().map(_.toSeq).toSeq
@@ -109,8 +112,10 @@ class IndexMaintenanceSpec extends SparkSpec {
       .orderBy($"doc_id", $"tok").collect().map(_.toSeq).toSeq
     assert(streamed == batch, "postings segment differs from batch encode")
 
-    // replay an epoch: byte-identical rows vanish behind the dedup
+    // replay epoch 0: byte-identical rows vanish behind the keyed dedup
     TextAnalysis.encodeForPostings(rows.slice(8, 20).toDF("doc_id", "text"))
+      .withColumn(
+        "epoch", org.apache.spark.sql.functions.lit(0L))
       .write.mode("append").parquet(store)
     assert(TextAnalysis.readPostingsDelta(spark, store)
         .orderBy($"doc_id", $"tok").collect().map(_.toSeq).toSeq == batch,
@@ -163,6 +168,206 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(twin.get.getInt(twin.get.fieldIndex("lex_rank")) > 0 &&
         twin.get.getInt(twin.get.fieldIndex("sem_rank")) > 0,
       s"appended entity not retrieved by BOTH legs: ${twin.get.toSeq}")
+    Caches.releaseAll()
+  }
+
+  test("hybrid serving from cold artifacts matches the in-session build bit-for-bit") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-cold-hybrid").toString
+    Similarity.saveIndex(spark, dir, s"$tmp/dense")
+    TextAnalysis.savePostingsIndex(spark, dir, s"$tmp/lex")
+    // (query_id, text, embedding) probes — documents and embeddings share
+    // the id space
+    def queries = Tables.documents(spark, dir).filter($"doc_id" % 250 === 0)
+      .select($"doc_id".as("query_id"), $"text")
+      .join(Tables.embeddings(spark, dir)
+        .select($"vec_id".as("query_id"), $"embedding"), "query_id")
+    val inSession = Similarity.hybridRrfFor(spark, dir, queries)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    // a fresh serving session holds NONE of the build's memos: both legs
+    // must come entirely from the persisted artifacts
+    Caches.releaseAll()
+    val fromSaved = Similarity.hybridRrfFromSaved(spark, dir, queries,
+        s"$tmp/dense", s"$tmp/lex")
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(fromSaved.nonEmpty)
+    assert(fromSaved == inSession,
+      "cold-artifact hybrid serving differs from the in-session build")
+    Caches.releaseAll()
+  }
+
+  test("compaction folds the delta into the base bit-equally and replayed epochs stay invisible") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-compact").toString
+    val (idx, store) = (s"$tmp/idx", s"$tmp/store")
+
+    // ---- dense leg
+    Similarity.saveIndex(spark, dir, idx)
+    val nBase = spark.read.parquet(s"$idx/lists").count()
+    val rows = deltaRows(30)
+    Similarity.encodeForIndex(spark, dir, rows.slice(0, 15).toDF("vec_id", "embedding"))
+      .withColumn("epoch", lit(0L)).write.mode("append").parquet(store)
+    Similarity.encodeForIndex(spark, dir, rows.slice(15, 30).toDF("vec_id", "embedding"))
+      .withColumn("epoch", lit(1L)).write.mode("append").parquet(store)
+    val dv = rows.toDF("vec_id", "embedding")
+    def probes = {
+      val c = Similarity.corpus(spark, dir)
+      c.filter($"vec_id" % 250 === 0)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    }
+    def serve() = Similarity
+      .topkIvfPqFromSavedWithDelta(spark, dir, probes, idx, store, dv)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    val before = serve()
+    assert(before.nonEmpty)
+    Similarity.compactIndex(spark, idx, store)
+    assert(spark.read.parquet(s"$idx/lists").count() == nBase + 30,
+      "compaction did not fold the delta rows into the base lists")
+    assert(spark.read.parquet(store).count() == 0,
+      "compaction left rows in the delta store")
+    assert(serve() == before,
+      "serving after compaction differs from serving before")
+    // replay a pre-compaction epoch into the truncated store: its rows are
+    // already merged into the base — the serving-side merge must hide them
+    Similarity.encodeForIndex(spark, dir, rows.slice(15, 30).toDF("vec_id", "embedding"))
+      .withColumn("epoch", lit(1L)).write.mode("append").parquet(store)
+    val replayed = serve()
+    assert(replayed == before,
+      "a replayed epoch leaked through the post-compaction merge")
+    // exactly-once: no (query, neighbor) pair is served twice
+    assert(replayed.map(r => (r(0), r(1))).distinct.size == replayed.size)
+    // a compacted-in vector is still served: the twin of probe vec 0
+    assert(replayed.exists(r => r(1) == 1000000L),
+      "appended vector lost by compaction")
+
+    // ---- lexical leg
+    val (lexIdx, seg) = (s"$tmp/lex", s"$tmp/seg")
+    TextAnalysis.savePostingsIndex(spark, dir, lexIdx)
+    val nPost = spark.read.parquet(s"$lexIdx/postings").count()
+    val docRows: Seq[(Long, String)] = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(20).toSeq
+      .map { case (id, t) => (id + 1000000L, t) }
+    TextAnalysis.encodeForPostings(docRows.slice(0, 10).toDF("doc_id", "text"))
+      .withColumn("epoch", lit(0L)).write.mode("append").parquet(seg)
+    TextAnalysis.encodeForPostings(docRows.slice(10, 20).toDF("doc_id", "text"))
+      .withColumn("epoch", lit(1L)).write.mode("append").parquet(seg)
+    val nDelta = TextAnalysis.readPostingsDelta(spark, seg).count()
+    def probeToks = Tables.documents(spark, dir).filter($"doc_id" === 0L)
+      .select(lit(0L).as("query_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_distinct(
+            graft.functions.Text.tokens($"text"))).as("tok"))
+    def serveLex() = TextAnalysis
+      .bm25TopKFromSaved(spark, lexIdx, probeToks, Some(seg))
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    val lexBefore = serveLex()
+    assert(lexBefore.exists(_(1) == 1000000L),
+      "appended doc twin not retrieved before compaction")
+    TextAnalysis.compactPostings(spark, lexIdx, seg)
+    assert(spark.read.parquet(s"$lexIdx/postings").count() == nPost + nDelta)
+    assert(spark.read.parquet(seg).count() == 0)
+    assert(serveLex() == lexBefore,
+      "lexical serving after compaction differs from before")
+    TextAnalysis.encodeForPostings(docRows.slice(0, 10).toDF("doc_id", "text"))
+      .withColumn("epoch", lit(0L)).write.mode("append").parquet(seg)
+    assert(serveLex() == lexBefore,
+      "a replayed postings epoch leaked through the post-compaction merge")
+    Caches.releaseAll()
+  }
+
+  test("drift advisory stays quiet on in-distribution appends and trips under drift") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.max
+    Caches.releaseAll()
+    // quiet: a byte-identical re-upload of existing ids — the delta rows
+    // deterministically replace their base twins, serving is unchanged,
+    // mean recall == baseline
+    val same = Tables.embeddings(spark, dir)
+      .filter($"vec_id" % 7 === 0).select($"vec_id", $"embedding")
+    val quiet = Similarity.indexDriftCheckFrames(spark, dir, same,
+      Similarity.encodeForIndex(spark, dir, same))
+    assert(!quiet.agg(max($"retrain_advised")).as[Boolean].head(),
+      "advisory tripped on an in-distribution (identity) append")
+
+    // drift: every probe's OWN truth neighborhood re-arrives under fresh
+    // ids — the served top-k fills with twins, base-truth recall collapses
+    val crowd = Similarity.topkBruteForce(spark, dir)
+      .select($"neighbor_id".as("vec_id")).distinct()
+      .join(Tables.embeddings(spark, dir), "vec_id")
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding")
+    val drifted = Similarity.indexDriftCheckFrames(spark, dir, crowd,
+      Similarity.encodeForIndex(spark, dir, crowd))
+    assert(drifted.agg(max($"retrain_advised")).as[Boolean].head(),
+      "advisory failed to trip when probe neighborhoods were crowded out")
+    Caches.releaseAll()
+  }
+
+  test("maintenance stream restarts across a compaction boundary; vectors served exactly once") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-maint").toString
+    val (idx, maint, src, cp) =
+      (s"$tmp/idx", s"$tmp/maint", s"$tmp/src", s"$tmp/cp")
+    Similarity.saveIndex(spark, dir, idx)
+    val nBase = spark.read.parquet(s"$idx/lists").count()
+    val rows = deltaRows(30)
+    def arrive(slice: Seq[(Long, Seq[Float])]): Unit =
+      slice.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = Similarity
+        .maintainIndexStream(in, spark, dir, idx, maint, compactAt = 0.01)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def serve() = Similarity.topkIvfPqFromSavedWithDelta(spark, dir,
+        Similarity.corpus(spark, dir).filter($"vec_id" === 0L)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")),
+        idx, s"$maint/lists",
+        Similarity.readVecsDelta(spark, s"$maint/vecs"))
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+
+    // run 1: two epochs, each past the compaction threshold (0.01·base)
+    arrive(rows.slice(0, 10)); arrive(rows.slice(10, 20))
+    runOnce()
+    assert(spark.read.parquet(s"$idx/lists").count() == nBase + 20,
+      "maintenance stream did not compact both epochs into the base")
+    val afterRun1 = serve()
+    assert(afterRun1.exists(r => r(1) == 1000000L && r(3) == 1),
+      s"probe's appended twin not served after run 1: $afterRun1")
+    // advisory row written per epoch
+    assert(spark.read.parquet(s"$maint/advisory").count() == 2)
+
+    // restart from the same checkpoint with one NEW file: committed epochs
+    // are not re-processed (their rows live in the compacted base now)
+    arrive(rows.slice(20, 30))
+    runOnce()
+    assert(spark.read.parquet(s"$idx/lists").count() == nBase + 30,
+      "restart re-appended committed epochs or missed the new one")
+    val afterRun2 = serve()
+    assert(afterRun2.map(r => (r(0), r(1))).distinct.size == afterRun2.size,
+      "a vector is served twice after restart across the compaction boundary")
+    assert(afterRun2.exists(r => r(1) == 1000000L && r(3) == 1))
+
+    // simulate a crash-replay of a PRE-compaction epoch landing in the
+    // (now truncated) store: byte-identical rows, hidden by the merge
+    Similarity.encodeForIndex(spark, dir, rows.slice(0, 10).toDF("vec_id", "embedding"))
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("append").parquet(s"$maint/lists")
+    assert(serve() == afterRun2,
+      "replayed pre-compaction epoch leaked into serving")
     Caches.releaseAll()
   }
 
