@@ -1651,6 +1651,31 @@ object Similarity {
       .write.mode("overwrite").parquet(storeDir)
   }
 
+  /** The retrain job [[retrainAdvised]] schedules — the one operation the
+    * pinned-quantizer maintenance contract defers: rebuild coarse + fine
+    * quantizers AND the inverted lists over the GROWN lake (base corpus ∪
+    * the appended raw-vector partition) and persist them to a NEW index
+    * directory. Versioned-artifact pattern, deliberately not an in-place
+    * swap: serving flips to `newIndexDir` atomically by path when the
+    * build completes, the old index keeps serving until then, and a crash
+    * mid-retrain leaves the old artifacts untouched (no partial-swap
+    * state, unlike [[compactIndex]]'s same-dir fold which moves only
+    * byte-identical rows). Strides re-derive from the grown corpus size,
+    * so cell count and codebook track √n / the stride knee exactly as the
+    * original build did. After a retrain the delta store and vecs
+    * partition restart empty for the new epoch of appends. */
+  def retrainIndex(spark: SparkSession, dir: String, vecsDir: String,
+      newIndexDir: String): Unit = {
+    val lake = lakeWithDelta(spark, dir, readVecsDelta(spark, vecsDir))
+    val n = lake.count()
+    val cents = centroids(lake, ivfCellStride(n))
+    val cb = pqCodebook(lake, pqStride(n))
+    pqEncode(assignedCells(lake, cents), cb, carry = Seq("cent_id"))
+      .write.mode("overwrite").parquet(s"$newIndexDir/lists")
+    cents.write.mode("overwrite").parquet(s"$newIndexDir/centroids")
+    cb.write.mode("overwrite").parquet(s"$newIndexDir/codebook")
+  }
+
   /** The replay-safe read of an appended raw-vector lake partition
     * ((vec_id, embedding, epoch) rows; [[readIndexDelta]] semantics). */
   def readVecsDelta(spark: SparkSession, vecsDir: String): DataFrame = {
@@ -1824,7 +1849,7 @@ object Similarity {
   /** The exact-rerank's vector source under maintenance: base lake ∪ the
     * appended vectors' side table, delta winning on a same-id re-upload
     * ([[mergeDeltaRows]] semantics on the raw vectors). */
-  private def lakeWithDelta(spark: SparkSession, dir: String,
+  private[graft] def lakeWithDelta(spark: SparkSession, dir: String,
       deltaVecs: DataFrame): DataFrame = {
     import spark.implicits._
     val dv = deltaVecs.select($"vec_id", asDouble($"embedding").as("v"))

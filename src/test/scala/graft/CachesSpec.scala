@@ -58,6 +58,39 @@ class CachesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("invalidate() drops only the prefixed keys and unpersists their frames") {
+    import spark.implicits._
+    Caches.releaseAll()
+    // two DISTINCT plans: equal plans would share one CacheManager entry
+    // and invalidating one would (correctly) unpersist both
+    var builds = 0
+    def frame(n: Int) = { builds += 1; Caches.shared(spark.range(n).toDF("id")) }
+    val idxTuple = Caches.memoizedValue(spark, "inv-test-idx|/tmp/a") {
+      (frame(10), 42L)
+    }
+    val keep = Caches.memoized(spark, "inv-keep")(frame(20))
+    assert(builds == 2)
+    Caches.invalidate(spark, "inv-test-idx|/tmp/a")
+    // the tuple's frame was unpersisted, the unrelated memo survives
+    assert(idxTuple._1.storageLevel == StorageLevel.NONE)
+    assert(keep.storageLevel != StorageLevel.NONE)
+    assert(Caches.memoized(spark, "inv-keep")(frame(20)) eq keep)
+    assert(builds == 2, "a surviving memo must not rebuild")
+    Caches.memoizedValue(spark, "inv-test-idx|/tmp/a")((frame(10), 43L))
+    assert(builds == 3, "an invalidated key must rebuild")
+    Caches.releaseAll()
+  }
+
+  test("memoizedValue() fails fast when two call sites collide on a key at different types") {
+    Caches.releaseAll()
+    Caches.memoizedValue(spark, "type-collision-test")(42L)
+    intercept[IllegalStateException] {
+      Caches.memoizedValue[String](spark, "type-collision-test")("nope")
+    }
+    assert(Caches.memoizedValue(spark, "type-collision-test")(0L) == 42L)
+    Caches.releaseAll()
+  }
+
   test("composed curate pipeline tracks caches and releases them all") {
     Caches.releaseAll()
     val dir = sf("sf0.001")

@@ -371,6 +371,34 @@ class IndexMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("retrain over the grown lake rebuilds quantizers and serves appends from its base") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-retrain").toString
+    val vecs = deltaRows(20)
+    vecs.toDF("vec_id", "embedding").withColumn("epoch", lit(0L))
+      .write.mode("overwrite").parquet(s"$tmp/vecs")
+    Similarity.retrainIndex(spark, dir, s"$tmp/vecs", s"$tmp/idx2")
+    // the retrained lists hold the WHOLE grown lake — appends are base
+    // rows now, no delta store in the serving path
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(spark.read.parquet(s"$tmp/idx2/lists").count() == n + 20)
+    val probes2 = Similarity.corpus(spark, dir).filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val lake = Similarity.lakeWithDelta(spark, dir,
+      Similarity.readVecsDelta(spark, s"$tmp/vecs"))
+    val served = Similarity.pqRerank(lake, probes2,
+        Similarity.ivfPqAdcScanSaved(spark, probes2, s"$tmp/idx2", None))
+      .collect()
+    assert(served.nonEmpty)
+    assert(served.exists(r => r.getLong(1) == 1000000L &&
+        math.abs(r.getDouble(2) - 1.0) < 1e-9),
+      s"appended twin not served from the retrained base: ${served.map(_.toSeq).mkString(", ")}")
+    Caches.releaseAll()
+  }
+
   test("a persisted index serves bit-identically to the in-session build") {
     import spark.implicits._
     Caches.releaseAll()
