@@ -635,6 +635,35 @@ object TextAnalysis {
       .orderBy($"doc_id", $"tok")
   }
 
+  /** The lexical maintenance loop as ONE ingest stream — the
+    * [[graft.operators.Similarity.maintainIndexStream]] twin for the
+    * sparse leg: per micro-batch the arriving documents tokenize into an
+    * epoch-stamped segment appended to `maintDir/seg`, and when the
+    * segment fraction reaches `compactAt` of the persisted base postings,
+    * [[compactPostings]] folds the segments into `indexDir` — all off the
+    * query path. No separate drift advisory here: lexical drift IS idf
+    * staleness, and its measure is exactly the segment fraction the
+    * compaction threshold already watches (a reindex —
+    * [[savePostingsIndex]] over the grown corpus — refreshes the
+    * statistics when the corpus has genuinely moved). Restart/replay
+    * safety is the dense twin's: epoch-stamped writes, keyed read-side
+    * dedup, post-compaction overlap hidden by the serving merge. */
+  def maintainPostingsStream(docStream: DataFrame, spark: SparkSession,
+      indexDir: String, maintDir: String,
+      compactAt: Double = 0.25): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        encodeForPostings(batch)
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(s"$maintDir/seg")
+        val nBase = spark.read.parquet(s"$indexDir/postings").count()
+        val nDelta = readPostingsDelta(spark, s"$maintDir/seg").count()
+        if (nDelta > 0 && nDelta >= compactAt * nBase)
+          compactPostings(spark, indexDir, s"$maintDir/seg")
+      }
+  }
+
   /** BM25 serving over base index ∪ ingest-appended segments: the query a
     * curation stack runs five minutes after new documents arrived, without
     * a reindex. Pinned-stats contract per [[bm25ScoreQueries]]. */

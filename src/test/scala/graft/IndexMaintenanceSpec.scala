@@ -371,6 +371,113 @@ class IndexMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("lexical maintenance stream restarts across a compaction boundary; docs retrieved exactly once") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lex-maint").toString
+    val (lexIdx, maint, src, cp) =
+      (s"$tmp/lex", s"$tmp/maint", s"$tmp/src", s"$tmp/cp")
+    TextAnalysis.savePostingsIndex(spark, dir, lexIdx)
+    val nBase = spark.read.parquet(s"$lexIdx/postings").count()
+    val docRows: Seq[(Long, String)] = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(30).toSeq
+      .map { case (id, t) => (id + 1000000L, t) }
+    def arrive(slice: Seq[(Long, String)]): Unit =
+      slice.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val q = TextAnalysis
+        .maintainPostingsStream(in, spark, lexIdx, maint, compactAt = 0.0001)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def probeToks = Tables.documents(spark, dir).filter($"doc_id" === 0L)
+      .select(org.apache.spark.sql.functions.lit(0L).as("query_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_distinct(
+            graft.functions.Text.tokens($"text"))).as("tok"))
+    def serve() = {
+      // the loaded-artifact memo must not outlive a compaction below
+      Caches.invalidate(spark, s"text-bm25-index-saved|$lexIdx")
+      TextAnalysis.bm25TopKFromSaved(spark, lexIdx, probeToks, Some(s"$maint/seg"))
+        .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    }
+
+    arrive(docRows.slice(0, 10)); arrive(docRows.slice(10, 20))
+    runOnce()
+    assert(spark.read.parquet(s"$lexIdx/postings").count() > nBase,
+      "lexical maintenance stream did not compact the segments into the base")
+    assert(spark.read.parquet(s"$maint/seg").count() == 0,
+      "segment store not truncated after compaction")
+    val afterRun1 = serve()
+    assert(afterRun1.exists(_(1) == 1000000L),
+      s"doc 0's appended twin not retrieved after run 1: $afterRun1")
+
+    // restart from the same checkpoint: only the new file is processed
+    arrive(docRows.slice(20, 30))
+    runOnce()
+    val afterRun2 = serve()
+    assert(afterRun2.map(r => (r(0), r(1))).distinct.size == afterRun2.size,
+      "a doc is retrieved twice after restart across the compaction boundary")
+    assert(afterRun2.exists(_(1) == 1000000L))
+
+    // crash-replay of a pre-compaction epoch into the truncated store
+    TextAnalysis.encodeForPostings(docRows.slice(0, 10).toDF("doc_id", "text"))
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("append").parquet(s"$maint/seg")
+    assert(serve() == afterRun2,
+      "replayed pre-compaction postings epoch leaked into serving")
+    Caches.releaseAll()
+  }
+
+  test("cold fused serving with live deltas survives compaction of both legs unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-fused-lifecycle").toString
+    Similarity.saveIndex(spark, dir, s"$tmp/dense")
+    TextAnalysis.savePostingsIndex(spark, dir, s"$tmp/lex")
+    // the appended entity: doc 0's text + vec 0's embedding under a fresh id
+    val docTwin = Tables.documents(spark, dir).filter($"doc_id" === 0L)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    TextAnalysis.encodeForPostings(docTwin)
+      .withColumn("epoch", lit(0L)).write.mode("append").parquet(s"$tmp/seg")
+    val vecTwin = Tables.embeddings(spark, dir).filter($"vec_id" === 0L)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    Similarity.encodeForIndex(spark, dir, vecTwin)
+      .withColumn("epoch", lit(0L)).write.mode("append").parquet(s"$tmp/lists")
+
+    def probe = Tables.documents(spark, dir).filter($"doc_id" === 0L)
+      .select(lit(0L).as("query_id"), $"text")
+      .crossJoin(Tables.embeddings(spark, dir).filter($"vec_id" === 0L)
+        .select($"embedding"))
+    def fused() = Similarity.hybridRrfFromSaved(spark, dir, probe,
+        s"$tmp/dense", s"$tmp/lex",
+        segStore = Some(s"$tmp/seg"), listsStore = Some(s"$tmp/lists"),
+        deltaVecs = Some(vecTwin))
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+
+    val before = fused()
+    val twin = before.find(_(1) == 1000000L)
+    assert(twin.isDefined && twin.get(2) != 0 && twin.get(3) != 0,
+      s"appended entity not retrieved through BOTH cold delta legs: $before")
+
+    // compact BOTH legs; the fused list must not move a bit
+    Similarity.compactIndex(spark, s"$tmp/dense", s"$tmp/lists")
+    TextAnalysis.compactPostings(spark, s"$tmp/lex", s"$tmp/seg")
+    assert(fused() == before,
+      "fused serving changed across compaction of the two legs")
+    Caches.releaseAll()
+  }
+
   test("retrain over the grown lake rebuilds quantizers and serves appends from its base") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
