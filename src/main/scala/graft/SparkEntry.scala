@@ -129,6 +129,7 @@ object SparkEntry {
     "sim_ann_recall_pq"    -> (Similarity.annRecallPq _),
     "sim_ann_recall_pq_refined" -> (Similarity.annRecallPqRefined _),
     "sim_index_drift"      -> (Similarity.indexDrift _),
+    "dedup_index_serve"    -> (Dedup.dedupIndexServe _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -1934,6 +1935,40 @@ object SparkEntry {
         |  SELECT DISTINCT x.doc_id AS arriving_id, y.doc_id AS existing_id
         |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
         |    AND x.doc_id % 10 = 0 AND y.doc_id % 10 != 0
+        |)
+        |SELECT c.arriving_id, c.existing_id,
+        |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |  len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+        |FROM cand c JOIN sh a ON c.arriving_id = a.doc_id JOIN sh b ON c.existing_id = b.doc_id
+        |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |ORDER BY arriving_id, existing_id""".stripMargin,
+
+    // index-serving dedup: the dedup_incremental chain with the index side
+    // UNFILTERED (a persisted bucket index holds every corpus doc, so
+    // arriving-vs-arriving pairs surface; only self-pairs are excluded)
+    "dedup_index_serve" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS arriving_id, y.doc_id AS existing_id
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+        |    AND x.doc_id % 10 = 0 AND x.doc_id != y.doc_id
         |)
         |SELECT c.arriving_id, c.existing_id,
         |  len(list_intersect(a.shingles, b.shingles)) * 1.0 /

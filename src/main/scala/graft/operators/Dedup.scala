@@ -209,6 +209,155 @@ object Dedup {
     warnIfPastOracleFloor("incremental-dedup batch stride",
       math.max(IncrementalStride, nDocs / 4096), IncrementalStride)
 
+  // ------------- persisted dedup index (LSH buckets as an artifact)
+
+  /** Flatten a signed relation to its (doc_id, band, key) bucket rows —
+    * the corpus-side LSH index in its storable form. */
+  private def bucketRows(s: DataFrame): DataFrame =
+    s.select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+
+  /** Persist the corpus-side MinHash-LSH index — the (doc_id, band, key)
+    * bucket table — as parquet (the
+    * [[graft.operators.Similarity.saveIndex]] convention for dedup). At
+    * 100 TB "dedup the new crawl against everything we already have" is
+    * THE steady-state dedup query, and re-signing the historical corpus
+    * per crawl is its scale-killer: the bucket table is built once as a
+    * batch job, outlives the session, and each crawl joins only its own
+    * band keys against it ([[dedupArrivalsFromSaved]]). MinHash has no
+    * trained state, so unlike the PQ index there is nothing to pin and
+    * nothing to drift — appends are exact by construction and a retrain
+    * is never needed. */
+  def saveDedupIndex(spark: SparkSession, dir: String, indexDir: String): Unit =
+    bucketRows(signed(spark, dir))
+      .write.mode("overwrite").parquet(s"$indexDir/buckets")
+
+  /** Ingest-time dedup-index maintenance: arriving (doc_id, text) rows
+    * sign per micro-batch (pure projection) and their bucket rows append,
+    * epoch-stamped — [[readDedupDelta]]/[[compactDedupIndex]] give the
+    * same replay-safe deterministic-upsert read and fold-into-base
+    * lifecycle as the retrieval legs. */
+  def appendDedupIndexStream(docStream: DataFrame, spark: SparkSession,
+      storeDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        bucketRows(signRows(batch))
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(storeDir)
+      }
+  }
+
+  /** Replay-safe read of the appended bucket rows: byte-identical replay
+    * copies collapse on the full key, then the latest epoch wins per
+    * DOCUMENT (a changed re-upload replaces its whole bucket set — the
+    * [[graft.operators.TextAnalysis.readPostingsDelta]] semantics). */
+  def readDedupDelta(spark: SparkSession, storeDir: String): DataFrame = {
+    val raw = spark.read.parquet(storeDir)
+    raw.dropDuplicates("doc_id", "band", "epoch")
+      .withColumn("_maxe", max(col("epoch")).over(
+        Window.partitionBy(col("doc_id"))))
+      .filter(col("epoch") === col("_maxe")).drop("_maxe", "epoch")
+  }
+
+  /** Fold the appended bucket rows into the persisted base index — same
+    * crash-safe tmp-swap-truncate ordering and serve-consistency argument
+    * as [[graft.operators.Similarity.compactIndex]] (a crash between swap
+    * and truncate leaves rows in both base and store, which the doc-level
+    * merge in [[dedupArrivalsFromSaved]] already serves correctly). */
+  def compactDedupIndex(spark: SparkSession, indexDir: String,
+      storeDir: String): Unit = {
+    val delta = readDedupDelta(spark, storeDir)
+    if (delta.isEmpty) return
+    val base = spark.read.parquet(s"$indexDir/buckets")
+    val dd = delta.select(base.columns.map(col).toIndexedSeq: _*)
+    val tmp = s"$indexDir/buckets_compacting"
+    base.join(broadcast(dd.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+      .unionByName(dd)
+      .write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
+    val fs = bucketsPath.getFileSystem(conf)
+    fs.delete(bucketsPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), bucketsPath)
+    graft.operators.Similarity.truncateStore(spark, storeDir)
+  }
+
+  /** Dedup an arriving (doc_id, text) batch against the PERSISTED corpus
+    * index, optionally ∪ an appended delta store: the arriving side signs
+    * per-row and joins ONLY its own band keys against the bucket table —
+    * cost ∝ batch size, never corpus size — and the exact-Jaccard verify
+    * re-shingles CANDIDATE documents only (a semi-join-bounded lookup
+    * into the doc lake; `deltaDocs` is the appended documents' lake
+    * partition for candidates that are not in the base corpus). */
+  def dedupArrivalsFromSaved(spark: SparkSession, dir: String,
+      arrivals: DataFrame, indexDir: String,
+      storeDir: Option[String] = None,
+      deltaDocs: Option[DataFrame] = None): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/buckets")
+    val idx = storeDir.fold(base) { s =>
+      val d = readDedupDelta(spark, s)
+      base.join(d.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .unionByName(d.select(base.columns.map(col).toIndexedSeq: _*))
+    }
+    dedupAgainstIndex(spark, dir, arrivals, idx, deltaDocs)
+  }
+
+  /** The serving core over an EXPLICIT bucket-index frame. */
+  private def dedupAgainstIndex(spark: SparkSession, dir: String,
+      arrivals: DataFrame, idx: DataFrame,
+      deltaDocs: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
+    val a = signRows(arrivals)
+    val ab = bucketRows(a).withColumnRenamed("doc_id", "arriving_id")
+    val cand = ab.join(idx.withColumnRenamed("doc_id", "existing_id"),
+        Seq("band", "key"))
+      .filter($"arriving_id" =!= $"existing_id")
+      .select($"arriving_id", $"existing_id").distinct()
+    val ag = a.select($"doc_id".as("arriving_id"), $"grams".as("gr_a"),
+      size($"grams").as("na"))
+    val lakeDocs = deltaDocs.fold(Tables.spread(Tables.documents(spark, dir))) { d =>
+      Tables.spread(Tables.documents(spark, dir))
+        .join(d.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
+        .unionByName(d.select($"doc_id", $"text"), allowMissingColumns = true)
+    }
+    val eg = lakeDocs
+      .join(cand.select($"existing_id".as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id".as("existing_id"),
+        graft.functions.WordGramHashes($"toks", 3).as("gr_b"))
+      .withColumn("nb", size($"gr_b"))
+    val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
+    cand.join(ag, "arriving_id").join(eg, "existing_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
+      .filter($"jaccard" >= JaccardThreshold)
+      .select($"arriving_id", $"existing_id", $"jaccard")
+      .orderBy($"arriving_id", $"existing_id")
+  }
+
+  /** The deterministic BATCH twin of index-serving dedup, as its own
+    * oracled query: the stride-arrival slice served against the FULL
+    * in-session bucket index — the plan is row-identical to what
+    * [[saveDedupIndex]] persists (`DedupSpec` pins the saved-artifact
+    * parity), so the oracle hash-checks the serve path end-to-end.
+    * Differs from [[incremental]] exactly in the index side: the index
+    * holds EVERY corpus document (arrivals included, as a persisted index
+    * would), so arriving-vs-arriving pairs surface too; only self-pairs
+    * are excluded. */
+  def dedupIndexServe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = incrementalStride(Tables.nDocs(spark, dir))
+    val arrivals = Tables.spread(Tables.documents(spark, dir))
+      .filter($"doc_id" % stride === 0)
+      .select($"doc_id", $"text")
+    dedupAgainstIndex(spark, dir, arrivals,
+      bucketRows(signed(spark, dir)), None)
+  }
+
   /** Incremental dedup — the BATCH twin of [[nearDupStream]], oracled: a
     * batch of "arriving" documents (every [[incrementalStride]]-th doc
     * stands in for the new crawl snapshot) is checked against the "existing"

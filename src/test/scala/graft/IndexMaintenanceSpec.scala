@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.operators.{Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 import graft.sources.{Caches, Tables}
 
 /** Incremental IVF-PQ index maintenance: arriving vectors are assigned and
@@ -503,6 +503,71 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(served.exists(r => r.getLong(1) == 1000000L &&
         math.abs(r.getDouble(2) - 1.0) < 1e-9),
       s"appended twin not served from the retrained base: ${served.map(_.toSeq).mkString(", ")}")
+    Caches.releaseAll()
+  }
+
+  test("dedup index: persisted buckets serve arrivals; streamed appends + compaction + replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.lit
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-dedup-idx").toString
+    val (idx, store) = (s"$tmp/idx", s"$tmp/store")
+    Dedup.saveDedupIndex(spark, dir, idx)
+
+    // persisted artifact ≡ in-session index: the oracled serve twin's rows
+    val stride = Dedup.incrementalStride(Tables.nDocs(spark, dir))
+    val arrivals = Tables.documents(spark, dir)
+      .filter($"doc_id" % stride === 0).select($"doc_id", $"text")
+    val fromSaved = Dedup.dedupArrivalsFromSaved(spark, dir, arrivals, idx)
+      .collect().map(_.toSeq).toSeq
+    val inSession = Dedup.dedupIndexServe(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromSaved == inSession,
+      "persisted dedup index serves differently from the in-session build")
+    assert(fromSaved.nonEmpty)
+
+    // stream a re-uploaded twin of doc 0 into the delta store (two epochs,
+    // second is a same-id CHANGED re-upload — latest must win)
+    val doc0 = Tables.documents(spark, dir).filter($"doc_id" === 0L)
+      .select($"text").as[String].head()
+    val in = MemoryStream[(Long, String)]
+    val q = Dedup.appendDedupIndexStream(
+        in.toDF().toDF("doc_id", "text"), spark, store)
+      .start()
+    in.addData((1000000L, "unrelated placeholder text that will be replaced"))
+    q.processAllAvailable()
+    in.addData((1000000L, doc0)); q.processAllAvailable()
+    q.stop()
+
+    // an arriving copy of doc 0's text must match the base doc AND the
+    // appended twin's LATEST version, both at jaccard 1
+    val probe = Seq((3000000L, doc0)).toDF("doc_id", "text")
+    val deltaDocs = Seq((1000000L, doc0)).toDF("doc_id", "text")
+    def serve() = Dedup.dedupArrivalsFromSaved(spark, dir, probe, idx,
+        Some(store), Some(deltaDocs))
+      .collect().map(_.toSeq).toSeq
+    val before = serve()
+    assert(before.exists(r => r(1) == 0L && r(2) == 1.0),
+      s"base twin of the probe not found: $before")
+    assert(before.exists(r => r(1) == 1000000L && r(2) == 1.0),
+      s"appended twin's latest version not found: $before")
+
+    Dedup.compactDedupIndex(spark, idx, store)
+    assert(spark.read.parquet(store).count() == 0)
+    assert(serve() == before,
+      "dedup serving changed across compaction")
+    // crash-replay of the twin's final version into the truncated store:
+    // byte-identical bucket rows, hidden by the doc-level merge
+    val replay = MemoryStream[(Long, String)]
+    val q2 = Dedup.appendDedupIndexStream(
+        replay.toDF().toDF("doc_id", "text"), spark, store)
+      .start()
+    replay.addData((1000000L, doc0)); q2.processAllAvailable()
+    q2.stop()
+    assert(serve() == before,
+      "replayed dedup epoch leaked through the post-compaction merge")
     Caches.releaseAll()
   }
 
