@@ -342,8 +342,9 @@ object Dedup {
   /** The deterministic BATCH twin of index-serving dedup, as its own
     * oracled query: the stride-arrival slice served against the FULL
     * in-session bucket index — the plan is row-identical to what
-    * [[saveDedupIndex]] persists (`DedupSpec` pins the saved-artifact
-    * parity), so the oracle hash-checks the serve path end-to-end.
+    * [[saveDedupIndex]] persists (`IndexMaintenanceSpec` pins the
+    * saved-artifact parity), so the oracle hash-checks the serve path
+    * end-to-end.
     * Differs from [[incremental]] exactly in the index side: the index
     * holds EVERY corpus document (arrivals included, as a persisted index
     * would), so arriving-vs-arriving pairs surface too; only self-pairs

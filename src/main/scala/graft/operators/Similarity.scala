@@ -1493,6 +1493,23 @@ object Similarity {
       }
   }
 
+  /** [[serveRetrievalStream]] with both legs on COLD persisted artifacts —
+    * the serving PROCESS a production deployment runs: a stateless worker
+    * that loads nothing but the index artifacts and answers arriving
+    * query batches; the index-building session is long gone. Same
+    * foreachBatch/append contract as the in-session twin. */
+  def serveRetrievalStreamFromSaved(queryStream: DataFrame,
+      spark: SparkSession, dir: String, denseIndexDir: String,
+      lexIndexDir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    queryStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hybridRrfFromSaved(spark, dir, batch, denseIndexDir, lexIndexDir)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+  }
+
   // ------------- incremental IVF-PQ index maintenance (ingest-time append)
 
   /** Encode an arriving vector batch into the PINNED serving index's layout

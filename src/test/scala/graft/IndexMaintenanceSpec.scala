@@ -198,6 +198,41 @@ class IndexMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("cold-artifact serving stream answers query batches like the direct call") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-cold-serve").toString
+    Similarity.saveIndex(spark, dir, s"$tmp/dense")
+    TextAnalysis.savePostingsIndex(spark, dir, s"$tmp/lex")
+    val probes: Seq[(Long, String, Seq[Float])] = {
+      val docs = Tables.documents(spark, dir).filter($"doc_id" % 250 === 0)
+        .select($"doc_id", $"text")
+      docs.join(Tables.embeddings(spark, dir)
+          .select($"vec_id".as("doc_id"), $"embedding"), "doc_id")
+        .select($"doc_id", $"text", $"embedding")
+        .as[(Long, String, Seq[Float])].collect().toSeq
+    }
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = Similarity.serveRetrievalStreamFromSaved(
+        in.toDF().toDF("query_id", "text", "embedding"), spark, dir,
+        s"$tmp/dense", s"$tmp/lex", s"$tmp/out")
+      .start()
+    in.addData(probes: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .drop("batch_id").orderBy($"query_id", $"rank")
+      .collect().map(_.toSeq).toSeq
+    val direct = Similarity.hybridRrfFromSaved(spark, dir,
+        probes.toDF("query_id", "text", "embedding"),
+        s"$tmp/dense", s"$tmp/lex")
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == direct,
+      "cold-serving stream output differs from the direct composition")
+    Caches.releaseAll()
+  }
+
   test("compaction folds the delta into the base bit-equally and replayed epochs stay invisible") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
