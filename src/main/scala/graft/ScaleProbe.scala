@@ -212,6 +212,14 @@ object ScaleProbe {
           val c = Similarity.topkBruteForce(spark, dir).count() + served.count()
           (c, Similarity.indexDrift(spark, dir).count())
         }),
+        // index-serving dedup: C = bucket-collision candidate pairs from
+        // the arrivals-vs-index band join (∝ arriving batch × collision
+        // rate, never corpus²), O = verified near-dup pairs. The exact
+        // verify re-shingles only candidate docs, so C also bounds the
+        // lake lookups
+        ("dedup_index_serve", nDocs, () =>
+          (Dedup.dedupIndexServeCandidates(spark, dir).count(),
+            Dedup.dedupIndexServe(spark, dir).count())),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

@@ -284,6 +284,29 @@ object Dedup {
     graft.operators.Similarity.truncateStore(spark, storeDir)
   }
 
+  /** The dedup-index maintenance loop as ONE ingest stream — the
+    * [[graft.operators.Similarity.maintainIndexStream]] pattern on the
+    * bucket table: per micro-batch the arriving documents' bucket rows
+    * append epoch-stamped, and at the delta-fraction threshold
+    * [[compactDedupIndex]] folds them into the base. No advisory and no
+    * retrain: MinHash is untrained, so an appended row is exact forever —
+    * compaction here is purely a read-amplification fold. */
+  def maintainDedupIndexStream(docStream: DataFrame, spark: SparkSession,
+      indexDir: String, storeDir: String,
+      compactAt: Double = 0.25): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    docStream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        bucketRows(signRows(batch))
+          .withColumn("epoch", lit(epoch))
+          .write.mode("append").parquet(storeDir)
+        val nBase = spark.read.parquet(s"$indexDir/buckets").count()
+        val nDelta = readDedupDelta(spark, storeDir).count()
+        if (nDelta > 0 && nDelta >= compactAt * nBase)
+          compactDedupIndex(spark, indexDir, storeDir)
+      }
+  }
+
   /** Dedup an arriving (doc_id, text) batch against the PERSISTED corpus
     * index, optionally ∪ an appended delta store: the arriving side signs
     * per-row and joins ONLY its own band keys against the bucket table —
@@ -337,6 +360,23 @@ object Dedup {
       .filter($"jaccard" >= JaccardThreshold)
       .select($"arriving_id", $"existing_id", $"jaccard")
       .orderBy($"arriving_id", $"existing_id")
+  }
+
+  /** Bucket-collision candidate pairs of [[dedupIndexServe]] BEFORE the
+    * exact verify — the volume [[graft.ScaleProbe]] tracks (∝ arriving
+    * batch × collision rate; also bounds the lake lookups the verify
+    * pays). */
+  private[graft] def dedupIndexServeCandidates(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = incrementalStride(Tables.nDocs(spark, dir))
+    val a = signRows(Tables.spread(Tables.documents(spark, dir))
+      .filter($"doc_id" % stride === 0).select($"doc_id", $"text"))
+    bucketRows(a).withColumnRenamed("doc_id", "arriving_id")
+      .join(bucketRows(signed(spark, dir))
+        .withColumnRenamed("doc_id", "existing_id"), Seq("band", "key"))
+      .filter($"arriving_id" =!= $"existing_id")
+      .select($"arriving_id", $"existing_id").distinct()
   }
 
   /** The deterministic BATCH twin of index-serving dedup, as its own

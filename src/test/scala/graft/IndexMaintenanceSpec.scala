@@ -603,6 +603,27 @@ class IndexMaintenanceSpec extends SparkSpec {
     q2.stop()
     assert(serve() == before,
       "replayed dedup epoch leaked through the post-compaction merge")
+
+    // the maintenance LOOP: an arriving doc appends and (at the tiny
+    // threshold) compacts inline — the store drains, the base grows, and
+    // the newly ingested doc is immediately matchable
+    val nBase = spark.read.parquet(s"$idx/buckets").count()
+    val loop = MemoryStream[(Long, String)]
+    val q3 = Dedup.maintainDedupIndexStream(
+        loop.toDF().toDF("doc_id", "text"), spark, idx, store,
+        compactAt = 0.000001)
+      .start()
+    loop.addData((2000000L, doc0)); q3.processAllAvailable()
+    q3.stop()
+    assert(spark.read.parquet(store).count() == 0,
+      "maintenance loop did not compact the appended buckets")
+    assert(spark.read.parquet(s"$idx/buckets").count() > nBase)
+    val after = Dedup.dedupArrivalsFromSaved(spark, dir, probe, idx,
+        Some(store), Some(deltaDocs.unionByName(
+          Seq((2000000L, doc0)).toDF("doc_id", "text"))))
+      .collect().map(_.toSeq).toSeq
+    assert(after.exists(r => r(1) == 2000000L && r(2) == 1.0),
+      s"loop-ingested doc not matchable from the compacted base: $after")
     Caches.releaseAll()
   }
 
