@@ -269,42 +269,61 @@ object Dedup {
       storeDir: String): Unit = {
     val delta = readDedupDelta(spark, storeDir)
     if (delta.isEmpty) return
-    val base = spark.read.parquet(s"$indexDir/buckets")
-    val dd = delta.select(base.columns.map(col).toIndexedSeq: _*)
-    val tmp = s"$indexDir/buckets_compacting"
-    base.join(broadcast(dd.select(col("doc_id")).distinct()),
-        Seq("doc_id"), "left_anti")
-      .unionByName(dd)
-      .write.mode("overwrite").parquet(tmp)
-    val conf = spark.sessionState.newHadoopConf()
-    val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
-    val fs = bucketsPath.getFileSystem(conf)
-    fs.delete(bucketsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), bucketsPath)
+    val base = spark.read.parquet(
+      graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets"))
+    graft.operators.Similarity.mergeDeltaRows(base, delta, "doc_id")
+      .write.mode("overwrite").parquet(s"$indexDir/buckets_compacting")
+    graft.operators.Similarity.swapArtifact(spark, indexDir, "buckets")
     graft.operators.Similarity.truncateStore(spark, storeDir)
   }
 
   /** The dedup-index maintenance loop as ONE ingest stream — the
     * [[graft.operators.Similarity.maintainIndexStream]] pattern on the
     * bucket table: per micro-batch the arriving documents' bucket rows
-    * append epoch-stamped, and at the delta-fraction threshold
-    * [[compactDedupIndex]] folds them into the base. No advisory and no
-    * retrain: MinHash is untrained, so an appended row is exact forever —
-    * compaction here is purely a read-amplification fold. */
+    * append epoch-stamped to `maintDir/buckets` AND their raw (doc_id,
+    * text) rows to `maintDir/docs` — the doc-lake partition the exact
+    * verify reads for ingested candidates ([[readDocsDelta]]; without it
+    * a later collision with a loop-ingested doc would be silently dropped
+    * at the verify's lake lookup). At the delta-fraction threshold
+    * [[compactDedupIndex]] folds the buckets into the base. No advisory
+    * and no retrain: MinHash is untrained, so an appended row is exact
+    * forever — compaction here is purely a read-amplification fold. */
   def maintainDedupIndexStream(docStream: DataFrame, spark: SparkSession,
-      indexDir: String, storeDir: String,
+      indexDir: String, maintDir: String,
       compactAt: Double = 0.25): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // running-counter trigger (the maintainIndexStream convention)
+    var baseCount = -1L
+    var deltaCount = -1L
     docStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        bucketRows(signRows(batch))
+        val buckets = bucketRows(signRows(batch)).withColumn("epoch", lit(epoch))
+        val n = buckets.count()
+        buckets.write.mode("append").parquet(s"$maintDir/buckets")
+        batch.select(col("doc_id"), col("text"))
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(storeDir)
-        val nBase = spark.read.parquet(s"$indexDir/buckets").count()
-        val nDelta = readDedupDelta(spark, storeDir).count()
-        if (nDelta > 0 && nDelta >= compactAt * nBase)
-          compactDedupIndex(spark, indexDir, storeDir)
+          .write.mode("append").parquet(s"$maintDir/docs")
+        if (baseCount < 0) baseCount = spark.read.parquet(
+          graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets")).count()
+        if (deltaCount < 0)
+          deltaCount = spark.read.parquet(s"$maintDir/buckets").count()
+        else deltaCount += n
+        if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
+          compactDedupIndex(spark, indexDir, s"$maintDir/buckets")
+          baseCount = -1
+          deltaCount = 0
+        }
       }
+  }
+
+  /** Replay-safe doc-level latest-wins read of the appended documents'
+    * lake partition ((doc_id, text, epoch) rows). */
+  def readDocsDelta(spark: SparkSession, docsDir: String): DataFrame = {
+    val raw = spark.read.parquet(docsDir)
+    raw.dropDuplicates("doc_id", "epoch")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
+      .filter(col("_rn") === 1).drop("_rn", "epoch")
   }
 
   /** Dedup an arriving (doc_id, text) batch against the PERSISTED corpus
@@ -318,12 +337,10 @@ object Dedup {
       arrivals: DataFrame, indexDir: String,
       storeDir: Option[String] = None,
       deltaDocs: Option[DataFrame] = None): DataFrame = {
-    val base = spark.read.parquet(s"$indexDir/buckets")
-    val idx = storeDir.fold(base) { s =>
-      val d = readDedupDelta(spark, s)
-      base.join(d.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        .unionByName(d.select(base.columns.map(col).toIndexedSeq: _*))
-    }
+    val base = spark.read.parquet(
+      graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets"))
+    val idx = storeDir.fold(base)(s => graft.operators.Similarity
+      .mergeDeltaRows(base, readDedupDelta(spark, s), "doc_id"))
     dedupAgainstIndex(spark, dir, arrivals, idx, deltaDocs)
   }
 

@@ -1191,11 +1191,41 @@ object Similarity {
     * re-upload the delta (newer) row deterministically wins. The anti-join
     * probes the base with only the delta's key column — AQE broadcasts the
     * small side; the base materialization is never shuffled. */
-  private def mergeDeltaRows(base: DataFrame, delta: DataFrame,
+  private[graft] def mergeDeltaRows(base: DataFrame, delta: DataFrame,
       key: String): DataFrame = {
     val dd = delta.select(base.columns.map(col).toIndexedSeq: _*)
     base.join(dd.select(col(key)).distinct(), Seq(key), "left_anti")
       .unionByName(dd)
+  }
+
+  /** Resolve a base-artifact directory, completing an interrupted
+    * compaction swap if one is found: the compactors write the merged
+    * artifact to `<name>_compacting`, delete `<name>`, then rename — a
+    * crash between delete and rename leaves only the (fully written)
+    * `_compacting` dir, which this promotes before anyone reads. A partial
+    * `_compacting` left by a crash DURING the merge write is ignored
+    * (the main dir still exists) and overwritten by the next compaction —
+    * so every crash point is serve-consistent, now including the swap
+    * window. Every reader and compactor of persisted artifacts goes
+    * through here. */
+  private[graft] def resolveArtifact(spark: SparkSession, indexDir: String,
+      name: String): String = {
+    val main = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${name}_compacting")
+    val fs = main.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(main) && fs.exists(tmp)) fs.rename(tmp, main)
+    s"$indexDir/$name"
+  }
+
+  /** The delete→rename swap every compactor ends with, preceded by
+    * [[resolveArtifact]] recovery on the target. */
+  private[graft] def swapArtifact(spark: SparkSession, indexDir: String,
+      name: String): Unit = {
+    val main = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${name}_compacting")
+    val fs = main.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(main, true)
+    fs.rename(tmp, main)
   }
 
   /** The probe-select + cell-bounded ADC core over EXPLICIT index frames —
@@ -1441,11 +1471,17 @@ object Similarity {
       .select($"query_id", $"doc_id", $"rank".as("lex_rank"))
     val qv = queries.select($"query_id", asDouble($"embedding").as("qv"))
       .withColumn("qn", norm($"qv"))
+    // deltaVecs is REQUIRED with listsStore: appended ids would survive
+    // the ADC scan but silently vanish at the exact re-rank's lake join —
+    // the one misuse that would make the delta leg unable to return the
+    // documents it exists to serve
+    require(listsStore.isEmpty || deltaVecs.isDefined,
+      "hybridRrfFromSaved: listsStore set without deltaVecs — pass the " +
+        "appended vectors' lake partition (readVecsDelta) or the re-rank " +
+        "drops every appended id")
     val dense = (listsStore match {
       case Some(store) => topkIvfPqFromSavedWithDelta(spark, dir, qv,
-        denseIndexDir, store,
-        deltaVecs.getOrElse(spark.emptyDataset[(Long, Array[Float])]
-          .toDF("vec_id", "embedding")))
+        denseIndexDir, store, deltaVecs.get)
       case None => topkIvfPqFromSaved(spark, dir, qv, denseIndexDir)
     }).select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("sem_rank"))
     fuseRrf(lex, dense)
@@ -1605,7 +1641,7 @@ object Similarity {
     * compaction. */
   private[graft] def ivfPqAdcScanSaved(spark: SparkSession, q: DataFrame,
       indexDir: String, storeDir: Option[String]): DataFrame = {
-    val base = spark.read.parquet(s"$indexDir/lists")
+    val base = spark.read.parquet(resolveArtifact(spark, indexDir, "lists"))
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val cb = spark.read.parquet(s"$indexDir/codebook")
     val lists = storeDir.fold(base)(s =>
@@ -1636,24 +1672,21 @@ object Similarity {
     * over the grown lake, scheduled when [[retrainAdvised]] trips.
     *
     * Crash-safety ordering: the merged lists land in a sibling directory
-    * first, then swap in, then the delta store truncates to a schema-only
-    * parquet. A crash between swap and truncate leaves delta rows in BOTH
-    * base and store — which [[mergeDeltaRows]] already serves correctly
-    * (that overlap is the same state a post-compaction epoch replay
-    * creates), so every crash point is serve-consistent. */
+    * first, then swap in ([[swapArtifact]] — the delete→rename window is
+    * recovered by [[resolveArtifact]] on the next read), then the delta
+    * store truncates to a schema-only parquet. A crash between swap and
+    * truncate leaves delta rows in BOTH base and store — which
+    * [[mergeDeltaRows]] already serves correctly (that overlap is the
+    * same state a post-compaction epoch replay creates) — so every crash
+    * point is serve-consistent. */
   def compactIndex(spark: SparkSession, indexDir: String,
       storeDir: String): Unit = {
     val delta = readIndexDelta(spark, storeDir)
     if (delta.isEmpty) return
-    val base = spark.read.parquet(s"$indexDir/lists")
-    val tmp = s"$indexDir/lists_compacting"
+    val base = spark.read.parquet(resolveArtifact(spark, indexDir, "lists"))
     mergeDeltaRows(base, delta, "vec_id")
-      .write.mode("overwrite").parquet(tmp)
-    val conf = spark.sessionState.newHadoopConf()
-    val listsPath = new org.apache.hadoop.fs.Path(s"$indexDir/lists")
-    val fs = listsPath.getFileSystem(conf)
-    fs.delete(listsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), listsPath)
+      .write.mode("overwrite").parquet(s"$indexDir/lists_compacting")
+    swapArtifact(spark, indexDir, "lists")
     truncateStore(spark, storeDir)
   }
 
@@ -1729,10 +1762,31 @@ object Similarity {
     * [[graft.ScaleProbe]] measures the volume). */
   def indexDriftCheckFrames(spark: SparkSession, dir: String,
       deltaVecs: DataFrame, deltaLists: DataFrame): DataFrame = {
-    import spark.implicits._
     val q = strideQueries(corpus(spark, dir))
-    val served = pqRerank(lakeWithDelta(spark, dir, deltaVecs), q,
-      ivfPqAdcScan(spark, dir, q, extraLists = Some(deltaLists)))
+    driftCompare(spark, dir,
+      pqRerank(lakeWithDelta(spark, dir, deltaVecs), q,
+        ivfPqAdcScan(spark, dir, q, extraLists = Some(deltaLists))))
+  }
+
+  /** The drift check over the REAL serving leg — persisted base artifacts
+    * ∪ the delta store. This is what [[maintainIndexStream]] runs: after a
+    * compaction the folded rows live in the persisted base and keep being
+    * measured; an in-session-base variant would go blind to them (recall
+    * snapping back to baseline the moment the delta folds in, so the
+    * advisory could never accumulate across compactions). */
+  def indexDriftCheckSaved(spark: SparkSession, dir: String,
+      indexDir: String, storeDir: String, deltaVecs: DataFrame): DataFrame = {
+    val q = strideQueries(corpus(spark, dir))
+    driftCompare(spark, dir,
+      pqRerank(lakeWithDelta(spark, dir, deltaVecs), q,
+        ivfPqAdcScanSaved(spark, q, indexDir, Some(storeDir))))
+  }
+
+  /** The shared comparison stage: served list vs the memoized pinned truth,
+    * advisory flag vs the memoized shipped baseline. */
+  private def driftCompare(spark: SparkSession, dir: String,
+      served: DataFrame): DataFrame = {
+    import spark.implicits._
     // both means re-pinned 6dp before the margin compare: the comparison
     // must be engine-stable at the boundary, and an unrounded avg is
     // summation-order-dependent in the last bits
@@ -1797,29 +1851,53 @@ object Similarity {
       compactAt: Double = 0.25,
       advise: Boolean = true): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
+    // threshold bookkeeping as RUNNING counters: the base is counted once
+    // per (re)start/compaction and the delta accumulates batch-side counts
+    // — per-batch trigger cost is O(batch), never a footer scan of the
+    // persisted base or a windowed dedup of the whole store. A replayed
+    // epoch over-counts the delta slightly, which only compacts EARLIER —
+    // safe for a heuristic trigger.
+    var baseCount = -1L
+    var deltaCount = -1L
     vecStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val n = batch.count()
         encodeForIndex(spark, dir, batch)
           .withColumn("epoch", lit(epoch))
           .write.mode("append").parquet(s"$maintDir/lists")
         batch.select($"vec_id", $"embedding")
           .withColumn("epoch", lit(epoch))
           .write.mode("append").parquet(s"$maintDir/vecs")
-        val dv = readVecsDelta(spark, s"$maintDir/vecs")
+        if (baseCount < 0) baseCount =
+          spark.read.parquet(resolveArtifact(spark, indexDir, "lists")).count()
+        if (deltaCount < 0)
+          deltaCount = spark.read.parquet(s"$maintDir/lists").count()
+        else deltaCount += n
         if (advise) {
-          val (meanRecall, advised) =
-            retrainAdvised(spark, dir, s"$maintDir/lists", dv)
-          Seq((epoch, meanRecall, advised))
+          // the advisory measures the REAL serving leg (persisted base ∪
+          // store), so rows folded by earlier compactions keep counting
+          val m = indexDriftCheckSaved(spark, dir, indexDir,
+              s"$maintDir/lists", readVecsDelta(spark, s"$maintDir/vecs"))
+            .agg(avg($"recall"), max($"retrain_advised"))
+            .as[(Double, Boolean)].head()
+          Seq((epoch, m._1, m._2))
             .toDF("epoch", "mean_recall", "retrain_advised")
             .write.mode("append").parquet(s"$maintDir/advisory")
         }
-        val nBase = spark.read.parquet(s"$indexDir/lists").count()
-        val nDelta = readIndexDelta(spark, s"$maintDir/lists").count()
-        if (nDelta > 0 && nDelta >= compactAt * nBase)
+        if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
           compactIndex(spark, indexDir, s"$maintDir/lists")
+          baseCount = -1 // recount once, next batch (amortized per compaction)
+          deltaCount = 0
+        }
       }
   }
+
+  /** Replay-safe read of the advisory audit rows: the advisory write is a
+    * plain append (no key on disk), so a crash-replayed epoch appends its
+    * row twice — dedup by epoch on read, like every other store. */
+  def readAdvisory(spark: SparkSession, maintDir: String): DataFrame =
+    spark.read.parquet(s"$maintDir/advisory").dropDuplicates("epoch")
 
   /** The deterministic BATCH twin of the ingest-append encode, as its own
     * oracled query: every 10th base vector re-arrives under a fresh id

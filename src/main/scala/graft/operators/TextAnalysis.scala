@@ -480,16 +480,14 @@ object TextAnalysis {
     // values until an explicit reindex — the segment-append contract of
     // every incremental search engine (stale idf, bounded by segment-merge
     // cadence), matching the pinned-quantizer rule of the dense leg.
-    // The anti-join drops base postings of any doc the delta re-lists:
-    // before a compaction that is a no-op (appended ids are fresh); after
-    // [[compactPostings]] it is what makes a REPLAYED old epoch invisible
-    // (its rows are already merged into the base) — latest wins, per doc.
-    val tf = extraPostings.fold(baseTf) { d =>
-      val dd = d.select(baseTf.columns.map(col).toIndexedSeq: _*)
-      baseTf.join(broadcast(dd.select($"doc_id").distinct()),
-          Seq("doc_id"), "left_anti")
-        .unionByName(dd)
-    }
+    // The merge drops base postings of any doc the delta re-lists
+    // ([[graft.operators.Similarity.mergeDeltaRows]] — the one shared
+    // implementation of the anti-join-union contract): before a compaction
+    // that is a no-op (appended ids are fresh); after [[compactPostings]]
+    // it is what makes a REPLAYED old epoch invisible (its rows are
+    // already merged into the base) — latest wins, per doc.
+    val tf = extraPostings.fold(baseTf)(
+      graft.operators.Similarity.mergeDeltaRows(baseTf, _, "doc_id"))
     val cap = forceCap.getOrElse(bm25DfCap(nDocs.toLong))
     // rank first, cap second: the cap is on the ranking key (df asc), so
     // the capped set is a prefix of the ranking and rank-then-cap equals
@@ -598,21 +596,13 @@ object TextAnalysis {
     * replay state). */
   def compactPostings(spark: SparkSession, indexDir: String,
       storeDir: String): Unit = {
-    import spark.implicits._
     val delta = readPostingsDelta(spark, storeDir)
     if (delta.isEmpty) return
-    val base = spark.read.parquet(s"$indexDir/postings")
-    val dd = delta.select(base.columns.map(col).toIndexedSeq: _*)
-    val tmp = s"$indexDir/postings_compacting"
-    base.join(broadcast(dd.select($"doc_id").distinct()),
-        Seq("doc_id"), "left_anti")
-      .unionByName(dd)
-      .write.mode("overwrite").parquet(tmp)
-    val conf = spark.sessionState.newHadoopConf()
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
-    val fs = postingsPath.getFileSystem(conf)
-    fs.delete(postingsPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), postingsPath)
+    val base = spark.read.parquet(
+      graft.operators.Similarity.resolveArtifact(spark, indexDir, "postings"))
+    graft.operators.Similarity.mergeDeltaRows(base, delta, "doc_id")
+      .write.mode("overwrite").parquet(s"$indexDir/postings_compacting")
+    graft.operators.Similarity.swapArtifact(spark, indexDir, "postings")
     graft.operators.Similarity.truncateStore(spark, storeDir)
     // the loaded-artifact memo now points at the PRE-compaction file set —
     // drop it (and unpersist its cached frames) so the next load reads the
@@ -651,16 +641,26 @@ object TextAnalysis {
   def maintainPostingsStream(docStream: DataFrame, spark: SparkSession,
       indexDir: String, maintDir: String,
       compactAt: Double = 0.25): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // running-counter trigger, the maintainIndexStream convention: base
+    // counted once per (re)start/compaction, delta accumulated batch-side
+    var baseCount = -1L
+    var deltaCount = -1L
     docStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        encodeForPostings(batch)
-          .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(s"$maintDir/seg")
-        val nBase = spark.read.parquet(s"$indexDir/postings").count()
-        val nDelta = readPostingsDelta(spark, s"$maintDir/seg").count()
-        if (nDelta > 0 && nDelta >= compactAt * nBase)
+        val seg = encodeForPostings(batch).withColumn("epoch", lit(epoch))
+        val n = seg.count()
+        seg.write.mode("append").parquet(s"$maintDir/seg")
+        if (baseCount < 0) baseCount = spark.read.parquet(
+          graft.operators.Similarity.resolveArtifact(spark, indexDir, "postings")).count()
+        if (deltaCount < 0)
+          deltaCount = spark.read.parquet(s"$maintDir/seg").count()
+        else deltaCount += n
+        if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
           compactPostings(spark, indexDir, s"$maintDir/seg")
+          baseCount = -1
+          deltaCount = 0
+        }
       }
   }
 
@@ -707,7 +707,8 @@ object TextAnalysis {
     graft.sources.Caches.memoizedValue(spark, s"text-bm25-index-saved|$indexDir") {
       import spark.implicits._
       val tf = graft.sources.Caches.shared(
-        spark.read.parquet(s"$indexDir/postings"))
+        spark.read.parquet(graft.operators.Similarity
+          .resolveArtifact(spark, indexDir, "postings")))
       val dfreq = graft.sources.Caches.shared(
         spark.read.parquet(s"$indexDir/df"))
       val (nDocs, avgdl) = spark.read.parquet(s"$indexDir/stats")

@@ -382,8 +382,8 @@ class IndexMaintenanceSpec extends SparkSpec {
     val afterRun1 = serve()
     assert(afterRun1.exists(r => r(1) == 1000000L && r(3) == 1),
       s"probe's appended twin not served after run 1: $afterRun1")
-    // advisory row written per epoch
-    assert(spark.read.parquet(s"$maint/advisory").count() == 2)
+    // advisory row written per epoch (replay-safe reader)
+    assert(Similarity.readAdvisory(spark, maint).count() == 2)
 
     // restart from the same checkpoint with one NEW file: committed epochs
     // are not re-processed (their rows live in the compacted base now)
@@ -403,6 +403,20 @@ class IndexMaintenanceSpec extends SparkSpec {
       .write.mode("append").parquet(s"$maint/lists")
     assert(serve() == afterRun2,
       "replayed pre-compaction epoch leaked into serving")
+
+    // the advisory is NOT blind to compacted rows: the last in-stream
+    // advisory (epoch 2, computed pre-compaction over base∪store) must
+    // equal a post-hoc drift check over the SAME serving leg now that its
+    // rows live in the compacted base — serve-before ≡ serve-after makes
+    // them one measurement
+    import org.apache.spark.sql.functions.{avg, max => fmax}
+    val lastAdvisory = Similarity.readAdvisory(spark, maint)
+      .orderBy($"epoch".desc).select($"mean_recall").as[Double].head()
+    val postHoc = Similarity.indexDriftCheckSaved(spark, dir, idx,
+        s"$maint/lists", Similarity.readVecsDelta(spark, s"$maint/vecs"))
+      .agg(avg($"recall")).as[Double].head()
+    assert(math.abs(lastAdvisory - postHoc) < 1e-9,
+      s"advisory went blind across compaction: in-stream $lastAdvisory vs post-hoc $postHoc")
     Caches.releaseAll()
   }
 
@@ -513,6 +527,34 @@ class IndexMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("an interrupted compaction swap is recovered on the next read") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-swap-crash").toString
+    val idx = s"$tmp/idx"
+    Similarity.saveIndex(spark, dir, idx)
+    def probes = Similarity.corpus(spark, dir).filter($"vec_id" % 250 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val before = Similarity.topkIvfPqFromSaved(spark, dir, probes, idx)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    // simulate the crash window: the merged artifact is fully written to
+    // lists_compacting, the old lists dir is deleted, the rename never ran
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$idx/lists"),
+      new org.apache.hadoop.fs.Path(s"$idx/lists_compacting")))
+    // the next read completes the swap and serves identically
+    val after = Similarity.topkIvfPqFromSaved(spark, dir, probes, idx)
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    assert(after == before,
+      "recovered artifact serves differently after an interrupted swap")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/lists")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/lists_compacting")),
+      "resolver did not promote the completed merge back to the main path")
+    Caches.releaseAll()
+  }
+
   test("retrain over the grown lake rebuilds quantizers and serves appends from its base") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
@@ -604,23 +646,26 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(serve() == before,
       "replayed dedup epoch leaked through the post-compaction merge")
 
-    // the maintenance LOOP: an arriving doc appends and (at the tiny
-    // threshold) compacts inline — the store drains, the base grows, and
-    // the newly ingested doc is immediately matchable
+    // the maintenance LOOP: an arriving doc appends (buckets AND its raw
+    // text — the doc-lake partition the verify reads) and at the tiny
+    // threshold compacts inline — the store drains, the base grows, and
+    // the newly ingested doc is immediately matchable with NO hand-fed
+    // text (readDocsDelta supplies it)
+    val maint = s"$tmp/maint"
     val nBase = spark.read.parquet(s"$idx/buckets").count()
     val loop = MemoryStream[(Long, String)]
     val q3 = Dedup.maintainDedupIndexStream(
-        loop.toDF().toDF("doc_id", "text"), spark, idx, store,
+        loop.toDF().toDF("doc_id", "text"), spark, idx, maint,
         compactAt = 0.000001)
       .start()
     loop.addData((2000000L, doc0)); q3.processAllAvailable()
     q3.stop()
-    assert(spark.read.parquet(store).count() == 0,
+    assert(spark.read.parquet(s"$maint/buckets").count() == 0,
       "maintenance loop did not compact the appended buckets")
     assert(spark.read.parquet(s"$idx/buckets").count() > nBase)
     val after = Dedup.dedupArrivalsFromSaved(spark, dir, probe, idx,
         Some(store), Some(deltaDocs.unionByName(
-          Seq((2000000L, doc0)).toDF("doc_id", "text"))))
+          Dedup.readDocsDelta(spark, s"$maint/docs"))))
       .collect().map(_.toSeq).toSeq
     assert(after.exists(r => r(1) == 2000000L && r(2) == 1.0),
       s"loop-ingested doc not matchable from the compacted base: $after")
