@@ -130,6 +130,7 @@ object SparkEntry {
     "sim_ann_recall_pq_refined" -> (Similarity.annRecallPqRefined _),
     "sim_index_drift"      -> (Similarity.indexDrift _),
     "dedup_index_serve"    -> (Dedup.dedupIndexServe _),
+    "corpus_admission"     -> (Curate.admission _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -1943,6 +1944,76 @@ object SparkEntry {
         |WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
         |      len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
         |ORDER BY arriving_id, existing_id""".stripMargin,
+
+    // corpus admission: the full ingest gate — dup leg is the
+    // dedup_incremental chain with earlier-id arrivals added to the index
+    // side (batch deduped as a set, first occurrence wins); contamination
+    // is dedup_contamination's per-(doc,bench) >= 8 shared 8-grams with the
+    // bench carved at offset 7 (never an arrival); quality is text_quality's
+    // linear score; precedence duplicate > contaminated > low_quality.
+    "corpus_admission" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS arriving_id, y.doc_id AS existing_id
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+        |    AND x.doc_id % 10 = 0 AND (y.doc_id % 10 != 0 OR y.doc_id < x.doc_id)
+        |),
+        |dup AS (
+        |  SELECT arriving_id AS doc_id, CAST(count(*) AS BIGINT) AS n_dup_matches,
+        |         min(existing_id) AS first_dup
+        |  FROM cand c JOIN sh a ON c.arriving_id = a.doc_id JOIN sh b ON c.existing_id = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |  GROUP BY 1
+        |),
+        |g8 AS (
+        |  SELECT doc_id,
+        |    list_distinct([CAST(concat('0x',substr(md5(s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]),1,15)) AS BIGINT) for i in range(1, len(s)-6)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 8
+        |),
+        |bench AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g8
+        |          WHERE doc_id % 50 = 7 AND doc_id % 10 != 0),
+        |arr AS (SELECT doc_id, unnest(grams) AS gram FROM g8 WHERE doc_id % 10 = 0),
+        |cont AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits FROM (
+        |    SELECT a.doc_id, b.bench_id FROM arr a JOIN bench b USING (gram)
+        |    GROUP BY a.doc_id, b.bench_id HAVING count(*) >= 8)
+        |  GROUP BY 1
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |    0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |    0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |    0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality
+        |  FROM (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |)
+        |SELECT q.doc_id, CASE WHEN d.n_dup_matches IS NOT NULL THEN 'duplicate'
+        |       WHEN c.n_bench_hits IS NOT NULL THEN 'contaminated'
+        |       WHEN q.quality < 0.45 THEN 'low_quality'
+        |       ELSE 'admitted' END AS decision,
+        |  coalesce(d.n_dup_matches, 0) AS n_dup_matches, d.first_dup,
+        |  coalesce(c.n_bench_hits, 0) AS n_bench_hits, q.quality
+        |FROM q LEFT JOIN dup d ON q.doc_id = d.doc_id
+        |       LEFT JOIN cont c ON q.doc_id = c.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
 
     // index-serving dedup: the dedup_incremental chain with the index side
     // UNFILTERED (a persisted bucket index holds every corpus doc, so

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.functions.Text.tokens
 
 /** The capstone composition: an end-to-end training-data curation pass built
   * ENTIRELY from the library's verified operators —
@@ -65,6 +66,132 @@ object Curate {
     val scrubbed = TextAnalysis.piiScrubRows(
       mixed.select(col("doc_id"), col("text").as("raw")))
     Packing.chunkRows(scrubbed.select(col("doc_id"), col("clean").as("text")))
+  }
+
+  // ------------------------------------------------------ corpus admission
+
+  /** Benchmark-carve offset for the admission fixture: bench docs are
+    * `doc_id ≡ BenchOffset (mod contamBenchStride)`. 7 is coprime with the
+    * arrival stride's factor of 10, so the carved benchmark NEVER overlaps
+    * the arriving batch (a held-out eval suite is external by definition —
+    * an arrival can't be its own benchmark); the `% stride =!= 0` guard
+    * keeps that true even if a derived stride ever loses the factor. */
+  val BenchOffset = 7
+
+  /** Decision labels, in precedence order: a doc that is both a near-dup
+    * and contaminated is recorded as `duplicate` (the cheaper-to-detect,
+    * earlier-in-the-production-DAG reason wins deterministically). */
+  val Duplicate = "duplicate"
+  val Contaminated = "contaminated"
+  val LowQuality = "low_quality"
+  val Admitted = "admitted"
+
+  /** The admission verdict assembly both the batch twin and the streaming
+    * lake share: arriving (doc_id, text) rows, an already-verified near-dup
+    * pair frame (arriving_id, existing_id), and the benchmark's 8-gram
+    * postings (bench_id, gram) in. Per arriving doc out:
+    * (doc_id, decision, n_dup_matches, first_dup, n_bench_hits, quality) —
+    * decision by the [[Duplicate]] > [[Contaminated]] > [[LowQuality]] >
+    * [[Admitted]] precedence.
+    *
+    * Scale shape: the dup leg arrives pre-aggregated from an index serve
+    * (cost ∝ batch); the contamination leg explodes ONLY the arriving
+    * batch's grams against the broadcast benchmark postings (the benchmark
+    * is bounded by definition — [[Dedup.contamination]]'s argument); the
+    * quality leg is a pure projection. Nothing in the gate touches the
+    * corpus. */
+  def admitRows(arrivals: DataFrame, dupPairs: DataFrame,
+      benchPostings: DataFrame): DataFrame = {
+    val dup = dupPairs
+      .groupBy(col("arriving_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_dup_matches"),
+        min(col("existing_id")).as("first_dup"))
+    val toks = arrivals.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val cont = toks
+      .filter(size(col("toks")) >= Dedup.ContamGram)
+      .select(col("doc_id"), explode(
+        graft.functions.WordGramHashes(col("toks"), Dedup.ContamGram)).as("gram"))
+      .join(broadcast(benchPostings), "gram")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= Dedup.ContamMinShared)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"))
+    TextAnalysis.withQuality(arrivals)
+      .select(col("doc_id"), col("quality"))
+      .join(dup, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("n_dup_matches").isNotNull, Duplicate)
+          .when(col("n_bench_hits").isNotNull, Contaminated)
+          .when(col("quality") < QualityFloor, LowQuality)
+          .otherwise(Admitted).as("decision"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"),
+        col("first_dup"),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        col("quality"))
+  }
+
+  /** The corpus-side benchmark 8-gram postings for the admission gate —
+    * docs at [[BenchOffset]] within [[Dedup.contamBenchStride]] stand in
+    * for the held-out eval suite (never arrivals; see [[BenchOffset]]).
+    * Bounded by the stride derivation, so its exploded postings broadcast. */
+  private[graft] def benchPostings(spark: SparkSession, dir: String,
+      arrivalStride: Long): DataFrame = {
+    import spark.implicits._
+    val cStride = Dedup.contamBenchStride(Tables.nDocs(spark, dir))
+    Tables.spread(Tables.documents(spark, dir))
+      .filter($"doc_id" % cStride === BenchOffset &&
+        $"doc_id" % arrivalStride =!= 0)
+      .select($"doc_id", tokens($"text").as("toks"))
+      .filter(size($"toks") >= Dedup.ContamGram)
+      .select($"doc_id".as("bench_id"), explode(
+        graft.functions.WordGramHashes($"toks", Dedup.ContamGram)).as("gram"))
+  }
+
+  /** Corpus admission, the oracled BATCH twin: every
+    * [[Dedup.incrementalStride]]-th document stands in for the arriving
+    * crawl batch; the rest is the existing corpus. Each arrival is judged:
+    *
+    *   [[Duplicate]]    — verified near-dup (Jaccard ≥ 0.8) of an existing
+    *                      corpus doc OR of an EARLIER-id arrival (the batch
+    *                      is deduped as a set first, first occurrence
+    *                      survives — the standard crawl-ingest policy);
+    *   [[Contaminated]] — shares ≥ [[Dedup.ContamMinShared]] distinct
+    *                      word-8-grams with some single benchmark doc;
+    *   [[LowQuality]]   — quality < [[QualityFloor]];
+    *   [[Admitted]]     — otherwise.
+    *
+    * The dup leg is the [[Dedup.dedupIndexServe]] candidate chain with the
+    * index side restricted to (existing ∪ earlier-id arrivals) — exactly
+    * what a persisted bucket index plus intra-batch first-wins serving
+    * sees; cost ∝ batch, never corpus. */
+  def admission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stride = Dedup.incrementalStride(Tables.nDocs(spark, dir))
+    val arrivals = Tables.spread(Tables.documents(spark, dir))
+      .filter($"doc_id" % stride === 0)
+      .select($"doc_id", $"text")
+    val docs = graft.sources.Caches.shared(Dedup.signed(spark, dir))
+    val buckets = Dedup.bucketRows(docs)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" % stride === 0 &&
+          ($"y.doc_id" % stride =!= 0 || $"y.doc_id" < $"x.doc_id"))
+      .select($"x.doc_id".as("arriving_id"), $"y.doc_id".as("existing_id"))
+      .distinct()
+    val a = docs.select($"doc_id".as("arriving_id"), $"grams".as("gr_a"),
+      size($"grams").as("na"))
+    val b = docs.select($"doc_id".as("existing_id"), $"grams".as("gr_b"),
+      size($"grams").as("nb"))
+    val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
+    val dupPairs = cand.join(a, "arriving_id").join(b, "existing_id")
+      .withColumn("jaccard",
+        inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
+      .filter($"jaccard" >= Dedup.JaccardThreshold)
+      .select($"arriving_id", $"existing_id")
+    admitRows(arrivals, dupPairs, benchPostings(spark, dir, stride))
+      .orderBy($"doc_id")
   }
 
   /** The last mile: [[curate]]'s selected documents cut into model-context

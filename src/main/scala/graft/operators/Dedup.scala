@@ -58,13 +58,13 @@ object Dedup {
     * set is the sorted distinct hash60s from
     * [[graft.functions.WordGramHashes]] — no shingle string is materialized
     * (the oracle SQL carries the equivalent list-comprehension form). */
-  private def signed(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def signed(spark: SparkSession, dir: String): DataFrame =
     signRows(Tables.spread(Tables.documents(spark, dir)))
 
   /** Per-row shingle→minhash→band signing of any (doc_id, text) relation —
     * a pure projection, so it applies identically to the batch corpus and
     * to an arriving micro-batch in [[nearDupStream]]. */
-  private def signRows(rows: DataFrame): DataFrame =
+  private[graft] def signRows(rows: DataFrame): DataFrame =
     rows
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
@@ -213,7 +213,7 @@ object Dedup {
 
   /** Flatten a signed relation to its (doc_id, band, key) bucket rows —
     * the corpus-side LSH index in its storable form. */
-  private def bucketRows(s: DataFrame): DataFrame =
+  private[graft] def bucketRows(s: DataFrame): DataFrame =
     s.select(col("doc_id"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
 
@@ -370,13 +370,24 @@ object Dedup {
       .select($"doc_id".as("existing_id"),
         graft.functions.WordGramHashes($"toks", 3).as("gr_b"))
       .withColumn("nb", size($"gr_b"))
-    val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
+    verifyJaccard(cand, ag, eg)
+      .orderBy($"arriving_id", $"existing_id")
+  }
+
+  /** The exact-Jaccard verification stage over explicit gram frames:
+    * `cand` (arriving_id, existing_id), `ag` (arriving_id, gr_a, na),
+    * `eg` (existing_id, gr_b, nb) in; verified
+    * (arriving_id, existing_id, jaccard ≥ [[JaccardThreshold]]) pairs out.
+    * One source of truth for every index-serving dedup caller
+    * ([[dedupArrivalsFromSaved]], the corpus lake's intra-batch leg). */
+  private[graft] def verifyJaccard(cand: DataFrame, ag: DataFrame,
+      eg: DataFrame): DataFrame = {
+    val inter = graft.functions.IntersectCardinality(col("gr_a"), col("gr_b"))
     cand.join(ag, "arriving_id").join(eg, "existing_id")
       .withColumn("jaccard",
-        inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
-      .filter($"jaccard" >= JaccardThreshold)
-      .select($"arriving_id", $"existing_id", $"jaccard")
-      .orderBy($"arriving_id", $"existing_id")
+        inter.cast("double") / ((col("na") + col("nb")) - inter).cast("double"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("arriving_id"), col("existing_id"), col("jaccard"))
   }
 
   /** Bucket-collision candidate pairs of [[dedupIndexServe]] BEFORE the

@@ -19,6 +19,14 @@ import org.apache.spark.sql.types.StructType
   */
 object Formats {
 
+  /** True when `path` exists on the session's filesystem — the guard for
+    * first-read branches over append stores that may not exist yet (the
+    * corpus lake's docs/manifest partitions before the first commit). */
+  def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
