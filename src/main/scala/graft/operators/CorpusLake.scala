@@ -182,7 +182,21 @@ object CorpusLake {
     docStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        if (!batch.isEmpty) {
+        // replay fast path / collision guard: an epoch whose manifest row is
+        // already committed is either a checkpoint-replayed batch (crash
+        // between the manifest write and the stream's own commit — skipping
+        // wholesale IS the exactly-once answer) or an operator error (a
+        // fresh checkpoint re-counting epochs against a live lake). Either
+        // way the lake must not double-write; the skip is loud so the
+        // second case can't pass silently.
+        val committed = manifest(spark, corpusDir)
+          .filter(col("version") === epoch).limit(1).count() > 0
+        if (committed) {
+          System.err.println(s"[corpus-lake] epoch $epoch already committed " +
+            "- replay skip (if this is NEW data, the stream is running " +
+            "against a stale checkpoint; restart it with its original " +
+            "checkpoint location)")
+        } else if (!batch.isEmpty) {
           val rows = batch.select($"doc_id", $"text")
           val store = s"$maintDir/buckets"
           val haveStore = graft.sources.Formats.pathExists(spark, store)

@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.lit
+import graft.operators.{CorpusLake, Curate, Dedup}
+import graft.sources.{Caches, Tables}
+
+/** The versioned corpus lake: admission-gated ingest, manifest-last epoch
+  * commits, time travel, replay safety, LWW re-uploads, and the dedup-index
+  * compaction lifecycle staying consistent with the lake. */
+class CorpusLifecycleSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  // crafted arrival texts over a vocabulary disjoint from the fixture corpus
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+  private val docAText = words("alpha", 40).mkString(" ")
+  // near-dup of docA: last token changed -> 3-gram jaccard 37/39 ≈ 0.95
+  private val docADupText = (words("alpha", 39) :+ "changed").mkString(" ")
+  private val docBText = words("beta", 40).mkString(" ")
+  private val lowQText = Seq.fill(30)("junk").mkString(" ")
+
+  /** A contaminated arrival: one bench doc's first 20 tokens (13 shared
+    * 8-grams ≥ the 8 floor) embedded in 60 unique filler tokens, so the
+    * 3-gram jaccard vs the bench doc stays far below 0.8. */
+  private def contamText(benchText: String): String =
+    (benchText.split(" ").take(20) ++ words("filler", 60)).mkString(" ")
+
+  test("corpus lake: admission stream, manifest commits, time travel, replay, LWW") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-lake").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+
+    val corpusDoc0 = Tables.documents(spark, dir)
+      .filter($"doc_id" === 0L).select($"text").as[String].head()
+    val benchText = Tables.documents(spark, dir)
+      .filter($"doc_id" === 7L).select($"text").as[String].head()
+    assert(benchText.split(" ").length >= 20, "fixture bench doc too short")
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    // batch 1: an admitted doc, a low-quality doc, a copy of corpus doc 0
+    in.addData((1000001L, docAText), (1000002L, lowQText),
+      (1000003L, corpusDoc0))
+    q.processAllAvailable()
+    // batch 2: near-dup of batch 1's admitted doc (cross-batch dedup), a
+    // fresh admitted doc, and a benchmark-contaminated doc
+    in.addData((1000004L, docADupText), (1000005L, docBText),
+      (1000006L, contamText(benchText)))
+    q.processAllAvailable()
+
+    val log = CorpusLake.admissionLog(spark, corpus)
+      .select($"doc_id", $"decision", $"first_dup", $"epoch")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    assert(log(1000001L)._1 == Curate.Admitted, s"docA: ${log(1000001L)}")
+    assert(log(1000002L)._1 == Curate.LowQuality)
+    assert(log(1000003L) == (Curate.Duplicate, 0L),
+      s"corpus-doc copy: ${log(1000003L)}")
+    assert(log(1000004L) == (Curate.Duplicate, 1000001L),
+      s"cross-batch near-dup: ${log(1000004L)}")
+    assert(log(1000005L)._1 == Curate.Admitted)
+    assert(log(1000006L)._1 == Curate.Contaminated,
+      s"bench-overlap doc: ${log(1000006L)}")
+
+    // manifest: two committed epochs with per-decision counts
+    val man = CorpusLake.manifest(spark, corpus)
+      .orderBy($"version").collect().map(_.toSeq).toSeq
+    assert(man.size == 2, s"manifest: $man")
+    assert(man(0).drop(1) == Seq(3L, 1L, 1L, 0L, 1L),
+      s"epoch-0 manifest row: ${man(0)}")
+    assert(man(1).drop(1) == Seq(3L, 1L, 1L, 1L, 0L),
+      s"epoch-1 manifest row: ${man(1)}")
+    val Seq(v0, v1) = man.map(_.head.asInstanceOf[Long])
+
+    // time travel: v0 has docA but not docB; latest has both; rejected
+    // docs never enter; the base corpus rides along untouched
+    val nBase = Tables.nDocs(spark, dir)
+    def idsAt(v: Option[Long]) = CorpusLake.readCorpusAt(spark, dir, corpus, v)
+      .filter($"doc_id" >= 1000000L).select($"doc_id").as[Long].collect().toSet
+    assert(idsAt(Some(v0)) == Set(1000001L))
+    assert(idsAt(Some(v1)) == Set(1000001L, 1000005L))
+    assert(idsAt(None) == Set(1000001L, 1000005L))
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() == nBase + 2)
+
+    // crash-before-manifest: a partial epoch (data files, no manifest row)
+    // is invisible to every read
+    Seq((1000099L, "phantom uncommitted row"))
+      .toDF("doc_id", "text").withColumn("epoch", lit(99L))
+      .write.mode("append").parquet(s"$corpus/docs")
+    assert(idsAt(None) == Set(1000001L, 1000005L),
+      "uncommitted partial epoch leaked into the corpus read")
+
+    // replay: re-deliver epoch 0's admitted rows byte-identically — the
+    // (doc_id, epoch) read dedup collapses them
+    Seq((1000001L, docAText))
+      .toDF("doc_id", "text").withColumn("epoch", lit(v0))
+      .write.mode("append").parquet(s"$corpus/docs")
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() == nBase + 2,
+      "replayed epoch duplicated an admitted doc")
+
+    // LWW re-upload on the SAME stream (epochs stay monotonic): docA's id
+    // re-arrives with CHANGED (still unique) text in a new epoch — admitted
+    // again; latest read serves the new text, a version pinned before the
+    // re-upload still serves the old
+    in.addData((1000001L, docBText.replace("beta", "gamma")))
+    q.processAllAvailable()
+    q.stop()
+    def textOf(id: Long, v: Option[Long]) =
+      CorpusLake.readCorpusAt(spark, dir, corpus, v)
+        .filter($"doc_id" === id).select($"text").as[String].head()
+    assert(textOf(1000001L, None).startsWith("gamma"),
+      "latest read does not serve the re-uploaded text")
+    assert(textOf(1000001L, Some(v1)) == docAText,
+      "pinned version no longer serves the pre-re-upload text")
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() == nBase + 2,
+      "LWW re-upload duplicated the doc instead of replacing it")
+
+    // a FRESH stream against the live lake restarts epochs at 0 — the
+    // committed-version guard must refuse the collision (loud skip), not
+    // double-write epoch 0
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = CorpusLake.maintainCorpusStream(
+        in2.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    in2.addData((1000098L, docBText.replace("beta", "delta")))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() == nBase + 2,
+      "stale-checkpoint epoch collision wrote through the committed-version guard")
+    assert(CorpusLake.manifest(spark, corpus).count() == 3)
+    Caches.releaseAll()
+  }
+
+  test("corpus lake: inline index compaction keeps cross-batch dedup intact") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-compact").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    val nIdx = spark.read.parquet(s"$idx/buckets").count()
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
+        compactAt = 0.000001)
+      .start()
+    in.addData((1000001L, docAText)); q.processAllAvailable()
+    // the tiny threshold folded batch 1's admitted buckets into the base
+    assert(spark.read.parquet(s"$maint/buckets").count() == 0,
+      "lake loop did not compact the admitted buckets")
+    assert(spark.read.parquet(s"$idx/buckets").count() > nIdx)
+    // batch 2's near-dup must still be rejected — the admitted doc now
+    // lives in the BASE index, not the drained store
+    in.addData((1000004L, docADupText)); q.processAllAvailable()
+    q.stop()
+    val log = CorpusLake.admissionLog(spark, corpus)
+      .select($"doc_id", $"decision", $"first_dup")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    assert(log(1000001L)._1 == Curate.Admitted)
+    assert(log(1000004L) == (Curate.Duplicate, 1000001L),
+      s"cross-batch dedup broke across compaction: ${log(1000004L)}")
+    Caches.releaseAll()
+  }
+}
