@@ -62,7 +62,16 @@ object Tokenizer {
   /** Train [[BpeMerges]] merges; output one row per merge:
     * (rank, left_sym, right_sym, merged, weight = the pair's frequency-
     * weighted count at selection time). */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    // memoized: a trained tokenizer is THE canonical train-once artifact —
+    // every downstream encode reuses the merge table; the driver-side merge
+    // loop (one aggregation action per merge) re-ran per invocation only
+    // because its localCheckpoint lineage defeats plan-equality sharing.
+    graft.sources.Caches.memoized(spark, s"text-bpe-merges|$dir") {
+      bpeTrainImpl(spark, dir)
+    }
+
+  private def bpeTrainImpl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     var words = wordTable(spark, dir).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
