@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Curate, Dedup, Ingest, Layout, Multimodal, Packing, Relational, Sampling, Sequence, Similarity, Skew, TextAnalysis, Tokenizer, Windows}
+import graft.operators.{CorpusLake, Curate, Dedup, Ingest, Layout, Multimodal, Packing, Relational, Sampling, Sequence, Similarity, Skew, TextAnalysis, Tokenizer, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -131,6 +131,7 @@ object SparkEntry {
     "sim_index_drift"      -> (Similarity.indexDrift _),
     "dedup_index_serve"    -> (Dedup.dedupIndexServe _),
     "corpus_admission"     -> (Curate.admission _),
+    "corpus_changes"       -> (CorpusLake.changesTwin _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2014,6 +2015,25 @@ object SparkEntry {
         |FROM q LEFT JOIN dup d ON q.doc_id = d.doc_id
         |       LEFT JOIN cont c ON q.doc_id = c.doc_id
         |ORDER BY q.doc_id""".stripMargin,
+
+    // corpus snapshot diff (the lake's CDC-read operator): two
+    // deterministic snapshots carved from documents, full-outer diffed.
+    // The engine compares 64-bit content hashes (bodies never shuffle);
+    // DuckDB compares full text — agreement IS the collision check.
+    "corpus_changes" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 5),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 != 7)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |       WHEN n.doc_id IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  CAST(length(o.text) AS BIGINT) AS old_len,
+        |  CAST(length(n.text) AS BIGINT) AS new_len
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text != n.text
+        |ORDER BY doc_id""".stripMargin,
 
     // index-serving dedup: the dedup_incremental chain with the index side
     // UNFILTERED (a persisted bucket index holds every corpus doc, so

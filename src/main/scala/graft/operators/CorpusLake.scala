@@ -95,9 +95,11 @@ object CorpusLake {
 
   /** Replay-safe read of the lake's admitted docs: byte-identical replay
     * copies collapse on (doc_id, epoch); committed-epoch filtering is the
-    * CALLER's job (pass through [[committedOnly]]). */
+    * CALLER's job (pass through [[committedOnly]]). Resolves an interrupted
+    * [[vacuumCorpus]] swap first — the lake's data dirs are mutable at
+    * exactly that boundary. */
   private def admittedRaw(spark: SparkSession, corpusDir: String): DataFrame = {
-    val p = s"$corpusDir/docs"
+    val p = Similarity.resolveArtifact(spark, corpusDir, "docs")
     if (!graft.sources.Formats.pathExists(spark, p))
       return spark.range(0).select(col("id").as("doc_id"),
         lit("").as("text"), lit(0L).as("epoch")).limit(0)
@@ -125,9 +127,18 @@ object CorpusLake {
   }
 
   /** The lake's committed admitted docs at a pinned version (all committed
-    * when None), doc-level latest-epoch-wins. */
+    * when None), doc-level latest-epoch-wins. A version below the
+    * [[retentionFloor]] is REFUSED loudly — [[vacuumCorpus]] collapsed that
+    * history, and serving a silently-wrong snapshot is the one failure a
+    * versioned lake must never have. */
   private[graft] def admittedAt(spark: SparkSession, corpusDir: String,
       version: Option[Long]): DataFrame = {
+    version.foreach { v =>
+      val floor = retentionFloor(spark, corpusDir)
+      require(v >= floor,
+        s"version $v predates the retention floor $floor: vacuumCorpus " +
+          "collapsed that history (pin a version >= the floor)")
+    }
     val rows = committedOnly(admittedRaw(spark, corpusDir),
       manifest(spark, corpusDir), version)
     rows.withColumn("_rn", row_number().over(
@@ -151,7 +162,7 @@ object CorpusLake {
 
   /** The full per-doc admission audit log (committed epochs only). */
   def admissionLog(spark: SparkSession, corpusDir: String): DataFrame = {
-    val p = s"$corpusDir/decisions"
+    val p = Similarity.resolveArtifact(spark, corpusDir, "decisions")
     if (!graft.sources.Formats.pathExists(spark, p))
       return spark.range(0).select(col("id").as("doc_id"),
         lit("").as("decision"), lit(0L).as("epoch")).limit(0)
@@ -237,5 +248,205 @@ object CorpusLake {
           }
         }
       }
+  }
+
+  // ------------- incremental consumption (CDC reads between versions)
+
+  /** Classify the changes between two corpus snapshots — the generic
+    * snapshot-diff operator the lake's incremental reads are specified
+    * against. Each side is projected to (doc_id, xxhash64(text), length)
+    * BEFORE the full-outer equi-join, so document bodies never move
+    * through the shuffle — at 100 TB the join carries 24 bytes/doc, not
+    * the corpus. Rows out: (doc_id, change_type insert|update|delete,
+    * old_len, new_len); unchanged docs are dropped. `update` means the
+    * 64-bit content hashes differ — a hash collision would mask a real
+    * update, which at 2⁻⁶⁴ per pair is the standard CDC trade (the oracle
+    * twin compares full text and hash-agrees, pinning the fixture). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), xxhash64(col("text")).as("_oh"),
+      length(col("text")).cast("long").as("old_len"))
+    val n = newSnap.select(col("doc_id"), xxhash64(col("text")).as("_nh"),
+      length(col("text")).cast("long").as("new_len"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("_oh").isNull, "insert")
+          .when(col("_nh").isNull, "delete")
+          .when(col("_oh") =!= col("_nh"), "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col("doc_id"), col("change_type"), col("old_len"),
+        col("new_len"))
+  }
+
+  /** [[snapshotDiff]]'s oracled BATCH twin: two deterministic snapshots
+    * carved from the documents table — v1 drops every doc_id ≡ 5 (mod 13)
+    * (they become inserts), v2 drops every ≡ 7 (mod 13) (deletes) and
+    * appends " v2" to every doc_id ≡ 3 (mod 17) (updates) — diffed by the
+    * same operator the lake's change reads use. DuckDB re-derives the diff
+    * with full-text comparison, so a hash-classification divergence would
+    * hash-mismatch the gate. */
+  def changesTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", $"text")
+    val v1 = docs.filter($"doc_id" % 13 =!= 5)
+    val v2 = docs.filter($"doc_id" % 13 =!= 7)
+      .select($"doc_id", when($"doc_id" % 17 === 3,
+        concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+    snapshotDiff(v1, v2).orderBy($"doc_id")
+  }
+
+  /** Incremental read of the lake: every doc whose LATEST committed epoch
+    * lies in (fromVersion, toVersion] — the change feed a downstream
+    * incremental consumer (index refresh, materialized-view maintenance,
+    * training-set delta shipping) tails instead of re-diffing snapshots.
+    *
+    * change_type: `update` if the doc_id was visible at `fromVersion`
+    * (an earlier committed lake epoch, or the base corpus it shadows),
+    * else `insert`. The lake is append-only LWW, so deletes do not occur
+    * ([[vacuumCorpus]] collapses history but never the current state).
+    *
+    * Cost: the docs scan carries an `epoch > fromVersion` predicate that
+    * parquet row-group min/max stats turn into whole-file skips (each
+    * epoch's append writes files with a constant epoch column), so the
+    * read touches the CHANGED epochs, not the lake; the prior-visibility
+    * probe semi-joins base ∪ earlier-lake doc_ids against the broadcast
+    * changed-id set — one column, pruned to the changes. Nothing scales
+    * with corpus size except that one membership probe. */
+  def readCorpusChanges(spark: SparkSession, dir: String, corpusDir: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val floor = retentionFloor(spark, corpusDir)
+    require(fromVersion >= floor || fromVersion == Long.MinValue,
+      s"fromVersion $fromVersion predates the retention floor $floor: " +
+        "the visible-at-from state was collapsed by vacuumCorpus")
+    val man = manifest(spark, corpusDir)
+    val winVersions = toVersion.fold(man)(v => man.filter(col("version") <= v))
+      .filter(col("version") > fromVersion)
+      .select(col("version").as("epoch"))
+    val changed = admittedRaw(spark, corpusDir)
+      .filter(col("epoch") > fromVersion)
+      .join(winVersions, Seq("epoch"), "left_semi")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val changedIds = changed.select(col("doc_id"))
+    val priorLake = admittedRaw(spark, corpusDir)
+      .filter(col("epoch") <= fromVersion)
+      .join(man.filter(col("version") <= fromVersion)
+        .select(col("version").as("epoch")), Seq("epoch"), "left_semi")
+      .select(col("doc_id"))
+    val priorBase = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"))
+    val prior = priorLake.unionByName(priorBase)
+      .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      .distinct().withColumn("_prior", lit(true))
+    changed.join(broadcast(prior), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("epoch").as("version"),
+        when(col("_prior").isNotNull, lit("update"))
+          .otherwise(lit("insert")).as("change_type"))
+  }
+
+  /** Lake-commit-driven lexical index refresh: consume the change feed
+    * since the stored cursor and append the changed docs' postings as
+    * epoch-stamped segments under the PINNED base statistics — the bridge
+    * between the corpus lifecycle and the index lifecycle, so a serving
+    * stack follows lake commits instead of running its own parallel
+    * ingest stream. Each posting row is stamped with the doc's committed
+    * LAKE version (not a local counter): a crashed refresh that re-runs
+    * from the old cursor re-appends byte-identical rows, which the
+    * (doc_id, tok, epoch) read-side dedup collapses — and an LWW update
+    * consumes as a whole-document replacement because
+    * [[TextAnalysis.readPostingsDelta]] serves only each doc's latest
+    * epoch. Cursor write is LAST (crash-safe ordering) via the same
+    * tmp-swap the compactors use. Returns the (from, to] window consumed,
+    * or None when the cursor is already at the lake head. */
+  def refreshPostingsFromLake(spark: SparkSession, dir: String,
+      corpusDir: String, maintDir: String): Option[(Long, Long)] = {
+    import spark.implicits._
+    val cPath = Similarity.resolveArtifact(spark, maintDir, "lake_cursor")
+    val from =
+      if (graft.sources.Formats.pathExists(spark, cPath))
+        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+      else Long.MinValue
+    val head = manifest(spark, corpusDir).agg(max($"version"))
+      .as[Option[Long]].head()
+    head match {
+      case Some(latest) if latest > from =>
+        val changes = readCorpusChanges(spark, dir, corpusDir, from,
+          Some(latest))
+        TextAnalysis.encodeForPostings(
+            changes.select($"doc_id", $"text", $"version".as("epoch")),
+            carry = Seq("epoch"))
+          .select($"doc_id", $"dl", $"tok", $"tf", $"epoch")
+          .write.mode("append").parquet(s"$maintDir/seg")
+        Seq(latest).toDF("last_version")
+          .write.mode("overwrite").parquet(s"$maintDir/lake_cursor_compacting")
+        Similarity.swapArtifact(spark, maintDir, "lake_cursor")
+        Some((from, latest))
+      case _ => None
+    }
+  }
+
+  // ------------- retention (vacuum)
+
+  /** The lake's retention floor: the lowest version [[readCorpusAt]] may
+    * still pin ([[Long.MinValue]] when no vacuum has run). */
+  def retentionFloor(spark: SparkSession, corpusDir: String): Long = {
+    val p = Similarity.resolveArtifact(spark, corpusDir, "retention")
+    if (!graft.sources.Formats.pathExists(spark, p)) Long.MinValue
+    else {
+      import spark.implicits._
+      spark.read.parquet(p).agg(max($"min_version")).as[Long].head()
+    }
+  }
+
+  /** Vacuum the lake: drop (a) data files of epochs no manifest row ever
+    * committed — the orphans a crash-before-manifest leaves, which are
+    * invisible to readers but hold disk forever — and (b) doc versions
+    * superseded at or below `retainFrom`, keeping exactly the rows some
+    * still-pinnable version can serve: every committed row with
+    * epoch > retainFrom plus the latest committed row ≤ retainFrom per
+    * doc_id (the visible-at-floor state). The manifest keeps every row —
+    * the commit history is the audit trail and costs one row per epoch.
+    *
+    * Write ordering is the conservative direction: the retention marker
+    * lands FIRST (tmp-swap), so a crash mid-vacuum refuses pre-floor pins
+    * while the data is still intact — never the reverse, where a pinned
+    * read between the floor and the old horizon would silently serve
+    * collapsed history. The docs/decisions rewrites then go through the
+    * same `_compacting`-swap protocol as index compaction, recovered by
+    * [[Similarity.resolveArtifact]] on every read path. Floors only move
+    * up (enforced), for the same reason.
+    *
+    * Returns (docs rows before, docs rows after). */
+  def vacuumCorpus(spark: SparkSession, corpusDir: String,
+      retainFrom: Long): (Long, Long) = {
+    import spark.implicits._
+    val prevFloor = retentionFloor(spark, corpusDir)
+    require(retainFrom >= prevFloor,
+      s"retention floor may only rise (current $prevFloor, got $retainFrom)")
+    Seq(retainFrom).toDF("min_version")
+      .write.mode("overwrite").parquet(s"$corpusDir/retention_compacting")
+    Similarity.swapArtifact(spark, corpusDir, "retention")
+    val man = manifest(spark, corpusDir).select(col("version").as("epoch"))
+    val raw = admittedRaw(spark, corpusDir)
+    val before = raw.count()
+    val committed = raw.join(man, Seq("epoch"), "left_semi")
+    val recent = committed.filter(col("epoch") > retainFrom)
+    val floorState = committed.filter(col("epoch") <= retainFrom)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val kept = recent.unionByName(floorState)
+    kept.write.mode("overwrite").parquet(s"$corpusDir/docs_compacting")
+    Similarity.swapArtifact(spark, corpusDir, "docs")
+    val after = spark.read.parquet(s"$corpusDir/docs").count()
+    val decPath = Similarity.resolveArtifact(spark, corpusDir, "decisions")
+    if (graft.sources.Formats.pathExists(spark, decPath)) {
+      spark.read.parquet(decPath).dropDuplicates("doc_id", "epoch")
+        .join(man, Seq("epoch"), "left_semi")
+        .write.mode("overwrite").parquet(s"$corpusDir/decisions_compacting")
+      Similarity.swapArtifact(spark, corpusDir, "decisions")
+    }
+    (before, after)
   }
 }

@@ -536,11 +536,15 @@ object TextAnalysis {
     * (tokenize + local count); the pinned df/N/avgdl stats are NOT touched,
     * so an appended posting scores exactly as the same row would in a
     * rebuilt segment under the same stats ([[bm25ScoreQueries]]). */
-  private[graft] def encodeForPostings(docs: DataFrame): DataFrame = {
+  private[graft] def encodeForPostings(docs: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", tokens($"text").as("toks"))
-      .select($"doc_id", size($"toks").as("dl"), explode($"toks").as("tok"))
-      .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf"))
+    val carryCols = carry.map(col)
+    docs.select($"doc_id" +: tokens($"text").as("toks") +: carryCols: _*)
+      .select($"doc_id" +: size($"toks").as("dl") +:
+        explode($"toks").as("tok") +: carryCols: _*)
+      .groupBy($"doc_id" +: $"dl" +: $"tok" +: carryCols: _*)
+      .agg(count(lit(1)).as("tf"))
   }
 
   /** Ingest-time lexical index maintenance: arriving (doc_id, text) rows

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{array_distinct, explode, lit}
+import graft.functions.Text.tokens
+import graft.operators.{CorpusLake, Curate, TextAnalysis}
+import graft.sources.{Caches, Tables}
+
+/** The lake's consumption + retention half: snapshot diff, incremental
+  * change reads between committed versions, lake-commit-driven lexical
+  * index refresh (cursor protocol, crash replay), and vacuum (orphan
+  * cleanup, history collapse, retention-floor refusals). */
+class LakeMaintenanceSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def words(prefix: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$prefix$i")
+  private val docAText = words("alpha", 40).mkString(" ")
+  private val docBText = words("beta", 40).mkString(" ")
+  private val shadeText = words("shade", 40).mkString(" ")
+
+  test("snapshotDiff classifies insert/update/delete and drops unchanged") {
+    import spark.implicits._
+    val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "one"), (2L, "two CHANGED"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val got = CorpusLake.snapshotDiff(v1, v2)
+      .select($"doc_id", $"change_type", $"old_len", $"new_len")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.get(2), r.get(3))).toMap
+    assert(got == Map(
+      2L -> ("update", 3L, 11L),
+      3L -> ("delete", 5L, null),
+      4L -> ("insert", null, 4L)), s"diff: $got")
+  }
+
+  test("lake CDC + postings refresh: change windows, cursor protocol, LWW shadow serving") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-maint").toString
+    val (idx, corpus, maint, lex) =
+      (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint", s"$tmp/lex")
+    CorpusLake.initCorpus(spark, dir, idx)
+
+    // BM25 serving under PINNED base statistics drops query terms absent
+    // from the base vocabulary, so the arriving docs are composed OF
+    // base-vocabulary words — the fixture corpus is random text over a
+    // ~31-word vocabulary, so three different cycle strides give texts
+    // that are pairwise far in shingle space (admitted, not near-dups)
+    // while every token stays in-vocabulary
+    val pool = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).distinct()
+      .orderBy($"tok").as[String].collect()
+    def cycled(stride: Int): String =
+      (0 until 40).map(i => pool((i * stride) % pool.length)).mkString(" ")
+    val docAText = cycled(1)
+    val docBText = cycled(5)
+    val shadeText = cycled(11)
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    in.addData((2000001L, docAText)); q.processAllAvailable()
+    // batch 2: a fresh doc plus an LWW re-upload of BASE doc 0 under new
+    // unique text — admitted, shadowing the base row
+    in.addData((2000002L, docBText), (0L, shadeText)); q.processAllAvailable()
+    q.stop()
+    val Seq(v0, v1) = CorpusLake.manifest(spark, corpus)
+      .orderBy($"version").select($"version").as[Long].collect().toSeq
+
+    def changes(from: Long, to: Option[Long]) =
+      CorpusLake.readCorpusChanges(spark, dir, corpus, from, to)
+        .select($"doc_id", $"change_type", $"version")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+    assert(changes(Long.MinValue, Some(v0)) ==
+      Map(2000001L -> ("insert", v0)), "window (-inf, v0]")
+    assert(changes(v0, None) == Map(
+      2000002L -> ("insert", v1),
+      0L -> ("update", v1)), "window (v0, head]: base shadow must be update")
+    assert(changes(Long.MinValue, None) == Map(
+      2000001L -> ("insert", v0),
+      2000002L -> ("insert", v1),
+      0L -> ("update", v1)), "full window")
+
+    // lake-driven lexical refresh: base index over the base corpus, then
+    // the change feed appends postings segments under the pinned stats
+    TextAnalysis.savePostingsIndex(spark, dir, lex)
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .contains((Long.MinValue, v1)))
+
+    // the refreshed segments ARE the batch encode of the change feed —
+    // bit-for-bit, doc-level latest-wins on read
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"dl", $"tok", $"tf")
+      .orderBy($"doc_id", $"tok").collect().map(_.toSeq).toSeq
+    val feed = CorpusLake.readCorpusChanges(spark, dir, corpus,
+      Long.MinValue, None)
+    assert(rows(TextAnalysis.readPostingsDelta(spark, s"$maint/seg")) ==
+      rows(TextAnalysis.encodeForPostings(feed.select($"doc_id", $"text"))),
+      "refreshed segments differ from the change feed's batch encode")
+    // the LWW base shadow consumes as a WHOLE-document replacement: doc 0
+    // serves exactly its new text's postings, none of the old
+    assert(rows(TextAnalysis.readPostingsDelta(spark, s"$maint/seg")
+        .filter($"doc_id" === 0L)) ==
+      rows(TextAnalysis.encodeForPostings(
+        Seq((0L, shadeText)).toDF("doc_id", "text"))),
+      "shadowed doc's postings are not the replacement text's encode")
+
+    // serving smoke over the delta-union path + replay determinism
+    def serve(probeText: String) = TextAnalysis.bm25TopKFromSaved(spark, lex,
+        Seq((0L, probeText)).toDF("query_id", "text")
+          .select($"query_id",
+            explode(array_distinct(tokens($"text"))).as("tok")),
+        Some(s"$maint/seg"))
+      .select($"doc_id", $"rank", $"score").orderBy($"rank")
+      .collect().map(_.toSeq).toSeq
+    val servedA = serve(docAText)
+    assert(servedA.nonEmpty)
+
+    // cursor at head: refresh is a no-op
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .isEmpty, "refresh must no-op at the lake head")
+    // crash replay: lose the cursor, re-run — byte-identical re-append
+    // collapses on read, serving unchanged
+    val fs = new org.apache.hadoop.fs.Path(s"$maint/lake_cursor")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$maint/lake_cursor"), true)
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .contains((Long.MinValue, v1)))
+    assert(serve(docAText) == servedA,
+      "replayed refresh changed the served list")
+    Caches.releaseAll()
+  }
+
+  test("vacuum: orphan cleanup, history collapse, retention-floor refusals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-vacuum").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    in.addData((2000001L, docAText)); q.processAllAvailable()
+    in.addData((2000001L, docBText)); q.processAllAvailable() // LWW re-upload
+    q.stop()
+    val Seq(v0, v1) = CorpusLake.manifest(spark, corpus)
+      .orderBy($"version").select($"version").as[Long].collect().toSeq
+    // a crash-before-manifest orphan: data rows, no manifest row
+    Seq((2000099L, "phantom uncommitted row"))
+      .toDF("doc_id", "text").withColumn("epoch", lit(99L))
+      .write.mode("append").parquet(s"$corpus/docs")
+
+    def snapshot(v: Option[Long]) = CorpusLake.readCorpusAt(spark, dir,
+        corpus, v)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (atV0, atV1, latest) =
+      (snapshot(Some(v0)), snapshot(Some(v1)), snapshot(None))
+    assert(atV0(2000001L) == docAText && atV1(2000001L) == docBText)
+
+    // vacuum at v0: the orphan goes, every pinnable read is bit-equal
+    val (before0, after0) = CorpusLake.vacuumCorpus(spark, corpus, v0)
+    assert(before0 == 3 && after0 == 2,
+      s"expected orphan-only cleanup, got $before0 -> $after0")
+    assert(snapshot(Some(v0)) == atV0 && snapshot(Some(v1)) == atV1 &&
+      snapshot(None) == latest, "vacuum at v0 changed a pinnable read")
+
+    // vacuum at v1: docA's superseded v0 row collapses; v1/latest intact;
+    // a pre-floor pin and a pre-floor change feed are REFUSED
+    val (_, after1) = CorpusLake.vacuumCorpus(spark, corpus, v1)
+    assert(after1 == 1, s"superseded row survived: $after1 rows")
+    assert(snapshot(Some(v1)) == atV1 && snapshot(None) == latest,
+      "vacuum at v1 changed a retained read")
+    intercept[IllegalArgumentException] { snapshot(Some(v0)) }
+    intercept[IllegalArgumentException] {
+      CorpusLake.readCorpusChanges(spark, dir, corpus, v0, None).collect()
+    }
+    assert(CorpusLake.readCorpusChanges(spark, dir, corpus, v1, None)
+      .isEmpty, "change feed from the floor must be empty at head")
+    // floors only rise
+    intercept[IllegalArgumentException] {
+      CorpusLake.vacuumCorpus(spark, corpus, v0)
+    }
+    // the committed audit trail survives vacuum in full
+    assert(CorpusLake.manifest(spark, corpus).count() == 2)
+    assert(CorpusLake.admissionLog(spark, corpus).count() == 2)
+    Caches.releaseAll()
+  }
+}
