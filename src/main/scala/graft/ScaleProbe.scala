@@ -220,6 +220,40 @@ object ScaleProbe {
         ("dedup_index_serve", nDocs, () =>
           (Dedup.dedupIndexServeCandidates(spark, dir).count(),
             Dedup.dedupIndexServe(spark, dir).count())),
+        // lake CDC read cost: C = rows the incremental change read touches
+        // (the changed epochs' rows the epoch predicate retains, plus the
+        // changed-id prior-visibility probe) vs O = rows a snapshot
+        // re-diff must materialize (BOTH full corpus snapshots). A 1%
+        // update epoch is committed on top of a 5% bootstrap epoch; C must
+        // track the changed volume while O tracks the corpus — the
+        // incremental-consumer claim of readCorpusChanges
+        ("corpus_changes_scan", nDocs, () => {
+          import graft.operators.CorpusLake
+          val corpusDir = java.nio.file.Files
+            .createTempDirectory("probe-lake").toString + "/corpus"
+          val docs = graft.sources.Tables.documents(spark, dir)
+          docs.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+              lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs")
+          docs.filter(col("doc_id") % 200 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              org.apache.spark.sql.functions.concat(col("text"),
+                lit(" v2")).as("text"), lit(1L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs")
+          Seq((0L, 0L, 0L, 0L, 0L, 0L), (1L, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$corpusDir/manifest")
+          val nChanged = CorpusLake
+            .readCorpusChanges(spark, dir, corpusDir, 0L, None).count()
+          val c = spark.read.parquet(s"$corpusDir/docs")
+            .filter(col("epoch") > 0L).count() + nChanged
+          val o = CorpusLake.readCorpusAt(spark, dir, corpusDir, Some(0L))
+            .count() +
+            CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
+          (c, o)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total
