@@ -132,6 +132,7 @@ object SparkEntry {
     "dedup_index_serve"    -> (Dedup.dedupIndexServe _),
     "corpus_admission"     -> (Curate.admission _),
     "corpus_changes"       -> (CorpusLake.changesTwin _),
+    "corpus_profile"       -> (CorpusLake.profileTwin _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2034,6 +2035,29 @@ object SparkEntry {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text != n.text
         |ORDER BY doc_id""".stripMargin,
+
+    // materialized-profile maintenance algebra: the engine computes v2's
+    // quality-band profile INCREMENTALLY (v1's profile + signed diff
+    // contributions: +new for inserts/updates, -old for updates/deletes);
+    // DuckDB recomputes v2's profile directly — hash equality pins the
+    // retraction algebra the lake's versionDelta maintenance runs
+    "corpus_profile" ->
+      """WITH n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 != 7),
+        |q AS (
+        |  SELECT doc_id, text,
+        |    0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |    0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |    0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality,
+        |    len(toks) AS n_toks
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM n)
+        |)
+        |SELECT CAST(floor(round(quality, 6) * 10) AS INT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM q GROUP BY 1 ORDER BY band""".stripMargin,
 
     // index-serving dedup: the dedup_incremental chain with the index side
     // UNFILTERED (a persisted bucket index holds every corpus doc, so

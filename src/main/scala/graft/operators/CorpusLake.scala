@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.DataStreamWriter
+import graft.functions.Text.tokens
 import graft.sources.Tables
 
 /** The versioned training-corpus lake: admission-gated ingest with a
@@ -384,6 +385,155 @@ object CorpusLake {
         Some((from, latest))
       case _ => None
     }
+  }
+
+  // ------------- incrementally-maintained materialized profile
+
+  /** Quality-band corpus profile of a (doc_id, text) relation — the
+    * materialized aggregate view the lake maintains incrementally:
+    * band = floor(round(quality, 6)·10) over [[TextAnalysis.withQuality]]'s
+    * linear score, with per-band doc/token/char totals. One projection +
+    * one partial-aggregated groupBy; the profile is O(bands) rows. */
+  def profileOf(docs: DataFrame): DataFrame =
+    TextAnalysis.withQuality(docs)
+      .select(floor(round(col("quality"), 6) * 10).cast("int").as("band"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"))
+
+  /** Per-band signed contribution rows (+1 additions, −1 retractions). */
+  private def signedProfile(docs: DataFrame, sign: Int): DataFrame =
+    profileOf(docs).select(col("band"),
+      (col("n_docs") * sign).as("n_docs"),
+      (col("n_tokens") * sign).as("n_tokens"),
+      (col("n_chars") * sign).as("n_chars"))
+
+  /** The profile delta ONE committed version contributes: +new text of
+    * every doc committed at exactly `v`, −its previously-visible text
+    * (latest lake version ≤ `prevV`, else the base doc it shadows, else
+    * nothing — an insert). Deterministic per version, which is what makes
+    * the maintenance idempotent: a replayed window recomputes byte-
+    * identical (band, version) rows that collapse on read. */
+  private def versionDelta(spark: SparkSession, dir: String,
+      corpusDir: String, v: Long, prevV: Option[Long]): DataFrame = {
+    val cur = admittedRaw(spark, corpusDir)
+      .filter(col("epoch") === v).select(col("doc_id"), col("text"))
+    val ids = cur.select(col("doc_id"))
+    val prevLake = prevV.fold(cur.limit(0)) { p =>
+      committedOnly(
+          admittedRaw(spark, corpusDir)
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+            .filter(col("epoch") <= p),
+          manifest(spark, corpusDir), Some(p))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
+        .filter(col("_rn") === 1)
+        .select(col("doc_id"), col("text"))
+    }
+    val prevBase = Tables.spread(Tables.documents(spark, dir))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .join(broadcast(prevLake.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+      .select(col("doc_id"), col("text"))
+    signedProfile(cur, 1)
+      .unionByName(signedProfile(prevLake.unionByName(prevBase), -1))
+      .groupBy(col("band"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .withColumn("version", lit(v))
+  }
+
+  /** Materialize the base corpus's profile — the view's starting state. */
+  def initProfile(spark: SparkSession, dir: String, profDir: String): Unit =
+    profileOf(Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")))
+      .write.mode("overwrite").parquet(s"$profDir/base")
+
+  /** Incremental materialized-view maintenance from lake commits: for each
+    * committed version past the cursor, append that version's signed
+    * profile delta ([[versionDelta]]) keyed (band, version), then advance
+    * the cursor (tmp-swap, written LAST). Cost per refresh ∝ the committed
+    * window's changed docs — the view never recomputes over the corpus.
+    * Crash anywhere: the cursor stays behind, the re-run recomputes byte-
+    * identical per-version rows, and the (band, version) read-side dedup
+    * collapses them — the same idempotency contract as every other
+    * epoch-stamped store in the library. Returns the (from, to] window
+    * consumed, or None at the lake head. */
+  def refreshProfileFromLake(spark: SparkSession, dir: String,
+      corpusDir: String, profDir: String): Option[(Long, Long)] = {
+    import spark.implicits._
+    val cPath = Similarity.resolveArtifact(spark, profDir, "cursor")
+    val from =
+      if (graft.sources.Formats.pathExists(spark, cPath))
+        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+      else Long.MinValue
+    val versions = manifest(spark, corpusDir)
+      .filter(col("version") > from)
+      .orderBy(col("version")).select(col("version")).as[Long].collect()
+    if (versions.isEmpty) return None
+    var prevV = if (from == Long.MinValue) None else Some(from)
+    versions.foreach { v =>
+      versionDelta(spark, dir, corpusDir, v, prevV)
+        .write.mode("append").parquet(s"$profDir/delta")
+      prevV = Some(v)
+    }
+    Seq(versions.last).toDF("last_version")
+      .write.mode("overwrite").parquet(s"$profDir/cursor_compacting")
+    Similarity.swapArtifact(spark, profDir, "cursor")
+    Some((from, versions.last))
+  }
+
+  /** Serve the maintained profile: base + deduped signed deltas, summed
+    * per band; bands whose every total cancelled to zero are dropped (they
+    * match a recompute, which never lists them). O(bands·versions) rows
+    * in, O(bands) out — never the corpus. */
+  def profile(spark: SparkSession, profDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$profDir/base")
+    val deltaPath = s"$profDir/delta"
+    val rows =
+      if (!graft.sources.Formats.pathExists(spark, deltaPath)) base
+      else base.unionByName(
+        spark.read.parquet(deltaPath)
+          .dropDuplicates("band", "version").drop("version"))
+    rows.groupBy(col("band"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .filter(!(col("n_docs") === 0 && col("n_tokens") === 0 &&
+        col("n_chars") === 0))
+  }
+
+  /** The maintenance algebra's oracled BATCH twin: [[changesTwin]]'s two
+    * snapshot views, with v2's profile computed INCREMENTALLY — v1's
+    * profile plus signed contributions for exactly the diffed docs (+new
+    * for inserts/updates, −old for updates/deletes) — while DuckDB
+    * recomputes v2's profile directly. Hash equality pins the retraction
+    * algebra end-to-end (the lake's [[versionDelta]] is this same signed
+    * fold, keyed per committed version). */
+  def profileTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", $"text")
+    val v1 = docs.filter($"doc_id" % 13 =!= 5)
+    val v2 = docs.filter($"doc_id" % 13 =!= 7)
+      .select($"doc_id", when($"doc_id" % 17 === 3,
+        concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+    val diff = snapshotDiff(v1, v2)
+    val plus = v2.join(broadcast(diff
+        .filter($"change_type".isin("insert", "update")).select($"doc_id")),
+      Seq("doc_id"), "left_semi")
+    val minus = v1.join(broadcast(diff
+        .filter($"change_type".isin("update", "delete")).select($"doc_id")),
+      Seq("doc_id"), "left_semi")
+    signedProfile(v1, 1)
+      .unionByName(signedProfile(plus, 1))
+      .unionByName(signedProfile(minus, -1))
+      .groupBy($"band")
+      .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
+        sum($"n_chars").as("n_chars"))
+      .filter(!($"n_docs" === 0 && $"n_tokens" === 0 && $"n_chars" === 0))
+      .orderBy($"band")
   }
 
   // ------------- retention (vacuum)

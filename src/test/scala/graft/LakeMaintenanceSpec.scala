@@ -138,6 +138,65 @@ class LakeMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("maintained profile view: exact recompute parity across inserts, LWW updates, base shadows, replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-profile").toString
+    val (idx, corpus, maint, prof) =
+      (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint", s"$tmp/prof")
+    CorpusLake.initCorpus(spark, dir, idx)
+    CorpusLake.initProfile(spark, dir, prof)
+
+    def recompute() = CorpusLake.profileOf(
+        CorpusLake.readCorpusAt(spark, dir, corpus, None))
+      .orderBy($"band").collect().map(_.toSeq).toSeq
+    def served() = CorpusLake.profile(spark, prof)
+      .orderBy($"band").collect().map(_.toSeq).toSeq
+    // before any commit the view is the base profile
+    assert(served() == recompute(), "initial profile differs from recompute")
+
+    val pool = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).distinct()
+      .orderBy($"tok").as[String].collect()
+    def cycled(stride: Int): String =
+      (0 until 40).map(i => pool((i * stride) % pool.length)).mkString(" ")
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    // epoch 0: insert; epoch 1: insert + base-doc shadow (update);
+    // epoch 2: LWW re-upload of epoch 0's doc (update)
+    in.addData((3000001L, cycled(1))); q.processAllAvailable()
+    in.addData((3000002L, cycled(5)), (0L, cycled(11)))
+    q.processAllAvailable()
+    in.addData((3000001L, cycled(7))); q.processAllAvailable()
+    q.stop()
+
+    val Seq(v0, _, v2) = CorpusLake.manifest(spark, corpus)
+      .orderBy($"version").select($"version").as[Long].collect().toSeq
+    assert(CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
+      .contains((Long.MinValue, v2)))
+    assert(served() == recompute(),
+      "maintained profile diverged from full recompute")
+    assert(CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
+      .isEmpty, "refresh must no-op at the lake head")
+
+    // crash replay: lose the cursor mid-way (reset to v0), re-run — the
+    // overlapping window recomputes byte-identical (band, version) rows
+    // that collapse on read
+    Seq(v0).toDF("last_version")
+      .write.mode("overwrite").parquet(s"$prof/cursor_compacting")
+    graft.operators.Similarity.swapArtifact(spark, prof, "cursor")
+    assert(CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
+      .contains((v0, v2)))
+    assert(served() == recompute(),
+      "replayed maintenance window double-counted a delta")
+    Caches.releaseAll()
+  }
+
   test("vacuum: orphan cleanup, history collapse, retention-floor refusals") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
