@@ -387,6 +387,50 @@ object CorpusLake {
     }
   }
 
+  /** Lake-commit-driven DENSE index refresh — [[refreshPostingsFromLake]]'s
+    * twin for the IVF-PQ leg, closing the loop where ONE commit feed
+    * drives all three serving indexes (dedup buckets inline in
+    * [[maintainCorpusStream]], lexical postings via
+    * [[refreshPostingsFromLake]], dense inverted lists here). The
+    * embedding step belongs to the CALLER: `embed` maps the change feed
+    * (doc_id, text, version, change_type) to (vec_id, embedding, version)
+    * rows — at production scale an inference job over the window, in specs
+    * a deterministic lookup. The vectors are assigned + PQ-encoded under
+    * the PINNED quantizers ([[Similarity.encodeForIndex]] — the FAISS
+    * IVF-add contract) and appended stamped with their committed lake
+    * version, so a crashed refresh re-appends byte-identical rows that
+    * [[Similarity.readIndexDelta]]'s (vec_id, epoch) dedup collapses, and
+    * an LWW re-embedding deterministically wins (latest epoch per key).
+    * Cursor written LAST via the tmp-swap. */
+  def refreshIndexFromLake(spark: SparkSession, dir: String,
+      corpusDir: String, maintDir: String,
+      embed: DataFrame => DataFrame): Option[(Long, Long)] = {
+    import spark.implicits._
+    val cPath = Similarity.resolveArtifact(spark, maintDir, "dense_lake_cursor")
+    val from =
+      if (graft.sources.Formats.pathExists(spark, cPath))
+        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+      else Long.MinValue
+    val head = manifest(spark, corpusDir).agg(max($"version"))
+      .as[Option[Long]].head()
+    head match {
+      case Some(latest) if latest > from =>
+        val vecs = embed(readCorpusChanges(spark, dir, corpusDir, from,
+          Some(latest)))
+        val enc = Similarity.encodeForIndex(spark, dir,
+          vecs.select($"vec_id", $"embedding"))
+        val encCols = enc.columns
+        enc.join(broadcast(vecs.select($"vec_id", $"version")), "vec_id")
+          .select(encCols.map(col) :+ $"version".as("epoch"): _*)
+          .write.mode("append").parquet(s"$maintDir/lists")
+        Seq(latest).toDF("last_version").write.mode("overwrite")
+          .parquet(s"$maintDir/dense_lake_cursor_compacting")
+        Similarity.swapArtifact(spark, maintDir, "dense_lake_cursor")
+        Some((from, latest))
+      case _ => None
+    }
+  }
+
   // ------------- incrementally-maintained materialized profile
 
   /** Quality-band corpus profile of a (doc_id, text) relation — the

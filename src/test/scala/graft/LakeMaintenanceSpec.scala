@@ -138,6 +138,81 @@ class LakeMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("lake-commit-driven dense refresh: encode parity, twin retrievable, cursor replay safe") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-dense").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+
+    val pool = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).distinct()
+      .orderBy($"tok").as[String].collect()
+    val arrivalText =
+      (0 until 40).map(i => pool((i * 3) % pool.length)).mkString(" ")
+    // the arrival's "inference output": the exact twin of base vector 0,
+    // so the appended row must surface at cosine 1 through the delta scan
+    val emb = Tables.embeddings(spark, dir)
+      .filter($"vec_id" === 0L).select($"embedding")
+      .as[Seq[Float]].head()
+    def embed(changes: org.apache.spark.sql.DataFrame) =
+      changes.select($"doc_id".as("vec_id"),
+        org.apache.spark.sql.functions.typedLit(emb).as("embedding"),
+        $"version")
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    in.addData((4000001L, arrivalText)); q.processAllAvailable()
+    q.stop()
+    val v0 = CorpusLake.manifest(spark, corpus)
+      .select($"version").as[Long].head()
+
+    assert(CorpusLake
+      .refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .contains((Long.MinValue, v0)))
+    def delta() = graft.operators.Similarity
+      .readIndexDelta(spark, s"$maint/lists")
+      .orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Similarity.encodeForIndex(spark, dir,
+        Seq((4000001L, emb)).toDF("vec_id", "embedding"))
+      .orderBy($"vec_id").collect().map(_.toSeq).toSeq
+    assert(delta() == batch,
+      "lake-refreshed dense delta differs from the batch encode")
+
+    // the appended row serves: probing with base vector 0 must surface its
+    // exact twin at cosine 1 through the cell-bounded delta-union scan
+    val probes = {
+      val c = graft.operators.Similarity.corpus(spark, dir)
+      c.filter($"vec_id" === 0L)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    }
+    val top = graft.operators.Similarity.topkIvfPqWithDelta(spark, dir,
+        probes, Seq((4000001L, emb)).toDF("vec_id", "embedding"),
+        s"$maint/lists")
+      .orderBy($"rank").collect()
+    assert(top.exists(r =>
+        r.getLong(r.fieldIndex("neighbor_id")) == 4000001L &&
+        math.abs(r.getDouble(r.fieldIndex("cosine")) - 1.0) < 1e-9),
+      s"lake-refreshed twin not served: ${top.map(_.toSeq).mkString(", ")}")
+
+    // no-op at head; cursor-loss replay collapses byte-identically
+    assert(CorpusLake
+      .refreshIndexFromLake(spark, dir, corpus, maint, embed).isEmpty)
+    val fs = new org.apache.hadoop.fs.Path(s"$maint/dense_lake_cursor")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"$maint/dense_lake_cursor"), true)
+    assert(CorpusLake
+      .refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .contains((Long.MinValue, v0)))
+    assert(delta() == batch, "replayed dense refresh changed the delta")
+    Caches.releaseAll()
+  }
+
   test("maintained profile view: exact recompute parity across inserts, LWW updates, base shadows, replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
