@@ -185,7 +185,8 @@ object CorpusLake {
     * manifest row is ONE row. Nothing in the loop scans the corpus. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
-      compactAt: Double = 0.25): DataStreamWriter[org.apache.spark.sql.Row] = {
+      compactAt: Double = 0.25,
+      profDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
@@ -247,6 +248,11 @@ object CorpusLake {
             baseCount = -1
             deltaCount = 0
           }
+          // optional live materialized view: the cursor-protected refresh
+          // job runs AFTER the commit, so a crash between the manifest and
+          // this point only leaves the cursor behind — the next batch (or
+          // a standalone refresh) catches the view up idempotently
+          profDir.foreach(p => refreshProfileFromLake(spark, dir, corpusDir, p))
         }
       }
   }

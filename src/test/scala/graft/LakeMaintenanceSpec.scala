@@ -239,25 +239,28 @@ class LakeMaintenanceSpec extends SparkSpec {
       (0 until 40).map(i => pool((i * stride) % pool.length)).mkString(" ")
 
     val in = MemoryStream[(Long, String)]
+    // profDir wired into the loop: the view is maintained LIVE per commit
+    // (the cursor-protected refresh runs after each manifest write)
     val q = CorpusLake.maintainCorpusStream(
-        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
+        profDir = Some(prof))
       .start()
     // epoch 0: insert; epoch 1: insert + base-doc shadow (update);
     // epoch 2: LWW re-upload of epoch 0's doc (update)
     in.addData((3000001L, cycled(1))); q.processAllAvailable()
     in.addData((3000002L, cycled(5)), (0L, cycled(11)))
     q.processAllAvailable()
+    assert(served() == recompute(),
+      "live-maintained profile lagged the committed lake mid-stream")
     in.addData((3000001L, cycled(7))); q.processAllAvailable()
     q.stop()
 
     val Seq(v0, _, v2) = CorpusLake.manifest(spark, corpus)
       .orderBy($"version").select($"version").as[Long].collect().toSeq
     assert(CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
-      .contains((Long.MinValue, v2)))
+      .isEmpty, "loop-maintained view should leave nothing to refresh")
     assert(served() == recompute(),
       "maintained profile diverged from full recompute")
-    assert(CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
-      .isEmpty, "refresh must no-op at the lake head")
 
     // crash replay: lose the cursor mid-way (reset to v0), re-run — the
     // overlapping window recomputes byte-identical (band, version) rows
