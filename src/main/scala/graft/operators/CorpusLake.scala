@@ -599,6 +599,61 @@ object CorpusLake {
     }
   }
 
+  // ------------- run pinning (reproducible training corpora)
+
+  /** Pin the lake's current head as a named training run: a run manifest
+    * row (tag, version, doc count at pin time) under `runs/<tag>`. A
+    * pinned run makes the snapshot a REPRODUCIBILITY contract:
+    * [[readRunCorpus]] serves exactly the pinned version forever, and
+    * [[vacuumCorpus]] refuses to raise the retention floor past any
+    * pinned run — the governance loop a "what data was model X trained
+    * on" audit needs. Returns the pinned version. Pinning an existing tag
+    * is refused (a run is immutable; unpin first). */
+  def pinRun(spark: SparkSession, dir: String, corpusDir: String,
+      tag: String): Long = {
+    import spark.implicits._
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9_\\-]+"),
+      s"run tag must be [A-Za-z0-9_-]+, got '$tag'")
+    val p = s"$corpusDir/runs/$tag"
+    require(!graft.sources.Formats.pathExists(spark, p),
+      s"run '$tag' is already pinned (unpin it first to re-pin)")
+    val head = manifest(spark, corpusDir).agg(max($"version"))
+      .as[Option[Long]].head()
+      .getOrElse(throw new IllegalArgumentException(
+        "cannot pin a run on a lake with no committed epochs"))
+    val nDocs = readCorpusAt(spark, dir, corpusDir, Some(head)).count()
+    Seq((tag, head, nDocs)).toDF("tag", "version", "n_docs")
+      .write.mode("errorifexists").parquet(p)
+    head
+  }
+
+  /** All pinned runs: (tag, version, n_docs). */
+  def pinnedRuns(spark: SparkSession, corpusDir: String): DataFrame = {
+    val p = s"$corpusDir/runs"
+    val empty = spark.range(0).select(lit("").as("tag"),
+      col("id").as("version"), lit(0L).as("n_docs")).limit(0)
+    if (!graft.sources.Formats.pathExists(spark, p)) return empty
+    // an unpin may leave runs/ present but fileless — serve the empty frame
+    try spark.read.option("recursiveFileLookup", "true").parquet(p)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
+
+  /** Release a pinned run (its snapshot becomes vacuumable again). */
+  def unpinRun(spark: SparkSession, corpusDir: String, tag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/runs/$tag")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+  }
+
+  /** The corpus exactly as training run `tag` saw it. */
+  def readRunCorpus(spark: SparkSession, dir: String, corpusDir: String,
+      tag: String): DataFrame = {
+    import spark.implicits._
+    val v = pinnedRuns(spark, corpusDir).filter(col("tag") === tag)
+      .select(col("version")).as[Long].collect()
+    require(v.nonEmpty, s"no pinned run '$tag'")
+    readCorpusAt(spark, dir, corpusDir, Some(v.head))
+  }
+
   /** Vacuum the lake: drop (a) data files of epochs no manifest row ever
     * committed — the orphans a crash-before-manifest leaves, which are
     * invisible to readers but hold disk forever — and (b) doc versions
@@ -624,6 +679,17 @@ object CorpusLake {
     val prevFloor = retentionFloor(spark, corpusDir)
     require(retainFrom >= prevFloor,
       s"retention floor may only rise (current $prevFloor, got $retainFrom)")
+    // pinned training runs are reproducibility contracts: refuse to
+    // collapse history any of them still serves
+    val pinnedBelow = {
+      import spark.implicits._
+      pinnedRuns(spark, corpusDir).filter(col("version") < retainFrom)
+        .select(col("tag"), col("version")).as[(String, Long)].collect()
+    }
+    require(pinnedBelow.isEmpty,
+      s"vacuum to $retainFrom would invalidate pinned run(s) " +
+        pinnedBelow.map { case (t, v) => s"$t@$v" }.mkString(", ") +
+        " — unpin them first")
     Seq(retainFrom).toDF("min_version")
       .write.mode("overwrite").parquet(s"$corpusDir/retention_compacting")
     Similarity.swapArtifact(spark, corpusDir, "retention")

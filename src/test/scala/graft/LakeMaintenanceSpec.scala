@@ -313,9 +313,32 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(snapshot(Some(v0)) == atV0 && snapshot(Some(v1)) == atV1 &&
       snapshot(None) == latest, "vacuum at v0 changed a pinnable read")
 
+    // a pinned training run is a reproducibility contract: its snapshot
+    // serves exactly, and vacuum refuses to collapse past it
+    assert(CorpusLake.pinRun(spark, dir, corpus, "run_a") == v1)
+    intercept[IllegalArgumentException] {
+      CorpusLake.pinRun(spark, dir, corpus, "run_a") // immutable
+    }
+    val runDocs = CorpusLake.readRunCorpus(spark, dir, corpus, "run_a")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(runDocs == atV1, "pinned run does not serve its snapshot")
+    // pin an earlier state too (simulate a run trained at v0): write the
+    // same shape vacuum checks
+    Seq(("run_old", v0, 0L)).toDF("tag", "version", "n_docs")
+      .write.parquet(s"$corpus/runs/run_old")
+    intercept[IllegalArgumentException] {
+      CorpusLake.vacuumCorpus(spark, corpus, v1) // would invalidate run_old
+    }
+    CorpusLake.unpinRun(spark, corpus, "run_old")
+
     // vacuum at v1: docA's superseded v0 row collapses; v1/latest intact;
     // a pre-floor pin and a pre-floor change feed are REFUSED
     val (_, after1) = CorpusLake.vacuumCorpus(spark, corpus, v1)
+    assert(CorpusLake.readRunCorpus(spark, dir, corpus, "run_a")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == atV1,
+      "pinned run broke across vacuum at its own version")
     assert(after1 == 1, s"superseded row survived: $after1 rows")
     assert(snapshot(Some(v1)) == atV1 && snapshot(None) == latest,
       "vacuum at v1 changed a retained read")
