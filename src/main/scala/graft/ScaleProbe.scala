@@ -254,6 +254,39 @@ object ScaleProbe {
             CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
           (c, o)
         }),
+        // materialized-view maintenance cost: the same two-epoch lake as
+        // corpus_changes_scan, view refreshed incrementally. C = the rows
+        // the maintenance actually produces and serves from (signed delta
+        // rows written, ≤ bands·versions, plus the changed-feed rows
+        // consumed); O = rows a full recompute reads (the corpus at head).
+        // C must stay O(bands·versions + changes) while O tracks N
+        ("corpus_profile_scan", nDocs, () => {
+          import graft.operators.CorpusLake
+          val tmp = java.nio.file.Files
+            .createTempDirectory("probe-lake-view").toString
+          val corpusDir = s"$tmp/corpus"
+          val profDir = s"$tmp/prof"
+          val docs = graft.sources.Tables.documents(spark, dir)
+          docs.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+              lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs")
+          docs.filter(col("doc_id") % 200 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"),
+              org.apache.spark.sql.functions.concat(col("text"),
+                lit(" v2")).as("text"), lit(1L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs")
+          Seq((0L, 0L, 0L, 0L, 0L, 0L), (1L, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$corpusDir/manifest")
+          CorpusLake.initProfile(spark, dir, profDir)
+          CorpusLake.refreshProfileFromLake(spark, dir, corpusDir, profDir)
+          val feed = spark.read.parquet(s"$corpusDir/docs").count()
+          val deltaRows = spark.read.parquet(s"$profDir/delta").count()
+          val o = CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
+          (feed + deltaRows, o)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total
