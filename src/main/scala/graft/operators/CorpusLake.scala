@@ -460,40 +460,60 @@ object CorpusLake {
       (col("n_tokens") * sign).as("n_tokens"),
       (col("n_chars") * sign).as("n_chars"))
 
-  /** The profile delta ONE committed version contributes: +new text of
-    * every doc committed at exactly `v`, −its previously-visible text
-    * (latest lake version ≤ `prevV`, else the base doc it shadows, else
-    * nothing — an insert). Deterministic per version, which is what makes
-    * the maintenance idempotent: a replayed window recomputes byte-
-    * identical (band, version) rows that collapse on read. */
-  private def versionDelta(spark: SparkSession, dir: String,
-      corpusDir: String, v: Long, prevV: Option[Long]): DataFrame = {
-    val cur = admittedRaw(spark, corpusDir)
-      .filter(col("epoch") === v).select(col("doc_id"), col("text"))
-    val ids = cur.select(col("doc_id"))
-    val prevLake = prevV.fold(cur.limit(0)) { p =>
-      committedOnly(
-          admittedRaw(spark, corpusDir)
-            .join(broadcast(ids), Seq("doc_id"), "left_semi")
-            .filter(col("epoch") <= p),
-          manifest(spark, corpusDir), Some(p))
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
-        .filter(col("_rn") === 1)
-        .select(col("doc_id"), col("text"))
-    }
-    val prevBase = Tables.spread(Tables.documents(spark, dir))
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .join(broadcast(prevLake.select(col("doc_id"))), Seq("doc_id"),
-        "left_anti")
-      .select(col("doc_id"), col("text"))
-    signedProfile(cur, 1)
-      .unionByName(signedProfile(prevLake.unionByName(prevBase), -1))
-      .groupBy(col("band"))
+  /** The signed profile deltas of EVERY committed version in
+    * (from, head], in ONE pass: each changed doc's committed history
+    * (plus its shadowed base row at −∞) is lag-windowed per doc_id, so a
+    * row knows the text it replaced; in-window rows contribute +new and
+    * −prev per (band, version). One shuffle on doc_id for the lag, one
+    * partial-aggregated groupBy on (band, version) — a bootstrap over
+    * thousands of commits is ONE job, not a driver loop of per-version
+    * jobs. Deterministic per version regardless of the window that
+    * computed it (the lag sees the full history either way), which is
+    * what makes maintenance idempotent: a replayed or re-split window
+    * recomputes byte-identical (band, version) rows that collapse on
+    * read. */
+  private def windowDeltas(spark: SparkSession, dir: String,
+      corpusDir: String, from: Long, head: Long): DataFrame = {
+    val man = manifest(spark, corpusDir)
+      .filter(col("version") <= head).select(col("version").as("epoch"))
+    val committed = admittedRaw(spark, corpusDir)
+      .join(man, Seq("epoch"), "left_semi")
+    val changedIds = committed.filter(col("epoch") > from)
+      .select(col("doc_id")).distinct()
+    val hist = committed
+      .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"), col("epoch"))
+    val baseRows = Tables.spread(Tables.documents(spark, dir))
+      .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"))
+    val seq = hist.unionByName(baseRows)
+      .withColumn("prev_text", lag(col("text"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("epoch"))))
+      .filter(col("epoch") > from)
+    val plus = signedProfileRows(
+      seq.select(col("text"), col("epoch").as("version")), 1)
+    val minus = signedProfileRows(
+      seq.filter(col("prev_text").isNotNull)
+        .select(col("prev_text").as("text"), col("epoch").as("version")), -1)
+    plus.unionByName(minus)
+      .groupBy(col("band"), col("version"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
-      .withColumn("version", lit(v))
+      .select(col("band"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("version"))
   }
+
+  /** Per-(band, version) signed contribution rows. */
+  private def signedProfileRows(texts: DataFrame, sign: Int): DataFrame =
+    TextAnalysis.withQuality(texts)
+      .select(floor(round(col("quality"), 6) * 10).cast("int").as("band"),
+        col("version"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("band"), col("version"))
+      .agg((count(lit(1)) * sign).as("n_docs"),
+        (sum(col("n_toks")) * sign).as("n_tokens"),
+        (sum(col("nc")) * sign).as("n_chars"))
 
   /** Materialize the base corpus's profile — the view's starting state. */
   def initProfile(spark: SparkSession, dir: String, profDir: String): Unit =
@@ -501,11 +521,12 @@ object CorpusLake {
         .select(col("doc_id"), col("text")))
       .write.mode("overwrite").parquet(s"$profDir/base")
 
-  /** Incremental materialized-view maintenance from lake commits: for each
-    * committed version past the cursor, append that version's signed
-    * profile delta ([[versionDelta]]) keyed (band, version), then advance
-    * the cursor (tmp-swap, written LAST). Cost per refresh ∝ the committed
-    * window's changed docs — the view never recomputes over the corpus.
+  /** Incremental materialized-view maintenance from lake commits: append
+    * the signed profile deltas of every committed version past the cursor
+    * ([[windowDeltas]] — ONE pass for the whole window) keyed
+    * (band, version), then advance the cursor (tmp-swap, written LAST).
+    * Cost per refresh ∝ the committed window's changed docs — the view
+    * never recomputes over the corpus.
     * Crash anywhere: the cursor stays behind, the re-run recomputes byte-
     * identical per-version rows, and the (band, version) read-side dedup
     * collapses them — the same idempotency contract as every other
@@ -519,20 +540,19 @@ object CorpusLake {
       if (graft.sources.Formats.pathExists(spark, cPath))
         spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
       else Long.MinValue
-    val versions = manifest(spark, corpusDir)
+    val head = manifest(spark, corpusDir)
       .filter(col("version") > from)
-      .orderBy(col("version")).select(col("version")).as[Long].collect()
-    if (versions.isEmpty) return None
-    var prevV = if (from == Long.MinValue) None else Some(from)
-    versions.foreach { v =>
-      versionDelta(spark, dir, corpusDir, v, prevV)
-        .write.mode("append").parquet(s"$profDir/delta")
-      prevV = Some(v)
+      .agg(max(col("version"))).as[Option[Long]].head()
+    head match {
+      case Some(h) =>
+        windowDeltas(spark, dir, corpusDir, from, h)
+          .write.mode("append").parquet(s"$profDir/delta")
+        Seq(h).toDF("last_version")
+          .write.mode("overwrite").parquet(s"$profDir/cursor_compacting")
+        Similarity.swapArtifact(spark, profDir, "cursor")
+        Some((from, h))
+      case None => None
     }
-    Seq(versions.last).toDF("last_version")
-      .write.mode("overwrite").parquet(s"$profDir/cursor_compacting")
-    Similarity.swapArtifact(spark, profDir, "cursor")
-    Some((from, versions.last))
   }
 
   /** Serve the maintained profile: base + deduped signed deltas, summed
