@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{explode, typedLit}
+import graft.functions.Text.tokens
+import graft.operators.{CorpusLake, Curate, Dedup, Similarity, TextAnalysis}
+import graft.sources.{Caches, Tables}
+
+/** The composed platform loop, end to end on ONE lake: admission-gated
+  * ingest commits epochs; the SAME commit feed refreshes the lexical and
+  * dense indexes and the materialized profile; a fresh serving session
+  * (all memos dropped) answers fused hybrid retrieval, crawl dedup, and
+  * profile reads from cold artifacts; a pinned run survives a vacuum.
+  * Every piece is spec'd in isolation elsewhere — this pins that they
+  * compose on shared state. */
+class PlatformSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("one commit feed drives admission, all three indexes, the view, and retention") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-platform").toString
+    val (dedupIdx, corpus, maint, denseIdx, lexIdx, prof) =
+      (s"$tmp/dedup", s"$tmp/corpus", s"$tmp/maint", s"$tmp/dense",
+        s"$tmp/lex", s"$tmp/prof")
+    CorpusLake.initCorpus(spark, dir, dedupIdx)
+    TextAnalysis.savePostingsIndex(spark, dir, lexIdx)
+    Similarity.saveIndex(spark, dir, denseIdx)
+    CorpusLake.initProfile(spark, dir, prof)
+
+    val pool = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).distinct()
+      .orderBy($"tok").as[String].collect()
+    def cycled(stride: Int): String =
+      (0 until 40).map(i => pool((i * stride) % pool.length)).mkString(" ")
+    val docA = cycled(1)
+    val docB = cycled(5)
+    // a near-dup of docA (last token changed -> jaccard ~0.85)
+    val docADup = (docA.split(" ").dropRight(1) :+ "changed").mkString(" ")
+
+    // ingest: two committed epochs; the near-dup must be REJECTED and
+    // therefore never reach any index or the view
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, dedupIdx, corpus,
+        maint, profDir = Some(prof))
+      .start()
+    in.addData((7000001L, docA)); q.processAllAvailable()
+    in.addData((7000002L, docB), (7000003L, docADup))
+    q.processAllAvailable()
+    q.stop()
+    val log = CorpusLake.admissionLog(spark, corpus)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(log == Map(7000001L -> Curate.Admitted,
+      7000002L -> Curate.Admitted, 7000003L -> Curate.Duplicate),
+      s"admission log: $log")
+    val head = CorpusLake.manifest(spark, corpus)
+      .agg(org.apache.spark.sql.functions.max($"version")).as[Long].head()
+
+    // the SAME commits refresh both retrieval indexes; the rejected doc is
+    // absent from the change feed by construction
+    val emb0 = Tables.embeddings(spark, dir)
+      .filter($"vec_id" === 0L).select($"embedding").as[Seq[Float]].head()
+    val emb1 = Tables.embeddings(spark, dir)
+      .filter($"vec_id" === 1L).select($"embedding").as[Seq[Float]].head()
+    def embed(changes: org.apache.spark.sql.DataFrame) =
+      changes.select($"doc_id".as("vec_id"),
+        org.apache.spark.sql.functions
+          .when($"doc_id" === 7000001L, typedLit(emb0))
+          .otherwise(typedLit(emb1)).as("embedding"),
+        $"version")
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .contains((Long.MinValue, head)))
+    assert(CorpusLake.refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .contains((Long.MinValue, head)))
+
+    // ---- a FRESH serving session: cold artifacts only
+    Caches.releaseAll()
+
+    // fused hybrid retrieval over both lake-refreshed delta legs: probing
+    // with docA's text + its embedding twin must surface the admitted doc
+    val deltaVecs = Seq((7000001L, emb0), (7000002L, emb1))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, docA)).toDF("query_id", "text")
+      .select($"query_id", $"text", typedLit(emb0).as("embedding"))
+    val fused = Similarity.hybridRrfFromSaved(spark, dir, queries,
+        denseIdx, lexIdx, Some(s"$maint/seg"), Some(s"$maint/lists"),
+        Some(deltaVecs))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(fused.contains(7000001L),
+      s"lake-admitted doc not retrievable through the cold fused path: $fused")
+    // the rejected near-dup is nowhere
+    assert(!fused.contains(7000003L))
+
+    // crawl dedup from cold artifacts ∪ the lake's bucket store: a
+    // byte-copy of the admitted doc is flagged against IT, not just base
+    val flagged = Dedup.dedupArrivalsFromSaved(spark, dir,
+        Seq((9000001L, docA)).toDF("doc_id", "text"), dedupIdx,
+        Some(s"$maint/buckets"),
+        Some(CorpusLake.readCorpusAt(spark, dir, corpus, None)))
+      .select($"arriving_id", $"existing_id").as[(Long, Long)]
+      .collect().toSet
+    assert(flagged.contains((9000001L, 7000001L)),
+      s"crawl copy of an admitted doc not flagged: $flagged")
+
+    // the loop-maintained profile serves cold and matches a recompute
+    val served = CorpusLake.profile(spark, prof)
+      .orderBy($"band").collect().map(_.toSeq).toSeq
+    val recomputed = CorpusLake.profileOf(
+        CorpusLake.readCorpusAt(spark, dir, corpus, None))
+      .orderBy($"band").collect().map(_.toSeq).toSeq
+    assert(served == recomputed, "cold profile view differs from recompute")
+
+    // governance: pin the release, vacuum at its version, run still serves
+    assert(CorpusLake.pinRun(spark, dir, corpus, "release_1") == head)
+    CorpusLake.vacuumCorpus(spark, corpus, head)
+    assert(CorpusLake.readRunCorpus(spark, dir, corpus, "release_1")
+      .filter($"doc_id" >= 7000000L).count() == 2)
+    Caches.releaseAll()
+  }
+}
