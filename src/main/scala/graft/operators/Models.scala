@@ -119,6 +119,14 @@ object Models {
       load(spark, modelDir, "lm_unigrams"), vocab)
   }
 
+  /** Cold-start ingest curation: the full stateless gate chain
+    * ([[Curate.ingestRows]] — quality floor, mixture policy, PII scrub,
+    * context chunking) booted from the saved policy alone. A fresh ingest
+    * node needs ONLY the model dir. */
+  def ingestRowsFromSaved(spark: SparkSession, modelDir: String,
+      rows: DataFrame): DataFrame =
+    Curate.ingestRows(rows, load(spark, modelDir, "mixture_thresholds"))
+
   /** Train-everything convenience: every small-model artifact the serving
     * surfaces need, into one model dir (single session; for retrains use a
     * fresh versioned dir — see the class doc). */

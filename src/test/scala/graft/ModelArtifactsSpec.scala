@@ -78,6 +78,18 @@ class ModelArtifactsSpec extends SparkSpec {
         docSlice.select($"doc_id", $"text")).orderBy($"doc_id")) == lmRef,
       "LM scores from saved counts differ")
 
+    // cold-start ingest curation: the whole stateless gate chain booted
+    // from the model dir alone matches the in-session chain
+    val ingestRef = rows(graft.operators.Curate.ingestRows(
+        docSlice.select($"doc_id", $"source", $"text"),
+        Sampling.mixtureThresholds(spark, dir))
+      .orderBy($"doc_id", $"chunk_id"))
+    assert(rows(Models.ingestRowsFromSaved(spark, modelDir,
+        docSlice.select($"doc_id", $"source", $"text"))
+        .orderBy($"doc_id", $"chunk_id")) == ingestRef,
+      "cold-start ingest chain differs from in-session")
+    assert(ingestRef.nonEmpty)
+
     // crash-safe swap: an interrupted re-save (fully-written _compacting,
     // main deleted) recovers on the next load
     val fs = new org.apache.hadoop.fs.Path(modelDir)
