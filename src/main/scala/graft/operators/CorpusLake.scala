@@ -555,23 +555,61 @@ object CorpusLake {
     }
   }
 
-  /** Serve the maintained profile: base + deduped signed deltas, summed
-    * per band; bands whose every total cancelled to zero are dropped (they
-    * match a recompute, which never lists them). O(bands·versions) rows
-    * in, O(bands) out — never the corpus. */
+  /** Serve the maintained profile: base + deduped signed deltas ABOVE the
+    * base's folded-through watermark, summed per band; bands whose every
+    * total cancelled to zero are dropped (they match a recompute, which
+    * never lists them). O(bands·versions) rows in, O(bands) out — never
+    * the corpus. The watermark (`_folded_to`, −∞ on a fresh base) is what
+    * makes [[compactProfile]] crash-safe for an ADDITIVE store: deltas at
+    * or below it are already inside the base and are excluded here, so a
+    * crash between the base swap and the delta truncate cannot double-
+    * count. */
   def profile(spark: SparkSession, profDir: String): DataFrame = {
-    val base = spark.read.parquet(s"$profDir/base")
+    val base = spark.read.parquet(
+      Similarity.resolveArtifact(spark, profDir, "base"))
+    val (baseRows, foldedTo) =
+      if (base.columns.contains("_folded_to")) {
+        import spark.implicits._
+        (base.drop("_folded_to"),
+          base.agg(max(col("_folded_to"))).as[Long].head())
+      } else (base, Long.MinValue)
     val deltaPath = s"$profDir/delta"
     val rows =
-      if (!graft.sources.Formats.pathExists(spark, deltaPath)) base
-      else base.unionByName(
+      if (!graft.sources.Formats.pathExists(spark, deltaPath)) baseRows
+      else baseRows.unionByName(
         spark.read.parquet(deltaPath)
-          .dropDuplicates("band", "version").drop("version"))
+          .dropDuplicates("band", "version")
+          .filter(col("version") > foldedTo).drop("version"))
     rows.groupBy(col("band"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
         sum(col("n_chars")).as("n_chars"))
       .filter(!(col("n_docs") === 0 && col("n_tokens") === 0 &&
         col("n_chars") === 0))
+  }
+
+  /** Fold the view's delta rows into its base — the compaction that keeps
+    * the additive store from growing with the commit count, OFF the
+    * serving path (the [[Similarity.compactIndex]] twin for the view).
+    * An additive store cannot rely on keyed idempotency the way the index
+    * compactors do (re-adding a folded delta WOULD double-count), so the
+    * ordering carries a watermark instead: the merged base lands with
+    * `_folded_to` = the highest folded version via the `_compacting` swap
+    * FIRST, and only then does the delta truncate — at every crash point
+    * [[profile]] serves each version's delta exactly once (from the delta
+    * below the swap, from the base above it). Serving before ≡ after. */
+  def compactProfile(spark: SparkSession, profDir: String): Unit = {
+    import spark.implicits._
+    val deltaPath = s"$profDir/delta"
+    if (!graft.sources.Formats.pathExists(spark, deltaPath)) return
+    val head = spark.read.parquet(deltaPath)
+      .agg(max(col("version"))).as[Option[Long]].head()
+    head.foreach { h =>
+      profile(spark, profDir)
+        .withColumn("_folded_to", lit(h))
+        .write.mode("overwrite").parquet(s"$profDir/base_compacting")
+      Similarity.swapArtifact(spark, profDir, "base")
+      Similarity.truncateStore(spark, deltaPath)
+    }
   }
 
   /** The maintenance algebra's oracled BATCH twin: [[changesTwin]]'s two

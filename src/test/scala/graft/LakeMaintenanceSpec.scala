@@ -272,6 +272,37 @@ class LakeMaintenanceSpec extends SparkSpec {
       .contains((v0, v2)))
     assert(served() == recompute(),
       "replayed maintenance window double-counted a delta")
+
+    // compaction: fold the deltas into the base off the serving path —
+    // serving before ≡ after, the store truncates, and a crash-replayed
+    // pre-compaction delta is excluded by the folded-through watermark
+    // (an additive store has no keyed idempotency to hide behind)
+    val before = served()
+    val savedDelta = spark.read.parquet(s"$prof/delta").collect()
+    val deltaSchema = spark.read.parquet(s"$prof/delta").schema
+    CorpusLake.compactProfile(spark, prof)
+    assert(served() == before, "compaction changed the served profile")
+    assert(spark.read.parquet(s"$prof/delta").count() == 0,
+      "compaction did not truncate the delta store")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(savedDelta.toIndexedSeq), deltaSchema)
+      .write.mode("append").parquet(s"$prof/delta")
+    assert(served() == before,
+      "replayed pre-compaction delta double-counted past the watermark")
+
+    // commits after compaction serve from fresh deltas above the watermark
+    val v3 = v2 + 1
+    Seq((9000001L, cycled(13)))
+      .toDF("doc_id", "text").withColumn("epoch", lit(v3))
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq((v3, 1L, 1L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    assert(CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
+      .contains((v2, v3)))
+    assert(served() == recompute(),
+      "post-compaction commit not served from the fresh delta")
     Caches.releaseAll()
   }
 
