@@ -114,6 +114,24 @@ class PlatformSpec extends SparkSpec {
       .orderBy($"band").collect().map(_.toSeq).toSeq
     assert(served == recomputed, "cold profile view differs from recompute")
 
+    // the lake-refreshed delta stores are the SAME format the index
+    // compactors fold: compact both legs into the persisted bases and the
+    // cold fused serving stays bit-identical with EMPTY stores
+    val fusedRows = Similarity.hybridRrfFromSaved(spark, dir, queries,
+        denseIdx, lexIdx, Some(s"$maint/seg"), Some(s"$maint/lists"),
+        Some(deltaVecs))
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+    TextAnalysis.compactPostings(spark, lexIdx, s"$maint/seg")
+    Similarity.compactIndex(spark, denseIdx, s"$maint/lists")
+    assert(spark.read.parquet(s"$maint/seg").count() == 0 &&
+      spark.read.parquet(s"$maint/lists").count() == 0)
+    assert(Similarity.hybridRrfFromSaved(spark, dir, queries,
+        denseIdx, lexIdx, Some(s"$maint/seg"), Some(s"$maint/lists"),
+        Some(deltaVecs))
+      .orderBy($"query_id", $"rank").collect().map(_.toSeq).toSeq
+      == fusedRows,
+      "fused serving changed after compacting the lake-refreshed stores")
+
     // governance: pin the release, vacuum at its version, run still serves
     assert(CorpusLake.pinRun(spark, dir, corpus, "release_1") == head)
     CorpusLake.vacuumCorpus(spark, corpus, head)
