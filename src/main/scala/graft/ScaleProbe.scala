@@ -44,6 +44,24 @@ object ScaleProbe {
           .agg(coalesce(sum(col("n_bloom_hits")), lit(0L)),
             coalesce(sum(when(col("contaminated"), 1L).otherwise(0L)), lit(0L)))
           .as[(Long, Long)].head()
+      // shared two-epoch lake fixture for the corpus_* probes: a 5%
+      // bootstrap epoch plus a 1% update epoch, committed via the manifest
+      def mkLakeFixture(corpusDir: String): Unit = {
+        val docs = graft.sources.Tables.documents(spark, dir)
+        docs.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+            lit(0L).as("epoch"))
+          .write.mode("append").parquet(s"$corpusDir/docs")
+        docs.filter(col("doc_id") % 200 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            org.apache.spark.sql.functions.concat(col("text"),
+              lit(" v2")).as("text"), lit(1L).as("epoch"))
+          .write.mode("append").parquet(s"$corpusDir/docs")
+        Seq((0L, 0L, 0L, 0L, 0L, 0L), (1L, 0L, 0L, 0L, 0L, 0L))
+          .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+            "n_contaminated", "n_low_quality")
+          .write.mode("append").parquet(s"$corpusDir/manifest")
+      }
       val probes: Seq[(String, Long, () => (Long, Long))] = Seq(
         ("dedup_minhash_lsh", nDocs, () =>
           (Dedup.minhashCandidates(spark, dir).count(),
@@ -231,20 +249,7 @@ object ScaleProbe {
           import graft.operators.CorpusLake
           val corpusDir = java.nio.file.Files
             .createTempDirectory("probe-lake").toString + "/corpus"
-          val docs = graft.sources.Tables.documents(spark, dir)
-          docs.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
-              lit(0L).as("epoch"))
-            .write.mode("append").parquet(s"$corpusDir/docs")
-          docs.filter(col("doc_id") % 200 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"),
-              org.apache.spark.sql.functions.concat(col("text"),
-                lit(" v2")).as("text"), lit(1L).as("epoch"))
-            .write.mode("append").parquet(s"$corpusDir/docs")
-          Seq((0L, 0L, 0L, 0L, 0L, 0L), (1L, 0L, 0L, 0L, 0L, 0L))
-            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
-              "n_contaminated", "n_low_quality")
-            .write.mode("append").parquet(s"$corpusDir/manifest")
+          mkLakeFixture(corpusDir)
           val nChanged = CorpusLake
             .readCorpusChanges(spark, dir, corpusDir, 0L, None).count()
           val c = spark.read.parquet(s"$corpusDir/docs")
@@ -266,20 +271,7 @@ object ScaleProbe {
             .createTempDirectory("probe-lake-view").toString
           val corpusDir = s"$tmp/corpus"
           val profDir = s"$tmp/prof"
-          val docs = graft.sources.Tables.documents(spark, dir)
-          docs.filter(col("doc_id") % 20 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
-              lit(0L).as("epoch"))
-            .write.mode("append").parquet(s"$corpusDir/docs")
-          docs.filter(col("doc_id") % 200 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"),
-              org.apache.spark.sql.functions.concat(col("text"),
-                lit(" v2")).as("text"), lit(1L).as("epoch"))
-            .write.mode("append").parquet(s"$corpusDir/docs")
-          Seq((0L, 0L, 0L, 0L, 0L, 0L), (1L, 0L, 0L, 0L, 0L, 0L))
-            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
-              "n_contaminated", "n_low_quality")
-            .write.mode("append").parquet(s"$corpusDir/manifest")
+          mkLakeFixture(corpusDir)
           CorpusLake.initProfile(spark, dir, profDir)
           CorpusLake.refreshProfileFromLake(spark, dir, corpusDir, profDir)
           val feed = spark.read.parquet(s"$corpusDir/docs").count()

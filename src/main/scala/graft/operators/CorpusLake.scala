@@ -182,7 +182,11 @@ object CorpusLake {
     * Per-batch cost: admission is ∝ batch (the index serve joins only the
     * batch's own band keys; the benchmark postings broadcast is bounded;
     * quality is a projection); the writes are batch-sized appends; the
-    * manifest row is ONE row. Nothing in the loop scans the corpus. */
+    * manifest row is ONE row. Nothing in the CORE loop scans the corpus;
+    * the optional `profDir` live view adds one base-corpus membership
+    * probe per commit (the change feed's documented prior-visibility
+    * scan) — at a scale where that matters, run
+    * [[refreshProfileFromLake]] on a cadence instead of per commit. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
@@ -270,15 +274,18 @@ object CorpusLake {
     * update, which at 2⁻⁶⁴ per pair is the standard CDC trade (the oracle
     * twin compares full text and hash-agrees, pinning the fixture). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    // presence is a flag, NOT the text hash: xxhash64(null) is null, so a
+    // null-text doc must still count as present (unchanged null ≡ null is
+    // dropped via the null-safe compare; text→null is an update)
     val o = oldSnap.select(col("doc_id"), xxhash64(col("text")).as("_oh"),
-      length(col("text")).cast("long").as("old_len"))
+      length(col("text")).cast("long").as("old_len"), lit(true).as("_oex"))
     val n = newSnap.select(col("doc_id"), xxhash64(col("text")).as("_nh"),
-      length(col("text")).cast("long").as("new_len"))
+      length(col("text")).cast("long").as("new_len"), lit(true).as("_nex"))
     o.join(n, Seq("doc_id"), "full_outer")
       .withColumn("change_type",
-        when(col("_oh").isNull, "insert")
-          .when(col("_nh").isNull, "delete")
-          .when(col("_oh") =!= col("_nh"), "update"))
+        when(col("_oex").isNull, "insert")
+          .when(col("_nex").isNull, "delete")
+          .when(!(col("_oh") <=> col("_nh")), "update"))
       .filter(col("change_type").isNotNull)
       .select(col("doc_id"), col("change_type"), col("old_len"),
         col("new_len"))
@@ -421,8 +428,12 @@ object CorpusLake {
       .as[Option[Long]].head()
     head match {
       case Some(latest) if latest > from =>
+        // localCheckpoint: embed is "an inference job over the window" —
+        // the encode and the version join must read ONE materialized
+        // result, not re-run the inference (and a nondeterministic embed
+        // must not diverge between the two branches)
         val vecs = embed(readCorpusChanges(spark, dir, corpusDir, from,
-          Some(latest)))
+          Some(latest))).localCheckpoint()
         val enc = Similarity.encodeForIndex(spark, dir,
           vecs.select($"vec_id", $"embedding"))
         val encCols = enc.columns
@@ -540,6 +551,19 @@ object CorpusLake {
       if (graft.sources.Formats.pathExists(spark, cPath))
         spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
       else Long.MinValue
+    // a vacuum past the cursor collapsed history this window's retractions
+    // need (the lag would see the floor-state instead of the version the
+    // consumed deltas retracted against — silently wrong forever). A fresh
+    // bootstrap (no deltas ever written) is safe at any floor: its deltas
+    // telescope from whatever floor-state survives. Same refusal contract
+    // as readCorpusChanges, for the same reason.
+    val floor = retentionFloor(spark, corpusDir)
+    require(from >= floor ||
+        (from == Long.MinValue &&
+          !graft.sources.Formats.pathExists(spark, s"$profDir/delta")),
+      s"profile cursor $from predates the retention floor $floor: the " +
+        "history this window's retractions need was vacuumed — rebuild " +
+        "the view (initProfile + fresh refresh) instead")
     val head = manifest(spark, corpusDir)
       .filter(col("version") > from)
       .agg(max(col("version"))).as[Option[Long]].head()
@@ -712,14 +736,20 @@ object CorpusLake {
     readCorpusAt(spark, dir, corpusDir, Some(v.head))
   }
 
-  /** Vacuum the lake: drop (a) data files of epochs no manifest row ever
-    * committed — the orphans a crash-before-manifest leaves, which are
-    * invisible to readers but hold disk forever — and (b) doc versions
-    * superseded at or below `retainFrom`, keeping exactly the rows some
-    * still-pinnable version can serve: every committed row with
-    * epoch > retainFrom plus the latest committed row ≤ retainFrom per
-    * doc_id (the visible-at-floor state). The manifest keeps every row —
-    * the commit history is the audit trail and costs one row per epoch.
+  /** Vacuum the lake: drop (a) dead orphan rows — epochs no manifest row
+    * committed AND at-or-below the committed head, which can never commit
+    * (the stream's epoch counter is monotone and the collision guard
+    * skips re-delivery); uncommitted rows ABOVE the head are kept, since
+    * they may be a live stream's in-flight epoch whose manifest row is
+    * about to land (vacuum is therefore safe to run beside the ingest
+    * loop) — and (b) doc versions superseded at or below `retainFrom`,
+    * keeping exactly the rows some still-pinnable version can serve:
+    * every committed row with epoch > retainFrom plus the latest
+    * committed row ≤ retainFrom per doc_id (the visible-at-floor state).
+    * The manifest keeps every row — the commit history is the audit trail
+    * and costs one row per epoch. The rewrite also coalesces the many
+    * small per-epoch append files — vacuum doubles as the lake's
+    * file-count hygiene pass.
     *
     * Write ordering is the conservative direction: the retention marker
     * lands FIRST (tmp-swap), so a crash mid-vacuum refuses pre-floor pins
@@ -751,7 +781,13 @@ object CorpusLake {
     Seq(retainFrom).toDF("min_version")
       .write.mode("overwrite").parquet(s"$corpusDir/retention_compacting")
     Similarity.swapArtifact(spark, corpusDir, "retention")
-    val man = manifest(spark, corpusDir).select(col("version").as("epoch"))
+    val manDf = manifest(spark, corpusDir)
+    val man = manDf.select(col("version").as("epoch"))
+    val head = {
+      import spark.implicits._
+      manDf.agg(max(col("version"))).as[Option[Long]].head()
+        .getOrElse(Long.MinValue)
+    }
     val raw = admittedRaw(spark, corpusDir)
     val before = raw.count()
     val committed = raw.join(man, Seq("epoch"), "left_semi")
@@ -760,14 +796,24 @@ object CorpusLake {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
       .filter(col("_rn") === 1).drop("_rn")
-    val kept = recent.unionByName(floorState)
+    // uncommitted rows ABOVE the committed head may be a live stream's
+    // in-flight epoch (data lands before the manifest row — deleting it
+    // here would let the imminent manifest commit an emptied epoch);
+    // uncommitted rows AT or BELOW head are provably dead — the stream's
+    // epoch counter is monotone and the committed-collision guard skips
+    // re-delivery — and only those are reclaimed
+    val inFlight = raw.join(man, Seq("epoch"), "left_anti")
+      .filter(col("epoch") > head)
+    val kept = recent.unionByName(floorState).unionByName(inFlight)
     kept.write.mode("overwrite").parquet(s"$corpusDir/docs_compacting")
     Similarity.swapArtifact(spark, corpusDir, "docs")
     val after = spark.read.parquet(s"$corpusDir/docs").count()
     val decPath = Similarity.resolveArtifact(spark, corpusDir, "decisions")
     if (graft.sources.Formats.pathExists(spark, decPath)) {
-      spark.read.parquet(decPath).dropDuplicates("doc_id", "epoch")
-        .join(man, Seq("epoch"), "left_semi")
+      val dec = spark.read.parquet(decPath).dropDuplicates("doc_id", "epoch")
+      dec.join(man, Seq("epoch"), "left_semi")
+        .unionByName(dec.join(man, Seq("epoch"), "left_anti")
+          .filter(col("epoch") > head))
         .write.mode("overwrite").parquet(s"$corpusDir/decisions_compacting")
       Similarity.swapArtifact(spark, corpusDir, "decisions")
     }

@@ -22,9 +22,14 @@ class LakeMaintenanceSpec extends SparkSpec {
 
   test("snapshotDiff classifies insert/update/delete and drops unchanged") {
     import spark.implicits._
-    val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+    // rows 5/6 pin the null-text contract: presence is a flag, not the
+    // text hash — an unchanged null-text doc is NOT a change, and a
+    // text→null transition is an update (the doc still exists)
+    val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three"),
+        (5L, null.asInstanceOf[String]), (6L, "six"))
       .toDF("doc_id", "text")
-    val v2 = Seq((1L, "one"), (2L, "two CHANGED"), (4L, "four"))
+    val v2 = Seq((1L, "one"), (2L, "two CHANGED"), (4L, "four"),
+        (5L, null.asInstanceOf[String]), (6L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val got = CorpusLake.snapshotDiff(v1, v2)
       .select($"doc_id", $"change_type", $"old_len", $"new_len")
@@ -33,7 +38,8 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(got == Map(
       2L -> ("update", 3L, 11L),
       3L -> ("delete", 5L, null),
-      4L -> ("insert", null, 4L)), s"diff: $got")
+      4L -> ("insert", null, 4L),
+      6L -> ("update", 3L, null)), s"diff: $got")
   }
 
   test("lake CDC + postings refresh: change windows, cursor protocol, LWW shadow serving") {
@@ -303,6 +309,17 @@ class LakeMaintenanceSpec extends SparkSpec {
       .contains((v2, v3)))
     assert(served() == recompute(),
       "post-compaction commit not served from the fresh delta")
+
+    // floor guard: a vacuum past the cursor would make the next window's
+    // retractions wrong (collapsed history) — the refresh must refuse a
+    // stale cursor instead of silently corrupting the view
+    CorpusLake.vacuumCorpus(spark, corpus, v3)
+    Seq(v2).toDF("last_version")
+      .write.mode("overwrite").parquet(s"$prof/cursor_compacting")
+    graft.operators.Similarity.swapArtifact(spark, prof, "cursor")
+    intercept[IllegalArgumentException] {
+      CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
+    }
     Caches.releaseAll()
   }
 
@@ -337,10 +354,12 @@ class LakeMaintenanceSpec extends SparkSpec {
       (snapshot(Some(v0)), snapshot(Some(v1)), snapshot(None))
     assert(atV0(2000001L) == docAText && atV1(2000001L) == docBText)
 
-    // vacuum at v0: the orphan goes, every pinnable read is bit-equal
+    // vacuum at v0: the above-head orphan is KEPT (it may be a live
+    // stream's in-flight epoch whose manifest row is about to land);
+    // every pinnable read is bit-equal
     val (before0, after0) = CorpusLake.vacuumCorpus(spark, corpus, v0)
-    assert(before0 == 3 && after0 == 2,
-      s"expected orphan-only cleanup, got $before0 -> $after0")
+    assert(before0 == 3 && after0 == 3,
+      s"in-flight-window rows must survive vacuum, got $before0 -> $after0")
     assert(snapshot(Some(v0)) == atV0 && snapshot(Some(v1)) == atV1 &&
       snapshot(None) == latest, "vacuum at v0 changed a pinnable read")
 
@@ -363,14 +382,24 @@ class LakeMaintenanceSpec extends SparkSpec {
     }
     CorpusLake.unpinRun(spark, corpus, "run_old")
 
-    // vacuum at v1: docA's superseded v0 row collapses; v1/latest intact;
-    // a pre-floor pin and a pre-floor change feed are REFUSED
+    // once later commits push the head past the orphan's epoch it is
+    // provably dead (the stream's epoch counter is monotone past it) —
+    // simulate with a committed empty epoch beyond it
+    Seq((100L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+
+    // vacuum at v1: docA's superseded v0 row collapses AND the now-dead
+    // orphan goes; v1/latest intact; a pre-floor pin and a pre-floor
+    // change feed are REFUSED
     val (_, after1) = CorpusLake.vacuumCorpus(spark, corpus, v1)
     assert(CorpusLake.readRunCorpus(spark, dir, corpus, "run_a")
       .select($"doc_id", $"text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap == atV1,
       "pinned run broke across vacuum at its own version")
-    assert(after1 == 1, s"superseded row survived: $after1 rows")
+    assert(after1 == 1,
+      s"superseded row or dead orphan survived: $after1 rows")
     assert(snapshot(Some(v1)) == atV1 && snapshot(None) == latest,
       "vacuum at v1 changed a retained read")
     intercept[IllegalArgumentException] { snapshot(Some(v0)) }
@@ -383,8 +412,9 @@ class LakeMaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusLake.vacuumCorpus(spark, corpus, v0)
     }
-    // the committed audit trail survives vacuum in full
-    assert(CorpusLake.manifest(spark, corpus).count() == 2)
+    // the committed audit trail survives vacuum in full (incl. the
+    // simulated empty epoch)
+    assert(CorpusLake.manifest(spark, corpus).count() == 3)
     assert(CorpusLake.admissionLog(spark, corpus).count() == 2)
     Caches.releaseAll()
   }
