@@ -31,10 +31,11 @@ import graft.sources.Tables
   * at ANY point leaves either (a) a manifest-less partial epoch — invisible,
   * because every read semi-joins the committed manifest — or (b) a fully
   * committed epoch. Structured Streaming then replays the uncommitted
-  * epoch: the admission decision is idempotent by construction (the
-  * batch's own rows are excluded from the index side, so the crashed
-  * attempt's partial appends cannot flip a verdict), and the replayed
-  * byte-identical rows collapse in the (doc_id, epoch) read dedup. This is
+  * epoch: the admission decision is idempotent by construction (every
+  * index-side relation is filtered to COMMITTED epochs, so the crashed
+  * attempt's manifest-less appends cannot flip a verdict), and the
+  * replayed byte-identical rows collapse in the (doc_id, epoch) read
+  * dedup. This is
   * the transaction-log discipline a table format (Delta/Iceberg) provides,
   * built from the primitives the library already verifies — at 100 TB the
   * manifest is a few KB per epoch and every reader prunes to committed
@@ -76,18 +77,24 @@ object CorpusLake {
   }
 
   /** Admission decisions for one arriving batch against the lake state:
-    * dup leg = persisted index ∪ admitted-so-far delta store (batch's own
-    * ids EXCLUDED from the existing side — replay idempotency) ∪ the
-    * intra-batch first-wins leg; contamination + quality via
-    * [[Curate.admitRows]]. `admittedDocs` is the lake's committed admitted
-    * relation for candidate verification. */
+    * dup leg = persisted index ∪ the admitted-so-far delta store pruned to
+    * COMMITTED epochs ∪ the intra-batch first-wins leg; contamination +
+    * quality via [[Curate.admitRows]]. Replay idempotency comes from the
+    * committed-epoch filter, not from excluding the batch's own ids: a
+    * crashed attempt's appends are manifest-less and therefore invisible
+    * on the index side, while a GENUINE committed doc that happens to be
+    * re-sent in this batch still counts as existing content — so a new
+    * near-dup of it is rejected even when they share a batch, and the
+    * re-send itself passes as the LWW update (self-pairs are excluded by
+    * id). `admittedDocs` is the lake's committed admitted relation for
+    * candidate verification (raw epoch-stamped rows — the serve prunes to
+    * candidates before resolving latest-wins). */
   private[graft] def admitBatch(spark: SparkSession, dir: String,
       batch: DataFrame, indexDir: String, storeDir: Option[String],
-      admittedDocs: Option[DataFrame], benchPost: DataFrame): DataFrame = {
+      admittedDocs: Option[DataFrame], benchPost: DataFrame,
+      committedEpochs: Option[DataFrame] = None): DataFrame = {
     val vsIndex = Dedup.dedupArrivalsFromSaved(spark, dir, batch, indexDir,
-        storeDir, admittedDocs)
-      .join(batch.select(col("doc_id").as("existing_id")),
-        Seq("existing_id"), "left_anti")
+        storeDir, admittedDocs, committedEpochs)
       .select(col("arriving_id"), col("existing_id"))
     val dupPairs = vsIndex.unionByName(
       intraBatchPairs(batch).select(col("arriving_id"), col("existing_id")))
@@ -165,8 +172,13 @@ object CorpusLake {
   def admissionLog(spark: SparkSession, corpusDir: String): DataFrame = {
     val p = Similarity.resolveArtifact(spark, corpusDir, "decisions")
     if (!graft.sources.Formats.pathExists(spark, p))
+      // full Curate.admitRows schema — the empty and non-empty paths of a
+      // reader must agree on columns
       return spark.range(0).select(col("id").as("doc_id"),
-        lit("").as("decision"), lit(0L).as("epoch")).limit(0)
+        lit("").as("decision"), lit(0L).as("n_dup_matches"),
+        lit(null).cast("long").as("first_dup"),
+        lit(0L).as("n_bench_hits"), lit(0.0).as("quality"),
+        lit(0L).as("epoch")).limit(0)
     committedOnly(spark.read.parquet(p).dropDuplicates("doc_id", "epoch"),
       manifest(spark, corpusDir), None)
   }
@@ -179,14 +191,17 @@ object CorpusLake {
     * [[Dedup.compactDedupIndex]]'s crash-safe swap), and never touches the
     * serving path: every write is an append, every read is manifest-pinned.
     *
-    * Per-batch cost: admission is ∝ batch (the index serve joins only the
-    * batch's own band keys; the benchmark postings broadcast is bounded;
-    * quality is a projection); the writes are batch-sized appends; the
-    * manifest row is ONE row. Nothing in the CORE loop scans the corpus;
-    * the optional `profDir` live view adds one base-corpus membership
-    * probe per commit (the change feed's documented prior-visibility
-    * scan) — at a scale where that matters, run
-    * [[refreshProfileFromLake]] on a cadence instead of per commit. */
+    * Per-batch cost: admission SHUFFLES only batch-and-candidate-sized
+    * relations (the index serve joins only the batch's own band keys; the
+    * benchmark postings broadcast is bounded; quality is a projection),
+    * plus two candidate-bounded column probes — the delta store's
+    * candidate prune and the lake text lookup the exact verify pays
+    * (semi-joins by candidate id: the stores' key columns are read, but
+    * only candidate rows move). The writes are batch-sized appends; the
+    * manifest row is ONE row. The optional `profDir` live view adds one
+    * base-corpus membership probe per commit (the change feed's
+    * documented prior-visibility scan) — at a scale where that matters,
+    * run [[refreshProfileFromLake]] on a cadence instead of per commit. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
@@ -216,11 +231,16 @@ object CorpusLake {
         } else if (!batch.isEmpty) {
           val rows = batch.select($"doc_id", $"text")
           val store = s"$maintDir/buckets"
-          val haveStore = graft.sources.Formats.pathExists(spark, store)
+          val haveStore = graft.sources.Formats.pathExists(
+            spark, Similarity.resolveArtifact(spark, maintDir, "buckets"))
+          // the committed frame is built BEFORE this epoch's writes: the
+          // index side must see exactly the previously-committed lake
+          val man = manifest(spark, corpusDir)
           val decisions = admitBatch(spark, dir, rows, indexDir,
             if (haveStore) Some(store) else None,
-            Some(admittedAt(spark, corpusDir, None).drop("epoch")),
-            benchPost).localCheckpoint()
+            Some(committedOnly(admittedRaw(spark, corpusDir), man, None)),
+            benchPost,
+            Some(man.select($"version".as("epoch")))).localCheckpoint()
           val admitted = rows.join(
             decisions.filter($"decision" === Curate.Admitted)
               .select($"doc_id"), "doc_id")
@@ -245,10 +265,16 @@ object CorpusLake {
           // index upkeep (the maintainDedupIndexStream counters, verbatim)
           if (baseCount < 0) baseCount = spark.read.parquet(
             Similarity.resolveArtifact(spark, indexDir, "buckets")).count()
-          if (deltaCount < 0) deltaCount = spark.read.parquet(store).count()
+          if (deltaCount < 0) deltaCount = spark.read.parquet(
+            Similarity.resolveArtifact(spark, maintDir, "buckets")).count()
           else deltaCount += n
           if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
-            Dedup.compactDedupIndex(spark, indexDir, store)
+            // fold ONLY committed epochs (this epoch's manifest row just
+            // landed — re-read it) and keep uncommitted rows in the store;
+            // deltaCount=0 slightly undercounts any surviving crashed rows,
+            // which only delays the next trigger
+            Dedup.compactDedupIndex(spark, indexDir, store,
+              Some(manifest(spark, corpusDir).select($"version".as("epoch"))))
             baseCount = -1
             deltaCount = 0
           }
@@ -300,13 +326,23 @@ object CorpusLake {
     * hash-mismatch the gate. */
   def changesTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", $"text")
-    val v1 = docs.filter($"doc_id" % 13 =!= 5)
-    val v2 = docs.filter($"doc_id" % 13 =!= 7)
-      .select($"doc_id", when($"doc_id" % 17 === 3,
-        concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+    val (v1, v2) = twinSnapshots(spark, dir)
     snapshotDiff(v1, v2).orderBy($"doc_id")
+  }
+
+  /** The deterministic two-snapshot fixture BOTH oracled twins
+    * ([[changesTwin]], [[profileTwin]]) carve — one definition so the
+    * DuckDB mirrors of the two queries can never silently desynchronize
+    * from each other. */
+  private def twinSnapshots(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    val v1 = docs.filter(col("doc_id") % 13 =!= 5)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 7)
+      .select(col("doc_id"), when(col("doc_id") % 17 === 3,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+    (v1, v2)
   }
 
   /** Incremental read of the lake: every doc whose LATEST committed epoch
@@ -323,9 +359,14 @@ object CorpusLake {
     * parquet row-group min/max stats turn into whole-file skips (each
     * epoch's append writes files with a constant epoch column), so the
     * read touches the CHANGED epochs, not the lake; the prior-visibility
-    * probe semi-joins base ∪ earlier-lake doc_ids against the broadcast
-    * changed-id set — one column, pruned to the changes. Nothing scales
-    * with corpus size except that one membership probe. */
+    * probe semi-joins base ∪ earlier-lake doc_ids against the changed-id
+    * set — one column, pruned to the changes. No explicit broadcast hint:
+    * the changed set is window-sized on the incremental path but
+    * LAKE-sized on a bootstrap (`fromVersion = Long.MinValue`), and a
+    * forced broadcast would OOM the driver exactly there — AQE broadcasts
+    * the small incremental case on its own and degrades to a shuffle join
+    * for the bootstrap. Nothing scales with corpus size except that one
+    * membership probe. */
   def readCorpusChanges(spark: SparkSession, dir: String, corpusDir: String,
       fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val floor = retentionFloor(spark, corpusDir)
@@ -351,9 +392,9 @@ object CorpusLake {
     val priorBase = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"))
     val prior = priorLake.unionByName(priorBase)
-      .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      .join(changedIds, Seq("doc_id"), "left_semi")
       .distinct().withColumn("_prior", lit(true))
-    changed.join(broadcast(prior), Seq("doc_id"), "left")
+    changed.join(prior, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"), col("epoch").as("version"),
         when(col("_prior").isNotNull, lit("update"))
           .otherwise(lit("insert")).as("change_type"))
@@ -491,11 +532,13 @@ object CorpusLake {
       .join(man, Seq("epoch"), "left_semi")
     val changedIds = committed.filter(col("epoch") > from)
       .select(col("doc_id")).distinct()
+    // no broadcast hint: the changed set is bootstrap-unbounded (see
+    // readCorpusChanges) — AQE broadcasts the incremental case itself
     val hist = committed
-      .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      .join(changedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), col("epoch"))
     val baseRows = Tables.spread(Tables.documents(spark, dir))
-      .join(broadcast(changedIds), Seq("doc_id"), "left_semi")
+      .join(changedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"))
     val seq = hist.unionByName(baseRows)
       .withColumn("prev_text", lag(col("text"), 1).over(
@@ -560,7 +603,8 @@ object CorpusLake {
     val floor = retentionFloor(spark, corpusDir)
     require(from >= floor ||
         (from == Long.MinValue &&
-          !graft.sources.Formats.pathExists(spark, s"$profDir/delta")),
+          !graft.sources.Formats.pathExists(spark,
+            Similarity.resolveArtifact(spark, profDir, "delta"))),
       s"profile cursor $from predates the retention floor $floor: the " +
         "history this window's retractions need was vacuumed — rebuild " +
         "the view (initProfile + fresh refresh) instead")
@@ -569,8 +613,12 @@ object CorpusLake {
       .agg(max(col("version"))).as[Option[Long]].head()
     head match {
       case Some(h) =>
+        // resolve before the append: an interrupted compaction swap must
+        // promote the surviving `delta_compacting` FIRST, or this append
+        // would create a fresh main dir that strands it forever
         windowDeltas(spark, dir, corpusDir, from, h)
-          .write.mode("append").parquet(s"$profDir/delta")
+          .write.mode("append").parquet(
+            Similarity.resolveArtifact(spark, profDir, "delta"))
         Seq(h).toDF("last_version")
           .write.mode("overwrite").parquet(s"$profDir/cursor_compacting")
         Similarity.swapArtifact(spark, profDir, "cursor")
@@ -597,7 +645,7 @@ object CorpusLake {
         (base.drop("_folded_to"),
           base.agg(max(col("_folded_to"))).as[Long].head())
       } else (base, Long.MinValue)
-    val deltaPath = s"$profDir/delta"
+    val deltaPath = Similarity.resolveArtifact(spark, profDir, "delta")
     val rows =
       if (!graft.sources.Formats.pathExists(spark, deltaPath)) baseRows
       else baseRows.unionByName(
@@ -620,10 +668,15 @@ object CorpusLake {
     * `_folded_to` = the highest folded version via the `_compacting` swap
     * FIRST, and only then does the delta truncate — at every crash point
     * [[profile]] serves each version's delta exactly once (from the delta
-    * below the swap, from the base above it). Serving before ≡ after. */
+    * below the swap, from the base above it). Serving before ≡ after.
+    * The truncate is BOUNDED by the folded watermark — rows above it
+    * (a refresh that ran between the fold's read and here) are kept, not
+    * wiped; like every whole-artifact rewrite, the swap itself must not
+    * race a concurrent appender (run compaction from the maintenance
+    * cadence, as [[maintainCorpusStream]] does). */
   def compactProfile(spark: SparkSession, profDir: String): Unit = {
     import spark.implicits._
-    val deltaPath = s"$profDir/delta"
+    val deltaPath = Similarity.resolveArtifact(spark, profDir, "delta")
     if (!graft.sources.Formats.pathExists(spark, deltaPath)) return
     val head = spark.read.parquet(deltaPath)
       .agg(max(col("version"))).as[Option[Long]].head()
@@ -632,7 +685,9 @@ object CorpusLake {
         .withColumn("_folded_to", lit(h))
         .write.mode("overwrite").parquet(s"$profDir/base_compacting")
       Similarity.swapArtifact(spark, profDir, "base")
-      Similarity.truncateStore(spark, deltaPath)
+      spark.read.parquet(deltaPath).filter(col("version") > h)
+        .write.mode("overwrite").parquet(s"$profDir/delta_compacting")
+      Similarity.swapArtifact(spark, profDir, "delta")
     }
   }
 
@@ -645,12 +700,7 @@ object CorpusLake {
     * fold, keyed per committed version). */
   def profileTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", $"text")
-    val v1 = docs.filter($"doc_id" % 13 =!= 5)
-    val v2 = docs.filter($"doc_id" % 13 =!= 7)
-      .select($"doc_id", when($"doc_id" % 17 === 3,
-        concat($"text", lit(" v2"))).otherwise($"text").as("text"))
+    val (v1, v2) = twinSnapshots(spark, dir)
     val diff = snapshotDiff(v1, v2)
     val plus = v2.join(broadcast(diff
         .filter($"change_type".isin("insert", "update")).select($"doc_id")),
@@ -740,9 +790,13 @@ object CorpusLake {
     * committed AND at-or-below the committed head, which can never commit
     * (the stream's epoch counter is monotone and the collision guard
     * skips re-delivery); uncommitted rows ABOVE the head are kept, since
-    * they may be a live stream's in-flight epoch whose manifest row is
-    * about to land (vacuum is therefore safe to run beside the ingest
-    * loop) — and (b) doc versions superseded at or below `retainFrom`,
+    * they may be an in-flight epoch whose manifest row is about to land
+    * (so a crash-recovering stream finds its data intact). Vacuum still
+    * rewrites the docs dir wholesale — an append landing INSIDE the
+    * read-to-swap window would be lost — so run it from the maintenance
+    * cadence (between batches) or while ingest is quiesced, like every
+    * other whole-artifact rewrite here — and (b) doc versions superseded
+    * at or below `retainFrom`,
     * keeping exactly the rows some still-pinnable version can serve:
     * every committed row with epoch > retainFrom plus the latest
     * committed row ≤ retainFrom per doc_id (the visible-at-floor state).
@@ -767,6 +821,15 @@ object CorpusLake {
     val prevFloor = retentionFloor(spark, corpusDir)
     require(retainFrom >= prevFloor,
       s"retention floor may only rise (current $prevFloor, got $retainFrom)")
+    // refuse an overshot floor BEFORE the marker lands: floors are
+    // irreversible, so a typo'd retainFrom past the head would otherwise
+    // permanently refuse every pin, change feed, and pinRun on a lake
+    // whose data is actually intact
+    val committedHead = manifest(spark, corpusDir).agg(max(col("version")))
+      .as[Option[Long]].head().getOrElse(Long.MinValue)
+    require(retainFrom <= committedHead,
+      s"retainFrom $retainFrom exceeds the committed head $committedHead: " +
+        "refusing to raise the retention floor past versions that exist")
     // pinned training runs are reproducibility contracts: refuse to
     // collapse history any of them still serves
     val pinnedBelow = {

@@ -251,9 +251,22 @@ object Dedup {
   /** Replay-safe read of the appended bucket rows: byte-identical replay
     * copies collapse on the full key, then the latest epoch wins per
     * DOCUMENT (a changed re-upload replaces its whole bucket set — the
-    * [[graft.operators.TextAnalysis.readPostingsDelta]] semantics). */
-  def readDedupDelta(spark: SparkSession, storeDir: String): DataFrame = {
-    val raw = spark.read.parquet(storeDir)
+    * [[graft.operators.TextAnalysis.readPostingsDelta]] semantics).
+    * `committed` restricts the read to epochs present in the given
+    * one-column `epoch` frame — the corpus lake passes its manifest here
+    * so a crashed (manifest-less) epoch's bucket rows never serve: without
+    * the filter a replayed admission batch would find its own crashed
+    * appends on the index side and flip its verdicts. */
+  def readDedupDelta(spark: SparkSession, storeDir: String,
+      committed: Option[DataFrame] = None): DataFrame = {
+    val p = {
+      val i = storeDir.lastIndexOf('/')
+      graft.operators.Similarity.resolveArtifact(
+        spark, storeDir.take(i), storeDir.drop(i + 1))
+    }
+    val raw0 = spark.read.parquet(p)
+    val raw = committed.fold(raw0)(c =>
+      raw0.join(c.select(col("epoch")), Seq("epoch"), "left_semi"))
     raw.dropDuplicates("doc_id", "band", "epoch")
       .withColumn("_maxe", max(col("epoch")).over(
         Window.partitionBy(col("doc_id"))))
@@ -264,17 +277,34 @@ object Dedup {
     * crash-safe tmp-swap-truncate ordering and serve-consistency argument
     * as [[graft.operators.Similarity.compactIndex]] (a crash between swap
     * and truncate leaves rows in both base and store, which the doc-level
-    * merge in [[dedupArrivalsFromSaved]] already serves correctly). */
+    * merge in [[dedupArrivalsFromSaved]] already serves correctly).
+    * With `committed` (the lake's manifest), ONLY committed epochs fold
+    * and the truncate keeps the uncommitted rows in place — folding a
+    * crashed manifest-less epoch into the base would make its dead rows
+    * committed-looking forever, poisoning every later admission verdict
+    * against them. */
   def compactDedupIndex(spark: SparkSession, indexDir: String,
-      storeDir: String): Unit = {
-    val delta = readDedupDelta(spark, storeDir)
+      storeDir: String, committed: Option[DataFrame] = None): Unit = {
+    val delta = readDedupDelta(spark, storeDir, committed)
     if (delta.isEmpty) return
     val base = spark.read.parquet(
       graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets"))
     graft.operators.Similarity.mergeDeltaRows(base, delta, "doc_id")
       .write.mode("overwrite").parquet(s"$indexDir/buckets_compacting")
     graft.operators.Similarity.swapArtifact(spark, indexDir, "buckets")
-    graft.operators.Similarity.truncateStore(spark, storeDir)
+    committed match {
+      case None => graft.operators.Similarity.truncateStore(spark, storeDir)
+      case Some(c) =>
+        // keep the not-yet-committed epochs: rewrite via the same
+        // `_compacting` swap the readers recover (readDedupDelta resolves)
+        val i = storeDir.lastIndexOf('/')
+        val (parent, name) = (storeDir.take(i), storeDir.drop(i + 1))
+        spark.read.parquet(graft.operators.Similarity
+            .resolveArtifact(spark, parent, name))
+          .join(c.select(col("epoch")), Seq("epoch"), "left_anti")
+          .write.mode("overwrite").parquet(s"${storeDir}_compacting")
+        graft.operators.Similarity.swapArtifact(spark, parent, name)
+    }
   }
 
   /** The dedup-index maintenance loop as ONE ingest stream — the
@@ -332,15 +362,24 @@ object Dedup {
     * cost ∝ batch size, never corpus size — and the exact-Jaccard verify
     * re-shingles CANDIDATE documents only (a semi-join-bounded lookup
     * into the doc lake; `deltaDocs` is the appended documents' lake
-    * partition for candidates that are not in the base corpus). */
+    * partition for candidates that are not in the base corpus —
+    * LWW-resolved (doc_id, text), or raw epoch-stamped rows which are
+    * then candidate-pruned BEFORE the latest-wins window so the per-batch
+    * cost is the candidates' history, never the whole store).
+    * `committedEpochs` restricts the delta-store side to committed epochs
+    * ([[readDedupDelta]]'s replay argument). Output rows are unordered —
+    * the serving path feeds aggregations; [[dedupIndexServe]] sorts for
+    * the oracle. */
   def dedupArrivalsFromSaved(spark: SparkSession, dir: String,
       arrivals: DataFrame, indexDir: String,
       storeDir: Option[String] = None,
-      deltaDocs: Option[DataFrame] = None): DataFrame = {
+      deltaDocs: Option[DataFrame] = None,
+      committedEpochs: Option[DataFrame] = None): DataFrame = {
     val base = spark.read.parquet(
       graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets"))
     val idx = storeDir.fold(base)(s => graft.operators.Similarity
-      .mergeDeltaRows(base, readDedupDelta(spark, s), "doc_id"))
+      .mergeDeltaRows(base, readDedupDelta(spark, s, committedEpochs),
+        "doc_id"))
     dedupAgainstIndex(spark, dir, arrivals, idx, deltaDocs)
   }
 
@@ -355,23 +394,33 @@ object Dedup {
         Seq("band", "key"))
       .filter($"arriving_id" =!= $"existing_id")
       .select($"arriving_id", $"existing_id").distinct()
+    val candIds = cand.select($"existing_id".as("doc_id")).distinct()
     val ag = a.select($"doc_id".as("arriving_id"), $"grams".as("gr_a"),
       size($"grams").as("na"))
-    val lakeDocs = deltaDocs.fold(Tables.spread(Tables.documents(spark, dir))) { d =>
+    // raw epoch-stamped delta docs prune to the candidates FIRST, then
+    // latest-epoch-wins — the window runs over the candidates' history
+    // rows only, not the whole appended store per batch
+    val resolvedDelta = deltaDocs.map { d =>
+      if (!d.columns.contains("epoch")) d.select($"doc_id", $"text")
+      else d.join(candIds, Seq("doc_id"), "left_semi")
+        .dropDuplicates("doc_id", "epoch")
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"epoch".desc)))
+        .filter($"_rn" === 1).select($"doc_id", $"text")
+    }
+    val lakeDocs = resolvedDelta.fold(Tables.spread(Tables.documents(spark, dir))) { d =>
       Tables.spread(Tables.documents(spark, dir))
         .join(d.select($"doc_id").distinct(), Seq("doc_id"), "left_anti")
         .unionByName(d.select($"doc_id", $"text"), allowMissingColumns = true)
     }
     val eg = lakeDocs
-      .join(cand.select($"existing_id".as("doc_id")).distinct(),
-        Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select($"doc_id", tokens($"text").as("toks"))
       .filter(size($"toks") >= 3)
       .select($"doc_id".as("existing_id"),
         graft.functions.WordGramHashes($"toks", 3).as("gr_b"))
       .withColumn("nb", size($"gr_b"))
     verifyJaccard(cand, ag, eg)
-      .orderBy($"arriving_id", $"existing_id")
   }
 
   /** The exact-Jaccard verification stage over explicit gram frames:
@@ -424,7 +473,8 @@ object Dedup {
       .filter($"doc_id" % stride === 0)
       .select($"doc_id", $"text")
     dedupAgainstIndex(spark, dir, arrivals,
-      bucketRows(signed(spark, dir)), None)
+        bucketRows(signed(spark, dir)), None)
+      .orderBy($"arriving_id", $"existing_id")
   }
 
   /** Incremental dedup — the BATCH twin of [[nearDupStream]], oracled: a

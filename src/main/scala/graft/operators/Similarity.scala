@@ -1210,17 +1210,24 @@ object Similarity {
     * artifact to `<name>_compacting`, delete `<name>`, then rename — a
     * crash between delete and rename leaves only the (fully written)
     * `_compacting` dir, which this promotes before anyone reads. A partial
-    * `_compacting` left by a crash DURING the merge write is ignored
-    * (the main dir still exists) and overwritten by the next compaction —
-    * so every crash point is serve-consistent, now including the swap
-    * window. Every reader and compactor of persisted artifacts goes
-    * through here. */
+    * `_compacting` left by a crash DURING the merge write is NEVER
+    * promoted — promotion requires the committer's `_SUCCESS` marker,
+    * which only a completed write job has. That distinction matters for
+    * the FIRST-ever write of an artifact (cursors, retention markers,
+    * `Models.save`): there is no main dir to fall back on, and promoting
+    * a half-written first write would serve torn parquet. Every crash
+    * point is therefore serve-consistent: mid-write → tmp ignored
+    * (main absent reads as "artifact never existed", the truth);
+    * post-commit pre-rename → promoted. Every reader and compactor of
+    * persisted artifacts goes through here. */
   private[graft] def resolveArtifact(spark: SparkSession, indexDir: String,
       name: String): String = {
     val main = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/${name}_compacting")
     val fs = main.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(main) && fs.exists(tmp)) fs.rename(tmp, main)
+    if (!fs.exists(main) && fs.exists(tmp) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.rename(tmp, main)
     s"$indexDir/$name"
   }
 

@@ -138,6 +138,52 @@ class CorpusLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("corpus lake: a near-dup of committed content is rejected even when that content's id is re-sent in the same batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-rescue").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+
+    // the fresh-lake audit log must carry the full decisions schema
+    assert(CorpusLake.admissionLog(spark, corpus).columns.toSeq ==
+      Seq("doc_id", "decision", "n_dup_matches", "first_dup",
+        "n_bench_hits", "quality", "epoch"),
+      "empty admissionLog schema diverges from the written store")
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    // epoch 0 commits docA
+    in.addData((1000001L, docAText)); q.processAllAvailable()
+    // epoch 1: docA's id re-sent byte-identically PLUS a near-dup of its
+    // content under a SMALLER id — the near-dup must be rejected against
+    // the COMMITTED lake copy (the old batch-id exclusion dropped exactly
+    // this pair and admitted the near-dup); the re-send loses the
+    // intra-batch first-wins leg to the smaller id, and the lake keeps
+    // serving the committed content either way
+    in.addData((999999L, docADupText), (1000001L, docAText))
+    q.processAllAvailable()
+    q.stop()
+    val log = CorpusLake.admissionLog(spark, corpus)
+      .filter($"epoch" === 1L)
+      .select($"doc_id", $"decision", $"first_dup")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.get(2))).toMap
+    assert(log(999999L) == (Curate.Duplicate, 1000001L),
+      s"near-dup of committed content admitted: ${log(999999L)}")
+    assert(log(1000001L)._1 == Curate.Duplicate,
+      s"re-send unexpectedly kept: ${log(1000001L)}")
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" === 1000001L).select($"text").as[String].head()
+      == docAText, "committed content lost across the rescue batch")
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" === 999999L).count() == 0)
+    Caches.releaseAll()
+  }
+
   test("corpus lake: inline index compaction keeps cross-batch dedup intact") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -552,6 +552,22 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/lists")) &&
       !fs.exists(new org.apache.hadoop.fs.Path(s"$idx/lists_compacting")),
       "resolver did not promote the completed merge back to the main path")
+
+    // a PARTIAL first-ever write (crash mid-write: no _SUCCESS marker, no
+    // main dir to fall back on) must NOT be promoted — promoting torn
+    // parquet would brick the artifact; completing the write (the marker
+    // lands) makes the same dir promotable
+    val part = new org.apache.hadoop.fs.Path(s"$idx/fresh_compacting")
+    fs.mkdirs(part)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(part, "part-0.parquet"))
+    junk.write("not parquet".getBytes); junk.close()
+    Similarity.resolveArtifact(spark, idx, "fresh")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/fresh")),
+      "resolver promoted a partial (no _SUCCESS) first write")
+    fs.create(new org.apache.hadoop.fs.Path(part, "_SUCCESS")).close()
+    Similarity.resolveArtifact(spark, idx, "fresh")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/fresh")),
+      "resolver did not promote a completed (marker present) first write")
     Caches.releaseAll()
   }
 
@@ -597,8 +613,11 @@ class IndexMaintenanceSpec extends SparkSpec {
     val stride = Dedup.incrementalStride(Tables.nDocs(spark, dir))
     val arrivals = Tables.documents(spark, dir)
       .filter($"doc_id" % stride === 0).select($"doc_id", $"text")
+    // the serving core is unordered (the sort lives in the oracle entry
+    // dedupIndexServe) — compare as sorted row sets
     val fromSaved = Dedup.dedupArrivalsFromSaved(spark, dir, arrivals, idx)
       .collect().map(_.toSeq).toSeq
+      .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
     val inSession = Dedup.dedupIndexServe(spark, dir)
       .collect().map(_.toSeq).toSeq
     assert(fromSaved == inSession,
@@ -625,6 +644,7 @@ class IndexMaintenanceSpec extends SparkSpec {
     def serve() = Dedup.dedupArrivalsFromSaved(spark, dir, probe, idx,
         Some(store), Some(deltaDocs))
       .collect().map(_.toSeq).toSeq
+      .sortBy(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long]))
     val before = serve()
     assert(before.exists(r => r(1) == 0L && r(2) == 1.0),
       s"base twin of the probe not found: $before")

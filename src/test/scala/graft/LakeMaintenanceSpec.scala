@@ -412,6 +412,14 @@ class LakeMaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusLake.vacuumCorpus(spark, corpus, v0)
     }
+    // ...and an OVERSHOT floor (past the committed head) is refused
+    // BEFORE the irreversible marker lands — a typo'd retainFrom must not
+    // permanently brick every pin and change feed on an intact lake
+    intercept[IllegalArgumentException] {
+      CorpusLake.vacuumCorpus(spark, corpus, 1000L)
+    }
+    assert(CorpusLake.retentionFloor(spark, corpus) == v1,
+      "refused overshoot vacuum still moved the retention floor")
     // the committed audit trail survives vacuum in full (incl. the
     // simulated empty epoch)
     assert(CorpusLake.manifest(spark, corpus).count() == 3)
