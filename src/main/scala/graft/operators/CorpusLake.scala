@@ -245,13 +245,16 @@ object CorpusLake {
             decisions.filter($"decision" === Curate.Admitted)
               .select($"doc_id"), "doc_id")
           admitted.withColumn("epoch", lit(epoch))
-            .write.mode("append").parquet(s"$corpusDir/docs")
+            .write.mode("append").parquet(
+              Similarity.appendTarget(spark, s"$corpusDir/docs"))
           decisions.withColumn("epoch", lit(epoch))
-            .write.mode("append").parquet(s"$corpusDir/decisions")
+            .write.mode("append").parquet(
+              Similarity.appendTarget(spark, s"$corpusDir/decisions"))
           val newBuckets = Dedup.bucketRows(Dedup.signRows(admitted))
             .withColumn("epoch", lit(epoch))
           val n = newBuckets.count()
-          newBuckets.write.mode("append").parquet(store)
+          newBuckets.write.mode("append").parquet(
+            Similarity.appendTarget(spark, store))
           // the manifest row commits the epoch — LAST, after every data write
           decisions.groupBy()
             .agg(count(lit(1)).as("n_arrived"),
@@ -432,7 +435,8 @@ object CorpusLake {
             changes.select($"doc_id", $"text", $"version".as("epoch")),
             carry = Seq("epoch"))
           .select($"doc_id", $"dl", $"tok", $"tf", $"epoch")
-          .write.mode("append").parquet(s"$maintDir/seg")
+          .write.mode("append").parquet(
+            Similarity.appendTarget(spark, s"$maintDir/seg"))
         Seq(latest).toDF("last_version")
           .write.mode("overwrite").parquet(s"$maintDir/lake_cursor_compacting")
         Similarity.swapArtifact(spark, maintDir, "lake_cursor")
@@ -480,7 +484,8 @@ object CorpusLake {
         val encCols = enc.columns
         enc.join(broadcast(vecs.select($"vec_id", $"version")), "vec_id")
           .select(encCols.map(col) :+ $"version".as("epoch"): _*)
-          .write.mode("append").parquet(s"$maintDir/lists")
+          .write.mode("append").parquet(
+            Similarity.appendTarget(spark, s"$maintDir/lists"))
         Seq(latest).toDF("last_version").write.mode("overwrite")
           .parquet(s"$maintDir/dense_lake_cursor_compacting")
         Similarity.swapArtifact(spark, maintDir, "dense_lake_cursor")

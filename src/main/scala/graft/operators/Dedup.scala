@@ -244,7 +244,8 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         bucketRows(signRows(batch))
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(storeDir)
+          .write.mode("append").parquet(
+            graft.operators.Similarity.appendTarget(spark, storeDir))
       }
   }
 
@@ -285,6 +286,14 @@ object Dedup {
     * against them. */
   def compactDedupIndex(spark: SparkSession, indexDir: String,
       storeDir: String, committed: Option[DataFrame] = None): Unit = {
+    // the fold watermark lands BEFORE the delta read (truncate contract:
+    // only rows the fold could have seen may be dropped)
+    val foldedThrough = {
+      import spark.implicits._
+      spark.read.parquet(graft.operators.Similarity
+          .appendTarget(spark, storeDir))
+        .agg(max(col("epoch"))).as[Option[Long]].head()
+    }
     val delta = readDedupDelta(spark, storeDir, committed)
     if (delta.isEmpty) return
     val base = spark.read.parquet(
@@ -293,7 +302,12 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$indexDir/buckets_compacting")
     graft.operators.Similarity.swapArtifact(spark, indexDir, "buckets")
     committed match {
-      case None => graft.operators.Similarity.truncateStore(spark, storeDir)
+      case None =>
+        // bound by the fold watermark so a row a live appender lands
+        // after the fold-read survives (the Similarity/TextAnalysis
+        // compactor contract)
+        graft.operators.Similarity.truncateStoreThrough(spark, storeDir,
+          foldedThrough)
       case Some(c) =>
         // keep the not-yet-committed epochs: rewrite via the same
         // `_compacting` swap the readers recover (readDedupDelta resolves)
@@ -329,14 +343,16 @@ object Dedup {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val buckets = bucketRows(signRows(batch)).withColumn("epoch", lit(epoch))
         val n = buckets.count()
-        buckets.write.mode("append").parquet(s"$maintDir/buckets")
+        buckets.write.mode("append").parquet(graft.operators.Similarity
+          .appendTarget(spark, s"$maintDir/buckets"))
         batch.select(col("doc_id"), col("text"))
           .withColumn("epoch", lit(epoch))
           .write.mode("append").parquet(s"$maintDir/docs")
         if (baseCount < 0) baseCount = spark.read.parquet(
           graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets")).count()
         if (deltaCount < 0)
-          deltaCount = spark.read.parquet(s"$maintDir/buckets").count()
+          deltaCount = spark.read.parquet(graft.operators.Similarity
+            .appendTarget(spark, s"$maintDir/buckets")).count()
         else deltaCount += n
         if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
           compactDedupIndex(spark, indexDir, s"$maintDir/buckets")

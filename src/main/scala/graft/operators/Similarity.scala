@@ -1603,7 +1603,7 @@ object Similarity {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         encodeForIndex(spark, dir, batch)
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(storeDir)
+          .write.mode("append").parquet(appendTarget(spark, storeDir))
       }
   }
 
@@ -1616,7 +1616,7 @@ object Similarity {
     * append-only/byte-identical-replay contract. */
   def readIndexDelta(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.parquet(storeDir)
+    val raw = spark.read.parquet(appendTarget(spark, storeDir))
     if (raw.columns.contains("epoch"))
       raw.dropDuplicates("vec_id", "epoch")
         .withColumn("_rn", row_number().over(
@@ -1693,20 +1693,31 @@ object Similarity {
     * Crash-safety ordering: the merged lists land in a sibling directory
     * first, then swap in ([[swapArtifact]] — the delete→rename window is
     * recovered by [[resolveArtifact]] on the next read), then the delta
-    * store truncates to a schema-only parquet. A crash between swap and
-    * truncate leaves delta rows in BOTH base and store — which
+    * store truncates BOUNDED by the fold watermark
+    * ([[truncateStoreThrough]]: only epochs the fold-read could have seen
+    * are dropped; a live appender's later rows survive). A crash between
+    * swap and truncate leaves delta rows in BOTH base and store — which
     * [[mergeDeltaRows]] already serves correctly (that overlap is the
     * same state a post-compaction epoch replay creates) — so every crash
     * point is serve-consistent. */
   def compactIndex(spark: SparkSession, indexDir: String,
       storeDir: String): Unit = {
+    import spark.implicits._
+    // the fold watermark lands BEFORE the delta read: anything at or
+    // below it is folded; anything a live appender lands above it
+    // survives the truncate
+    val raw = spark.read.parquet(appendTarget(spark, storeDir))
+    val foldedThrough =
+      if (raw.columns.contains("epoch"))
+        raw.agg(max(col("epoch"))).as[Option[Long]].head()
+      else None
     val delta = readIndexDelta(spark, storeDir)
     if (delta.isEmpty) return
     val base = spark.read.parquet(resolveArtifact(spark, indexDir, "lists"))
     mergeDeltaRows(base, delta, "vec_id")
       .write.mode("overwrite").parquet(s"$indexDir/lists_compacting")
     swapArtifact(spark, indexDir, "lists")
-    truncateStore(spark, storeDir)
+    truncateStoreThrough(spark, storeDir, foldedThrough)
   }
 
   /** Truncate an append store to a schema-only parquet dir (row-free but
@@ -1719,6 +1730,39 @@ object Similarity {
         .emptyRDD[org.apache.spark.sql.Row], schema)
       .write.mode("overwrite").parquet(storeDir)
   }
+
+  /** Resolve-then-return an append target: if an interrupted compaction
+    * swap left only `<path>_compacting`, promote it BEFORE appending —
+    * an append that creates a fresh main dir would strand the completed
+    * rewrite (main now exists, so it never promotes) and silently drop
+    * its rows. Every appender to a swap-rewritten store goes through
+    * here. */
+  private[graft] def appendTarget(spark: SparkSession, path: String): String = {
+    val i = path.lastIndexOf('/')
+    resolveArtifact(spark, path.take(i), path.drop(i + 1))
+  }
+
+  /** Truncate an append store down to the rows a fold has NOT consumed:
+    * epoch-stamped rows at or below `foldedThrough` were visible to the
+    * fold-read and live in the merged base, while rows ABOVE it — an
+    * append that landed after the fold-read — survive, so compaction
+    * beside a live appender loses nothing it did not fold (a row both
+    * folded and kept is served once by the keyed merge). `None` (an
+    * epoch-less store: no watermark to bound by) falls back to the full
+    * [[truncateStore]]. The rewrite goes through the `_compacting` swap
+    * every reader and appender resolves. */
+  private[graft] def truncateStoreThrough(spark: SparkSession,
+      storeDir: String, foldedThrough: Option[Long]): Unit =
+    foldedThrough match {
+      case None => truncateStore(spark, storeDir)
+      case Some(m) =>
+        val i = storeDir.lastIndexOf('/')
+        val (parent, name) = (storeDir.take(i), storeDir.drop(i + 1))
+        spark.read.parquet(resolveArtifact(spark, parent, name))
+          .filter(col("epoch") > m)
+          .write.mode("overwrite").parquet(s"${storeDir}_compacting")
+        swapArtifact(spark, parent, name)
+    }
 
   /** The retrain job [[retrainAdvised]] schedules — the one operation the
     * pinned-quantizer maintenance contract defers: rebuild coarse + fine
@@ -1884,14 +1928,16 @@ object Similarity {
         val n = batch.count()
         encodeForIndex(spark, dir, batch)
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(s"$maintDir/lists")
+          .write.mode("append").parquet(
+            appendTarget(spark, s"$maintDir/lists"))
         batch.select($"vec_id", $"embedding")
           .withColumn("epoch", lit(epoch))
           .write.mode("append").parquet(s"$maintDir/vecs")
         if (baseCount < 0) baseCount =
           spark.read.parquet(resolveArtifact(spark, indexDir, "lists")).count()
         if (deltaCount < 0)
-          deltaCount = spark.read.parquet(s"$maintDir/lists").count()
+          deltaCount = spark.read.parquet(
+            appendTarget(spark, s"$maintDir/lists")).count()
         else deltaCount += n
         if (advise) {
           // the advisory measures the REAL serving leg (persisted base ∪

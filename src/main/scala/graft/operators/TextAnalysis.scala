@@ -563,7 +563,8 @@ object TextAnalysis {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         encodeForPostings(batch)
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(storeDir)
+          .write.mode("append").parquet(
+            graft.operators.Similarity.appendTarget(spark, storeDir))
       }
   }
 
@@ -576,7 +577,8 @@ object TextAnalysis {
     * safe only under the append-only/byte-identical-replay contract. */
   def readPostingsDelta(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
-    val raw = spark.read.parquet(storeDir)
+    val raw = spark.read.parquet(
+      graft.operators.Similarity.appendTarget(spark, storeDir))
     if (raw.columns.contains("epoch"))
       raw.dropDuplicates("doc_id", "tok", "epoch")
         .withColumn("_maxe", max($"epoch").over(
@@ -594,12 +596,21 @@ object TextAnalysis {
     * `IndexMaintenanceSpec` pins it); refreshing the statistics is a
     * reindex ([[savePostingsIndex]] over the grown corpus), a separate
     * scheduled job. Same crash-safety ordering as the dense twin: merged
-    * postings land in a sibling dir, swap in, then the store truncates —
-    * a crash between swap and truncate leaves rows in both base and store,
-    * which the serving-side merge already handles (the post-compaction
-    * replay state). */
+    * postings land in a sibling dir, swap in, then the store truncates
+    * bounded by the fold watermark (a live appender's later rows
+    * survive) — a crash between swap and truncate leaves rows in both
+    * base and store, which the serving-side merge already handles (the
+    * post-compaction replay state). */
   def compactPostings(spark: SparkSession, indexDir: String,
       storeDir: String): Unit = {
+    import spark.implicits._
+    val raw = spark.read.parquet(
+      graft.operators.Similarity.appendTarget(spark, storeDir))
+    val foldedThrough =
+      if (raw.columns.contains("epoch"))
+        raw.agg(org.apache.spark.sql.functions.max($"epoch"))
+          .as[Option[Long]].head()
+      else None
     val delta = readPostingsDelta(spark, storeDir)
     if (delta.isEmpty) return
     val base = spark.read.parquet(
@@ -607,7 +618,8 @@ object TextAnalysis {
     graft.operators.Similarity.mergeDeltaRows(base, delta, "doc_id")
       .write.mode("overwrite").parquet(s"$indexDir/postings_compacting")
     graft.operators.Similarity.swapArtifact(spark, indexDir, "postings")
-    graft.operators.Similarity.truncateStore(spark, storeDir)
+    graft.operators.Similarity.truncateStoreThrough(spark, storeDir,
+      foldedThrough)
     // the loaded-artifact memo now points at the PRE-compaction file set —
     // drop it (and unpersist its cached frames) so the next load reads the
     // merged base; index artifacts are mutable at exactly this boundary
@@ -654,11 +666,13 @@ object TextAnalysis {
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val seg = encodeForPostings(batch).withColumn("epoch", lit(epoch))
         val n = seg.count()
-        seg.write.mode("append").parquet(s"$maintDir/seg")
+        seg.write.mode("append").parquet(graft.operators.Similarity
+          .appendTarget(spark, s"$maintDir/seg"))
         if (baseCount < 0) baseCount = spark.read.parquet(
           graft.operators.Similarity.resolveArtifact(spark, indexDir, "postings")).count()
         if (deltaCount < 0)
-          deltaCount = spark.read.parquet(s"$maintDir/seg").count()
+          deltaCount = spark.read.parquet(graft.operators.Similarity
+            .appendTarget(spark, s"$maintDir/seg")).count()
         else deltaCount += n
         if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
           compactPostings(spark, indexDir, s"$maintDir/seg")

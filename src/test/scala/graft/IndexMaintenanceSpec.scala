@@ -571,6 +571,30 @@ class IndexMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("bounded store truncate keeps rows above the fold watermark") {
+    import spark.implicits._
+    // a compactor may only drop epochs its fold-read could have seen:
+    // rows a live appender lands after the watermark must survive
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bounded-trunc").toString
+    val store = s"$tmp/store"
+    Seq((1L, "a", 0L), (2L, "b", 1L), (3L, "late", 7L))
+      .toDF("vec_id", "payload", "epoch")
+      .write.mode("overwrite").parquet(store)
+    Similarity.truncateStoreThrough(spark, store, Some(1L))
+    val left = spark.read.parquet(store)
+      .select($"vec_id", $"epoch").as[(Long, Long)].collect().toSet
+    assert(left == Set((3L, 7L)),
+      s"bounded truncate kept the wrong rows: $left")
+    // an epoch-less store has no watermark: full truncate, schema intact
+    Seq((1L, "a")).toDF("vec_id", "payload")
+      .write.mode("overwrite").parquet(store)
+    Similarity.truncateStoreThrough(spark, store, None)
+    assert(spark.read.parquet(store).count() == 0)
+    assert(spark.read.parquet(store).columns.toSeq ==
+      Seq("vec_id", "payload"))
+  }
+
   test("retrain over the grown lake rebuilds quantizers and serves appends from its base") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
