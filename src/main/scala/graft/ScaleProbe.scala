@@ -279,6 +279,33 @@ object ScaleProbe {
           val o = CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
           (feed + deltaRows, o)
         }),
+        // lake OPTIMIZE: the FILE count is the quantity — before, it grows
+        // with committed epochs (every append lands its own file set: 16
+        // mini-commits × 2 files here), after, with data volume over the
+        // target file size, independent of commit count. C = data files
+        // after, O = data files before; the logical no-op is pinned by the
+        // lifecycle spec and the corpus_optimize oracle — the probe
+        // measures the physical effect those cannot see
+        ("corpus_optimize_files", nDocs, () => {
+          import graft.operators.CorpusLake
+          val corpusDir = java.nio.file.Files
+            .createTempDirectory("probe-lake-opt").toString + "/corpus"
+          val slice = graft.sources.Tables.documents(spark, dir)
+            .filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+          for (e <- 0L until 16L)
+            slice.filter(col("doc_id") % 16 === lit(e))
+              .withColumn("epoch", lit(e)).repartition(2)
+              .write.mode("append").parquet(s"$corpusDir/docs")
+          (0L until 16L).map(v => (v, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$corpusDir/manifest")
+          val before = CorpusLake.dataFileCount(spark, s"$corpusDir/docs")
+          CorpusLake.optimizeCorpus(spark, corpusDir,
+            targetRowsPerFile = 4096L)
+          (CorpusLake.dataFileCount(spark, s"$corpusDir/docs"), before)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

@@ -133,6 +133,7 @@ object SparkEntry {
     "corpus_admission"     -> (Curate.admission _),
     "corpus_changes"       -> (CorpusLake.changesTwin _),
     "corpus_profile"       -> (CorpusLake.profileTwin _),
+    "corpus_optimize"      -> (CorpusLake.optimizeTwin _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2058,6 +2059,18 @@ object SparkEntry {
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM q GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // lake OPTIMIZE: the engine builds a three-epoch lake (full bootstrap,
+    // an LWW update of every doc_id ≡ 3 mod 7, a replayed copy of that
+    // epoch, and an UNCOMMITTED epoch of doc_id ≡ 5 mod 11), physically
+    // rewrites the small per-epoch files into size-targeted ones, then
+    // serves the head snapshot; DuckDB computes the head directly — hash
+    // equality pins that the rewrite preserved LWW content exactly, the
+    // replay collapsed, and the manifest-less epoch stayed invisible
+    "corpus_optimize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN text || ' u1' ELSE text END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // index-serving dedup: the dedup_incremental chain with the index side
     // UNFILTERED (a persisted bucket index holds every corpus doc, so

@@ -887,4 +887,111 @@ object CorpusLake {
     }
     (before, after)
   }
+
+  /** Parquet data-file count under a store dir — the quantity OPTIMIZE
+    * exists to bound. Zero for a missing dir. */
+  private[graft] def dataFileCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  /** OPTIMIZE: physical small-file compaction of the lake's append
+    * stores. Every committed epoch appends its own parquet file set, so a
+    * long-running ingest accumulates file counts linear in commits — at
+    * 100 TB that is the classic lake killer (per-file open cost dominates
+    * the scan; the driver's file listing alone becomes the bottleneck).
+    * This job rewrites `docs` and `decisions` into
+    * `ceil(rows / targetRowsPerFile)` size-targeted files and nothing
+    * else: every (doc_id, epoch) row survives verbatim (byte-identical
+    * replay copies collapse — the same collapse every reader already
+    * applies), so time travel, the change feed, pinned runs, and the
+    * admission log are result-identical before and after. Unlike
+    * [[vacuumCorpus]] it never collapses history and needs no floor.
+    *
+    * Layout: rows are range-partitioned on (epoch, doc_id) and sorted
+    * within files, so each output file covers a tight, near-disjoint
+    * epoch range — parquet min/max footer stats keep
+    * [[readCorpusChanges]]' `epoch > from` predicate a whole-file skip
+    * even after coalescing (the property the per-epoch append layout gave
+    * for free, preserved deliberately).
+    *
+    * Crash safety: the rewrite lands in `*_compacting` and swaps in
+    * ([[Similarity.swapArtifact]]); every reader and appender resolves an
+    * interrupted swap ([[Similarity.resolveArtifact]] /
+    * `Similarity.appendTarget`). Like vacuum's wholesale rewrite, an
+    * append landing DURING the rewrite window would be lost — run on the
+    * maintenance cadence, between batches (the documented quiescence every
+    * whole-artifact rewrite here assumes).
+    *
+    * Returns (data files before, data files after) across both stores. */
+  def optimizeCorpus(spark: SparkSession, corpusDir: String,
+      targetRowsPerFile: Long = 1L << 20): (Long, Long) = {
+    require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
+    var (before, after) = (0L, 0L)
+    for (name <- Seq("docs", "decisions")) {
+      val p = Similarity.resolveArtifact(spark, corpusDir, name)
+      if (graft.sources.Formats.pathExists(spark, p)) {
+        before += dataFileCount(spark, p)
+        val rows = spark.read.parquet(p).dropDuplicates("doc_id", "epoch")
+        val n = rows.count()
+        val nFiles = math.max(1L, (n + targetRowsPerFile - 1) /
+          targetRowsPerFile).toInt
+        rows.repartitionByRange(nFiles, col("epoch"), col("doc_id"))
+          .sortWithinPartitions(col("epoch"), col("doc_id"))
+          .write.mode("overwrite").parquet(s"$corpusDir/${name}_compacting")
+        Similarity.swapArtifact(spark, corpusDir, name)
+        after += dataFileCount(spark, s"$corpusDir/$name")
+      }
+    }
+    (before, after)
+  }
+
+  /** [[optimizeCorpus]]' oracled BATCH twin: build a deterministic
+    * three-epoch lake beside the fixture (epoch 0 = every doc; epoch 1 =
+    * an LWW update of every doc_id ≡ 3 (mod 7); epoch 2 = an UNCOMMITTED
+    * partial epoch — data landed, no manifest row), each epoch written as
+    * many small files plus a byte-identical replay of epoch 1, then
+    * OPTIMIZE, then serve the head snapshot. DuckDB recomputes the head
+    * directly from the documents table, so the hash gate pins that a
+    * physical rewrite changed NOTHING: LWW winners intact, the replay
+    * collapsed once not twice, the uncommitted epoch still invisible. The
+    * file-count assertion makes the query fail loudly if OPTIMIZE ever
+    * stops compacting. Lake build + optimize run once per fixture dir
+    * (memoized); the serve re-reads the optimized store every call. */
+  def optimizeTwin(spark: SparkSession, dir: String): DataFrame = {
+    val corpusDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-opt-lake|$dir") {
+      val d = java.nio.file.Files.createTempDirectory("graft-opt-lake")
+        .toString + "/corpus"
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"), col("text"), lit(0L).as("epoch"))
+        .repartition(8).write.mode("append").parquet(s"$d/docs")
+      val upd = docs.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), concat(col("text"), lit(" u1")).as("text"),
+          lit(1L).as("epoch"))
+      upd.repartition(8).write.mode("append").parquet(s"$d/docs")
+      // a crash-replayed epoch: byte-identical copy of epoch 1's rows
+      upd.repartition(8).write.mode("append").parquet(s"$d/docs")
+      // an in-flight epoch above the head: data first, manifest never
+      docs.filter(col("doc_id") % 11 === 5)
+        .select(col("doc_id"), concat(col("text"), lit(" u2")).as("text"),
+          lit(2L).as("epoch"))
+        .repartition(8).write.mode("append").parquet(s"$d/docs")
+      import spark.implicits._
+      Seq((0L, 0L, 0L, 0L, 0L, 0L), (1L, 0L, 0L, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$d/manifest")
+      val (fb, fa) = optimizeCorpus(spark, d)
+      require(fa < fb,
+        s"OPTIMIZE did not reduce the file count ($fb -> $fa)")
+      d
+    }
+    readCorpusAt(spark, dir, corpusDir, None)
+      .orderBy(col("doc_id"))
+  }
 }

@@ -216,4 +216,72 @@ class CorpusLifecycleSpec extends SparkSpec {
       s"cross-batch dedup broke across compaction: ${log(1000004L)}")
     Caches.releaseAll()
   }
+
+  test("corpus lake: OPTIMIZE coalesces files without changing any read") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-opt").toString
+    val corpus = s"$tmp/corpus"
+    // hand-built lake: every epoch lands as 4 files (the small-file
+    // problem), with a replayed epoch and an uncommitted one on top
+    def append(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "epoch").repartition(4)
+        .write.mode("append").parquet(s"$corpus/docs")
+    append((1L to 20L).map(i => (1000000L + i, s"doc $i v0", 0L)))
+    val e1 = (5L to 8L).map(i => (1000000L + i, s"doc $i v1", 1L))
+    append(e1)
+    append(e1) // byte-identical crash replay of epoch 1
+    append(Seq((1000021L, "doc 21 v2", 2L)))
+    append(Seq((1000001L, "doc 1 v3", 3L))) // data landed, manifest never
+    Seq(0L, 1L, 2L).map(v => (v, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    Seq((1000001L, Curate.Admitted, 0L,
+        None: Option[Long], 0L, 0.5, 0L))
+      .toDF("doc_id", "decision", "n_dup_matches", "first_dup",
+        "n_bench_hits", "quality", "epoch")
+      .repartition(3)
+      .write.mode("append").parquet(s"$corpus/decisions")
+
+    def snap(v: Option[Long]): Map[Long, String] =
+      CorpusLake.readCorpusAt(spark, dir, corpus, v)
+        .filter($"doc_id" >= 1000000L)
+        .as[(Long, String)].collect().toMap
+    def cdc(from: Long): Set[(Long, String, Long, String)] =
+      CorpusLake.readCorpusChanges(spark, dir, corpus, from)
+        .as[(Long, String, Long, String)].collect().toSet
+    val (headB, at0B, cdcB) = (snap(None), snap(Some(0L)), cdc(0L))
+    assert(headB(1000005L) == "doc 5 v1" && headB(1000001L) == "doc 1 v0",
+      "fixture lake is not in the expected pre-optimize state")
+    val logB = CorpusLake.admissionLog(spark, corpus).collect().toSeq
+
+    val (fb, fa) = CorpusLake.optimizeCorpus(spark, corpus,
+      targetRowsPerFile = 1000L)
+    assert(fa < fb, s"OPTIMIZE did not reduce files: $fb -> $fa")
+    // physical rewrite, logical no-op: head, time travel, the change
+    // feed, and the audit log are all byte-identical
+    assert(snap(None) == headB)
+    assert(snap(Some(0L)) == at0B)
+    assert(cdc(0L) == cdcB)
+    assert(CorpusLake.admissionLog(spark, corpus).collect().toSeq == logB)
+    // the replayed epoch collapsed to ONE row per (doc_id, epoch) in the
+    // rewrite — the same collapse every reader applies
+    assert(spark.read.parquet(s"$corpus/docs")
+      .filter($"epoch" === 1L).count() == 4L)
+    // the uncommitted epoch survived the rewrite, still invisible ...
+    assert(spark.read.parquet(s"$corpus/docs")
+      .filter($"epoch" === 3L).count() == 1L)
+    assert(snap(None)(1000001L) == "doc 1 v0")
+    // ... and the manifest-last protocol still completes it: committing
+    // epoch 3 AFTER the optimize makes its rows serve
+    Seq((3L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    assert(snap(None)(1000001L) == "doc 1 v3",
+      "post-optimize commit of the in-flight epoch did not serve")
+    Caches.releaseAll()
+  }
 }
