@@ -201,11 +201,16 @@ object CorpusLake {
     * manifest row is ONE row. The optional `profDir` live view adds one
     * base-corpus membership probe per commit (the change feed's
     * documented prior-visibility scan) — at a scale where that matters,
-    * run [[refreshProfileFromLake]] on a cadence instead of per commit. */
+    * run [[refreshProfileFromLake]] on a cadence instead of per commit.
+    * `optimizeEvery` > 0 runs [[optimizeCorpus]] every that-many commits,
+    * INSIDE the serialized foreachBatch slot — which is exactly the
+    * no-concurrent-append quiescence the wholesale rewrite assumes, so
+    * the inline cadence is the always-safe way to schedule it. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
-      profDir: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+      profDir: Option[String] = None,
+      optimizeEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
@@ -281,6 +286,14 @@ object CorpusLake {
             baseCount = -1
             deltaCount = 0
           }
+          // inline OPTIMIZE at a commit-count cadence: foreachBatch
+          // serializes batches, so this slot IS the quiescence the
+          // wholesale rewrite assumes — no append can land inside it. A
+          // crash mid-rewrite is the _compacting swap every reader and
+          // appender already resolves; a crash before it just postpones
+          // the hygiene pass to the next firing epoch.
+          if (optimizeEvery > 0 && (epoch + 1) % optimizeEvery == 0)
+            optimizeCorpus(spark, corpusDir)
           // optional live materialized view: the cursor-protected refresh
           // job runs AFTER the commit, so a crash between the manifest and
           // this point only leaves the cursor behind — the next batch (or

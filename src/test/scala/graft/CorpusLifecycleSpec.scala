@@ -217,6 +217,39 @@ class CorpusLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("corpus lake: inline OPTIMIZE cadence bounds the file count across commits") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-inline-opt").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
+        optimizeEvery = 2)
+      .start()
+    // four single-doc commits; OPTIMIZE fires inside epochs 1 and 3
+    val texts = (1 to 4).map(i => words(s"inopt$i", 40).mkString(" "))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      in.addData((2000000L + i, t)); q.processAllAvailable()
+    }
+    q.stop()
+    // the last firing folded ALL four epochs' file sets into one per store
+    assert(CorpusLake.dataFileCount(spark, s"$corpus/docs") == 1L,
+      "inline OPTIMIZE did not coalesce the docs store")
+    assert(CorpusLake.dataFileCount(spark, s"$corpus/decisions") == 1L)
+    // and the lake still serves everything, LWW/audit intact
+    val head = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" >= 2000000L).as[(Long, String)].collect().toMap
+    assert(head == texts.zipWithIndex
+      .map { case (t, i) => (2000000L + i) -> t }.toMap)
+    assert(CorpusLake.admissionLog(spark, corpus)
+      .filter($"decision" === Curate.Admitted).count() == 4L)
+    Caches.releaseAll()
+  }
+
   test("corpus lake: OPTIMIZE coalesces files without changing any read") {
     import spark.implicits._
     Caches.releaseAll()
