@@ -279,6 +279,26 @@ object ScaleProbe {
           val o = CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
           (feed + deltaRows, o)
         }),
+        // the corpus_changes_scan measurement REPEATED on an OPTIMIZED
+        // lake: the rewrite sorts on (epoch, doc_id), so parquet row-group
+        // min/max stats keep the epoch predicate pruning tight after the
+        // per-epoch file layout is gone — C must stay changed-volume-sized,
+        // pinning the "logical no-op, physical win" claim on the cost side
+        ("corpus_changes_scan_opt", nDocs, () => {
+          import graft.operators.CorpusLake
+          val corpusDir = java.nio.file.Files
+            .createTempDirectory("probe-lake-cdc-opt").toString + "/corpus"
+          mkLakeFixture(corpusDir)
+          CorpusLake.optimizeCorpus(spark, corpusDir)
+          val nChanged = CorpusLake
+            .readCorpusChanges(spark, dir, corpusDir, 0L, None).count()
+          val c = spark.read.parquet(s"$corpusDir/docs")
+            .filter(col("epoch") > 0L).count() + nChanged
+          val o = CorpusLake.readCorpusAt(spark, dir, corpusDir, Some(0L))
+            .count() +
+            CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
+          (c, o)
+        }),
         // lake OPTIMIZE: the FILE count is the quantity — before, it grows
         // with committed epochs (every append lands its own file set: 16
         // mini-commits × 2 files here), after, with data volume over the
