@@ -948,14 +948,8 @@ object CorpusLake {
       val p = Similarity.resolveArtifact(spark, corpusDir, name)
       if (graft.sources.Formats.pathExists(spark, p)) {
         before += dataFileCount(spark, p)
-        val rows = spark.read.parquet(p).dropDuplicates("doc_id", "epoch")
-        val n = rows.count()
-        val nFiles = math.max(1L, (n + targetRowsPerFile - 1) /
-          targetRowsPerFile).toInt
-        rows.repartitionByRange(nFiles, col("epoch"), col("doc_id"))
-          .sortWithinPartitions(col("epoch"), col("doc_id"))
-          .write.mode("overwrite").parquet(s"$corpusDir/${name}_compacting")
-        Similarity.swapArtifact(spark, corpusDir, name)
+        Similarity.coalesceStore(spark, s"$corpusDir/$name",
+          Seq("doc_id", "epoch"), Seq("epoch", "doc_id"), targetRowsPerFile)
         after += dataFileCount(spark, s"$corpusDir/$name")
       }
     }

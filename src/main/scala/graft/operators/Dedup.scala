@@ -347,7 +347,8 @@ object Dedup {
           .appendTarget(spark, s"$maintDir/buckets"))
         batch.select(col("doc_id"), col("text"))
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(s"$maintDir/docs")
+          .write.mode("append").parquet(graft.operators.Similarity
+            .appendTarget(spark, s"$maintDir/docs"))
         if (baseCount < 0) baseCount = spark.read.parquet(
           graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets")).count()
         if (deltaCount < 0)
@@ -356,6 +357,13 @@ object Dedup {
         else deltaCount += n
         if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
           compactDedupIndex(spark, indexDir, s"$maintDir/buckets")
+          // the doc-lake partition is append-forever (the verify's text
+          // lookup needs it for every ingested doc) — coalesce its
+          // per-batch file sets on the same cadence, sorted by doc_id so
+          // footer stats serve the candidate semi-join; this foreachBatch
+          // slot is the quiescence the wholesale rewrite assumes
+          graft.operators.Similarity.coalesceStore(spark, s"$maintDir/docs",
+            Seq("doc_id", "epoch"), Seq("doc_id", "epoch"))
           baseCount = -1
           deltaCount = 0
         }
@@ -363,9 +371,11 @@ object Dedup {
   }
 
   /** Replay-safe doc-level latest-wins read of the appended documents'
-    * lake partition ((doc_id, text, epoch) rows). */
+    * lake partition ((doc_id, text, epoch) rows). Resolves an interrupted
+    * coalesce swap first — the store is mutable at exactly that boundary. */
   def readDocsDelta(spark: SparkSession, docsDir: String): DataFrame = {
-    val raw = spark.read.parquet(docsDir)
+    val raw = spark.read.parquet(
+      graft.operators.Similarity.appendTarget(spark, docsDir))
     raw.dropDuplicates("doc_id", "epoch")
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))

@@ -1764,6 +1764,35 @@ object Similarity {
         swapArtifact(spark, parent, name)
     }
 
+  /** Coalesce an append store's many small per-batch files into
+    * `ceil(rows / target)` sorted files — the side-table twin of the lake
+    * OPTIMIZE ([[CorpusLake.optimizeCorpus]]), for the grow-forever raw
+    * partitions the maintenance loops keep beside their delta stores
+    * (`maintDir/vecs`, `maintDir/docs`). A logical no-op: every
+    * `dedupKeys` row survives (byte-identical replay copies collapse —
+    * the collapse every reader already applies); rows are range-
+    * partitioned and sorted on `sortKeys` so parquet footer min/max
+    * stats serve the readers' key lookups after the per-batch layout is
+    * gone. Rides the `_compacting` swap; callers run it inside the
+    * serialized foreachBatch slot (the no-concurrent-append quiescence
+    * every wholesale rewrite here assumes). No-op on a missing store. */
+  private[graft] def coalesceStore(spark: SparkSession, storeDir: String,
+      dedupKeys: Seq[String], sortKeys: Seq[String],
+      targetRowsPerFile: Long = 1L << 20): Unit = {
+    val i = storeDir.lastIndexOf('/')
+    val (parent, name) = (storeDir.take(i), storeDir.drop(i + 1))
+    val p = resolveArtifact(spark, parent, name)
+    if (!graft.sources.Formats.pathExists(spark, p)) return
+    val rows = spark.read.parquet(p).dropDuplicates(dedupKeys)
+    val n = rows.count()
+    val nFiles = math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    rows.repartitionByRange(nFiles, sortKeys.map(col): _*)
+      .sortWithinPartitions(sortKeys.map(col): _*)
+      .write.mode("overwrite").parquet(s"${storeDir}_compacting")
+    swapArtifact(spark, parent, name)
+  }
+
   /** The retrain job [[retrainAdvised]] schedules — the one operation the
     * pinned-quantizer maintenance contract defers: rebuild coarse + fine
     * quantizers AND the inverted lists over the GROWN lake (base corpus ∪
@@ -1793,7 +1822,7 @@ object Similarity {
     * ((vec_id, embedding, epoch) rows; [[readIndexDelta]] semantics). */
   def readVecsDelta(spark: SparkSession, vecsDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(vecsDir)
+    spark.read.parquet(appendTarget(spark, vecsDir))
       .dropDuplicates("vec_id", "epoch")
       .withColumn("_rn", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"epoch".desc)))
@@ -1932,7 +1961,8 @@ object Similarity {
             appendTarget(spark, s"$maintDir/lists"))
         batch.select($"vec_id", $"embedding")
           .withColumn("epoch", lit(epoch))
-          .write.mode("append").parquet(s"$maintDir/vecs")
+          .write.mode("append").parquet(
+            appendTarget(spark, s"$maintDir/vecs"))
         if (baseCount < 0) baseCount =
           spark.read.parquet(resolveArtifact(spark, indexDir, "lists")).count()
         if (deltaCount < 0)
@@ -1952,6 +1982,13 @@ object Similarity {
         }
         if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
           compactIndex(spark, indexDir, s"$maintDir/lists")
+          // the raw-vector lake partition is append-forever (the re-rank
+          // and a future retrain read it) — coalesce its per-batch file
+          // sets on the same cadence, sorted by vec_id for the re-rank's
+          // id lookups; this foreachBatch slot is the quiescence the
+          // wholesale rewrite assumes
+          coalesceStore(spark, s"$maintDir/vecs",
+            Seq("vec_id", "epoch"), Seq("vec_id", "epoch"))
           baseCount = -1 // recount once, next batch (amortized per compaction)
           deltaCount = 0
         }

@@ -384,6 +384,11 @@ class IndexMaintenanceSpec extends SparkSpec {
       s"probe's appended twin not served after run 1: $afterRun1")
     // advisory row written per epoch (replay-safe reader)
     assert(Similarity.readAdvisory(spark, maint).count() == 2)
+    // the raw-vector lake partition coalesced at the compaction cadence:
+    // one sorted file, not one file set per batch
+    assert(graft.operators.CorpusLake
+        .dataFileCount(spark, s"$maint/vecs") == 1L,
+      "compaction did not coalesce the vecs lake partition")
 
     // restart from the same checkpoint with one NEW file: committed epochs
     // are not re-processed (their rows live in the compacted base now)
@@ -707,6 +712,10 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$maint/buckets").count() == 0,
       "maintenance loop did not compact the appended buckets")
     assert(spark.read.parquet(s"$idx/buckets").count() > nBase)
+    // the doc-lake partition coalesced at the compaction cadence
+    assert(graft.operators.CorpusLake
+        .dataFileCount(spark, s"$maint/docs") == 1L,
+      "compaction did not coalesce the docs lake partition")
     val after = Dedup.dedupArrivalsFromSaved(spark, dir, probe, idx,
         Some(store), Some(deltaDocs.unionByName(
           Dedup.readDocsDelta(spark, s"$maint/docs"))))
