@@ -1,0 +1,151 @@
+package graft
+
+import graft.operators.{CorpusLake, Similarity}
+import graft.sources.{Caches, Tables}
+
+/** Model-based lifecycle check for the versioned corpus lake: a seeded
+  * random interleaving of the lake's write-side operations — committed
+  * appends, manifest-less (in-flight) appends, late commits, byte-identical
+  * crash replays, OPTIMIZE rewrites, vacuums to random valid floors — is
+  * applied to BOTH the real lake (through the same primitives the
+  * maintenance loop uses) and a trivial in-memory model of the commit
+  * protocol. After every operation the head snapshot, random pinned-version
+  * snapshots, pre-floor refusals, and the change feed must agree with the
+  * model exactly. The point is the INTERLEAVINGS: each protocol rule
+  * (manifest-last visibility, LWW, replay collapse, vacuum's in-flight
+  * survival + reclaim, OPTIMIZE's logical no-op) is spec-pinned in
+  * isolation elsewhere; this pins their composition under orderings nobody
+  * thought to write by hand. */
+class LakeModelSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("random append/commit/replay/optimize/vacuum interleavings agree with the model") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val base: Map[Long, String] = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val baseIds = base.keys.toSeq.sorted
+
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = java.nio.file.Files
+        .createTempDirectory(s"graft-lake-model-$seed").toString + "/corpus"
+
+      // the model: committed/uncommitted epoch → docs, plus the floor
+      var committed = Map.empty[Long, Map[Long, String]]
+      var uncommitted = Map.empty[Long, Map[Long, String]]
+      var floor = Long.MinValue
+      var nextEpoch = 0L
+      def head: Long =
+        if (committed.isEmpty) Long.MinValue else committed.keys.max
+      def modelAt(v: Long): Map[Long, String] =
+        base ++ committed.toSeq.filter(_._1 <= v).sortBy(_._1)
+          .foldLeft(Map.empty[Long, String])((m, e) => m ++ e._2)
+
+      def writeDocs(e: Long, docs: Map[Long, String]): Unit =
+        if (docs.nonEmpty)
+          docs.toSeq.map { case (d, t) => (d, t, e) }
+            .toDF("doc_id", "text", "epoch").repartition(2)
+            .write.mode("append")
+            .parquet(Similarity.appendTarget(spark, s"$corpus/docs"))
+      def writeManifest(e: Long): Unit =
+        Seq((e, 0L, 0L, 0L, 0L, 0L))
+          .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+            "n_contaminated", "n_low_quality")
+          .write.mode("append").parquet(s"$corpus/manifest")
+      // fresh doc ids from a small pool (forces LWW rewrites) plus an
+      // occasional BASE id (the base-shadowing case)
+      def randomDocs(step: Int): Map[Long, String] =
+        (1 to (1 + rnd.nextInt(3))).map { _ =>
+          val id = if (rnd.nextInt(4) == 0) baseIds(rnd.nextInt(baseIds.size))
+                   else 5000000L + rnd.nextInt(8)
+          id -> s"s$seed step$step doc$id r${rnd.nextInt(1000)}"
+        }.toMap
+
+      def checkHead(ctx: String): Unit = {
+        val got = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+          .as[(Long, String)].collect().toMap
+        assert(got == modelAt(Long.MaxValue), s"seed $seed $ctx: head mismatch")
+      }
+
+      for (step <- 1 to 14) {
+        val op = rnd.nextInt(10)
+        op match {
+          case 0 | 1 | 2 | 3 =>
+            val e = nextEpoch; nextEpoch += 1
+            val docs = randomDocs(step)
+            writeDocs(e, docs); writeManifest(e)
+            committed += e -> docs
+          case 4 => // in-flight: data lands, manifest doesn't (yet)
+            val e = nextEpoch; nextEpoch += 1
+            val docs = randomDocs(step)
+            writeDocs(e, docs)
+            uncommitted += e -> docs
+          case 5 => // late commit of the oldest pending epoch
+            uncommitted.keys.toSeq.sorted.headOption.foreach { e =>
+              writeManifest(e)
+              committed += e -> uncommitted(e)
+              uncommitted -= e
+            }
+          case 6 => // byte-identical crash replay of a committed epoch
+            if (committed.nonEmpty) {
+              val e = committed.keys.toSeq.sorted.apply(rnd.nextInt(committed.size))
+              writeDocs(e, committed(e))
+            }
+          case 7 =>
+            CorpusLake.optimizeCorpus(spark, corpus,
+              targetRowsPerFile = 1L + rnd.nextInt(50))
+          case 8 =>
+            if (head >= 0) {
+              val lo = math.max(floor, 0L)
+              val f = lo + rnd.nextInt((head - lo + 1).toInt)
+              CorpusLake.vacuumCorpus(spark, corpus, f)
+              floor = f
+              // vacuum reclaims manifest-less epochs AT or BELOW the
+              // committed head (provably dead); in-flight ones above live
+              uncommitted = uncommitted.map { case (e, d) =>
+                e -> (if (e > head) d else Map.empty[Long, String])
+              }
+            }
+          case 9 => // history below the floor must refuse loudly
+            if (floor > Long.MinValue && floor > 0)
+              intercept[IllegalArgumentException] {
+                CorpusLake.readCorpusAt(spark, dir, corpus, Some(floor - 1))
+              }
+        }
+        checkHead(s"step $step (op $op)")
+        // a random committed version at-or-above the floor: time travel
+        if (step % 3 == 0) {
+          val vs = committed.keys.filter(_ >= floor).toSeq.sorted
+          if (vs.nonEmpty) {
+            val v = vs(rnd.nextInt(vs.size))
+            val got = CorpusLake.readCorpusAt(spark, dir, corpus, Some(v))
+              .as[(Long, String)].collect().toMap
+            assert(got == modelAt(v), s"seed $seed step $step: at-$v mismatch")
+          }
+        }
+      }
+
+      // change feed vs the model, over a random committed (from, head]
+      // window at-or-above the floor
+      val froms = committed.keys.filter(_ >= floor).toSeq.sorted
+      if (froms.size >= 2) {
+        val from = froms(rnd.nextInt(froms.size - 1))
+        val got = CorpusLake.readCorpusChanges(spark, dir, corpus, from)
+          .select($"doc_id", $"change_type").as[(Long, String)]
+          .collect().toSet
+        val visibleAtFrom = modelAt(from).keySet
+        val want = committed.toSeq.filter(_._1 > from).sortBy(_._1)
+          .foldLeft(Map.empty[Long, Long]) { case (m, (e, d)) =>
+            m ++ d.keys.map(_ -> e)
+          }
+          .keys.map(id => id ->
+            (if (visibleAtFrom(id)) "update" else "insert")).toSet
+          .map { p: (Long, String) => p }
+        assert(got == want, s"seed $seed: change feed mismatch from $from")
+      }
+    }
+    Caches.releaseAll()
+  }
+}
