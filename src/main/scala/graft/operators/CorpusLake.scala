@@ -111,7 +111,12 @@ object CorpusLake {
     if (!graft.sources.Formats.pathExists(spark, p))
       return spark.range(0).select(col("id").as("doc_id"),
         lit("").as("text"), lit(0L).as("epoch")).limit(0)
-    spark.read.parquet(p).dropDuplicates("doc_id", "epoch")
+    // mergeSchema: epochs may carry EVOLVED schemas (extra metadata
+    // columns added mid-stream) — older epochs serve nulls there. The
+    // footer-union cost is file-count-proportional, which [[optimizeCorpus]]
+    // bounds (and whose rewrite physically unifies the store's schema)
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .dropDuplicates("doc_id", "epoch")
   }
 
   /** Committed manifest rows (replay copies collapsed per epoch). */
@@ -158,14 +163,17 @@ object CorpusLake {
     * committed epoch ≤ `version` (latest state when None). Latest epoch
     * wins per doc_id, and an admitted re-upload of a BASE doc_id shadows
     * the base row (LWW all the way down). Uncommitted partial epochs are
-    * invisible by the manifest semi-join. */
+    * invisible by the manifest semi-join. Schema-evolved lakes serve
+    * every stored column: extra metadata columns a later epoch introduced
+    * appear with nulls for base docs and pre-evolution epochs (schema is
+    * table-level, not per-version — the table-format convention). */
   def readCorpusAt(spark: SparkSession, dir: String, corpusDir: String,
       version: Option[Long] = None): DataFrame = {
     val admitted = admittedAt(spark, corpusDir, version)
     val base = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
       .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    base.unionByName(admitted.select(col("doc_id"), col("text")))
+    base.unionByName(admitted.drop("epoch"), allowMissingColumns = true)
   }
 
   /** The full per-doc admission audit log (committed epochs only). */
@@ -210,7 +218,8 @@ object CorpusLake {
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
       profDir: Option[String] = None,
-      optimizeEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] = {
+      optimizeEvery: Int = 0,
+      carryCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
@@ -234,7 +243,12 @@ object CorpusLake {
             "against a stale checkpoint; restart it with its original " +
             "checkpoint location)")
         } else if (!batch.isEmpty) {
-          val rows = batch.select($"doc_id", $"text")
+          // carryCols = schema evolution at the ingest edge: extra
+          // metadata columns ride along into the docs store (the gate
+          // itself only reads doc_id/text); older epochs without them
+          // serve nulls via the mergeSchema read
+          val rows = batch.select(
+            (col("doc_id") +: col("text") +: carryCols.map(col)): _*)
           val store = s"$maintDir/buckets"
           val haveStore = graft.sources.Formats.pathExists(
             spark, Similarity.resolveArtifact(spark, maintDir, "buckets"))

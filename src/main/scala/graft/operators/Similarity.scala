@@ -1783,7 +1783,11 @@ object Similarity {
     val (parent, name) = (storeDir.take(i), storeDir.drop(i + 1))
     val p = resolveArtifact(spark, parent, name)
     if (!graft.sources.Formats.pathExists(spark, p)) return
-    val rows = spark.read.parquet(p).dropDuplicates(dedupKeys)
+    // mergeSchema: a store whose epochs carry evolved schemas must not
+    // lose a column to whichever file the plain reader samples; the
+    // rewrite physically unifies the schema (nulls backfilled)
+    val rows = spark.read.option("mergeSchema", "true").parquet(p)
+      .dropDuplicates(dedupKeys)
     val n = rows.count()
     val nFiles = math.max(1L,
       (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -1978,7 +1982,8 @@ object Similarity {
             .as[(Double, Boolean)].head()
           Seq((epoch, m._1, m._2))
             .toDF("epoch", "mean_recall", "retrain_advised")
-            .write.mode("append").parquet(s"$maintDir/advisory")
+            .write.mode("append").parquet(
+              appendTarget(spark, s"$maintDir/advisory"))
         }
         if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
           compactIndex(spark, indexDir, s"$maintDir/lists")
@@ -1989,6 +1994,8 @@ object Similarity {
           // wholesale rewrite assumes
           coalesceStore(spark, s"$maintDir/vecs",
             Seq("vec_id", "epoch"), Seq("vec_id", "epoch"))
+          if (advise) coalesceStore(spark, s"$maintDir/advisory",
+            Seq("epoch"), Seq("epoch"))
           baseCount = -1 // recount once, next batch (amortized per compaction)
           deltaCount = 0
         }
@@ -1999,7 +2006,8 @@ object Similarity {
     * plain append (no key on disk), so a crash-replayed epoch appends its
     * row twice — dedup by epoch on read, like every other store. */
   def readAdvisory(spark: SparkSession, maintDir: String): DataFrame =
-    spark.read.parquet(s"$maintDir/advisory").dropDuplicates("epoch")
+    spark.read.parquet(appendTarget(spark, s"$maintDir/advisory"))
+      .dropDuplicates("epoch")
 
   /** The deterministic BATCH twin of the ingest-append encode, as its own
     * oracled query: every 10th base vector re-arrives under a fresh id

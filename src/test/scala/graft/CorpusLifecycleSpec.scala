@@ -250,6 +250,66 @@ class CorpusLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("corpus lake: schema evolution — a later epoch's extra column serves with nulls backfilled") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-evolve").toString
+    val corpus = s"$tmp/corpus"
+    // epoch 0 lands pre-evolution (doc_id, text); epoch 1 carries a lang
+    // column — the mixed-schema store every long-lived lake ends up with
+    Seq((1000001L, docAText, 0L)).toDF("doc_id", "text", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq((1000005L, docBText, "en", 1L)).toDF("doc_id", "text", "lang", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq(0L, 1L).map(v => (v, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+
+    def headLangs(): Map[Long, Option[String]] =
+      CorpusLake.readCorpusAt(spark, dir, corpus, None)
+        .filter($"doc_id" >= 1000000L)
+        .select($"doc_id", $"lang").as[(Long, Option[String])]
+        .collect().toMap
+    // the evolved column serves; the pre-evolution epoch backfills null
+    assert(headLangs() == Map(1000001L -> None, 1000005L -> Some("en")))
+    // base docs backfill null too (spot-check one)
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" === 0L).select($"lang").as[Option[String]]
+      .head().isEmpty)
+    // schema is table-level: time travel BEFORE the evolution still
+    // exposes the column, all-null (the table-format convention)
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, Some(0L))
+      .filter($"doc_id" === 1000001L).select($"lang").as[Option[String]]
+      .head().isEmpty)
+    // OPTIMIZE unifies the mixed-schema store physically and changes
+    // nothing logically
+    val (fb, fa) = CorpusLake.optimizeCorpus(spark, corpus)
+    assert(fa < fb)
+    assert(headLangs() == Map(1000001L -> None, 1000005L -> Some("en")))
+
+    // the ingest edge: carryCols rides metadata through the admission
+    // gate (which itself reads only doc_id/text) into the docs store
+    val (idx2, corpus2, maint2) = (s"$tmp/idx2", s"$tmp/corpus2", s"$tmp/maint2")
+    CorpusLake.initCorpus(spark, dir, idx2)
+    val in = MemoryStream[(Long, String, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text", "lang"), spark, dir, idx2, corpus2,
+        maint2, carryCols = Seq("lang"))
+      .start()
+    in.addData((1000007L, docAText, "de"), (1000008L, lowQText, "fr"))
+    q.processAllAvailable(); q.stop()
+    val served = CorpusLake.readCorpusAt(spark, dir, corpus2, None)
+      .filter($"doc_id" >= 1000000L)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    // the admitted doc carries its metadata; the low-quality doc is gone
+    assert(served == Map(1000007L -> "de"),
+      s"carryCols did not ride the admission gate: $served")
+    Caches.releaseAll()
+  }
+
   test("corpus lake: OPTIMIZE coalesces files without changing any read") {
     import spark.implicits._
     Caches.releaseAll()
