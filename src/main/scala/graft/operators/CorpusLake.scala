@@ -424,10 +424,16 @@ object CorpusLake {
     val prior = priorLake.unionByName(priorBase)
       .join(changedIds, Seq("doc_id"), "left_semi")
       .distinct().withColumn("_prior", lit(true))
+    // evolved metadata columns ride the feed (nulls for pre-evolution
+    // epochs) — a training-set delta shipment needs them, and the index
+    // consumers project them away
+    val extras = changed.columns
+      .filterNot(Set("doc_id", "text", "epoch")).toSeq
     changed.join(prior, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("text"), col("epoch").as("version"),
+      .select(Seq(col("doc_id"), col("text"), col("epoch").as("version"),
         when(col("_prior").isNotNull, lit("update"))
-          .otherwise(lit("insert")).as("change_type"))
+          .otherwise(lit("insert")).as("change_type")) ++
+        extras.map(col): _*)
   }
 
   /** Lake-commit-driven lexical index refresh: consume the change feed

@@ -284,6 +284,14 @@ class CorpusLifecycleSpec extends SparkSpec {
     assert(CorpusLake.readCorpusAt(spark, dir, corpus, Some(0L))
       .filter($"doc_id" === 1000001L).select($"lang").as[Option[String]]
       .head().isEmpty)
+    // the change feed carries the evolved column too (training-set delta
+    // shipping), nulls where the epoch predates it
+    val feed = CorpusLake.readCorpusChanges(spark, dir, corpus, Long.MinValue)
+      .select($"doc_id", $"change_type", $"lang")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(feed == Set((1000001L, "insert", None),
+      (1000005L, "insert", Some("en"))),
+      s"change feed lost the evolved column: $feed")
     // OPTIMIZE unifies the mixed-schema store physically and changes
     // nothing logically
     val (fb, fa) = CorpusLake.optimizeCorpus(spark, corpus)
