@@ -931,6 +931,48 @@ object CorpusLake {
       s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
   }
 
+  /** Operational stats for a lake — the DESCRIBE surface an operator
+    * watches to schedule maintenance: one row per concern. `file_count`
+    * rising against flat `row_count` says OPTIMIZE is due;
+    * `uncommitted_epochs` > 0 names in-flight (or crash-orphaned) data;
+    * `committed_epochs` vs `retention_floor` bounds the time-travel
+    * window; `pinned_runs` is the vacuum constraint. Cost: file listings
+    * plus one count per store and the (KB-scale) manifest/pins/retention
+    * reads — no corpus-sized shuffle; safe to poll. */
+  def lakeStats(spark: SparkSession, corpusDir: String): DataFrame = {
+    import spark.implicits._
+    val man = manifest(spark, corpusDir)
+    val committedN = man.count()
+    val head = man.agg(max(col("version"))).as[Option[Long]].head()
+    def store(name: String): (Long, Long) = {
+      val p = Similarity.resolveArtifact(spark, corpusDir, name)
+      if (!graft.sources.Formats.pathExists(spark, p)) (0L, 0L)
+      else (spark.read.option("mergeSchema", "true").parquet(p).count(),
+        dataFileCount(spark, p))
+    }
+    val (docRows, docFiles) = store("docs")
+    val (decRows, decFiles) = store("decisions")
+    val uncommitted = {
+      val p = Similarity.resolveArtifact(spark, corpusDir, "docs")
+      if (!graft.sources.Formats.pathExists(spark, p)) 0L
+      else spark.read.option("mergeSchema", "true").parquet(p)
+        .select(col("epoch")).distinct()
+        .join(man.select(col("version").as("epoch")), Seq("epoch"),
+          "left_anti").count()
+    }
+    val floor = retentionFloor(spark, corpusDir)
+    val pins = pinnedRuns(spark, corpusDir).count()
+    Seq(
+      ("committed_epochs", committedN),
+      ("committed_head", head.getOrElse(-1L)),
+      ("uncommitted_epochs", uncommitted),
+      ("docs_rows", docRows), ("docs_files", docFiles),
+      ("decisions_rows", decRows), ("decisions_files", decFiles),
+      ("retention_floor", if (floor == Long.MinValue) -1L else floor),
+      ("pinned_runs", pins)
+    ).toDF("stat", "value")
+  }
+
   /** OPTIMIZE: physical small-file compaction of the lake's append
     * stores. Every committed epoch appends its own parquet file set, so a
     * long-running ingest accumulates file counts linear in commits — at

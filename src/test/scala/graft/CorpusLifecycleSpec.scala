@@ -375,6 +375,14 @@ class CorpusLifecycleSpec extends SparkSpec {
     assert(spark.read.parquet(s"$corpus/docs")
       .filter($"epoch" === 3L).count() == 1L)
     assert(snap(None)(1000001L) == "doc 1 v0")
+    // the DESCRIBE surface reads the post-optimize state correctly
+    val stats = CorpusLake.lakeStats(spark, corpus)
+      .as[(String, Long)].collect().toMap
+    assert(stats("committed_epochs") == 3L && stats("committed_head") == 2L)
+    assert(stats("uncommitted_epochs") == 1L, s"stats: $stats")
+    assert(stats("docs_rows") == 26L) // 20 + 4 (replay collapsed) + 1 + 1
+    assert(stats("docs_files") + stats("decisions_files") == fa)
+    assert(stats("pinned_runs") == 0L && stats("retention_floor") == -1L)
     // ... and the manifest-last protocol still completes it: committing
     // epoch 3 AFTER the optimize makes its rows serve
     Seq((3L, 0L, 0L, 0L, 0L, 0L))
