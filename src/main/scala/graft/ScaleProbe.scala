@@ -16,6 +16,26 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.ScaleProbe /root/testdata/sf0.01 /root/testdata/sf0.1
   */
 object ScaleProbe {
+
+  /** Rows the plan's file scans actually DECODED (FileSourceScan
+    * numOutputRows, after parquet row-group min/max skipping) — the
+    * honest pruning metric a post-predicate row count cannot give,
+    * because that count is layout-invariant by construction. */
+  private def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+    // execute THIS plan (df.count() would build and execute a different
+    // QueryExecution, leaving these metrics at zero)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleProbe <sfDir> [sfDir...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -279,25 +299,67 @@ object ScaleProbe {
           val o = CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
           (feed + deltaRows, o)
         }),
-        // the corpus_changes_scan measurement REPEATED on an OPTIMIZED
-        // lake: the rewrite sorts on (epoch, doc_id), so parquet row-group
-        // min/max stats keep the epoch predicate pruning tight after the
-        // per-epoch file layout is gone — C must stay changed-volume-sized,
-        // pinning the "logical no-op, physical win" claim on the cost side
+        // the corpus_changes_scan claim measured HONESTLY on an OPTIMIZED
+        // lake: C = rows the epoch-predicate scan actually DECODES (the
+        // FileSourceScan's numOutputRows after parquet row-group min/max
+        // skipping — a row-count filter would be layout-invariant and
+        // could not detect a pruning regression), plus the feed rows.
+        // The optimize write uses small parquet row groups so the
+        // group-granular skipping a 100 TB file exhibits is measurable at
+        // fixture scale; the rewrite's (epoch, doc_id) sort is what keeps
+        // each group's epoch range tight. A layout regression (unsorted
+        // rewrite) would decode the LAKE here, not the changed volume.
         ("corpus_changes_scan_opt", nDocs, () => {
           import graft.operators.CorpusLake
           val corpusDir = java.nio.file.Files
             .createTempDirectory("probe-lake-cdc-opt").toString + "/corpus"
           mkLakeFixture(corpusDir)
-          CorpusLake.optimizeCorpus(spark, corpusDir)
+          val hc = spark.sparkContext.hadoopConfiguration
+          val (oldB, oldP) = (hc.get("parquet.block.size"),
+            hc.get("parquet.page.size"))
+          hc.setInt("parquet.block.size", 16 * 1024)
+          hc.setInt("parquet.page.size", 8 * 1024)
+          try CorpusLake.optimizeCorpus(spark, corpusDir)
+          finally {
+            if (oldB == null) hc.unset("parquet.block.size")
+            else hc.set("parquet.block.size", oldB)
+            if (oldP == null) hc.unset("parquet.page.size")
+            else hc.set("parquet.page.size", oldP)
+          }
           val nChanged = CorpusLake
             .readCorpusChanges(spark, dir, corpusDir, 0L, None).count()
-          val c = spark.read.parquet(s"$corpusDir/docs")
-            .filter(col("epoch") > 0L).count() + nChanged
+          val c = scannedRows(spark.read.parquet(s"$corpusDir/docs")
+            .filter(col("epoch") > 0L)) + nChanged
           val o = CorpusLake.readCorpusAt(spark, dir, corpusDir, Some(0L))
             .count() +
             CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
           (c, o)
+        }),
+        // incremental OPTIMIZE: C = rows the inline pack touches (the
+        // live window — reads live/, packs it, truncates it), O = rows a
+        // full deep-pass rewrite reads (the whole store). C must track
+        // the WINDOW (the 1% slice here) while O tracks the lake — the
+        // O(new data)-per-firing claim of the ingest-cadence hygiene
+        ("corpus_optimize_inc", nDocs, () => {
+          import graft.operators.CorpusLake
+          val corpusDir = java.nio.file.Files
+            .createTempDirectory("probe-lake-opt-inc").toString + "/corpus"
+          val docs = graft.sources.Tables.documents(spark, dir)
+          // the settled lake: 5% bootstrap, already packed (flat files)
+          docs.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+              lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs")
+          // the live window: a 1% update epoch in live/
+          docs.filter(col("doc_id") % 200 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text"),
+              lit(1L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs/live")
+          val o = spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$corpusDir/docs").count()
+          val (packed, _) = CorpusLake
+            .optimizeCorpusIncremental(spark, corpusDir)
+          (packed, o)
         }),
         // lake OPTIMIZE: the FILE count is the quantity — before, it grows
         // with committed epochs (every append lands its own file set: 16
@@ -313,8 +375,12 @@ object ScaleProbe {
           val slice = graft.sources.Tables.documents(spark, dir)
             .filter(col("doc_id") % 20 === 0)
             .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+          // distribute on floor(doc_id/20) % 16: the slice's ids are
+          // multiples of 20, so doc_id % 16 would only hit {0,4,8,12}
+          // and leave 12 of the 16 commits empty
           for (e <- 0L until 16L)
-            slice.filter(col("doc_id") % 16 === lit(e))
+            slice.filter(org.apache.spark.sql.functions
+                .floor(col("doc_id") / 20) % 16 === lit(e))
               .withColumn("epoch", lit(e)).repartition(2)
               .write.mode("append").parquet(s"$corpusDir/docs")
           (0L until 16L).map(v => (v, 0L, 0L, 0L, 0L, 0L))

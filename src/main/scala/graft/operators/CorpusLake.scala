@@ -41,6 +41,19 @@ import graft.sources.Tables
   * manifest is a few KB per epoch and every reader prunes to committed
   * epochs before touching data files.
   *
+  * Concurrency model: single maintenance writer, many readers. Plain
+  * appends are always safe to read beside. The maintenance REWRITES
+  * (incremental pack truncation, deep OPTIMIZE, vacuum) end in a
+  * delete→rename swap: a reader that PLANS after the swap is correct by
+  * `resolveArtifact`, but a cross-session scan in flight across the swap
+  * instant can hit vanished files and must retry — the standard
+  * swap-rewrite trade. Serving stacks that cannot tolerate a retry
+  * should read through a pinned artifact version (the
+  * [[Similarity.retrainIndex]] versioned-dir convention: rewrite into a
+  * NEW dir, flip by path) or schedule deep passes in quiet windows; the
+  * inline incremental cadence at least guarantees no WRITER races the
+  * rewrite, because it runs inside the serialized foreachBatch slot.
+  *
   * Versioning: the committed epoch IS the version. [[readCorpusAt]] pins a
   * version v and serves base ∪ admitted(epoch ≤ v), doc-level latest-epoch-
   * wins — the KeyedUpsertSink LWW convention (reference semantics:
@@ -106,18 +119,29 @@ object CorpusLake {
     * CALLER's job (pass through [[committedOnly]]). Resolves an interrupted
     * [[vacuumCorpus]] swap first — the lake's data dirs are mutable at
     * exactly that boundary. */
-  private def admittedRaw(spark: SparkSession, corpusDir: String): DataFrame = {
-    val p = Similarity.resolveArtifact(spark, corpusDir, "docs")
-    if (!graft.sources.Formats.pathExists(spark, p))
-      return spark.range(0).select(col("id").as("doc_id"),
-        lit("").as("text"), lit(0L).as("epoch")).limit(0)
-    // mergeSchema: epochs may carry EVOLVED schemas (extra metadata
-    // columns added mid-stream) — older epochs serve nulls there. The
-    // footer-union cost is file-count-proportional, which [[optimizeCorpus]]
-    // bounds (and whose rewrite physically unifies the store's schema)
-    spark.read.option("mergeSchema", "true").parquet(p)
-      .dropDuplicates("doc_id", "epoch")
+  /** Recursive, schema-merging read of a lake store dir. Recursive: the
+    * store may hold flat per-epoch appends, a `live/` append sub-store,
+    * and `packed_*` segments ([[optimizeCorpusIncremental]]) side by
+    * side; mid-crash a `live_compacting` twin may coexist with `live` —
+    * its rows are a byte-identical subset, collapsed by the callers'
+    * (key, epoch) dedup like every replay overlap. mergeSchema: epochs
+    * may carry EVOLVED schemas (extra metadata columns added mid-stream)
+    * — older epochs serve nulls there. The footer-union cost is
+    * file-count-proportional, which the OPTIMIZE passes bound. */
+  private[graft] def readStore(spark: SparkSession, corpusDir: String,
+      name: String): Option[DataFrame] = {
+    val p = Similarity.resolveArtifact(spark, corpusDir, name)
+    if (!graft.sources.Formats.pathExists(spark, p)) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(p))
   }
+
+  private def admittedRaw(spark: SparkSession, corpusDir: String): DataFrame =
+    readStore(spark, corpusDir, "docs") match {
+      case None => spark.range(0).select(col("id").as("doc_id"),
+        lit("").as("text"), lit(0L).as("epoch")).limit(0)
+      case Some(raw) => raw.dropDuplicates("doc_id", "epoch")
+    }
 
   /** Committed manifest rows (replay copies collapsed per epoch). */
   def manifest(spark: SparkSession, corpusDir: String): DataFrame = {
@@ -187,7 +211,8 @@ object CorpusLake {
         lit(null).cast("long").as("first_dup"),
         lit(0L).as("n_bench_hits"), lit(0.0).as("quality"),
         lit(0L).as("epoch")).limit(0)
-    committedOnly(spark.read.parquet(p).dropDuplicates("doc_id", "epoch"),
+    committedOnly(readStore(spark, corpusDir, "decisions").get
+        .dropDuplicates("doc_id", "epoch"),
       manifest(spark, corpusDir), None)
   }
 
@@ -210,10 +235,12 @@ object CorpusLake {
     * base-corpus membership probe per commit (the change feed's
     * documented prior-visibility scan) — at a scale where that matters,
     * run [[refreshProfileFromLake]] on a cadence instead of per commit.
-    * `optimizeEvery` > 0 runs [[optimizeCorpus]] every that-many commits,
-    * INSIDE the serialized foreachBatch slot — which is exactly the
-    * no-concurrent-append quiescence the wholesale rewrite assumes, so
-    * the inline cadence is the always-safe way to schedule it. */
+    * `optimizeEvery` > 0 runs [[optimizeCorpusIncremental]] every
+    * that-many commits, INSIDE the serialized foreachBatch slot — which
+    * is exactly the no-concurrent-append quiescence the live-window pack
+    * assumes. Each firing costs O(the window since the last firing),
+    * never O(lake) — the full [[optimizeCorpus]] rewrite stays a
+    * standalone deep pass an operator schedules like vacuum. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
@@ -221,6 +248,14 @@ object CorpusLake {
       optimizeEvery: Int = 0,
       carryCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
+    // reserved names: "epoch" would be silently clobbered by the epoch
+    // stamp; "version"/"change_type" would collide with the change feed's
+    // output columns — fail loudly at wiring time, not in a downstream read
+    val reserved = Set("doc_id", "text", "epoch", "version", "change_type")
+    require(carryCols.forall(!reserved(_)),
+      s"carryCols may not use reserved names ${reserved.mkString(", ")}: " +
+        s"got ${carryCols.mkString(", ")}")
+    var commitsSinceOptimize = 0L
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
     var baseCount = -1L
@@ -249,6 +284,7 @@ object CorpusLake {
           // serve nulls via the mergeSchema read
           val rows = batch.select(
             (col("doc_id") +: col("text") +: carryCols.map(col)): _*)
+          if (carryCols.nonEmpty) validateCarrySchema(spark, corpusDir, rows)
           val store = s"$maintDir/buckets"
           val haveStore = graft.sources.Formats.pathExists(
             spark, Similarity.resolveArtifact(spark, maintDir, "buckets"))
@@ -265,10 +301,10 @@ object CorpusLake {
               .select($"doc_id"), "doc_id")
           admitted.withColumn("epoch", lit(epoch))
             .write.mode("append").parquet(
-              Similarity.appendTarget(spark, s"$corpusDir/docs"))
+              liveTarget(spark, corpusDir, "docs"))
           decisions.withColumn("epoch", lit(epoch))
             .write.mode("append").parquet(
-              Similarity.appendTarget(spark, s"$corpusDir/decisions"))
+              liveTarget(spark, corpusDir, "decisions"))
           val newBuckets = Dedup.bucketRows(Dedup.signRows(admitted))
             .withColumn("epoch", lit(epoch))
           val n = newBuckets.count()
@@ -300,14 +336,21 @@ object CorpusLake {
             baseCount = -1
             deltaCount = 0
           }
-          // inline OPTIMIZE at a commit-count cadence: foreachBatch
-          // serializes batches, so this slot IS the quiescence the
-          // wholesale rewrite assumes — no append can land inside it. A
-          // crash mid-rewrite is the _compacting swap every reader and
-          // appender already resolves; a crash before it just postpones
-          // the hygiene pass to the next firing epoch.
-          if (optimizeEvery > 0 && (epoch + 1) % optimizeEvery == 0)
-            optimizeCorpus(spark, corpusDir)
+          // inline INCREMENTAL optimize at a commit-count cadence:
+          // foreachBatch serializes batches, so this slot IS the
+          // quiescence the live-store truncation assumes. Cost of each
+          // firing is O(the live window since the last firing), NOT
+          // O(lake) — appends land in the live/ sub-store and each pass
+          // packs only that window into a sorted segment (the full
+          // [[optimizeCorpus]] rewrite stays a standalone deep pass for
+          // segment merging). The counter counts actual COMMITS (the
+          // manifest row above), not streaming batch ids — empty and
+          // replay-skipped micro-batches never consume cadence points.
+          commitsSinceOptimize += 1
+          if (optimizeEvery > 0 && commitsSinceOptimize >= optimizeEvery) {
+            optimizeCorpusIncremental(spark, corpusDir)
+            commitsSinceOptimize = 0
+          }
           // optional live materialized view: the cursor-protected refresh
           // job runs AFTER the commit, so a crash between the manifest and
           // this point only leaves the cursor behind — the next batch (or
@@ -911,7 +954,8 @@ object CorpusLake {
     val after = spark.read.parquet(s"$corpusDir/docs").count()
     val decPath = Similarity.resolveArtifact(spark, corpusDir, "decisions")
     if (graft.sources.Formats.pathExists(spark, decPath)) {
-      val dec = spark.read.parquet(decPath).dropDuplicates("doc_id", "epoch")
+      val dec = readStore(spark, corpusDir, "decisions").get
+        .dropDuplicates("doc_id", "epoch")
       dec.join(man, Seq("epoch"), "left_semi")
         .unionByName(dec.join(man, Seq("epoch"), "left_anti")
           .filter(col("epoch") > head))
@@ -921,14 +965,38 @@ object CorpusLake {
     (before, after)
   }
 
-  /** Parquet data-file count under a store dir — the quantity OPTIMIZE
-    * exists to bound. Zero for a missing dir. */
+  /** Parquet data-file count under a store dir, RECURSIVE (a store may
+    * hold flat appends, a `live/` sub-store, and `packed_*` segments) —
+    * the quantity OPTIMIZE exists to bound. Zero for a missing dir. */
   private[graft] def dataFileCount(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).count(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+    if (!fs.exists(p)) return 0L
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  /** Write-time schema validation for an evolved append (the table-format
+    * rule): an incompatibly-typed carry column must refuse BEFORE any
+    * file lands — one bad append would otherwise poison every later
+    * mergeSchema read of the lake, with no repair API and the bad files
+    * already committed. New columns are fine (that is the evolution);
+    * only a name present in both with a different type refuses.
+    * Footer-read cost is file-count-proportional, which
+    * [[optimizeCorpus]] bounds. */
+  private[graft] def validateCarrySchema(spark: SparkSession,
+      corpusDir: String, rows: DataFrame): Unit = {
+    val stored = readStore(spark, corpusDir, "docs")
+      .fold(Map.empty[String, org.apache.spark.sql.types.DataType])(
+        _.schema.map(f => f.name -> f.dataType).toMap)
+    rows.schema.foreach { f =>
+      stored.get(f.name).foreach(t => require(t == f.dataType,
+        s"schema evolution type conflict on '${f.name}': the store " +
+          s"holds $t, the batch carries ${f.dataType} — refusing the append"))
+    }
   }
 
   /** Operational stats for a lake — the DESCRIBE surface an operator
@@ -944,22 +1012,21 @@ object CorpusLake {
     val man = manifest(spark, corpusDir)
     val committedN = man.count()
     val head = man.agg(max(col("version"))).as[Option[Long]].head()
-    def store(name: String): (Long, Long) = {
-      val p = Similarity.resolveArtifact(spark, corpusDir, name)
-      if (!graft.sources.Formats.pathExists(spark, p)) (0L, 0L)
-      else (spark.read.option("mergeSchema", "true").parquet(p).count(),
-        dataFileCount(spark, p))
-    }
+    def store(name: String): (Long, Long) = readStore(spark, corpusDir, name)
+      .fold((0L, 0L))(df => (df.count(),
+        dataFileCount(spark, Similarity.resolveArtifact(spark, corpusDir, name))))
     val (docRows, docFiles) = store("docs")
     val (decRows, decFiles) = store("decisions")
-    val uncommitted = {
-      val p = Similarity.resolveArtifact(spark, corpusDir, "docs")
-      if (!graft.sources.Formats.pathExists(spark, p)) 0L
-      else spark.read.option("mergeSchema", "true").parquet(p)
-        .select(col("epoch")).distinct()
-        .join(man.select(col("version").as("epoch")), Seq("epoch"),
-          "left_anti").count()
-    }
+    // union BOTH stores' epochs: a batch whose every arrival was rejected
+    // leaves its crash orphan only in decisions (zero docs rows) — the
+    // DESCRIBE surface must agree with vacuum about what exists
+    val uncommitted = Seq("docs", "decisions").map { name =>
+      readStore(spark, corpusDir, name)
+        .fold(spark.range(0).select(col("id").as("epoch")))(
+          _.select(col("epoch")))
+    }.reduce(_ unionByName _).distinct()
+      .join(man.select(col("version").as("epoch")), Seq("epoch"),
+        "left_anti").count()
     val floor = retentionFloor(spark, corpusDir)
     val pins = pinnedRuns(spark, corpusDir).count()
     Seq(
@@ -971,6 +1038,67 @@ object CorpusLake {
       ("retention_floor", if (floor == Long.MinValue) -1L else floor),
       ("pinned_runs", pins)
     ).toDF("stat", "value")
+  }
+
+  /** Append target inside a store: the `live/` sub-store the incremental
+    * OPTIMIZE packs. Resolves interrupted swaps at BOTH levels — a full
+    * rewrite/vacuum swaps the store itself; a pack truncation swaps
+    * `live` — so an append can never strand a completed rewrite of
+    * either. */
+  private def liveTarget(spark: SparkSession, corpusDir: String,
+      name: String): String = {
+    val store = Similarity.resolveArtifact(spark, corpusDir, name)
+    Similarity.resolveArtifact(spark, store, "live")
+  }
+
+  /** Incremental OPTIMIZE — the O(new data) hygiene pass the inline
+    * cadence runs. The maintenance loop appends into `<store>/live/`;
+    * each pass reads ONLY that live window (never the lake), packs it
+    * into one sorted `packed_<maxEpoch>` segment, then truncates live
+    * bounded by the fold watermark ([[Similarity.truncateStoreThrough]]:
+    * rows a crash-replay lands after the read survive). Crash at any
+    * point is serve-consistent: segment-before-truncate means the packed
+    * rows briefly coexist with their live originals — byte-identical,
+    * collapsed by every reader's (key, epoch) dedup, the same state an
+    * epoch replay creates — and a re-run rewrites the same segment name
+    * with the same bytes. File count after k firings is O(k) segments
+    * (each internally size-targeted and (epoch, doc_id)-sorted, so
+    * row-group epoch pruning holds per segment), against O(commits)
+    * before; the standalone [[optimizeCorpus]] deep pass merges segments
+    * back to O(rows/target) when scheduled. Returns (rows packed, live
+    * data files reclaimed). */
+  def optimizeCorpusIncremental(spark: SparkSession, corpusDir: String,
+      targetRowsPerFile: Long = 1L << 20): (Long, Long) = {
+    import spark.implicits._
+    var (packed, reclaimed) = (0L, 0L)
+    for (name <- Seq("docs", "decisions")) {
+      val store = Similarity.resolveArtifact(spark, corpusDir, name)
+      val live = Similarity.resolveArtifact(spark, store, "live")
+      if (graft.sources.Formats.pathExists(spark, live)) {
+        val filesBefore = dataFileCount(spark, live)
+        val raw = spark.read.option("mergeSchema", "true").parquet(live)
+        val foldedThrough =
+          if (raw.columns.contains("epoch"))
+            raw.agg(max(col("epoch"))).as[Option[Long]].head()
+          else None
+        val rows = raw.dropDuplicates("doc_id", "epoch").persist()
+        try {
+          val n = rows.count()
+          if (n > 0) {
+            val nFiles = math.max(1L,
+              (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+            rows.repartitionByRange(nFiles, col("epoch"), col("doc_id"))
+              .sortWithinPartitions(col("epoch"), col("doc_id"))
+              .write.mode("overwrite")
+              .parquet(s"$store/packed_${foldedThrough.getOrElse(0L)}")
+            Similarity.truncateStoreThrough(spark, live, foldedThrough)
+            packed += n
+            reclaimed += filesBefore
+          }
+        } finally rows.unpersist()
+      }
+    }
+    (packed, reclaimed)
   }
 
   /** OPTIMIZE: physical small-file compaction of the lake's append
@@ -985,6 +1113,12 @@ object CorpusLake {
     * applies), so time travel, the change feed, pinned runs, and the
     * admission log are result-identical before and after. Unlike
     * [[vacuumCorpus]] it never collapses history and needs no floor.
+    *
+    * This is the DEEP pass: O(lake) per run, scheduled like vacuum (it
+    * also merges [[optimizeCorpusIncremental]]'s packed segments and
+    * physically unifies an evolved store's schema). The recurring
+    * hygiene on the ingest cadence is the incremental pass — O(new
+    * data), never the lake.
     *
     * Layout: rows are range-partitioned on (epoch, doc_id) and sorted
     * within files, so each output file covers a tight, near-disjoint

@@ -1786,14 +1786,21 @@ object Similarity {
     // mergeSchema: a store whose epochs carry evolved schemas must not
     // lose a column to whichever file the plain reader samples; the
     // rewrite physically unifies the schema (nulls backfilled)
-    val rows = spark.read.option("mergeSchema", "true").parquet(p)
-      .dropDuplicates(dedupKeys)
-    val n = rows.count()
-    val nFiles = math.max(1L,
-      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
-    rows.repartitionByRange(nFiles, sortKeys.map(col): _*)
-      .sortWithinPartitions(sortKeys.map(col): _*)
-      .write.mode("overwrite").parquet(s"${storeDir}_compacting")
+    // persist before the sizing count: the rewrite would otherwise
+    // re-scan and re-dedup the whole store a second time for the write.
+    // recursive: a lake store may hold live/packed sub-dirs (the
+    // incremental OPTIMIZE layout) — the full rewrite flattens them
+    val rows = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(p)
+      .dropDuplicates(dedupKeys).persist()
+    try {
+      val n = rows.count()
+      val nFiles = math.max(1L,
+        (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+      rows.repartitionByRange(nFiles, sortKeys.map(col): _*)
+        .sortWithinPartitions(sortKeys.map(col): _*)
+        .write.mode("overwrite").parquet(s"${storeDir}_compacting")
+    } finally rows.unpersist()
     swapArtifact(spark, parent, name)
   }
 

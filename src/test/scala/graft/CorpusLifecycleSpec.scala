@@ -236,10 +236,20 @@ class CorpusLifecycleSpec extends SparkSpec {
       in.addData((2000000L + i, t)); q.processAllAvailable()
     }
     q.stop()
-    // the last firing folded ALL four epochs' file sets into one per store
+    // two firings (commits 2 and 4) packed the live windows into sorted
+    // segments: file count is O(firings) — 2 segments + at most a
+    // truncation marker per store — not O(commits × files-per-append)
+    val docFiles = CorpusLake.dataFileCount(spark, s"$corpus/docs")
+    assert(docFiles <= 3L,
+      s"inline incremental OPTIMIZE did not bound the docs store: $docFiles")
+    assert(CorpusLake.dataFileCount(spark, s"$corpus/decisions") <= 3L)
+    // the live window drained: every committed row lives in a segment
+    assert(spark.read.parquet(s"$corpus/docs/live").count() == 0L,
+      "live sub-store not truncated after the pack")
+    // a standalone deep pass then merges the segments to one file
+    CorpusLake.optimizeCorpus(spark, corpus)
     assert(CorpusLake.dataFileCount(spark, s"$corpus/docs") == 1L,
-      "inline OPTIMIZE did not coalesce the docs store")
-    assert(CorpusLake.dataFileCount(spark, s"$corpus/decisions") == 1L)
+      "deep-pass OPTIMIZE did not merge the packed segments")
     // and the lake still serves everything, LWW/audit intact
     val head = CorpusLake.readCorpusAt(spark, dir, corpus, None)
       .filter($"doc_id" >= 2000000L).as[(Long, String)].collect().toMap
@@ -315,6 +325,23 @@ class CorpusLifecycleSpec extends SparkSpec {
     // the admitted doc carries its metadata; the low-quality doc is gone
     assert(served == Map(1000007L -> "de"),
       s"carryCols did not ride the admission gate: $served")
+    // write-time refusals: an incompatibly-typed re-introduction of an
+    // evolved column must refuse BEFORE any file lands (one bad append
+    // would poison every later mergeSchema read) ...
+    intercept[IllegalArgumentException] {
+      CorpusLake.validateCarrySchema(spark, corpus2,
+        Seq((1000009L, docBText, 7L)).toDF("doc_id", "text", "lang"))
+    }
+    // ... while a NEW column is the evolution, not a conflict
+    CorpusLake.validateCarrySchema(spark, corpus2,
+      Seq((1000009L, docBText, "en", "crawl9"))
+        .toDF("doc_id", "text", "lang", "source_tag"))
+    // reserved carry names refuse at wiring time
+    intercept[IllegalArgumentException] {
+      CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text", "epoch"), spark, dir, idx2,
+        corpus2, maint2, carryCols = Seq("epoch"))
+    }
     Caches.releaseAll()
   }
 

@@ -48,7 +48,8 @@ class LakeModelSpec extends SparkSpec {
           docs.toSeq.map { case (d, t) => (d, t, e) }
             .toDF("doc_id", "text", "epoch").repartition(2)
             .write.mode("append")
-            .parquet(Similarity.appendTarget(spark, s"$corpus/docs"))
+            // the live sub-store, as the maintenance loop appends
+            .parquet(Similarity.appendTarget(spark, s"$corpus/docs") + "/live")
       def writeManifest(e: Long): Unit =
         Seq((e, 0L, 0L, 0L, 0L, 0L))
           .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
@@ -70,7 +71,7 @@ class LakeModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(10)
+        val op = rnd.nextInt(11)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -113,6 +114,8 @@ class LakeModelSpec extends SparkSpec {
               intercept[IllegalArgumentException] {
                 CorpusLake.readCorpusAt(spark, dir, corpus, Some(floor - 1))
               }
+          case 10 => // incremental pack of the live window
+            CorpusLake.optimizeCorpusIncremental(spark, corpus)
         }
         checkHead(s"step $step (op $op)")
         // a random committed version at-or-above the floor: time travel
