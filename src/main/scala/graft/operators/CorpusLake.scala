@@ -164,10 +164,16 @@ object CorpusLake {
   }
 
   /** The lake's committed admitted docs at a pinned version (all committed
-    * when None), doc-level latest-epoch-wins. A version below the
-    * [[retentionFloor]] is REFUSED loudly — [[vacuumCorpus]] collapsed that
-    * history, and serving a silently-wrong snapshot is the one failure a
-    * versioned lake must never have. */
+    * when None), doc-level latest-epoch-wins, INCLUDING tombstone rows
+    * ([[deleteDocs]]) — the `_deleted` flag is normalized to a non-null
+    * boolean so every caller can branch on it (a never-deleted-from lake
+    * has no `_deleted` column at all). Callers that serve documents must
+    * filter `!_deleted` AFTER using the full id set for shadowing
+    * ([[readCorpusAt]]): a tombstone both hides the doc AND shadows any
+    * base row under the same id. A version below the [[retentionFloor]]
+    * is REFUSED loudly — [[vacuumCorpus]] collapsed that history, and
+    * serving a silently-wrong snapshot is the one failure a versioned
+    * lake must never have. */
   private[graft] def admittedAt(spark: SparkSession, corpusDir: String,
       version: Option[Long]): DataFrame = {
     version.foreach { v =>
@@ -178,9 +184,12 @@ object CorpusLake {
     }
     val rows = committedOnly(admittedRaw(spark, corpusDir),
       manifest(spark, corpusDir), version)
-    rows.withColumn("_rn", row_number().over(
+    val resolved = rows.withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
       .filter(col("_rn") === 1).drop("_rn")
+    if (resolved.columns.contains("_deleted"))
+      resolved.withColumn("_deleted", coalesce(col("_deleted"), lit(false)))
+    else resolved.withColumn("_deleted", lit(false))
   }
 
   /** Time-travel read of the corpus: base corpus ∪ admitted docs with
@@ -194,10 +203,15 @@ object CorpusLake {
   def readCorpusAt(spark: SparkSession, dir: String, corpusDir: String,
       version: Option[Long] = None): DataFrame = {
     val admitted = admittedAt(spark, corpusDir, version)
+    // the anti-join shadows base rows on the FULL resolved id set — a
+    // tombstone ([[deleteDocs]]) must hide its base doc, not just lake
+    // versions — while the union serves only the non-deleted rows
     val base = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
       .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    base.unionByName(admitted.drop("epoch"), allowMissingColumns = true)
+    base.unionByName(
+      admitted.filter(!col("_deleted")).drop("epoch", "_deleted"),
+      allowMissingColumns = true)
   }
 
   /** The full per-doc admission audit log (committed epochs only). */
