@@ -134,6 +134,8 @@ object SparkEntry {
     "corpus_changes"       -> (CorpusLake.changesTwin _),
     "corpus_profile"       -> (CorpusLake.profileTwin _),
     "corpus_optimize"      -> (CorpusLake.optimizeTwin _),
+    "corpus_delete"        -> (CorpusLake.deleteTwin _),
+    "corpus_delete_feed"   -> (CorpusLake.deleteFeedTwin _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2071,6 +2073,35 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 3 THEN text || ' u1' ELSE text END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // lake retraction, snapshot leg: the engine builds a lake (epoch 0 =
+    // LWW update of every doc_id ≡ 1 mod 10), commits a REAL deleteDocs
+    // of every doc_id ≡ 2 mod 9, re-admits the ≡ 2 mod 27 subset, then
+    // serves the head; DuckDB recomputes the visible set directly — hash
+    // equality pins tombstone hiding, base-row shadowing, and
+    // re-admission-past-tombstone LWW
+    "corpus_delete" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |       WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |       ELSE text END AS text
+        |FROM documents
+        |WHERE doc_id % 9 != 2 OR doc_id % 27 = 2
+        |ORDER BY doc_id""".stripMargin,
+
+    // lake retraction, change-feed leg: the CDC window (0, head] over the
+    // same delete-lifecycle lake — deletes ride as change_type='delete'
+    // with null text at the tombstone version, the re-admitted subset as
+    // updates; this is exactly what every lake-fed index refresher
+    // consumes to retract
+    "corpus_delete_feed" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 27 = 2 THEN text || ' re' ELSE NULL END AS text,
+        |  CAST(CASE WHEN doc_id % 27 = 2 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        |  CASE WHEN doc_id % 27 = 2 THEN 'update' ELSE 'delete' END AS change_type
+        |FROM documents
+        |WHERE doc_id % 9 = 2
+        |ORDER BY doc_id""".stripMargin,
 
     // index-serving dedup: the dedup_incremental chain with the index side
     // UNFILTERED (a persisted bucket index holds every corpus doc, so

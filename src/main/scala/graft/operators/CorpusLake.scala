@@ -143,7 +143,11 @@ object CorpusLake {
       case Some(raw) => raw.dropDuplicates("doc_id", "epoch")
     }
 
-  /** Committed manifest rows (replay copies collapsed per epoch). */
+  /** Committed manifest rows (replay copies collapsed per epoch).
+    * mergeSchema: the manifest schema EVOLVED in place — lakes written
+    * before the version/batch-id split lack `batch_id`/`n_deleted`
+    * ([[deleteDocs]]) and serve nulls there; readers that consume those
+    * columns guard on presence. */
   def manifest(spark: SparkSession, corpusDir: String): DataFrame = {
     val p = s"$corpusDir/manifest"
     if (!graft.sources.Formats.pathExists(spark, p))
@@ -151,7 +155,89 @@ object CorpusLake {
         lit(0L).as("n_arrived"), lit(0L).as("n_admitted"),
         lit(0L).as("n_duplicate"), lit(0L).as("n_contaminated"),
         lit(0L).as("n_low_quality")).limit(0)
-    spark.read.parquet(p).dropDuplicates("version")
+    spark.read.option("mergeSchema", "true").parquet(p)
+      .dropDuplicates("version")
+  }
+
+  /** Allocate the next lake version: one past everything the manifest has
+    * committed AND everything any store has epoch-stamped. The second leg
+    * steps over crash orphans — a crashed commit attempt's manifest-less
+    * rows keep their epoch, and re-using it (by a replayed batch or a
+    * [[deleteDocs]]) would make the dead rows committed-visible the moment
+    * the new manifest row lands. Versions are therefore strictly monotone
+    * but not dense (orphaned numbers are burned; [[vacuumCorpus]] reclaims
+    * the rows). Cost: one manifest max plus one parquet-footer max per
+    * store — metadata-cheap, no data scan. */
+  private[graft] def nextLakeVersion(spark: SparkSession,
+      corpusDir: String): Long = {
+    import spark.implicits._
+    val head = manifest(spark, corpusDir).agg(max(col("version")))
+      .as[Option[Long]].head().getOrElse(-1L)
+    val storeMax = Seq("docs", "decisions").flatMap { name =>
+      readStore(spark, corpusDir, name).flatMap { df =>
+        if (!df.columns.contains("epoch")) None
+        else df.agg(max(col("epoch"))).as[Option[Long]].head()
+      }
+    }.foldLeft(-1L)(math.max)
+    math.max(head, storeMax) + 1L
+  }
+
+  /** Delete documents from the lake — the retraction path (takedown /
+    * right-to-be-forgotten). A delete is NOT an arriving document: it is
+    * admission-exempt and commits as its own epoch of tombstone rows
+    * (doc_id, text = null, `_deleted` = true) through the same
+    * data-first/manifest-last protocol as ingest, so a crash leaves an
+    * invisible partial epoch and a re-run commits cleanly at a fresh
+    * version.
+    *
+    * Semantics, all LWW by committed epoch:
+    *  - [[readCorpusAt]] at or past the delete version hides the doc AND
+    *    shadows its base-corpus row; versions pinned BEFORE the delete
+    *    (and pinned runs) still serve it — a delete is part of history,
+    *    not an edit of it. The bytes are gone only when [[vacuumCorpus]]
+    *    raises the floor past the superseded text rows (hide now, purge
+    *    at vacuum — the table-format contract).
+    *  - [[readCorpusChanges]] emits `change_type = "delete"` for docs
+    *    whose latest in-window row is a tombstone (when the doc was
+    *    visible at the cursor), so every lake-fed index refresher
+    *    retracts it.
+    *  - Admission: a tombstoned doc no longer blocks near-dups — the
+    *    exact verify resolves the candidate's text latest-wins and a
+    *    tombstone has none (its stale bucket rows generate candidates
+    *    that fail the verify, the documented inert-garbage trade).
+    *  - A later re-upload of the id through the ingest stream wins over
+    *    the tombstone (higher epoch) — deletes are reversible by
+    *    re-admission.
+    *
+    * Deleting an id the lake never saw writes an inert tombstone (it
+    * hides nothing until that id exists); deleting an already-deleted id
+    * is idempotent. Like every non-stream writer here, run from the
+    * maintenance cadence or with ingest quiesced (single-writer
+    * discipline). Returns the committed delete version. */
+  def deleteDocs(spark: SparkSession, corpusDir: String,
+      ids: DataFrame): Long = {
+    import spark.implicits._
+    require(ids.columns.contains("doc_id"),
+      s"deleteDocs needs a doc_id column, got ${ids.columns.mkString(", ")}")
+    val victims = ids.select(col("doc_id")).distinct().localCheckpoint()
+    val n = victims.count()
+    require(n > 0, "deleteDocs: empty id set (nothing to delete)")
+    val v = nextLakeVersion(spark, corpusDir)
+    victims.select(col("doc_id"),
+        lit(null).cast("string").as("text"),
+        lit(v).as("epoch"),
+        lit(true).as("_deleted"))
+      .write.mode("append").parquet(liveTarget(spark, corpusDir, "docs"))
+    // the manifest row commits the tombstone epoch — LAST. batch_id = -1:
+    // the replay guard's pre-split fallback is coalesce(batch_id, version),
+    // so a NULL here would let a future stream batch id collide with this
+    // version and skip real data; -1 is outside the batch-id space (≥ 0)
+    // and never matches.
+    Seq((v, 0L, 0L, 0L, 0L, 0L, -1L, n))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
+      .write.mode("append").parquet(s"$corpusDir/manifest")
+    v
   }
 
   /** Semi-join a (…, epoch) relation down to manifest-committed epochs ≤ the
@@ -264,11 +350,14 @@ object CorpusLake {
     import spark.implicits._
     // reserved names: "epoch" would be silently clobbered by the epoch
     // stamp; "version"/"change_type" would collide with the change feed's
-    // output columns — fail loudly at wiring time, not in a downstream read
+    // output columns; "_deleted" (and every "_"-prefixed name — internal
+    // namespace) would ride the admission gate and silently activate
+    // tombstone semantics with no delete API ever called — fail loudly at
+    // wiring time, not in a downstream read
     val reserved = Set("doc_id", "text", "epoch", "version", "change_type")
-    require(carryCols.forall(!reserved(_)),
-      s"carryCols may not use reserved names ${reserved.mkString(", ")}: " +
-        s"got ${carryCols.mkString(", ")}")
+    require(carryCols.forall(c => !reserved(c) && !c.startsWith("_")),
+      s"carryCols may not use reserved names (${reserved.mkString(", ")}) " +
+        s"or the internal _-prefix namespace: got ${carryCols.mkString(", ")}")
     var commitsSinceOptimize = 0L
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
@@ -276,22 +365,34 @@ object CorpusLake {
     var deltaCount = -1L
     docStream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // replay fast path / collision guard: an epoch whose manifest row is
-        // already committed is either a checkpoint-replayed batch (crash
-        // between the manifest write and the stream's own commit — skipping
-        // wholesale IS the exactly-once answer) or an operator error (a
-        // fresh checkpoint re-counting epochs against a live lake). Either
-        // way the lake must not double-write; the skip is loud so the
-        // second case can't pass silently.
-        val committed = manifest(spark, corpusDir)
-          .filter(col("version") === epoch).limit(1).count() > 0
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay fast path / collision guard, keyed on the STREAM's batch
+        // id (recorded per manifest row), not on the lake version — the
+        // version space is the lake's own ([[nextLakeVersion]]: deletes
+        // and other maintenance writers commit epochs of their own, so
+        // batch ids and versions diverge; the Delta txn-appId convention).
+        // A manifest row carrying this batch id means either a
+        // checkpoint-replayed batch (crash between the manifest write and
+        // the stream's own commit — skipping wholesale IS the exactly-once
+        // answer) or an operator error (a fresh checkpoint re-counting
+        // batches against a live lake). Either way the lake must not
+        // double-write; the skip is loud so the second case can't pass
+        // silently. Pre-split manifests have no batch_id column; their
+        // rows used version = batch id, so version is the fallback key.
+        val man0 = manifest(spark, corpusDir)
+        val replayKey =
+          if (man0.columns.contains("batch_id"))
+            coalesce(col("batch_id"), col("version"))
+          else col("version")
+        val committed = man0.filter(replayKey === batchId)
+          .limit(1).count() > 0
         if (committed) {
-          System.err.println(s"[corpus-lake] epoch $epoch already committed " +
-            "- replay skip (if this is NEW data, the stream is running " +
-            "against a stale checkpoint; restart it with its original " +
-            "checkpoint location)")
+          System.err.println(s"[corpus-lake] batch $batchId already " +
+            "committed - replay skip (if this is NEW data, the stream is " +
+            "running against a stale checkpoint; restart it with its " +
+            "original checkpoint location)")
         } else if (!batch.isEmpty) {
+          val epoch = nextLakeVersion(spark, corpusDir)
           // carryCols = schema evolution at the ingest edge: extra
           // metadata columns ride along into the docs store (the gate
           // itself only reads doc_id/text); older epochs without them
@@ -310,6 +411,11 @@ object CorpusLake {
             Some(committedOnly(admittedRaw(spark, corpusDir), man, None)),
             benchPost,
             Some(man.select($"version".as("epoch")))).localCheckpoint()
+          // decisions is fixed-schema today, but a future admission-gate
+          // change against an old lake is the same mergeSchema poisoning
+          // risk as an evolved carry column — same write-time guard
+          validateCarrySchema(spark, corpusDir,
+            decisions.withColumn("epoch", lit(epoch)), "decisions")
           val admitted = rows.join(
             decisions.filter($"decision" === Curate.Admitted)
               .select($"doc_id"), "doc_id")
@@ -332,7 +438,8 @@ object CorpusLake {
               sum(when($"decision" === Curate.Contaminated, 1L).otherwise(0L)).as("n_contaminated"),
               sum(when($"decision" === Curate.LowQuality, 1L).otherwise(0L)).as("n_low_quality"))
             .select(lit(epoch).as("version"), $"n_arrived", $"n_admitted",
-              $"n_duplicate", $"n_contaminated", $"n_low_quality")
+              $"n_duplicate", $"n_contaminated", $"n_low_quality",
+              lit(batchId).as("batch_id"), lit(0L).as("n_deleted"))
             .write.mode("append").parquet(s"$corpusDir/manifest")
           // index upkeep (the maintainDedupIndexStream counters, verbatim)
           if (baseCount < 0) baseCount = spark.read.parquet(
@@ -437,10 +544,16 @@ object CorpusLake {
     * incremental consumer (index refresh, materialized-view maintenance,
     * training-set delta shipping) tails instead of re-diffing snapshots.
     *
-    * change_type: `update` if the doc_id was visible at `fromVersion`
-    * (an earlier committed lake epoch, or the base corpus it shadows),
-    * else `insert`. The lake is append-only LWW, so deletes do not occur
-    * ([[vacuumCorpus]] collapses history but never the current state).
+    * change_type, against the doc's VISIBLE state at `fromVersion` (the
+    * latest committed row there if not a tombstone, else the base-corpus
+    * row it would shadow): `update` if it was visible and its latest
+    * in-window row is a live document, `insert` if it was not,
+    * `delete` (text = null) if its latest in-window row is a
+    * [[deleteDocs]] tombstone — and a tombstone for a doc that was NOT
+    * visible at the cursor is suppressed entirely (insert + delete inside
+    * one window nets to nothing a consumer ever saw). A consumer
+    * therefore applies the feed as a pure upsert/retract stream with no
+    * state of its own.
     *
     * Cost: the docs scan carries an `epoch > fromVersion` predicate that
     * parquet row-group min/max stats turn into whole-file skips (each
@@ -464,31 +577,51 @@ object CorpusLake {
     val winVersions = toVersion.fold(man)(v => man.filter(col("version") <= v))
       .filter(col("version") > fromVersion)
       .select(col("version").as("epoch"))
-    val changed = admittedRaw(spark, corpusDir)
+    def deletedFlag(df: DataFrame) =
+      if (df.columns.contains("_deleted"))
+        coalesce(col("_deleted"), lit(false))
+      else lit(false)
+    val raw = admittedRaw(spark, corpusDir)
+    val changed = raw
       .filter(col("epoch") > fromVersion)
       .join(winVersions, Seq("epoch"), "left_semi")
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
       .filter(col("_rn") === 1).drop("_rn")
+    val changedD = changed.withColumn("_del", deletedFlag(changed))
     val changedIds = changed.select(col("doc_id"))
-    val priorLake = admittedRaw(spark, corpusDir)
+    // the doc's VISIBLE state at fromVersion: latest committed lake row
+    // there when one exists (and it is not a tombstone), else the base
+    // row — a tombstone at the cursor both hides the doc and shadows its
+    // base row, exactly the readCorpusAt contract. Pruned to the changed
+    // ids first, so the window runs over candidate history only.
+    val priorLatest = raw
       .filter(col("epoch") <= fromVersion)
       .join(man.filter(col("version") <= fromVersion)
         .select(col("version").as("epoch")), Seq("epoch"), "left_semi")
-      .select(col("doc_id"))
+      .join(changedIds, Seq("doc_id"), "left_semi")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
+      .filter(col("_rn") === 1).drop("_rn")
+    val priorVisible = priorLatest
+      .withColumn("_del", deletedFlag(priorLatest))
+      .filter(!col("_del")).select(col("doc_id"))
     val priorBase = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"))
-    val prior = priorLake.unionByName(priorBase)
       .join(changedIds, Seq("doc_id"), "left_semi")
+      .join(priorLatest.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val prior = priorVisible.unionByName(priorBase)
       .distinct().withColumn("_prior", lit(true))
     // evolved metadata columns ride the feed (nulls for pre-evolution
     // epochs) — a training-set delta shipment needs them, and the index
     // consumers project them away
     val extras = changed.columns
-      .filterNot(Set("doc_id", "text", "epoch")).toSeq
-    changed.join(prior, Seq("doc_id"), "left")
+      .filterNot(Set("doc_id", "text", "epoch", "_deleted")).toSeq
+    changedD.join(prior, Seq("doc_id"), "left")
+      .filter(!col("_del") || col("_prior").isNotNull)
       .select(Seq(col("doc_id"), col("text"), col("epoch").as("version"),
-        when(col("_prior").isNotNull, lit("update"))
+        when(col("_del"), lit("delete"))
+          .when(col("_prior").isNotNull, lit("update"))
           .otherwise(lit("insert")).as("change_type")) ++
         extras.map(col): _*)
   }
@@ -521,10 +654,21 @@ object CorpusLake {
       case Some(latest) if latest > from =>
         val changes = readCorpusChanges(spark, dir, corpusDir, from,
           Some(latest))
-        TextAnalysis.encodeForPostings(
-            changes.select($"doc_id", $"text", $"version".as("epoch")),
+        val upserts = TextAnalysis.encodeForPostings(
+            changes.filter($"change_type" =!= "delete")
+              .select($"doc_id", $"text", $"version".as("epoch")),
             carry = Seq("epoch"))
           .select($"doc_id", $"dl", $"tok", $"tf", $"epoch")
+        // a delete retracts as a TOMBSTONE posting row: null token, so the
+        // doc is re-listed in the delta (the anti-join merge drops its
+        // base/older postings) while contributing zero scorable rows —
+        // the null key can never equi-join a query term. Types mirror the
+        // encode exactly so the parquet append stays schema-stable.
+        val tombstones = changes.filter($"change_type" === "delete")
+          .select($"doc_id", lit(null).cast("int").as("dl"),
+            lit(null).cast("string").as("tok"),
+            lit(null).cast("long").as("tf"), $"version".as("epoch"))
+        upserts.unionByName(tombstones)
           .write.mode("append").parquet(
             Similarity.appendTarget(spark, s"$maintDir/seg"))
         Seq(latest).toDF("last_version")
@@ -549,10 +693,22 @@ object CorpusLake {
     * version, so a crashed refresh re-appends byte-identical rows that
     * [[Similarity.readIndexDelta]]'s (vec_id, epoch) dedup collapses, and
     * an LWW re-embedding deterministically wins (latest epoch per key).
-    * Cursor written LAST via the tmp-swap. */
+    * Cursor written LAST via the tmp-swap.
+    *
+    * `embed` receives only the feed's insert/update rows (a delete has no
+    * text to embed); `delete` rows are retracted here: `deleteVecIds`
+    * maps them to the index's id space (identity doc_id → vec_id by
+    * default — override when the embedding job renames ids) and each
+    * becomes a TOMBSTONE list row (null cent_id, null codes) at the
+    * delete's lake version. The anti-join merge then drops the doc's
+    * base/older list rows while the null cell can never match a probe —
+    * the vector is unservable from the delete version on, through both
+    * the delta store and any later compaction. */
   def refreshIndexFromLake(spark: SparkSession, dir: String,
       corpusDir: String, maintDir: String,
-      embed: DataFrame => DataFrame): Option[(Long, Long)] = {
+      embed: DataFrame => DataFrame,
+      deleteVecIds: DataFrame => DataFrame =
+        _.select(col("doc_id").as("vec_id"), col("version"))): Option[(Long, Long)] = {
     import spark.implicits._
     val cPath = Similarity.resolveArtifact(spark, maintDir, "dense_lake_cursor")
     val from =
@@ -563,17 +719,27 @@ object CorpusLake {
       .as[Option[Long]].head()
     head match {
       case Some(latest) if latest > from =>
+        val changes = readCorpusChanges(spark, dir, corpusDir, from,
+          Some(latest)).localCheckpoint()
         // localCheckpoint: embed is "an inference job over the window" —
         // the encode and the version join must read ONE materialized
         // result, not re-run the inference (and a nondeterministic embed
         // must not diverge between the two branches)
-        val vecs = embed(readCorpusChanges(spark, dir, corpusDir, from,
-          Some(latest))).localCheckpoint()
+        val vecs = embed(changes.filter($"change_type" =!= "delete"))
+          .localCheckpoint()
         val enc = Similarity.encodeForIndex(spark, dir,
           vecs.select($"vec_id", $"embedding"))
         val encCols = enc.columns
-        enc.join(broadcast(vecs.select($"vec_id", $"version")), "vec_id")
+        val upserts = enc
+          .join(broadcast(vecs.select($"vec_id", $"version")), "vec_id")
           .select(encCols.map(col) :+ $"version".as("epoch"): _*)
+        val tombstones = deleteVecIds(
+            changes.filter($"change_type" === "delete"))
+          .select(col("vec_id") +:
+            enc.schema.fields.filterNot(_.name == "vec_id").toSeq
+              .map(f => lit(null).cast(f.dataType).as(f.name)) :+
+            col("version").as("epoch"): _*)
+        upserts.unionByName(tombstones)
           .write.mode("append").parquet(
             Similarity.appendTarget(spark, s"$maintDir/lists"))
         Seq(latest).toDF("last_version").write.mode("overwrite")
@@ -629,18 +795,28 @@ object CorpusLake {
       .select(col("doc_id")).distinct()
     // no broadcast hint: the changed set is bootstrap-unbounded (see
     // readCorpusChanges) — AQE broadcasts the incremental case itself
+    val delFlag =
+      if (committed.columns.contains("_deleted"))
+        coalesce(col("_deleted"), lit(false))
+      else lit(false)
     val hist = committed
       .join(changedIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"), col("epoch"))
+      .select(col("doc_id"), col("text"), col("epoch"), delFlag.as("_del"))
     val baseRows = Tables.spread(Tables.documents(spark, dir))
       .join(changedIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"))
+      .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"),
+        lit(false).as("_del"))
     val seq = hist.unionByName(baseRows)
       .withColumn("prev_text", lag(col("text"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch"))))
       .filter(col("epoch") > from)
+    // a tombstone ([[deleteDocs]]) adds nothing — it only retracts the
+    // text it replaced; and a row whose predecessor was a tombstone (a
+    // re-admission) retracts nothing, which the prev_text null filter
+    // already handles (tombstone text is null by construction)
     val plus = signedProfileRows(
-      seq.select(col("text"), col("epoch").as("version")), 1)
+      seq.filter(!col("_del"))
+        .select(col("text"), col("epoch").as("version")), 1)
     val minus = signedProfileRows(
       seq.filter(col("prev_text").isNotNull)
         .select(col("prev_text").as("text"), col("epoch").as("version")), -1)
@@ -898,7 +1074,12 @@ object CorpusLake {
     * The manifest keeps every row — the commit history is the audit trail
     * and costs one row per epoch. The rewrite also coalesces the many
     * small per-epoch append files — vacuum doubles as the lake's
-    * file-count hygiene pass.
+    * file-count hygiene pass. Vacuum is also the PURGE half of
+    * [[deleteDocs]]: a tombstone hides a doc immediately, but its
+    * superseded text rows survive until the floor rises past them — a
+    * vacuum at or above the delete version keeps only the (text-less)
+    * tombstone as the doc's floor state, physically reclaiming the bytes
+    * (the right-to-be-forgotten completion).
     *
     * Write ordering is the conservative direction: the retention marker
     * lands FIRST (tmp-swap), so a crash mid-vacuum refuses pre-floor pins
@@ -1002,13 +1183,13 @@ object CorpusLake {
     * Footer-read cost is file-count-proportional, which
     * [[optimizeCorpus]] bounds. */
   private[graft] def validateCarrySchema(spark: SparkSession,
-      corpusDir: String, rows: DataFrame): Unit = {
-    val stored = readStore(spark, corpusDir, "docs")
+      corpusDir: String, rows: DataFrame, store: String = "docs"): Unit = {
+    val stored = readStore(spark, corpusDir, store)
       .fold(Map.empty[String, org.apache.spark.sql.types.DataType])(
         _.schema.map(f => f.name -> f.dataType).toMap)
     rows.schema.foreach { f =>
       stored.get(f.name).foreach(t => require(t == f.dataType,
-        s"schema evolution type conflict on '${f.name}': the store " +
+        s"schema evolution type conflict on '$store.${f.name}': the store " +
           s"holds $t, the batch carries ${f.dataType} — refusing the append"))
     }
   }
@@ -1043,6 +1224,13 @@ object CorpusLake {
         "left_anti").count()
     val floor = retentionFloor(spark, corpusDir)
     val pins = pinnedRuns(spark, corpusDir).count()
+    // raw tombstone rows ([[deleteDocs]]), not currently-deleted docs —
+    // the latter needs a corpus-sized latest-wins window, and this surface
+    // stays poll-cheap by contract
+    val tombstones = readStore(spark, corpusDir, "docs").fold(0L) { df =>
+      if (!df.columns.contains("_deleted")) 0L
+      else df.filter(coalesce(col("_deleted"), lit(false))).count()
+    }
     Seq(
       ("committed_epochs", committedN),
       ("committed_head", head.getOrElse(-1L)),
@@ -1050,7 +1238,8 @@ object CorpusLake {
       ("docs_rows", docRows), ("docs_files", docFiles),
       ("decisions_rows", decRows), ("decisions_files", decFiles),
       ("retention_floor", if (floor == Long.MinValue) -1L else floor),
-      ("pinned_runs", pins)
+      ("pinned_runs", pins),
+      ("tombstone_rows", tombstones)
     ).toDF("stat", "value")
   }
 
@@ -1211,4 +1400,64 @@ object CorpusLake {
     readCorpusAt(spark, dir, corpusDir, None)
       .orderBy(col("doc_id"))
   }
+
+  /** The deterministic delete-lifecycle lake BOTH delete twins serve —
+    * built ONCE per fixture dir through the REAL [[deleteDocs]] API:
+    * epoch 0 commits an LWW update of every doc_id ≡ 1 (mod 10) (so the
+    * deletes hit lake rows AND base-only rows), version 1 is a committed
+    * [[deleteDocs]] of every doc_id ≡ 2 (mod 9), version 2 re-admits the
+    * ≡ 2 (mod 27) subset with fresh text (deletes are reversible). The
+    * allocated versions are asserted so the fixture fails loudly if
+    * [[nextLakeVersion]] ever drifts. */
+  private def deleteLake(spark: SparkSession, dir: String): String =
+    graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-del-lake|$dir") {
+      import spark.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft-del-lake")
+        .toString + "/corpus"
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), concat(col("text"), lit(" u1")).as("text"),
+          lit(0L).as("epoch"))
+        .write.mode("append").parquet(s"$d/docs")
+      // pre-split manifest row (no batch_id): the delete path must
+      // interoperate with a lake whose manifest predates the schema split
+      Seq((0L, 0L, 0L, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$d/manifest")
+      val vDel = deleteDocs(spark, d,
+        docs.filter(col("doc_id") % 9 === 2).select(col("doc_id")))
+      require(vDel == 1L, s"delete committed at $vDel, expected 1")
+      val vRe = nextLakeVersion(spark, d)
+      require(vRe == 2L, s"re-admission allocated $vRe, expected 2")
+      docs.filter(col("doc_id") % 27 === 2)
+        .select(col("doc_id"), concat(col("text"), lit(" re")).as("text"),
+          lit(vRe).as("epoch"))
+        .write.mode("append").parquet(s"$d/docs")
+      Seq((vRe, 0L, 0L, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$d/manifest")
+      d
+    }
+
+  /** [[deleteDocs]]' oracled BATCH twin, snapshot leg: serve the
+    * [[deleteLake]] head. DuckDB recomputes the visible set directly from
+    * the documents table — hash equality pins that a tombstone hides its
+    * doc AND shadows its base row, that an un-deleted LWW update still
+    * serves, and that a re-admission past the tombstone wins. */
+  def deleteTwin(spark: SparkSession, dir: String): DataFrame =
+    readCorpusAt(spark, dir, deleteLake(spark, dir), None)
+      .orderBy(col("doc_id"))
+
+  /** [[deleteDocs]]' oracled BATCH twin, change-feed leg: the CDC window
+    * (0, head] over the [[deleteLake]] — exactly the rows every lake-fed
+    * index refresher consumes. DuckDB re-derives the feed (deletes with
+    * null text at the tombstone version; the re-admitted subset as
+    * updates), pinning the retraction feed end-to-end. */
+  def deleteFeedTwin(spark: SparkSession, dir: String): DataFrame =
+    readCorpusChanges(spark, dir, deleteLake(spark, dir), 0L, None)
+      .orderBy(col("doc_id"))
 }

@@ -69,13 +69,16 @@ class CorpusLifecycleSpec extends SparkSpec {
     assert(log(1000006L)._1 == Curate.Contaminated,
       s"bench-overlap doc: ${log(1000006L)}")
 
-    // manifest: two committed epochs with per-decision counts
+    // manifest: two committed epochs with per-decision counts (and each
+    // row carries the stream batch id the replay guard keys on)
     val man = CorpusLake.manifest(spark, corpus)
+      .select($"version", $"n_arrived", $"n_admitted", $"n_duplicate",
+        $"n_contaminated", $"n_low_quality", $"batch_id")
       .orderBy($"version").collect().map(_.toSeq).toSeq
     assert(man.size == 2, s"manifest: $man")
-    assert(man(0).drop(1) == Seq(3L, 1L, 1L, 0L, 1L),
+    assert(man(0).drop(1) == Seq(3L, 1L, 1L, 0L, 1L, 0L),
       s"epoch-0 manifest row: ${man(0)}")
-    assert(man(1).drop(1) == Seq(3L, 1L, 1L, 1L, 0L),
+    assert(man(1).drop(1).dropRight(1) == Seq(3L, 1L, 1L, 1L, 0L),
       s"epoch-1 manifest row: ${man(1)}")
     val Seq(v0, v1) = man.map(_.head.asInstanceOf[Long])
 
