@@ -136,6 +136,7 @@ object SparkEntry {
     "corpus_optimize"      -> (CorpusLake.optimizeTwin _),
     "corpus_delete"        -> (CorpusLake.deleteTwin _),
     "corpus_delete_feed"   -> (CorpusLake.deleteFeedTwin _),
+    "text_index_drift"     -> (TextAnalysis.postingsDrift _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2102,6 +2103,75 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 9 = 2
         |ORDER BY doc_id""".stripMargin,
+
+    // lexical statistics-drift advisory: the engine serves the stride
+    // workload under PINNED base df/N/avgdl over base ∪ delta postings
+    // (every 10th doc re-arrived under a fresh id) and compares recall@10
+    // against the FRESH-statistics rebuild (what a reindex would serve);
+    // each leg selects its rarest-8 query terms under its OWN statistics.
+    // DuckDB re-derives the full doubled chain; the flag is
+    // mean_recall < 1 − 0.05 against the exact-1.0 lexical baseline
+    "text_index_drift" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS s FROM documents),
+        |g AS (SELECT doc_id, s FROM t UNION ALL
+        |      SELECT doc_id + 1000000, s FROM t WHERE doc_id % 10 = 0),
+        |stats_p AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl,
+        |            greatest(4096, count(*) // 20) AS dfcap FROM t),
+        |stats_f AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(len(s)) AS avgdl,
+        |            greatest(4096, count(*) // 20) AS dfcap FROM g),
+        |tf_b AS (SELECT doc_id, dl, tok, count(*) AS tf FROM
+        |  (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM t)
+        |  GROUP BY doc_id, dl, tok),
+        |tf_g AS (SELECT doc_id, dl, tok, count(*) AS tf FROM
+        |  (SELECT doc_id, len(s) AS dl, unnest(s) AS tok FROM g)
+        |  GROUP BY doc_id, dl, tok),
+        |df_p AS (SELECT tok, count(*) AS df FROM tf_b GROUP BY tok),
+        |df_f AS (SELECT tok, count(*) AS df FROM tf_g GROUP BY tok),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM tf_b
+        |       WHERE doc_id % 100 = 0),
+        |q_p AS (SELECT query_id, tok, df FROM (
+        |    SELECT qt.query_id, qt.tok, df_p.df, dfcap,
+        |      row_number() OVER (PARTITION BY qt.query_id
+        |                         ORDER BY df_p.df ASC, qt.tok ASC) AS qrn
+        |    FROM qt JOIN df_p USING (tok) CROSS JOIN stats_p)
+        |  WHERE qrn <= 8 AND df <= dfcap),
+        |q_f AS (SELECT query_id, tok, df FROM (
+        |    SELECT qt.query_id, qt.tok, df_f.df, dfcap,
+        |      row_number() OVER (PARTITION BY qt.query_id
+        |                         ORDER BY df_f.df ASC, qt.tok ASC) AS qrn
+        |    FROM qt JOIN df_f USING (tok) CROSS JOIN stats_f)
+        |  WHERE qrn <= 8 AND df <= dfcap),
+        |sc_p AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1.0 + (n - q.df + 0.5) / (q.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS score
+        |  FROM tf_g tf JOIN q_p q USING (tok) CROSS JOIN stats_p
+        |  WHERE tf.doc_id <> q.query_id
+        |  GROUP BY q.query_id, tf.doc_id),
+        |sc_f AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(ln(1.0 + (n - q.df + 0.5) / (q.df + 0.5)) *
+        |      (tf.tf * (1.2 + 1)) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl))), 6) AS score
+        |  FROM tf_g tf JOIN q_f q USING (tok) CROSS JOIN stats_f
+        |  WHERE tf.doc_id <> q.query_id
+        |  GROUP BY q.query_id, tf.doc_id),
+        |served AS (SELECT query_id, doc_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS rank FROM sc_p)
+        |  WHERE rank <= 10),
+        |truth AS (SELECT query_id, doc_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id ASC) AS rank FROM sc_f)
+        |  WHERE rank <= 10),
+        |r AS (SELECT t.query_id, CAST(count(s.doc_id) AS BIGINT) AS n_hits
+        |  FROM truth t LEFT JOIN served s
+        |    ON t.query_id = s.query_id AND t.doc_id = s.doc_id
+        |  GROUP BY t.query_id)
+        |SELECT query_id, n_hits, round(n_hits / 10.0, 6) AS recall,
+        |  round(avg(round(n_hits / 10.0, 6)) OVER (), 6) < 0.95 AS retrain_advised
+        |FROM r ORDER BY query_id""".stripMargin,
 
     // index-serving dedup: the dedup_incremental chain with the index side
     // UNFILTERED (a persisted bucket index holds every corpus doc, so

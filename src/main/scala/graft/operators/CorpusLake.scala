@@ -47,12 +47,17 @@ import graft.sources.Tables
   * delete→rename swap: a reader that PLANS after the swap is correct by
   * `resolveArtifact`, but a cross-session scan in flight across the swap
   * instant can hit vanished files and must retry — the standard
-  * swap-rewrite trade. Serving stacks that cannot tolerate a retry
-  * should read through a pinned artifact version (the
-  * [[Similarity.retrainIndex]] versioned-dir convention: rewrite into a
-  * NEW dir, flip by path) or schedule deep passes in quiet windows; the
-  * inline incremental cadence at least guarantees no WRITER races the
-  * rewrite, because it runs inside the serialized foreachBatch slot.
+  * swap-rewrite trade. Serving stacks that cannot tolerate a retry use
+  * the store-GENERATION layout instead ([[optimizeCorpusVersioned]] —
+  * the [[Similarity.retrainIndex]] versioned-dir convention applied to
+  * the lake): the rewrite lands in `<store>_gen_<k+1>`, the
+  * `store_head` pointer flips, the old generation keeps serving every
+  * scan that already planned against it, and disk is reclaimed
+  * explicitly ([[reclaimStoreGenerations]]) after the operator's drain
+  * window. The in-place swaps remain for stacks that prefer zero dir
+  * growth; the inline incremental cadence guarantees no WRITER races
+  * either rewrite, because it runs inside the serialized foreachBatch
+  * slot.
   *
   * Versioning: the committed epoch IS the version. [[readCorpusAt]] pins a
   * version v and serves base ∪ admitted(epoch ≤ v), doc-level latest-epoch-
@@ -130,10 +135,121 @@ object CorpusLake {
     * file-count-proportional, which the OPTIMIZE passes bound. */
   private[graft] def readStore(spark: SparkSession, corpusDir: String,
       name: String): Option[DataFrame] = {
-    val p = Similarity.resolveArtifact(spark, corpusDir, name)
+    val p = Similarity.resolveArtifact(spark, corpusDir,
+      storeName(spark, corpusDir, name))
     if (!graft.sources.Formats.pathExists(spark, p)) None
     else Some(spark.read.option("mergeSchema", "true")
       .option("recursiveFileLookup", "true").parquet(p))
+  }
+
+  // ------------- store generations (pinned-path serving for no-retry readers)
+
+  /** The CURRENT generation's directory name for a lake store — the
+    * indirection that gives the lake the [[Similarity.retrainIndex]]
+    * versioned-dir convention: a rewrite that must not strand in-flight
+    * cross-session scans lands in `<name>_gen_<k+1>`
+    * ([[optimizeCorpusVersioned]]) and flips the `store_head` pointer;
+    * the PREVIOUS generation's files stay on disk untouched, so a scan
+    * that planned against them finishes without a retry — old
+    * generations are reclaimed explicitly ([[reclaimStoreGenerations]])
+    * once in-flight readers have drained. No pointer → the legacy
+    * in-place layout (`<name>` + `_compacting` swaps), unchanged. The
+    * pointer itself is one KB-scale parquet row per store, swapped via
+    * the `_compacting` protocol every reader resolves. */
+  private[graft] def storeName(spark: SparkSession, corpusDir: String,
+      name: String): String = {
+    val p = Similarity.resolveArtifact(spark, corpusDir, "store_head")
+    if (!graft.sources.Formats.pathExists(spark, p)) name
+    else {
+      import spark.implicits._
+      spark.read.parquet(p).filter(col("store") === name)
+        .agg(max(col("gen"))).as[Option[Long]].head()
+        .fold(name)(g => s"${name}_gen_$g")
+    }
+  }
+
+  private def storeGen(spark: SparkSession, corpusDir: String,
+      name: String): Long = storeName(spark, corpusDir, name) match {
+    case n if n == name => 0L
+    case n => n.drop(name.length + "_gen_".length).toLong
+  }
+
+  /** The versioned deep OPTIMIZE — [[optimizeCorpus]] re-expressed for
+    * serving stacks that cannot tolerate a mid-scan retry: each store's
+    * rows are packed into a NEW `<name>_gen_<k+1>` directory (same
+    * size-targeted (epoch, doc_id) range layout, same replay-collapse),
+    * then ONE `store_head` pointer write flips both stores atomically-
+    * enough (a reader resolves the pointer once at plan time and scans a
+    * directory nobody will delete under it). The old generation keeps
+    * serving every scan that already planned against it; nothing is
+    * deleted here — disk is reclaimed by [[reclaimStoreGenerations]] on
+    * the operator's quiet-window schedule. Appends follow the pointer
+    * ([[liveTarget]]), so run this from the maintenance cadence like
+    * every rewrite (an append landing mid-rewrite would land in the OLD
+    * generation and vanish at the flip). Returns (files before, files
+    * after). */
+  def optimizeCorpusVersioned(spark: SparkSession, corpusDir: String,
+      targetRowsPerFile: Long = 1L << 20): (Long, Long) = {
+    import spark.implicits._
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    var (before, after) = (0L, 0L)
+    val flipped = Seq.newBuilder[(String, Long)]
+    for (name <- Seq("docs", "decisions")) {
+      val cur = storeName(spark, corpusDir, name)
+      val p = Similarity.resolveArtifact(spark, corpusDir, cur)
+      if (graft.sources.Formats.pathExists(spark, p)) {
+        val nextGen = storeGen(spark, corpusDir, name) + 1
+        before += dataFileCount(spark, p)
+        val rows = spark.read.option("mergeSchema", "true")
+          .option("recursiveFileLookup", "true").parquet(p)
+          .dropDuplicates("doc_id", "epoch")
+        val n = rows.count()
+        val nFiles = math.max(1L,
+          (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+        rows.repartitionByRange(nFiles, col("epoch"), col("doc_id"))
+          .sortWithinPartitions(col("epoch"), col("doc_id"))
+          .write.mode("overwrite")
+          .parquet(s"$corpusDir/${name}_gen_$nextGen")
+        after += dataFileCount(spark, s"$corpusDir/${name}_gen_$nextGen")
+        flipped += name -> nextGen
+      }
+    }
+    val rows = flipped.result()
+    if (rows.nonEmpty) {
+      // carry forward pointer entries for stores NOT rewritten this pass
+      val cur = rows.toMap
+      val all = Seq("docs", "decisions")
+        .map(n => n -> cur.getOrElse(n, storeGen(spark, corpusDir, n)))
+        .filter(_._2 > 0)
+      all.toDF("store", "gen")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$corpusDir/store_head_compacting")
+      Similarity.swapArtifact(spark, corpusDir, "store_head")
+    }
+    (before, after)
+  }
+
+  /** Reclaim superseded store generations: delete every `<name>_gen_<k>`
+    * (and the legacy un-suffixed dir once a pointer exists) with
+    * k < the current pointer generation. Run it where vacuum runs — after
+    * the operator's in-flight-scan drain window — never inline with the
+    * flip. Returns the number of directories deleted. */
+  def reclaimStoreGenerations(spark: SparkSession, corpusDir: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var reclaimed = 0L
+    for (name <- Seq("docs", "decisions")) {
+      val cur = storeGen(spark, corpusDir, name)
+      if (cur > 0) {
+        val legacy = new org.apache.hadoop.fs.Path(s"$corpusDir/$name")
+        if (fs.exists(legacy)) { fs.delete(legacy, true); reclaimed += 1 }
+        (0L until cur).foreach { g =>
+          val p = new org.apache.hadoop.fs.Path(s"$corpusDir/${name}_gen_$g")
+          if (fs.exists(p)) { fs.delete(p, true); reclaimed += 1 }
+        }
+      }
+    }
+    reclaimed
   }
 
   private def admittedRaw(spark: SparkSession, corpusDir: String): DataFrame =
@@ -302,7 +418,8 @@ object CorpusLake {
 
   /** The full per-doc admission audit log (committed epochs only). */
   def admissionLog(spark: SparkSession, corpusDir: String): DataFrame = {
-    val p = Similarity.resolveArtifact(spark, corpusDir, "decisions")
+    val p = Similarity.resolveArtifact(spark, corpusDir,
+      storeName(spark, corpusDir, "decisions"))
     if (!graft.sources.Formats.pathExists(spark, p))
       // full Curate.admitRows schema — the empty and non-empty paths of a
       // reader must agree on columns
@@ -1143,19 +1260,21 @@ object CorpusLake {
     // re-delivery — and only those are reclaimed
     val inFlight = raw.join(man, Seq("epoch"), "left_anti")
       .filter(col("epoch") > head)
+    val docsStore = storeName(spark, corpusDir, "docs")
     val kept = recent.unionByName(floorState).unionByName(inFlight)
-    kept.write.mode("overwrite").parquet(s"$corpusDir/docs_compacting")
-    Similarity.swapArtifact(spark, corpusDir, "docs")
-    val after = spark.read.parquet(s"$corpusDir/docs").count()
-    val decPath = Similarity.resolveArtifact(spark, corpusDir, "decisions")
+    kept.write.mode("overwrite").parquet(s"$corpusDir/${docsStore}_compacting")
+    Similarity.swapArtifact(spark, corpusDir, docsStore)
+    val after = spark.read.parquet(s"$corpusDir/$docsStore").count()
+    val decStore = storeName(spark, corpusDir, "decisions")
+    val decPath = Similarity.resolveArtifact(spark, corpusDir, decStore)
     if (graft.sources.Formats.pathExists(spark, decPath)) {
       val dec = readStore(spark, corpusDir, "decisions").get
         .dropDuplicates("doc_id", "epoch")
       dec.join(man, Seq("epoch"), "left_semi")
         .unionByName(dec.join(man, Seq("epoch"), "left_anti")
           .filter(col("epoch") > head))
-        .write.mode("overwrite").parquet(s"$corpusDir/decisions_compacting")
-      Similarity.swapArtifact(spark, corpusDir, "decisions")
+        .write.mode("overwrite").parquet(s"$corpusDir/${decStore}_compacting")
+      Similarity.swapArtifact(spark, corpusDir, decStore)
     }
     (before, after)
   }
@@ -1209,7 +1328,8 @@ object CorpusLake {
     val head = man.agg(max(col("version"))).as[Option[Long]].head()
     def store(name: String): (Long, Long) = readStore(spark, corpusDir, name)
       .fold((0L, 0L))(df => (df.count(),
-        dataFileCount(spark, Similarity.resolveArtifact(spark, corpusDir, name))))
+        dataFileCount(spark, Similarity.resolveArtifact(spark, corpusDir,
+          storeName(spark, corpusDir, name)))))
     val (docRows, docFiles) = store("docs")
     val (decRows, decFiles) = store("decisions")
     // union BOTH stores' epochs: a batch whose every arrival was rejected
@@ -1250,7 +1370,8 @@ object CorpusLake {
     * either. */
   private def liveTarget(spark: SparkSession, corpusDir: String,
       name: String): String = {
-    val store = Similarity.resolveArtifact(spark, corpusDir, name)
+    val store = Similarity.resolveArtifact(spark, corpusDir,
+      storeName(spark, corpusDir, name))
     Similarity.resolveArtifact(spark, store, "live")
   }
 
@@ -1275,7 +1396,8 @@ object CorpusLake {
     import spark.implicits._
     var (packed, reclaimed) = (0L, 0L)
     for (name <- Seq("docs", "decisions")) {
-      val store = Similarity.resolveArtifact(spark, corpusDir, name)
+      val store = Similarity.resolveArtifact(spark, corpusDir,
+        storeName(spark, corpusDir, name))
       val live = Similarity.resolveArtifact(spark, store, "live")
       if (graft.sources.Formats.pathExists(spark, live)) {
         val filesBefore = dataFileCount(spark, live)
@@ -1344,12 +1466,13 @@ object CorpusLake {
     require(targetRowsPerFile > 0, s"targetRowsPerFile must be positive")
     var (before, after) = (0L, 0L)
     for (name <- Seq("docs", "decisions")) {
-      val p = Similarity.resolveArtifact(spark, corpusDir, name)
+      val cur = storeName(spark, corpusDir, name)
+      val p = Similarity.resolveArtifact(spark, corpusDir, cur)
       if (graft.sources.Formats.pathExists(spark, p)) {
         before += dataFileCount(spark, p)
-        Similarity.coalesceStore(spark, s"$corpusDir/$name",
+        Similarity.coalesceStore(spark, s"$corpusDir/$cur",
           Seq("doc_id", "epoch"), Seq("epoch", "doc_id"), targetRowsPerFile)
-        after += dataFileCount(spark, s"$corpusDir/$name")
+        after += dataFileCount(spark, s"$corpusDir/$cur")
       }
     }
     (before, after)

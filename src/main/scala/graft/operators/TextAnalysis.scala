@@ -433,21 +433,33 @@ object TextAnalysis {
     // entire zero-warm-benefit steady cost the bench showed. The postings
     // and df tables ride the same memo (df is vocabulary-sized).
     graft.sources.Caches.memoizedValue(spark, s"text-bm25-index|$dir") {
-      import spark.implicits._
-      val docs = Tables.spread(Tables.documents(spark, dir))
-        .select($"doc_id", tokens($"text").as("toks"))
-        .select($"doc_id", $"toks", size($"toks").as("dl"))
-      // scalars from `docs`, not from tf: explode drops zero-token docs,
-      // and a zero-token doc still counts toward N and pulls avgdl down
-      val (nDocs, avgdl) = docs
-        .agg(count(lit(1)).cast("double"), avg($"dl")).as[(Double, Double)].head()
-      val tf = graft.sources.Caches.shared(
-        docs.select($"doc_id", $"dl", explode($"toks").as("tok"))
-          .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf")))
-      val dfreq = graft.sources.Caches.shared(
-        tf.groupBy($"tok").agg(count(lit(1)).as("df")))
-      (tf, dfreq, nDocs, avgdl)
+      bm25IndexOver(Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")))
     }
+
+  /** The index build over an EXPLICIT (doc_id, text) relation — shared by
+    * the memoized base build ([[bm25Index]]) and the drift check's
+    * fresh-statistics truth leg ([[lexDriftCheckFrames]]: "what would a
+    * reindex over the grown corpus serve"). Un-memoized: callers own the
+    * caching decision. */
+  private[graft] def bm25IndexOver(rawDocs: DataFrame)
+      : (DataFrame, DataFrame, Double, Double) = {
+    val spark = rawDocs.sparkSession
+    import spark.implicits._
+    val docs = rawDocs
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").as("dl"))
+    // scalars from `docs`, not from tf: explode drops zero-token docs,
+    // and a zero-token doc still counts toward N and pulls avgdl down
+    val (nDocs, avgdl) = docs
+      .agg(count(lit(1)).cast("double"), avg($"dl")).as[(Double, Double)].head()
+    val tf = graft.sources.Caches.shared(
+      docs.select($"doc_id", $"dl", explode($"toks").as("tok"))
+        .groupBy($"doc_id", $"dl", $"tok").agg(count(lit(1)).as("tf")))
+    val dfreq = graft.sources.Caches.shared(
+      tf.groupBy($"tok").agg(count(lit(1)).as("df")))
+    (tf, dfreq, nDocs, avgdl)
+  }
 
   /** BM25 scores for an EXTERNAL query workload — `queryToks` is one row
     * per DISTINCT (query_id, tok); this is the retrieval-serving surface
@@ -647,16 +659,29 @@ object TextAnalysis {
     * epoch-stamped segment appended to `maintDir/seg`, and when the
     * segment fraction reaches `compactAt` of the persisted base postings,
     * [[compactPostings]] folds the segments into `indexDir` — all off the
-    * query path. No separate drift advisory here: lexical drift IS idf
-    * staleness, and its measure is exactly the segment fraction the
-    * compaction threshold already watches (a reindex —
-    * [[savePostingsIndex]] over the grown corpus — refreshes the
-    * statistics when the corpus has genuinely moved). Restart/replay
-    * safety is the dense twin's: epoch-stamped writes, keyed read-side
-    * dedup, post-compaction overlap hidden by the serving merge. */
+    * query path.
+    *
+    * With `adviseDir` (the base-corpus fixture dir), the loop ALSO keeps
+    * the raw (doc_id, text) lake partition under `maintDir/docs` and runs
+    * the statistics-drift advisory ([[lexRetrainAdvised]]) at the
+    * COMPACTION cadence, appending one (epoch, mean_recall,
+    * retrain_advised) row to `maintDir/advisory` before each fold. The
+    * cadence choice is deliberate: the advisory's truth leg is a fresh
+    * index build over base ∪ everything-appended-since-reindex — a corpus
+    * scan, the same order of work the segment merge itself pays — so it
+    * rides the merge schedule rather than taxing every micro-batch (the
+    * dense leg's per-batch advisory is cheap only because its truth is
+    * memoized; a statistics truth cannot be). The docs partition is never
+    * truncated by compaction — it accumulates until an explicit reindex,
+    * exactly the window the SAVED-leg check must keep measuring
+    * post-fold. Restart/replay safety is the dense twin's: epoch-stamped
+    * writes, keyed read-side dedup, post-compaction overlap hidden by the
+    * serving merge. */
   def maintainPostingsStream(docStream: DataFrame, spark: SparkSession,
       indexDir: String, maintDir: String,
-      compactAt: Double = 0.25): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      compactAt: Double = 0.25,
+      adviseDir: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import spark.implicits._
     // running-counter trigger, the maintainIndexStream convention: base
     // counted once per (re)start/compaction, delta accumulated batch-side
     var baseCount = -1L
@@ -668,6 +693,11 @@ object TextAnalysis {
         val n = seg.count()
         seg.write.mode("append").parquet(graft.operators.Similarity
           .appendTarget(spark, s"$maintDir/seg"))
+        adviseDir.foreach { _ =>
+          batch.select($"doc_id", $"text").withColumn("epoch", lit(epoch))
+            .write.mode("append").parquet(graft.operators.Similarity
+              .appendTarget(spark, s"$maintDir/docs"))
+        }
         if (baseCount < 0) baseCount = spark.read.parquet(
           graft.operators.Similarity.resolveArtifact(spark, indexDir, "postings")).count()
         if (deltaCount < 0)
@@ -675,6 +705,13 @@ object TextAnalysis {
             .appendTarget(spark, s"$maintDir/seg")).count()
         else deltaCount += n
         if (deltaCount > 0 && deltaCount >= compactAt * baseCount) {
+          adviseDir.foreach { d =>
+            val (mean, advised) = lexRetrainAdvised(spark, d, indexDir,
+              s"$maintDir/seg", Dedup.readDocsDelta(spark, s"$maintDir/docs"))
+            Seq((epoch, mean, advised))
+              .toDF("epoch", "mean_recall", "retrain_advised")
+              .write.mode("append").parquet(s"$maintDir/advisory")
+          }
           compactPostings(spark, indexDir, s"$maintDir/seg")
           baseCount = -1
           deltaCount = 0
@@ -689,6 +726,125 @@ object TextAnalysis {
       queryToks: DataFrame, storeDir: String): DataFrame =
     bm25RankCut(bm25ScoreQueries(spark, dir, queryToks,
       extraPostings = Some(readPostingsDelta(spark, storeDir))))
+
+  // ------------- lexical drift advisory (the sparse-leg reindex trigger)
+
+  /** Mean-recall margin under the lexical baseline past which
+    * [[lexRetrainAdvised]] trips. Unlike the dense leg (whose ANN
+    * approximation prices baseline recall below 1), base-statistics
+    * serving at the snapshot IS the truth, so the baseline is exactly 1.0
+    * and "drifted" means the pinned-idf ranking measurably diverges from
+    * what a reindex over the grown corpus would serve. */
+  val LexDriftRecallMargin = 0.05
+
+  /** Statistics-drift check for the lexical leg — the
+    * [[graft.operators.Similarity.indexDriftCheckFrames]] twin for BM25:
+    * recall@[[Bm25K]] of the PINNED-statistics serving leg (base postings
+    * ∪ `deltaTf` under the base's frozen df/N/avgdl) against the
+    * FRESH-statistics truth (a full rebuild over base ∪ `deltaDocs` —
+    * what an explicit reindex would serve), on the base stride query
+    * workload. Each leg selects its rarest-8 query terms under its OWN
+    * statistics — self-consistency is the point: the advisory measures
+    * how far stale idf has bent the RANKING, not just the scores. Appends
+    * distributed like the base vocabulary leave the two rankings near-
+    * identical; a vocabulary-shifting ingest (new domain, new language)
+    * re-weights idf until served lists diverge below
+    * 1 − [[LexDriftRecallMargin]] — the signal to schedule
+    * [[savePostingsIndex]] over the grown corpus. Truth-leg cost is one
+    * corpus-scan index build per check (run it on the maintenance
+    * cadence, not per query); the comparison itself joins two
+    * ≤ k-per-query lists. */
+  def lexDriftCheckFrames(spark: SparkSession, dir: String,
+      deltaDocs: DataFrame, deltaTf: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (baseTf, _, nDocs, _) = bm25Index(spark, dir)
+    val q = baseTf.filter($"doc_id" % bm25QueryStride(nDocs.toLong) === 0)
+      .select($"doc_id".as("query_id"), $"tok")
+    val served = bm25RankCut(bm25ScoreQueries(spark, dir, q,
+      extraPostings = Some(deltaTf)))
+    lexDriftCompare(lexFreshTruth(spark, dir, deltaDocs, q), served)
+  }
+
+  /** The drift check over the REAL serving leg — persisted artifacts
+    * ([[savePostingsIndex]]) ∪ the appended segment store. Post-
+    * compaction the folded rows live in the persisted base and KEEP being
+    * measured (the dense leg's [[graft.operators.Similarity.indexDriftCheckSaved]]
+    * lesson): an in-session-base variant would snap back to baseline the
+    * moment segments fold. `deltaDocs` is everything appended since the
+    * last reindex — the raw-doc lake partition the maintenance loop keeps. */
+  def lexDriftCheckSaved(spark: SparkSession, dir: String, indexDir: String,
+      storeDir: String, deltaDocs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val (tf, dfreq, nDocs, avgdl) = loadPostingsIndex(spark, indexDir)
+    // the probe workload is pinned to the BASE corpus stride (the dense
+    // leg's strideQueries convention), NOT carved from the saved
+    // postings: after a fold the saved postings contain the appended
+    // docs, and a workload drawn from them would shift at every
+    // compaction — the advisory trend must measure a fixed probe set
+    val (baseTf, _, baseN, _) = bm25Index(spark, dir)
+    val q = baseTf.filter($"doc_id" % bm25QueryStride(baseN.toLong) === 0)
+      .select($"doc_id".as("query_id"), $"tok")
+    val served = bm25RankCut(bm25ScoreOver(tf, dfreq, nDocs, avgdl, q,
+      extraPostings = Some(readPostingsDelta(spark, storeDir))))
+    lexDriftCompare(lexFreshTruth(spark, dir, deltaDocs, q), served)
+  }
+
+  /** The fresh-statistics truth ranking: rebuild over base ∪ delta. */
+  private def lexFreshTruth(spark: SparkSession, dir: String,
+      deltaDocs: DataFrame, q: DataFrame): DataFrame = {
+    val grown = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+      .unionByName(deltaDocs.select(col("doc_id"), col("text")))
+    val (tf2, df2, n2, avg2) = bm25IndexOver(grown)
+    bm25RankCut(bm25ScoreOver(tf2, df2, n2, avg2, q))
+  }
+
+  /** Per-query recall of the served list against the fresh-truth list,
+    * with the advisory flag against the exact-1.0 baseline. 6dp re-pin
+    * before the margin compare (engine-stable at the boundary). */
+  private def lexDriftCompare(truth: DataFrame, served: DataFrame): DataFrame = {
+    import truth.sparkSession.implicits._
+    val t = truth.select($"query_id", $"doc_id")
+    val s = served.select($"query_id", $"doc_id")
+    val hits = t.join(s, Seq("query_id", "doc_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    t.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)) / lit(Bm25K.toDouble), 6).as("recall"))
+      .withColumn("mean_recall",
+        round(avg($"recall").over(Window.partitionBy()), 6))
+      .withColumn("retrain_advised",
+        $"mean_recall" < lit(1.0 - LexDriftRecallMargin))
+      .select($"query_id", $"n_hits", $"recall", $"retrain_advised")
+      .orderBy($"query_id")
+  }
+
+  /** The advisory scalar a maintenance loop acts on: (mean recall of
+    * pinned-statistics serving vs the reindex truth, trip flag). */
+  def lexRetrainAdvised(spark: SparkSession, dir: String, indexDir: String,
+      storeDir: String, deltaDocs: DataFrame): (Double, Boolean) = {
+    import spark.implicits._
+    lexDriftCheckSaved(spark, dir, indexDir, storeDir, deltaDocs)
+      .agg(avg($"recall"), max($"retrain_advised"))
+      .as[(Double, Boolean)].head()
+  }
+
+  /** The deterministic BATCH twin of the lexical drift check, as its own
+    * oracled query (the [[graft.operators.Similarity.indexDrift]]
+    * convention): the [[postingsAppend]] delta (every 10th document
+    * re-arriving under a fresh id) is served under pinned base statistics
+    * and compared to the fresh-statistics rebuild — DuckDB re-derives the
+    * full doubled chain (both term selections, both scorings, both
+    * rankings, the recall join, mean-vs-margin). */
+  def postingsDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delta = Tables.documents(spark, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    lexDriftCheckFrames(spark, dir, delta, encodeForPostings(delta))
+  }
 
   /** The shared rank cut over a scored (query_id, doc_id, score,
     * n_terms_dropped) frame. */

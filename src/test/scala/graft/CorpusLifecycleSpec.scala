@@ -348,6 +348,235 @@ class CorpusLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("deleteDocs: hide, base shadow, feed, re-admission past tombstone, vacuum purge") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-del").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    val nBase = Tables.nDocs(spark, dir)
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    in.addData((1000001L, docAText)); q.processAllAvailable()
+    in.addData((1000005L, docBText)); q.processAllAvailable()
+    val Seq(v0, v1) = CorpusLake.manifest(spark, corpus)
+      .orderBy($"version").select($"version").as[Long].collect().toSeq
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() ==
+      nBase + 2)
+
+    // delete one LAKE doc and one BASE doc, through the real API, while
+    // the ingest stream is idle (the documented single-writer cadence)
+    val vDel = CorpusLake.deleteDocs(spark, corpus,
+      Seq(1000001L, 3L).toDF("doc_id"))
+    assert(vDel == v1 + 1, s"delete version $vDel")
+
+    def idsAt(v: Option[Long]) = CorpusLake.readCorpusAt(spark, dir, corpus, v)
+      .select($"doc_id").as[Long].collect().toSet
+    // head: the lake doc is gone AND the base row is shadowed
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() == nBase)
+    assert(!idsAt(None).contains(1000001L) && !idsAt(None).contains(3L))
+    // a delete is history, not an edit of it: pre-delete pins still serve
+    assert(idsAt(Some(v1)).contains(1000001L) && idsAt(Some(v1)).contains(3L))
+    // the delete epoch's manifest row audits the count, with the -1
+    // batch-id sentinel that can never collide with a stream batch
+    val delRow = CorpusLake.manifest(spark, corpus)
+      .filter($"version" === vDel)
+      .select($"n_deleted", $"batch_id").as[(Long, Long)].head()
+    assert(delRow == (2L, -1L), s"delete manifest row: $delRow")
+
+    def changes(from: Long) =
+      CorpusLake.readCorpusChanges(spark, dir, corpus, from)
+        .select($"doc_id", $"change_type", $"version", $"text")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.get(3)))
+        .toMap
+    // incremental consumer at v1: both deletes ride, text-less
+    assert(changes(v1) == Map(
+      1000001L -> ("delete", vDel, null),
+      3L -> ("delete", vDel, null)), s"window (v1, head]: ${changes(v1)}")
+    // bootstrap consumer: the lake doc's insert+delete nets to NOTHING
+    // (it was never visible at -inf), the base doc's delete still rides
+    val boot = changes(Long.MinValue)
+    assert(!boot.contains(1000001L),
+      s"insert+delete in one window must be suppressed: $boot")
+    assert(boot(3L)._1 == "delete" && boot(1000005L)._1 == "insert")
+
+    // re-admission on the SAME stream: the id returns with fresh text at
+    // an epoch past the tombstone (deletes are reversible)
+    val gammaText = words("gamma", 40).mkString(" ")
+    in.addData((1000001L, gammaText)); q.processAllAvailable()
+    q.stop()
+    val vRe = CorpusLake.manifest(spark, corpus)
+      .agg(org.apache.spark.sql.functions.max($"version")).as[Long].head()
+    assert(vRe == vDel + 1, s"re-admission version $vRe")
+    val headText = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" === 1000001L).select($"text").as[String].collect()
+    assert(headText.toSeq == Seq(gammaText), "re-admission did not serve")
+    assert(!idsAt(Some(vDel)).contains(1000001L),
+      "the tombstone-pinned version must still hide the doc")
+    // a consumer whose cursor sits AT the delete sees the return as an
+    // INSERT (its last-known state was deleted), not an update
+    assert(changes(vDel)(1000001L) == ("insert", vRe, gammaText),
+      s"re-admission across a delete cursor: ${changes(vDel)}")
+
+    val stats = CorpusLake.lakeStats(spark, corpus)
+      .as[(String, Long)].collect().toMap
+    assert(stats("tombstone_rows") == 2L, s"stats: $stats")
+
+    // vacuum at the delete version is the PURGE: the deleted doc's
+    // superseded text rows physically leave the store, only the
+    // (text-less) tombstone survives as floor state
+    CorpusLake.vacuumCorpus(spark, corpus, vDel)
+    val survivingEpochs = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$corpus/docs")
+      .filter($"doc_id" === 1000001L)
+      .select($"epoch").as[Long].collect().toSet
+    assert(survivingEpochs == Set(vDel, vRe),
+      s"vacuum did not purge the pre-delete text: $survivingEpochs")
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() ==
+      nBase + 1)
+    intercept[IllegalArgumentException] {
+      CorpusLake.readCorpusAt(spark, dir, corpus, Some(v1))
+    }
+    Caches.releaseAll()
+  }
+
+  test("deleteDocs guards: _deleted carry refusal, empty/idempotent deletes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-delguard").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    val in = MemoryStream[(Long, String, Boolean)]
+    // the ONLY way to write tombstones is the delete API: a carry column
+    // named _deleted (or anything _-prefixed) refuses at wiring time
+    intercept[IllegalArgumentException] {
+      CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text", "_deleted"), spark, dir, idx,
+        corpus, maint, carryCols = Seq("_deleted"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text", "_meta"), spark, dir, idx,
+        corpus, maint, carryCols = Seq("_meta"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusLake.deleteDocs(spark, corpus, spark.range(0)
+        .select($"id".as("doc_id")))
+    }
+    // deleting an unknown id is inert; deleting it twice is idempotent
+    val va = CorpusLake.deleteDocs(spark, corpus, Seq(42L).toDF("doc_id"))
+    val vb = CorpusLake.deleteDocs(spark, corpus, Seq(42L).toDF("doc_id"))
+    assert(vb == va + 1)
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" === 42L).count() == 0)
+    // and the doc count is otherwise untouched
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() ==
+      Tables.nDocs(spark, dir) - 1)
+    Caches.releaseAll()
+  }
+
+  test("versioned OPTIMIZE: pre-flip scans finish without retry, appends follow the pointer, reclaim bounds disk") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-gen").toString
+    val corpus = s"$tmp/corpus"
+    def append(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "epoch").repartition(4)
+        .write.mode("append").parquet(s"$corpus/docs")
+    append((1L to 20L).map(i => (1000000L + i, s"doc $i v0", 0L)))
+    append((5L to 8L).map(i => (1000000L + i, s"doc $i v1", 1L)))
+    Seq(0L, 1L).map(v => (v, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+
+    def snap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.filter($"doc_id" >= 1000000L).as[(Long, String)].collect().toMap
+    // an in-flight reader: the plan (and its concrete file listing) is
+    // built BEFORE the rewrite — the exact cross-session scan the
+    // in-place swap strands
+    val preFlip = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+    val expected = snap(CorpusLake.readCorpusAt(spark, dir, corpus, None))
+
+    val (fb, fa) = CorpusLake.optimizeCorpusVersioned(spark, corpus,
+      targetRowsPerFile = 1000L)
+    assert(fa < fb, s"versioned OPTIMIZE did not pack: $fb -> $fa")
+    // the old generation is still on disk: the pre-flip scan completes
+    // WITHOUT a retry and reads exactly the committed state
+    assert(snap(preFlip) == expected,
+      "pre-flip scan failed or drifted across the versioned rewrite")
+    // post-flip reads resolve the new generation and agree
+    assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == expected)
+    assert(CorpusLake.storeName(spark, corpus, "docs") == "docs_gen_1")
+
+    // writers follow the pointer: a delete (tombstone append + manifest)
+    // lands in the NEW generation and serves
+    CorpusLake.deleteDocs(spark, corpus, Seq(1000001L).toDF("doc_id"))
+    val afterDel = snap(CorpusLake.readCorpusAt(spark, dir, corpus, None))
+    assert(!afterDel.contains(1000001L), "post-flip delete did not serve")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$corpus/docs_gen_1").filter($"_deleted" === true).count() == 1,
+      "tombstone append did not follow the generation pointer")
+
+    // reclaim: the superseded generation (the legacy dir) is deleted,
+    // serving unaffected; a second cycle reclaims gen_1
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus) >= 1L)
+    assert(!graft.sources.Formats.pathExists(spark, s"$corpus/docs"))
+    assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == afterDel)
+    val pre2 = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+    CorpusLake.optimizeCorpusVersioned(spark, corpus, targetRowsPerFile = 1000L)
+    assert(CorpusLake.storeName(spark, corpus, "docs") == "docs_gen_2")
+    assert(snap(pre2) == afterDel, "second-cycle pre-flip scan stranded")
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus) >= 1L)
+    assert(!graft.sources.Formats.pathExists(spark, s"$corpus/docs_gen_1"))
+    assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == afterDel)
+
+    // the in-place maintenance APIs keep working against the current
+    // generation (vacuum operates on the resolved store)
+    CorpusLake.vacuumCorpus(spark, corpus, 1L)
+    assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == afterDel)
+    Caches.releaseAll()
+  }
+
+  test("corpus lake: evolved carry columns survive a vacuum rewrite") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-evvac").toString
+    val corpus = s"$tmp/corpus"
+    // hand-built two-epoch lake whose SECOND epoch evolved the schema
+    Seq((1000001L, docAText, 0L)).toDF("doc_id", "text", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq((1000002L, docBText, 1L, "en"))
+      .toDF("doc_id", "text", "epoch", "lang")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq(0L, 1L).map(v => (v, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    def langs() = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" >= 1000000L)
+      .select($"doc_id", $"lang").as[(Long, Option[String])].collect().toMap
+    val before = langs()
+    assert(before == Map(1000001L -> None, 1000002L -> Some("en")))
+    // vacuum's wholesale rewrite reads via the mergeSchema path — the
+    // evolved column must survive, nulls still backfilled
+    CorpusLake.vacuumCorpus(spark, corpus, 0L)
+    assert(langs() == before,
+      "vacuum dropped or corrupted an evolved carry column")
+    Caches.releaseAll()
+  }
+
   test("corpus lake: OPTIMIZE coalesces files without changing any read") {
     import spark.implicits._
     Caches.releaseAll()

@@ -491,6 +491,73 @@ class IndexMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("lexical drift advisory: small appends stay quiet, a df-shifting flood trips it, the fold records it") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lex-drift").toString
+    val (lexIdx, maint, src, cp) =
+      (s"$tmp/lex", s"$tmp/maint", s"$tmp/src", s"$tmp/cp")
+    TextAnalysis.savePostingsIndex(spark, dir, lexIdx)
+
+    // a SMALL in-vocabulary delta (2 re-arrived docs) barely moves the
+    // statistics: pinned-idf serving matches the reindex truth — quiet
+    val tiny = Tables.documents(spark, dir)
+      .filter($"doc_id".isin(3L, 4L))
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val quiet = TextAnalysis.lexDriftCheckFrames(spark, dir, tiny,
+      TextAnalysis.encodeForPostings(tiny))
+    val (quietMean, quietAdvised) = quiet
+      .agg(org.apache.spark.sql.functions.avg($"recall"),
+        org.apache.spark.sql.functions.max($"retrain_advised"))
+      .as[(Double, Boolean)].head()
+    assert(!quietAdvised && quietMean > 0.95,
+      s"tiny in-vocabulary delta tripped the advisory: mean $quietMean")
+
+    // a df-reordering flood (every 10th doc re-arrived — 10% of the
+    // corpus on a flat vocabulary) bends term selection and idf until
+    // served lists measurably diverge from the reindex truth — trips
+    val flood = Tables.documents(spark, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val (floodMean, floodAdvised) = TextAnalysis
+      .lexDriftCheckFrames(spark, dir, flood,
+        TextAnalysis.encodeForPostings(flood))
+      .agg(org.apache.spark.sql.functions.avg($"recall"),
+        org.apache.spark.sql.functions.max($"retrain_advised"))
+      .as[(Double, Boolean)].head()
+    assert(floodAdvised && floodMean < quietMean,
+      s"df flood did not trip the advisory: mean $floodMean vs quiet $quietMean")
+
+    // the maintenance loop records the advisory at the fold, measured on
+    // the REAL saved-artifact leg — and a post-hoc check over the same
+    // state agrees exactly (the not-blind-across-compaction invariant)
+    val docRows = Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].head(10).toSeq
+      .map { case (id, t) => (id + 2000000L, t) }
+    docRows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(src)
+    val in = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(src)
+    val q = TextAnalysis
+      .maintainPostingsStream(in, spark, lexIdx, maint,
+        compactAt = 0.0001, adviseDir = Some(dir))
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.read.parquet(s"$maint/advisory")
+      .select($"mean_recall", $"retrain_advised")
+      .as[(Double, Boolean)].collect()
+    assert(rows.nonEmpty, "no advisory row landed at the fold")
+    Caches.invalidate(spark, s"text-bm25-index-saved|$lexIdx")
+    val postHoc = TextAnalysis.lexDriftCheckSaved(spark, dir, lexIdx,
+        s"$maint/seg", Dedup.readDocsDelta(spark, s"$maint/docs"))
+      .agg(org.apache.spark.sql.functions.avg($"recall")).as[Double].head()
+    assert(math.abs(rows.last._1 - postHoc) < 1e-9,
+      s"advisory went blind across the fold: in-stream ${rows.last._1} vs post-hoc $postHoc")
+    Caches.releaseAll()
+  }
+
   test("cold fused serving with live deltas survives compaction of both legs unchanged") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit

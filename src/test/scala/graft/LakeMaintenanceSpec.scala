@@ -219,6 +219,89 @@ class LakeMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("lake-fed retraction: a deleted doc stops serving through BOTH hybrid legs, across compaction") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-lake-retract").toString
+    val (idx, corpus, maint, lex, dIdx) = (s"$tmp/idx", s"$tmp/corpus",
+      s"$tmp/maint", s"$tmp/lex", s"$tmp/didx")
+    CorpusLake.initCorpus(spark, dir, idx)
+
+    // the arriving doc: base-vocabulary text (BM25's pinned stats can
+    // score it) whose "inference output" is the exact twin of base
+    // vector 0 (the dense leg must surface it at cosine 1 — the loudest
+    // possible serving signal to retract)
+    val pool = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).distinct()
+      .orderBy($"tok").as[String].collect()
+    val docText = (0 until 40).map(i => pool((i * 7) % pool.length))
+      .mkString(" ")
+    val emb = Tables.embeddings(spark, dir)
+      .filter($"vec_id" === 0L).select($"embedding")
+      .as[Seq[Float]].head()
+    def embed(changes: org.apache.spark.sql.DataFrame) =
+      changes.select($"doc_id".as("vec_id"),
+        org.apache.spark.sql.functions.typedLit(emb).as("embedding"),
+        $"version")
+    val docId = 5000001L
+
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint)
+      .start()
+    in.addData((docId, docText)); q.processAllAvailable()
+    q.stop()
+
+    // both serving stacks follow the lake's commit feed
+    TextAnalysis.savePostingsIndex(spark, dir, lex)
+    graft.operators.Similarity.saveIndex(spark, dir, dIdx)
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .isDefined)
+    assert(CorpusLake.refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .isDefined)
+
+    def lexServes(): Boolean = TextAnalysis.bm25TopKFromSaved(spark, lex,
+        Seq((0L, docText)).toDF("query_id", "text")
+          .select($"query_id",
+            explode(array_distinct(tokens($"text"))).as("tok")),
+        Some(s"$maint/seg"))
+      .filter($"doc_id" === docId).count() > 0
+    def denseServes(): Boolean = {
+      val c = graft.operators.Similarity.corpus(spark, dir)
+      val probes = c.filter($"vec_id" === 0L)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      graft.operators.Similarity.topkIvfPqFromSavedWithDelta(spark, dir,
+          probes, dIdx, s"$maint/lists",
+          Seq((docId, emb)).toDF("vec_id", "embedding"))
+        .filter($"neighbor_id" === docId).count() > 0
+    }
+    assert(lexServes(), "pre-delete: lexical leg must serve the doc")
+    assert(denseServes(), "pre-delete: dense leg must serve the doc")
+
+    // the takedown: one committed delete, consumed by both refreshers
+    CorpusLake.deleteDocs(spark, corpus, Seq(docId).toDF("doc_id"))
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .isDefined)
+    assert(CorpusLake.refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .isDefined)
+    assert(!lexServes(),
+      "deleted doc still retrievable through the lexical delta leg")
+    assert(!denseServes(),
+      "deleted doc still retrievable through the dense delta leg")
+
+    // compaction folds the tombstones into the persisted bases — the
+    // retraction must survive the fold (serve-before ≡ serve-after)
+    TextAnalysis.compactPostings(spark, lex, s"$maint/seg")
+    graft.operators.Similarity.compactIndex(spark, dIdx, s"$maint/lists")
+    assert(!lexServes(),
+      "compaction resurrected the deleted doc on the lexical leg")
+    assert(!denseServes(),
+      "compaction resurrected the deleted doc on the dense leg")
+    Caches.releaseAll()
+  }
+
   test("maintained profile view: exact recompute parity across inserts, LWW updates, base shadows, replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

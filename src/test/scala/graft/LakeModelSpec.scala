@@ -6,7 +6,8 @@ import graft.sources.{Caches, Tables}
 /** Model-based lifecycle check for the versioned corpus lake: a seeded
   * random interleaving of the lake's write-side operations — committed
   * appends, manifest-less (in-flight) appends, late commits, byte-identical
-  * crash replays, OPTIMIZE rewrites, vacuums to random valid floors — is
+  * crash replays, committed deleteDocs tombstone epochs, OPTIMIZE rewrites,
+  * vacuums to random valid floors — is
   * applied to BOTH the real lake (through the same primitives the
   * maintenance loop uses) and a trivial in-memory model of the commit
   * protocol. After every operation the head snapshot, random pinned-version
@@ -15,7 +16,9 @@ import graft.sources.{Caches, Tables}
   * (manifest-last visibility, LWW, replay collapse, vacuum's in-flight
   * survival + reclaim, OPTIMIZE's logical no-op) is spec-pinned in
   * isolation elsewhere; this pins their composition under orderings nobody
-  * thought to write by hand. */
+  * thought to write by hand. Docs are modeled as Option[String]: Some is
+  * a live row, None a [[CorpusLake.deleteDocs]] tombstone (hides the doc
+  * and shadows its base row until a higher epoch re-admits it). */
 class LakeModelSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
@@ -32,21 +35,27 @@ class LakeModelSpec extends SparkSpec {
       val corpus = java.nio.file.Files
         .createTempDirectory(s"graft-lake-model-$seed").toString + "/corpus"
 
-      // the model: committed/uncommitted epoch → docs, plus the floor
-      var committed = Map.empty[Long, Map[Long, String]]
-      var uncommitted = Map.empty[Long, Map[Long, String]]
+      // the model: committed/uncommitted epoch → docs (None = tombstone),
+      // plus the floor
+      var committed = Map.empty[Long, Map[Long, Option[String]]]
+      var uncommitted = Map.empty[Long, Map[Long, Option[String]]]
       var floor = Long.MinValue
       var nextEpoch = 0L
       def head: Long =
         if (committed.isEmpty) Long.MinValue else committed.keys.max
-      def modelAt(v: Long): Map[Long, String] =
-        base ++ committed.toSeq.filter(_._1 <= v).sortBy(_._1)
-          .foldLeft(Map.empty[Long, String])((m, e) => m ++ e._2)
+      def modelAt(v: Long): Map[Long, String] = {
+        val overlay = committed.toSeq.filter(_._1 <= v).sortBy(_._1)
+          .foldLeft(Map.empty[Long, Option[String]])((m, e) => m ++ e._2)
+        base.view.filterKeys(!overlay.contains(_)).toMap ++
+          overlay.collect { case (k, Some(t)) => k -> t }
+      }
 
-      def writeDocs(e: Long, docs: Map[Long, String]): Unit =
+      def writeDocs(e: Long, docs: Map[Long, Option[String]]): Unit =
         if (docs.nonEmpty)
-          docs.toSeq.map { case (d, t) => (d, t, e) }
-            .toDF("doc_id", "text", "epoch").repartition(2)
+          // tombstone rows carry exactly deleteDocs' shape so a replayed
+          // delete epoch collapses value-identically on (doc_id, epoch)
+          docs.toSeq.map { case (d, t) => (d, t.orNull, e, t.isEmpty) }
+            .toDF("doc_id", "text", "epoch", "_deleted").repartition(2)
             .write.mode("append")
             // the live sub-store, as the maintenance loop appends
             .parquet(Similarity.appendTarget(spark, s"$corpus/docs") + "/live")
@@ -57,11 +66,11 @@ class LakeModelSpec extends SparkSpec {
           .write.mode("append").parquet(s"$corpus/manifest")
       // fresh doc ids from a small pool (forces LWW rewrites) plus an
       // occasional BASE id (the base-shadowing case)
-      def randomDocs(step: Int): Map[Long, String] =
+      def randomDocs(step: Int): Map[Long, Option[String]] =
         (1 to (1 + rnd.nextInt(3))).map { _ =>
           val id = if (rnd.nextInt(4) == 0) baseIds(rnd.nextInt(baseIds.size))
                    else 5000000L + rnd.nextInt(8)
-          id -> s"s$seed step$step doc$id r${rnd.nextInt(1000)}"
+          id -> Some(s"s$seed step$step doc$id r${rnd.nextInt(1000)}")
         }.toMap
 
       def checkHead(ctx: String): Unit = {
@@ -71,7 +80,7 @@ class LakeModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(11)
+        val op = rnd.nextInt(13)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -106,7 +115,7 @@ class LakeModelSpec extends SparkSpec {
               // vacuum reclaims manifest-less epochs AT or BELOW the
               // committed head (provably dead); in-flight ones above live
               uncommitted = uncommitted.map { case (e, d) =>
-                e -> (if (e > head) d else Map.empty[Long, String])
+                e -> (if (e > head) d else Map.empty[Long, Option[String]])
               }
             }
           case 9 => // history below the floor must refuse loudly
@@ -116,6 +125,17 @@ class LakeModelSpec extends SparkSpec {
               }
           case 10 => // incremental pack of the live window
             CorpusLake.optimizeCorpusIncremental(spark, corpus)
+          case 11 | 12 => // committed deleteDocs tombstone epoch: victims
+            // from the LWW pool and the base table (shadow case); the
+            // real API allocates the version — sync the model counter
+            val ids = (1 to (1 + rnd.nextInt(2))).map { _ =>
+              if (rnd.nextInt(3) == 0) baseIds(rnd.nextInt(baseIds.size))
+              else 5000000L + rnd.nextInt(8)
+            }.toSet
+            val v = CorpusLake.deleteDocs(spark, corpus,
+              ids.toSeq.toDF("doc_id"))
+            committed += v -> ids.map(_ -> (None: Option[String])).toMap
+            nextEpoch = math.max(nextEpoch, v + 1)
         }
         checkHead(s"step $step (op $op)")
         // a random committed version at-or-above the floor: time travel
@@ -140,12 +160,16 @@ class LakeModelSpec extends SparkSpec {
           .collect().toSet
         val visibleAtFrom = modelAt(from).keySet
         val want = committed.toSeq.filter(_._1 > from).sortBy(_._1)
-          .foldLeft(Map.empty[Long, Long]) { case (m, (e, d)) =>
-            m ++ d.keys.map(_ -> e)
+          .foldLeft(Map.empty[Long, Option[String]]) { case (m, (_, d)) =>
+            m ++ d
           }
-          .keys.map(id => id ->
-            (if (visibleAtFrom(id)) "update" else "insert")).toSet
-          .map { p: (Long, String) => p }
+          .flatMap { case (id, latest) => latest match {
+            // a tombstone rides as a delete only if the consumer ever saw
+            // the doc; insert+delete inside one window nets to nothing
+            case None => if (visibleAtFrom(id)) Some(id -> "delete") else None
+            case Some(_) =>
+              Some(id -> (if (visibleAtFrom(id)) "update" else "insert"))
+          }}.toSet
         assert(got == want, s"seed $seed: change feed mismatch from $from")
       }
     }

@@ -139,4 +139,125 @@ class PlatformSpec extends SparkSpec {
       .filter($"doc_id" >= 7000000L).count() == 2)
     Caches.releaseAll()
   }
+
+  test("retraction composes: ingest, delete, crash-restart — no leg serves the deleted doc") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-platform-del").toString
+    val (dedupIdx, corpus, maint, denseIdx, lexIdx, ckpt) =
+      (s"$tmp/dedup", s"$tmp/corpus", s"$tmp/maint", s"$tmp/dense",
+        s"$tmp/lex", s"$tmp/ckpt")
+    CorpusLake.initCorpus(spark, dir, dedupIdx)
+    TextAnalysis.savePostingsIndex(spark, dir, lexIdx)
+    Similarity.saveIndex(spark, dir, denseIdx)
+
+    val pool = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).distinct()
+      .orderBy($"tok").as[String].collect()
+    def cycled(stride: Int): String =
+      (0 until 40).map(i => pool((i * stride) % pool.length)).mkString(" ")
+    val (docA, docC) = (cycled(1), cycled(13))
+    def embOf(i: Long) = Tables.embeddings(spark, dir)
+      .filter($"vec_id" === i).select($"embedding").as[Seq[Float]].head()
+    val (emb0, emb2) = (embOf(0L), embOf(2L))
+    def embed(changes: org.apache.spark.sql.DataFrame) =
+      changes.select($"doc_id".as("vec_id"),
+        org.apache.spark.sql.functions
+          .when($"doc_id" === 8000001L, typedLit(emb0))
+          .otherwise(typedLit(emb2)).as("embedding"),
+        $"version")
+    def start(in: MemoryStream[(Long, String)]) =
+      CorpusLake.maintainCorpusStream(
+          in.toDF().toDF("doc_id", "text"), spark, dir, dedupIdx, corpus,
+          maint)
+        .option("checkpointLocation", ckpt).start()
+
+    val in = MemoryStream[(Long, String)]
+    val q = start(in)
+    in.addData((8000001L, docA)); q.processAllAvailable()
+    q.stop()
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .isDefined)
+    assert(CorpusLake.refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .isDefined)
+    def lexHits(text: String): Set[Long] = TextAnalysis.bm25TopKFromSaved(
+        spark, lexIdx,
+        Seq((0L, text)).toDF("query_id", "text")
+          .select($"query_id",
+            explode(org.apache.spark.sql.functions
+              .array_distinct(tokens($"text"))).as("tok")),
+        Some(s"$maint/seg"))
+      .select($"doc_id").as[Long].collect().toSet
+    def denseHits(probeVec: Long): Set[Long] = {
+      val c = Similarity.corpus(spark, dir)
+      val probes = c.filter($"vec_id" === probeVec)
+        .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+      Similarity.topkIvfPqFromSavedWithDelta(spark, dir, probes, denseIdx,
+          s"$maint/lists",
+          Seq((8000001L, emb0), (8000003L, emb2)).toDF("vec_id", "embedding"))
+        .select($"neighbor_id").as[Long].collect().toSet
+    }
+    assert(lexHits(docA).contains(8000001L) &&
+      denseHits(0L).contains(8000001L), "pre-delete serving")
+
+    // the takedown, in the stream's quiet window; then CRASH the
+    // refresher stack (cursors lost before their post-delete write) and
+    // byte-identically replay the tombstone epoch into the store
+    val vDel = CorpusLake.deleteDocs(spark, corpus,
+      Seq(8000001L).toDF("doc_id"))
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .isDefined)
+    assert(CorpusLake.refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .isDefined)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$maint/lake_cursor"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$maint/dense_lake_cursor"), true)
+    Seq((8000001L, null.asInstanceOf[String], vDel, true))
+      .toDF("doc_id", "text", "epoch", "_deleted")
+      .write.mode("append").parquet(s"$corpus/docs")
+
+    // restart ingest from the SAME checkpoint: batch ids continue, the
+    // next commit allocates a version past the delete epoch
+    val q2 = start(in)
+    in.addData((8000003L, docC)); q2.processAllAvailable()
+    q2.stop()
+    val head = CorpusLake.manifest(spark, corpus)
+      .agg(org.apache.spark.sql.functions.max($"version")).as[Long].head()
+    assert(head == vDel + 1,
+      s"post-restart commit did not step past the delete epoch: $head")
+
+    // cursor-less refreshers bootstrap from scratch — the suppressed
+    // insert+delete plus the already-appended tombstones keep the doc
+    // retracted; the new doc flows through
+    assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
+      .isDefined)
+    assert(CorpusLake.refreshIndexFromLake(spark, dir, corpus, maint, embed)
+      .isDefined)
+    Caches.releaseAll()
+    assert(!lexHits(docA).contains(8000001L),
+      "deleted doc served through the lexical leg after crash-restart")
+    assert(!denseHits(0L).contains(8000001L),
+      "deleted doc served through the dense leg after crash-restart")
+    assert(lexHits(docC).contains(8000003L),
+      "post-restart admission did not reach the lexical leg")
+    assert(denseHits(2L).contains(8000003L),
+      "post-restart admission did not reach the dense leg")
+
+    // and the admission gate agrees: a byte-copy of the DELETED text is
+    // admissible again (the corpus no longer contains it), while a
+    // byte-copy of the live doc stays a duplicate
+    val q3 = start(in)
+    in.addData((8000004L, docA), (8000005L, docC)); q3.processAllAvailable()
+    q3.stop()
+    val log = CorpusLake.admissionLog(spark, corpus)
+      .filter($"doc_id" >= 8000004L)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(log == Map(8000004L -> Curate.Admitted,
+      8000005L -> Curate.Duplicate),
+      s"post-delete admission verdicts: $log")
+    Caches.releaseAll()
+  }
 }
