@@ -279,6 +279,37 @@ object ScaleProbe {
             CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
           (c, o)
         }),
+        // delete-feed read cost: a 0.5% deleteDocs epoch committed on top
+        // of the two-epoch lake; C = rows the incremental (head, delete]
+        // feed read touches (the tombstone epoch's rows the epoch
+        // predicate retains, the emitted delete feed, and the candidate
+        // history rows the tombstone-aware prior-visibility window
+        // resolves — pruned to the deleted ids BEFORE the window), O =
+        // the snapshot re-diff alternative (both full corpus reads). C
+        // must track the DELETED volume while O tracks the corpus — the
+        // retraction-feed claim of readCorpusChanges under deleteDocs
+        ("corpus_delete_feed_scan", nDocs, () => {
+          import graft.operators.CorpusLake
+          val corpusDir = java.nio.file.Files
+            .createTempDirectory("probe-lake-del").toString + "/corpus"
+          mkLakeFixture(corpusDir)
+          val victims = graft.sources.Tables.documents(spark, dir)
+            .filter(col("doc_id") % 200 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"))
+          val vDel = CorpusLake.deleteDocs(spark, corpusDir, victims)
+          val nFeed = CorpusLake
+            .readCorpusChanges(spark, dir, corpusDir, vDel - 1, None).count()
+          val docsStore = spark.read
+            .option("recursiveFileLookup", "true").parquet(s"$corpusDir/docs")
+          val cand = docsStore
+            .join(victims, Seq("doc_id"), "left_semi").count()
+          val c = docsStore.filter(col("epoch") >= vDel).count() +
+            nFeed + cand
+          val o = CorpusLake.readCorpusAt(spark, dir, corpusDir,
+              Some(vDel - 1)).count() +
+            CorpusLake.readCorpusAt(spark, dir, corpusDir, None).count()
+          (c, o)
+        }),
         // materialized-view maintenance cost: the same two-epoch lake as
         // corpus_changes_scan, view refreshed incrementally. C = the rows
         // the maintenance actually produces and serves from (signed delta

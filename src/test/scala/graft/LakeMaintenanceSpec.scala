@@ -393,6 +393,16 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(served() == recompute(),
       "post-compaction commit not served from the fresh delta")
 
+    // retraction: a committed deleteDocs epoch (one lake doc + the
+    // shadowed base doc 0) must retract exactly the previously-visible
+    // text from the view — parity against a recompute over the
+    // tombstone-aware read is the whole signed algebra under deletes
+    CorpusLake.deleteDocs(spark, corpus, Seq(3000001L, 0L).toDF("doc_id"))
+    assert(CorpusLake.refreshProfileFromLake(spark, dir, corpus, prof)
+      .isDefined)
+    assert(served() == recompute(),
+      "profile view did not retract deleted docs")
+
     // floor guard: a vacuum past the cursor would make the next window's
     // retractions wrong (collapsed history) — the refresh must refuse a
     // stale cursor instead of silently corrupting the view
