@@ -394,6 +394,28 @@ object CorpusLake {
     else resolved.withColumn("_deleted", lit(false))
   }
 
+  /** The ids whose CURRENT committed state is a tombstone ([[deleteDocs]]
+    * or a stream takedown) — the retraction set index GC passes consume.
+    * Tombstone-count-sized, never corpus-sized: only ids that have SOME
+    * tombstone row are resolved latest-wins (an id re-admitted past its
+    * tombstone drops back out). */
+  private[graft] def deletedIds(spark: SparkSession,
+      corpusDir: String): DataFrame = {
+    val committed = committedOnly(admittedRaw(spark, corpusDir),
+      manifest(spark, corpusDir), None)
+    if (!committed.columns.contains("_deleted"))
+      return spark.range(0).select(col("id").as("doc_id")).limit(0)
+    val flagged = committed
+      .filter(coalesce(col("_deleted"), lit(false)))
+      .select(col("doc_id")).distinct()
+    committed.join(flagged, Seq("doc_id"), "left_semi")
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
+      .filter(col("_rn") === 1)
+      .filter(coalesce(col("_deleted"), lit(false)))
+      .select(col("doc_id"))
+  }
+
   /** Time-travel read of the corpus: base corpus ∪ admitted docs with
     * committed epoch ≤ `version` (latest state when None). Latest epoch
     * wins per doc_id, and an admitted re-upload of a BASE doc_id shadows
@@ -457,13 +479,24 @@ object CorpusLake {
     * is exactly the no-concurrent-append quiescence the live-window pack
     * assumes. Each firing costs O(the window since the last firing),
     * never O(lake) — the full [[optimizeCorpus]] rewrite stays a
-    * standalone deep pass an operator schedules like vacuum. */
+    * standalone deep pass an operator schedules like vacuum.
+    *
+    * `deleteCol` makes retraction part of the SAME stream: rows whose
+    * boolean marker is true are takedowns, committed as admission-exempt
+    * tombstones in the batch's epoch (full [[deleteDocs]] semantics —
+    * hide + base-shadow + CDC delete + index retraction downstream)
+    * inside the serialized writer slot, so the common takedown-feed case
+    * needs no ingest quiescence. A doc_id arriving as both upsert and
+    * delete in ONE micro-batch is refused loudly (same-epoch LWW is
+    * undefined); re-admission in a LATER batch wins over the tombstone
+    * as usual. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
       profDir: Option[String] = None,
       optimizeEvery: Int = 0,
-      carryCols: Seq[String] = Nil): DataStreamWriter[org.apache.spark.sql.Row] = {
+      carryCols: Seq[String] = Nil,
+      deleteCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
     // reserved names: "epoch" would be silently clobbered by the epoch
     // stamp; "version"/"change_type" would collide with the change feed's
@@ -475,6 +508,19 @@ object CorpusLake {
     require(carryCols.forall(c => !reserved(c) && !c.startsWith("_")),
       s"carryCols may not use reserved names (${reserved.mkString(", ")}) " +
         s"or the internal _-prefix namespace: got ${carryCols.mkString(", ")}")
+    // deleteCol = stream-integrated retraction: rows whose marker is true
+    // are TAKEDOWNS, committed as tombstones in the same epoch as the
+    // batch's admissions — inside the serialized writer slot, so the
+    // common takedown-feed case needs no ingest quiescence (the
+    // standalone [[deleteDocs]] stays for out-of-band lists). The marker
+    // column is stripped before admission and storage.
+    deleteCol.foreach { dc =>
+      require(!reserved(dc) && !dc.startsWith("_") && !carryCols.contains(dc),
+        s"deleteCol '$dc' collides with a reserved/carry name")
+      require(docStream.columns.contains(dc),
+        s"deleteCol '$dc' is not a column of the stream " +
+          s"(${docStream.columns.mkString(", ")})")
+    }
     var commitsSinceOptimize = 0L
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
@@ -510,11 +556,30 @@ object CorpusLake {
             "original checkpoint location)")
         } else if (!batch.isEmpty) {
           val epoch = nextLakeVersion(spark, corpusDir)
+          // stream-integrated takedowns: split the batch on the delete
+          // marker; a doc_id may not be upserted AND deleted in one
+          // batch — both rows would land at the SAME epoch and the
+          // (doc_id, epoch) read dedup would pick one nondeterministically
+          val (upserts, deleteIds) = deleteCol match {
+            case None => (batch, None)
+            case Some(dc) =>
+              val marker = coalesce(col(dc).cast("boolean"), lit(false))
+              val ups = batch.filter(!marker).drop(dc)
+              val del = batch.filter(marker).select(col("doc_id")).distinct()
+                .localCheckpoint()
+              val clash = ups.select(col("doc_id"))
+                .join(del, Seq("doc_id"), "left_semi").limit(1).count()
+              require(clash == 0,
+                "a doc_id arrives as both an upsert and a delete in one " +
+                  "micro-batch — same-epoch LWW is undefined; split them " +
+                  "across batches")
+              (ups, Some(del))
+          }
           // carryCols = schema evolution at the ingest edge: extra
           // metadata columns ride along into the docs store (the gate
           // itself only reads doc_id/text); older epochs without them
           // serve nulls via the mergeSchema read
-          val rows = batch.select(
+          val rows = upserts.select(
             (col("doc_id") +: col("text") +: carryCols.map(col)): _*)
           if (carryCols.nonEmpty) validateCarrySchema(spark, corpusDir, rows)
           val store = s"$maintDir/buckets"
@@ -539,6 +604,17 @@ object CorpusLake {
           admitted.withColumn("epoch", lit(epoch))
             .write.mode("append").parquet(
               liveTarget(spark, corpusDir, "docs"))
+          // takedowns commit as tombstones IN this epoch — admission-
+          // exempt (a delete is not an arriving document), data landing
+          // before the manifest row like every other write
+          val nDeleted = deleteIds.fold(0L) { del =>
+            del.select(col("doc_id"),
+                lit(null).cast("string").as("text"),
+                lit(epoch).as("epoch"), lit(true).as("_deleted"))
+              .write.mode("append").parquet(
+                liveTarget(spark, corpusDir, "docs"))
+            del.count()
+          }
           decisions.withColumn("epoch", lit(epoch))
             .write.mode("append").parquet(
               liveTarget(spark, corpusDir, "decisions"))
@@ -556,7 +632,7 @@ object CorpusLake {
               sum(when($"decision" === Curate.LowQuality, 1L).otherwise(0L)).as("n_low_quality"))
             .select(lit(epoch).as("version"), $"n_arrived", $"n_admitted",
               $"n_duplicate", $"n_contaminated", $"n_low_quality",
-              lit(batchId).as("batch_id"), lit(0L).as("n_deleted"))
+              lit(batchId).as("batch_id"), lit(nDeleted).as("n_deleted"))
             .write.mode("append").parquet(s"$corpusDir/manifest")
           // index upkeep (the maintainDedupIndexStream counters, verbatim)
           if (baseCount < 0) baseCount = spark.read.parquet(
@@ -569,8 +645,14 @@ object CorpusLake {
             // landed — re-read it) and keep uncommitted rows in the store;
             // deltaCount=0 slightly undercounts any surviving crashed rows,
             // which only delays the next trigger
+            // the fold doubles as tombstone GC: taken-down docs' stale
+            // bucket rows leave the index (verdicts unchanged — their
+            // candidates already failed the null-text verify; this just
+            // stops paying for them). deletedIds is tombstone-sized and
+            // runs only at this cadence.
             Dedup.compactDedupIndex(spark, indexDir, store,
-              Some(manifest(spark, corpusDir).select($"version".as("epoch"))))
+              Some(manifest(spark, corpusDir).select($"version".as("epoch"))),
+              retract = Some(deletedIds(spark, corpusDir)))
             baseCount = -1
             deltaCount = 0
           }

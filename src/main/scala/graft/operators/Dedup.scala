@@ -284,8 +284,17 @@ object Dedup {
     * crashed manifest-less epoch into the base would make its dead rows
     * committed-looking forever, poisoning every later admission verdict
     * against them. */
+  /** `retract`: doc_ids whose bucket rows should be DROPPED from the
+    * merged base during the fold — the lake passes its currently-deleted
+    * id set ([[graft.operators.CorpusLake.deleteDocs]] tombstones) so a
+    * taken-down doc's stale bucket rows stop accumulating in the index.
+    * Pure cost hygiene, not a semantics change: a stale bucket row only
+    * ever generated candidates the exact verify already rejected (the
+    * tombstone's latest-wins text is null), so admission verdicts are
+    * identical before and after the GC — cheaper, not different. */
   def compactDedupIndex(spark: SparkSession, indexDir: String,
-      storeDir: String, committed: Option[DataFrame] = None): Unit = {
+      storeDir: String, committed: Option[DataFrame] = None,
+      retract: Option[DataFrame] = None): Unit = {
     // the fold watermark lands BEFORE the delta read (truncate contract:
     // only rows the fold could have seen may be dropped)
     val foldedThrough = {
@@ -298,7 +307,10 @@ object Dedup {
     if (delta.isEmpty) return
     val base = spark.read.parquet(
       graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets"))
-    graft.operators.Similarity.mergeDeltaRows(base, delta, "doc_id")
+    val merged = graft.operators.Similarity
+      .mergeDeltaRows(base, delta, "doc_id")
+    retract.fold(merged)(ids => merged.join(
+        ids.select(col("doc_id")), Seq("doc_id"), "left_anti"))
       .write.mode("overwrite").parquet(s"$indexDir/buckets_compacting")
     graft.operators.Similarity.swapArtifact(spark, indexDir, "buckets")
     committed match {

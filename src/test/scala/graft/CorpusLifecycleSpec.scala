@@ -446,6 +446,120 @@ class CorpusLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("stream-integrated deletes: a takedown marker rides the ingest stream") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-sdel").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    val nBase = Tables.nDocs(spark, dir)
+
+    val in = MemoryStream[(Long, String, Boolean)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text", "takedown"), spark, dir, idx,
+        corpus, maint, deleteCol = Some("takedown"))
+      .start()
+    // batch 1: two admissions
+    in.addData((1000001L, docAText, false), (1000005L, docBText, false))
+    q.processAllAvailable()
+    // batch 2: a MIXED epoch — one fresh admission, one takedown of a
+    // lake doc, one takedown of a BASE doc — all in one commit, no
+    // quiescence, no out-of-band API
+    val gammaText = words("gamma", 40).mkString(" ")
+    in.addData((1000007L, gammaText, false), (1000001L, "", true),
+      (3L, "", true))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1000001L) && !ids.contains(3L),
+      "stream takedown did not hide the doc / shadow the base row")
+    assert(ids.contains(1000005L) && ids.contains(1000007L))
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() ==
+      nBase + 2 - 1)
+    // the mixed epoch's manifest row audits BOTH sides
+    val man = CorpusLake.manifest(spark, corpus).orderBy($"version")
+      .select($"n_admitted", $"n_deleted").as[(Long, Long)].collect().toSeq
+    assert(man == Seq((2L, 0L), (1L, 2L)), s"manifest: $man")
+    // the change feed carries the takedowns for index retraction
+    val feed = CorpusLake.readCorpusChanges(spark, dir, corpus, 0L)
+      .select($"doc_id", $"change_type").as[(Long, String)].collect().toMap
+    assert(feed == Map(1000001L -> "delete", 3L -> "delete",
+      1000007L -> "insert"), s"feed: $feed")
+    // the takedown marker itself never reaches the store
+    assert(!spark.read.option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true").parquet(s"$corpus/docs")
+      .columns.contains("takedown"))
+
+    // same-batch upsert+delete of one id is refused loudly (same-epoch
+    // LWW is undefined) — the stream fails rather than committing it
+    val in2 = MemoryStream[(Long, String, Boolean)]
+    val q2 = CorpusLake.maintainCorpusStream(
+        in2.toDF().toDF("doc_id", "text", "takedown"), spark, dir, idx,
+        s"$tmp/corpus2", s"$tmp/maint2", deleteCol = Some("takedown"))
+      .start()
+    in2.addData((1000009L, docAText, false), (1000009L, "", true))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    // wiring-time refusals: reserved/carry collisions and absent columns
+    intercept[IllegalArgumentException] {
+      CorpusLake.maintainCorpusStream(
+        in2.toDF().toDF("doc_id", "text", "takedown"), spark, dir, idx,
+        corpus, maint, deleteCol = Some("_deleted"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusLake.maintainCorpusStream(
+        in2.toDF().toDF("doc_id", "text", "takedown"), spark, dir, idx,
+        corpus, maint, deleteCol = Some("missing"))
+    }
+    Caches.releaseAll()
+  }
+
+  test("dedup-index GC: a takedown's bucket rows leave the index at the fold, verdicts unchanged") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-gc").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    def baseBuckets(id: Long): Long = spark.read.parquet(
+        graft.operators.Similarity.resolveArtifact(spark, idx, "buckets"))
+      .filter($"doc_id" === id).count()
+
+    val in = MemoryStream[(Long, String, Boolean)]
+    // compactAt ~0 so every commit folds the delta into the base
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text", "takedown"), spark, dir, idx,
+        corpus, maint, compactAt = 0.0001, deleteCol = Some("takedown"))
+      .start()
+    in.addData((1000001L, docAText, false)); q.processAllAvailable()
+    assert(baseBuckets(1000001L) > 0,
+      "admitted doc's buckets did not fold into the base")
+    // the takedown rides with a fresh admission; the fold that the new
+    // buckets trigger also GCs the tombstoned doc's rows
+    in.addData((1000005L, docBText, false), (1000001L, "", true))
+    q.processAllAvailable()
+    assert(baseBuckets(1000001L) == 0,
+      "taken-down doc's bucket rows survived the GC fold")
+    assert(baseBuckets(1000005L) > 0)
+    // verdicts unchanged in the cheaper index: a byte-copy of the
+    // DELETED text re-admits; a byte-copy of the live doc stays duplicate
+    in.addData((1000009L, docAText, false), (1000010L, docBText, false))
+    q.processAllAvailable()
+    q.stop()
+    val log = CorpusLake.admissionLog(spark, corpus)
+      .filter($"doc_id" >= 1000009L)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(log == Map(1000009L -> Curate.Admitted,
+      1000010L -> Curate.Duplicate), s"post-GC verdicts: $log")
+    Caches.releaseAll()
+  }
+
   test("deleteDocs guards: _deleted carry refusal, empty/idempotent deletes") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
