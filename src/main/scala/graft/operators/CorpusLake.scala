@@ -214,19 +214,25 @@ object CorpusLake {
         flipped += name -> nextGen
       }
     }
-    val rows = flipped.result()
-    if (rows.nonEmpty) {
-      // carry forward pointer entries for stores NOT rewritten this pass
-      val cur = rows.toMap
-      val all = Seq("docs", "decisions")
-        .map(n => n -> cur.getOrElse(n, storeGen(spark, corpusDir, n)))
-        .filter(_._2 > 0)
-      all.toDF("store", "gen")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$corpusDir/store_head_compacting")
-      Similarity.swapArtifact(spark, corpusDir, "store_head")
-    }
+    flipStoreHead(spark, corpusDir, flipped.result())
     (before, after)
+  }
+
+  /** Flip the `store_head` pointer to the given (store, gen) entries,
+    * carrying forward current entries for stores not flipped this pass.
+    * One KB-scale write through the `_compacting` swap. */
+  private def flipStoreHead(spark: SparkSession, corpusDir: String,
+      flipped: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    if (flipped.isEmpty) return
+    val cur = flipped.toMap
+    Seq("docs", "decisions")
+      .map(n => n -> cur.getOrElse(n, storeGen(spark, corpusDir, n)))
+      .filter(_._2 > 0)
+      .toDF("store", "gen")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpusDir/store_head_compacting")
+    Similarity.swapArtifact(spark, corpusDir, "store_head")
   }
 
   /** Reclaim superseded store generations: delete every `<name>_gen_<k>`
@@ -1289,9 +1295,16 @@ object CorpusLake {
     * [[Similarity.resolveArtifact]] on every read path. Floors only move
     * up (enforced), for the same reason.
     *
+    * With `versioned = true` the kept rows land in a NEW store
+    * generation and the `store_head` pointer flips (the
+    * [[optimizeCorpusVersioned]] no-retry convention) instead of the
+    * in-place swap — in-flight cross-session scans finish on the old
+    * generation, and [[reclaimStoreGenerations]] reclaims it after the
+    * drain window.
+    *
     * Returns (docs rows before, docs rows after). */
   def vacuumCorpus(spark: SparkSession, corpusDir: String,
-      retainFrom: Long): (Long, Long) = {
+      retainFrom: Long, versioned: Boolean = false): (Long, Long) = {
     import spark.implicits._
     val prevFloor = retentionFloor(spark, corpusDir)
     require(retainFrom >= prevFloor,
@@ -1342,22 +1355,38 @@ object CorpusLake {
     // re-delivery — and only those are reclaimed
     val inFlight = raw.join(man, Seq("epoch"), "left_anti")
       .filter(col("epoch") > head)
-    val docsStore = storeName(spark, corpusDir, "docs")
+    // `versioned` = the no-retry write path: kept rows land in a NEW
+    // generation dir and the pointer flips (the optimizeCorpusVersioned
+    // convention) — a cross-session scan planned pre-vacuum finishes on
+    // the old generation; reclaim is explicit. The in-place swap remains
+    // the zero-dir-growth default.
+    val flips = Seq.newBuilder[(String, Long)]
+    def rewrite(name: String, rows: DataFrame): String =
+      if (!versioned) {
+        val cur = storeName(spark, corpusDir, name)
+        rows.write.mode("overwrite").parquet(s"$corpusDir/${cur}_compacting")
+        Similarity.swapArtifact(spark, corpusDir, cur)
+        s"$corpusDir/$cur"
+      } else {
+        val g = storeGen(spark, corpusDir, name) + 1
+        rows.write.mode("overwrite").parquet(s"$corpusDir/${name}_gen_$g")
+        flips += name -> g
+        s"$corpusDir/${name}_gen_$g"
+      }
     val kept = recent.unionByName(floorState).unionByName(inFlight)
-    kept.write.mode("overwrite").parquet(s"$corpusDir/${docsStore}_compacting")
-    Similarity.swapArtifact(spark, corpusDir, docsStore)
-    val after = spark.read.parquet(s"$corpusDir/$docsStore").count()
+    val newDocs = rewrite("docs", kept)
     val decStore = storeName(spark, corpusDir, "decisions")
     val decPath = Similarity.resolveArtifact(spark, corpusDir, decStore)
     if (graft.sources.Formats.pathExists(spark, decPath)) {
       val dec = readStore(spark, corpusDir, "decisions").get
         .dropDuplicates("doc_id", "epoch")
-      dec.join(man, Seq("epoch"), "left_semi")
+      rewrite("decisions", dec.join(man, Seq("epoch"), "left_semi")
         .unionByName(dec.join(man, Seq("epoch"), "left_anti")
-          .filter(col("epoch") > head))
-        .write.mode("overwrite").parquet(s"$corpusDir/${decStore}_compacting")
-      Similarity.swapArtifact(spark, corpusDir, decStore)
+          .filter(col("epoch") > head)))
     }
+    flipStoreHead(spark, corpusDir, flips.result())
+    val after = spark.read.option("recursiveFileLookup", "true")
+      .parquet(newDocs).count()
     (before, after)
   }
 

@@ -1714,7 +1714,12 @@ object Similarity {
     val delta = readIndexDelta(spark, storeDir)
     if (delta.isEmpty) return
     val base = spark.read.parquet(resolveArtifact(spark, indexDir, "lists"))
+    // a retraction tombstone (null cell — [[CorpusLake.refreshIndexFromLake]])
+    // is spent once its vec's base rows are anti-joined away in THIS
+    // rewrite — drop it so the base never accumulates dead rows for
+    // deleted vectors (the lexical fold's twin rule)
     mergeDeltaRows(base, delta, "vec_id")
+      .filter(col("cent_id").isNotNull)
       .write.mode("overwrite").parquet(s"$indexDir/lists_compacting")
     swapArtifact(spark, indexDir, "lists")
     truncateStoreThrough(spark, storeDir, foldedThrough)

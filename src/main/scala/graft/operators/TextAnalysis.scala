@@ -627,7 +627,13 @@ object TextAnalysis {
     if (delta.isEmpty) return
     val base = spark.read.parquet(
       graft.operators.Similarity.resolveArtifact(spark, indexDir, "postings"))
+    // a retraction tombstone (null token — [[CorpusLake.refreshPostingsFromLake]])
+    // is spent once its doc's base rows are anti-joined away in THIS
+    // rewrite: it shadows nothing afterwards (any future delta row takes
+    // per-doc priority through the serving merge regardless), so the fold
+    // drops it — the base never accumulates dead rows for deleted docs
     graft.operators.Similarity.mergeDeltaRows(base, delta, "doc_id")
+      .filter(col("tok").isNotNull)
       .write.mode("overwrite").parquet(s"$indexDir/postings_compacting")
     graft.operators.Similarity.swapArtifact(spark, indexDir, "postings")
     graft.operators.Similarity.truncateStoreThrough(spark, storeDir,

@@ -658,6 +658,16 @@ class CorpusLifecycleSpec extends SparkSpec {
     // generation (vacuum operates on the resolved store)
     CorpusLake.vacuumCorpus(spark, corpus, 1L)
     assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == afterDel)
+
+    // versioned vacuum: the history collapse also lands as a new
+    // generation — a pre-vacuum scan finishes without retry
+    val pre3 = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+    CorpusLake.vacuumCorpus(spark, corpus, 1L, versioned = true)
+    assert(CorpusLake.storeName(spark, corpus, "docs") == "docs_gen_3")
+    assert(snap(pre3) == afterDel, "pre-vacuum scan stranded by the flip")
+    assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == afterDel)
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus) >= 1L)
+    assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == afterDel)
     Caches.releaseAll()
   }
 

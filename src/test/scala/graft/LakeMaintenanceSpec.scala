@@ -299,6 +299,16 @@ class LakeMaintenanceSpec extends SparkSpec {
       "compaction resurrected the deleted doc on the lexical leg")
     assert(!denseServes(),
       "compaction resurrected the deleted doc on the dense leg")
+    // ... and the fold is also the GC: neither base carries ANY rows for
+    // the deleted doc (the spent tombstone is dropped with them)
+    assert(spark.read.parquet(graft.operators.Similarity
+        .resolveArtifact(spark, lex, "postings"))
+      .filter($"doc_id" === docId).count() == 0,
+      "deleted doc's rows (or its tombstone) survived in the postings base")
+    assert(spark.read.parquet(graft.operators.Similarity
+        .resolveArtifact(spark, dIdx, "lists"))
+      .filter($"vec_id" === docId).count() == 0,
+      "deleted vec's rows (or its tombstone) survived in the lists base")
     Caches.releaseAll()
   }
 
