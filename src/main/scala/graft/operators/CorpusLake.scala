@@ -614,12 +614,16 @@ object CorpusLake {
           // exempt (a delete is not an arriving document), data landing
           // before the manifest row like every other write
           val nDeleted = deleteIds.fold(0L) { del =>
-            del.select(col("doc_id"),
-                lit(null).cast("string").as("text"),
-                lit(epoch).as("epoch"), lit(true).as("_deleted"))
-              .write.mode("append").parquet(
-                liveTarget(spark, corpusDir, "docs"))
-            del.count()
+            val n = del.count()
+            // skip the write on delete-less batches: an empty append per
+            // micro-batch would be pure file churn for OPTIMIZE to clean
+            if (n > 0)
+              del.select(col("doc_id"),
+                  lit(null).cast("string").as("text"),
+                  lit(epoch).as("epoch"), lit(true).as("_deleted"))
+                .write.mode("append").parquet(
+                  liveTarget(spark, corpusDir, "docs"))
+            n
           }
           decisions.withColumn("epoch", lit(epoch))
             .write.mode("append").parquet(
@@ -630,12 +634,14 @@ object CorpusLake {
           newBuckets.write.mode("append").parquet(
             Similarity.appendTarget(spark, store))
           // the manifest row commits the epoch — LAST, after every data write
+          // coalesce: a delete-ONLY epoch has zero decisions, and sum()
+          // over an empty frame is NULL — the audit row must carry zeros
           decisions.groupBy()
             .agg(count(lit(1)).as("n_arrived"),
-              sum(when($"decision" === Curate.Admitted, 1L).otherwise(0L)).as("n_admitted"),
-              sum(when($"decision" === Curate.Duplicate, 1L).otherwise(0L)).as("n_duplicate"),
-              sum(when($"decision" === Curate.Contaminated, 1L).otherwise(0L)).as("n_contaminated"),
-              sum(when($"decision" === Curate.LowQuality, 1L).otherwise(0L)).as("n_low_quality"))
+              coalesce(sum(when($"decision" === Curate.Admitted, 1L).otherwise(0L)), lit(0L)).as("n_admitted"),
+              coalesce(sum(when($"decision" === Curate.Duplicate, 1L).otherwise(0L)), lit(0L)).as("n_duplicate"),
+              coalesce(sum(when($"decision" === Curate.Contaminated, 1L).otherwise(0L)), lit(0L)).as("n_contaminated"),
+              coalesce(sum(when($"decision" === Curate.LowQuality, 1L).otherwise(0L)), lit(0L)).as("n_low_quality"))
             .select(lit(epoch).as("version"), $"n_arrived", $"n_admitted",
               $"n_duplicate", $"n_contaminated", $"n_low_quality",
               lit(batchId).as("batch_id"), lit(nDeleted).as("n_deleted"))

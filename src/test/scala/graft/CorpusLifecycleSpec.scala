@@ -471,24 +471,30 @@ class CorpusLifecycleSpec extends SparkSpec {
     in.addData((1000007L, gammaText, false), (1000001L, "", true),
       (3L, "", true))
     q.processAllAvailable()
+    // batch 3: a delete-ONLY epoch (pure takedown list — the admission
+    // machinery runs over zero upserts and the epoch still commits)
+    in.addData((1000005L, "", true))
+    q.processAllAvailable()
     q.stop()
 
     val ids = CorpusLake.readCorpusAt(spark, dir, corpus, None)
       .select($"doc_id").as[Long].collect().toSet
     assert(!ids.contains(1000001L) && !ids.contains(3L),
       "stream takedown did not hide the doc / shadow the base row")
-    assert(ids.contains(1000005L) && ids.contains(1000007L))
+    assert(!ids.contains(1000005L),
+      "delete-only epoch's takedown did not serve")
+    assert(ids.contains(1000007L))
     assert(CorpusLake.readCorpusAt(spark, dir, corpus, None).count() ==
-      nBase + 2 - 1)
-    // the mixed epoch's manifest row audits BOTH sides
+      nBase + 2 - 2)
+    // the epochs' manifest rows audit BOTH sides
     val man = CorpusLake.manifest(spark, corpus).orderBy($"version")
       .select($"n_admitted", $"n_deleted").as[(Long, Long)].collect().toSeq
-    assert(man == Seq((2L, 0L), (1L, 2L)), s"manifest: $man")
+    assert(man == Seq((2L, 0L), (1L, 2L), (0L, 1L)), s"manifest: $man")
     // the change feed carries the takedowns for index retraction
     val feed = CorpusLake.readCorpusChanges(spark, dir, corpus, 0L)
       .select($"doc_id", $"change_type").as[(Long, String)].collect().toMap
     assert(feed == Map(1000001L -> "delete", 3L -> "delete",
-      1000007L -> "insert"), s"feed: $feed")
+      1000005L -> "delete", 1000007L -> "insert"), s"feed: $feed")
     // the takedown marker itself never reaches the store
     assert(!spark.read.option("recursiveFileLookup", "true")
       .option("mergeSchema", "true").parquet(s"$corpus/docs")
