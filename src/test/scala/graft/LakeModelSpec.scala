@@ -57,8 +57,11 @@ class LakeModelSpec extends SparkSpec {
           docs.toSeq.map { case (d, t) => (d, t.orNull, e, t.isEmpty) }
             .toDF("doc_id", "text", "epoch", "_deleted").repartition(2)
             .write.mode("append")
-            // the live sub-store, as the maintenance loop appends
-            .parquet(Similarity.appendTarget(spark, s"$corpus/docs") + "/live")
+            // the live sub-store of the CURRENT generation, as the
+            // maintenance loop appends (writers follow the store_head
+            // pointer once a versioned rewrite has flipped it)
+            .parquet(Similarity.appendTarget(spark,
+              s"$corpus/" + CorpusLake.storeName(spark, corpus, "docs")) + "/live")
       def writeManifest(e: Long): Unit =
         Seq((e, 0L, 0L, 0L, 0L, 0L))
           .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
@@ -80,7 +83,7 @@ class LakeModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(13)
+        val op = rnd.nextInt(15)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -125,6 +128,24 @@ class LakeModelSpec extends SparkSpec {
               }
           case 10 => // incremental pack of the live window
             CorpusLake.optimizeCorpusIncremental(spark, corpus)
+          case 13 => // versioned OPTIMIZE (+ sometimes reclaim): a
+            // physical generation flip must be a logical no-op under any
+            // interleaving; reclaim drops superseded dirs only
+            CorpusLake.optimizeCorpusVersioned(spark, corpus,
+              targetRowsPerFile = 1L + rnd.nextInt(50))
+            if (rnd.nextBoolean())
+              CorpusLake.reclaimStoreGenerations(spark, corpus)
+          case 14 => // versioned vacuum: op 8's semantics through the
+            // generation flip
+            if (head >= 0) {
+              val lo = math.max(floor, 0L)
+              val f = lo + rnd.nextInt((head - lo + 1).toInt)
+              CorpusLake.vacuumCorpus(spark, corpus, f, versioned = true)
+              floor = f
+              uncommitted = uncommitted.map { case (e, d) =>
+                e -> (if (e > head) d else Map.empty[Long, Option[String]])
+              }
+            }
           case 11 | 12 => // committed deleteDocs tombstone epoch: victims
             // from the LWW pool and the base table (shadow case); the
             // real API allocates the version — sync the model counter
