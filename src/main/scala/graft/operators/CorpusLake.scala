@@ -943,7 +943,7 @@ object CorpusLake {
         val encCols = enc.columns
         val upserts = enc
           .join(broadcast(vecs.select($"vec_id", $"version")), "vec_id")
-          .select(encCols.map(col) :+ $"version".as("epoch"): _*)
+          .select(encCols.toIndexedSeq.map(col) :+ $"version".as("epoch"): _*)
         val tombstones = deleteVecIds(
             changes.filter($"change_type" === "delete"))
           .select(col("vec_id") +:

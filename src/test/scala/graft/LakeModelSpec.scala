@@ -30,7 +30,11 @@ class LakeModelSpec extends SparkSpec {
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
     val baseIds = base.keys.toSeq.sorted
 
-    for (seed <- Seq(11, 47)) {
+    // default 2 seeds keep the suite fast; SPARK_GRAFT_MODEL_SEEDS=a,b,c
+    // widens the hunt for one-off robustness sweeps
+    val seeds = sys.env.get("SPARK_GRAFT_MODEL_SEEDS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(11, 47))
+    for (seed <- seeds) {
       val rnd = new scala.util.Random(seed)
       val corpus = java.nio.file.Files
         .createTempDirectory(s"graft-lake-model-$seed").toString + "/corpus"
