@@ -1468,6 +1468,25 @@ object CorpusLake {
       if (!df.columns.contains("_deleted")) 0L
       else df.filter(coalesce(col("_deleted"), lit(false))).count()
     }
+    // generation visibility: the current pointer generation per store and
+    // the superseded dirs still on disk (the reclaim backlog a versioned
+    // rewrite leaves for the drain-window pass) — dir listings only
+    val docsGen = storeGen(spark, corpusDir, "docs")
+    val decGen = storeGen(spark, corpusDir, "decisions")
+    val staleGens = {
+      val root = new org.apache.hadoop.fs.Path(corpusDir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      Seq("docs" -> docsGen, "decisions" -> decGen).map { case (name, cur) =>
+        if (cur == 0L) 0L
+        else {
+          val legacy =
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$corpusDir/$name")))
+              1L else 0L
+          legacy + (0L until cur).count(g => fs.exists(
+            new org.apache.hadoop.fs.Path(s"$corpusDir/${name}_gen_$g"))).toLong
+        }
+      }.sum
+    }
     Seq(
       ("committed_epochs", committedN),
       ("committed_head", head.getOrElse(-1L)),
@@ -1476,7 +1495,9 @@ object CorpusLake {
       ("decisions_rows", decRows), ("decisions_files", decFiles),
       ("retention_floor", if (floor == Long.MinValue) -1L else floor),
       ("pinned_runs", pins),
-      ("tombstone_rows", tombstones)
+      ("tombstone_rows", tombstones),
+      ("store_generation", math.max(docsGen, decGen)),
+      ("stale_generation_dirs", staleGens)
     ).toDF("stat", "value")
   }
 

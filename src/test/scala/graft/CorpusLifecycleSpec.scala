@@ -647,9 +647,17 @@ class CorpusLifecycleSpec extends SparkSpec {
       .parquet(s"$corpus/docs_gen_1").filter($"_deleted" === true).count() == 1,
       "tombstone append did not follow the generation pointer")
 
+    // the DESCRIBE surface reports the pointer generation and the
+    // reclaim backlog (the superseded legacy dir still on disk)
+    def genStats() = CorpusLake.lakeStats(spark, corpus)
+      .as[(String, Long)].collect().toMap
+    assert(genStats()("store_generation") == 1L &&
+      genStats()("stale_generation_dirs") == 1L, s"stats: ${genStats()}")
+
     // reclaim: the superseded generation (the legacy dir) is deleted,
     // serving unaffected; a second cycle reclaims gen_1
     assert(CorpusLake.reclaimStoreGenerations(spark, corpus) >= 1L)
+    assert(genStats()("stale_generation_dirs") == 0L)
     assert(!graft.sources.Formats.pathExists(spark, s"$corpus/docs"))
     assert(snap(CorpusLake.readCorpusAt(spark, dir, corpus, None)) == afterDel)
     val pre2 = CorpusLake.readCorpusAt(spark, dir, corpus, None)
