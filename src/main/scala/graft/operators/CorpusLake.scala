@@ -239,19 +239,32 @@ object CorpusLake {
     * (and the legacy un-suffixed dir once a pointer exists) with
     * k < the current pointer generation. Run it where vacuum runs — after
     * the operator's in-flight-scan drain window — never inline with the
-    * flip. Returns the number of directories deleted. */
-  def reclaimStoreGenerations(spark: SparkSession, corpusDir: String): Long = {
+    * flip. `minAgeMs` makes the drain window ENFORCEABLE rather than
+    * honor-system: a superseded dir is only deleted once its newest file
+    * is at least that old (i.e. the flip that superseded it happened at
+    * least a full scan-lifetime ago); 0 keeps the explicit-schedule
+    * behavior. Returns the number of directories deleted. */
+  def reclaimStoreGenerations(spark: SparkSession, corpusDir: String,
+      minAgeMs: Long = 0L): Long = {
     val root = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val now = System.currentTimeMillis()
+    def oldEnough(p: org.apache.hadoop.fs.Path): Boolean =
+      minAgeMs <= 0L || {
+        val it = fs.listFiles(p, true)
+        var newest = fs.getFileStatus(p).getModificationTime
+        while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+        now - newest >= minAgeMs
+      }
     var reclaimed = 0L
     for (name <- Seq("docs", "decisions")) {
       val cur = storeGen(spark, corpusDir, name)
       if (cur > 0) {
-        val legacy = new org.apache.hadoop.fs.Path(s"$corpusDir/$name")
-        if (fs.exists(legacy)) { fs.delete(legacy, true); reclaimed += 1 }
-        (0L until cur).foreach { g =>
-          val p = new org.apache.hadoop.fs.Path(s"$corpusDir/${name}_gen_$g")
-          if (fs.exists(p)) { fs.delete(p, true); reclaimed += 1 }
+        val stale = new org.apache.hadoop.fs.Path(s"$corpusDir/$name") +:
+          (0L until cur).map(g =>
+            new org.apache.hadoop.fs.Path(s"$corpusDir/${name}_gen_$g"))
+        stale.foreach { p =>
+          if (fs.exists(p) && oldEnough(p)) { fs.delete(p, true); reclaimed += 1 }
         }
       }
     }

@@ -654,7 +654,12 @@ class CorpusLifecycleSpec extends SparkSpec {
     assert(genStats()("store_generation") == 1L &&
       genStats()("stale_generation_dirs") == 1L, s"stats: ${genStats()}")
 
-    // reclaim: the superseded generation (the legacy dir) is deleted,
+    // reclaim: an enforced drain window refuses young dirs wholesale ...
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus,
+      minAgeMs = Long.MaxValue) == 0L,
+      "min-age guard reclaimed a generation inside the drain window")
+    assert(genStats()("stale_generation_dirs") == 1L)
+    // ... then the superseded generation (the legacy dir) is deleted,
     // serving unaffected; a second cycle reclaims gen_1
     assert(CorpusLake.reclaimStoreGenerations(spark, corpus) >= 1L)
     assert(genStats()("stale_generation_dirs") == 0L)
