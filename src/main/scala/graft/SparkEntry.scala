@@ -137,6 +137,7 @@ object SparkEntry {
     "corpus_delete"        -> (CorpusLake.deleteTwin _),
     "corpus_delete_feed"   -> (CorpusLake.deleteFeedTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
+    "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2103,6 +2104,22 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 9 = 2
         |ORDER BY doc_id""".stripMargin,
+
+    // run-delivery shard manifest: hash-balanced shard assignment
+    // (hash60(doc_id) mod 8), per-shard totals, and an order-independent
+    // XOR content checksum — the integrity contract a pinned run ships
+    // with; DuckDB re-derives assignment, totals, and checksums exactly
+    "corpus_run_shards" ->
+      """WITH h AS (SELECT
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),1,15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(n_toks) AS n_tokens, sum(nc) AS n_chars,
+        |  bit_xor(h) AS checksum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
     // lexical statistics-drift advisory: the engine serves the stride
     // workload under PINNED base df/N/avgdl over base ∪ delta postings

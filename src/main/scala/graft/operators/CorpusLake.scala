@@ -1281,6 +1281,90 @@ object CorpusLake {
     readCorpusAt(spark, dir, corpusDir, Some(v.head))
   }
 
+  // ------------- run delivery (deterministic shard export + integrity)
+
+  /** Deterministic shard manifest of a (doc_id, text) snapshot — the
+    * delivery contract a pinned run ships with: shard =
+    * hash60(doc_id) mod nShards (hash-balanced for ANY id distribution,
+    * stable under content edits), per-shard doc/token/char totals plus an
+    * ORDER-INDEPENDENT content checksum: bit_xor of
+    * hash60(doc_id || '|' || text) over the shard's docs. XOR is the
+    * right fold at scale — overflow-free, commutative (shard files can be
+    * written in any partition order), and any single-doc corruption,
+    * loss, or duplication flips it. One projection + one partial-
+    * aggregated groupBy; output is O(nShards) rows. */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    shardAggs(docs.withColumn("shard",
+      pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
+        lit(nShards.toLong)).cast("int")))
+  }
+
+  /** The shared per-shard aggregate over rows that already carry `shard`. */
+  private def shardAggs(rows: DataFrame): DataFrame =
+    rows.select(col("shard"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("nc"),
+        graft.functions.Text.hash60(concat(col("doc_id").cast("string"),
+          lit("|"), col("text"))).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("nc")).as("n_chars"), expr("bit_xor(h)").as("checksum"))
+
+  /** Export a pinned training run as deterministic shards: the run's
+    * snapshot lands under `outDir/data` partitioned by shard, and its
+    * [[shardManifest]] under `outDir/manifest` — the handoff artifact a
+    * training job consumes and [[verifyRunShards]] re-checks at the far
+    * end. `errorifexists` on both writes: an export is immutable like the
+    * run it ships. Returns the manifest. */
+  def exportRunShards(spark: SparkSession, dir: String, corpusDir: String,
+      tag: String, nShards: Int, outDir: String): DataFrame = {
+    val docs = readRunCorpus(spark, dir, corpusDir, tag)
+      .select(col("doc_id"), col("text"))
+    val sharded = docs.withColumn("shard",
+      pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
+        lit(nShards.toLong)).cast("int"))
+    sharded.repartition(col("shard"))
+      .write.mode("errorifexists").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    shardManifest(docs, nShards)
+      .coalesce(1).write.mode("errorifexists").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
+  /** Integrity check at the consumer end of a shard export: recompute
+    * every shard's totals and checksum from the shipped data files and
+    * full-outer-compare against the shipped manifest. Returns the
+    * MISMATCHED shards — (shard, expected_*, actual_*) — empty means the
+    * delivery is bit-intact; a lost/corrupted/duplicated doc names its
+    * shard. Cost: one scan of the shipped data. */
+  def verifyRunShards(spark: SparkSession, outDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$outDir/manifest")
+      .select(col("shard"), col("n_docs").as("expected_docs"),
+        col("n_tokens").as("expected_tokens"),
+        col("n_chars").as("expected_chars"),
+        col("checksum").as("expected_checksum"))
+    val actual = shardAggs(spark.read.parquet(s"$outDir/data")
+        .select(col("doc_id"), col("text"), col("shard").cast("int").as("shard")))
+      .select(col("shard"), col("n_docs").as("actual_docs"),
+        col("n_tokens").as("actual_tokens"),
+        col("n_chars").as("actual_chars"),
+        col("checksum").as("actual_checksum"))
+    stored.join(actual, Seq("shard"), "full_outer")
+      .filter(!(col("expected_docs") <=> col("actual_docs")) ||
+        !(col("expected_tokens") <=> col("actual_tokens")) ||
+        !(col("expected_chars") <=> col("actual_chars")) ||
+        !(col("expected_checksum") <=> col("actual_checksum")))
+  }
+
+  /** [[shardManifest]]'s oracled BATCH twin: the documents table sharded
+    * 8 ways — DuckDB re-derives the md5-based shard assignment, the
+    * totals, and the XOR checksums exactly. */
+  def shardManifestTwin(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")), 8)
+      .orderBy(col("shard"))
+
   /** Vacuum the lake: drop (a) dead orphan rows — epochs no manifest row
     * committed AND at-or-below the committed head, which can never commit
     * (the stream's epoch counter is monotone and the collision guard

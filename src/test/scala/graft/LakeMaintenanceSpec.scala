@@ -312,6 +312,57 @@ class LakeMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("run delivery: shard export round-trips; the checksum names a corrupted shard") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-run-ship").toString
+    val (corpus, out) = (s"$tmp/corpus", s"$tmp/ship")
+    // a two-doc lake over the base corpus, committed and pinned
+    Seq((9000001L, docAText, 0L), (9000002L, docBText, 0L))
+      .toDF("doc_id", "text", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq((0L, 2L, 2L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    CorpusLake.pinRun(spark, dir, corpus, "ship_1")
+
+    val manifest = CorpusLake.exportRunShards(spark, dir, corpus, "ship_1",
+      4, out)
+    val totals = manifest.agg(
+        org.apache.spark.sql.functions.sum($"n_docs")).as[Long].head()
+    assert(totals == Tables.nDocs(spark, dir) + 2,
+      s"shard totals do not cover the pinned run: $totals")
+    assert(CorpusLake.verifyRunShards(spark, out).isEmpty,
+      "fresh export failed its own integrity check")
+    // re-export refuses: a shipped run is immutable
+    intercept[Exception] {
+      CorpusLake.exportRunShards(spark, dir, corpus, "ship_1", 4, out)
+    }
+
+    // corruption: silently rewrite ONE doc inside one shard file — counts
+    // unchanged, so only the XOR content checksum can catch it
+    val victim = manifest.orderBy($"n_docs".desc).select($"shard")
+      .as[Int].head()
+    val part = s"$out/data/shard=$victim"
+    val rows = spark.read.parquet(part).collect()
+    val schema = spark.read.parquet(part).schema
+    val tampered = rows.zipWithIndex.map { case (r, i) =>
+      if (i == 0) org.apache.spark.sql.Row(r.getLong(0),
+        r.getString(1) + " TAMPERED")
+      else r
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(tampered.toIndexedSeq), schema)
+      .write.mode("overwrite").parquet(part)
+    val bad = CorpusLake.verifyRunShards(spark, out)
+      .select($"shard").as[Int].collect().toSeq
+    assert(bad == Seq(victim),
+      s"tampered shard not (exactly) named: $bad vs $victim")
+    Caches.releaseAll()
+  }
+
   test("maintained profile view: exact recompute parity across inserts, LWW updates, base shadows, replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
