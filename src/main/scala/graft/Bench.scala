@@ -322,6 +322,15 @@ object Bench {
       writeSideFile("SPARK_GRAFT_BENCH_STEADY_JSON", "BENCH_STEADY.json",
         "total_steady", steady, warmJson)
     }
+    if (!ranSteady && contended && runs0 == 1) {
+      // contention degraded the cold pass to best-of-2 and skipped the
+      // steady pass — but best-of-2 numbers ARE steady-grade, so refresh
+      // the steady side-file from them rather than leaving a stale file
+      // from an earlier (healthier) run beside a newer cold record
+      writeSideFile("SPARK_GRAFT_BENCH_STEADY_JSON", "BENCH_STEADY.json",
+        "total_steady", results,
+        s""","calibration_ratio":${BigDecimal(calWorst).setScale(2, BigDecimal.RoundingMode.HALF_UP)}""")
+    }
     // intra-session the queries deliberately SHARE caches (Curate reusing
     // langId/clusters measures composition, not recompute); the drain here
     // demonstrates the bounded-memory exit path a long-lived host would use
@@ -334,7 +343,7 @@ object Bench {
     // — after every later log source (steady pass, cache drain, session
     // stop) — is what the tail actually reads. Identical content: the
     // contract reports the COLD numbers either way.
-    if (ranSteady) println(benchLine(results, errors, total, sfDir, calFull))
+    println(benchLine(results, errors, total, sfDir, calFull))
     // REFUSE to close quietly on a broken query set: round 10 shipped with
     // 9 dead queries whose only trace was nulls in the side file. The
     // contract line above is already printed (numbers are never lost);
