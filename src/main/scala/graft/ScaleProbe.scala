@@ -423,6 +423,31 @@ object ScaleProbe {
             targetRowsPerFile = 4096L)
           (CorpusLake.dataFileCount(spark, s"$corpusDir/docs"), before)
         }),
+        // manifest checkpointing: the COMMIT-LISTING backlog is the
+        // quantity — before, one file per commit (every read's
+        // committed-epoch semi-join lists them all; at a minute-cadence
+        // year, ~500k files of metadata); after, O(rows/target) files
+        // independent of commit count — the Delta-checkpoint shape. C =
+        // manifest data files after compactManifest, O = before. The
+        // logical no-op (identical history, pointer-followed commits) is
+        // pinned by the lifecycle spec; the probe measures the listing
+        // cost the spec cannot see.
+        ("corpus_manifest_files", nDocs, () => {
+          import graft.operators.CorpusLake
+          val corpusDir = java.nio.file.Files
+            .createTempDirectory("probe-lake-manifest").toString + "/corpus"
+          graft.sources.Tables.documents(spark, dir).limit(1)
+            .select(col("doc_id"), col("text"), lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs")
+          for (v <- 0L until 32L)
+            Seq((v, 0L, 0L, 0L, 0L, 0L))
+              .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+                "n_contaminated", "n_low_quality")
+              .write.mode("append").parquet(s"$corpusDir/manifest")
+          val before = CorpusLake.dataFileCount(spark, s"$corpusDir/manifest")
+          val (_, after) = CorpusLake.compactManifest(spark, corpusDir)
+          (after, before)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

@@ -133,6 +133,7 @@ object SparkEntry {
     "corpus_admission"     -> (Curate.admission _),
     "corpus_changes"       -> (CorpusLake.changesTwin _),
     "corpus_profile"       -> (CorpusLake.profileTwin _),
+    "corpus_profile_drift" -> (CorpusLake.profileDriftTwin _),
     "corpus_optimize"      -> (CorpusLake.optimizeTwin _),
     "corpus_delete"        -> (CorpusLake.deleteTwin _),
     "corpus_delete_feed"   -> (CorpusLake.deleteFeedTwin _),
@@ -2063,6 +2064,41 @@ object SparkEntry {
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM q GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // quality-distribution drift alarm between the same two snapshot
+    // versions: per-band doc-share shift in ppm (integer — hash-exact),
+    // v2's profile through the engine's incremental signed algebra while
+    // DuckDB recomputes both profiles directly; flag past 2% of corpus
+    // mass moving in or out of a band
+    "corpus_profile_drift" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 != 5),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 != 7),
+        |q1 AS (SELECT
+        |    0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |    0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |    0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality
+        |  FROM (SELECT string_split(text,' ') AS toks FROM v1)),
+        |q2 AS (SELECT
+        |    0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |    0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |    0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality
+        |  FROM (SELECT string_split(text,' ') AS toks FROM v2)),
+        |p1 AS (SELECT CAST(floor(round(quality, 6) * 10) AS INT) AS band,
+        |    CAST(count(*) AS BIGINT) AS n_docs_v1 FROM q1 GROUP BY 1),
+        |p2 AS (SELECT CAST(floor(round(quality, 6) * 10) AS INT) AS band,
+        |    CAST(count(*) AS BIGINT) AS n_docs_v2 FROM q2 GROUP BY 1),
+        |j AS (SELECT coalesce(p1.band, p2.band) AS band,
+        |    coalesce(n_docs_v1, CAST(0 AS BIGINT)) AS n_docs_v1,
+        |    coalesce(n_docs_v2, CAST(0 AS BIGINT)) AS n_docs_v2
+        |  FROM p1 FULL OUTER JOIN p2 ON p1.band = p2.band)
+        |SELECT band, n_docs_v1, n_docs_v2,
+        |  CAST(round(n_docs_v2 * 1000000.0 / (SELECT sum(n_docs_v2) FROM j)
+        |     - n_docs_v1 * 1000000.0 / (SELECT sum(n_docs_v1) FROM j)) AS BIGINT) AS shift_ppm,
+        |  abs(CAST(round(n_docs_v2 * 1000000.0 / (SELECT sum(n_docs_v2) FROM j)
+        |     - n_docs_v1 * 1000000.0 / (SELECT sum(n_docs_v1) FROM j)) AS BIGINT)) > 20000 AS shifted
+        |FROM j ORDER BY band""".stripMargin,
 
     // lake OPTIMIZE: the engine builds a three-epoch lake (full bootstrap,
     // an LWW update of every doc_id ≡ 3 mod 7, a replayed copy of that

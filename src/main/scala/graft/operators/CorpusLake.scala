@@ -39,7 +39,11 @@ import graft.sources.Tables
   * the transaction-log discipline a table format (Delta/Iceberg) provides,
   * built from the primitives the library already verifies — at 100 TB the
   * manifest is a few KB per epoch and every reader prunes to committed
-  * epochs before touching data files.
+  * epochs before touching data files. Because every commit appends one
+  * small file, the manifest read itself accretes a per-commit listing
+  * cost; [[compactManifest]] (the Delta-checkpoint analogue) rewrites the
+  * history into O(1) files under the same generation-pointer convention
+  * as the data stores, keeping head resolution commit-count-independent.
   *
   * Concurrency model: single maintenance writer, many readers. Plain
   * appends are always safe to read beside. The maintenance REWRITES
@@ -57,7 +61,11 @@ import graft.sources.Tables
   * window. The in-place swaps remain for stacks that prefer zero dir
   * growth; the inline incremental cadence guarantees no WRITER races
   * either rewrite, because it runs inside the serialized foreachBatch
-  * slot.
+  * slot. ACROSS processes the single-writer discipline is enforced by
+  * the advisory maintenance lease ([[acquireWriterLease]] /
+  * [[withWriterLease]]): atomic-create exclusivity, TTL takeover for
+  * crashed holders, pre-commit re-verification ([[heldWriterLease]])
+  * for long rewrites.
   *
   * Versioning: the committed epoch IS the version. [[readCorpusAt]] pins a
   * version v and serves base ∪ admitted(epoch ≤ v), doc-level latest-epoch-
@@ -226,7 +234,7 @@ object CorpusLake {
     import spark.implicits._
     if (flipped.isEmpty) return
     val cur = flipped.toMap
-    Seq("docs", "decisions")
+    Seq("docs", "decisions", "manifest")
       .map(n => n -> cur.getOrElse(n, storeGen(spark, corpusDir, n)))
       .filter(_._2 > 0)
       .toDF("store", "gen")
@@ -257,7 +265,7 @@ object CorpusLake {
         now - newest >= minAgeMs
       }
     var reclaimed = 0L
-    for (name <- Seq("docs", "decisions")) {
+    for (name <- Seq("docs", "decisions", "manifest")) {
       val cur = storeGen(spark, corpusDir, name)
       if (cur > 0) {
         val stale = new org.apache.hadoop.fs.Path(s"$corpusDir/$name") +:
@@ -282,9 +290,10 @@ object CorpusLake {
     * mergeSchema: the manifest schema EVOLVED in place — lakes written
     * before the version/batch-id split lack `batch_id`/`n_deleted`
     * ([[deleteDocs]]) and serve nulls there; readers that consume those
-    * columns guard on presence. */
+    * columns guard on presence. Resolves the generation pointer: after a
+    * [[compactManifest]] the history serves from `manifest_gen_<k>`. */
   def manifest(spark: SparkSession, corpusDir: String): DataFrame = {
-    val p = s"$corpusDir/manifest"
+    val p = manifestTarget(spark, corpusDir)
     if (!graft.sources.Formats.pathExists(spark, p))
       return spark.range(0).select(col("id").as("version"),
         lit(0L).as("n_arrived"), lit(0L).as("n_admitted"),
@@ -292,6 +301,52 @@ object CorpusLake {
         lit(0L).as("n_low_quality")).limit(0)
     spark.read.option("mergeSchema", "true").parquet(p)
       .dropDuplicates("version")
+  }
+
+  /** The manifest's live directory — generation-pointer resolved, so both
+    * readers and the commit writers agree on where the history lives
+    * after a [[compactManifest]] flip. */
+  private def manifestTarget(spark: SparkSession, corpusDir: String): String =
+    Similarity.resolveArtifact(spark, corpusDir,
+      storeName(spark, corpusDir, "manifest"))
+
+  /** Compact the manifest's one-file-per-commit history — the Delta-
+    * checkpoint analogue. Every commit appends ONE small parquet file, so
+    * after k commits each `manifest()` read (and therefore every lake
+    * read's committed-epoch semi-join) pays a k-file listing + footer
+    * union; at a minute-cadence year that is ~500k files of pure metadata
+    * overhead. This pass rewrites the deduped history into O(rows/target)
+    * files (normally ONE) in a NEW `manifest_gen_<k+1>` dir and flips the
+    * `store_head` pointer — the same no-retry convention as
+    * [[optimizeCorpusVersioned]]: in-flight readers keep their planned
+    * generation, commits follow the pointer, superseded dirs are
+    * reclaimed by [[reclaimStoreGenerations]] after the drain window.
+    * Rows are version-range-packed and sorted so a pinned time-travel
+    * read still prunes by parquet min/max. Crash before the flip leaves
+    * an orphan gen dir the next attempt overwrites; the audit history is
+    * never dropped — this is a physical rewrite only ([[vacuumCorpus]]
+    * deliberately keeps every manifest row). Single-writer discipline
+    * like every rewrite: run from the maintenance cadence (a commit
+    * landing mid-compaction would land in the OLD generation and vanish
+    * at the flip). Returns (files before, files after). */
+  def compactManifest(spark: SparkSession, corpusDir: String,
+      targetRowsPerFile: Long = 1L << 20): (Long, Long) = {
+    require(targetRowsPerFile > 0, "targetRowsPerFile must be positive")
+    val p = manifestTarget(spark, corpusDir)
+    if (!graft.sources.Formats.pathExists(spark, p)) return (0L, 0L)
+    val before = dataFileCount(spark, p)
+    val nextGen = storeGen(spark, corpusDir, "manifest") + 1
+    val rows = spark.read.option("mergeSchema", "true").parquet(p)
+      .dropDuplicates("version")
+    val n = rows.count()
+    val nFiles = math.max(1L,
+      (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
+    rows.repartitionByRange(nFiles, col("version"))
+      .sortWithinPartitions(col("version"))
+      .write.mode("overwrite").parquet(s"$corpusDir/manifest_gen_$nextGen")
+    val after = dataFileCount(spark, s"$corpusDir/manifest_gen_$nextGen")
+    flipStoreHead(spark, corpusDir, Seq("manifest" -> nextGen))
+    (before, after)
   }
 
   /** Allocate the next lake version: one past everything the manifest has
@@ -371,7 +426,7 @@ object CorpusLake {
     Seq((v, 0L, 0L, 0L, 0L, 0L, -1L, n))
       .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
         "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
-      .write.mode("append").parquet(s"$corpusDir/manifest")
+      .write.mode("append").parquet(manifestTarget(spark, corpusDir))
     v
   }
 
@@ -498,7 +553,11 @@ object CorpusLake {
     * is exactly the no-concurrent-append quiescence the live-window pack
     * assumes. Each firing costs O(the window since the last firing),
     * never O(lake) — the full [[optimizeCorpus]] rewrite stays a
-    * standalone deep pass an operator schedules like vacuum.
+    * standalone deep pass an operator schedules like vacuum. The same
+    * firing checkpoints the manifest ([[compactManifest]]) whenever its
+    * one-file-per-commit backlog passes [[ManifestCheckpointFiles]], so
+    * head resolution stays commit-count-independent with no external
+    * scheduler.
     *
     * `deleteCol` makes retraction part of the SAME stream: rows whose
     * boolean marker is true are takedowns, committed as admission-exempt
@@ -658,7 +717,7 @@ object CorpusLake {
             .select(lit(epoch).as("version"), $"n_arrived", $"n_admitted",
               $"n_duplicate", $"n_contaminated", $"n_low_quality",
               lit(batchId).as("batch_id"), lit(nDeleted).as("n_deleted"))
-            .write.mode("append").parquet(s"$corpusDir/manifest")
+            .write.mode("append").parquet(manifestTarget(spark, corpusDir))
           // index upkeep (the maintainDedupIndexStream counters, verbatim)
           if (baseCount < 0) baseCount = spark.read.parquet(
             Similarity.resolveArtifact(spark, indexDir, "buckets")).count()
@@ -694,6 +753,14 @@ object CorpusLake {
           commitsSinceOptimize += 1
           if (optimizeEvery > 0 && commitsSinceOptimize >= optimizeEvery) {
             optimizeCorpusIncremental(spark, corpusDir)
+            // manifest checkpoint at the same cadence, gated on actual
+            // backlog (one file per commit accretes a listing cost every
+            // read pays): a KB-scale rewrite + pointer flip; superseded
+            // generation dirs await the operator's drain-window reclaim
+            // like every versioned rewrite
+            if (dataFileCount(spark, manifestTarget(spark, corpusDir))
+                > ManifestCheckpointFiles)
+              compactManifest(spark, corpusDir)
             commitsSinceOptimize = 0
           }
           // optional live materialized view: the cursor-protected refresh
@@ -1213,6 +1280,57 @@ object CorpusLake {
       .orderBy($"band")
   }
 
+  /** Per-band quality-distribution SHIFT between consecutive profile
+    * versions — the data-quality drift alarm a training pipeline runs on
+    * every commit: a crawl-source change or a scraper regression shows up
+    * as probability mass moving between quality bands long before any
+    * model metric moves. v2's profile comes through the same incremental
+    * signed algebra the materialized view maintains (never a corpus
+    * recompute — the deltas are the diffed docs only); the shift is each
+    * band's doc-share change in parts-per-million (integer, so the oracle
+    * hash is representation-exact), flagged past [[ProfileShiftPpm]].
+    * Cost beyond the profile itself: two KB-scale per-band aggregates and
+    * a band-count-sized join — free at any corpus size. */
+  def profileDriftTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (v1, v2) = twinSnapshots(spark, dir)
+    val diff = snapshotDiff(v1, v2)
+    val plus = v2.join(broadcast(diff
+        .filter($"change_type".isin("insert", "update")).select($"doc_id")),
+      Seq("doc_id"), "left_semi")
+    val minus = v1.join(broadcast(diff
+        .filter($"change_type".isin("update", "delete")).select($"doc_id")),
+      Seq("doc_id"), "left_semi")
+    val p1 = signedProfile(v1, 1)
+      .groupBy($"band").agg(sum($"n_docs").as("n1"))
+    val p2 = signedProfile(v1, 1)
+      .unionByName(signedProfile(plus, 1))
+      .unionByName(signedProfile(minus, -1))
+      .groupBy($"band").agg(sum($"n_docs").as("n2"))
+      .filter($"n2" =!= 0)
+    val joined = p1.join(p2, Seq("band"), "full_outer")
+      .select($"band",
+        coalesce($"n1", lit(0L)).as("n_docs_v1"),
+        coalesce($"n2", lit(0L)).as("n_docs_v2"))
+    val w = Window.partitionBy()
+    joined
+      .withColumn("shift_ppm",
+        round(($"n_docs_v2" * lit(1e6) / sum($"n_docs_v2").over(w)) -
+          ($"n_docs_v1" * lit(1e6) / sum($"n_docs_v1").over(w)))
+          .cast("long"))
+      .withColumn("shifted", abs($"shift_ppm") > lit(ProfileShiftPpm))
+      .select($"band", $"n_docs_v1", $"n_docs_v2", $"shift_ppm", $"shifted")
+      .orderBy($"band")
+  }
+
+  /** Per-band doc-share shift (ppm) past which [[profileDriftTwin]] raises
+    * its flag: 2% of the corpus moving into or out of one quality band. */
+  val ProfileShiftPpm = 20000L
+
+  /** Manifest file-count backlog past which the inline optimize cadence
+    * checkpoints the commit history ([[compactManifest]]). */
+  val ManifestCheckpointFiles = 64L
+
   // ------------- retention (vacuum)
 
   /** The lake's retention floor: the lowest version [[readCorpusAt]] may
@@ -1279,6 +1397,85 @@ object CorpusLake {
       .select(col("version")).as[Long].collect()
     require(v.nonEmpty, s"no pinned run '$tag'")
     readCorpusAt(spark, dir, corpusDir, Some(v.head))
+  }
+
+  // ------------- maintenance writer lease (single-writer enforcement)
+
+  /** Acquire the lake's maintenance-writer lease, or refuse. The lake's
+    * concurrency model is single maintenance writer, many readers — a
+    * discipline the in-process foreachBatch slot serializes for free but
+    * nothing enforced ACROSS processes until now: two schedulers both
+    * firing OPTIMIZE, or a vacuum racing a deleteDocs, silently corrupt
+    * nothing (every write is an append or a swap) but can lose one
+    * writer's commit at a pointer flip. The lease makes the discipline
+    * explicit: one `_writer_lease` file, created atomically
+    * (`create(overwrite = false)` — the HDFS/local-FS primitive that
+    * either wins or throws), carrying the owner tag. A holder crash is
+    * recovered by TTL: a lease older than `ttlMs` is stale and taken over
+    * (delete + atomic re-create; one contender wins the create, losers
+    * see exists → refuse).
+    *
+    * Honest scope — this is ADVISORY, not airtight fencing: a zombie
+    * holder that resumes AFTER its lease was taken over can still write
+    * (object stores without CAS cannot give more). The manifest-last
+    * protocol bounds the damage to the documented single-writer race
+    * (a lost append at a flip), and [[heldWriterLease]] lets long
+    * maintenance re-verify ownership immediately before its commit
+    * point, narrowing the window to one filesystem round-trip. */
+  def acquireWriterLease(spark: SparkSession, corpusDir: String,
+      owner: String, ttlMs: Long = 15 * 60 * 1000L): Boolean = {
+    require(owner.nonEmpty, "lease owner tag must be non-empty")
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/_writer_lease")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(owner.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return true
+    // held: stale (holder crashed past its TTL) → take over, else refuse
+    val st = try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    val stale = st.forall(s =>
+      System.currentTimeMillis() - s.getModificationTime > ttlMs)
+    stale && { fs.delete(p, false); tryCreate() }
+  }
+
+  /** True iff `owner` currently holds the lease — the pre-commit
+    * re-verification a long rewrite runs before its pointer flip. */
+  def heldWriterLease(spark: SparkSession, corpusDir: String,
+      owner: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/_writer_lease")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf)
+        n > 0 && new String(buf, 0, n, "UTF-8") == owner
+      } finally in.close()
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Release the lease IF `owner` holds it (releasing someone else's —
+    * e.g. after a TTL takeover the zombie never observed — is a no-op). */
+  def releaseWriterLease(spark: SparkSession, corpusDir: String,
+      owner: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/_writer_lease")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (heldWriterLease(spark, corpusDir, owner)) fs.delete(p, false)
+  }
+
+  /** Run `body` under the writer lease, releasing on every exit path;
+    * throws [[IllegalStateException]] when the lease is held elsewhere —
+    * the scheduler's retry signal, never a silent concurrent rewrite. */
+  def withWriterLease[T](spark: SparkSession, corpusDir: String,
+      owner: String, ttlMs: Long = 15 * 60 * 1000L)(body: => T): T = {
+    if (!acquireWriterLease(spark, corpusDir, owner, ttlMs))
+      throw new IllegalStateException(
+        s"maintenance writer lease on $corpusDir is held by another writer")
+    try body finally releaseWriterLease(spark, corpusDir, owner)
   }
 
   // ------------- run delivery (deterministic shard export + integrity)
@@ -1570,10 +1767,20 @@ object CorpusLake {
     // rewrite leaves for the drain-window pass) — dir listings only
     val docsGen = storeGen(spark, corpusDir, "docs")
     val decGen = storeGen(spark, corpusDir, "decisions")
+    val manGen = storeGen(spark, corpusDir, "manifest")
+    // the commit-listing backlog: one file per commit until compactManifest
+    // rewrites the history — rising against flat committed_epochs after a
+    // compaction says the next one is due
+    val manFiles = {
+      val p = manifestTarget(spark, corpusDir)
+      if (!graft.sources.Formats.pathExists(spark, p)) 0L
+      else dataFileCount(spark, p)
+    }
     val staleGens = {
       val root = new org.apache.hadoop.fs.Path(corpusDir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      Seq("docs" -> docsGen, "decisions" -> decGen).map { case (name, cur) =>
+      Seq("docs" -> docsGen, "decisions" -> decGen, "manifest" -> manGen)
+        .map { case (name, cur) =>
         if (cur == 0L) 0L
         else {
           val legacy =
@@ -1594,6 +1801,8 @@ object CorpusLake {
       ("pinned_runs", pins),
       ("tombstone_rows", tombstones),
       ("store_generation", math.max(docsGen, decGen)),
+      ("manifest_files", manFiles),
+      ("manifest_generation", manGen),
       ("stale_generation_dirs", staleGens)
     ).toDF("stat", "value")
   }

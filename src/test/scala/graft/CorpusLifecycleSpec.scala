@@ -795,4 +795,125 @@ class CorpusLifecycleSpec extends SparkSpec {
       "post-optimize commit of the in-flight epoch did not serve")
     Caches.releaseAll()
   }
+
+  test("manifest compaction: O(1) files, identical history, commits follow the pointer") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-mancompact").toString
+    val corpus = s"$tmp/corpus"
+    // hand-built lake: 6 commits, each manifest row its own append (the
+    // one-file-per-commit accretion compactManifest exists to bound)
+    for (v <- 0L to 5L) {
+      Seq((1000000L + v, s"doc $v", v)).toDF("doc_id", "text", "epoch")
+        .write.mode("append").parquet(s"$corpus/docs")
+      Seq((v, 1L, 1L, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$corpus/manifest")
+    }
+    def history() = CorpusLake.manifest(spark, corpus)
+      .select($"version", $"n_arrived", $"n_admitted")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    def served() = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" >= 1000000L).as[(Long, String)].collect().toMap
+    val expectHist = history()
+    val expectDocs = served()
+    assert(expectHist.size == 6 && expectDocs.size == 6)
+    // an in-flight reader planned against the legacy manifest dir: the
+    // compaction must not strand it (old generation stays on disk)
+    val preFlip = CorpusLake.manifest(spark, corpus)
+      .select($"version").as[Long]
+
+    val (fb, fa) = CorpusLake.compactManifest(spark, corpus)
+    assert(fb >= 6L && fa == 1L, s"compaction did not pack: $fb -> $fa")
+    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_1")
+    assert(preFlip.collect().sorted.toSeq == (0L to 5L),
+      "pre-flip manifest scan stranded by the compaction")
+    assert(history() == expectHist, "compaction changed the commit history")
+    assert(served() == expectDocs)
+    // time travel still pins against the compacted history
+    assert(CorpusLake.readCorpusAt(spark, dir, corpus, Some(2L))
+      .filter($"doc_id" >= 1000000L).count() == 3L)
+
+    // a new commit (deleteDocs: tombstone epoch + manifest row) follows the
+    // pointer into the new generation — head advances, doc hides
+    val vDel = CorpusLake.deleteDocs(spark, corpus, Seq(1000000L).toDF("doc_id"))
+    assert(vDel == 6L)
+    assert(history().map(_._1) == (0L to 6L),
+      "post-compaction commit did not serve through the new generation")
+    assert(!served().contains(1000000L))
+    assert(spark.read.parquet(s"$corpus/manifest_gen_1")
+      .filter($"version" === 6L).count() == 1L,
+      "manifest row did not land in the live generation dir")
+
+    // the DESCRIBE surface sees the generation and the reclaim backlog
+    def stats() = CorpusLake.lakeStats(spark, corpus)
+      .as[(String, Long)].collect().toMap
+    assert(stats()("manifest_generation") == 1L &&
+      stats()("manifest_files") == 2L && // checkpoint + the delete commit
+      stats()("stale_generation_dirs") == 1L, s"stats: ${stats()}")
+    // reclaim drops the legacy dir after the drain window; reads unchanged
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus,
+      minAgeMs = Long.MaxValue) == 0L)
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus) >= 1L)
+    assert(!graft.sources.Formats.pathExists(spark, s"$corpus/manifest"))
+    assert(history().map(_._1) == (0L to 6L) && !served().contains(1000000L))
+
+    // a data-store versioned rewrite carries the manifest generation
+    // forward in the shared pointer (and vice versa: a second manifest
+    // compaction lands as gen 2 without touching the docs generation)
+    CorpusLake.optimizeCorpusVersioned(spark, corpus, targetRowsPerFile = 1000L)
+    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_1")
+    assert(CorpusLake.storeName(spark, corpus, "docs") == "docs_gen_1")
+    val (_, fa2) = CorpusLake.compactManifest(spark, corpus)
+    assert(fa2 == 1L)
+    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_2")
+    assert(CorpusLake.storeName(spark, corpus, "docs") == "docs_gen_1")
+    assert(history().map(_._1) == (0L to 6L) && !served().contains(1000000L))
+    Caches.releaseAll()
+  }
+
+  test("maintenance writer lease: exclusivity, TTL takeover, scoped release") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-lease").toString
+    val corpus = s"$tmp/corpus"
+    // exclusivity: the second writer is refused while the first holds
+    assert(CorpusLake.acquireWriterLease(spark, corpus, "writer-a"))
+    assert(!CorpusLake.acquireWriterLease(spark, corpus, "writer-b"))
+    assert(CorpusLake.heldWriterLease(spark, corpus, "writer-a"))
+    assert(!CorpusLake.heldWriterLease(spark, corpus, "writer-b"))
+    // the scoped runner surfaces contention as a retryable refusal,
+    // never a silent concurrent rewrite
+    intercept[IllegalStateException] {
+      CorpusLake.withWriterLease(spark, corpus, "writer-b") { fail("ran") }
+    }
+    // releasing a lease you don't hold is a no-op
+    CorpusLake.releaseWriterLease(spark, corpus, "writer-b")
+    assert(CorpusLake.heldWriterLease(spark, corpus, "writer-a"))
+    // normal handoff
+    CorpusLake.releaseWriterLease(spark, corpus, "writer-a")
+    assert(CorpusLake.acquireWriterLease(spark, corpus, "writer-b"))
+    // TTL takeover: a crashed holder's stale lease is claimable...
+    Thread.sleep(20)
+    assert(CorpusLake.acquireWriterLease(spark, corpus, "writer-a",
+      ttlMs = 1L), "stale lease was not taken over")
+    assert(CorpusLake.heldWriterLease(spark, corpus, "writer-a"))
+    // ...and the zombie's late release cannot unseat the new holder
+    CorpusLake.releaseWriterLease(spark, corpus, "writer-b")
+    assert(CorpusLake.heldWriterLease(spark, corpus, "writer-a"))
+    // the scoped runner releases on both exit paths
+    CorpusLake.releaseWriterLease(spark, corpus, "writer-a")
+    assert(CorpusLake.withWriterLease(spark, corpus, "writer-a") { 42 } == 42)
+    assert(CorpusLake.acquireWriterLease(spark, corpus, "writer-b"))
+    CorpusLake.releaseWriterLease(spark, corpus, "writer-b")
+    intercept[RuntimeException] {
+      CorpusLake.withWriterLease(spark, corpus, "writer-a") {
+        throw new RuntimeException("maintenance failed")
+      }
+    }
+    assert(CorpusLake.acquireWriterLease(spark, corpus, "writer-b"),
+      "lease leaked through the exception exit path")
+    CorpusLake.releaseWriterLease(spark, corpus, "writer-b")
+  }
 }

@@ -7,7 +7,7 @@ import graft.sources.{Caches, Tables}
   * random interleaving of the lake's write-side operations — committed
   * appends, manifest-less (in-flight) appends, late commits, byte-identical
   * crash replays, committed deleteDocs tombstone epochs, OPTIMIZE rewrites,
-  * vacuums to random valid floors — is
+  * manifest checkpoints, vacuums to random valid floors — is
   * applied to BOTH the real lake (through the same primitives the
   * maintenance loop uses) and a trivial in-memory model of the commit
   * protocol. After every operation the head snapshot, random pinned-version
@@ -70,7 +70,10 @@ class LakeModelSpec extends SparkSpec {
         Seq((e, 0L, 0L, 0L, 0L, 0L))
           .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
             "n_contaminated", "n_low_quality")
-          .write.mode("append").parquet(s"$corpus/manifest")
+          .write.mode("append")
+          // commits follow the generation pointer once a compactManifest
+          // has flipped it, exactly as the real commit writers do
+          .parquet(s"$corpus/" + CorpusLake.storeName(spark, corpus, "manifest"))
       // fresh doc ids from a small pool (forces LWW rewrites) plus an
       // occasional BASE id (the base-shadowing case)
       def randomDocs(step: Int): Map[Long, Option[String]] =
@@ -87,7 +90,7 @@ class LakeModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(15)
+        val op = rnd.nextInt(16)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -150,6 +153,12 @@ class LakeModelSpec extends SparkSpec {
                 e -> (if (e > head) d else Map.empty[Long, Option[String]])
               }
             }
+          case 15 => // manifest checkpoint (+ sometimes reclaim): the
+            // commit-history rewrite must be invisible to every read and
+            // every later commit under any interleaving
+            CorpusLake.compactManifest(spark, corpus)
+            if (rnd.nextBoolean())
+              CorpusLake.reclaimStoreGenerations(spark, corpus)
           case 11 | 12 => // committed deleteDocs tombstone epoch: victims
             // from the LWW pool and the base table (shadow case); the
             // real API allocates the version — sync the model counter
