@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Ops observability for long-lived streaming pipelines: a
+  * [[StreamingQueryListener]] that appends ONE parquet row per finished
+  * micro-batch — the health record an operator trends to catch backlog
+  * growth (input vs processed rate), state blowup (stateful-operator row
+  * totals), and per-batch latency regressions, the same way `lakeStats`
+  * is the lake's DESCRIBE surface.
+  *
+  * The write happens on the listener bus thread, OUTSIDE the query's
+  * batch path — a slow metrics disk delays later notifications, never
+  * the stream itself — and any failure is swallowed to stderr: losing a
+  * metrics row must never look like losing data. Each row is tiny; the
+  * one-file-per-batch accretion is the same shape every append store
+  * here has, bounded by [[StreamMetrics.compactMetrics]] on whatever
+  * cadence the operator already runs lake hygiene. */
+class ProgressMetricsSink(spark: SparkSession, metricsDir: String)
+    extends StreamingQueryListener {
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit =
+    try {
+      val p = e.progress
+      val stateRows = p.stateOperators.map(_.numRowsTotal).sum
+      val batchMs = Option(p.durationMs.get("triggerExecution"))
+        .fold(-1L)(_.longValue())
+      // NaN rates (first batch, idle gaps) are stored as nulls so the
+      // summary's averages skip them instead of poisoning the mean
+      def rate(d: Double): Option[Double] =
+        if (d.isNaN || d.isInfinite) None else Some(d)
+      val row = Seq((
+        Option(p.name).getOrElse(""), p.id.toString, p.runId.toString,
+        p.batchId, System.currentTimeMillis(), p.numInputRows,
+        rate(p.inputRowsPerSecond), rate(p.processedRowsPerSecond),
+        batchMs, stateRows))
+      spark.createDataFrame(row)
+        .toDF("query", "query_id", "run_id", "batch_id", "wall_millis",
+          "input_rows", "input_rows_per_sec", "processed_rows_per_sec",
+          "batch_duration_ms", "state_rows")
+        .coalesce(1)
+        .write.mode("append").parquet(s"$metricsDir/batches")
+    } catch {
+      case t: Throwable => System.err.println(
+        s"[metrics] dropped a progress row (${t.getClass.getSimpleName}: " +
+          s"${Option(t.getMessage).getOrElse("").take(120)})")
+    }
+}
+
+/** Attach/read/summarize/compact the per-batch stream metrics store. */
+object StreamMetrics {
+
+  /** Register a metrics sink on the session's listener bus. One sink
+    * observes EVERY query on the session — multi-query pipelines land in
+    * one store, keyed by query name/id. Returns the listener for
+    * [[detach]]. */
+  def attach(spark: SparkSession, metricsDir: String): ProgressMetricsSink = {
+    val l = new ProgressMetricsSink(spark, metricsDir)
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: ProgressMetricsSink): Unit =
+    spark.streams.removeListener(l)
+
+  /** Raw per-batch rows (empty frame with the full schema if nothing has
+    * been recorded yet). */
+  def metrics(spark: SparkSession, metricsDir: String): DataFrame = {
+    val p = s"$metricsDir/batches"
+    if (graft.sources.Formats.pathExists(spark, p))
+      spark.read.parquet(p)
+    else spark.range(0).select(
+      lit("").as("query"), lit("").as("query_id"), lit("").as("run_id"),
+      col("id").as("batch_id"), lit(0L).as("wall_millis"),
+      lit(0L).as("input_rows"),
+      lit(0.0).as("input_rows_per_sec"),
+      lit(0.0).as("processed_rows_per_sec"),
+      lit(0L).as("batch_duration_ms"), lit(0L).as("state_rows")).limit(0)
+  }
+
+  /** Per-query health rollup: batch count, total rows, mean/max batch
+    * duration, mean processed rate (NaN-free by construction), peak
+    * state rows, and the latest batch id — the row an alerting check
+    * reads. One partial-aggregated groupBy over the metrics store. */
+  def summary(spark: SparkSession, metricsDir: String): DataFrame =
+    metrics(spark, metricsDir)
+      .groupBy(col("query"), col("query_id"))
+      .agg(count(lit(1)).as("n_batches"),
+        sum(col("input_rows")).as("total_rows"),
+        avg(col("batch_duration_ms")).as("mean_batch_ms"),
+        max(col("batch_duration_ms")).as("max_batch_ms"),
+        avg(col("processed_rows_per_sec")).as("mean_processed_per_sec"),
+        max(col("state_rows")).as("peak_state_rows"),
+        max(col("batch_id")).as("last_batch_id"))
+
+  /** Fold the one-file-per-batch accretion into a single sorted file via
+    * the `_compacting` swap every reader resolves — run it on the same
+    * maintenance cadence as the other append stores. Returns (files
+    * before, files after). */
+  def compactMetrics(spark: SparkSession, metricsDir: String): (Long, Long) = {
+    val p = graft.operators.Similarity.resolveArtifact(
+      spark, metricsDir, "batches")
+    if (!graft.sources.Formats.pathExists(spark, p)) return (0L, 0L)
+    val before = graft.operators.CorpusLake.dataFileCount(spark, p)
+    spark.read.parquet(p)
+      .repartitionByRange(1, col("query_id"), col("batch_id"))
+      .sortWithinPartitions(col("query_id"), col("batch_id"))
+      .write.mode("overwrite").parquet(s"$metricsDir/batches_compacting")
+    graft.operators.Similarity.swapArtifact(spark, metricsDir, "batches")
+    (before,
+      graft.operators.CorpusLake.dataFileCount(spark, s"$metricsDir/batches"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{sum => fsum}
+import graft.streaming.StreamMetrics
+
+/** The per-batch stream-health store: one row per micro-batch through the
+  * listener bus, per-query summary rollup, and the append-store
+  * compaction hygiene. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream metrics: one row per micro-batch; summary and compaction") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-metrics").toString
+    val l = StreamMetrics.attach(spark, dir)
+    try {
+      val in = MemoryStream[Long]
+      val cp = java.nio.file.Files
+        .createTempDirectory("cp_metrics").toString
+      val q = in.toDF().writeStream.queryName("metrics_probe")
+        .format("noop").option("checkpointLocation", cp).start()
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      in.addData(4L, 5L)
+      q.processAllAvailable()
+      q.stop()
+      // the listener bus is asynchronous by design (a slow metrics disk
+      // must never block the stream): poll until both batch rows land
+      def probeRows() = StreamMetrics.metrics(spark, dir)
+        .filter($"query" === "metrics_probe")
+      val deadline = System.currentTimeMillis() + 30000
+      while (probeRows().filter($"input_rows" > 0).count() < 2 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(probeRows().filter($"input_rows" > 0).count() == 2,
+        "expected exactly two data-carrying batch rows")
+      def totalRows() = probeRows()
+        .agg(fsum($"input_rows")).as[Option[Long]].head().getOrElse(0L)
+      assert(totalRows() == 5L, "metrics rows do not cover the input")
+      val roll = StreamMetrics.summary(spark, dir)
+        .filter($"query" === "metrics_probe")
+        .select($"n_batches", $"total_rows", $"peak_state_rows")
+        .as[(Long, Long, Long)].head()
+      assert(roll._2 == 5L && roll._1 >= 2L,
+        s"summary rollup off: $roll")
+      // stateless query: no state rows ever reported
+      assert(roll._3 == 0L)
+      // compaction folds the one-file-per-batch accretion; reads unchanged
+      val (fb, fa) = StreamMetrics.compactMetrics(spark, dir)
+      assert(fb >= 2L && fa == 1L, s"compaction did not fold: $fb -> $fa")
+      assert(totalRows() == 5L, "compaction changed the metrics content")
+    } finally StreamMetrics.detach(spark, l)
+  }
+}
