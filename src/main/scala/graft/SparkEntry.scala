@@ -139,6 +139,7 @@ object SparkEntry {
     "corpus_delete_feed"   -> (CorpusLake.deleteFeedTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
+    "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2152,6 +2153,26 @@ object SparkEntry {
         |    CAST(length(text) AS BIGINT) AS nc,
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),1,15)) AS BIGINT) AS h
         |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(n_toks) AS n_tokens, sum(nc) AS n_chars,
+        |  bit_xor(h) AS checksum
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // incremental run delivery: the engine advances v1's shard manifest
+    // across the v1→v2 diff (signed counters, XOR checksum flip-in/
+    // flip-out — O(changes), no corpus rescan) while DuckDB computes
+    // v2's manifest from scratch; hash equality pins that the advanced
+    // manifest is value-identical to a full rebuild
+    "corpus_run_shards_delta" ->
+      """WITH v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 != 7),
+        |h AS (SELECT
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),1,15)) AS BIGINT) AS h
+        |  FROM v2)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  sum(n_toks) AS n_tokens, sum(nc) AS n_chars,
         |  bit_xor(h) AS checksum

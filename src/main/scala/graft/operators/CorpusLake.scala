@@ -426,8 +426,37 @@ object CorpusLake {
     Seq((v, 0L, 0L, 0L, 0L, 0L, -1L, n))
       .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
         "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
+      .withColumn("committed_at", lit(System.currentTimeMillis()))
       .write.mode("append").parquet(manifestTarget(spark, corpusDir))
     v
+  }
+
+  /** Timestamp time travel — resolve a wall-clock instant to the newest
+    * version whose commit landed at or before it, then serve that
+    * snapshot (the TIMESTAMP AS OF convention). Commit instants are the
+    * manifest's `committed_at` column (epoch millis, recorded at the
+    * manifest write — the commit point); the column arrived by schema
+    * evolution, so commits written before it carry nulls and resolve as
+    * arbitrarily old — they demonstrably predate any instant a caller
+    * can name. Replay copies of an epoch may carry different instants;
+    * the manifest read collapses per version (the first-written row
+    * wins a tie arbitrarily, which only shifts the boundary WITHIN the
+    * replay window of one commit — both instants are honest commit
+    * times for it). Refuses an instant older than the first commit, and
+    * the resolved version still honors the vacuum retention floor like
+    * any pinned read. */
+  def readCorpusAsOf(spark: SparkSession, dir: String, corpusDir: String,
+      tsMillis: Long): DataFrame = {
+    import spark.implicits._
+    val man = manifest(spark, corpusDir)
+    val at = if (man.columns.contains("committed_at"))
+      coalesce(col("committed_at"), lit(Long.MinValue))
+    else lit(Long.MinValue)
+    val v = man.filter(at <= tsMillis).agg(max($"version"))
+      .as[Option[Long]].head()
+      .getOrElse(throw new IllegalArgumentException(
+        s"no commit at or before $tsMillis — the lake's first commit is newer"))
+    readCorpusAt(spark, dir, corpusDir, Some(v))
   }
 
   /** Semi-join a (…, epoch) relation down to manifest-committed epochs ≤ the
@@ -716,7 +745,8 @@ object CorpusLake {
               coalesce(sum(when($"decision" === Curate.LowQuality, 1L).otherwise(0L)), lit(0L)).as("n_low_quality"))
             .select(lit(epoch).as("version"), $"n_arrived", $"n_admitted",
               $"n_duplicate", $"n_contaminated", $"n_low_quality",
-              lit(batchId).as("batch_id"), lit(nDeleted).as("n_deleted"))
+              lit(batchId).as("batch_id"), lit(nDeleted).as("n_deleted"),
+              lit(System.currentTimeMillis()).as("committed_at"))
             .write.mode("append").parquet(manifestTarget(spark, corpusDir))
           // index upkeep (the maintainDedupIndexStream counters, verbatim)
           if (baseCount < 0) baseCount = spark.read.parquet(
@@ -1301,17 +1331,19 @@ object CorpusLake {
     val minus = v1.join(broadcast(diff
         .filter($"change_type".isin("update", "delete")).select($"doc_id")),
       Seq("doc_id"), "left_semi")
-    val p1 = signedProfile(v1, 1)
-      .groupBy($"band").agg(sum($"n_docs").as("n1"))
-    val p2 = signedProfile(v1, 1)
-      .unionByName(signedProfile(plus, 1))
-      .unionByName(signedProfile(minus, -1))
-      .groupBy($"band").agg(sum($"n_docs").as("n2"))
-      .filter($"n2" =!= 0)
-    val joined = p1.join(p2, Seq("band"), "full_outer")
-      .select($"band",
-        coalesce($"n1", lit(0L)).as("n_docs_v1"),
-        coalesce($"n2", lit(0L)).as("n_docs_v2"))
+    // ONE union-aggregate instead of two per-version profiles: the v1 leg
+    // contributes to both counters (v2's profile = v1's + signed deltas),
+    // so the full-corpus quality scan runs ONCE — the plus/minus legs are
+    // diff-sized subsets
+    val joined = signedProfile(v1, 1)
+      .select($"band", $"n_docs".as("d1"), $"n_docs".as("d2"))
+      .unionByName(signedProfile(plus, 1)
+        .select($"band", lit(0L).as("d1"), $"n_docs".as("d2")))
+      .unionByName(signedProfile(minus, 1)
+        .select($"band", lit(0L).as("d1"), (-$"n_docs").as("d2")))
+      .groupBy($"band")
+      .agg(sum($"d1").as("n_docs_v1"), sum($"d2").as("n_docs_v2"))
+      .filter(!($"n_docs_v1" === 0 && $"n_docs_v2" === 0))
     val w = Window.partitionBy()
     joined
       .withColumn("shift_ppm",
@@ -1561,6 +1593,72 @@ object CorpusLake {
     shardManifest(Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("text")), 8)
       .orderBy(col("shard"))
+
+  /** Advance a shard manifest across a snapshot diff incrementally — the
+    * run-delivery DELTA path: between two pinned runs, ship only the
+    * changed docs' shards plus this manifest; never rescan the corpus.
+    * The XOR checksum is what makes the incremental step exact: XOR is
+    * its own inverse, so removing a doc XORs its old hash back OUT and
+    * adding one XORs its hash in —
+    * `checksum' = checksum ⊕ xor(old hashes of updated/deleted docs)
+    * ⊕ xor(new hashes of inserted/updated docs)` — while the doc/token/
+    * char counters adjust by signed deltas. Cost: the [[snapshotDiff]]
+    * (hashes only through its join) plus one signed aggregate over the
+    * CHANGED docs — O(changes) at any corpus size; the consumer-side
+    * [[verifyRunShards]] contract is unchanged because the advanced
+    * manifest is value-identical to a from-scratch [[shardManifest]] of
+    * the new snapshot (the `corpus_run_shards_delta` oracle pins this). */
+  def shardManifestDelta(oldManifest: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val diff = snapshotDiff(oldDocs, newDocs)
+    val removed = oldDocs.join(diff
+        .filter(col("change_type").isin("update", "delete"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val added = newDocs.join(diff
+        .filter(col("change_type").isin("insert", "update"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val delta = shardSigned(removed, -1, nShards)
+      .unionByName(shardSigned(added, 1, nShards))
+      .groupBy(col("shard"))
+      .agg(sum(col("sd")).as("d_docs"), sum(col("dt")).as("d_tokens"),
+        sum(col("dc")).as("d_chars"), expr("bit_xor(h)").as("d_checksum"))
+    oldManifest.join(delta, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_docs"), lit(0L)) +
+          coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) +
+          coalesce(col("d_tokens"), lit(0L))).as("n_tokens"),
+        (coalesce(col("n_chars"), lit(0L)) +
+          coalesce(col("d_chars"), lit(0L))).as("n_chars"),
+        coalesce(col("checksum"), lit(0L))
+          .bitwiseXOR(coalesce(col("d_checksum"), lit(0L))).as("checksum"))
+      .filter(col("n_docs") > 0)
+  }
+
+  /** Per-doc signed shard contribution rows for [[shardManifestDelta]]:
+    * counters carry the sign; the content hash does not (XOR needs the
+    * raw hash on both the add and remove side). */
+  private def shardSigned(docs: DataFrame, sign: Int,
+      nShards: Int): DataFrame =
+    docs.select(
+      pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
+        lit(nShards.toLong)).cast("int").as("shard"),
+      lit(sign.toLong).as("sd"),
+      (size(tokens(col("text"))).cast("long") * sign).as("dt"),
+      (length(col("text")).cast("long") * sign).as("dc"),
+      graft.functions.Text.hash60(concat(col("doc_id").cast("string"),
+        lit("|"), col("text"))).as("h"))
+
+  /** [[shardManifestDelta]]'s oracled BATCH twin: v1's manifest advanced
+    * across the v1→v2 twin diff (inserts, updates, AND deletes) while
+    * DuckDB computes v2's manifest from scratch — hash equality pins the
+    * signed-counter/XOR algebra end to end. */
+  def shardDeltaTwin(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = twinSnapshots(spark, dir)
+    shardManifestDelta(shardManifest(v1, 8), v1, v2, 8)
+      .orderBy(col("shard"))
+  }
 
   /** Vacuum the lake: drop (a) dead orphan rows — epochs no manifest row
     * committed AND at-or-below the committed head, which can never commit

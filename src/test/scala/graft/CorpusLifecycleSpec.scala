@@ -874,6 +874,46 @@ class CorpusLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("timestamp time travel: as-of resolves commit instants; legacy commits read as old") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-asof").toString
+    val corpus = s"$tmp/corpus"
+    // legacy epoch 0: hand-written manifest with NO committed_at column
+    // (a lake from before the timestamp split)
+    Seq((1000001L, "asof doc v0", 0L)).toDF("doc_id", "text", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq((0L, 1L, 1L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    Thread.sleep(15)
+    val tA = System.currentTimeMillis()
+    Thread.sleep(15)
+    val v1 = CorpusLake.deleteDocs(spark, corpus, Seq(1000001L).toDF("doc_id"))
+    Thread.sleep(15)
+    val tB = System.currentTimeMillis()
+    def docAt(ts: Long): Boolean =
+      CorpusLake.readCorpusAsOf(spark, dir, corpus, ts)
+        .filter($"doc_id" === 1000001L).count() == 1
+    // before the delete's instant: the legacy commit (null committed_at)
+    // is arbitrarily old, so tA resolves version 0 — the doc serves
+    assert(docAt(tA), s"as-of $tA did not resolve the legacy commit")
+    // after it: the tombstone version wins — the doc hides
+    assert(!docAt(tB), s"as-of $tB did not resolve the delete at v$v1")
+    assert(docAt(System.currentTimeMillis()) == false)
+    // an instant older than the first (timestamped) commit refuses
+    val corpus2 = s"$tmp/corpus2"
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    CorpusLake.deleteDocs(spark, corpus2, Seq(42L).toDF("doc_id"))
+    intercept[IllegalArgumentException] {
+      CorpusLake.readCorpusAsOf(spark, dir, corpus2, t0)
+    }
+    Caches.releaseAll()
+  }
+
   test("maintenance writer lease: exclusivity, TTL takeover, scoped release") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-corpus-lease").toString

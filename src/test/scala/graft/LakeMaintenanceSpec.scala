@@ -363,6 +363,28 @@ class LakeMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("shard delta: advanced manifest equals a rebuild; an emptied shard leaves it") {
+    import spark.implicits._
+    // inserts, LWW updates, and deletes in one diff — the advanced
+    // manifest must be value-identical to a from-scratch rebuild of the
+    // new snapshot (the oracle re-pins this at fixture scale; here the
+    // hand-sized case plus the empty-out edge the twin can't reach)
+    val v1 = Seq((1L, "a a"), (2L, "b b b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "a a a a"), (3L, "c"), (4L, "d d")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"shard").collect().map(_.toSeq).toSeq
+    val advanced = CorpusLake.shardManifestDelta(
+      CorpusLake.shardManifest(v1, 4), v1, v2, 4)
+    assert(rows(advanced) == rows(CorpusLake.shardManifest(v2, 4)),
+      "advanced manifest diverged from the from-scratch rebuild")
+    // deleting every doc empties every shard: the n_docs>0 filter must
+    // drop them exactly as a rebuild of the empty snapshot would
+    val v3 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusLake.shardManifestDelta(
+      CorpusLake.shardManifest(v1, 4), v1, v3, 4).count() == 0,
+      "emptied shards survived in the advanced manifest")
+  }
+
   test("maintained profile view: exact recompute parity across inserts, LWW updates, base shadows, replay") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
