@@ -131,6 +131,7 @@ object SparkEntry {
     "sim_index_drift"      -> (Similarity.indexDrift _),
     "dedup_index_serve"    -> (Dedup.dedupIndexServe _),
     "corpus_admission"     -> (Curate.admission _),
+    "corpus_expectations"  -> (Curate.expectationsGate _),
     "corpus_changes"       -> (CorpusLake.changesTwin _),
     "corpus_profile"       -> (CorpusLake.profileTwin _),
     "corpus_profile_drift" -> (CorpusLake.profileDriftTwin _),
@@ -2015,6 +2016,79 @@ object SparkEntry {
         |  WHERE doc_id % 10 = 0
         |)
         |SELECT q.doc_id, CASE WHEN d.n_dup_matches IS NOT NULL THEN 'duplicate'
+        |       WHEN c.n_bench_hits IS NOT NULL THEN 'contaminated'
+        |       WHEN q.quality < 0.45 THEN 'low_quality'
+        |       ELSE 'admitted' END AS decision,
+        |  coalesce(d.n_dup_matches, 0) AS n_dup_matches, d.first_dup,
+        |  coalesce(c.n_bench_hits, 0) AS n_bench_hits, q.quality
+        |FROM q LEFT JOIN dup d ON q.doc_id = d.doc_id
+        |       LEFT JOIN cont c ON q.doc_id = c.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
+
+    // declarative expectations ahead of the content gate (the
+    // CHECK-constraint convention): min_tokens (>= 30 whitespace tokens)
+    // then max_chars (<= 450 chars) outrank every content verdict, first
+    // declared wins; everything downstream is the corpus_admission chain
+    // unchanged (an invalid earlier arrival still counts as dup evidence
+    // for a later copy, exactly as a low-quality one always has)
+    "corpus_expectations" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS arriving_id, y.doc_id AS existing_id
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key
+        |    AND x.doc_id % 10 = 0 AND (y.doc_id % 10 != 0 OR y.doc_id < x.doc_id)
+        |),
+        |dup AS (
+        |  SELECT arriving_id AS doc_id, CAST(count(*) AS BIGINT) AS n_dup_matches,
+        |         min(existing_id) AS first_dup
+        |  FROM cand c JOIN sh a ON c.arriving_id = a.doc_id JOIN sh b ON c.existing_id = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |  GROUP BY 1
+        |),
+        |g8 AS (
+        |  SELECT doc_id,
+        |    list_distinct([CAST(concat('0x',substr(md5(s[i]||' '||s[i+1]||' '||s[i+2]||' '||s[i+3]||' '||s[i+4]||' '||s[i+5]||' '||s[i+6]||' '||s[i+7]),1,15)) AS BIGINT) for i in range(1, len(s)-6)]) AS grams
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM documents)
+        |  WHERE len(s) >= 8
+        |),
+        |bench AS (SELECT doc_id AS bench_id, unnest(grams) AS gram FROM g8
+        |          WHERE doc_id % 50 = 7 AND doc_id % 10 != 0),
+        |arr AS (SELECT doc_id, unnest(grams) AS gram FROM g8 WHERE doc_id % 10 = 0),
+        |cont AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits FROM (
+        |    SELECT a.doc_id, b.bench_id FROM arr a JOIN bench b USING (gram)
+        |    GROUP BY a.doc_id, b.bench_id HAVING count(*) >= 8)
+        |  GROUP BY 1
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |    0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |    0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |    0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)) AS quality,
+        |    len(toks) AS n_toks, length(text) AS n_chars
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks FROM documents)
+        |  WHERE doc_id % 10 = 0
+        |)
+        |SELECT q.doc_id, CASE WHEN q.n_toks < 30 THEN 'invalid:min_tokens'
+        |       WHEN q.n_chars > 450 THEN 'invalid:max_chars'
+        |       WHEN d.n_dup_matches IS NOT NULL THEN 'duplicate'
         |       WHEN c.n_bench_hits IS NOT NULL THEN 'contaminated'
         |       WHEN q.quality < 0.45 THEN 'low_quality'
         |       ELSE 'admitted' END AS decision,

@@ -118,13 +118,15 @@ object CorpusLake {
   private[graft] def admitBatch(spark: SparkSession, dir: String,
       batch: DataFrame, indexDir: String, storeDir: Option[String],
       admittedDocs: Option[DataFrame], benchPost: DataFrame,
-      committedEpochs: Option[DataFrame] = None): DataFrame = {
+      committedEpochs: Option[DataFrame] = None,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : DataFrame = {
     val vsIndex = Dedup.dedupArrivalsFromSaved(spark, dir, batch, indexDir,
         storeDir, admittedDocs, committedEpochs)
       .select(col("arriving_id"), col("existing_id"))
     val dupPairs = vsIndex.unionByName(
       intraBatchPairs(batch).select(col("arriving_id"), col("existing_id")))
-    Curate.admitRows(batch, dupPairs, benchPost)
+    Curate.admitRows(batch, dupPairs, benchPost, expectations)
   }
 
   /** Replay-safe read of the lake's admitted docs: byte-identical replay
@@ -446,17 +448,40 @@ object CorpusLake {
     * the resolved version still honors the vacuum retention floor like
     * any pinned read. */
   def readCorpusAsOf(spark: SparkSession, dir: String, corpusDir: String,
-      tsMillis: Long): DataFrame = {
+      tsMillis: Long): DataFrame =
+    readCorpusAt(spark, dir, corpusDir,
+      Some(versionAsOf(spark, corpusDir, tsMillis)))
+
+  /** The newest committed version at or before the instant (the resolve
+    * half of [[readCorpusAsOf]]); refuses an instant older than the
+    * first commit. */
+  def versionAsOf(spark: SparkSession, corpusDir: String,
+      tsMillis: Long): Long = {
     import spark.implicits._
     val man = manifest(spark, corpusDir)
     val at = if (man.columns.contains("committed_at"))
       coalesce(col("committed_at"), lit(Long.MinValue))
     else lit(Long.MinValue)
-    val v = man.filter(at <= tsMillis).agg(max($"version"))
+    man.filter(at <= tsMillis).agg(max($"version"))
       .as[Option[Long]].head()
       .getOrElse(throw new IllegalArgumentException(
         s"no commit at or before $tsMillis — the lake's first commit is newer"))
-    readCorpusAt(spark, dir, corpusDir, Some(v))
+  }
+
+  /** Age-based retention — "keep the last N days": raise the vacuum
+    * floor to the newest version committed at or before the cutoff
+    * instant (the caller computes cutoff = now − horizon). A pure
+    * composition of [[versionAsOf]] with [[vacuumCorpus]], so every
+    * floor rule still holds: floors only rise, pinned runs refuse the
+    * raise (governance beats reclamation), pre-floor pins and change
+    * windows throw afterward. Refuses when no commit is old enough —
+    * an empty collection must not look like one that ran. Returns the
+    * resolved floor version. */
+  def vacuumCorpusOlderThan(spark: SparkSession, corpusDir: String,
+      cutoffMillis: Long, versioned: Boolean = false): Long = {
+    val v = versionAsOf(spark, corpusDir, cutoffMillis)
+    vacuumCorpus(spark, corpusDir, v, versioned)
+    v
   }
 
   /** Semi-join a (…, epoch) relation down to manifest-committed epochs ≤ the
@@ -596,14 +621,22 @@ object CorpusLake {
     * needs no ingest quiescence. A doc_id arriving as both upsert and
     * delete in ONE micro-batch is refused loudly (same-epoch LWW is
     * undefined); re-admission in a LATER batch wins over the tombstone
-    * as usual. */
+    * as usual.
+    *
+    * `expectations` puts a declarative schema-quality gate ahead of the
+    * content gate ([[Curate.expectationDecision]] — the CHECK-constraint
+    * convention): a violating row is rejected as `invalid:<name>` before
+    * any content verdict, never enters the lake or the dedup index, and
+    * is counted in the manifest's `n_invalid` audit column. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
       profDir: Option[String] = None,
       optimizeEvery: Int = 0,
       carryCols: Seq[String] = Nil,
-      deleteCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] = {
+      deleteCol: Option[String] = None,
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
     // reserved names: "epoch" would be silently clobbered by the epoch
     // stamp; "version"/"change_type" would collide with the change feed's
@@ -699,7 +732,8 @@ object CorpusLake {
             if (haveStore) Some(store) else None,
             Some(committedOnly(admittedRaw(spark, corpusDir), man, None)),
             benchPost,
-            Some(man.select($"version".as("epoch")))).localCheckpoint()
+            Some(man.select($"version".as("epoch"))),
+            expectations).localCheckpoint()
           // decisions is fixed-schema today, but a future admission-gate
           // change against an old lake is the same mergeSchema poisoning
           // risk as an evolved carry column — same write-time guard
@@ -742,11 +776,17 @@ object CorpusLake {
               coalesce(sum(when($"decision" === Curate.Admitted, 1L).otherwise(0L)), lit(0L)).as("n_admitted"),
               coalesce(sum(when($"decision" === Curate.Duplicate, 1L).otherwise(0L)), lit(0L)).as("n_duplicate"),
               coalesce(sum(when($"decision" === Curate.Contaminated, 1L).otherwise(0L)), lit(0L)).as("n_contaminated"),
-              coalesce(sum(when($"decision" === Curate.LowQuality, 1L).otherwise(0L)), lit(0L)).as("n_low_quality"))
+              coalesce(sum(when($"decision" === Curate.LowQuality, 1L).otherwise(0L)), lit(0L)).as("n_low_quality"),
+              // expectation violations (decision `invalid:<name>`) — the
+              // audit row must account for every arrival; the column
+              // evolved into the manifest schema like batch_id/n_deleted
+              coalesce(sum(when($"decision".startsWith(Curate.Invalid + ":"),
+                1L).otherwise(0L)), lit(0L)).as("n_invalid"))
             .select(lit(epoch).as("version"), $"n_arrived", $"n_admitted",
               $"n_duplicate", $"n_contaminated", $"n_low_quality",
               lit(batchId).as("batch_id"), lit(nDeleted).as("n_deleted"),
-              lit(System.currentTimeMillis()).as("committed_at"))
+              lit(System.currentTimeMillis()).as("committed_at"),
+              $"n_invalid")
             .write.mode("append").parquet(manifestTarget(spark, corpusDir))
           // index upkeep (the maintainDedupIndexStream counters, verbatim)
           if (baseCount < 0) baseCount = spark.read.parquet(

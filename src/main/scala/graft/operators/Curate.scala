@@ -80,19 +80,40 @@ object Curate {
 
   /** Decision labels, in precedence order: a doc that is both a near-dup
     * and contaminated is recorded as `duplicate` (the cheaper-to-detect,
-    * earlier-in-the-production-DAG reason wins deterministically). */
+    * earlier-in-the-production-DAG reason wins deterministically).
+    * Expectation violations ([[expectationDecision]]) outrank everything —
+    * a malformed row's rejection reason should name the malformation, not
+    * whatever content verdict its garbage happened to draw. */
+  val Invalid = "invalid"
   val Duplicate = "duplicate"
   val Contaminated = "contaminated"
   val LowQuality = "low_quality"
   val Admitted = "admitted"
+
+  /** Declarative data expectations — the schema-quality gate ahead of the
+    * content gate (the table-format CHECK-constraint convention): ordered
+    * (name, predicate) pairs over the arrival columns; the decision for a
+    * violating row is `invalid:<first failed name>`. Predicates are plain
+    * Column expressions (codegen'd, no UDFs); a NULL predicate result
+    * counts as FAILED — the conservative read for a gate (an expectation
+    * that cannot be evaluated is not satisfied). Returns null for a row
+    * that passes every expectation. */
+  def expectationDecision(expectations: Seq[(String, Column)]): Column =
+    expectations.foldRight(lit(null).cast("string")) { case ((n, p), rest) =>
+      when(!coalesce(p, lit(false)), lit(s"$Invalid:$n")).otherwise(rest)
+    }
 
   /** The admission verdict assembly both the batch twin and the streaming
     * lake share: arriving (doc_id, text) rows, an already-verified near-dup
     * pair frame (arriving_id, existing_id), and the benchmark's 8-gram
     * postings (bench_id, gram) in. Per arriving doc out:
     * (doc_id, decision, n_dup_matches, first_dup, n_bench_hits, quality) —
-    * decision by the [[Duplicate]] > [[Contaminated]] > [[LowQuality]] >
-    * [[Admitted]] precedence.
+    * decision by the [[Invalid]] > [[Duplicate]] > [[Contaminated]] >
+    * [[LowQuality]] > [[Admitted]] precedence. Expectations label the
+    * verdict but do not change the candidate sets: an invalid EARLIER
+    * arrival still counts as dup evidence for a later copy, exactly as a
+    * low-quality one always has — the gate's rejection reasons are
+    * per-row, its dedup universe is the arrival content.
     *
     * Scale shape: the dup leg arrives pre-aggregated from an index serve
     * (cost ∝ batch); the contamination leg explodes ONLY the arriving
@@ -101,7 +122,8 @@ object Curate {
     * quality leg is a pure projection. Nothing in the gate touches the
     * corpus. */
   def admitRows(arrivals: DataFrame, dupPairs: DataFrame,
-      benchPostings: DataFrame): DataFrame = {
+      benchPostings: DataFrame,
+      expectations: Seq[(String, Column)] = Nil): DataFrame = {
     val dup = dupPairs
       .groupBy(col("arriving_id").as("doc_id"))
       .agg(count(lit(1)).as("n_dup_matches"),
@@ -118,11 +140,13 @@ object Curate {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_hits"))
     TextAnalysis.withQuality(arrivals)
-      .select(col("doc_id"), col("quality"))
+      .select(col("doc_id"), col("quality"),
+        expectationDecision(expectations).as("inv"))
       .join(dup, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("n_dup_matches").isNotNull, Duplicate)
+        when(col("inv").isNotNull, col("inv"))
+          .when(col("n_dup_matches").isNotNull, Duplicate)
           .when(col("n_bench_hits").isNotNull, Contaminated)
           .when(col("quality") < QualityFloor, LowQuality)
           .otherwise(Admitted).as("decision"),
@@ -166,7 +190,21 @@ object Curate {
     * index side restricted to (existing ∪ earlier-id arrivals) — exactly
     * what a persisted bucket index plus intra-batch first-wins serving
     * sees; cost ∝ batch, never corpus. */
-  def admission(spark: SparkSession, dir: String): DataFrame = {
+  def admission(spark: SparkSession, dir: String): DataFrame =
+    admissionGate(spark, dir, Nil)
+
+  /** The gate with declarative [[expectationDecision]] expectations ahead
+    * of it — the oracled twin runs two that real fixture docs violate:
+    * `min_tokens` (≥ 30 whitespace tokens) and `max_chars` (≤ 450 chars),
+    * in that precedence. Everything downstream of the verdict is the
+    * [[admission]] chain unchanged. */
+  def expectationsGate(spark: SparkSession, dir: String): DataFrame =
+    admissionGate(spark, dir, Seq(
+      "min_tokens" -> (size(tokens(col("text"))) >= 30),
+      "max_chars" -> (length(col("text")) <= 450)))
+
+  private def admissionGate(spark: SparkSession, dir: String,
+      expectations: Seq[(String, Column)]): DataFrame = {
     import spark.implicits._
     val stride = Dedup.incrementalStride(Tables.nDocs(spark, dir))
     val arrivals = Tables.spread(Tables.documents(spark, dir))
@@ -190,7 +228,8 @@ object Curate {
         inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
       .filter($"jaccard" >= Dedup.JaccardThreshold)
       .select($"arriving_id", $"existing_id")
-    admitRows(arrivals, dupPairs, benchPostings(spark, dir, stride))
+    admitRows(arrivals, dupPairs, benchPostings(spark, dir, stride),
+        expectations)
       .orderBy($"doc_id")
   }
 

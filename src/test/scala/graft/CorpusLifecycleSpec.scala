@@ -911,6 +911,65 @@ class CorpusLifecycleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusLake.readCorpusAsOf(spark, dir, corpus2, t0)
     }
+    // age-based retention composes the same resolve with vacuum: the
+    // cutoff resolves to the delete version, the floor rises there, and
+    // a pre-floor pin refuses afterward — while nothing old enough to
+    // collect refuses before any marker lands
+    intercept[IllegalArgumentException] {
+      CorpusLake.vacuumCorpusOlderThan(spark, corpus2, t0)
+    }
+    assert(CorpusLake.vacuumCorpusOlderThan(spark, corpus, tB) == v1,
+      "cutoff did not resolve to the delete version")
+    assert(CorpusLake.retentionFloor(spark, corpus) == v1)
+    intercept[IllegalArgumentException] {
+      CorpusLake.readCorpusAt(spark, dir, corpus, Some(v1 - 1))
+    }
+    Caches.releaseAll()
+  }
+
+  test("expectations gate: invalid rows named, quarantined, audited") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-corpus-expect").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
+        expectations = Seq(
+          "min_tokens" -> (org.apache.spark.sql.functions.size(
+            graft.functions.Text.tokens($"text")) >= 5),
+          "max_chars" -> (org.apache.spark.sql.functions.length($"text") <= 500)))
+      .start()
+    // one clean doc, one too short (first expectation names it), one too
+    // long (second expectation), one low-quality but valid (the content
+    // gate still runs behind the expectations)
+    in.addData((1000001L, docAText), (1000002L, "tiny doc"),
+      (1000003L, words("long", 120).mkString(" ")), (1000004L, lowQText))
+    q.processAllAvailable()
+    q.stop()
+    val log = CorpusLake.admissionLog(spark, corpus)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(log(1000001L) == Curate.Admitted, s"log: $log")
+    assert(log(1000002L) == "invalid:min_tokens", s"log: $log")
+    assert(log(1000003L) == "invalid:max_chars", s"log: $log")
+    assert(log(1000004L) == Curate.LowQuality, s"log: $log")
+    // quarantine: invalid rows reach neither the lake nor the dedup index
+    val served = CorpusLake.readCorpusAt(spark, dir, corpus, None)
+      .filter($"doc_id" >= 1000000L).select($"doc_id").as[Long]
+      .collect().toSet
+    assert(served == Set(1000001L), s"served: $served")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$maint/buckets").filter($"doc_id" === 1000002L).count() == 0,
+      "an invalid row's buckets entered the dedup index")
+    // the audit row accounts for every arrival
+    val man = CorpusLake.manifest(spark, corpus)
+      .select($"n_arrived", $"n_admitted", $"n_low_quality", $"n_invalid")
+      .as[(Long, Long, Long, Long)].head()
+    assert(man == ((4L, 1L, 1L, 2L)), s"manifest audit: $man")
     Caches.releaseAll()
   }
 
