@@ -448,6 +448,33 @@ object ScaleProbe {
           val (_, after) = CorpusLake.compactManifest(spark, corpusDir)
           (after, before)
         }),
+        // incremental run delivery: C = docs the manifest ADVANCE touches
+        // (the removed + added legs of the signed aggregate — the changed
+        // docs, twice at most), O = docs a from-scratch rebuild of the new
+        // snapshot scans (the corpus). C must track the diff (the ~13%
+        // twin-churn here) while O tracks N — the O(changes) claim of
+        // shipping a delta between pinned runs instead of re-exporting.
+        ("corpus_shards_delta_scan", nDocs, () => {
+          import graft.operators.CorpusLake
+          val docs = graft.sources.Tables.spread(
+              graft.sources.Tables.documents(spark, dir))
+            .select(col("doc_id"), col("text"))
+          val v1 = docs.filter(col("doc_id") % 13 =!= 5)
+          val v2 = docs.filter(col("doc_id") % 13 =!= 7)
+            .select(col("doc_id"),
+              org.apache.spark.sql.functions.when(col("doc_id") % 17 === 3,
+                org.apache.spark.sql.functions.concat(col("text"),
+                  org.apache.spark.sql.functions.lit(" v2")))
+                .otherwise(col("text")).as("text"))
+          val diff = CorpusLake.snapshotDiff(v1, v2)
+          val removed = v1.join(diff
+              .filter(col("change_type").isin("update", "delete"))
+              .select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+          val added = v2.join(diff
+              .filter(col("change_type").isin("insert", "update"))
+              .select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+          (removed + added, v2.count())
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

@@ -1900,6 +1900,12 @@ object CorpusLake {
       if (!df.columns.contains("_deleted")) 0L
       else df.filter(coalesce(col("_deleted"), lit(false))).count()
     }
+    // expectation-violation total from the manifest audit (KB-scale read;
+    // the column evolved in, so pre-expectations lakes read 0)
+    val invalidRows =
+      if (!man.columns.contains("n_invalid")) 0L
+      else man.agg(coalesce(sum(coalesce(col("n_invalid"), lit(0L))),
+        lit(0L))).as[Long].head()
     // generation visibility: the current pointer generation per store and
     // the superseded dirs still on disk (the reclaim backlog a versioned
     // rewrite leaves for the drain-window pass) — dir listings only
@@ -1938,6 +1944,7 @@ object CorpusLake {
       ("retention_floor", if (floor == Long.MinValue) -1L else floor),
       ("pinned_runs", pins),
       ("tombstone_rows", tombstones),
+      ("invalid_rows", invalidRows),
       ("store_generation", math.max(docsGen, decGen)),
       ("manifest_files", manFiles),
       ("manifest_generation", manGen),

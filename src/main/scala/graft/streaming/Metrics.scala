@@ -14,7 +14,12 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * The write happens on the listener bus thread, OUTSIDE the query's
   * batch path — a slow metrics disk delays later notifications, never
   * the stream itself — and any failure is swallowed to stderr: losing a
-  * metrics row must never look like losing data. Each row is tiny; the
+  * metrics row must never look like losing data. Reading caveat:
+  * `input_rows` is Spark's per-trigger source-read count, so for a
+  * foreachBatch body that runs MULTIPLE actions over the batch frame it
+  * sums the re-reads across those actions — a processed-volume
+  * indicator to trend, not an arrival count (single-action sinks report
+  * exact counts). Each row is tiny; the
   * one-file-per-batch accretion is the same shape every append store
   * here has, bounded by [[StreamMetrics.compactMetrics]] on whatever
   * cadence the operator already runs lake hygiene. */

@@ -42,7 +42,11 @@ class PlatformSpec extends SparkSpec {
     val docADup = (docA.split(" ").dropRight(1) :+ "changed").mkString(" ")
 
     // ingest: two committed epochs; the near-dup must be REJECTED and
-    // therefore never reach any index or the view
+    // therefore never reach any index or the view. The health-metrics
+    // listener rides the same session — the ops surface observes the
+    // REAL maintenance loop, not a synthetic probe query.
+    val metricsDir = s"$tmp/metrics"
+    val listener = graft.streaming.StreamMetrics.attach(spark, metricsDir)
     val in = MemoryStream[(Long, String)]
     val q = CorpusLake.maintainCorpusStream(
         in.toDF().toDF("doc_id", "text"), spark, dir, dedupIdx, corpus,
@@ -52,6 +56,24 @@ class PlatformSpec extends SparkSpec {
     in.addData((7000002L, docB), (7000003L, docADup))
     q.processAllAvailable()
     q.stop()
+    // metrics: the listener bus is async — poll for the ingest batches,
+    // then pin that BOTH maintenance micro-batches were recorded with
+    // real volume and duration. (input_rows for a multi-action
+    // foreachBatch body sums the source reads across its actions — a
+    // volume indicator, not the arrival count; MetricsSpec pins the
+    // exact-count case on a single-action sink.)
+    val mDeadline = System.currentTimeMillis() + 30000
+    def mRows() = graft.streaming.StreamMetrics.metrics(spark, metricsDir)
+      .filter($"input_rows" > 0)
+    while (mRows().count() < 2 && System.currentTimeMillis() < mDeadline)
+      Thread.sleep(200)
+    graft.streaming.StreamMetrics.detach(spark, listener)
+    val recorded = mRows()
+      .select($"batch_id", $"input_rows", $"batch_duration_ms")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(recorded.map(_._1) == Seq(0L, 1L) &&
+      recorded.forall(r => r._2 > 0 && r._3 > 0),
+      s"stream metrics did not record the maintenance batches: $recorded")
     val log = CorpusLake.admissionLog(spark, corpus)
       .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
     assert(log == Map(7000001L -> Curate.Admitted,
