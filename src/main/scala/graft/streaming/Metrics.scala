@@ -29,8 +29,25 @@ class ProgressMetricsSink(spark: SparkSession, metricsDir: String)
   override def onQueryStarted(
       e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
+  /** Terminations land in their own `lifecycle` store — failed-or-not
+    * plus the error head. A stream dying WITH an exception is the single
+    * most important ops signal this surface carries; a clean stop is the
+    * row that lets an alerting check tell "finished" from "vanished". */
   override def onQueryTerminated(
-      e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    try {
+      val row = Seq((e.id.toString, e.runId.toString,
+        System.currentTimeMillis(), e.exception.isDefined,
+        e.exception.getOrElse("").take(500)))
+      spark.createDataFrame(row)
+        .toDF("query_id", "run_id", "wall_millis", "failed", "error")
+        .coalesce(1)
+        .write.mode("append").parquet(s"$metricsDir/lifecycle")
+    } catch {
+      case t: Throwable => System.err.println(
+        s"[metrics] dropped a termination row (${t.getClass.getSimpleName}: " +
+          s"${Option(t.getMessage).getOrElse("").take(120)})")
+    }
 
   override def onQueryProgress(
       e: StreamingQueryListener.QueryProgressEvent): Unit =
@@ -78,18 +95,35 @@ object StreamMetrics {
     spark.streams.removeListener(l)
 
   /** Raw per-batch rows (empty frame with the full schema if nothing has
-    * been recorded yet). */
+    * been recorded yet — including the instant where the listener's
+    * FIRST write is still in flight and the dir holds no readable
+    * footer). */
   def metrics(spark: SparkSession, metricsDir: String): DataFrame = {
     val p = s"$metricsDir/batches"
-    if (graft.sources.Formats.pathExists(spark, p))
-      spark.read.parquet(p)
-    else spark.range(0).select(
+    val empty = spark.range(0).select(
       lit("").as("query"), lit("").as("query_id"), lit("").as("run_id"),
       col("id").as("batch_id"), lit(0L).as("wall_millis"),
       lit(0L).as("input_rows"),
       lit(0.0).as("input_rows_per_sec"),
       lit(0.0).as("processed_rows_per_sec"),
       lit(0L).as("batch_duration_ms"), lit(0L).as("state_rows")).limit(0)
+    if (!graft.sources.Formats.pathExists(spark, p)) empty
+    else try spark.read.parquet(p)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+  }
+
+  /** Termination rows — (query_id, run_id, wall_millis, failed, error);
+    * `failed = true` carries the exception head. Empty-schema frame when
+    * nothing has terminated yet. */
+  def terminations(spark: SparkSession, metricsDir: String): DataFrame = {
+    val p = s"$metricsDir/lifecycle"
+    val empty = spark.range(0).select(
+      lit("").as("query_id"), lit("").as("run_id"),
+      col("id").as("wall_millis"), lit(false).as("failed"),
+      lit("").as("error")).limit(0)
+    if (!graft.sources.Formats.pathExists(spark, p)) empty
+    else try spark.read.parquet(p)
+    catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
   /** Per-query health rollup: batch count, total rows, mean/max batch

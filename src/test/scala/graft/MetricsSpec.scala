@@ -53,4 +53,46 @@ class MetricsSpec extends SparkSpec {
       assert(totalRows() == 5L, "compaction changed the metrics content")
     } finally StreamMetrics.detach(spark, l)
   }
+
+  test("stream metrics: terminations distinguish a crash from a clean stop") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-metrics-term").toString
+    val l = StreamMetrics.attach(spark, dir)
+    try {
+      // a clean stop...
+      val ok = MemoryStream[Long]
+      val cpA = java.nio.file.Files
+        .createTempDirectory("cp_term_ok").toString
+      val qOk = ok.toDF().writeStream.format("noop")
+        .option("checkpointLocation", cpA).start()
+      ok.addData(1L); qOk.processAllAvailable(); qOk.stop()
+      // ...and a batch that dies with an exception
+      val bad = MemoryStream[Long]
+      val cpB = java.nio.file.Files
+        .createTempDirectory("cp_term_bad").toString
+      val qBad = bad.toDF().writeStream
+        .option("checkpointLocation", cpB)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          throw new IllegalStateException("deliberate batch failure")
+        }.start()
+      bad.addData(2L)
+      intercept[Exception] { qBad.processAllAvailable() }
+      // the listener bus is async: poll for both termination rows
+      val deadline = System.currentTimeMillis() + 30000
+      def terms() = StreamMetrics.terminations(spark, dir)
+      while (terms().count() < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val byRun = terms()
+        .select($"run_id", $"failed", $"error")
+        .as[(String, Boolean, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val okRow = byRun(qOk.runId.toString)
+      val badRow = byRun(qBad.runId.toString)
+      assert(!okRow._1 && okRow._2.isEmpty,
+        s"clean stop recorded as a failure: $okRow")
+      assert(badRow._1 && badRow._2.contains("deliberate batch failure"),
+        s"crash not recorded with its error: $badRow")
+    } finally StreamMetrics.detach(spark, l)
+  }
 }
