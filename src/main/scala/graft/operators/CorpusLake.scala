@@ -1952,6 +1952,37 @@ object CorpusLake {
     ).toDF("stat", "value")
   }
 
+  /** Serving-freshness DESCRIBE: how far each lake-fed consumer's cursor
+    * trails the committed head — the staleness an operator alerts on
+    * before a lagging index quietly serves old retrieval. One row per
+    * consumer: (consumer, cursor_version, head_version, lag_commits),
+    * where lag is the COUNT of committed versions past the cursor
+    * (versions are monotone but not dense, so head − cursor would lie).
+    * A consumer that has never refreshed reports cursor −1 with the full
+    * commit count as its lag. Cost: the KB-scale cursor artifacts plus
+    * one manifest count per leg — poll-cheap like [[lakeStats]]. */
+  def refreshLag(spark: SparkSession, corpusDir: String,
+      maintDir: Option[String] = None,
+      profDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val man = manifest(spark, corpusDir)
+    val head = man.agg(max($"version")).as[Option[Long]].head().getOrElse(-1L)
+    def cursor(dir: String, name: String): Long = {
+      val p = Similarity.resolveArtifact(spark, dir, name)
+      if (!graft.sources.Formats.pathExists(spark, p)) Long.MinValue
+      else spark.read.parquet(p).agg(max($"last_version")).as[Long].head()
+    }
+    val legs =
+      maintDir.toSeq.flatMap(m => Seq(
+        "postings" -> cursor(m, "lake_cursor"),
+        "dense" -> cursor(m, "dense_lake_cursor"))) ++
+      profDir.toSeq.map(p => "profile" -> cursor(p, "cursor"))
+    legs.map { case (name, c) =>
+      val lag = man.filter($"version" > c).count()
+      (name, if (c == Long.MinValue) -1L else c, head, lag)
+    }.toDF("consumer", "cursor_version", "head_version", "lag_commits")
+  }
+
   /** Append target inside a store: the `live/` sub-store the incremental
     * OPTIMIZE packs. Resolves interrupted swaps at BOTH levels — a full
     * rewrite/vacuum swaps the store itself; a pack truncation swaps

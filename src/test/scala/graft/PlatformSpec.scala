@@ -94,10 +94,24 @@ class PlatformSpec extends SparkSpec {
           .when($"doc_id" === 7000001L, typedLit(emb0))
           .otherwise(typedLit(emb1)).as("embedding"),
         $"version")
+    // freshness DESCRIBE: before any refresh both retrieval legs trail by
+    // the full commit count (never-refreshed = cursor −1); the profile
+    // refreshed inline with the stream, so it is already at the head
+    val lag0 = CorpusLake.refreshLag(spark, corpus, Some(maint), Some(prof))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(lag0("postings") == ((-1L, 2L)) && lag0("dense") == ((-1L, 2L)) &&
+      lag0("profile") == ((head, 0L)), s"pre-refresh lag: $lag0")
     assert(CorpusLake.refreshPostingsFromLake(spark, dir, corpus, maint)
       .contains((Long.MinValue, head)))
     assert(CorpusLake.refreshIndexFromLake(spark, dir, corpus, maint, embed)
       .contains((Long.MinValue, head)))
+    // after the refreshes every consumer is at the head: lag 0 everywhere
+    val lag1 = CorpusLake.refreshLag(spark, corpus, Some(maint), Some(prof))
+      .select($"consumer", $"cursor_version", $"lag_commits")
+      .as[(String, Long, Long)].collect()
+    assert(lag1.forall(r => r._2 == head && r._3 == 0L),
+      s"post-refresh lag not zero: ${lag1.toSeq}")
 
     // ---- a FRESH serving session: cold artifacts only
     Caches.releaseAll()
