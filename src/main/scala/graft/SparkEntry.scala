@@ -59,6 +59,7 @@ object SparkEntry {
     "sim_hybrid_rrf"       -> (Similarity.hybridRrf _),
     "sim_linear_probe"     -> (Similarity.linearProbe _),
     "sim_cluster_assign"   -> (Similarity.clusterAssign _),
+    "sim_cell_drift"       -> (Similarity.cellDrift _),
     "sim_label_centroids"  -> (Similarity.labelCentroids _),
     "sim_topk_ivf"         -> (Similarity.topkIvf _),
     "text_tokens"          -> (TextAnalysis.tokenCounts _),
@@ -676,6 +677,39 @@ object SparkEntry {
         |      round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
         |    FROM n CROSS JOIN cents))
         |WHERE arn = 1 ORDER BY vec_id""".stripMargin,
+
+    // dense-leg data drift: per-cell population shift under the PINNED
+    // IVF quantizer between the %11 churn twins — integer ppm shares
+    // (hash-exact), flag past 2% of corpus mass moving cells; the engine
+    // assigns each vector ONCE with both versions' membership flags
+    "sim_cell_drift" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_sum([x*x for x in CAST(embedding AS DOUBLE[])])) AS nrm
+        |  FROM embeddings
+        |),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id % 200 = 0),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |    FROM (
+        |      SELECT n.vec_id, cents.cent_id,
+        |        round(list_sum([n.v[i]*cv[i] for i in range(1,65)]) / (n.nrm*cn), 6) AS csim
+        |      FROM n CROSS JOIN cents))
+        |  WHERE arn = 1
+        |),
+        |f AS (
+        |  SELECT cent_id AS cell_id,
+        |    CAST(sum(CASE WHEN vec_id % 11 != 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_v1,
+        |    CAST(sum(CASE WHEN vec_id % 11 != 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs_v2
+        |  FROM assigned GROUP BY 1)
+        |SELECT cell_id, n_vecs_v1, n_vecs_v2,
+        |  CAST(round(n_vecs_v2 * 1000000.0 / (SELECT sum(n_vecs_v2) FROM f)
+        |     - n_vecs_v1 * 1000000.0 / (SELECT sum(n_vecs_v1) FROM f)) AS BIGINT) AS shift_ppm,
+        |  abs(CAST(round(n_vecs_v2 * 1000000.0 / (SELECT sum(n_vecs_v2) FROM f)
+        |     - n_vecs_v1 * 1000000.0 / (SELECT sum(n_vecs_v1) FROM f)) AS BIGINT)) > 20000 AS shifted
+        |FROM f ORDER BY cell_id""".stripMargin,
 
     "sim_topk_ivf" ->
       """WITH n AS (

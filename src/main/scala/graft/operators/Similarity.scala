@@ -314,6 +314,44 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** Dense-leg DATA-drift alarm: per-cell population shift of the corpus
+    * under the PINNED IVF quantizer, between two snapshot versions (the
+    * deterministic %11 churn twins). This completes the drift square —
+    * [[CorpusLake.profileDriftTwin]] watches the TEXT distribution,
+    * [[indexDriftCheck]] and the lexical advisory watch SERVING quality;
+    * this watches the embedding distribution itself: a crawl-source or
+    * encoder change moves probability mass between cells long before
+    * recall degrades, and a sustained shift is also the signal that the
+    * pinned quantizer's cell balance (hence probe cost) is eroding.
+    * Shift is each cell's vector-share change in integer ppm (hash-exact
+    * for the oracle), flagged past [[CellShiftPpm]]. Cost: ONE
+    * assignment scan — each vector is assigned once and carries both
+    * versions' membership flags — plus a cells-sized aggregate. */
+  def cellDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = corpus(spark, dir)
+    val cents = centroids(c, ivfCellStride(nVecs(spark, dir)))
+    val counts = assignedCells(c, cents)
+      .select($"cent_id".as("cell_id"),
+        ($"vec_id" % 11 =!= 3).as("m1"), ($"vec_id" % 11 =!= 7).as("m2"))
+      .groupBy($"cell_id")
+      .agg(sum(when($"m1", 1L).otherwise(0L)).as("n_vecs_v1"),
+        sum(when($"m2", 1L).otherwise(0L)).as("n_vecs_v2"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("shift_ppm",
+        round(($"n_vecs_v2" * lit(1e6) / sum($"n_vecs_v2").over(w)) -
+          ($"n_vecs_v1" * lit(1e6) / sum($"n_vecs_v1").over(w)))
+          .cast("long"))
+      .withColumn("shifted", abs($"shift_ppm") > lit(CellShiftPpm))
+      .select($"cell_id", $"n_vecs_v1", $"n_vecs_v2", $"shift_ppm", $"shifted")
+      .orderBy($"cell_id")
+  }
+
+  /** Per-cell vector-share shift (ppm) past which [[cellDrift]] flags:
+    * 2% of the corpus moving into or out of one IVF cell. */
+  val CellShiftPpm = 20000L
+
   def topkIvf(spark: SparkSession, dir: String): DataFrame =
     topkIvfWith(spark, dir, NProbe)
 

@@ -860,15 +860,32 @@ class CorpusLifecycleSpec extends SparkSpec {
     assert(!graft.sources.Formats.pathExists(spark, s"$corpus/manifest"))
     assert(history().map(_._1) == (0L to 6L) && !served().contains(1000000L))
 
+    // a crashed compaction = a gen dir written but the pointer never
+    // flipped: readers must keep serving the live generation and ignore
+    // the orphan entirely; the next compaction attempt overwrites it
+    Seq((999L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("overwrite").parquet(s"$corpus/manifest_gen_2")
+    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_1",
+      "an orphan gen dir moved the pointer")
+    assert(history().map(_._1) == (0L to 6L),
+      "an orphan (crashed-compaction) gen dir leaked into the manifest read")
+    val (_, faCrash) = CorpusLake.compactManifest(spark, corpus)
+    assert(faCrash == 1L &&
+      CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_2")
+    assert(history().map(_._1) == (0L to 6L),
+      "re-run compaction did not overwrite the crash orphan")
+
     // a data-store versioned rewrite carries the manifest generation
     // forward in the shared pointer (and vice versa: a second manifest
     // compaction lands as gen 2 without touching the docs generation)
     CorpusLake.optimizeCorpusVersioned(spark, corpus, targetRowsPerFile = 1000L)
-    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_1")
+    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_2")
     assert(CorpusLake.storeName(spark, corpus, "docs") == "docs_gen_1")
     val (_, fa2) = CorpusLake.compactManifest(spark, corpus)
     assert(fa2 == 1L)
-    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_2")
+    assert(CorpusLake.storeName(spark, corpus, "manifest") == "manifest_gen_3")
     assert(CorpusLake.storeName(spark, corpus, "docs") == "docs_gen_1")
     assert(history().map(_._1) == (0L to 6L) && !served().contains(1000000L))
     Caches.releaseAll()
