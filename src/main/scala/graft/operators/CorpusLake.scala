@@ -1601,6 +1601,75 @@ object CorpusLake {
     spark.read.parquet(s"$outDir/manifest")
   }
 
+  /** Incremental run delivery — the DATA half of [[shardManifestDelta]]:
+    * between two pinned runs, ship ONLY the changed docs (upserts with
+    * their text, deletions as tombstone rows) partitioned by the same
+    * hash shards as the full export, plus the ADVANCED manifest of the
+    * full `toTag` snapshot. A consumer holding the `fromTag` export
+    * applies the delta with [[applyRunDelta]] and re-verifies against
+    * the shipped checksums — a lost, corrupted, or duplicated delta row
+    * names its shard, the same contract as a full export. Cost: the
+    * snapshot diff plus changed-doc writes — O(changes), never a corpus
+    * re-export. `errorifexists` on both writes: a shipped delta is
+    * immutable like the runs it joins. Returns the advanced manifest. */
+  def exportRunDelta(spark: SparkSession, dir: String, corpusDir: String,
+      fromTag: String, toTag: String, nShards: Int,
+      outDir: String): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val v1 = readRunCorpus(spark, dir, corpusDir, fromTag)
+      .select(col("doc_id"), col("text"))
+    val v2 = readRunCorpus(spark, dir, corpusDir, toTag)
+      .select(col("doc_id"), col("text"))
+    val diff = snapshotDiff(v1, v2)
+    val upserts = v2.join(diff
+        .filter(col("change_type").isin("insert", "update"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .withColumn("_delta_deleted", lit(false))
+    val deletes = diff.filter(col("change_type") === "delete")
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(true).as("_delta_deleted"))
+    val rows = upserts.unionByName(deletes)
+      .withColumn("shard",
+        pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
+          lit(nShards.toLong)).cast("int"))
+    rows.repartition(col("shard"))
+      .write.mode("errorifexists").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    shardManifestDelta(shardManifest(v1, nShards), v1, v2, nShards)
+      .coalesce(1).write.mode("errorifexists").parquet(s"$outDir/manifest")
+    spark.read.parquet(s"$outDir/manifest")
+  }
+
+  /** Consumer side of [[exportRunDelta]]: apply a delta export onto a
+    * full export's data — delta rows replace base rows by doc_id,
+    * tombstones drop them — writing the advanced snapshot (and its
+    * shipped manifest) to `outDir`, then re-verify every shard's totals
+    * and checksum from the APPLIED data. Returns [[verifyRunShards]]'s
+    * mismatch frame over the result: empty means the delivery chain
+    * (base export + delta) reconstructed the new run bit-intact; any
+    * loss or corruption in EITHER artifact names its shard. The apply is
+    * one anti-join + union per shard — no corpus-sized shuffle beyond
+    * the base rewrite the consumer is performing anyway. */
+  def applyRunDelta(spark: SparkSession, baseDir: String, deltaDir: String,
+      outDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/data")
+      .select(col("doc_id"), col("text"), col("shard").cast("int").as("shard"))
+    val delta = spark.read.parquet(s"$deltaDir/data")
+      .select(col("doc_id"), col("text"),
+        col("shard").cast("int").as("shard"),
+        coalesce(col("_delta_deleted"), lit(false)).as("_delta_deleted"))
+    val merged = base
+      .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(delta.filter(!col("_delta_deleted"))
+        .drop("_delta_deleted"))
+    merged.repartition(col("shard"))
+      .write.mode("errorifexists").partitionBy("shard")
+      .parquet(s"$outDir/data")
+    spark.read.parquet(s"$deltaDir/manifest")
+      .coalesce(1).write.mode("errorifexists").parquet(s"$outDir/manifest")
+    verifyRunShards(spark, outDir)
+  }
+
   /** Integrity check at the consumer end of a shard export: recompute
     * every shard's totals and checksum from the shipped data files and
     * full-outer-compare against the shipped manifest. Returns the

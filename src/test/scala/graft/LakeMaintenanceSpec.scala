@@ -363,6 +363,72 @@ class LakeMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("incremental run delivery: delta export + apply reconstructs the run; corruption named") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-run-delta").toString
+    val corpus = s"$tmp/corpus"
+    def commit(rows: Seq[(Long, String)], v: Long): Unit = {
+      rows.toDF("doc_id", "text").withColumn("epoch", lit(v))
+        .write.mode("append").parquet(s"$corpus/docs")
+      Seq((v, rows.size.toLong, rows.size.toLong, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$corpus/manifest")
+    }
+    // ship_a: docs A and B on top of the base corpus
+    commit(Seq((9100001L, docAText), (9100002L, docBText)), 0L)
+    CorpusLake.pinRun(spark, dir, corpus, "ship_a")
+    CorpusLake.exportRunShards(spark, dir, corpus, "ship_a", 4, s"$tmp/full")
+    assert(CorpusLake.verifyRunShards(spark, s"$tmp/full").isEmpty)
+    // between the runs: LWW-update B, take down A, insert C
+    commit(Seq((9100002L, docBText + " v2")), 1L)
+    CorpusLake.deleteDocs(spark, corpus, Seq(9100001L).toDF("doc_id"))
+    commit(Seq((9100003L, shadeText)), 3L)
+    CorpusLake.pinRun(spark, dir, corpus, "ship_b")
+
+    // the delta ships exactly the three changed docs (tombstone included),
+    // never the corpus
+    CorpusLake.exportRunDelta(spark, dir, corpus, "ship_a", "ship_b",
+      4, s"$tmp/delta")
+    assert(spark.read.parquet(s"$tmp/delta/data").count() == 3L,
+      "delta data is not changed-doc sized")
+    // applying it onto the full export reconstructs ship_b bit-intact
+    assert(CorpusLake.applyRunDelta(spark, s"$tmp/full", s"$tmp/delta",
+      s"$tmp/applied").isEmpty, "applied delta failed shard verification")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"text").as[(Long, String)].collect().toSet
+    assert(snap(spark.read.parquet(s"$tmp/applied/data")) ==
+      snap(CorpusLake.readRunCorpus(spark, dir, corpus, "ship_b")),
+      "applied export does not match the pinned run")
+    // a tampered delta UPSERT is caught at apply time by exactly its
+    // shard (a tombstone's text never reaches the applied data, so the
+    // victim must be a non-deleted row)
+    val dFiles = new java.io.File(s"$tmp/delta/data").listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    val (victimDir, victimIdx) = dFiles.iterator.flatMap { f =>
+      spark.read.parquet(f.toString).collect().zipWithIndex
+        .collectFirst { case (r, i) if !r.getBoolean(2) => (f, i) }
+    }.next()
+    val victim = victimDir.getName.drop("shard=".length).toInt
+    val vRows = spark.read.parquet(victimDir.toString).collect()
+    val vSchema = spark.read.parquet(victimDir.toString).schema
+    val tampered = vRows.zipWithIndex.map { case (r, i) =>
+      if (i == victimIdx) org.apache.spark.sql.Row(r.getLong(0),
+        r.getString(1) + " TAMPERED", r.getBoolean(2))
+      else r
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(tampered.toIndexedSeq), vSchema)
+      .write.mode("overwrite").parquet(victimDir.toString)
+    val bad = CorpusLake.applyRunDelta(spark, s"$tmp/full", s"$tmp/delta",
+      s"$tmp/applied2").select($"shard").as[Int].collect().toSeq
+    assert(bad == Seq(victim),
+      s"tampered delta shard not (exactly) named: $bad vs $victim")
+    Caches.releaseAll()
+  }
+
   test("shard delta: advanced manifest equals a rebuild; an emptied shard leaves it") {
     import spark.implicits._
     // inserts, LWW updates, and deletes in one diff — the advanced
