@@ -1954,6 +1954,50 @@ object Similarity {
     indexDriftCheckFrames(spark, dir, deltaVecs,
       readIndexDelta(spark, storeDir))
 
+  /** Production-path dense DATA drift — zero new assignment work: the
+    * persisted base lists' cell histogram vs the delta store's (the
+    * arrivals encoded since the quantizer was pinned, latest-wins,
+    * retraction tombstones excluded). The base histogram is the
+    * distribution the quantizer was trained to balance; a delta that
+    * distributes differently says arrivals have drifted from the
+    * training distribution — an earlier and cheaper signal than
+    * [[indexDriftCheck]]'s recall probe, and complementary to it (the
+    * distribution can move before recall does, and a recall drop can
+    * happen with no distribution shift). Where [[cellDrift]] twins
+    * snapshots so DuckDB can oracle the algebra, this reads the REAL
+    * serving artifacts: two KB-scale aggregates over code tables, no
+    * vector ever touched. Returns per-cell
+    * (cell_id, n_base, n_delta, shift_ppm, shifted) — shift is the
+    * delta's cell-share minus the base's, flagged past [[CellShiftPpm]];
+    * empty frame when no delta exists yet (nothing has arrived, nothing
+    * to compare). */
+  def cellDriftFromIndex(spark: SparkSession, indexDir: String,
+      storeDir: String): DataFrame = {
+    import spark.implicits._
+    val empty = spark.range(0).select($"id".as("cell_id"),
+      lit(0L).as("n_base"), lit(0L).as("n_delta"),
+      lit(0L).as("shift_ppm"), lit(false).as("shifted")).limit(0)
+    val deltaPath = appendTarget(spark, storeDir)
+    if (!graft.sources.Formats.pathExists(spark, deltaPath)) return empty
+    val base = spark.read
+      .parquet(resolveArtifact(spark, indexDir, "lists"))
+      .filter($"cent_id".isNotNull)
+      .groupBy($"cent_id".as("cell_id")).agg(count(lit(1)).as("n_base"))
+    val delta = readIndexDelta(spark, storeDir)
+      .filter($"cent_id".isNotNull)
+      .groupBy($"cent_id".as("cell_id")).agg(count(lit(1)).as("n_delta"))
+    if (delta.limit(1).count() == 0) return empty
+    val w = Window.partitionBy()
+    base.join(delta, Seq("cell_id"), "full_outer")
+      .select($"cell_id", coalesce($"n_base", lit(0L)).as("n_base"),
+        coalesce($"n_delta", lit(0L)).as("n_delta"))
+      .withColumn("shift_ppm",
+        round(($"n_delta" * lit(1e6) / sum($"n_delta").over(w)) -
+          ($"n_base" * lit(1e6) / sum($"n_base").over(w))).cast("long"))
+      .withColumn("shifted", abs($"shift_ppm") > lit(CellShiftPpm))
+      .orderBy($"cell_id")
+  }
+
   /** The advisory scalar a maintenance loop acts on: (mean recall vs the
     * pinned truth, trip flag). */
   def retrainAdvised(spark: SparkSession, dir: String, storeDir: String,

@@ -814,4 +814,52 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(fromSaved.nonEmpty)
     Caches.releaseAll()
   }
+
+  test("cell drift from persisted artifacts: skewed arrivals flag their cell, tombstones excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-cell-drift").toString
+    val (idx, store) = (s"$tmp/idx", s"$tmp/store")
+    Similarity.saveIndex(spark, dir, idx)
+    // no delta yet: nothing has arrived, nothing to compare
+    assert(Similarity.cellDriftFromIndex(spark, idx, store).count() == 0)
+    // skewed arrivals: every vector of ONE cell re-arrives under fresh
+    // ids — the delta's distribution concentrates 100% of its mass there
+    val lists = spark.read.parquet(s"$idx/lists")
+    val targetCell = lists.groupBy($"cent_id").count()
+      .orderBy($"count".desc, $"cent_id".asc)
+      .select($"cent_id").as[Long].head()
+    val skewIds = lists.filter($"cent_id" === targetCell)
+      .select($"vec_id").as[Long].collect().toSeq
+    val skew = Tables.embeddings(spark, dir)
+      .filter($"vec_id".isin(skewIds: _*))
+      .select(($"vec_id" + 3000000L).as("vec_id"), $"embedding")
+    Similarity.encodeForIndex(spark, dir, skew)
+      .withColumn("epoch", lit(0L))
+      .write.mode("append").parquet(store)
+    val drift = Similarity.cellDriftFromIndex(spark, idx, store)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val hot = drift(targetCell)
+    assert(hot._3 == skewIds.size.toLong && hot._4 > 0 && hot._5,
+      s"concentrated cell not flagged: $hot")
+    // every OTHER populated cell lost its entire delta share
+    assert(drift.values.filter(_._1 != targetCell)
+      .forall(r => r._3 == 0L && r._4 <= 0),
+      s"drift rows: ${drift.values.toSeq.sortBy(_._1)}")
+    // a retraction tombstone (null cell, later epoch) leaves the
+    // histogram: the deleted arrival stops counting toward drift
+    spark.read.parquet(store).limit(1)
+      .withColumn("cent_id", lit(null).cast("long"))
+      .withColumn("epoch", lit(1L))
+      .write.mode("append").parquet(store)
+    val after = Similarity.cellDriftFromIndex(spark, idx, store)
+      .filter($"cell_id" === targetCell)
+      .select($"n_delta").as[Long].head()
+    assert(after == skewIds.size.toLong - 1,
+      s"tombstoned arrival still counted: $after")
+    Caches.releaseAll()
+  }
 }
