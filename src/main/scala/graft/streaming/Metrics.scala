@@ -128,10 +128,15 @@ object StreamMetrics {
 
   /** Per-query health rollup: batch count, total rows, mean/max batch
     * duration, mean processed rate (NaN-free by construction), peak
-    * state rows, and the latest batch id — the row an alerting check
-    * reads. One partial-aggregated groupBy over the metrics store. */
-  def summary(spark: SparkSession, metricsDir: String): DataFrame =
-    metrics(spark, metricsDir)
+    * state rows, the latest batch id, plus the failure decoration from
+    * the lifecycle store — failed run count and the most recent error —
+    * so one read answers both "is it healthy" and "did it die". One
+    * partial-aggregated groupBy over the metrics store joined with a
+    * query-count-sized failure aggregate. Queries that crashed before
+    * completing ANY batch have no row here (nothing was ever measured);
+    * [[terminations]] is the surface that still names them. */
+  def summary(spark: SparkSession, metricsDir: String): DataFrame = {
+    val agg = metrics(spark, metricsDir)
       .groupBy(col("query"), col("query_id"))
       .agg(count(lit(1)).as("n_batches"),
         sum(col("input_rows")).as("total_rows"),
@@ -140,6 +145,14 @@ object StreamMetrics {
         avg(col("processed_rows_per_sec")).as("mean_processed_per_sec"),
         max(col("state_rows")).as("peak_state_rows"),
         max(col("batch_id")).as("last_batch_id"))
+    val fails = terminations(spark, metricsDir)
+      .filter(col("failed"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("failed_runs"),
+        max_by(col("error"), col("wall_millis")).as("last_error"))
+    agg.join(fails, Seq("query_id"), "left")
+      .withColumn("failed_runs", coalesce(col("failed_runs"), lit(0L)))
+  }
 
   /** Fold the one-file-per-batch accretion into a single sorted file via
     * the `_compacting` swap every reader resolves — run it on the same

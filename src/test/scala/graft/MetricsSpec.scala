@@ -93,6 +93,31 @@ class MetricsSpec extends SparkSpec {
         s"clean stop recorded as a failure: $okRow")
       assert(badRow._1 && badRow._2.contains("deliberate batch failure"),
         s"crash not recorded with its error: $badRow")
+      // a query that measured batches BEFORE dying gets the failure
+      // decoration on its summary row: one read answers healthy + died
+      val mid = MemoryStream[Long]
+      val cpC = java.nio.file.Files
+        .createTempDirectory("cp_term_mid").toString
+      val qMid = mid.toDF().writeStream.queryName("mid_probe")
+        .option("checkpointLocation", cpC)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id > 0) throw new IllegalStateException("late batch failure")
+          df.count(); ()
+        }.start()
+      mid.addData(7L); qMid.processAllAvailable()
+      mid.addData(8L)
+      intercept[Exception] { qMid.processAllAvailable() }
+      val sDeadline = System.currentTimeMillis() + 30000
+      def midRow() = StreamMetrics.summary(spark, dir)
+        .filter($"query" === "mid_probe")
+        .select($"failed_runs", $"last_error")
+        .as[(Long, Option[String])].collect()
+      while ((midRow().isEmpty || midRow().head._1 == 0L) &&
+          System.currentTimeMillis() < sDeadline)
+        Thread.sleep(200)
+      val row = midRow().head
+      assert(row._1 == 1L && row._2.exists(_.contains("late batch failure")),
+        s"summary missing the failure decoration: $row")
     } finally StreamMetrics.detach(spark, l)
   }
 }
