@@ -139,6 +139,7 @@ object SparkEntry {
     "corpus_optimize"      -> (CorpusLake.optimizeTwin _),
     "corpus_delete"        -> (CorpusLake.deleteTwin _),
     "corpus_delete_feed"   -> (CorpusLake.deleteFeedTwin _),
+    "corpus_pruned_read"   -> (CorpusLake.prunedTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2248,6 +2249,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 27 = 2 THEN 'update' ELSE 'delete' END AS change_type
         |FROM documents
         |WHERE doc_id % 9 = 2
+        |ORDER BY doc_id""".stripMargin,
+
+    // zone-map data skipping: the engine serves doc_id ∈ [100, 299] of
+    // the delete-lifecycle lake head THROUGH the stats-pruned read
+    // (collectFileStats zone maps decide which data files to open);
+    // DuckDB recomputes the range directly — hash equality pins that
+    // file pruning changes nothing across LWW updates, tombstone hiding,
+    // and re-admission inside the range
+    "corpus_pruned_read" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |       WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |       ELSE text END AS text
+        |FROM documents
+        |WHERE (doc_id % 9 != 2 OR doc_id % 27 = 2)
+        |  AND doc_id BETWEEN 100 AND 299
         |ORDER BY doc_id""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment

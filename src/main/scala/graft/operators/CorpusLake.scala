@@ -512,8 +512,16 @@ object CorpusLake {
         s"version $v predates the retention floor $floor: vacuumCorpus " +
           "collapsed that history (pin a version >= the floor)")
     }
-    val rows = committedOnly(admittedRaw(spark, corpusDir),
-      manifest(spark, corpusDir), version)
+    resolveLatestAdmitted(committedOnly(admittedRaw(spark, corpusDir),
+      manifest(spark, corpusDir), version))
+  }
+
+  /** Doc-level latest-epoch-wins over committed admitted rows, `_deleted`
+    * normalized to a non-null boolean — the resolve half shared by the
+    * full read ([[admittedAt]]) and the stats-pruned one
+    * ([[readCorpusAtRange]]): both feed it rows that are complete for
+    * every doc_id they contain, which is all LWW needs. */
+  private def resolveLatestAdmitted(rows: DataFrame): DataFrame = {
     val resolved = rows.withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
       .filter(col("_rn") === 1).drop("_rn")
@@ -553,17 +561,156 @@ object CorpusLake {
     * appear with nulls for base docs and pre-evolution epochs (schema is
     * table-level, not per-version — the table-format convention). */
   def readCorpusAt(spark: SparkSession, dir: String, corpusDir: String,
-      version: Option[Long] = None): DataFrame = {
-    val admitted = admittedAt(spark, corpusDir, version)
-    // the anti-join shadows base rows on the FULL resolved id set — a
-    // tombstone ([[deleteDocs]]) must hide its base doc, not just lake
-    // versions — while the union serves only the non-deleted rows
-    val base = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("text"))
-      .join(admitted.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    base.unionByName(
-      admitted.filter(!col("_deleted")).drop("epoch", "_deleted"),
-      allowMissingColumns = true)
+      version: Option[Long] = None): DataFrame =
+    serveSnapshot(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")),
+      admittedAt(spark, corpusDir, version))
+
+  /** The serve half of a snapshot read: base rows not shadowed by ANY
+    * resolved lake row (the anti-join runs on the FULL resolved id set —
+    * a tombstone ([[deleteDocs]]) must hide its base doc, not just lake
+    * versions) unioned with the non-deleted lake winners. */
+  private def serveSnapshot(base: DataFrame, admitted: DataFrame): DataFrame =
+    base.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(
+        admitted.filter(!col("_deleted")).drop("epoch", "_deleted"),
+        allowMissingColumns = true)
+
+  // ----------------- data skipping (zone-map file stats + pruned reads)
+
+  /** Collect per-file zone maps over the docs store — the Delta-style
+    * data-skipping statistics the lake's point/range reads prune with:
+    * one row per data file carrying (row count, min/max doc_id, min/max
+    * epoch). ONE column-pruned scan (two long columns + the virtual
+    * `input_file_name`, never text) aggregated per file, written through
+    * the `_compacting` swap as a file-count-sized artifact. Run it where
+    * the OPTIMIZE passes run — after a pack, when files are range-laid
+    * by (epoch, doc_id), the zones are tight and a doc_id range touches
+    * O(range/target-file-rows) files. Staleness is SAFE by construction:
+    * [[prunedDocsFiles]] includes any live file with no stats row
+    * (post-collect appends), and stats rows for files a rewrite removed
+    * simply match nothing — pruning degrades toward the full listing,
+    * never past correctness. Returns the number of files profiled. */
+  def collectFileStats(spark: SparkSession, corpusDir: String): Long = {
+    val p = Similarity.resolveArtifact(spark, corpusDir,
+      storeName(spark, corpusDir, "docs"))
+    if (!graft.sources.Formats.pathExists(spark, p)) return 0L
+    val stats = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(p)
+      .select(input_file_name().as("file"), col("doc_id"), col("epoch"))
+      .groupBy(col("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        min(col("epoch")).as("min_epoch"),
+        max(col("epoch")).as("max_epoch"))
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpusDir/file_stats_compacting")
+    Similarity.swapArtifact(spark, corpusDir, "file_stats")
+    spark.read.parquet(s"$corpusDir/file_stats").count()
+  }
+
+  /** Scheme-independent path normalization so the Hadoop listing and
+    * `input_file_name()` (a percent-encoded URI) agree on a key — applied
+    * driver-side to both, on file-count-sized sets. Within one lake
+    * directory the authority is constant, so the URI path alone is a
+    * unique key. */
+  private def normPath(s: String): String =
+    new org.apache.hadoop.fs.Path(
+      java.net.URLDecoder.decode(s, "UTF-8")).toUri.getPath
+
+  /** The docs store's live data files (normalized paths), listed the way
+    * Spark's own file index would: recursive, skipping `_`/`.`-prefixed
+    * names. File-count-sized driver work — the same cost class as the
+    * scan planning it replaces. */
+  private def docsDataFiles(spark: SparkSession,
+      corpusDir: String): Seq[String] = {
+    val p = Similarity.resolveArtifact(spark, corpusDir,
+      storeName(spark, corpusDir, "docs"))
+    if (!graft.sources.Formats.pathExists(spark, p)) return Nil
+    val root = new org.apache.hadoop.fs.Path(p)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(d: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(d).toSeq.filterNot(s => hidden(s.getPath.getName))
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
+    walk(root).map(pt => normPath(pt.toUri.toString))
+  }
+
+  /** Resolve the candidate file set for a doc_id range read at a pinned
+    * version: zones overlapping [idLo, idHi] whose min_epoch could be
+    * committed-visible, plus — conservatively — every live file without
+    * a stats row. Returns (candidates, total live files). No stats store
+    * at all → the full listing (pruning is an optimization, never a
+    * correctness dependency). */
+  private def prunedDocsFiles(spark: SparkSession, corpusDir: String,
+      idLo: Long, idHi: Long,
+      version: Option[Long]): (Seq[String], Long) = {
+    import spark.implicits._
+    val live = docsDataFiles(spark, corpusDir)
+    val sp = Similarity.resolveArtifact(spark, corpusDir, "file_stats")
+    if (!graft.sources.Formats.pathExists(spark, sp))
+      return (live, live.size.toLong)
+    val zones = spark.read.parquet(sp)
+      .select($"file", $"min_doc_id", $"max_doc_id", $"min_epoch")
+      .as[(String, Long, Long, Long)].collect()
+      .map(z => normPath(z._1) -> z).toMap
+    val cand = live.filter { f =>
+      zones.get(f) match {
+        case None => true // post-collect append: no zone, always read
+        case Some((_, mn, mx, mnEp)) =>
+          mx >= idLo && mn <= idHi && version.forall(mnEp <= _)
+      }
+    }
+    (cand, live.size.toLong)
+  }
+
+  /** Stats-pruned range read — [[readCorpusAt]] restricted to
+    * doc_id ∈ [idLo, idHi], resolving which data files to OPEN from the
+    * [[collectFileStats]] zone maps instead of scanning the whole store.
+    * Row-identical to `readCorpusAt(...).filter(doc_id between)` because
+    * LWW is per-doc and every file that can hold ANY row of an in-range
+    * doc overlaps the range by definition of its zone, so the winner
+    * resolution sees the complete history of every served id (tombstones
+    * included — they live in the same store). At 100 TB this is the
+    * difference between a point lookup opening every footer of a
+    * million-file store and opening the handful whose zones overlap —
+    * after an OPTIMIZE pack the store is (epoch, doc_id)-range-laid, so
+    * zones are tight. Parquet row-group min/max skipping still applies
+    * INSIDE each opened file via the pushed range filter. */
+  def readCorpusAtRange(spark: SparkSession, dir: String, corpusDir: String,
+      idLo: Long, idHi: Long, version: Option[Long] = None): DataFrame = {
+    require(idLo <= idHi, s"empty id range [$idLo, $idHi]")
+    version.foreach { v =>
+      val floor = retentionFloor(spark, corpusDir)
+      require(v >= floor,
+        s"version $v predates the retention floor $floor: vacuumCorpus " +
+          "collapsed that history (pin a version >= the floor)")
+    }
+    val inRange = col("doc_id").between(idLo, idHi)
+    val (files, _) = prunedDocsFiles(spark, corpusDir, idLo, idHi, version)
+    val raw =
+      if (files.isEmpty)
+        spark.range(0).select(col("id").as("doc_id"),
+          lit("").as("text"), lit(0L).as("epoch")).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files: _*).filter(inRange)
+        .dropDuplicates("doc_id", "epoch")
+    val admitted = resolveLatestAdmitted(
+      committedOnly(raw, manifest(spark, corpusDir), version))
+    serveSnapshot(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")).filter(inRange),
+      admitted)
+  }
+
+  /** Observability twin of the prune decision: (files a range read would
+    * open, total live files) — what the SCALING probe and the spec pin. */
+  def pruningStats(spark: SparkSession, corpusDir: String, idLo: Long,
+      idHi: Long, version: Option[Long] = None): (Long, Long) = {
+    val (cand, total) = prunedDocsFiles(spark, corpusDir, idLo, idHi, version)
+    (cand.size.toLong, total)
   }
 
   /** The full per-doc admission audit log (committed epochs only). */
@@ -2272,4 +2419,17 @@ object CorpusLake {
   def deleteFeedTwin(spark: SparkSession, dir: String): DataFrame =
     readCorpusChanges(spark, dir, deleteLake(spark, dir), 0L, None)
       .orderBy(col("doc_id"))
+
+  /** [[readCorpusAtRange]]'s oracled twin: serve a doc_id range of the
+    * [[deleteLake]] head THROUGH the zone-map data-skipping path —
+    * [[collectFileStats]] runs first so the prune decision is real, over
+    * a lake that exercises every snapshot semantic (LWW updates, a
+    * tombstone epoch, re-admission past it). DuckDB recomputes the same
+    * range directly from the documents table; hash equality pins that
+    * file pruning changes NOTHING inside the range. */
+  def prunedTwin(spark: SparkSession, dir: String): DataFrame = {
+    val lake = deleteLake(spark, dir)
+    collectFileStats(spark, lake)
+    readCorpusAtRange(spark, dir, lake, 100L, 299L).orderBy(col("doc_id"))
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusLake
+import graft.sources.Tables
+
+/** Zone-map data skipping over the corpus lake's docs store:
+  * [[CorpusLake.collectFileStats]] + [[CorpusLake.readCorpusAtRange]].
+  * The contract under test is twofold — the pruned read is row-identical
+  * to the full read filtered to the range (under updates, tombstones,
+  * version pins, and STALE stats), and on a range-packed store it
+  * actually opens fewer files. */
+class LakeSkippingSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  /** A lake with three committed epochs over the fixture documents:
+    * epoch 0 LWW-updates ids ≡1 (mod 10), epoch 1 is a real deleteDocs of
+    * ids ≡2 (mod 9), epoch 2 updates ids ≡3 (mod 5) — so a range read
+    * crosses updates, tombstones, shadowed base rows, and a
+    * tombstone-overriding re-upload. */
+  private def buildLake(): String = {
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-skip-lake").toString + "/corpus"
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    def commit(v: Long): Unit =
+      Seq((v, 0L, 0L, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$corpus/manifest")
+    docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", concat($"text", lit(" u1")).as("text"),
+        lit(0L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commit(0L)
+    val vDel = CorpusLake.deleteDocs(spark, corpus,
+      docs.filter($"doc_id" % 9 === 2).select($"doc_id"))
+    assert(vDel == 1L, s"delete committed at $vDel")
+    docs.filter($"doc_id" % 5 === 3)
+      .select($"doc_id", concat($"text", lit(" u2")).as("text"),
+        lit(2L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commit(2L)
+    corpus
+  }
+
+  private def served(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] = {
+    import spark.implicits._
+    df.select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sorted
+  }
+
+  test("data skipping: pruned range read is row-identical and opens fewer files") {
+    val corpus = buildLake()
+    // pack into many small range-laid files so zones are tight, then profile
+    CorpusLake.optimizeCorpusVersioned(spark, corpus, targetRowsPerFile = 32L)
+    val profiled = CorpusLake.collectFileStats(spark, corpus)
+    assert(profiled > 3, s"expected a multi-file packed store, got $profiled")
+
+    // point lookup: zones must exclude most files
+    val (candPoint, total) = CorpusLake.pruningStats(spark, corpus, 42L, 42L)
+    assert(total == profiled, s"live files $total != profiled $profiled")
+    assert(candPoint < total,
+      s"point lookup pruned nothing: $candPoint of $total files")
+
+    // row-identity vs the full read, across a range holding every semantic
+    val full = served(CorpusLake.readCorpusAt(spark, dir, corpus)
+      .filter(col("doc_id").between(100L, 299L)))
+    val pruned = served(
+      CorpusLake.readCorpusAtRange(spark, dir, corpus, 100L, 299L))
+    assert(pruned == full, "pruned read diverged from the full read")
+    assert(full.nonEmpty, "empty fixture range — test is vacuous")
+
+    // an out-of-corpus range opens (almost) nothing and serves nothing
+    val (candMiss, _) = CorpusLake.pruningStats(spark, corpus, 900000L, 900100L)
+    assert(candMiss == 0, s"miss range still opened $candMiss files")
+    assert(served(CorpusLake.readCorpusAtRange(
+      spark, dir, corpus, 900000L, 900100L)).isEmpty)
+  }
+
+  test("data skipping: version pin prunes future-epoch files and stays identical") {
+    val corpus = buildLake()
+    CorpusLake.optimizeCorpusVersioned(spark, corpus, targetRowsPerFile = 32L)
+    CorpusLake.collectFileStats(spark, corpus)
+    // pinned at v0 only epoch-0 zones can matter: strictly fewer candidates
+    // than the head read of the same range sees
+    val (candV0, _) = CorpusLake.pruningStats(spark, corpus, 0L, 499L, Some(0L))
+    val (candHead, _) = CorpusLake.pruningStats(spark, corpus, 0L, 499L)
+    assert(candV0 < candHead,
+      s"version pin pruned nothing: $candV0 vs head $candHead")
+    for (v <- Seq(0L, 1L, 2L)) {
+      val full = served(CorpusLake.readCorpusAt(spark, dir, corpus, Some(v))
+        .filter(col("doc_id").between(100L, 299L)))
+      val pruned = served(CorpusLake.readCorpusAtRange(
+        spark, dir, corpus, 100L, 299L, Some(v)))
+      assert(pruned == full, s"pruned read diverged at pinned version $v")
+    }
+  }
+
+  test("data skipping: stale stats degrade to conservative reads, never to wrong ones") {
+    import spark.implicits._
+    val corpus = buildLake()
+    CorpusLake.collectFileStats(spark, corpus)
+
+    // post-collect append: the new epoch's file has no zone row, so the
+    // pruned read must still serve its rows
+    val v3 = 3L
+    Seq((101L, "fresh text after stats", v3))
+      .toDF("doc_id", "text", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq((v3, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    val afterAppend = served(
+      CorpusLake.readCorpusAtRange(spark, dir, corpus, 101L, 101L))
+    assert(afterAppend == Seq((101L, "fresh text after stats")),
+      s"stale-stats read missed the post-collect append: $afterAppend")
+
+    // generation flip: every profiled path is superseded, so pruning
+    // falls back to the full listing — and the read stays identical
+    CorpusLake.optimizeCorpusVersioned(spark, corpus, targetRowsPerFile = 32L)
+    val (cand, total) = CorpusLake.pruningStats(spark, corpus, 42L, 42L)
+    assert(cand == total,
+      s"stale zones still pruned a flipped store: $cand of $total")
+    val full = served(CorpusLake.readCorpusAt(spark, dir, corpus)
+      .filter(col("doc_id").between(100L, 299L)))
+    val pruned = served(
+      CorpusLake.readCorpusAtRange(spark, dir, corpus, 100L, 299L))
+    assert(pruned == full, "post-flip pruned read diverged")
+
+    // re-collect against the new generation restores real pruning
+    CorpusLake.collectFileStats(spark, corpus)
+    val (cand2, total2) = CorpusLake.pruningStats(spark, corpus, 42L, 42L)
+    assert(cand2 < total2,
+      s"re-collected stats pruned nothing: $cand2 of $total2")
+  }
+}
