@@ -593,22 +593,65 @@ object CorpusLake {
     * simply match nothing — pruning degrades toward the full listing,
     * never past correctness. Returns the number of files profiled. */
   def collectFileStats(spark: SparkSession, corpusDir: String): Long = {
-    val p = Similarity.resolveArtifact(spark, corpusDir,
-      storeName(spark, corpusDir, "docs"))
-    if (!graft.sources.Formats.pathExists(spark, p)) return 0L
-    val stats = spark.read.option("mergeSchema", "true")
-      .option("recursiveFileLookup", "true").parquet(p)
-      .select(input_file_name().as("file"), col("doc_id"), col("epoch"))
-      .groupBy(col("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("doc_id")).as("min_doc_id"),
-        max(col("doc_id")).as("max_doc_id"),
-        min(col("epoch")).as("min_epoch"),
-        max(col("epoch")).as("max_epoch"))
-    stats.coalesce(1).write.mode("overwrite")
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$corpusDir/file_stats"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$corpusDir/file_stats_compacting"), true)
+    collectFileStatsIncremental(spark, corpusDir)._2
+  }
+
+  /** Incremental zone-map maintenance — O(files ADDED since the last
+    * collect), never O(lake): scan only live files without a stats row,
+    * keep rows of still-live files, drop rows whose file a rewrite
+    * removed. All bookkeeping is driver-side on file-count-sized sets
+    * (the same metadata class as scan planning); the only cluster work
+    * is the two-column scan of the fresh files. [[maintainCorpusStream]]
+    * fires this at its optimize cadence, right after the live-window
+    * pack — each firing profiles just the freshly packed segment, so
+    * zones track the layout with no standalone scheduler and the
+    * per-firing cost stays O(window). A no-op when nothing changed (no
+    * artifact churn). Returns (files newly profiled, live files total). */
+  def collectFileStatsIncremental(spark: SparkSession,
+      corpusDir: String): (Long, Long) = {
+    import spark.implicits._
+    val live = docsDataFiles(spark, corpusDir)
+    val liveSet = live.toSet
+    val sp = Similarity.resolveArtifact(spark, corpusDir, "file_stats")
+    val oldRows: Seq[(String, Long, Long, Long, Long, Long)] =
+      if (!graft.sources.Formats.pathExists(spark, sp)) Nil
+      else spark.read.parquet(sp)
+        .select($"file", $"n_rows", $"min_doc_id", $"max_doc_id",
+          $"min_epoch", $"max_epoch")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val keep = oldRows.filter(r => liveSet(normPath(r._1)))
+    val known = keep.map(r => normPath(r._1)).toSet
+    val fresh = live.filterNot(known)
+    if (fresh.isEmpty && keep.size == oldRows.size)
+      return (0L, live.size.toLong)
+    val dataRows: Seq[(String, Long, Long, Long, Long, Long)] =
+      if (fresh.isEmpty) Nil
+      else spark.read.option("mergeSchema", "true").parquet(fresh: _*)
+        .select(input_file_name().as("file"), col("doc_id"), col("epoch"))
+        .groupBy($"file")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"),
+          min($"epoch").as("min_epoch"), max($"epoch").as("max_epoch"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // a 0-row file (the live store's truncation remainder) produces no
+    // aggregate row; give it a DEGENERATE zone (min > max) so it matches
+    // no range — otherwise it stays "fresh" forever and every pruned
+    // read conservatively opens it
+    val covered = dataRows.map(r => normPath(r._1)).toSet
+    val emptyRows = fresh.filterNot(covered).map(f =>
+      (f, 0L, Long.MaxValue, Long.MinValue, Long.MaxValue, Long.MinValue))
+    (keep ++ dataRows ++ emptyRows)
+      .toDF("file", "n_rows", "min_doc_id", "max_doc_id",
+        "min_epoch", "max_epoch")
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$corpusDir/file_stats_compacting")
     Similarity.swapArtifact(spark, corpusDir, "file_stats")
-    spark.read.parquet(s"$corpusDir/file_stats").count()
+    (fresh.size.toLong, live.size.toLong)
   }
 
   /** Scheme-independent path normalization so the Hadoop listing and
@@ -978,6 +1021,11 @@ object CorpusLake {
             if (dataFileCount(spark, manifestTarget(spark, corpusDir))
                 > ManifestCheckpointFiles)
               compactManifest(spark, corpusDir)
+            // zone maps follow the freshly packed layout: profiles ONLY
+            // the files this firing created (O(window)), drops rows the
+            // live-store truncation removed — pruned reads stay sharp
+            // with no standalone stats scheduler
+            collectFileStatsIncremental(spark, corpusDir)
             commitsSinceOptimize = 0
           }
           // optional live materialized view: the cursor-protected refresh

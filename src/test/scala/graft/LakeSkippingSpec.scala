@@ -1,8 +1,9 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.operators.CorpusLake
-import graft.sources.Tables
+import graft.sources.{Caches, Formats, Tables}
 
 /** Zone-map data skipping over the corpus lake's docs store:
   * [[CorpusLake.collectFileStats]] + [[CorpusLake.readCorpusAtRange]].
@@ -13,6 +14,14 @@ import graft.sources.Tables
 class LakeSkippingSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
+
+  private def commitTo(corpus: String, v: Long): Unit = {
+    import spark.implicits._
+    Seq((v, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+  }
 
   /** A lake with three committed epochs over the fixture documents:
     * epoch 0 LWW-updates ids ≡1 (mod 10), epoch 1 is a real deleteDocs of
@@ -25,16 +34,11 @@ class LakeSkippingSpec extends SparkSpec {
       .createTempDirectory("graft-skip-lake").toString + "/corpus"
     val docs = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), col("text"))
-    def commit(v: Long): Unit =
-      Seq((v, 0L, 0L, 0L, 0L, 0L))
-        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
-          "n_contaminated", "n_low_quality")
-        .write.mode("append").parquet(s"$corpus/manifest")
     docs.filter($"doc_id" % 10 === 1)
       .select($"doc_id", concat($"text", lit(" u1")).as("text"),
         lit(0L).as("epoch"))
       .write.mode("append").parquet(s"$corpus/docs")
-    commit(0L)
+    commitTo(corpus, 0L)
     val vDel = CorpusLake.deleteDocs(spark, corpus,
       docs.filter($"doc_id" % 9 === 2).select($"doc_id"))
     assert(vDel == 1L, s"delete committed at $vDel")
@@ -42,7 +46,7 @@ class LakeSkippingSpec extends SparkSpec {
       .select($"doc_id", concat($"text", lit(" u2")).as("text"),
         lit(2L).as("epoch"))
       .write.mode("append").parquet(s"$corpus/docs")
-    commit(2L)
+    commitTo(corpus, 2L)
     corpus
   }
 
@@ -135,5 +139,55 @@ class LakeSkippingSpec extends SparkSpec {
     val (cand2, total2) = CorpusLake.pruningStats(spark, corpus, 42L, 42L)
     assert(cand2 < total2,
       s"re-collected stats pruned nothing: $cand2 of $total2")
+  }
+
+  test("data skipping: incremental collect scans only the file delta") {
+    import spark.implicits._
+    val corpus = buildLake()
+    val (n1, t1) = CorpusLake.collectFileStatsIncremental(spark, corpus)
+    assert(n1 == t1 && n1 > 0, s"first collect must profile all: $n1 of $t1")
+    // idempotent no-op when nothing changed
+    assert(CorpusLake.collectFileStatsIncremental(spark, corpus)._1 == 0L)
+    // append an epoch: only its files are fresh, and the new zone serves
+    Seq((7L, "incr text", 3L)).toDF("doc_id", "text", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 3L)
+    val (n3, t3) = CorpusLake.collectFileStatsIncremental(spark, corpus)
+    assert(n3 == t3 - t1 && n3 >= 1,
+      s"delta collect scanned $n3, expected exactly the ${t3 - t1} new files")
+    val (cand, total) = CorpusLake.pruningStats(spark, corpus, 7L, 7L)
+    assert(cand < total, s"point read pruned nothing: $cand of $total")
+    assert(served(CorpusLake.readCorpusAtRange(spark, dir, corpus, 7L, 7L))
+      == Seq((7L, "incr text")))
+  }
+
+  test("data skipping: the maintenance stream keeps zones fresh at the optimize cadence") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-skip-stream").toString
+    val (idx, corpus, maint) = (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint")
+    CorpusLake.initCorpus(spark, dir, idx)
+    val tA = (1 to 40).map(i => s"skipa$i").mkString(" ")
+    val tB = (1 to 40).map(i => s"skipb$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
+        optimizeEvery = 1)
+      .start()
+    try {
+      in.addData((9000001L, tA)); q.processAllAvailable()
+      in.addData((9000002L, tB)); q.processAllAvailable()
+    } finally q.stop()
+    // every optimize firing refreshed the zones inline: the artifact is
+    // live and covers the whole packed store with no standalone collect
+    assert(Formats.pathExists(spark, s"$corpus/file_stats"),
+      "stream did not materialize zone maps at its optimize cadence")
+    assert(CorpusLake.collectFileStatsIncremental(spark, corpus)._1 == 0L,
+      "stream left unprofiled live files behind")
+    assert(served(CorpusLake.readCorpusAtRange(
+      spark, dir, corpus, 9000001L, 9000002L))
+      == Seq((9000001L, tA), (9000002L, tB)))
   }
 }
