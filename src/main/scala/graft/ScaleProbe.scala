@@ -475,6 +475,31 @@ object ScaleProbe {
               .select(col("doc_id")), Seq("doc_id"), "left_semi").count()
           (removed + added, v2.count())
         }),
+        // zone-map data skipping: C = files a 21-id range read OPENS
+        // (resolved from the collected per-file zones over a size-packed
+        // store), O = total live files. O grows linearly with the corpus
+        // while C stays O(range/target-file-rows) ≈ constant — the
+        // point-lookup-doesn't-scan-the-lake claim. The result identity
+        // of the pruned read is pinned by LakeSkippingSpec + the
+        // corpus_pruned_read oracle; the probe measures the files-opened
+        // collapse the spec cannot see.
+        ("corpus_pruned_files", nDocs, () => {
+          import graft.operators.CorpusLake
+          val corpusDir = java.nio.file.Files
+            .createTempDirectory("probe-lake-skip").toString + "/corpus"
+          graft.sources.Tables.spread(
+              graft.sources.Tables.documents(spark, dir))
+            .select(col("doc_id"), col("text"), lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$corpusDir/docs")
+          Seq((0L, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$corpusDir/manifest")
+          CorpusLake.optimizeCorpusVersioned(spark, corpusDir,
+            targetRowsPerFile = 512L)
+          CorpusLake.collectFileStats(spark, corpusDir)
+          CorpusLake.pruningStats(spark, corpusDir, 100L, 120L)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total
