@@ -140,6 +140,8 @@ object SparkEntry {
     "corpus_delete"        -> (CorpusLake.deleteTwin _),
     "corpus_delete_feed"   -> (CorpusLake.deleteFeedTwin _),
     "corpus_pruned_read"   -> (CorpusLake.prunedTwin _),
+    "corpus_branch"        -> (CorpusLake.branchTwin _),
+    "corpus_branch_merge"  -> (CorpusLake.branchMergeTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2265,6 +2267,35 @@ object SparkEntry {
         |FROM documents
         |WHERE (doc_id % 9 != 2 OR doc_id % 27 = 2)
         |  AND doc_id BETWEEN 100 AND 299
+        |ORDER BY doc_id""".stripMargin,
+
+    // zero-copy branch, branch leg: the engine creates a REAL branch at
+    // the parent head, the parent then commits " p2" updates (must stay
+    // invisible — snapshot isolation), the branch commits " b1" updates
+    // and a real deleteDocs takedown; DuckDB recomputes the branch head
+    // directly from the documents table
+    "corpus_branch" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 5 THEN text || ' b1'
+        |       WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |       ELSE text END AS text
+        |FROM documents
+        |WHERE doc_id % 7 != 4
+        |ORDER BY doc_id""".stripMargin,
+
+    // zero-copy branch, merge leg: after mergeBranch folds the branch's
+    // net effect into ONE parent epoch, the parent head shows merge-wins
+    // LWW — branch-touched docs take the branch state (updates AND
+    // tombstones beat the parent's concurrent " p2" epoch), untouched
+    // docs keep the parent's own history
+    "corpus_branch_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 5 THEN text || ' b1'
+        |       WHEN doc_id % 8 = 3 THEN text || ' p2'
+        |       WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |       ELSE text END AS text
+        |FROM documents
+        |WHERE doc_id % 7 != 4
         |ORDER BY doc_id""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment

@@ -281,11 +281,29 @@ object CorpusLake {
     reclaimed
   }
 
-  private def admittedRaw(spark: SparkSession, corpusDir: String): DataFrame =
+  /** This lake dir's OWN epoch-stamped admitted rows — never the parent
+    * chain's. Writers that rewrite the local store (vacuum, merge)
+    * consume this; everything that answers "what is the corpus" goes
+    * through the overlay ([[admittedRaw]]). */
+  private def localAdmittedRaw(spark: SparkSession,
+      corpusDir: String): DataFrame =
     readStore(spark, corpusDir, "docs") match {
       case None => spark.range(0).select(col("id").as("doc_id"),
         lit("").as("text"), lit(0L).as("epoch")).limit(0)
       case Some(raw) => raw.dropDuplicates("doc_id", "epoch")
+    }
+
+  private def admittedRaw(spark: SparkSession, corpusDir: String): DataFrame =
+    parentOf(spark, corpusDir) match {
+      case None => localAdmittedRaw(spark, corpusDir)
+      case Some((parent, base, _)) =>
+        // branch overlay: the parent's history is visible only up to the
+        // branch point — rows past it (including epochs the parent
+        // committed AFTER the branch) never enter this lake's reads, so
+        // branch-local epoch numbers can never collide into visibility
+        localAdmittedRaw(spark, corpusDir).unionByName(
+          admittedRaw(spark, parent).filter(col("epoch") <= base),
+          allowMissingColumns = true)
     }
 
   /** Committed manifest rows (replay copies collapsed per epoch).
@@ -295,6 +313,21 @@ object CorpusLake {
     * columns guard on presence. Resolves the generation pointer: after a
     * [[compactManifest]] the history serves from `manifest_gen_<k>`. */
   def manifest(spark: SparkSession, corpusDir: String): DataFrame = {
+    val local = localManifest(spark, corpusDir)
+    parentOf(spark, corpusDir) match {
+      case None => local
+      case Some((parent, base, _)) =>
+        // branch overlay: parent commits up to the branch point are part
+        // of this lake's history; later parent commits are not
+        local.unionByName(
+          manifest(spark, parent).filter(col("version") <= base),
+          allowMissingColumns = true)
+          .dropDuplicates("version")
+    }
+  }
+
+  private def localManifest(spark: SparkSession,
+      corpusDir: String): DataFrame = {
     val p = manifestTarget(spark, corpusDir)
     if (!graft.sources.Formats.pathExists(spark, p))
       return spark.range(0).select(col("id").as("version"),
@@ -732,20 +765,39 @@ object CorpusLake {
           "collapsed that history (pin a version >= the floor)")
     }
     val inRange = col("doc_id").between(idLo, idHi)
+    val admitted = resolveLatestAdmitted(
+      committedOnly(prunedRawChain(spark, corpusDir, idLo, idHi, version),
+        manifest(spark, corpusDir), version))
+    serveSnapshot(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")).filter(inRange),
+      admitted)
+  }
+
+  /** The zone-pruned raw rows of the whole parent chain for a doc_id
+    * range: this dir's pruned files plus — when this is a branch — the
+    * parent's, capped at the branch point (the overlay contract of
+    * [[admittedRaw]], pruned). */
+  private def prunedRawChain(spark: SparkSession, corpusDir: String,
+      idLo: Long, idHi: Long, version: Option[Long]): DataFrame = {
+    val inRange = col("doc_id").between(idLo, idHi)
     val (files, _) = prunedDocsFiles(spark, corpusDir, idLo, idHi, version)
-    val raw =
+    val local =
       if (files.isEmpty)
         spark.range(0).select(col("id").as("doc_id"),
           lit("").as("text"), lit(0L).as("epoch")).limit(0)
       else spark.read.option("mergeSchema", "true")
         .parquet(files: _*).filter(inRange)
         .dropDuplicates("doc_id", "epoch")
-    val admitted = resolveLatestAdmitted(
-      committedOnly(raw, manifest(spark, corpusDir), version))
-    serveSnapshot(
-      Tables.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("text")).filter(inRange),
-      admitted)
+    parentOf(spark, corpusDir) match {
+      case None => local
+      case Some((parent, base, _)) =>
+        local.unionByName(
+          prunedRawChain(spark, parent, idLo, idHi,
+            Some(version.fold(base)(math.min(_, base))))
+            .filter(col("epoch") <= base),
+          allowMissingColumns = true)
+    }
   }
 
   /** Observability twin of the prune decision: (files a range read would
@@ -753,7 +805,121 @@ object CorpusLake {
   def pruningStats(spark: SparkSession, corpusDir: String, idLo: Long,
       idHi: Long, version: Option[Long] = None): (Long, Long) = {
     val (cand, total) = prunedDocsFiles(spark, corpusDir, idLo, idHi, version)
-    (cand.size.toLong, total)
+    parentOf(spark, corpusDir) match {
+      case None => (cand.size.toLong, total)
+      case Some((parent, base, _)) =>
+        val (pc, pt) = pruningStats(spark, parent, idLo, idHi,
+          Some(version.fold(base)(math.min(_, base))))
+        (cand.size.toLong + pc, total + pt)
+    }
+  }
+
+  // ----------------- branches (zero-copy experiment clones of the lake)
+
+  /** The branch parent pointer, when this lake dir is a branch:
+    * (parent dir, base version, branch name). One KB-scale artifact. */
+  private[graft] def parentOf(spark: SparkSession,
+      corpusDir: String): Option[(String, Long, String)] = {
+    val p = Similarity.resolveArtifact(spark, corpusDir, "branch_parent")
+    if (!graft.sources.Formats.pathExists(spark, p)) None
+    else {
+      import spark.implicits._
+      Some(spark.read.parquet(p)
+        .select(col("parent"), col("base_version"), col("name"))
+        .as[(String, Long, String)].head())
+    }
+  }
+
+  /** Create a zero-copy branch of the lake — the shallow-clone /
+    * experiment-branch convention: `branchDir` becomes a lake of its own
+    * whose history is the parent's committed history up to the branch
+    * point (the parent head) OVERLAID by whatever the branch commits.
+    * Nothing is copied: the only write is the KB-scale `branch_parent`
+    * pointer, plus a pinned run `branch_<name>` on the PARENT at the
+    * branch point so [[vacuumCorpus]] refuses to collapse the shared
+    * history while the branch lives (drop the branch to release it).
+    *
+    * Every lake operation works on the branch unchanged — ingest
+    * ([[maintainCorpusStream]] with branch-scoped index dirs), deletes,
+    * time travel, CDC, OPTIMIZE of the branch's own appends, pinned
+    * runs — because every read resolves through the parent-aware
+    * [[manifest]]/[[admittedRaw]] overlay. Parent commits AFTER the
+    * branch point are invisible to the branch (snapshot isolation), and
+    * branch commits are invisible to the parent until [[mergeBranch]].
+    * Branch-local epochs allocate past the branch point
+    * ([[nextLakeVersion]] sees the overlay head ≥ base), and parent rows
+    * past the base are filtered out of every branch read, so epoch
+    * numbering cannot collide into visibility. Branches nest (a branch
+    * of a branch chains the overlay). This is the corpus-ablation loop:
+    * branch → mutate → evaluate → merge or drop, at zero storage cost
+    * for the unchanged 100 TB. Returns the base version. */
+  def createBranch(spark: SparkSession, dir: String, parentDir: String,
+      branchDir: String, name: String): Long = {
+    import spark.implicits._
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_\\-]+"),
+      s"branch name must be [A-Za-z0-9_-]+, got '$name'")
+    require(!graft.sources.Formats.pathExists(
+        spark, s"$branchDir/branch_parent") &&
+      !graft.sources.Formats.pathExists(spark, s"$branchDir/docs") &&
+      !graft.sources.Formats.pathExists(spark, s"$branchDir/manifest"),
+      s"$branchDir already holds a lake or branch")
+    val base = pinRun(spark, dir, parentDir, s"branch_$name")
+    Seq((parentDir, base, name))
+      .toDF("parent", "base_version", "name")
+      .coalesce(1).write.mode("errorifexists")
+      .parquet(s"$branchDir/branch_parent")
+    base
+  }
+
+  /** Fold a branch back into its parent as ONE committed parent epoch:
+    * the branch's net effect — each touched doc's branch-latest state,
+    * tombstones included — lands through the standard data-first/
+    * manifest-last protocol, so the merge is crash-safe and atomic like
+    * any commit. Merge-wins semantics (the LWW the whole lake speaks):
+    * the merge epoch is newer than anything the parent committed while
+    * the branch lived, so for every doc the branch touched, the branch's
+    * view wins; docs it never touched keep the parent's state. Cost is
+    * O(branch-local rows) — the parent's data is never read or
+    * rewritten. The branch survives the merge (serving its own history)
+    * until [[dropBranch]]. Returns the parent version committed, or -1
+    * when the branch committed nothing (nothing to merge). */
+  def mergeBranch(spark: SparkSession, branchDir: String): Long = {
+    import spark.implicits._
+    val (parent, base, _) = parentOf(spark, branchDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$branchDir is not a branch (no branch_parent pointer)"))
+    // branch-local committed winners: LWW over the branch's OWN rows
+    // (all past the base by allocation), committed per the overlay
+    // manifest — exactly the branch's net effect
+    val local = resolveLatestAdmitted(committedOnly(
+      localAdmittedRaw(spark, branchDir),
+      manifest(spark, branchDir), None))
+      .filter(col("epoch") > base)
+    if (local.limit(1).count() == 0) return -1L
+    val v = nextLakeVersion(spark, parent)
+    val nDel = local.filter(col("_deleted")).count()
+    val n = local.count()
+    local.drop("epoch").withColumn("epoch", lit(v))
+      .write.mode("append").parquet(liveTarget(spark, parent, "docs"))
+    // batch_id = -1: outside the stream's id space, same as deleteDocs
+    Seq((v, 0L, n - nDel, 0L, 0L, 0L, -1L, nDel))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
+      .withColumn("committed_at", lit(System.currentTimeMillis()))
+      .write.mode("append").parquet(manifestTarget(spark, parent))
+    v
+  }
+
+  /** Delete a branch and release its hold on the parent's history (the
+    * `branch_<name>` pinned run). The branch dir and everything it
+    * committed are gone; the parent is untouched. */
+  def dropBranch(spark: SparkSession, branchDir: String): Unit = {
+    val (parent, _, name) = parentOf(spark, branchDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$branchDir is not a branch (no branch_parent pointer)"))
+    unpinRun(spark, parent, s"branch_$name")
+    val p = new org.apache.hadoop.fs.Path(branchDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   /** The full per-doc admission audit log (committed epochs only). */
@@ -2008,6 +2174,13 @@ object CorpusLake {
   def vacuumCorpus(spark: SparkSession, corpusDir: String,
       retainFrom: Long, versioned: Boolean = false): (Long, Long) = {
     import spark.implicits._
+    // a branch shares its pre-base history with the parent — collapsing
+    // it here would rewrite the LOCAL store with parent rows folded in
+    // (silently materializing the zero-copy clone) while the parent
+    // keeps serving the originals. Vacuum the parent; drop the branch.
+    require(parentOf(spark, corpusDir).isEmpty,
+      s"$corpusDir is a branch: vacuum applies to the parent lake " +
+        "(drop the branch to release its pin first)")
     val prevFloor = retentionFloor(spark, corpusDir)
     require(retainFrom >= prevFloor,
       s"retention floor may only rise (current $prevFloor, got $retainFrom)")
@@ -2479,5 +2652,77 @@ object CorpusLake {
     val lake = deleteLake(spark, dir)
     collectFileStats(spark, lake)
     readCorpusAtRange(spark, dir, lake, 100L, 299L).orderBy(col("doc_id"))
+  }
+
+  /** Deterministic branch-lifecycle fixture for the branch twins: parent
+    * lake (epoch 0 = " u1" updates of ids ≡1 mod 10) → REAL createBranch
+    * at head → parent advances (epoch 1 = " p2" updates of ids ≡3 mod 8,
+    * invisible to the branch) → branch commits its own update epoch
+    * (" b1", ids ≡5 mod 6) and a REAL deleteDocs (ids ≡4 mod 7) → REAL
+    * mergeBranch folds the branch's net effect into the parent as one
+    * epoch. Returns (parentDir, branchDir). */
+  private def branchLake(spark: SparkSession,
+      dir: String): (String, String) =
+    graft.sources.Caches.memoizedValue[(String, String)](spark,
+        s"corpus-branch-lake|$dir") {
+      import spark.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-branch-lake").toString
+      val (parent, branch) = (s"$root/parent", s"$root/exp1")
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text"))
+      def commit(corpusDir: String, v: Long): Unit =
+        Seq((v, 0L, 0L, 0L, 0L, 0L))
+          .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+            "n_contaminated", "n_low_quality")
+          .write.mode("append").parquet(s"$corpusDir/manifest")
+      docs.filter($"doc_id" % 10 === 1)
+        .select($"doc_id", concat($"text", lit(" u1")).as("text"),
+          lit(0L).as("epoch"))
+        .write.mode("append").parquet(s"$parent/docs")
+      commit(parent, 0L)
+      val base = createBranch(spark, dir, parent, branch, "exp1")
+      require(base == 0L, s"branched at $base, expected head 0")
+      // the parent moves on AFTER the branch point — must stay invisible
+      // to the branch, and lose LWW to the merge epoch for touched docs
+      docs.filter($"doc_id" % 8 === 3)
+        .select($"doc_id", concat($"text", lit(" p2")).as("text"),
+          lit(1L).as("epoch"))
+        .write.mode("append").parquet(s"$parent/docs")
+      commit(parent, 1L)
+      // branch-local ablation: an update epoch and a real takedown
+      val vB = nextLakeVersion(spark, branch)
+      require(vB == 1L, s"branch allocated $vB, expected base+1 = 1")
+      docs.filter($"doc_id" % 6 === 5)
+        .select($"doc_id", concat($"text", lit(" b1")).as("text"),
+          lit(vB).as("epoch"))
+        .write.mode("append").parquet(s"$branch/docs")
+      commit(branch, vB)
+      val vDel = deleteDocs(spark, branch,
+        docs.filter($"doc_id" % 7 === 4).select($"doc_id"))
+      require(vDel == 2L, s"branch delete committed at $vDel, expected 2")
+      val vMerge = mergeBranch(spark, branch)
+      require(vMerge == 2L, s"merge committed at $vMerge, expected 2")
+      (parent, branch)
+    }
+
+  /** [[createBranch]]'s oracled twin, branch leg: the branch head after
+    * the [[branchLake]] lifecycle. DuckDB recomputes the visible set —
+    * hash equality pins snapshot isolation (the parent's post-branch
+    * " p2" epoch absent), the overlay LWW (" b1" over " u1" over base),
+    * and the branch-local tombstones hiding docs. */
+  def branchTwin(spark: SparkSession, dir: String): DataFrame = {
+    val (_, branch) = branchLake(spark, dir)
+    readCorpusAt(spark, dir, branch).orderBy(col("doc_id"))
+  }
+
+  /** [[mergeBranch]]'s oracled twin, parent leg: the parent head after
+    * the merge. DuckDB recomputes it — merge-wins over the parent's
+    * concurrent " p2" epoch for every doc the branch touched (updates
+    * AND deletes), parent-only updates preserved, untouched docs
+    * unchanged. */
+  def branchMergeTwin(spark: SparkSession, dir: String): DataFrame = {
+    val (parent, _) = branchLake(spark, dir)
+    readCorpusAt(spark, dir, parent).orderBy(col("doc_id"))
   }
 }
