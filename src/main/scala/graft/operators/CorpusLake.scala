@@ -910,6 +910,16 @@ object CorpusLake {
     v
   }
 
+  /** DESCRIBE BRANCHES — the parent's live branches, read from their
+    * governance pins: (name, base_version, n_docs at the branch point).
+    * A dropped branch releases its pin and leaves this listing. */
+  def branches(spark: SparkSession, corpusDir: String): DataFrame =
+    pinnedRuns(spark, corpusDir)
+      .filter(col("tag").startsWith("branch_"))
+      .select(substring(col("tag"), "branch_".length + 1, Int.MaxValue)
+          .as("name"),
+        col("version").as("base_version"), col("n_docs"))
+
   /** Delete a branch and release its hold on the parent's history (the
     * `branch_<name>` pinned run). The branch dir and everything it
     * committed are gone; the parent is untouched. */

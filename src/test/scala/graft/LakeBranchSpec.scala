@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.CorpusLake
+import graft.operators.{CorpusLake, TextAnalysis}
 import graft.sources.Tables
 
 /** Zero-copy lake branches: creation at head, snapshot isolation both
@@ -174,5 +174,50 @@ class LakeBranchSpec extends SparkSpec {
       == fullRange, "chained pruned read diverged")
     val (cand, total) = CorpusLake.pruningStats(spark, b2, 150L, 160L)
     assert(total > 0 && cand <= total)
+  }
+
+  test("branch: DESCRIBE BRANCHES lists live branches and drop removes them") {
+    import spark.implicits._
+    val parent = mkParent()
+    val root = parent.stripSuffix("/parent")
+    CorpusLake.createBranch(spark, dir, parent, s"$root/d1", "d1")
+    CorpusLake.createBranch(spark, dir, parent, s"$root/d2", "d2")
+    val listed = CorpusLake.branches(spark, parent)
+      .select($"name", $"base_version").as[(String, Long)].collect().toSet
+    assert(listed == Set(("d1", 0L), ("d2", 0L)), s"listing: $listed")
+    CorpusLake.dropBranch(spark, s"$root/d1")
+    assert(CorpusLake.branches(spark, parent)
+      .select($"name").as[String].collect().toSeq == Seq("d2"))
+  }
+
+  test("branch: lake-fed lexical refresh consumes the branch overlay, retraction included") {
+    import spark.implicits._
+    val parent = mkParent()
+    val root = parent.stripSuffix("/parent")
+    val (branch, maintB) = (s"$root/lex", s"$root/maintB")
+    CorpusLake.createBranch(spark, dir, parent, branch, "lex")
+    // branch commits a fresh doc and takes down BASE doc 3
+    Seq((8000001L, "zebra quark flux lattice prism vortex"))
+      .toDF("doc_id", "text").withColumn("epoch", lit(1L))
+      .write.mode("append").parquet(s"$branch/docs")
+    commitTo(branch, 1L)
+    CorpusLake.deleteDocs(spark, branch, Seq(3L).toDF("doc_id"))
+    // the refresher follows the BRANCH head and its overlay change feed
+    val win = CorpusLake.refreshPostingsFromLake(spark, dir, branch, maintB)
+    assert(win.contains((Long.MinValue, 2L)), s"window: $win")
+    val seg = TextAnalysis.readPostingsDelta(spark, s"$maintB/seg")
+    assert(seg.filter($"doc_id" === 8000001L && $"tok" === "zebra")
+      .limit(1).count() == 1, "branch doc's postings missing")
+    // the takedown rides as a tombstone posting: doc re-listed, null token
+    val tomb = seg.filter($"doc_id" === 3L)
+      .select($"tok").as[Option[String]].collect().toSeq
+    assert(tomb == Seq(None), s"tombstone row wrong: $tomb")
+    // the PARENT's own refresh sees none of it
+    val maintP = s"$root/maintP"
+    CorpusLake.refreshPostingsFromLake(spark, dir, parent, maintP)
+    val pSeg = TextAnalysis.readPostingsDelta(spark, s"$maintP/seg")
+    assert(pSeg.filter($"doc_id" === 8000001L).limit(1).count() == 0 &&
+      pSeg.filter($"doc_id" === 3L && $"tok".isNull).limit(1).count() == 0,
+      "branch changes leaked into the parent's index refresh")
   }
 }
