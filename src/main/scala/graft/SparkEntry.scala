@@ -142,6 +142,7 @@ object SparkEntry {
     "corpus_pruned_read"   -> (CorpusLake.prunedTwin _),
     "corpus_branch"        -> (CorpusLake.branchTwin _),
     "corpus_branch_merge"  -> (CorpusLake.branchMergeTwin _),
+    "corpus_view"          -> (graft.operators.LakeView.viewTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2297,6 +2298,25 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 7 != 4
         |ORDER BY doc_id""".stripMargin,
+
+    // declarative incremental materialized view: the engine declares a
+    // grouped aggregate (bucket = doc_id mod 7; summed chars + tokens)
+    // over the delete-lifecycle lake and maintains it INCREMENTALLY via
+    // signed retractions across the LWW-update, deleteDocs, and
+    // re-admission epochs — with a compaction fold mid-stream; DuckDB
+    // recomputes the aggregate directly from the final visible set
+    "corpus_view" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2)
+        |SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(CAST(length(text) AS BIGINT)) AS chars,
+        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS toks
+        |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment
     // (hash60(doc_id) mod 8), per-shard totals, and an order-independent

@@ -293,7 +293,8 @@ object CorpusLake {
       case Some(raw) => raw.dropDuplicates("doc_id", "epoch")
     }
 
-  private def admittedRaw(spark: SparkSession, corpusDir: String): DataFrame =
+  private[operators] def admittedRaw(spark: SparkSession,
+      corpusDir: String): DataFrame =
     parentOf(spark, corpusDir) match {
       case None => localAdmittedRaw(spark, corpusDir)
       case Some((parent, base, _)) =>
@@ -2599,7 +2600,8 @@ object CorpusLake {
     * ≡ 2 (mod 27) subset with fresh text (deletes are reversible). The
     * allocated versions are asserted so the fixture fails loudly if
     * [[nextLakeVersion]] ever drifts. */
-  private def deleteLake(spark: SparkSession, dir: String): String =
+  private[operators] def deleteLake(spark: SparkSession,
+      dir: String): String =
     graft.sources.Caches.memoizedValue[String](spark,
         s"corpus-del-lake|$dir") {
       import spark.implicits._
