@@ -885,30 +885,65 @@ object CorpusLake {
     * until [[dropBranch]]. Returns the parent version committed, or -1
     * when the branch committed nothing (nothing to merge). */
   def mergeBranch(spark: SparkSession, branchDir: String): Long = {
-    import spark.implicits._
     val (parent, base, _) = parentOf(spark, branchDir).getOrElse(
       throw new IllegalArgumentException(
         s"$branchDir is not a branch (no branch_parent pointer)"))
-    // branch-local committed winners: LWW over the branch's OWN rows
-    // (all past the base by allocation), committed per the overlay
-    // manifest — exactly the branch's net effect
-    val local = resolveLatestAdmitted(committedOnly(
+    commitNetEffect(spark, branchNetEffect(spark, branchDir, base), parent)
+  }
+
+  /** The branch's net effect: each touched doc's branch-latest committed
+    * state, tombstones included — LWW over the branch's OWN rows (all
+    * past the base by allocation). O(branch rows). */
+  private def branchNetEffect(spark: SparkSession, branchDir: String,
+      base: Long): DataFrame =
+    resolveLatestAdmitted(committedOnly(
       localAdmittedRaw(spark, branchDir),
       manifest(spark, branchDir), None))
       .filter(col("epoch") > base)
+
+  /** Commit a net-effect frame into a lake as ONE epoch through the
+    * data-first/manifest-last protocol (the [[mergeBranch]] /
+    * [[rebaseBranch]] write half). Returns the committed version, or -1
+    * on an empty frame. */
+  private def commitNetEffect(spark: SparkSession, local: DataFrame,
+      targetDir: String): Long = {
+    import spark.implicits._
     if (local.limit(1).count() == 0) return -1L
-    val v = nextLakeVersion(spark, parent)
+    val v = nextLakeVersion(spark, targetDir)
     val nDel = local.filter(col("_deleted")).count()
     val n = local.count()
     local.drop("epoch").withColumn("epoch", lit(v))
-      .write.mode("append").parquet(liveTarget(spark, parent, "docs"))
+      .write.mode("append").parquet(liveTarget(spark, targetDir, "docs"))
     // batch_id = -1: outside the stream's id space, same as deleteDocs
     Seq((v, 0L, n - nDel, 0L, 0L, 0L, -1L, nDel))
       .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
         "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
       .withColumn("committed_at", lit(System.currentTimeMillis()))
-      .write.mode("append").parquet(manifestTarget(spark, parent))
+      .write.mode("append").parquet(manifestTarget(spark, targetDir))
     v
+  }
+
+  /** Squash-rebase: rebuild the branch's changes on top of the parent's
+    * CURRENT head — `newBranchDir` becomes a fresh branch at head
+    * carrying the old branch's net effect as ONE committed epoch (the
+    * squash convention: per-epoch branch history collapses, the outcome
+    * is preserved). Conflict resolution is the lake's LWW: the replayed
+    * epoch allocates past the new base, so for every doc the old branch
+    * touched — update or takedown — the branch's view wins over whatever
+    * the parent committed meanwhile; everything else serves the parent's
+    * new head. O(branch rows); the parent and the OLD branch are
+    * untouched (drop the old branch once its consumers re-point — its
+    * version space is its own, so lake-fed cursors do NOT carry over).
+    * Returns the new base version. */
+  def rebaseBranch(spark: SparkSession, dir: String, branchDir: String,
+      newBranchDir: String, newName: String): Long = {
+    val (parent, base, _) = parentOf(spark, branchDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$branchDir is not a branch (no branch_parent pointer)"))
+    val newBase = createBranch(spark, dir, parent, newBranchDir, newName)
+    commitNetEffect(spark,
+      branchNetEffect(spark, branchDir, base), newBranchDir)
+    newBase
   }
 
   /** DESCRIBE BRANCHES — the parent's live branches, read from their

@@ -176,6 +176,48 @@ class LakeBranchSpec extends SparkSpec {
     assert(total > 0 && cand <= total)
   }
 
+  test("branch: squash-rebase replays the net effect onto the parent's new head") {
+    import spark.implicits._
+    val parent = mkParent()
+    val root = parent.stripSuffix("/parent")
+    val (b1, b2) = (s"$root/r1", s"$root/r2")
+    CorpusLake.createBranch(spark, dir, parent, b1, "r1")
+    baseDocs.filter($"doc_id" % 6 === 5)
+      .select($"doc_id", concat($"text", lit(" b1")).as("text"),
+        lit(1L).as("epoch"))
+      .write.mode("append").parquet(s"$b1/docs")
+    commitTo(b1, 1L)
+    CorpusLake.deleteDocs(spark, b1,
+      baseDocs.filter($"doc_id" % 7 === 4).select($"doc_id"))
+    // the parent advances past the branch point
+    baseDocs.filter($"doc_id" % 8 === 3)
+      .select($"doc_id", concat($"text", lit(" p2")).as("text"),
+        lit(1L).as("epoch"))
+      .write.mode("append").parquet(s"$parent/docs")
+    commitTo(parent, 1L)
+
+    val newBase = CorpusLake.rebaseBranch(spark, dir, b1, b2, "r2")
+    assert(newBase == 1L, s"rebased onto $newBase, expected the new head 1")
+    val rebased = served(CorpusLake.readCorpusAt(spark, dir, b2))
+    // the rebased branch sees the parent's new epoch AND its own changes;
+    // for conflicting docs the branch wins (squash epoch > new base)
+    assert(rebased.exists(r => r._1 % 8 == 3 && r._1 % 6 != 5 &&
+      r._1 % 7 != 4 && r._2.endsWith(" p2")),
+      "parent's post-branch epoch missing after rebase")
+    assert(rebased.filter(_._1 % 6 == 5).forall(_._2.endsWith(" b1")),
+      "branch updates lost the rebase LWW")
+    assert(!rebased.exists(_._1 % 7 == 4), "branch takedowns lost in rebase")
+    // the old branch is untouched: still blind to " p2"
+    val old = served(CorpusLake.readCorpusAt(spark, dir, b1))
+    assert(!old.exists(_._2.endsWith(" p2")), "rebase mutated the old branch")
+    // both live branches listed; dropping the old releases only its pin
+    assert(CorpusLake.branches(spark, parent)
+      .select($"name").as[String].collect().toSet == Set("r1", "r2"))
+    CorpusLake.dropBranch(spark, b1)
+    assert(CorpusLake.branches(spark, parent)
+      .select($"name").as[String].collect().toSeq == Seq("r2"))
+  }
+
   test("branch: DESCRIBE BRANCHES lists live branches and drop removes them") {
     import spark.implicits._
     val parent = mkParent()
