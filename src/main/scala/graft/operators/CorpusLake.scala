@@ -1029,7 +1029,12 @@ object CorpusLake {
     * content gate ([[Curate.expectationDecision]] — the CHECK-constraint
     * convention): a violating row is rejected as `invalid:<name>` before
     * any content verdict, never enters the lake or the dedup index, and
-    * is counted in the manifest's `n_invalid` audit column. */
+    * is counted in the manifest's `n_invalid` audit column.
+    *
+    * `viewDirs` keeps declared [[LakeView]] materialized views live at
+    * commit cadence (cursor-protected incremental refresh after each
+    * commit, delta fold at the optimize firing) — the same contract as
+    * `profDir`, for user-declared aggregates. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
@@ -1037,7 +1042,8 @@ object CorpusLake {
       optimizeEvery: Int = 0,
       carryCols: Seq[String] = Nil,
       deleteCol: Option[String] = None,
-      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      viewDirs: Seq[String] = Nil)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
     // reserved names: "epoch" would be silently clobbered by the epoch
@@ -1240,11 +1246,18 @@ object CorpusLake {
             collectFileStatsIncremental(spark, corpusDir)
             commitsSinceOptimize = 0
           }
-          // optional live materialized view: the cursor-protected refresh
-          // job runs AFTER the commit, so a crash between the manifest and
-          // this point only leaves the cursor behind — the next batch (or
-          // a standalone refresh) catches the view up idempotently
+          // optional live materialized views: the cursor-protected refresh
+          // jobs run AFTER the commit, so a crash between the manifest and
+          // this point only leaves a cursor behind — the next batch (or
+          // a standalone refresh) catches each view up idempotently.
+          // Declarative views ([[LakeView]]) ride the same cadence, with
+          // their delta fold at the optimize firing.
           profDir.foreach(p => refreshProfileFromLake(spark, dir, corpusDir, p))
+          viewDirs.foreach { v =>
+            LakeView.refreshViewFromLake(spark, dir, corpusDir, v)
+            if (commitsSinceOptimize == 0 && optimizeEvery > 0)
+              LakeView.compactView(spark, v)
+          }
         }
       }
   }

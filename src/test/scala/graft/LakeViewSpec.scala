@@ -124,6 +124,35 @@ class LakeViewSpec extends SparkSpec {
       "compaction left folded deltas behind")
   }
 
+  test("lake view: the maintenance stream keeps a declared view live") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-view-stream").toString
+    val (idx, corpus, maint, view) =
+      (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint", s"$tmp/view")
+    CorpusLake.initCorpus(spark, dir, idx)
+    LakeView.createView(spark, dir, view, dims, measures)
+    val tA = (1 to 40).map(i => s"viewa$i").mkString(" ")
+    val tB = (1 to 40).map(i => s"viewb$i").mkString(" ")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
+        optimizeEvery = 1, viewDirs = Seq(view))
+      .start()
+    try {
+      in.addData((7000001L, tA)); q.processAllAvailable()
+      in.addData((7000002L, tB)); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(LakeView.readView(spark, view)) == recompute(corpus),
+      "stream-maintained view diverged from the recompute")
+    // the optimize firing folded the deltas into the base
+    assert(spark.read.parquet(s"$view/delta").count() == 0L,
+      "stream cadence did not fold the view's deltas")
+  }
+
   test("lake view: a view over a branch tracks the branch, not the parent") {
     import spark.implicits._
     val parent = mkLake()
