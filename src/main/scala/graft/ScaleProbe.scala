@@ -500,6 +500,50 @@ object ScaleProbe {
           CorpusLake.collectFileStats(spark, corpusDir)
           CorpusLake.pruningStats(spark, corpusDir, 100L, 120L)
         }),
+        // zero-copy branch economics: after REAL branch activity — create,
+        // a branch-local commit, a full overlay read, a merge back — C =
+        // bytes the branch dir holds on disk, O = bytes the parent holds.
+        // C must track the ablation (the 10% churn here) while O tracks
+        // N: any code path that silently materialized the shared history
+        // into the branch (the zero-copy claim's failure mode) would blow
+        // C up to O. Branching a 100 TB lake stays a KB pointer.
+        ("corpus_branch_bytes", nDocs, () => {
+          import graft.operators.CorpusLake
+          val root = java.nio.file.Files
+            .createTempDirectory("probe-lake-branch").toString
+          val (parent, branch) = (s"$root/parent", s"$root/exp")
+          val docs = graft.sources.Tables.spread(
+              graft.sources.Tables.documents(spark, dir))
+            .select(col("doc_id"), col("text"))
+          docs.select(col("doc_id"), col("text"), lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$parent/docs")
+          Seq((0L, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$parent/manifest")
+          CorpusLake.createBranch(spark, dir, parent, branch, "exp")
+          docs.filter(col("doc_id") % 10 === 1)
+            .select(col("doc_id"),
+              org.apache.spark.sql.functions.concat(col("text"),
+                org.apache.spark.sql.functions.lit(" b")).as("text"),
+              lit(1L).as("epoch"))
+            .write.mode("append").parquet(s"$branch/docs")
+          Seq((1L, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$branch/manifest")
+          CorpusLake.readCorpusAt(spark, dir, branch).count()
+          CorpusLake.mergeBranch(spark, branch)
+          def bytes(d: String): Long = {
+            val p = new org.apache.hadoop.fs.Path(d)
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            val it = fs.listFiles(p, true)
+            var n = 0L
+            while (it.hasNext) n += it.next().getLen
+            n
+          }
+          (bytes(branch), bytes(parent))
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

@@ -119,10 +119,11 @@ object CorpusLake {
       batch: DataFrame, indexDir: String, storeDir: Option[String],
       admittedDocs: Option[DataFrame], benchPost: DataFrame,
       committedEpochs: Option[DataFrame] = None,
-      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      sharedStores: Seq[(String, Option[Long])] = Nil)
       : DataFrame = {
     val vsIndex = Dedup.dedupArrivalsFromSaved(spark, dir, batch, indexDir,
-        storeDir, admittedDocs, committedEpochs)
+        storeDir, admittedDocs, committedEpochs, sharedStores)
       .select(col("arriving_id"), col("existing_id"))
     val dupPairs = vsIndex.unionByName(
       intraBatchPairs(batch).select(col("arriving_id"), col("existing_id")))
@@ -1043,9 +1044,28 @@ object CorpusLake {
       carryCols: Seq[String] = Nil,
       deleteCol: Option[String] = None,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
-      viewDirs: Seq[String] = Nil)
+      viewDirs: Seq[String] = Nil,
+      sharedBucketDirs: Seq[String] = Nil)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
+    // branch ingest: `sharedBucketDirs(i)` is the i-th ANCESTOR's
+    // maintenance bucket store (`<maintDir>/buckets`), so admission
+    // dedups against the shared history. Each ancestor's rows count only
+    // up to its branch point — the caps are derived from the parent
+    // chain HERE, because epoch numbers past a base can numerically
+    // collide with the branch's own; appends stay branch-local.
+    val sharedStores: Seq[(String, Option[Long])] = {
+      var cur = corpusDir
+      var cap = Option.empty[Long]
+      sharedBucketDirs.map { d =>
+        val (p, base, _) = parentOf(spark, cur).getOrElse(
+          throw new IllegalArgumentException(
+            s"more sharedBucketDirs than ancestors: $cur has no parent"))
+        cap = Some(cap.fold(base)(math.min(_, base)))
+        cur = p
+        d -> cap
+      }
+    }
     // reserved names: "epoch" would be silently clobbered by the epoch
     // stamp; "version"/"change_type" would collide with the change feed's
     // output columns; "_deleted" (and every "_"-prefixed name — internal
@@ -1090,7 +1110,10 @@ object CorpusLake {
         // double-write; the skip is loud so the second case can't pass
         // silently. Pre-split manifests have no batch_id column; their
         // rows used version = batch id, so version is the fallback key.
-        val man0 = manifest(spark, corpusDir)
+        // LOCAL manifest only: the batch-id space belongs to THIS lake
+        // dir's stream — on a branch, the parent stream's batch ids ride
+        // the overlay and would phantom-skip the branch's own batches.
+        val man0 = localManifest(spark, corpusDir)
         val replayKey =
           if (man0.columns.contains("batch_id"))
             coalesce(col("batch_id"), col("version"))
@@ -1141,7 +1164,7 @@ object CorpusLake {
             Some(committedOnly(admittedRaw(spark, corpusDir), man, None)),
             benchPost,
             Some(man.select($"version".as("epoch"))),
-            expectations).localCheckpoint()
+            expectations, sharedStores).localCheckpoint()
           // decisions is fixed-schema today, but a future admission-gate
           // change against an old lake is the same mergeSchema poisoning
           // risk as an evolved carry column — same write-time guard

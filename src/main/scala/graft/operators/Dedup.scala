@@ -259,13 +259,31 @@ object Dedup {
     * the filter a replayed admission batch would find its own crashed
     * appends on the index side and flip its verdicts. */
   def readDedupDelta(spark: SparkSession, storeDir: String,
+      committed: Option[DataFrame] = None): DataFrame =
+    readDedupDeltaCapped(spark, Seq(storeDir -> None), committed)
+
+  /** Multi-store variant with per-store epoch CAPS — the branch-ingest
+    * reader: a branch dedups against its ancestors' bucket stores, but an
+    * ancestor's rows are shared history only up to the branch point, and
+    * epoch numbers past it can NUMERICALLY collide with the branch's own
+    * (both allocate past the base), so the cap must apply per store
+    * BEFORE the cross-store latest-epoch resolution. Rows from all
+    * stores then resolve doc-level latest-wins together (a branch
+    * re-upload outranks the ancestor's rows — branch epochs are > base
+    * by allocation). */
+  def readDedupDeltaCapped(spark: SparkSession,
+      stores: Seq[(String, Option[Long])],
       committed: Option[DataFrame] = None): DataFrame = {
-    val p = {
-      val i = storeDir.lastIndexOf('/')
-      graft.operators.Similarity.resolveArtifact(
-        spark, storeDir.take(i), storeDir.drop(i + 1))
+    val raws = stores.map { case (storeDir, cap) =>
+      val p = {
+        val i = storeDir.lastIndexOf('/')
+        graft.operators.Similarity.resolveArtifact(
+          spark, storeDir.take(i), storeDir.drop(i + 1))
+      }
+      val raw = spark.read.parquet(p)
+      cap.fold(raw)(c => raw.filter(col("epoch") <= c))
     }
-    val raw0 = spark.read.parquet(p)
+    val raw0 = raws.reduce(_.unionByName(_, allowMissingColumns = true))
     val raw = committed.fold(raw0)(c =>
       raw0.join(c.select(col("epoch")), Seq("epoch"), "left_semi"))
     raw.dropDuplicates("doc_id", "band", "epoch")
@@ -412,12 +430,23 @@ object Dedup {
       arrivals: DataFrame, indexDir: String,
       storeDir: Option[String] = None,
       deltaDocs: Option[DataFrame] = None,
-      committedEpochs: Option[DataFrame] = None): DataFrame = {
+      committedEpochs: Option[DataFrame] = None,
+      sharedStores: Seq[(String, Option[Long])] = Nil): DataFrame = {
     val base = spark.read.parquet(
       graft.operators.Similarity.resolveArtifact(spark, indexDir, "buckets"))
-    val idx = storeDir.fold(base)(s => graft.operators.Similarity
-      .mergeDeltaRows(base, readDedupDelta(spark, s, committedEpochs),
-        "doc_id"))
+    // an ancestor that never ingested has no bucket store yet — nothing
+    // to dedup against there, not an error
+    val stores = (storeDir.map(_ -> (None: Option[Long])).toSeq ++
+      sharedStores).filter { case (s, _) =>
+        val i = s.lastIndexOf('/')
+        graft.sources.Formats.pathExists(spark,
+          graft.operators.Similarity.resolveArtifact(
+            spark, s.take(i), s.drop(i + 1)))
+      }
+    val idx =
+      if (stores.isEmpty) base
+      else graft.operators.Similarity.mergeDeltaRows(base,
+        readDedupDeltaCapped(spark, stores, committedEpochs), "doc_id")
     dedupAgainstIndex(spark, dir, arrivals, idx, deltaDocs)
   }
 

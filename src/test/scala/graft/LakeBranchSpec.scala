@@ -232,6 +232,54 @@ class LakeBranchSpec extends SparkSpec {
       .select($"name").as[String].collect().toSeq == Seq("d2"))
   }
 
+  test("branch: ingest admission dedups shared history, isolated from post-branch parent commits") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-branch-ingest").toString
+    val (idx, parent, pMaint) = (s"$tmp/idx", s"$tmp/parent", s"$tmp/pm")
+    val (branch, bMaint) = (s"$tmp/exp", s"$tmp/bm")
+    CorpusLake.initCorpus(spark, dir, idx)
+    def words(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    def nearDup(t: String) = t.split(" ").dropRight(1).mkString(" ") + " changed"
+    val (docA, docB) = (words("shareda"), words("laterb"))
+
+    val inP = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val qP = CorpusLake.maintainCorpusStream(
+        inP.toDF().toDF("doc_id", "text"), spark, dir, idx, parent, pMaint)
+      .start()
+    try {
+      // pre-branch shared history: the parent admits docA
+      inP.addData((5000001L, docA)); qP.processAllAvailable()
+      CorpusLake.createBranch(spark, dir, parent, branch, "ing")
+      // post-branch parent commit: docB — invisible to the branch
+      inP.addData((5000002L, docB)); qP.processAllAvailable()
+    } finally qP.stop()
+
+    val inB = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val qB = CorpusLake.maintainCorpusStream(
+        inB.toDF().toDF("doc_id", "text"), spark, dir, idx, branch, bMaint,
+        sharedBucketDirs = Seq(s"$pMaint/buckets"))
+      .start()
+    try {
+      inB.addData((5000003L, nearDup(docA)), (5000004L, nearDup(docB)))
+      qB.processAllAvailable()
+    } finally qB.stop()
+
+    val log = CorpusLake.admissionLog(spark, branch)
+      .select($"doc_id", $"decision", $"first_dup")
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(log(5000003L)._1 == "duplicate" &&
+      log(5000003L)._2.contains(5000001L),
+      s"shared-history dup not caught on the branch: ${log(5000003L)}")
+    assert(log(5000004L)._1 == "admitted",
+      s"post-branch parent doc leaked into branch admission: ${log(5000004L)}")
+  }
+
   test("branch: lake-fed lexical refresh consumes the branch overlay, retraction included") {
     import spark.implicits._
     val parent = mkParent()
