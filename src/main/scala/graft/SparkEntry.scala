@@ -143,6 +143,7 @@ object SparkEntry {
     "corpus_branch"        -> (CorpusLake.branchTwin _),
     "corpus_branch_merge"  -> (CorpusLake.branchMergeTwin _),
     "corpus_view"          -> (graft.operators.LakeView.viewTwin _),
+    "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2297,6 +2298,20 @@ object SparkEntry {
         |       ELSE text END AS text
         |FROM documents
         |WHERE doc_id % 7 != 4
+        |ORDER BY doc_id""".stripMargin,
+
+    // continuous lake replication: a follower lake consumes the primary's
+    // CDC feed (O(changes) per window, cursor-last crash ordering) and
+    // converges to its visible corpus — upserts as LWW rows, takedowns
+    // as tombstones; DuckDB recomputes the primary's visible set and the
+    // FOLLOWER must hash-match it
+    "corpus_replica" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |       WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |       ELSE text END AS text
+        |FROM documents
+        |WHERE doc_id % 9 != 2 OR doc_id % 27 = 2
         |ORDER BY doc_id""".stripMargin,
 
     // declarative incremental materialized view: the engine declares a

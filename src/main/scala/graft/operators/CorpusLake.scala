@@ -957,6 +957,56 @@ object CorpusLake {
           .as("name"),
         col("version").as("base_version"), col("n_docs"))
 
+  /** Continuous lake replication — catch a FOLLOWER lake up to the
+    * primary by one CDC window: consume the primary's change feed past
+    * the follower-stored cursor and commit it as ONE epoch through the
+    * standard data-first/manifest-last protocol (upserts as LWW rows,
+    * deletes as tombstones), cursor written LAST. Call it on a cadence
+    * (or after each primary commit) and the follower converges to the
+    * primary's visible corpus — the DR / read-replica story: O(changes)
+    * per window, never a primary rescan, and a crash anywhere re-applies
+    * the window as a content-identical epoch the LWW serve collapses.
+    * The follower is CONTENT-converged, history-squashed: its version
+    * numbers are its own (pin runs / time-travel against the primary;
+    * serve reads against either). The follower must not take writes of
+    * its own — its next apply would LWW-stomp them. Returns the
+    * follower version committed, or None when already caught up. */
+  def replicateLake(spark: SparkSession, dir: String, srcCorpusDir: String,
+      dstCorpusDir: String): Option[(Long, Long)] = {
+    import spark.implicits._
+    val cPath = Similarity.resolveArtifact(spark, dstCorpusDir,
+      "replica_cursor")
+    val from =
+      if (graft.sources.Formats.pathExists(spark, cPath))
+        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+      else Long.MinValue
+    val floor = retentionFloor(spark, srcCorpusDir)
+    require(from >= floor || from == Long.MinValue,
+      s"replica cursor $from predates the primary's retention floor " +
+        s"$floor: the history this window needs was vacuumed — re-seed " +
+        "the replica from a fresh bootstrap window")
+    val head = manifest(spark, srcCorpusDir)
+      .filter(col("version") > from)
+      .agg(max(col("version"))).as[Option[Long]].head()
+    head match {
+      case Some(h) =>
+        val changes = readCorpusChanges(spark, dir, srcCorpusDir, from,
+          Some(h))
+        val extras = changes.columns
+          .filterNot(Set("doc_id", "text", "version", "change_type")).toSeq
+        val net = changes.select(
+          Seq(col("doc_id"), col("text"),
+            (col("change_type") === "delete").as("_deleted"),
+            col("version").as("epoch")) ++ extras.map(col): _*)
+        commitNetEffect(spark, net, dstCorpusDir)
+        Seq(h).toDF("last_version").write.mode("overwrite")
+          .parquet(s"$dstCorpusDir/replica_cursor_compacting")
+        Similarity.swapArtifact(spark, dstCorpusDir, "replica_cursor")
+        Some((from, h))
+      case None => None
+    }
+  }
+
   /** Delete a branch and release its hold on the parent's history (the
     * `branch_<name>` pinned run). The branch dir and everything it
     * committed are gone; the parent is untouched. */
@@ -2788,6 +2838,25 @@ object CorpusLake {
       require(vMerge == 2L, s"merge committed at $vMerge, expected 2")
       (parent, branch)
     }
+
+  /** [[replicateLake]]'s oracled twin: a follower lake catches up to the
+    * delete-lifecycle primary through the replication path (bootstrap
+    * window over LWW update + tombstone + re-admission epochs), then
+    * serves its own head. DuckDB recomputes the primary's visible set —
+    * hash equality pins that the follower converges to it, retraction
+    * included. */
+  def replicaTwin(spark: SparkSession, dir: String): DataFrame = {
+    val src = deleteLake(spark, dir)
+    val dst = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-replica|$dir") {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-replica-lake").toString + "/replica"
+      val win = replicateLake(spark, dir, src, d)
+      require(win.contains((Long.MinValue, 2L)), s"bootstrap window: $win")
+      d
+    }
+    readCorpusAt(spark, dir, dst).orderBy(col("doc_id"))
+  }
 
   /** [[createBranch]]'s oracled twin, branch leg: the branch head after
     * the [[branchLake]] lifecycle. DuckDB recomputes the visible set —

@@ -668,4 +668,52 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(CorpusLake.admissionLog(spark, corpus).count() == 2)
     Caches.releaseAll()
   }
+
+  test("replication: a follower converges per window, retracts deletes, replays safely") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-replica-spec").toString
+    val (src, dst) = (s"$root/primary", s"$root/replica")
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    def commit(v: Long): Unit =
+      Seq((v, 0L, 0L, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$src/manifest")
+    def served(corpus: String): Seq[(Long, String)] =
+      CorpusLake.readCorpusAt(spark, dir, corpus)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq.sorted
+
+    // window 1: an LWW update epoch
+    docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", concat($"text", lit(" u1")).as("text"),
+        lit(0L).as("epoch"))
+      .write.mode("append").parquet(s"$src/docs")
+    commit(0L)
+    assert(CorpusLake.replicateLake(spark, dir, src, dst)
+      .contains((Long.MinValue, 0L)))
+    assert(served(dst) == served(src), "follower diverged after window 1")
+    // caught up: no-op
+    assert(CorpusLake.replicateLake(spark, dir, src, dst).isEmpty)
+
+    // window 2: a takedown epoch retracts on the follower
+    CorpusLake.deleteDocs(spark, src,
+      docs.filter($"doc_id" % 9 === 2).select($"doc_id"))
+    assert(CorpusLake.replicateLake(spark, dir, src, dst)
+      .contains((0L, 1L)))
+    assert(served(dst) == served(src), "follower diverged after the delete")
+    assert(!served(dst).exists(_._1 % 9 == 2), "delete not retracted")
+
+    // crash replay: lose the follower cursor, re-apply the full history —
+    // the content-identical epochs collapse in the LWW serve
+    val fs = new org.apache.hadoop.fs.Path(s"$dst/replica_cursor")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dst/replica_cursor"), true)
+    assert(CorpusLake.replicateLake(spark, dir, src, dst)
+      .contains((Long.MinValue, 1L)))
+    assert(served(dst) == served(src), "cursor-loss replay diverged")
+  }
 }
