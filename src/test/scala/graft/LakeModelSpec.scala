@@ -7,7 +7,11 @@ import graft.sources.{Caches, Tables}
   * random interleaving of the lake's write-side operations — committed
   * appends, manifest-less (in-flight) appends, late commits, byte-identical
   * crash replays, committed deleteDocs tombstone epochs, OPTIMIZE rewrites,
-  * manifest checkpoints, vacuums to random valid floors — is
+  * manifest checkpoints, vacuums to random valid floors, CDC-follower
+  * catch-ups (the replica must keep serving the primary's visible set as
+  * of its cursor, or refuse when the cursor fell behind the floor), and
+  * branch lifecycles (create at head → branch-local commit + takedown,
+  * parent unmoved → merge-wins fold-back → drop) — is
   * applied to BOTH the real lake (through the same primitives the
   * maintenance loop uses) and a trivial in-memory model of the commit
   * protocol. After every operation the head snapshot, random pinned-version
@@ -89,8 +93,13 @@ class LakeModelSpec extends SparkSpec {
         assert(got == modelAt(Long.MaxValue), s"seed $seed $ctx: head mismatch")
       }
 
+      // a persistent CDC follower: replicaAt = the primary version whose
+      // visible set the follower must serve (MinValue = never caught up)
+      val replica = corpus.stripSuffix("/corpus") + "/replica"
+      var replicaAt = Long.MinValue
+
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(16)
+        val op = rnd.nextInt(18)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -170,8 +179,60 @@ class LakeModelSpec extends SparkSpec {
               ids.toSeq.toDF("doc_id"))
             committed += v -> ids.map(_ -> (None: Option[String])).toMap
             nextEpoch = math.max(nextEpoch, v + 1)
+          case 16 => // CDC follower catch-up: the replica must serve the
+            // primary's visible set AS OF the window head it consumed —
+            // unless its cursor fell behind the floor, which must refuse
+            if (replicaAt != Long.MinValue && replicaAt < floor)
+              intercept[IllegalArgumentException] {
+                CorpusLake.replicateLake(spark, dir, corpus, replica)
+              }
+            else if (CorpusLake.replicateLake(spark, dir, corpus, replica)
+                .isDefined)
+              replicaAt = head
+          case 17 => // branch lifecycle composite: create at head, commit
+            // an epoch + a takedown on the branch (parent must not move),
+            // merge back (LWW net effect as one parent epoch), drop
+            if (head >= 0 && floor <= head) {
+              val branch = corpus.stripSuffix("/corpus") + s"/b$step"
+              CorpusLake.createBranch(spark, dir, corpus, branch, s"b$step")
+              val bdocs = randomDocs(step)
+              val vB = CorpusLake.nextLakeVersion(spark, branch)
+              bdocs.toSeq.map { case (d, t) => (d, t.orNull, vB) }
+                .toDF("doc_id", "text", "epoch")
+                .write.mode("append").parquet(s"$branch/docs")
+              Seq((vB, 0L, 0L, 0L, 0L, 0L))
+                .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+                  "n_contaminated", "n_low_quality")
+                .write.mode("append").parquet(s"$branch/manifest")
+              val delIds = (1 to (1 + rnd.nextInt(2))).map { _ =>
+                if (rnd.nextInt(3) == 0) baseIds(rnd.nextInt(baseIds.size))
+                else 5000000L + rnd.nextInt(8)
+              }.toSet
+              CorpusLake.deleteDocs(spark, branch, delIds.toSeq.toDF("doc_id"))
+              // the branch serves head + its overlay; the parent is checked
+              // unchanged by the loop's checkHead below
+              val bGot = CorpusLake.readCorpusAt(spark, dir, branch, None)
+                .as[(Long, String)].collect().toMap
+              val overlay = bdocs ++ delIds.map(_ -> (None: Option[String]))
+              val bWant = modelAt(Long.MaxValue)
+                .view.filterKeys(!overlay.contains(_)).toMap ++
+                overlay.collect { case (k, Some(t)) => k -> t }
+              assert(bGot == bWant, s"seed $seed step $step: branch mismatch")
+              val vM = CorpusLake.mergeBranch(spark, branch)
+              committed += vM -> overlay
+              nextEpoch = math.max(nextEpoch, vM + 1)
+              CorpusLake.dropBranch(spark, branch)
+            }
         }
         checkHead(s"step $step (op $op)")
+        // the follower must keep serving the primary's visible set AS OF
+        // its cursor, whatever the primary did since
+        if (replicaAt != Long.MinValue) {
+          val rGot = CorpusLake.readCorpusAt(spark, dir, replica, None)
+            .as[(Long, String)].collect().toMap
+          assert(rGot == modelAt(replicaAt),
+            s"seed $seed step $step: replica mismatch at $replicaAt")
+        }
         // a random committed version at-or-above the floor: time travel
         if (step % 3 == 0) {
           val vs = committed.keys.filter(_ >= floor).toSeq.sorted
