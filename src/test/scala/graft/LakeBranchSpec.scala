@@ -218,6 +218,39 @@ class LakeBranchSpec extends SparkSpec {
       .select($"name").as[String].collect().toSeq == Seq("r2"))
   }
 
+  test("branch: evolved carry columns ride merge and replication intact") {
+    import spark.implicits._
+    val parent = mkParent()
+    val root = parent.stripSuffix("/parent")
+    val (branch, replica) = (s"$root/evo", s"$root/replica")
+    CorpusLake.createBranch(spark, dir, parent, branch, "evo")
+    // the branch commits an epoch with an EVOLVED metadata column
+    Seq((6000001L, "evolved doc body", 1L, "crawl-7"))
+      .toDF("doc_id", "text", "epoch", "source")
+      .write.mode("append").parquet(s"$branch/docs")
+    commitTo(branch, 1L)
+    assert(CorpusLake.readCorpusAt(spark, dir, branch)
+      .filter($"doc_id" === 6000001L).select($"source").as[String].head()
+      == "crawl-7", "evolved column lost on the branch read")
+    // merge: the evolved column lands in the parent epoch
+    CorpusLake.mergeBranch(spark, branch)
+    assert(CorpusLake.readCorpusAt(spark, dir, parent)
+      .filter($"doc_id" === 6000001L).select($"source").as[String].head()
+      == "crawl-7", "evolved column lost in the merge")
+    // replication: the column rides the CDC feed to the follower
+    CorpusLake.replicateLake(spark, dir, parent, replica)
+    assert(CorpusLake.readCorpusAt(spark, dir, replica)
+      .filter($"doc_id" === 6000001L).select($"source").as[String].head()
+      == "crawl-7", "evolved column lost through replication")
+    // pre-evolution docs serve null there, on every surface
+    assert(CorpusLake.readCorpusAt(spark, dir, replica)
+      .filter($"doc_id" === 3L).select($"source").isEmpty ||
+      CorpusLake.readCorpusAt(spark, dir, replica)
+        .filter($"doc_id" === 3L).select($"source")
+        .as[Option[String]].head().isEmpty,
+      "pre-evolution doc must serve null for the evolved column")
+  }
+
   test("branch: DESCRIBE BRANCHES lists live branches and drop removes them") {
     import spark.implicits._
     val parent = mkParent()
