@@ -882,14 +882,19 @@ object CorpusLake {
     * the branch lived, so for every doc the branch touched, the branch's
     * view wins; docs it never touched keep the parent's state. Cost is
     * O(branch-local rows) — the parent's data is never read or
-    * rewritten. The branch survives the merge (serving its own history)
-    * until [[dropBranch]]. Returns the parent version committed, or -1
+    * rewritten. Pass the PARENT's maintenance dir to keep its dedup
+    * index whole: the merged live docs' bucket rows land at the merge
+    * epoch, so post-merge admission on the parent flags near-dups of
+    * merged content. The branch survives the merge (serving its own
+    * history) until [[dropBranch]]. Returns the parent version committed, or -1
     * when the branch committed nothing (nothing to merge). */
-  def mergeBranch(spark: SparkSession, branchDir: String): Long = {
+  def mergeBranch(spark: SparkSession, branchDir: String,
+      maintDir: Option[String] = None): Long = {
     val (parent, base, _) = parentOf(spark, branchDir).getOrElse(
       throw new IllegalArgumentException(
         s"$branchDir is not a branch (no branch_parent pointer)"))
-    commitNetEffect(spark, branchNetEffect(spark, branchDir, base), parent)
+    commitNetEffect(spark, branchNetEffect(spark, branchDir, base), parent,
+      maintDir)
   }
 
   /** The branch's net effect: each touched doc's branch-latest committed
@@ -907,7 +912,7 @@ object CorpusLake {
     * [[rebaseBranch]] write half). Returns the committed version, or -1
     * on an empty frame. */
   private def commitNetEffect(spark: SparkSession, local: DataFrame,
-      targetDir: String): Long = {
+      targetDir: String, maintDir: Option[String] = None): Long = {
     import spark.implicits._
     if (local.limit(1).count() == 0) return -1L
     val v = nextLakeVersion(spark, targetDir)
@@ -915,6 +920,19 @@ object CorpusLake {
     val n = local.count()
     local.drop("epoch").withColumn("epoch", lit(v))
       .write.mode("append").parquet(liveTarget(spark, targetDir, "docs"))
+    // keep the target's dedup index whole across a merge: the merged
+    // live docs' bucket rows land at the merge epoch (data-first, like
+    // the stream's own bucket append), so post-merge admission flags
+    // near-dups of merged content; merged tombstones write nothing —
+    // their stale buckets die at the exact verify, the documented trade
+    maintDir.foreach { m =>
+      Dedup.bucketRows(Dedup.signRows(
+          local.filter(!col("_deleted"))
+            .select(col("doc_id"), col("text"))))
+        .withColumn("epoch", lit(v))
+        .write.mode("append").parquet(
+          Similarity.appendTarget(spark, s"$m/buckets"))
+    }
     // batch_id = -1: outside the stream's id space, same as deleteDocs
     Seq((v, 0L, n - nDel, 0L, 0L, 0L, -1L, nDel))
       .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
@@ -937,13 +955,14 @@ object CorpusLake {
     * version space is its own, so lake-fed cursors do NOT carry over).
     * Returns the new base version. */
   def rebaseBranch(spark: SparkSession, dir: String, branchDir: String,
-      newBranchDir: String, newName: String): Long = {
+      newBranchDir: String, newName: String,
+      maintDir: Option[String] = None): Long = {
     val (parent, base, _) = parentOf(spark, branchDir).getOrElse(
       throw new IllegalArgumentException(
         s"$branchDir is not a branch (no branch_parent pointer)"))
     val newBase = createBranch(spark, dir, parent, newBranchDir, newName)
     commitNetEffect(spark,
-      branchNetEffect(spark, branchDir, base), newBranchDir)
+      branchNetEffect(spark, branchDir, base), newBranchDir, maintDir)
     newBase
   }
 

@@ -296,4 +296,103 @@ class PlatformSpec extends SparkSpec {
       s"post-delete admission verdicts: $log")
     Caches.releaseAll()
   }
+
+  test("experiment loop composes: branch ablation, merge with index upkeep, replica + view convergence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-platform-branch").toString
+    val (dedupIdx, parent, pMaint) = (s"$tmp/dedup", s"$tmp/parent", s"$tmp/pm")
+    val (branch, bMaint, view, replica) =
+      (s"$tmp/exp", s"$tmp/bm", s"$tmp/view", s"$tmp/replica")
+    CorpusLake.initCorpus(spark, dir, dedupIdx)
+    graft.operators.LakeView.createView(spark, dir, view,
+      dims = Seq("bucket" -> "CAST(doc_id % 5 AS INT)"),
+      measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
+
+    val pool = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok")).distinct()
+      .orderBy($"tok").as[String].collect()
+    def cycled(stride: Int): String =
+      (0 until 40).map(i => pool((i * stride) % pool.length)).mkString(" ")
+    val (docA, docB, docC) = (cycled(1), cycled(5), cycled(9))
+    def nearDup(t: String) =
+      (t.split(" ").dropRight(1) :+ "changed").mkString(" ")
+    def served(corpus: String): Seq[(Long, String)] =
+      CorpusLake.readCorpusAt(spark, dir, corpus)
+        .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sorted
+
+    // mainline ingest keeps the declared view live at commit cadence
+    val inP = MemoryStream[(Long, String)]
+    val qP = CorpusLake.maintainCorpusStream(
+        inP.toDF().toDF("doc_id", "text"), spark, dir, dedupIdx, parent,
+        pMaint, viewDirs = Seq(view))
+      .start()
+    try {
+      inP.addData((7100001L, docA), (7100002L, docB))
+      qP.processAllAvailable()
+    } finally qP.stop()
+
+    // the experiment branch: admission on the branch knows the SHARED
+    // history (near-dup of docA rejected) but admits fresh content
+    CorpusLake.createBranch(spark, dir, parent, branch, "abl")
+    val inB = MemoryStream[(Long, String)]
+    val qB = CorpusLake.maintainCorpusStream(
+        inB.toDF().toDF("doc_id", "text"), spark, dir, dedupIdx, branch,
+        bMaint, sharedBucketDirs = Seq(s"$pMaint/buckets"))
+      .start()
+    try {
+      inB.addData((7100005L, docC), (7100006L, nearDup(docA)))
+      qB.processAllAvailable()
+    } finally qB.stop()
+    val bLog = CorpusLake.admissionLog(spark, branch)
+      .filter($"doc_id" >= 7100005L)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(bLog == Map(7100005L -> Curate.Admitted,
+      7100006L -> Curate.Duplicate), s"branch admission: $bLog")
+    assert(!served(parent).exists(_._1 == 7100005L),
+      "branch content leaked into the parent before the merge")
+
+    // merge with parent index upkeep; consumers converge
+    val vM = CorpusLake.mergeBranch(spark, branch, Some(pMaint))
+    assert(served(parent).exists(r => r._1 == 7100005L && r._2 == docC),
+      "merged doc missing from the parent head")
+    graft.operators.LakeView.refreshViewFromLake(spark, dir, parent, view)
+    val viewGot = graft.operators.LakeView.readView(spark, view)
+      .orderBy($"bucket").collect().map(_.toSeq).toSeq
+    val viewWant = CorpusLake.readCorpusAt(spark, dir, parent)
+      .select(org.apache.spark.sql.functions
+          .expr("CAST(doc_id % 5 AS INT)").as("bucket"),
+        org.apache.spark.sql.functions
+          .expr("CAST(length(text) AS BIGINT)").as("chars"))
+      .groupBy($"bucket")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+        org.apache.spark.sql.functions.sum($"chars").as("chars"))
+      .orderBy($"bucket").collect().map(_.toSeq).toSeq
+    assert(viewGot == viewWant, "view diverged from the post-merge head")
+    assert(CorpusLake.replicateLake(spark, dir, parent, replica)
+      .exists(_._2 == vM))
+    assert(served(replica) == served(parent),
+      "replica diverged from the post-merge parent")
+
+    // post-merge admission on the PARENT now flags near-dups of the
+    // MERGED content — the bucket rows landed with the merge epoch
+    val flagged = graft.operators.Dedup.dedupArrivalsFromSaved(spark, dir,
+        Seq((9100001L, docC)).toDF("doc_id", "text"), dedupIdx,
+        Some(s"$pMaint/buckets"),
+        Some(CorpusLake.readCorpusAt(spark, dir, parent)))
+      .select($"arriving_id", $"existing_id").as[(Long, Long)]
+      .collect().toSet
+    assert(flagged.contains((9100001L, 7100005L)),
+      s"copy of merged content not flagged on the parent: $flagged")
+
+    // the experiment is disposable: drop changes nothing downstream
+    CorpusLake.dropBranch(spark, branch)
+    assert(served(parent).exists(_._1 == 7100005L))
+    assert(served(replica) == served(parent))
+    Caches.releaseAll()
+  }
 }
