@@ -2551,7 +2551,9 @@ object CorpusLake {
     * one manifest count per leg — poll-cheap like [[lakeStats]]. */
   def refreshLag(spark: SparkSession, corpusDir: String,
       maintDir: Option[String] = None,
-      profDir: Option[String] = None): DataFrame = {
+      profDir: Option[String] = None,
+      viewDirs: Seq[String] = Nil,
+      replicaDirs: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val man = manifest(spark, corpusDir)
     val head = man.agg(max($"version")).as[Option[Long]].head().getOrElse(-1L)
@@ -2560,11 +2562,15 @@ object CorpusLake {
       if (!graft.sources.Formats.pathExists(spark, p)) Long.MinValue
       else spark.read.parquet(p).agg(max($"last_version")).as[Long].head()
     }
+    def leaf(d: String): String = d.split('/').filter(_.nonEmpty).last
     val legs =
       maintDir.toSeq.flatMap(m => Seq(
         "postings" -> cursor(m, "lake_cursor"),
         "dense" -> cursor(m, "dense_lake_cursor"))) ++
-      profDir.toSeq.map(p => "profile" -> cursor(p, "cursor"))
+      profDir.toSeq.map(p => "profile" -> cursor(p, "cursor")) ++
+      viewDirs.map(v => s"view:${leaf(v)}" -> cursor(v, "cursor")) ++
+      replicaDirs.map(r =>
+        s"replica:${leaf(r)}" -> cursor(r, "replica_cursor"))
     legs.map { case (name, c) =>
       val lag = man.filter($"version" > c).count()
       (name, if (c == Long.MinValue) -1L else c, head, lag)

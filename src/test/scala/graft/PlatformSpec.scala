@@ -393,6 +393,17 @@ class PlatformSpec extends SparkSpec {
     CorpusLake.dropBranch(spark, branch)
     assert(served(parent).exists(_._1 == 7100005L))
     assert(served(replica) == served(parent))
+
+    // freshness DESCRIBE names every consumer kind: view and replica are
+    // both at the post-merge head, lag zero
+    val lag = CorpusLake.refreshLag(spark, parent,
+        viewDirs = Seq(view), replicaDirs = Seq(replica))
+      .select($"consumer", $"cursor_version", $"lag_commits")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(lag == Map("view:view" -> ((vM, 0L)),
+      "replica:replica" -> ((vM, 0L))),
+      s"freshness DESCRIBE wrong for view/replica: $lag")
     Caches.releaseAll()
   }
 }
