@@ -198,7 +198,22 @@ object LakeView {
     * folded-through watermark, summed per group; groups whose every
     * total cancelled to zero are dropped (a recompute never lists them).
     * O(groups·versions) in, O(groups) out. */
-  def readView(spark: SparkSession, viewDir: String): DataFrame = {
+  def readView(spark: SparkSession, viewDir: String): DataFrame =
+    readViewUpTo(spark, viewDir, None)
+
+  /** View time travel — the view AS OF lake version `version`: fold only
+    * the delta rows at or below it. Versions the compaction already
+    * folded into the base are REFUSED (their per-version deltas are
+    * gone — serving the head-shaped base as if it were history would be
+    * silently wrong, the same contract as the lake's retention floor);
+    * a version below the first consumed window serves the base-corpus
+    * aggregate, which IS the view's state before any lake commit. */
+  def readViewAt(spark: SparkSession, viewDir: String,
+      version: Long): DataFrame =
+    readViewUpTo(spark, viewDir, Some(version))
+
+  private def readViewUpTo(spark: SparkSession, viewDir: String,
+      version: Option[Long]): DataFrame = {
     import spark.implicits._
     val (dims, measures) = viewSpec(spark, viewDir)
     val dimCols = dims.map(d => col(d._1))
@@ -209,13 +224,19 @@ object LakeView {
         (base.drop("_folded_to"),
           base.agg(max(col("_folded_to"))).as[Long].head())
       else (base, Long.MinValue)
+    version.foreach(v => require(v >= foldedTo,
+      s"view history at $v was folded into the base (folded through " +
+        s"$foldedTo) — compaction collapses per-version deltas; pin a " +
+        "version >= the fold watermark"))
     val deltaPath = Similarity.resolveArtifact(spark, viewDir, "delta")
     val rows =
       if (!graft.sources.Formats.pathExists(spark, deltaPath)) baseRows
       else baseRows.unionByName(
         spark.read.parquet(deltaPath)
           .dropDuplicates(dims.map(_._1) :+ "version")
-          .filter(col("version") > foldedTo).drop("version"))
+          .filter(col("version") > foldedTo &&
+            version.fold(lit(true))(v => col("version") <= v))
+          .drop("version"))
     val zeroed = (col("n_docs") === 0) +:
       measures.map(m => col(m._1) === 0)
     rows.groupBy(dimCols: _*)

@@ -52,9 +52,10 @@ class LakeViewSpec extends SparkSpec {
     .select(col("bucket"), col("n_docs"), col("chars"), col("toks"))
     .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
 
-  /** The ground truth: the view recomputed over the lake head. */
-  private def recompute(corpus: String) = rows(
-    CorpusLake.readCorpusAt(spark, dir, corpus)
+  /** The ground truth: the view recomputed over a pinned lake snapshot
+    * (the head when None). */
+  private def recompute(corpus: String, version: Option[Long] = None) = rows(
+    CorpusLake.readCorpusAt(spark, dir, corpus, version)
       .select(expr(dims.head._2).as("bucket"),
         expr(measures(0)._2).as("chars"), expr(measures(1)._2).as("toks"))
       .groupBy(col("bucket"))
@@ -115,6 +116,13 @@ class LakeViewSpec extends SparkSpec {
     assert(rows(LakeView.readView(spark, vSplit)) == truth,
       "replayed window double-counted")
 
+    // view time travel: each lake version's view state matches the
+    // pinned-snapshot recompute (vAll still has every per-version delta)
+    for (v <- Seq(0L, 1L, 2L))
+      assert(rows(LakeView.readViewAt(spark, vAll, v))
+        == recompute(corpus, Some(v)),
+        s"view time travel diverged at version $v")
+
     // compaction folds without changing the serve
     LakeView.compactView(spark, vSplit)
     assert(rows(LakeView.readView(spark, vSplit)) == truth,
@@ -122,6 +130,12 @@ class LakeViewSpec extends SparkSpec {
     // deltas are gone from the additive store (folded into the base)
     assert(spark.read.parquet(s"$vSplit/delta").count() == 0L,
       "compaction left folded deltas behind")
+    // folded history refuses; the fold watermark itself still serves
+    intercept[IllegalArgumentException] {
+      LakeView.readViewAt(spark, vSplit, 1L)
+    }
+    assert(rows(LakeView.readViewAt(spark, vSplit, 2L)) == truth,
+      "fold-watermark version must still serve")
   }
 
   test("lake view: the maintenance stream keeps a declared view live") {
