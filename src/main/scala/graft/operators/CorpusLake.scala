@@ -724,6 +724,14 @@ object CorpusLake {
     * correctness dependency). */
   private def prunedDocsFiles(spark: SparkSession, corpusDir: String,
       idLo: Long, idHi: Long,
+      version: Option[Long]): (Seq[String], Long) =
+    prunedDocsFilesRuns(spark, corpusDir, Seq(idLo -> idHi), version)
+
+  /** The run-list generalization: a file is a candidate when its zone
+    * overlaps ANY of the requested id runs (sorted, disjoint). O(files ·
+    * runs) driver-side interval tests over file-count-sized metadata. */
+  private def prunedDocsFilesRuns(spark: SparkSession, corpusDir: String,
+      runs: Seq[(Long, Long)],
       version: Option[Long]): (Seq[String], Long) = {
     import spark.implicits._
     val live = docsDataFiles(spark, corpusDir)
@@ -738,7 +746,8 @@ object CorpusLake {
       zones.get(f) match {
         case None => true // post-collect append: no zone, always read
         case Some((_, mn, mx, mnEp)) =>
-          mx >= idLo && mn <= idHi && version.forall(mnEp <= _)
+          version.forall(mnEp <= _) &&
+            runs.exists { case (lo, hi) => mx >= lo && mn <= hi }
       }
     }
     (cand, live.size.toLong)
@@ -781,25 +790,71 @@ object CorpusLake {
     * parent's, capped at the branch point (the overlay contract of
     * [[admittedRaw]], pruned). */
   private def prunedRawChain(spark: SparkSession, corpusDir: String,
-      idLo: Long, idHi: Long, version: Option[Long]): DataFrame = {
-    val inRange = col("doc_id").between(idLo, idHi)
-    val (files, _) = prunedDocsFiles(spark, corpusDir, idLo, idHi, version)
+      idLo: Long, idHi: Long, version: Option[Long]): DataFrame =
+    prunedRawChainRuns(spark, corpusDir, Seq(idLo -> idHi),
+      col("doc_id").between(idLo, idHi), version)
+
+  /** Run-list chain read: ONE scan per chain level over the union of
+    * candidate files, the id predicate pushed into it. */
+  private def prunedRawChainRuns(spark: SparkSession, corpusDir: String,
+      runs: Seq[(Long, Long)], idPred: org.apache.spark.sql.Column,
+      version: Option[Long]): DataFrame = {
+    val (files, _) = prunedDocsFilesRuns(spark, corpusDir, runs, version)
     val local =
       if (files.isEmpty)
         spark.range(0).select(col("id").as("doc_id"),
           lit("").as("text"), lit(0L).as("epoch")).limit(0)
       else spark.read.option("mergeSchema", "true")
-        .parquet(files: _*).filter(inRange)
+        .parquet(files: _*).filter(idPred)
         .dropDuplicates("doc_id", "epoch")
     parentOf(spark, corpusDir) match {
       case None => local
       case Some((parent, base, _)) =>
         local.unionByName(
-          prunedRawChain(spark, parent, idLo, idHi,
+          prunedRawChainRuns(spark, parent, runs, idPred,
             Some(version.fold(base)(math.min(_, base))))
             .filter(col("epoch") <= base),
           allowMissingColumns = true)
     }
+  }
+
+  /** Point lookups for a SCATTERED id set through the zone maps: the
+    * candidate files are those whose zone overlaps ANY requested id (one
+    * driver-side interval test per (file, id-run) over file-count-sized
+    * metadata — ids are coalesced into runs first), then the standard
+    * committed/LWW/tombstone resolve runs over just those files with the
+    * id-set filter pushed to the scans. Row-identical to
+    * `readCorpusAt(...).filter(doc_id isin ids)` by the same per-doc LWW
+    * argument as the range read. The id list is a driver literal — this
+    * is the serving-lookup API (a handful to a few thousand ids), not a
+    * join; for relation-sized id sets use `readCorpusAt` + a semi-join. */
+  def readCorpusForIds(spark: SparkSession, dir: String, corpusDir: String,
+      ids: Seq[Long], version: Option[Long] = None): DataFrame = {
+    require(ids.nonEmpty, "empty id set")
+    require(ids.size <= 100000,
+      s"${ids.size} ids: the id-list lookup is for serving-sized sets — " +
+        "use readCorpusAt with a semi-join for relation-sized sets")
+    version.foreach { v =>
+      val floor = retentionFloor(spark, corpusDir)
+      require(v >= floor,
+        s"version $v predates the retention floor $floor: vacuumCorpus " +
+          "collapsed that history (pin a version >= the floor)")
+    }
+    // coalesce sorted ids into contiguous runs so the zone test is
+    // O(files · runs), and the per-file union of runs stays small
+    val sorted = ids.distinct.sorted
+    val runs = sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, id) if id == hi + 1 => (lo, id) :: tail
+      case (acc, id) => (id, id) :: acc
+    }.reverse
+    val inSet = col("doc_id").isin(sorted: _*)
+    val raw = prunedRawChainRuns(spark, corpusDir, runs, inSet, version)
+    val admitted = resolveLatestAdmitted(
+      committedOnly(raw, manifest(spark, corpusDir), version))
+    serveSnapshot(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("text")).filter(inSet),
+      admitted)
   }
 
   /** Observability twin of the prune decision: (files a range read would

@@ -141,6 +141,27 @@ class LakeSkippingSpec extends SparkSpec {
       s"re-collected stats pruned nothing: $cand2 of $total2")
   }
 
+  test("data skipping: scattered-id lookup is row-identical and prunes") {
+    val corpus = buildLake()
+    CorpusLake.optimizeCorpusVersioned(spark, corpus, targetRowsPerFile = 32L)
+    CorpusLake.collectFileStats(spark, corpus)
+    // scattered points + a contiguous run, crossing updates/deletes
+    val ids = Seq(3L, 4L, 5L, 42L, 101L, 260L, 433L, 900000L)
+    val full = served(CorpusLake.readCorpusAt(spark, dir, corpus)
+      .filter(col("doc_id").isin(ids: _*)))
+    val got = served(CorpusLake.readCorpusForIds(spark, dir, corpus, ids))
+    assert(got == full, "id-set lookup diverged from the full read")
+    assert(full.nonEmpty, "vacuous id set")
+    // and at a pinned version
+    val fullV0 = served(CorpusLake.readCorpusAt(spark, dir, corpus, Some(0L))
+      .filter(col("doc_id").isin(ids: _*)))
+    assert(served(CorpusLake.readCorpusForIds(spark, dir, corpus, ids,
+      Some(0L))) == fullV0, "pinned id-set lookup diverged")
+    intercept[IllegalArgumentException] {
+      CorpusLake.readCorpusForIds(spark, dir, corpus, Nil)
+    }
+  }
+
   test("data skipping: incremental collect scans only the file delta") {
     import spark.implicits._
     val corpus = buildLake()
