@@ -2578,6 +2578,22 @@ object CorpusLake {
         }
       }.sum
     }
+    // session-3 surfaces, all KB-scale artifact reads: zone-map coverage
+    // (profiled vs live files — a gap says a collect is due), branch
+    // facts (is this dir a branch; how many live branches hold pins on
+    // it), and the replication cursor when this dir is a follower
+    val zoneFiles = {
+      val p = Similarity.resolveArtifact(spark, corpusDir, "file_stats")
+      if (!graft.sources.Formats.pathExists(spark, p)) -1L
+      else spark.read.parquet(p).count()
+    }
+    val branchBase = parentOf(spark, corpusDir).map(_._2)
+    val liveBranches = branches(spark, corpusDir).count()
+    val replicaCursor = {
+      val p = Similarity.resolveArtifact(spark, corpusDir, "replica_cursor")
+      if (!graft.sources.Formats.pathExists(spark, p)) -1L
+      else spark.read.parquet(p).agg(max($"last_version")).as[Long].head()
+    }
     Seq(
       ("committed_epochs", committedN),
       ("committed_head", head.getOrElse(-1L)),
@@ -2591,7 +2607,11 @@ object CorpusLake {
       ("store_generation", math.max(docsGen, decGen)),
       ("manifest_files", manFiles),
       ("manifest_generation", manGen),
-      ("stale_generation_dirs", staleGens)
+      ("stale_generation_dirs", staleGens),
+      ("zone_mapped_files", zoneFiles),
+      ("is_branch_of_version", branchBase.getOrElse(-1L)),
+      ("live_branches", liveBranches),
+      ("replica_cursor", replicaCursor)
     ).toDF("stat", "value")
   }
 

@@ -263,6 +263,12 @@ class LakeBranchSpec extends SparkSpec {
     CorpusLake.dropBranch(spark, s"$root/d1")
     assert(CorpusLake.branches(spark, parent)
       .select($"name").as[String].collect().toSeq == Seq("d2"))
+    // lakeStats carries the branch facts on both sides
+    def stats(d: String) = CorpusLake.lakeStats(spark, d)
+      .as[(String, Long)].collect().toMap
+    assert(stats(parent)("live_branches") == 1L &&
+      stats(parent)("is_branch_of_version") == -1L)
+    assert(stats(s"$root/d2")("is_branch_of_version") == 0L)
   }
 
   test("branch: ingest admission dedups shared history, isolated from post-branch parent commits") {
