@@ -144,6 +144,7 @@ object SparkEntry {
     "corpus_branch_merge"  -> (CorpusLake.branchMergeTwin _),
     "corpus_view"          -> (graft.operators.LakeView.viewTwin _),
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
+    "corpus_card"          -> (Curate.datasetCard _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2299,6 +2300,30 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 7 != 4
         |ORDER BY doc_id""".stripMargin,
+
+    // dataset card — the datasheet a corpus release ships: volume totals,
+    // language mix, quality-band histogram, as exact long-form integers;
+    // DuckDB recomputes every metric directly from the documents table
+    "corpus_card" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |    CAST(floor(round(
+        |      0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |      0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |      0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)), 6) * 10) AS INT) AS band,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM (SELECT doc_id, text, lang, string_split(text,' ') AS toks
+        |        FROM documents))
+        |SELECT metric, value FROM (
+        |  SELECT 'docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM q
+        |  UNION ALL SELECT 'tokens', sum(n_toks) FROM q
+        |  UNION ALL SELECT 'chars', sum(n_chars) FROM q
+        |  UNION ALL SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
+        |    FROM q GROUP BY lang
+        |  UNION ALL SELECT 'quality_band:' || CAST(band AS VARCHAR),
+        |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
+        |) ORDER BY metric""".stripMargin,
 
     // continuous lake replication: a follower lake consumes the primary's
     // CDC feed (O(changes) per window, cursor-last crash ordering) and

@@ -250,4 +250,37 @@ object Curate {
         $"n_chunk_tokens", $"first_token", $"last_token")
       .orderBy($"lang", $"doc_id", $"chunk_id")
   }
+
+  /** The dataset CARD — the "datasheet for datasets" summary a corpus
+    * release ships: volume totals (docs/tokens/chars), the language mix,
+    * and the quality-band histogram, as one long-form (metric, value)
+    * frame of exact integers (hash-stable by construction). One narrow
+    * per-doc projection — lang, quality band, token and char counts; text
+    * itself never leaves the scan — feeds three grouped aggregates. At
+    * 100 TB cache the projection (three column-pruned scans otherwise);
+    * every aggregate's output is O(langs + bands), never corpus-sized.
+    * Compose with [[CorpusLake.readCorpusAt]] to card a lake snapshot or
+    * branch instead of the raw fixture table. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val per = TextAnalysis.withQuality(
+        Tables.spread(Tables.documents(spark, dir))
+          .select($"doc_id", $"text", $"lang"))
+      .select($"lang",
+        floor(round($"quality", 6) * 10).cast("int").as("band"),
+        size(tokens($"text")).cast("long").as("n_toks"),
+        length($"text").cast("long").as("n_chars"))
+    val totals = per.agg(
+        count(lit(1)).as("docs"), sum($"n_toks").as("tokens"),
+        sum($"n_chars").as("chars"),
+        countDistinct($"lang").as("langs"))
+      .selectExpr("stack(4, 'docs', docs, 'tokens', tokens, " +
+        "'chars', chars, 'langs', langs) as (metric, value)")
+    val byLang = per.groupBy($"lang").agg(count(lit(1)).as("value"))
+      .select(concat(lit("lang:"), $"lang").as("metric"), $"value")
+    val byBand = per.groupBy($"band").agg(count(lit(1)).as("value"))
+      .select(concat(lit("quality_band:"), $"band".cast("string"))
+        .as("metric"), $"value")
+    totals.unionByName(byLang).unionByName(byBand).orderBy($"metric")
+  }
 }
