@@ -169,7 +169,7 @@ object SparkEntry {
         |ORDER BY fx_marker""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  CAST(sum(l_quantity) AS DOUBLE) / count(*) AS avg_qty,
@@ -594,7 +594,7 @@ object SparkEntry {
         |g1 AS (SELECT dim, round(2*0.5*avg((0.0 - y)*x), 6) AS s FROM u GROUP BY dim),
         |w1 AS (SELECT dim, round(0.0 - s, 6) AS w FROM g1),
         |p2 AS (
-        |  SELECT u.vec_id, sum(w1.w * u.x) AS pred
+        |  SELECT u.vec_id, CAST(sum(w1.w * u.x) AS DOUBLE) AS pred
         |  FROM u JOIN w1 USING (dim) GROUP BY u.vec_id),
         |g2 AS (
         |  SELECT u.dim, round(2*0.5*avg((p2.pred - u.y)*u.x), 6) AS s
@@ -1532,7 +1532,7 @@ object SparkEntry {
     // physical (shuffle-shape) transformation
     "q_salted_agg" ->
       """SELECT l_returnflag,
-        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  count(*) AS n_items
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -1758,7 +1758,7 @@ object SparkEntry {
     "q_salted_join" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_items,
-        |  sum(l_quantity) AS sum_qty
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -1907,7 +1907,7 @@ object SparkEntry {
       """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
         |w AS (SELECT source, n_s,
         |        (CAST(substr(source, 4) AS BIGINT) % 4) + 1 AS wt FROM c),
-        |t AS (SELECT sum(n_s) AS n_total, sum(wt) AS w_total FROM w),
+        |t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total, CAST(sum(wt) AS BIGINT) AS w_total FROM w),
         |r AS (SELECT source,
         |        least(1000000, (1000000 * wt * n_total) // (w_total * n_s)) AS threshold
         |      FROM w, t)
@@ -2316,8 +2316,8 @@ object SparkEntry {
         |        FROM documents))
         |SELECT metric, value FROM (
         |  SELECT 'docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM q
-        |  UNION ALL SELECT 'tokens', sum(n_toks) FROM q
-        |  UNION ALL SELECT 'chars', sum(n_chars) FROM q
+        |  UNION ALL SELECT 'tokens', CAST(sum(n_toks) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'chars', CAST(sum(n_chars) AS BIGINT) FROM q
         |  UNION ALL SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM q
         |  UNION ALL SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
         |    FROM q GROUP BY lang
@@ -2354,8 +2354,8 @@ object SparkEntry {
         |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2)
         |SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  sum(CAST(length(text) AS BIGINT)) AS chars,
-        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS toks
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS toks
         |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment
@@ -2370,7 +2370,7 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),1,15)) AS BIGINT) AS h
         |  FROM documents)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-        |  sum(n_toks) AS n_tokens, sum(nc) AS n_chars,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
         |  bit_xor(h) AS checksum
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
@@ -2390,7 +2390,7 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),1,15)) AS BIGINT) AS h
         |  FROM v2)
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-        |  sum(n_toks) AS n_tokens, sum(nc) AS n_chars,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
         |  bit_xor(h) AS checksum
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
 
@@ -3179,8 +3179,8 @@ object SparkEntry {
     // test in the same 10^6 space as pipeline_mixture
     "pipeline_temperature" ->
       """WITH d AS (SELECT doc_id, lang, len(string_split(text,' ')) AS nt FROM documents),
-        |l AS (SELECT lang, sum(nt) AS tok_l FROM d GROUP BY lang),
-        |t AS (SELECT sum(tok_l) AS tok_total, sum(sqrt(tok_l)) AS z FROM l),
+        |l AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS tok_l FROM d GROUP BY lang),
+        |t AS (SELECT CAST(sum(tok_l) AS BIGINT) AS tok_total, CAST(sum(sqrt(tok_l)) AS DOUBLE) AS z FROM l),
         |r AS (SELECT lang, least(1000000,
         |        CAST(round(1000000 * tok_total * sqrt(tok_l) / (2 * z * tok_l)) AS BIGINT)) AS threshold
         |      FROM l, t)
@@ -3201,7 +3201,7 @@ object SparkEntry {
         |    FROM toks)),
         |tgt AS (SELECT b, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY b),
         |raw AS (SELECT b, count(*) AS cr FROM grams GROUP BY b),
-        |totals AS (SELECT sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS t, count(*) AS r FROM grams),
+        |totals AS (SELECT CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS t, count(*) AS r FROM grams),
         |scored AS (
         |  SELECT doc_id,
         |    ln((coalesce(ct, 0) + 0.5) / (t + 0.5 * 1024)) - ln((cr + 0.5) / (r + 0.5 * 1024)) AS lw
@@ -3228,7 +3228,7 @@ object SparkEntry {
         |  WHERE w != '' GROUP BY w),
         |p1 AS (
         |  SELECT l, r, cnt FROM (
-        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |    SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |      SELECT freq, p.l AS l, p.r AS r FROM (
         |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r0))
         |    WHERE l != r GROUP BY l, r)
@@ -3241,7 +3241,7 @@ object SparkEntry {
         |  FROM r0, p1),
         |p2 AS (
         |  SELECT l, r, cnt FROM (
-        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |    SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |      SELECT freq, p.l AS l, p.r AS r FROM (
         |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r1))
         |    WHERE l != r GROUP BY l, r)
@@ -3254,7 +3254,7 @@ object SparkEntry {
         |  FROM r1, p2),
         |p3 AS (
         |  SELECT l, r, cnt FROM (
-        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |    SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |      SELECT freq, p.l AS l, p.r AS r FROM (
         |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r2))
         |    WHERE l != r GROUP BY l, r)
@@ -3267,7 +3267,7 @@ object SparkEntry {
         |  FROM r2, p3),
         |p4 AS (
         |  SELECT l, r, cnt FROM (
-        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |    SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |      SELECT freq, p.l AS l, p.r AS r FROM (
         |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r3))
         |    WHERE l != r GROUP BY l, r)
@@ -3280,7 +3280,7 @@ object SparkEntry {
         |  FROM r3, p4),
         |p5 AS (
         |  SELECT l, r, cnt FROM (
-        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |    SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |      SELECT freq, p.l AS l, p.r AS r FROM (
         |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r4))
         |    WHERE l != r GROUP BY l, r)
@@ -3293,7 +3293,7 @@ object SparkEntry {
         |  FROM r4, p5),
         |p6 AS (
         |  SELECT l, r, cnt FROM (
-        |    SELECT l, r, sum(freq) AS cnt FROM (
+        |    SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
         |      SELECT freq, p.l AS l, p.r AS r FROM (
         |        SELECT freq, unnest([{'l': s[i], 'r': s[i+1]} for i in range(1, len(s))]) AS p FROM r5))
         |    WHERE l != r GROUP BY l, r)

@@ -446,6 +446,7 @@ object CorpusLake {
     import spark.implicits._
     require(ids.columns.contains("doc_id"),
       s"deleteDocs needs a doc_id column, got ${ids.columns.mkString(", ")}")
+    requireNotFollower(spark, corpusDir, "deleteDocs")
     val victims = ids.select(col("doc_id")).distinct().localCheckpoint()
     val n = victims.count()
     require(n > 0, "deleteDocs: empty id set (nothing to delete)")
@@ -962,13 +963,38 @@ object CorpusLake {
       manifest(spark, branchDir), None))
       .filter(col("epoch") > base)
 
+  /** Refuse a LOCAL write into a replication follower. A lake holding a
+    * `replica_cursor` artifact is a [[replicateLake]] destination: any
+    * epoch a local writer commits would be silently LWW-stomped by the
+    * next replication window (the follower re-applies the primary's
+    * changes at a fresh, higher epoch) — data loss with no error. Turn
+    * the misconfiguration into the lake's standard loud refusal, matching
+    * the cursor-floor and schema-guard refusals. Promote a follower to a
+    * writable primary by deleting the cursor artifact (after stopping
+    * replication) — the refusal message says so. */
+  private def requireNotFollower(spark: SparkSession, corpusDir: String,
+      op: String): Unit = {
+    val cPath = Similarity.resolveArtifact(spark, corpusDir,
+      "replica_cursor")
+    require(!graft.sources.Formats.pathExists(spark, cPath),
+      s"$op refused: $corpusDir is a replication FOLLOWER " +
+        "(replica_cursor present). Local writes would be LWW-stomped by " +
+        "the next replicateLake window — write to the primary instead, " +
+        "or stop replication and delete the replica_cursor artifact to " +
+        "promote this lake")
+  }
+
   /** Commit a net-effect frame into a lake as ONE epoch through the
     * data-first/manifest-last protocol (the [[mergeBranch]] /
     * [[rebaseBranch]] write half). Returns the committed version, or -1
-    * on an empty frame. */
+    * on an empty frame. `allowFollower` is the [[replicateLake]]-only
+    * bypass — the replicator is the ONE sanctioned follower writer. */
   private def commitNetEffect(spark: SparkSession, local: DataFrame,
-      targetDir: String, maintDir: Option[String] = None): Long = {
+      targetDir: String, maintDir: Option[String] = None,
+      allowFollower: Boolean = false): Long = {
     import spark.implicits._
+    if (!allowFollower)
+      requireNotFollower(spark, targetDir, "commit (merge/rebase)")
     if (local.limit(1).count() == 0) return -1L
     val v = nextLakeVersion(spark, targetDir)
     val nDel = local.filter(col("_deleted")).count()
@@ -1072,7 +1098,7 @@ object CorpusLake {
           Seq(col("doc_id"), col("text"),
             (col("change_type") === "delete").as("_deleted"),
             col("version").as("epoch")) ++ extras.map(col): _*)
-        commitNetEffect(spark, net, dstCorpusDir)
+        commitNetEffect(spark, net, dstCorpusDir, allowFollower = true)
         Seq(h).toDF("last_version").write.mode("overwrite")
           .parquet(s"$dstCorpusDir/replica_cursor_compacting")
         Similarity.swapArtifact(spark, dstCorpusDir, "replica_cursor")
@@ -1213,6 +1239,9 @@ object CorpusLake {
         s"deleteCol '$dc' is not a column of the stream " +
           s"(${docStream.columns.mkString(", ")})")
     }
+    // fail at wiring time when the target is already a follower (the
+    // per-batch check below covers a cursor that appears mid-stream)
+    requireNotFollower(spark, corpusDir, "maintainCorpusStream")
     var commitsSinceOptimize = 0L
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
@@ -1221,6 +1250,11 @@ object CorpusLake {
     docStream.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // follower refusal — per batch, not just at wiring: a
+        // replicateLake window pointed at this dir AFTER the stream
+        // started would otherwise LWW-stomp every epoch this stream
+        // commits from here on. One FS stat per batch buys the loud stop.
+        requireNotFollower(spark, corpusDir, s"ingest stream batch $batchId")
         // replay fast path / collision guard, keyed on the STREAM's batch
         // id (recorded per manifest row), not on the lake version — the
         // version space is the lake's own ([[nextLakeVersion]]: deletes

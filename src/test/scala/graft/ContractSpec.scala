@@ -62,6 +62,49 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("oracleSql: output-position sum/list_sum carries an explicit CAST or round") {
+    // DuckDB widens sum() over integer types to HUGEINT (int128); the
+    // driver's hasher is type-sensitive, so a bare output-position sum in
+    // an oracle ships hash-red even when every value matches (round 13:
+    // corpus_card, corpus_view, corpus_run_shards, corpus_run_shards_delta
+    // — all added AFTER the local 126/126 check, which a local DuckDB can
+    // mask). Statically reject the pattern: any `sum(`/`list_sum(` whose
+    // result lands in an output position (next token after its matching
+    // close paren is `,`, AS, FROM, UNION, GROUP, ORDER, or end) must sit
+    // inside an enclosing CAST(...) or round(...) — the two conventions
+    // every green oracle already follows. Comparison/arithmetic positions
+    // (e.g. `sum(x) > 0`) are exempt: they don't surface the widened type.
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      OracleLint.bareWideningAggregates(sql).map(f => s"$name: …$f…")
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} oracle aggregate(s) would HUGEINT-widen under DuckDB — " +
+        s"wrap in CAST(... AS BIGINT/DOUBLE):\n" + bad.mkString("\n"))
+    // the lint has teeth: deliberately-bare fixtures must be flagged …
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT sum(x) AS s FROM t").nonEmpty, "bare sum AS must flag")
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT a, sum(x), b FROM t").nonEmpty, "bare sum before comma must flag")
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT list_sum([y for y in v]) FROM t").nonEmpty, "bare list_sum must flag")
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT 'k', sum(n) FROM q UNION ALL SELECT 'j', 1").nonEmpty,
+      "bare sum before UNION must flag")
+    // … and the sanctioned shapes must pass
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT CAST(sum(x) AS BIGINT) AS s FROM t").isEmpty, "CAST-wrapped is fine")
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT round(sum(x) / count(*), 6) AS s FROM t").isEmpty, "round-wrapped is fine")
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT CAST(coalesce(sum(x), 0) AS BIGINT) AS s FROM t").isEmpty,
+      "CAST through an intermediate function is fine")
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT CASE WHEN sum(x) > 0 THEN 1 ELSE 0 END AS s FROM t").isEmpty,
+      "comparison position is exempt")
+    assert(OracleLint.bareWideningAggregates(
+      "SELECT 'sum(x) AS s' AS lit FROM t").isEmpty, "string literals are ignored")
+  }
+
   test("bench JSON line fits the harness's retained-output window in the worst case") {
     // the harness keeps only the last 2000 chars of bench stdout (measured
     // across BENCH_r01..r07 tails; sbt's trailing success line consumes
@@ -110,5 +153,93 @@ class ContractSpec extends SparkSpec {
     // catastrophic all-fail: errors block capped, counter present
     val c = Bench.benchLine(nulls, allErrors, 0.0, "sf")
     assert(c.contains("\"errors_omitted\":"), "all-fail errors block must cap")
+  }
+}
+
+/** Static lint over DuckDB oracle SQL: finds `sum(`/`list_sum(` occurrences
+  * whose widened result (DuckDB sum(BIGINT) → HUGEINT) would reach an output
+  * column untamed. Heuristic, not a parser — tuned to the repo's oracle
+  * conventions (see ContractSpec's "oracleSql: output-position sum" test). */
+object OracleLint {
+  private val AggToken = "(?i)\\b(list_sum|sum)\\s*\\(".r
+
+  /** Fragments around each violating aggregate (empty = clean). */
+  def bareWideningAggregates(sql: String): Seq[String] = {
+    val s = blankStringLiterals(sql)
+    AggToken.findAllMatchIn(s).flatMap { m =>
+      val openAt = s.indexOf('(', m.start)
+      if (enclosedByCastOrRound(s, m.start)) None
+      else {
+        val closeAt = matchingClose(s, openAt)
+        if (closeAt < 0) None // malformed; other tests will catch it
+        else {
+          val rest = s.drop(closeAt + 1).dropWhile(_.isWhitespace)
+          val outputPos = rest.isEmpty || rest.startsWith(",") ||
+            Seq("AS ", "AS\n", "FROM", "UNION", "GROUP", "ORDER")
+              .exists(k => rest.toUpperCase.startsWith(k))
+          if (outputPos)
+            Some(sql.slice(math.max(0, m.start - 10), math.min(sql.length, closeAt + 12))
+              .replaceAll("\\s+", " "))
+          else None
+        }
+      }
+    }.toSeq
+  }
+
+  /** True if any unmatched `(` to the left of pos is a CAST( or round( —
+    * i.e. the aggregate sits inside a CAST/round call at some level, which
+    * pins the surfaced type regardless of DuckDB's internal widening. */
+  private def enclosedByCastOrRound(s: String, pos: Int): Boolean = {
+    var depth = 0
+    var i = pos - 1
+    while (i >= 0) {
+      s.charAt(i) match {
+        case ')' => depth += 1
+        case '(' =>
+          if (depth > 0) depth -= 1
+          else {
+            val ident = identBefore(s, i)
+            if (ident == "cast" || ident == "round") return true
+          }
+        case _ =>
+      }
+      i -= 1
+    }
+    false
+  }
+
+  private def identBefore(s: String, parenAt: Int): String = {
+    var j = parenAt - 1
+    while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+    val end = j
+    while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+    s.slice(j + 1, end + 1).toLowerCase
+  }
+
+  private def matchingClose(s: String, openAt: Int): Int = {
+    var depth = 0
+    var i = openAt
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Replace single-quoted literal contents with spaces (keeps offsets). */
+  private def blankStringLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    var inLit = false
+    while (i < out.length) {
+      if (out(i) == '\'') inLit = !inLit
+      else if (inLit) out(i) = ' '
+      i += 1
+    }
+    new String(out)
   }
 }

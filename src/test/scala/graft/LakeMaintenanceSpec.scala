@@ -716,4 +716,62 @@ class LakeMaintenanceSpec extends SparkSpec {
       .contains((Long.MinValue, 1L)))
     assert(served(dst) == served(src), "cursor-loss replay diverged")
   }
+
+  test("follower refusal: local writers into a replica fail loudly; " +
+      "replication and promotion still work") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat}
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-replica-refusal").toString
+    val (src, dst) = (s"$root/primary", s"$root/replica")
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    def commit(v: Long): Unit =
+      Seq((v, 0L, 0L, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$src/manifest")
+    docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", $"text", lit(0L).as("epoch"))
+      .write.mode("append").parquet(s"$src/docs")
+    commit(0L)
+    assert(CorpusLake.replicateLake(spark, dir, src, dst).nonEmpty)
+
+    // a lake holding a replica_cursor refuses every LOCAL write path —
+    // the next replication window would silently LWW-stomp such an epoch
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusLake.deleteDocs(spark, dst, Seq(1L).toDF("doc_id"))
+    }
+    assert(e1.getMessage.contains("FOLLOWER"), s"deleteDocs: ${e1.getMessage}")
+    val in = MemoryStream[(Long, String)]
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusLake.maintainCorpusStream(in.toDF().toDF("doc_id", "text"),
+        spark, dir, s"$root/idx", dst, s"$root/maint")
+    }
+    assert(e2.getMessage.contains("FOLLOWER"), s"stream wiring: ${e2.getMessage}")
+    CorpusLake.createBranch(spark, dir, dst, s"$root/branch", "b")
+    val e3 = intercept[IllegalArgumentException] {
+      CorpusLake.mergeBranch(spark, s"$root/branch")
+    }
+    assert(e3.getMessage.contains("FOLLOWER"), s"mergeBranch: ${e3.getMessage}")
+
+    // the ONE sanctioned follower writer — replication itself — still runs
+    docs.filter($"doc_id" % 10 === 3)
+      .select($"doc_id", concat($"text", lit(" u")).as("text"),
+        lit(1L).as("epoch"))
+      .write.mode("append").parquet(s"$src/docs")
+    commit(1L)
+    assert(CorpusLake.replicateLake(spark, dir, src, dst).nonEmpty,
+      "refusal guard must not block replicateLake itself")
+
+    // promotion: stop replication, drop the cursor → local writes resume
+    val fs = new org.apache.hadoop.fs.Path(s"$dst/replica_cursor")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dst/replica_cursor"), true)
+    CorpusLake.deleteDocs(spark, dst, Seq(1L).toDF("doc_id"))
+    assert(CorpusLake.readCorpusAt(spark, dir, dst)
+      .filter(col("doc_id") === 1L).isEmpty,
+      "promoted follower must accept and serve the delete")
+  }
 }

@@ -189,6 +189,16 @@ class LakeModelSpec extends SparkSpec {
             else if (CorpusLake.replicateLake(spark, dir, corpus, replica)
                 .isDefined)
               replicaAt = head
+            // once the cursor exists the follower is read-only: a local
+            // write interleaved anywhere must refuse loudly (it would be
+            // LWW-stomped by the next window otherwise) and must leave
+            // the replica byte-untouched — the per-step replica check
+            // below re-verifies it still serves modelAt(replicaAt)
+            if (replicaAt != Long.MinValue)
+              intercept[IllegalArgumentException] {
+                CorpusLake.deleteDocs(spark, replica,
+                  Seq(5000000L).toDF("doc_id"))
+              }
           case 17 => // branch lifecycle composite: create at head, commit
             // an epoch + a takedown on the branch (parent must not move),
             // merge back (LWW net effect as one parent epoch), drop
