@@ -544,6 +544,61 @@ object ScaleProbe {
           }
           (bytes(branch), bytes(parent))
         }),
+        // branch-DEPTH economics: zone reads and pruningStats walk the
+        // parent chain once per ancestor (one pointer read + one zone test
+        // per level) — the cost model must be LINEAR in depth, not
+        // quadratic (each level must never re-walk its own ancestry). A
+        // depth-4 chain with identical per-level churn: C = candidate
+        // files a fixed range read opens at the depth-4 leaf, O = the
+        // same at depth 1; linear additivity means C ≈ O + 3·(per-level
+        // candidates). Per-depth detail (files + millis) goes to stderr
+        // for the SCALING.md table.
+        ("corpus_branch_depth", nDocs, () => {
+          import graft.operators.CorpusLake
+          val root = java.nio.file.Files
+            .createTempDirectory("probe-branch-depth").toString
+          val docs = graft.sources.Tables.spread(
+              graft.sources.Tables.documents(spark, dir))
+            .select(col("doc_id"), col("text"))
+          val parent = s"$root/d0"
+          docs.select(col("doc_id"), col("text"), lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$parent/docs")
+          Seq((0L, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$parent/manifest")
+          CorpusLake.optimizeCorpusVersioned(spark, parent,
+            targetRowsPerFile = 512L)
+          CorpusLake.collectFileStats(spark, parent)
+          var cur = parent
+          for (d <- 1 to 4) {
+            val b = s"$root/d$d"
+            CorpusLake.createBranch(spark, dir, cur, b, s"d$d")
+            val v = CorpusLake.nextLakeVersion(spark, b)
+            docs.filter(col("doc_id") % 100 === d)
+              .select(col("doc_id"),
+                org.apache.spark.sql.functions.concat(col("text"),
+                  org.apache.spark.sql.functions.lit(s" b$d")).as("text"),
+                lit(v).as("epoch"))
+              .write.mode("append").parquet(s"$b/docs")
+            Seq((v, 0L, 0L, 0L, 0L, 0L))
+              .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+                "n_contaminated", "n_low_quality")
+              .write.mode("append").parquet(s"$b/manifest")
+            CorpusLake.collectFileStats(spark, b)
+            cur = b
+          }
+          val perDepth = (1 to 4).map { d =>
+            val leaf = s"$root/d$d"
+            val t0 = System.nanoTime()
+            val (cand, total) = CorpusLake.pruningStats(spark, leaf,
+              100L, 120L)
+            val ms = (System.nanoTime() - t0) / 1000000L
+            System.err.println(s"""[scaleprobe] {"probe":"corpus_branch_depth","sf":"$dir","depth":$d,"cand":$cand,"total":$total,"millis":$ms}""")
+            cand
+          }
+          (perDepth.last, perDepth.head)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

@@ -143,8 +143,10 @@ object SparkEntry {
     "corpus_branch"        -> (CorpusLake.branchTwin _),
     "corpus_branch_merge"  -> (CorpusLake.branchMergeTwin _),
     "corpus_view"          -> (graft.operators.LakeView.viewTwin _),
+    "corpus_view_minmax"   -> (graft.operators.LakeView.viewMinMaxTwin _),
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "corpus_card"          -> (Curate.datasetCard _),
+    "corpus_card_lake"     -> (Curate.cardLakeTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2325,6 +2327,38 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
         |) ORDER BY metric""".stripMargin,
 
+    // the datasheet of a LAKE HEAD rather than the raw fixture: the same
+    // card metrics computed over the delete-lifecycle lake's visible set
+    // (LWW updates, takedowns, re-admissions folded), language joined
+    // from the base table by id — pins the release path against the
+    // store it really describes
+    "corpus_card_lake" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2),
+        |q AS (SELECT doc_id, lang,
+        |    CAST(floor(round(
+        |      0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |      0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |      0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)), 6) * 10) AS INT) AS band,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM (SELECT doc_id, text, lang, string_split(text,' ') AS toks
+        |        FROM v))
+        |SELECT metric, value FROM (
+        |  SELECT 'docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM q
+        |  UNION ALL SELECT 'tokens', CAST(sum(n_toks) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'chars', CAST(sum(n_chars) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
+        |    FROM q GROUP BY lang
+        |  UNION ALL SELECT 'quality_band:' || CAST(band AS VARCHAR),
+        |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
+        |) ORDER BY metric""".stripMargin,
+
     // continuous lake replication: a follower lake consumes the primary's
     // CDC feed (O(changes) per window, cursor-last crash ordering) and
     // converges to its visible corpus — upserts as LWW rows, takedowns
@@ -2356,6 +2390,26 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
         |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS toks
+        |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // the NON-ADDITIVE view: min/max measures maintained incrementally —
+    // monotone folds on insert-only windows, per-group re-aggregates for
+    // retraction-touched groups (the delete epoch vacates extremes the
+    // signed algebra cannot retract) — with a mid-stream compaction fold;
+    // DuckDB recomputes min/max directly from the final visible set
+    "corpus_view_minmax" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2)
+        |SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
+        |  CAST(min(CAST(length(text) AS BIGINT)) AS BIGINT) AS min_chars,
+        |  CAST(max(CAST(length(text) AS BIGINT)) AS BIGINT) AS max_chars,
+        |  CAST(max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS max_toks
         |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment

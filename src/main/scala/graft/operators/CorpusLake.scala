@@ -237,10 +237,29 @@ object CorpusLake {
     import spark.implicits._
     if (flipped.isEmpty) return
     val cur = flipped.toMap
+    // per-store flip instant: reclaim's drain window must measure from
+    // the flip that SUPERSEDED a generation, not from the old dir's own
+    // last write (the flip never touches the old dir, so an idle store
+    // would otherwise be reclaimable the instant it is superseded).
+    // Carried forward for stores not flipped this pass; a legacy pointer
+    // without the column re-stamps them `now` — conservative, it only
+    // delays their reclaim by one drain window.
+    val now = System.currentTimeMillis()
+    val prevAt: Map[String, Long] = {
+      val p = Similarity.resolveArtifact(spark, corpusDir, "store_head")
+      if (!graft.sources.Formats.pathExists(spark, p)) Map.empty
+      else {
+        val df = spark.read.parquet(p)
+        if (!df.columns.contains("flipped_at")) Map.empty
+        else df.select(col("store"), col("flipped_at"))
+          .as[(String, Long)].collect().toMap
+      }
+    }
     Seq("docs", "decisions", "manifest")
-      .map(n => n -> cur.getOrElse(n, storeGen(spark, corpusDir, n)))
+      .map(n => (n, cur.getOrElse(n, storeGen(spark, corpusDir, n)),
+        if (cur.contains(n)) now else prevAt.getOrElse(n, now)))
       .filter(_._2 > 0)
-      .toDF("store", "gen")
+      .toDF("store", "gen", "flipped_at")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$corpusDir/store_head_compacting")
     Similarity.swapArtifact(spark, corpusDir, "store_head")
@@ -251,21 +270,48 @@ object CorpusLake {
     * k < the current pointer generation. Run it where vacuum runs — after
     * the operator's in-flight-scan drain window — never inline with the
     * flip. `minAgeMs` makes the drain window ENFORCEABLE rather than
-    * honor-system: a superseded dir is only deleted once its newest file
-    * is at least that old (i.e. the flip that superseded it happened at
-    * least a full scan-lifetime ago); 0 keeps the explicit-schedule
-    * behavior. Returns the number of directories deleted. */
+    * honor-system: a superseded dir is only deleted once the FLIP that
+    * superseded it is at least that old (the flip instant is stamped
+    * into the `store_head` row — the old dir itself is never touched by
+    * a flip, so its own mtimes say nothing about when it stopped being
+    * the head) AND the dir's own newest file is at least that old (a
+    * late append that raced the flip still buys its drain window); 0
+    * keeps the explicit-schedule behavior. Returns the number of
+    * directories deleted. */
   def reclaimStoreGenerations(spark: SparkSession, corpusDir: String,
       minAgeMs: Long = 0L): Long = {
+    import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(corpusDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val now = System.currentTimeMillis()
-    def oldEnough(p: org.apache.hadoop.fs.Path): Boolean =
+    lazy val flipAt: Map[String, Long] = {
+      val p = Similarity.resolveArtifact(spark, corpusDir, "store_head")
+      if (!graft.sources.Formats.pathExists(spark, p)) Map.empty
+      else {
+        val df = spark.read.parquet(p)
+        if (df.columns.contains("flipped_at"))
+          df.select(col("store"), col("flipped_at"))
+            .as[(String, Long)].collect().toMap
+        else {
+          // legacy pointer rows carry no flip instant: the pointer
+          // artifact's own newest write time IS the last flip
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val it = fs.listFiles(hp, true)
+          var newest = fs.getFileStatus(hp).getModificationTime
+          while (it.hasNext)
+            newest = math.max(newest, it.next().getModificationTime)
+          Seq("docs", "decisions", "manifest").map(_ -> newest).toMap
+        }
+      }
+    }
+    def oldEnough(store: String, p: org.apache.hadoop.fs.Path): Boolean =
       minAgeMs <= 0L || {
         val it = fs.listFiles(p, true)
         var newest = fs.getFileStatus(p).getModificationTime
         while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
-        now - newest >= minAgeMs
+        // unknown flip instant (no head row for a store at gen > 0 cannot
+        // happen, but refuse rather than guess if it does)
+        now - math.max(newest, flipAt.getOrElse(store, Long.MaxValue)) >= minAgeMs
       }
     var reclaimed = 0L
     for (name <- Seq("docs", "decisions", "manifest")) {
@@ -275,7 +321,9 @@ object CorpusLake {
           (0L until cur).map(g =>
             new org.apache.hadoop.fs.Path(s"$corpusDir/${name}_gen_$g"))
         stale.foreach { p =>
-          if (fs.exists(p) && oldEnough(p)) { fs.delete(p, true); reclaimed += 1 }
+          if (fs.exists(p) && oldEnough(name, p)) {
+            fs.delete(p, true); reclaimed += 1
+          }
         }
       }
     }
@@ -2112,7 +2160,28 @@ object CorpusLake {
       catch { case _: java.io.FileNotFoundException => None }
     val stale = st.forall(s =>
       System.currentTimeMillis() - s.getModificationTime > ttlMs)
-    stale && { fs.delete(p, false); tryCreate() }
+    stale && {
+      // two LIVE contenders can both observe the same stale lease; without
+      // re-validation contender B would execute its already-decided delete
+      // on A's FRESH lease and both would return true. Two narrowings:
+      // re-stat immediately before the delete (abort if the lease changed
+      // since the staleness check), and re-READ after the create (catch a
+      // takeover that landed between our create and now). The residual
+      // window is one filesystem round-trip — the documented advisory
+      // bound, same class as the zombie-holder caveat.
+      val cur = try Some(fs.getFileStatus(p))
+        catch { case _: java.io.FileNotFoundException => None }
+      val unchanged = (st, cur) match {
+        case (Some(a), Some(b)) =>
+          a.getModificationTime == b.getModificationTime
+        case (None, None) => true
+        case _ => false
+      }
+      unchanged &&
+        (try { fs.delete(p, false); true }
+         catch { case _: java.io.IOException => false }) &&
+        tryCreate() && heldWriterLease(spark, corpusDir, owner)
+    }
   }
 
   /** True iff `owner` currently holds the lease — the pre-commit
@@ -2124,9 +2193,15 @@ object CorpusLake {
     try {
       val in = fs.open(p)
       try {
+        // read to EOF: Hadoop streams may return fewer bytes than
+        // available, and a truncated owner tag would make a VALID holder
+        // see false — safe pre-commit, but releaseWriterLease would then
+        // skip its delete and leak the lease until TTL takeover
+        val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](4096)
-        val n = in.read(buf)
-        n > 0 && new String(buf, 0, n, "UTF-8") == owner
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.size() > 0 && new String(out.toByteArray, "UTF-8") == owner
       } finally in.close()
     } catch { case _: java.io.IOException => false }
   }

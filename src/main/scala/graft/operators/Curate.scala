@@ -261,11 +261,41 @@ object Curate {
     * every aggregate's output is O(langs + bands), never corpus-sized.
     * Compose with [[CorpusLake.readCorpusAt]] to card a lake snapshot or
     * branch instead of the raw fixture table. */
-  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    cardOf(spark, Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"), col("lang")))
+
+  /** [[datasetCard]] over a LAKE snapshot — the store a release datasheet
+    * really describes: the visible set at `version` (head when None),
+    * branch-aware through [[CorpusLake.readCorpusAt]]. The lake serves
+    * (doc_id, text); language comes from the base table by id (one
+    * equi-join, carding is a batch reporting job), `und` (BCP-47
+    * undetermined) for lake-born docs the base never saw. */
+  def datasetCardLake(spark: SparkSession, dir: String, corpusDir: String,
+      version: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val per = TextAnalysis.withQuality(
-        Tables.spread(Tables.documents(spark, dir))
-          .select($"doc_id", $"text", $"lang"))
+    val visible = CorpusLake.readCorpusAt(spark, dir, corpusDir, version)
+    val docs =
+      if (visible.columns.contains("lang"))
+        visible.select($"doc_id", $"text", $"lang")
+      else visible.select($"doc_id", $"text")
+        .join(Tables.spread(Tables.documents(spark, dir))
+          .select($"doc_id", $"lang"), Seq("doc_id"), "left")
+        .select($"doc_id", $"text",
+          coalesce($"lang", lit("und")).as("lang"))
+    cardOf(spark, docs)
+  }
+
+  /** The oracled lake-card twin: the datasheet of the delete-lifecycle
+    * lake's HEAD — LWW updates, takedowns, and re-admissions all folded —
+    * so the release path is pinned against the store it really runs on,
+    * not just the raw fixture table. */
+  def cardLakeTwin(spark: SparkSession, dir: String): DataFrame =
+    datasetCardLake(spark, dir, CorpusLake.deleteLake(spark, dir))
+
+  private def cardOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val per = TextAnalysis.withQuality(docs)
       .select($"lang",
         floor(round($"quality", 6) * 10).cast("int").as("band"),
         size(tokens($"text")).cast("long").as("n_toks"),

@@ -50,16 +50,22 @@ object LakeView {
 
   /** Declare + materialize a view: validate the expressions, store the
     * spec, and compute the base-corpus aggregate as the starting state.
-    * Dimensions group; measures are summed; `n_docs` (the group's doc
-    * count) is implicit. Expressions may reference `doc_id` and `text`
-    * only — the retraction algebra reconstructs previous document states
-    * as (doc_id, prev_text), which is exactly what makes maintenance
-    * O(changes). */
+    * Dimensions group; `measures` are summed; `n_docs` (the group's doc
+    * count) is implicit. `minMeasures`/`maxMeasures` declare NON-ADDITIVE
+    * extremes: maintained monotonically (least/greatest) while a window
+    * only inserts, re-aggregated per retraction-touched group when a
+    * delete or LWW update retracts a value that might have attained the
+    * extreme (see [[windowExtRows]] for the cost model). Expressions may
+    * reference `doc_id` and `text` only — the retraction algebra
+    * reconstructs previous document states as (doc_id, prev_text), which
+    * is exactly what makes maintenance O(changes). */
   def createView(spark: SparkSession, dir: String, viewDir: String,
-      dims: Seq[(String, String)], measures: Seq[(String, String)]): Unit = {
+      dims: Seq[(String, String)], measures: Seq[(String, String)],
+      minMeasures: Seq[(String, String)] = Nil,
+      maxMeasures: Seq[(String, String)] = Nil): Unit = {
     import spark.implicits._
     require(dims.nonEmpty, "a view needs at least one dimension")
-    val aliases = (dims ++ measures).map(_._1)
+    val aliases = (dims ++ measures ++ minMeasures ++ maxMeasures).map(_._1)
     require(aliases.distinct.size == aliases.size,
       s"duplicate aliases in ${aliases.mkString(", ")}")
     aliases.foreach(a => require(!Reserved(a) && a.nonEmpty,
@@ -69,34 +75,56 @@ object LakeView {
     // analyze the declaration against the doc schema NOW: a bad
     // expression must fail the create, not the first refresh
     spark.range(0).select(lit(0L).as("doc_id"), lit("").as("text"))
-      .select(exprs(dims ++ measures): _*)
+      .select(exprs(dims ++ measures ++ minMeasures ++ maxMeasures): _*)
     Seq((dims.map(_._1), dims.map(_._2),
-        measures.map(_._1), measures.map(_._2)))
-      .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs")
+        measures.map(_._1), measures.map(_._2),
+        minMeasures.map(_._1), minMeasures.map(_._2),
+        maxMeasures.map(_._1), maxMeasures.map(_._2)))
+      .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
+        "min_names", "min_exprs", "max_names", "max_exprs")
       .coalesce(1).write.mode("errorifexists").parquet(s"$viewDir/spec")
     viewAggOf(Tables.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("text")), dims, measures)
+        .select(col("doc_id"), col("text")), dims, measures,
+        minMeasures, maxMeasures)
       .write.mode("overwrite").parquet(s"$viewDir/base")
   }
 
   /** The stored declaration: (dims, measures) as (alias, expr) pairs. */
   def viewSpec(spark: SparkSession,
       viewDir: String): (Seq[(String, String)], Seq[(String, String)]) = {
+    val (d, m, _, _) = viewSpecFull(spark, viewDir)
+    (d, m)
+  }
+
+  /** The full declaration: (dims, sumMeasures, minMeasures, maxMeasures).
+    * Specs written before extremes existed read back with empty min/max
+    * legs — the columns are absent, not null. */
+  def viewSpecFull(spark: SparkSession, viewDir: String)
+      : (Seq[(String, String)], Seq[(String, String)],
+         Seq[(String, String)], Seq[(String, String)]) = {
     import spark.implicits._
-    val row = spark.read.parquet(s"$viewDir/spec")
-      .select(col("dim_names"), col("dim_exprs"),
-        col("measure_names"), col("measure_exprs"))
-      .as[(Seq[String], Seq[String], Seq[String], Seq[String])].head()
-    (row._1.zip(row._2), row._3.zip(row._4))
+    val raw = spark.read.parquet(s"$viewDir/spec")
+    def leg(names: String, es: String): Seq[(String, String)] =
+      if (!raw.columns.contains(names)) Nil
+      else raw.select(col(names), col(es))
+        .as[(Seq[String], Seq[String])].head() match {
+          case (n, e) => n.zip(e)
+        }
+    (leg("dim_names", "dim_exprs"), leg("measure_names", "measure_exprs"),
+      leg("min_names", "min_exprs"), leg("max_names", "max_exprs"))
   }
 
   /** The view's aggregate over a (doc_id, text) relation. */
   private def viewAggOf(docs: DataFrame, dims: Seq[(String, String)],
-      measures: Seq[(String, String)]): DataFrame =
-    docs.select(exprs(dims ++ measures): _*)
+      measures: Seq[(String, String)],
+      mins: Seq[(String, String)] = Nil,
+      maxs: Seq[(String, String)] = Nil): DataFrame =
+    docs.select(exprs(dims ++ measures ++ mins ++ maxs): _*)
       .groupBy(dims.map(d => col(d._1)): _*)
       .agg(count(lit(1)).as("n_docs"),
-        measures.map(m => sum(col(m._1)).as(m._1)): _*)
+        measures.map(m => sum(col(m._1)).as(m._1)) ++
+        mins.map(m => min(col(m._1)).as(m._1)) ++
+        maxs.map(m => max(col(m._1)).as(m._1)): _*)
 
   /** Signed per-(dims, version) contribution rows. */
   private def signedRows(texts: DataFrame, sign: Int,
@@ -107,14 +135,12 @@ object LakeView {
       .agg((count(lit(1)) * sign).as("n_docs"),
         measures.map(m => (sum(col(m._1)) * sign).as(m._1)): _*)
 
-  /** The signed view deltas of every committed version in (from, head],
-    * in ONE lag-windowed pass over the changed docs' history — the
-    * generalized `windowDeltas`: deterministic per version regardless of
-    * the window split, which is what makes refresh idempotent. */
-  private def windowDeltas(spark: SparkSession, dir: String,
-      corpusDir: String, from: Long, head: Long,
-      dims: Seq[(String, String)],
-      measures: Seq[(String, String)]): DataFrame = {
+  /** The changed docs' committed history over (from, head], one row per
+    * (doc, committed state) with the state it replaced as `prev_text` —
+    * the shared input of the signed sums and the extremes maintenance.
+    * O(changed docs' history), never O(corpus). */
+  private def changedHistory(spark: SparkSession, dir: String,
+      corpusDir: String, from: Long, head: Long): DataFrame = {
     val man = CorpusLake.manifest(spark, corpusDir)
       .filter(col("version") <= head).select(col("version").as("epoch"))
     val committed = CorpusLake.admittedRaw(spark, corpusDir)
@@ -132,10 +158,18 @@ object LakeView {
       .join(changedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"),
         lit(false).as("_del"))
-    val seq = hist.unionByName(baseRows)
+    hist.unionByName(baseRows)
       .withColumn("prev_text", lag(col("text"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch"))))
       .filter(col("epoch") > from)
+  }
+
+  /** The signed view deltas of every committed version in (from, head],
+    * in ONE lag-windowed pass over the changed docs' history — the
+    * generalized `windowDeltas`: deterministic per version regardless of
+    * the window split, which is what makes refresh idempotent. */
+  private def windowDeltas(seq: DataFrame, dims: Seq[(String, String)],
+      measures: Seq[(String, String)]): DataFrame = {
     val plus = signedRows(
       seq.filter(!col("_del"))
         .select(col("doc_id"), col("text"), col("epoch").as("version")),
@@ -152,6 +186,134 @@ object LakeView {
         measures.map(m => sum(col(m._1)).as(m._1)): _*)
   }
 
+  /** Absolute group extremes as served at `upTo` (None = head): the
+    * latest (dims, version) ext row at-or-below it, seeded by the base
+    * aggregate's extremes (version −∞). Post-compaction base rows carry
+    * extremes as of the fold watermark; ext rows at-or-below it are
+    * gone, exactly like sums deltas. */
+  private def extStateAt(spark: SparkSession, viewDir: String,
+      baseRows: DataFrame, foldedTo: Long, dims: Seq[(String, String)],
+      extNames: Seq[String], upTo: Option[Long]): DataFrame = {
+    val dimCols = dims.map(d => col(d._1))
+    val baseExt = baseRows
+      .select(dimCols ++ extNames.map(col) :+
+        lit(Long.MinValue).as("version"): _*)
+    val extPath = Similarity.resolveArtifact(spark, viewDir, "ext")
+    val rows =
+      if (!graft.sources.Formats.pathExists(spark, extPath)) baseExt
+      else baseExt.unionByName(
+        spark.read.parquet(extPath)
+          .dropDuplicates(dims.map(_._1) :+ "version")
+          .filter(col("version") > foldedTo &&
+            upTo.fold(lit(true))(v => col("version") <= v))
+          .select(dimCols ++ extNames.map(col) :+ col("version"): _*))
+    rows.groupBy(dimCols: _*)
+      .agg(max_by(col(extNames.head), col("version")).as(extNames.head),
+        extNames.tail.map(n => max_by(col(n), col("version")).as(n)): _*)
+  }
+
+  /** Per-(group, version) ABSOLUTE extremes for every committed version
+    * in (from, head] — the non-additive half of a refresh window.
+    *
+    * Cost model (the documented min/max trade): a version that only
+    * INSERTS into a group folds monotonically — the new extreme is
+    * least/greatest of the running state and the inserted values, O(that
+    * version's changed docs). A version that RETRACTS from a group (a
+    * delete, or an LWW update replacing a text) may have removed the
+    * value attaining the extreme, which signed algebra cannot undo — so
+    * retraction-touched (group, version) pairs are RE-AGGREGATED from
+    * the lake's visible set at that version: one snapshot scan per
+    * retraction version, map-side filtered to the touched groups
+    * (broadcast semi-join on the dim tuple — the corpus is never
+    * shuffled; the aggregate is sized by the touched groups' rows).
+    * Retractions are rare relative to ingest in a training lake, and
+    * `upTo` bounds any catch-up to operator-sized bites. */
+  private def windowExtRows(spark: SparkSession, dir: String,
+      corpusDir: String, viewDir: String, seq: DataFrame, from: Long,
+      baseRows: DataFrame, foldedTo: Long, dims: Seq[(String, String)],
+      mins: Seq[(String, String)], maxs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val dimNames = dims.map(_._1)
+    val dimCols = dimNames.map(col)
+    val extNames = (mins ++ maxs).map(_._1)
+    def extAgg(df: DataFrame, by: Seq[Column]): DataFrame = {
+      val aggs = mins.map(m => min(col(m._1)).as(m._1)) ++
+        maxs.map(m => max(col(m._1)).as(m._1))
+      df.groupBy(by: _*).agg(aggs.head, aggs.tail: _*)
+    }
+    // inserted values per (group, version)
+    val ins = seq.filter(!col("_del"))
+      .select(exprs(dims ++ mins ++ maxs) :+ col("epoch").as("version"): _*)
+    val insExt = extAgg(ins, dimCols :+ col("version"))
+      .withColumn("_kind", lit("I"))
+    // retraction-touched (group, version) pairs — group membership of the
+    // RETRACTED state (dims evaluated over prev_text)
+    val retracted = seq.filter(col("prev_text").isNotNull)
+      .select(col("doc_id"), col("prev_text").as("text"),
+        col("epoch").as("version"))
+      .select(exprs(dims) :+ col("version"): _*)
+      .select(dimCols :+ col("version"): _*).distinct()
+      .localCheckpoint()
+    // one visible-set re-aggregate per retraction version (bounded by the
+    // window's commit count; upTo keeps catch-ups operator-sized)
+    val retractVersions = retracted.select(col("version"))
+      .distinct().as[Long].collect().sorted
+    val recomputed = retractVersions.map { v =>
+      val touched = retracted.filter(col("version") === v).select(dimCols: _*)
+      val vis = CorpusLake.readCorpusAt(spark, dir, corpusDir, Some(v))
+        .select(exprs(dims ++ mins ++ maxs): _*)
+        .join(broadcast(touched), dimNames, "left_semi")
+      val rec = extAgg(vis, dimCols).withColumn("version", lit(v))
+      // a group whose visible set emptied writes an explicit null-extreme
+      // row: it resets the running state, so a later re-insert starts
+      // fresh instead of resurrecting a vacated extreme
+      val emptied = touched.join(rec, dimNames, "left_anti")
+        .select(dimCols ++
+          extNames.map(n => lit(null).cast(rec.schema(n).dataType).as(n)) :+
+          lit(v).as("version"): _*)
+      rec.unionByName(emptied)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(insExt.limit(0).drop("_kind"))
+      .withColumn("_kind", lit("R"))
+    // a recomputed (group, version) already includes that version's
+    // inserts — its insert row must not also fold in
+    val insOnly = insExt.join(
+      recomputed.select(dimCols :+ col("version"): _*),
+      dimNames :+ "version", "left_anti")
+    // seed: the running state each group entered the window with
+    val seed = extStateAt(spark, viewDir, baseRows, foldedTo, dims,
+        extNames, upTo = Some(from))
+      .join(seq.select(exprs(dims): _*)
+        .unionByName(retracted.select(dimCols: _*)).distinct(),
+        dimNames, "left_semi")
+      .withColumn("version", lit(from)).withColumn("_kind", lit("R"))
+    // fold: per (group, version v), the absolute extreme is the combine
+    // of the latest reset (recompute/seed) at-or-below v with every
+    // insert row after it — associative min/max over a self-join of the
+    // window's touched rows only (tiny), no corpus anywhere
+    val rows = insOnly.unionByName(recomputed).unionByName(seed)
+      .localCheckpoint()
+    val w = Window.partitionBy(dimCols: _*).orderBy(col("version"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val a = rows.withColumn("_reset",
+        coalesce(max(when(col("_kind") === "R", col("version"))).over(w),
+          lit(Long.MinValue)))
+      .select(dimCols ++ Seq(col("version"), col("_reset")): _*).alias("a")
+    val b = rows.alias("b")
+    val joinCond = dimNames.map(n => col(s"a.$n") <=> col(s"b.$n"))
+      .reduce(_ && _) &&
+      col("b.version") <= col("a.version") &&
+      (col("b.version") > col("a._reset") ||
+        (col("b._kind") === "R" && col("b.version") === col("a._reset")))
+    val aggList = mins.map(m => min(col(s"b.${m._1}")).as(m._1)) ++
+      maxs.map(m => max(col(s"b.${m._1}")).as(m._1))
+    a.join(b, joinCond)
+      .groupBy(dimNames.map(n => col(s"a.$n").as(n)) :+
+        col("a.version").as("version"): _*)
+      .agg(aggList.head, aggList.tail: _*)
+      .filter(col("version") > from)
+  }
+
   /** Consume the lake's commits past the cursor into signed delta rows —
     * the profile refresh generalized; same floor-refusal, same
     * cursor-written-LAST crash ordering, same idempotent replay. Returns
@@ -160,7 +322,7 @@ object LakeView {
       corpusDir: String, viewDir: String,
       upTo: Option[Long] = None): Option[(Long, Long)] = {
     import spark.implicits._
-    val (dims, measures) = viewSpec(spark, viewDir)
+    val (dims, measures, mins, maxs) = viewSpecFull(spark, viewDir)
     val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
     val from =
       if (graft.sources.Formats.pathExists(spark, cPath))
@@ -183,15 +345,38 @@ object LakeView {
       .agg(max(col("version"))).as[Option[Long]].head()
     head match {
       case Some(h) =>
-        windowDeltas(spark, dir, corpusDir, from, h, dims, measures)
+        val seq = changedHistory(spark, dir, corpusDir, from, h)
+        windowDeltas(seq, dims, measures)
           .write.mode("append").parquet(
             Similarity.resolveArtifact(spark, viewDir, "delta"))
+        if (mins.nonEmpty || maxs.nonEmpty) {
+          // crash between the two appends replays the window; both legs
+          // are deterministic per version, so the read-side
+          // (dims, version) dedups collapse the duplicates identically
+          val (baseRows, foldedTo) = baseAndWatermark(spark, viewDir)
+          windowExtRows(spark, dir, corpusDir, viewDir, seq, from,
+              baseRows, foldedTo, dims, mins, maxs)
+            .write.mode("append").parquet(
+              Similarity.resolveArtifact(spark, viewDir, "ext"))
+        }
         Seq(h).toDF("last_version")
           .write.mode("overwrite").parquet(s"$viewDir/cursor_compacting")
         Similarity.swapArtifact(spark, viewDir, "cursor")
         Some((from, h))
       case None => None
     }
+  }
+
+  /** The stored base aggregate and its fold watermark (−∞ pre-compaction). */
+  private def baseAndWatermark(spark: SparkSession,
+      viewDir: String): (DataFrame, Long) = {
+    import spark.implicits._
+    val base = spark.read.parquet(
+      Similarity.resolveArtifact(spark, viewDir, "base"))
+    if (base.columns.contains("_folded_to"))
+      (base.drop("_folded_to"),
+        base.agg(max(col("_folded_to"))).as[Long].head())
+    else (base, Long.MinValue)
   }
 
   /** Serve the maintained view: base + deduped signed deltas above the
@@ -214,16 +399,12 @@ object LakeView {
 
   private def readViewUpTo(spark: SparkSession, viewDir: String,
       version: Option[Long]): DataFrame = {
-    import spark.implicits._
-    val (dims, measures) = viewSpec(spark, viewDir)
-    val dimCols = dims.map(d => col(d._1))
-    val base = spark.read.parquet(
-      Similarity.resolveArtifact(spark, viewDir, "base"))
-    val (baseRows, foldedTo) =
-      if (base.columns.contains("_folded_to"))
-        (base.drop("_folded_to"),
-          base.agg(max(col("_folded_to"))).as[Long].head())
-      else (base, Long.MinValue)
+    val (dims, measures, mins, maxs) = viewSpecFull(spark, viewDir)
+    val dimNames = dims.map(_._1)
+    val dimCols = dimNames.map(col)
+    val extNames = (mins ++ maxs).map(_._1)
+    val (baseAll, foldedTo) = baseAndWatermark(spark, viewDir)
+    val baseRows = baseAll.drop(extNames: _*)
     version.foreach(v => require(v >= foldedTo,
       s"view history at $v was folded into the base (folded through " +
         s"$foldedTo) — compaction collapses per-version deltas; pin a " +
@@ -239,10 +420,26 @@ object LakeView {
           .drop("version"))
     val zeroed = (col("n_docs") === 0) +:
       measures.map(m => col(m._1) === 0)
-    rows.groupBy(dimCols: _*)
+    val sums = rows.groupBy(dimCols: _*)
       .agg(sum(col("n_docs")).as("n_docs"),
         measures.map(m => sum(col(m._1)).as(m._1)): _*)
       .filter(!zeroed.reduce(_ && _))
+    if (extNames.isEmpty) sums
+    else {
+      // extremes ride beside the sums: the latest absolute ext row per
+      // group at-or-below the pinned version (group-sized, no corpus) —
+      // null-safe on the dims so a null group keeps its extremes
+      val ext = extStateAt(spark, viewDir, baseAll, foldedTo, dims,
+        extNames, version)
+      val s = sums.alias("s")
+      val e = ext.alias("e")
+      s.join(e,
+          dimNames.map(n => col(s"s.$n") <=> col(s"e.$n")).reduce(_ && _),
+          "left")
+        .select(dimNames.map(n => col(s"s.$n").as(n)) ++
+          (Seq("n_docs") ++ measures.map(_._1)).map(n => col(s"s.$n")) ++
+          extNames.map(n => col(s"e.$n")): _*)
+    }
   }
 
   /** Fold the delta rows into the base under the `_folded_to` watermark —
@@ -256,6 +453,8 @@ object LakeView {
     val head = spark.read.parquet(deltaPath)
       .agg(max(col("version"))).as[Option[Long]].head()
     head.foreach { h =>
+      // readView folds sums AND extremes, so the rewritten base carries
+      // the ext columns the serve path seeds from after the fold
       readView(spark, viewDir)
         .withColumn("_folded_to", lit(h))
         .write.mode("overwrite").parquet(s"$viewDir/base_compacting")
@@ -263,6 +462,12 @@ object LakeView {
       spark.read.parquet(deltaPath).filter(col("version") > h)
         .write.mode("overwrite").parquet(s"$viewDir/delta_compacting")
       Similarity.swapArtifact(spark, viewDir, "delta")
+      val extPath = Similarity.resolveArtifact(spark, viewDir, "ext")
+      if (graft.sources.Formats.pathExists(spark, extPath)) {
+        spark.read.parquet(extPath).filter(col("version") > h)
+          .write.mode("overwrite").parquet(s"$viewDir/ext_compacting")
+        Similarity.swapArtifact(spark, viewDir, "ext")
+      }
     }
   }
 
@@ -273,6 +478,36 @@ object LakeView {
     * with a mid-stream compaction, then served. DuckDB recomputes the
     * aggregate directly from the final visible set — hash equality pins
     * the declarative signed algebra end to end. */
+  /** The non-additive twin: the same delete-lifecycle lake maintained
+    * through a view that declares MIN/MAX measures beside a sum. The
+    * lifecycle exercises every extremes path: the LWW-update epoch
+    * retracts texts (recompute leg), the deleteDocs epoch vacates group
+    * extremes (recompute finds the survivor), the re-admission epoch is
+    * insert-only (monotone fold), and the mid-stream compaction folds
+    * ext rows into the base under the watermark. DuckDB recomputes
+    * min/max directly from the final visible set. */
+  def viewMinMaxTwin(spark: SparkSession, dir: String): DataFrame = {
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-view-minmax|$dir") {
+      val v = java.nio.file.Files
+        .createTempDirectory("graft-lake-view-minmax").toString + "/view"
+      createView(spark, dir, v,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+        minMeasures = Seq(
+          "min_chars" -> "CAST(length(text) AS BIGINT)"),
+        maxMeasures = Seq(
+          "max_chars" -> "CAST(length(text) AS BIGINT)",
+          "max_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
+      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
+      compactView(spark, v)
+      refreshViewFromLake(spark, dir, lake, v)
+      v
+    }
+    readView(spark, viewDir).orderBy(col("bucket"))
+  }
+
   def viewTwin(spark: SparkSession, dir: String): DataFrame = {
     val lake = CorpusLake.deleteLake(spark, dir)
     val viewDir = graft.sources.Caches.memoizedValue[String](spark,

@@ -70,7 +70,12 @@ class ProgressMetricsSink(spark: SparkSession, metricsDir: String)
           "input_rows", "input_rows_per_sec", "processed_rows_per_sec",
           "batch_duration_ms", "state_rows")
         .coalesce(1)
-        .write.mode("append").parquet(s"$metricsDir/batches")
+        // SPOOL, not the compacted store: the listener thread has no
+        // quiesce point, so an append racing compactMetrics' delete→rename
+        // swap of `batches` could recreate the dir mid-swap and corrupt
+        // the whole store. The spool is append-only; compaction drains
+        // exactly the files it listed, readers union + dedup both sides
+        .write.mode("append").parquet(s"$metricsDir/batches_spool")
     } catch {
       case t: Throwable => System.err.println(
         s"[metrics] dropped a progress row (${t.getClass.getSimpleName}: " +
@@ -99,7 +104,6 @@ object StreamMetrics {
     * FIRST write is still in flight and the dir holds no readable
     * footer). */
   def metrics(spark: SparkSession, metricsDir: String): DataFrame = {
-    val p = s"$metricsDir/batches"
     val empty = spark.range(0).select(
       lit("").as("query"), lit("").as("query_id"), lit("").as("run_id"),
       col("id").as("batch_id"), lit(0L).as("wall_millis"),
@@ -107,9 +111,20 @@ object StreamMetrics {
       lit(0.0).as("input_rows_per_sec"),
       lit(0.0).as("processed_rows_per_sec"),
       lit(0L).as("batch_duration_ms"), lit(0L).as("state_rows")).limit(0)
-    if (!graft.sources.Formats.pathExists(spark, p)) empty
-    else try spark.read.parquet(p)
-    catch { case _: org.apache.spark.sql.AnalysisException => empty }
+    def readDir(p: String): Option[DataFrame] =
+      if (!graft.sources.Formats.pathExists(spark, p)) None
+      else try Some(spark.read.parquet(p))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // compacted store ∪ the listener's spool; a row can live in both for
+    // the window between a compaction's swap and its spool drain (or
+    // across a crash between them) — (run_id, batch_id) is unique per
+    // completed batch, so the dedup serves it once either way
+    val parts = readDir(graft.operators.Similarity.resolveArtifact(
+        spark, metricsDir, "batches")).toSeq ++
+      readDir(s"$metricsDir/batches_spool").toSeq
+    parts.reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("run_id", "batch_id"))
+      .getOrElse(empty)
   }
 
   /** Termination rows — (query_id, run_id, wall_millis, failed, error);
@@ -154,20 +169,51 @@ object StreamMetrics {
       .withColumn("failed_runs", coalesce(col("failed_runs"), lit(0L)))
   }
 
-  /** Fold the one-file-per-batch accretion into a single sorted file via
-    * the `_compacting` swap every reader resolves — run it on the same
-    * maintenance cadence as the other append stores. Returns (files
-    * before, files after). */
+  /** Fold the one-file-per-batch spool accretion into the single sorted
+    * `batches` store via the `_compacting` swap — run it on the same
+    * maintenance cadence as the other append stores. Safe beside the
+    * LIVE listener with no quiesce point: the spool files to drain are
+    * listed FIRST, only those exact files are folded and deleted, so an
+    * append landing anywhere during the pass survives to the next one,
+    * and the swap target (`batches`) has exactly one writer — this
+    * compactor. Returns (files before, files after). */
   def compactMetrics(spark: SparkSession, metricsDir: String): (Long, Long) = {
-    val p = graft.operators.Similarity.resolveArtifact(
+    val mainPath = graft.operators.Similarity.resolveArtifact(
       spark, metricsDir, "batches")
-    if (!graft.sources.Formats.pathExists(spark, p)) return (0L, 0L)
-    val before = graft.operators.CorpusLake.dataFileCount(spark, p)
-    spark.read.parquet(p)
+    val spool = new org.apache.hadoop.fs.Path(s"$metricsDir/batches_spool")
+    val fs = spool.getFileSystem(spark.sessionState.newHadoopConf())
+    val spoolFiles: Seq[org.apache.hadoop.fs.Path] =
+      if (!fs.exists(spool)) Nil
+      else {
+        val it = fs.listFiles(spool, true)
+        val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+            b += f.getPath
+        }
+        b.result()
+      }
+    val haveMain = graft.sources.Formats.pathExists(spark, mainPath)
+    if (!haveMain && spoolFiles.isEmpty) return (0L, 0L)
+    val before =
+      (if (haveMain) graft.operators.CorpusLake.dataFileCount(spark, mainPath)
+       else 0L) + spoolFiles.size
+    val parts =
+      (if (haveMain) Seq(spark.read.parquet(mainPath)) else Nil) ++
+      (if (spoolFiles.nonEmpty)
+         Seq(spark.read.parquet(spoolFiles.map(_.toString): _*))
+       else Nil)
+    parts.reduce(_ unionByName _)
+      .dropDuplicates("run_id", "batch_id")
       .repartitionByRange(1, col("query_id"), col("batch_id"))
       .sortWithinPartitions(col("query_id"), col("batch_id"))
       .write.mode("overwrite").parquet(s"$metricsDir/batches_compacting")
     graft.operators.Similarity.swapArtifact(spark, metricsDir, "batches")
+    // drain ONLY what was folded; a crash before this line re-serves the
+    // duplicates through the readers' (run_id, batch_id) dedup
+    spoolFiles.foreach(f => fs.delete(f, false))
     (before,
       graft.operators.CorpusLake.dataFileCount(spark, s"$metricsDir/batches"))
   }

@@ -690,6 +690,34 @@ class CorpusLifecycleSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("corpus lake: the reclaim drain window measures from the FLIP, " +
+      "not the old dir's writes") {
+    import spark.implicits._
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-reclaim-age").toString + "/corpus"
+    Seq((1L, "reclaim age probe", 0L)).toDF("doc_id", "text", "epoch")
+      .write.mode("append").parquet(s"$corpus/docs")
+    Seq((0L, 0L, 1L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$corpus/manifest")
+    // the store goes IDLE for longer than the drain window...
+    Thread.sleep(1600)
+    // ...then a versioned OPTIMIZE supersedes the idle legacy dir NOW.
+    // The flip never touches the old dir, so its newest file predates the
+    // window — but a scan that planned against it may still be draining:
+    // age must be measured from the flip instant, and reclaim must refuse
+    CorpusLake.optimizeCorpusVersioned(spark, corpus,
+      targetRowsPerFile = 1000L)
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus,
+      minAgeMs = 1500L) == 0L,
+      "idle-store generation reclaimed immediately after its flip")
+    Thread.sleep(1600)
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus,
+      minAgeMs = 1500L) >= 1L,
+      "generation not reclaimed after the drain window elapsed")
+  }
+
   test("corpus lake: evolved carry columns survive a vacuum rewrite") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -138,6 +138,89 @@ class LakeViewSpec extends SparkSpec {
       "fold-watermark version must still serve")
   }
 
+  private val minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)")
+  private val maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)")
+
+  private def rowsMM(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("bucket"), col("n_docs"), col("chars"), col("toks"),
+      col("min_chars"), col("max_chars"))
+    .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+
+  private def recomputeMM(corpus: String, version: Option[Long] = None) =
+    rowsMM(CorpusLake.readCorpusAt(spark, dir, corpus, version)
+      .select(expr(dims.head._2).as("bucket"),
+        expr(measures(0)._2).as("len"), expr(measures(1)._2).as("tk"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("chars"),
+        sum(col("tk")).as("toks"), min(col("len")).as("min_chars"),
+        max(col("len")).as("max_chars")))
+
+  test("lake view: min/max measures track retractions, survive compaction " +
+      "and time travel") {
+    val corpus = mkLake()
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-mm").toString + "/view"
+    LakeView.createView(spark, dir, v, dims, measures,
+      minMeasures, maxMeasures)
+    // per-version consumption with a compaction mid-stream — the fold
+    // boundary must be invisible to the extremes exactly as to the sums
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v,
+      upTo = Some(0L)).isDefined)
+    assert(rowsMM(LakeView.readView(spark, v))
+      == recomputeMM(corpus, Some(0L)), "minmax diverged after the update epoch")
+    LakeView.compactView(spark, v)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    val truth = recomputeMM(corpus)
+    assert(rowsMM(LakeView.readView(spark, v)) == truth,
+      "minmax view diverged from the recompute after delete + re-admission")
+    // crash replay: lose the cursor, re-consume — (dims, version) dedup
+    // must collapse the replayed ext rows too
+    val fs = new org.apache.hadoop.fs.Path(s"$v/cursor")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$v/cursor"), true)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    assert(rowsMM(LakeView.readView(spark, v)) == truth,
+      "replayed minmax window corrupted the extremes")
+    // time travel at the post-fold versions
+    for (ver <- Seq(1L, 2L))
+      assert(rowsMM(LakeView.readViewAt(spark, v, ver))
+        == recomputeMM(corpus, Some(ver)),
+        s"minmax time travel diverged at version $ver")
+  }
+
+  test("lake view: deleting the doc that attains a group extreme " +
+      "re-aggregates to the survivor") {
+    import spark.implicits._
+    // the vacated-extreme case signed algebra cannot express: find
+    // bucket 0's longest doc, delete exactly it, and the served max must
+    // drop to the second-longest — not keep serving the vacated value
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-view-vacate").toString + "/corpus"
+    val b0 = baseDocs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", length($"text").cast("long").as("len"))
+      .orderBy($"len".desc, $"doc_id").as[(Long, Long)].collect()
+    val (maxDoc, maxLen) = b0.head
+    assert(b0(1)._2 <= maxLen)
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-vacate-v").toString + "/view"
+    LakeView.createView(spark, dir, v, dims, measures,
+      minMeasures, maxMeasures)
+    CorpusLake.deleteDocs(spark, corpus, Seq(maxDoc).toDF("doc_id"))
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    val served = LakeView.readView(spark, v)
+      .filter(col("bucket") === 0).select(col("max_chars"))
+      .as[Long].head()
+    val survivor = baseDocs.filter($"doc_id" % 5 === 0 &&
+        $"doc_id" =!= maxDoc)
+      .agg(max(length($"text").cast("long"))).as[Long].head()
+    assert(served == survivor,
+      s"served max $served != survivor max $survivor after deleting " +
+        s"the attainer (len $maxLen)")
+    // non-vacuous unless the two longest docs tie
+    if (survivor < maxLen)
+      assert(served < maxLen, "vacated extreme kept serving")
+  }
+
   test("lake view: the maintenance stream keeps a declared view live") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

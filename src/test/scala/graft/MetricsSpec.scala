@@ -120,4 +120,34 @@ class MetricsSpec extends SparkSpec {
         s"summary missing the failure decoration: $row")
     } finally StreamMetrics.detach(spark, l)
   }
+
+  test("stream metrics: spool compaction neither loses racing appends " +
+      "nor double-serves drained rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-metrics-spool").toString
+    def spoolRow(runId: String, batchId: Long): Unit =
+      Seq(("q", "qid", runId, batchId, 1000L + batchId, 1L,
+          Option(1.0), Option(1.0), 5L, 0L))
+        .toDF("query", "query_id", "run_id", "batch_id", "wall_millis",
+          "input_rows", "input_rows_per_sec", "processed_rows_per_sec",
+          "batch_duration_ms", "state_rows")
+        .coalesce(1).write.mode("append").parquet(s"$dir/batches_spool")
+    def served() = StreamMetrics.metrics(spark, dir).count()
+    spoolRow("r1", 0L); spoolRow("r1", 1L)
+    assert(served() == 2L, "spool rows must serve before any compaction")
+    val (b1, a1) = StreamMetrics.compactMetrics(spark, dir)
+    assert(b1 == 2L && a1 == 1L, s"fold: $b1 -> $a1")
+    assert(served() == 2L)
+    // crash between the swap and the spool drain leaves a row in BOTH
+    // stores — the (run_id, batch_id) dedup must serve it once
+    spoolRow("r1", 1L)
+    assert(served() == 2L, "duplicated drained row double-served")
+    // an append landing after the drain listing (the live listener with
+    // no quiesce point) must survive to the next pass
+    spoolRow("r1", 2L)
+    assert(served() == 3L, "racing append lost")
+    val (_, a2) = StreamMetrics.compactMetrics(spark, dir)
+    assert(a2 == 1L && served() == 3L,
+      "second pass must fold the stragglers without changing the content")
+  }
 }
