@@ -255,19 +255,35 @@ object LakeView {
       .select(dimCols :+ col("version"): _*).distinct()
       .localCheckpoint()
     // one visible-set re-aggregate per retraction version (bounded by the
-    // window's commit count; upTo keeps catch-ups operator-sized)
+    // window's commit count; upTo keeps catch-ups operator-sized). A
+    // BOOTSTRAP refresh (cursor −∞) over a vacuumed lake can see
+    // collapsed-history retractions BELOW the retention floor, whose
+    // exact snapshots are gone — clamp the recompute to the floor: the
+    // served head stays exact (the last retraction's recompute governs),
+    // per-version ext rows below the floor are as-of-floor
+    // approximations, the same degraded-history contract the floor
+    // already imposes on every time-travel read
+    val snapFloor = CorpusLake.retentionFloor(spark, corpusDir)
     val retractVersions = retracted.select(col("version"))
       .distinct().as[Long].collect().sorted
+    // null-SAFE group joins throughout: a NULL dim value is a group of
+    // its own to the sums fold (groupBy semantics), so the extremes legs
+    // must select/seed it too — plain equi-joins would drop it
+    def nullSafe(l: String, r: String): Column =
+      dimNames.map(n => col(s"$l.$n") <=> col(s"$r.$n")).reduce(_ && _)
     val recomputed = retractVersions.map { v =>
-      val touched = retracted.filter(col("version") === v).select(dimCols: _*)
-      val vis = CorpusLake.readCorpusAt(spark, dir, corpusDir, Some(v))
-        .select(exprs(dims ++ mins ++ maxs): _*)
-        .join(broadcast(touched), dimNames, "left_semi")
+      val touched = retracted.filter(col("version") === v)
+        .select(dimCols: _*).alias("t")
+      val vis = CorpusLake.readCorpusAt(spark, dir, corpusDir,
+          Some(math.max(v, snapFloor)))
+        .select(exprs(dims ++ mins ++ maxs): _*).alias("v")
+        .join(broadcast(touched), nullSafe("v", "t"), "left_semi")
       val rec = extAgg(vis, dimCols).withColumn("version", lit(v))
       // a group whose visible set emptied writes an explicit null-extreme
       // row: it resets the running state, so a later re-insert starts
       // fresh instead of resurrecting a vacated extreme
-      val emptied = touched.join(rec, dimNames, "left_anti")
+      val emptied = touched.alias("t")
+        .join(rec.alias("r"), nullSafe("t", "r"), "left_anti")
         .select(dimCols ++
           extNames.map(n => lit(null).cast(rec.schema(n).dataType).as(n)) :+
           lit(v).as("version"): _*)
@@ -281,11 +297,12 @@ object LakeView {
       recomputed.select(dimCols :+ col("version"): _*),
       dimNames :+ "version", "left_anti")
     // seed: the running state each group entered the window with
+    val touchedGroups = seq.filter(!col("_del"))
+      .select(exprs(dims): _*)
+      .unionByName(retracted.select(dimCols: _*)).distinct().alias("t")
     val seed = extStateAt(spark, viewDir, baseRows, foldedTo, dims,
-        extNames, upTo = Some(from))
-      .join(seq.select(exprs(dims): _*)
-        .unionByName(retracted.select(dimCols: _*)).distinct(),
-        dimNames, "left_semi")
+        extNames, upTo = Some(from)).alias("s0")
+      .join(touchedGroups, nullSafe("s0", "t"), "left_semi")
       .withColumn("version", lit(from)).withColumn("_kind", lit("R"))
     // fold: per (group, version v), the absolute extreme is the combine
     // of the latest reset (recompute/seed) at-or-below v with every

@@ -98,8 +98,27 @@ class LakeModelSpec extends SparkSpec {
       val replica = corpus.stripSuffix("/corpus") + "/replica"
       var replicaAt = Long.MinValue
 
+      // a persistent declared view WITH non-additive measures: the signed
+      // sums AND the extremes maintenance must both survive every
+      // interleaving (replays re-derive byte-identical rows, vacuum can
+      // strand the cursor → refusal, deletes trigger the recompute leg)
+      val viewDir = corpus.stripSuffix("/corpus") + "/view"
+      graft.operators.LakeView.createView(spark, dir, viewDir,
+        dims = Seq("bucket" -> "CAST(doc_id % 3 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+        minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)"),
+        maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)"))
+      var viewAt = Long.MinValue
+      def viewModelRows(v: Long): Set[(Option[Int], Long, Long, Long, Long)] =
+        modelAt(v).toSeq
+          .map { case (id, t) => ((id % 3).toInt, t.length.toLong) }
+          .groupBy(_._1).map { case (b, xs) =>
+            (Option(b), xs.size.toLong, xs.map(_._2).sum,
+              xs.map(_._2).min, xs.map(_._2).max)
+          }.toSet
+
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(18)
+        val op = rnd.nextInt(19)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -199,6 +218,19 @@ class LakeModelSpec extends SparkSpec {
                 CorpusLake.deleteDocs(spark, replica,
                   Seq(5000000L).toDF("doc_id"))
               }
+          case 18 => // declared-view catch-up (sums + extremes): refresh
+            // must either refuse (cursor stranded behind the floor) or
+            // converge the served view to the model's aggregate at the
+            // consumed head — across replays, deletes (the extremes
+            // recompute leg), vacuums, and generation flips
+            if (viewAt != Long.MinValue && viewAt < floor)
+              intercept[IllegalArgumentException] {
+                graft.operators.LakeView.refreshViewFromLake(
+                  spark, dir, corpus, viewDir)
+              }
+            else if (graft.operators.LakeView.refreshViewFromLake(
+                spark, dir, corpus, viewDir).isDefined)
+              viewAt = head
           case 17 => // branch lifecycle composite: create at head, commit
             // an epoch + a takedown on the branch (parent must not move),
             // merge back (LWW net effect as one parent epoch), drop
@@ -235,6 +267,17 @@ class LakeModelSpec extends SparkSpec {
             }
         }
         checkHead(s"step $step (op $op)")
+        // the view must keep serving the model aggregate AS OF its
+        // cursor, whatever the lake did since (consumed-head semantics,
+        // same contract as the follower below)
+        if (viewAt != Long.MinValue) {
+          val vGot = graft.operators.LakeView.readView(spark, viewDir)
+            .select($"bucket", $"n_docs", $"chars", $"min_chars",
+              $"max_chars")
+            .as[(Option[Int], Long, Long, Long, Long)].collect().toSet
+          assert(vGot == viewModelRows(viewAt),
+            s"seed $seed step $step: view mismatch at $viewAt")
+        }
         // the follower must keep serving the primary's visible set AS OF
         // its cursor, whatever the primary did since
         if (replicaAt != Long.MinValue) {

@@ -188,6 +188,39 @@ class LakeViewSpec extends SparkSpec {
         s"minmax time travel diverged at version $ver")
   }
 
+  test("lake view: a NULL dim value is a group of its own — extremes " +
+      "seed and recompute null-safely") {
+    import spark.implicits._
+    // ids ≡0 mod 5 collapse into the NULL group; mkLake's delete epoch
+    // (ids ≡2 mod 9) hits some of them (20, 65, …), so the null group
+    // takes retractions — the recompute/seed joins must keep it
+    val nd = Seq("bucket" ->
+      "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE CAST(doc_id % 5 AS INT) END")
+    val corpus = mkLake()
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-nulldim").toString + "/view"
+    LakeView.createView(spark, dir, v, nd, measures,
+      minMeasures, maxMeasures)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    def key(r: org.apache.spark.sql.Row) =
+      r.toSeq.map(String.valueOf).mkString("|")
+    val got = LakeView.readView(spark, v)
+      .select(col("bucket"), col("n_docs"), col("chars"), col("toks"),
+        col("min_chars"), col("max_chars"))
+      .collect().map(key).toSeq.sorted
+    val want = CorpusLake.readCorpusAt(spark, dir, corpus)
+      .select(expr(nd.head._2).as("bucket"),
+        expr(measures(0)._2).as("len"), expr(measures(1)._2).as("tk"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("chars"),
+        sum(col("tk")).as("toks"), min(col("len")).as("min_chars"),
+        max(col("len")).as("max_chars"))
+      .collect().map(key).toSeq.sorted
+    assert(got.exists(_.startsWith("null|")),
+      "fixture vacuous: no NULL-dim group served")
+    assert(got == want, "null-dim group diverged from the recompute")
+  }
+
   test("lake view: deleting the doc that attains a group extreme " +
       "re-aggregates to the survivor") {
     import spark.implicits._
@@ -227,17 +260,22 @@ class LakeViewSpec extends SparkSpec {
     graft.sources.Caches.releaseAll()
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-view-stream").toString
-    val (idx, corpus, maint, view) =
-      (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint", s"$tmp/view")
+    val (idx, corpus, maint, view, viewMM) =
+      (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint", s"$tmp/view",
+        s"$tmp/view_mm")
     CorpusLake.initCorpus(spark, dir, idx)
     LakeView.createView(spark, dir, view, dims, measures)
+    // a second declared view with NON-ADDITIVE measures rides the same
+    // stream cadence — the extremes maintenance must work per-batch too
+    LakeView.createView(spark, dir, viewMM, dims, measures,
+      minMeasures, maxMeasures)
     val tA = (1 to 40).map(i => s"viewa$i").mkString(" ")
     val tB = (1 to 40).map(i => s"viewb$i").mkString(" ")
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val q = CorpusLake.maintainCorpusStream(
         in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
-        optimizeEvery = 1, viewDirs = Seq(view))
+        optimizeEvery = 1, viewDirs = Seq(view, viewMM))
       .start()
     try {
       in.addData((7000001L, tA)); q.processAllAvailable()
@@ -248,6 +286,8 @@ class LakeViewSpec extends SparkSpec {
     // the optimize firing folded the deltas into the base
     assert(spark.read.parquet(s"$view/delta").count() == 0L,
       "stream cadence did not fold the view's deltas")
+    assert(rowsMM(LakeView.readView(spark, viewMM)) == recomputeMM(corpus),
+      "stream-maintained minmax view diverged from the recompute")
   }
 
   test("lake view: a view over a branch tracks the branch, not the parent") {
