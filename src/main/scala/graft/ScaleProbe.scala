@@ -544,6 +544,64 @@ object ScaleProbe {
           }
           (bytes(branch), bytes(parent))
         }),
+        // declared-view maintenance economics: a refresh window costs
+        // O(that window's changed docs), not O(corpus) — C = docs whose
+        // history the incremental refresh lag-windows for a 1%-churn
+        // epoch, O = docs a full recompute reads. C/O must track the
+        // churn fraction as N grows (the at-commit-cadence freshness
+        // claim); millis for both paths go to stderr for SCALING.md.
+        ("corpus_view_refresh", nDocs, () => {
+          import graft.operators.{CorpusLake, LakeView}
+          val root = java.nio.file.Files
+            .createTempDirectory("probe-view-refresh").toString
+          val corpus = s"$root/corpus"
+          val docs = graft.sources.Tables.spread(
+              graft.sources.Tables.documents(spark, dir))
+            .select(col("doc_id"), col("text"))
+          def commitEpoch(v: Long, mod: Long): Unit = {
+            docs.filter(col("doc_id") % 100 === mod)
+              .select(col("doc_id"),
+                org.apache.spark.sql.functions.concat(col("text"),
+                  org.apache.spark.sql.functions.lit(s" v$v")).as("text"),
+                lit(v).as("epoch"))
+              .write.mode("append").parquet(s"$corpus/docs")
+            Seq((v, 0L, 0L, 0L, 0L, 0L))
+              .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+                "n_contaminated", "n_low_quality")
+              .write.mode("append").parquet(s"$corpus/manifest")
+          }
+          commitEpoch(0L, 1L)
+          // sums + avg only: the fully-signed legs whose O(changes) claim
+          // this probe pins (extremes pay a documented visible-set scan
+          // per RETRACTION version — a separate, stated trade)
+          val view = s"$root/view"
+          LakeView.createView(spark, dir, view,
+            dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+            measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+            avgMeasures = Seq("avg_chars" -> "CAST(length(text) AS BIGINT)"))
+          LakeView.refreshViewFromLake(spark, dir, corpus, view)
+          // the measured window: ONE fresh 1%-churn epoch
+          commitEpoch(1L, 2L)
+          val t0 = System.nanoTime()
+          LakeView.refreshViewFromLake(spark, dir, corpus, view)
+          LakeView.readView(spark, view).count()
+          val incMs = (System.nanoTime() - t0) / 1000000L
+          val t1 = System.nanoTime()
+          val full = CorpusLake.readCorpusAt(spark, dir, corpus)
+            .select(org.apache.spark.sql.functions
+                .expr("CAST(doc_id % 7 AS INT)").as("bucket"),
+              org.apache.spark.sql.functions
+                .expr("CAST(length(text) AS BIGINT)").as("len"))
+            .groupBy(col("bucket"))
+            .agg(sum(col("len")),
+              org.apache.spark.sql.functions.avg(col("len")))
+          val fullN = CorpusLake.readCorpusAt(spark, dir, corpus).count()
+          full.count()
+          val fullMs = (System.nanoTime() - t1) / 1000000L
+          val changed = docs.filter(col("doc_id") % 100 === 2).count()
+          System.err.println(s"""[scaleprobe] {"probe":"corpus_view_refresh","sf":"$dir","changed_docs":$changed,"corpus_docs":$fullN,"inc_millis":$incMs,"full_millis":$fullMs}""")
+          (changed, fullN)
+        }),
         // branch-DEPTH economics: zone reads and pruningStats walk the
         // parent chain once per ancestor (one pointer read + one zone test
         // per level) — the cost model must be LINEAR in depth, not

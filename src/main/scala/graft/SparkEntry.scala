@@ -144,6 +144,7 @@ object SparkEntry {
     "corpus_branch_merge"  -> (CorpusLake.branchMergeTwin _),
     "corpus_view"          -> (graft.operators.LakeView.viewTwin _),
     "corpus_view_minmax"   -> (graft.operators.LakeView.viewMinMaxTwin _),
+    "corpus_view_evolve"   -> (graft.operators.LakeView.viewEvolveTwin _),
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "corpus_card"          -> (Curate.datasetCard _),
     "corpus_card_lake"     -> (Curate.cardLakeTwin _),
@@ -2327,6 +2328,28 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
         |) ORDER BY metric""".stripMargin,
 
+    // schema evolution of a LIVE view: a sums-only view consumes the
+    // update epoch, addMeasures grafts a max + avg (fold → cursor
+    // backfill → spec swap), the delete + re-admission epochs then
+    // maintain the evolved measures (the delete drives the recompute leg
+    // for a measure that did not exist at create); DuckDB recomputes
+    // from the final visible set — an evolved view must be
+    // indistinguishable from one declared up front
+    "corpus_view_evolve" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2)
+        |SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
+        |  CAST(max(CAST(length(text) AS BIGINT)) AS BIGINT) AS max_chars,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     // the datasheet of a LAKE HEAD rather than the raw fixture: the same
     // card metrics computed over the delete-lifecycle lake's visible set
     // (LWW updates, takedowns, re-admissions folded), language joined
@@ -2395,8 +2418,11 @@ object SparkEntry {
     // the NON-ADDITIVE view: min/max measures maintained incrementally —
     // monotone folds on insert-only windows, per-group re-aggregates for
     // retraction-touched groups (the delete epoch vacates extremes the
-    // signed algebra cannot retract) — with a mid-stream compaction fold;
-    // DuckDB recomputes min/max directly from the final visible set
+    // signed algebra cannot retract) — plus an AVG measure riding the
+    // signed algebra as an internal (sum, count) pair, with a mid-stream
+    // compaction fold; DuckDB recomputes min/max/avg directly from the
+    // final visible set (avg as CAST(sum AS DOUBLE)/CAST(count AS DOUBLE),
+    // the exact arithmetic the serve projection runs)
     "corpus_view_minmax" ->
       """WITH v AS (SELECT doc_id,
         |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
@@ -2409,7 +2435,9 @@ object SparkEntry {
         |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
         |  CAST(min(CAST(length(text) AS BIGINT)) AS BIGINT) AS min_chars,
         |  CAST(max(CAST(length(text) AS BIGINT)) AS BIGINT) AS max_chars,
-        |  CAST(max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS max_toks
+        |  CAST(max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS max_toks,
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_toks
         |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment

@@ -55,55 +55,86 @@ object LakeView {
     * extremes: maintained monotonically (least/greatest) while a window
     * only inserts, re-aggregated per retraction-touched group when a
     * delete or LWW update retracts a value that might have attained the
-    * extreme (see [[windowExtRows]] for the cost model). Expressions may
+    * extreme (see [[windowExtRows]] for the cost model). `avgMeasures`
+    * declare means — fully additive via an internal (sum, non-null
+    * count) pair ([[internalSums]]), so they ride the signed algebra
+    * with no recompute leg. Expressions may
     * reference `doc_id` and `text` only — the retraction algebra
     * reconstructs previous document states as (doc_id, prev_text), which
     * is exactly what makes maintenance O(changes). */
   def createView(spark: SparkSession, dir: String, viewDir: String,
       dims: Seq[(String, String)], measures: Seq[(String, String)],
       minMeasures: Seq[(String, String)] = Nil,
-      maxMeasures: Seq[(String, String)] = Nil): Unit = {
+      maxMeasures: Seq[(String, String)] = Nil,
+      avgMeasures: Seq[(String, String)] = Nil): Unit = {
     import spark.implicits._
     require(dims.nonEmpty, "a view needs at least one dimension")
-    val aliases = (dims ++ measures ++ minMeasures ++ maxMeasures).map(_._1)
+    val aliases =
+      (dims ++ measures ++ minMeasures ++ maxMeasures ++ avgMeasures)
+        .map(_._1)
     require(aliases.distinct.size == aliases.size,
       s"duplicate aliases in ${aliases.mkString(", ")}")
-    aliases.foreach(a => require(!Reserved(a) && a.nonEmpty,
-      s"alias '$a' is reserved or empty"))
+    aliases.foreach(a => require(
+      !Reserved(a) && a.nonEmpty && !a.contains("__"),
+      s"alias '$a' is reserved, empty, or uses the internal __ namespace"))
     require(!graft.sources.Formats.pathExists(spark, s"$viewDir/spec"),
       s"$viewDir already holds a view (drop the dir to redeclare)")
     // analyze the declaration against the doc schema NOW: a bad
     // expression must fail the create, not the first refresh
     spark.range(0).select(lit(0L).as("doc_id"), lit("").as("text"))
-      .select(exprs(dims ++ measures ++ minMeasures ++ maxMeasures): _*)
+      .select(exprs(dims ++ measures ++ minMeasures ++ maxMeasures ++
+        avgMeasures): _*)
     Seq((dims.map(_._1), dims.map(_._2),
         measures.map(_._1), measures.map(_._2),
         minMeasures.map(_._1), minMeasures.map(_._2),
-        maxMeasures.map(_._1), maxMeasures.map(_._2)))
+        maxMeasures.map(_._1), maxMeasures.map(_._2),
+        avgMeasures.map(_._1), avgMeasures.map(_._2)))
       .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
-        "min_names", "min_exprs", "max_names", "max_exprs")
+        "min_names", "min_exprs", "max_names", "max_exprs",
+        "avg_names", "avg_exprs")
       .coalesce(1).write.mode("errorifexists").parquet(s"$viewDir/spec")
     viewAggOf(Tables.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("text")), dims, measures,
+        .select(col("doc_id"), col("text")), dims,
+        internalSums(measures, avgMeasures),
         minMeasures, maxMeasures)
       .write.mode("overwrite").parquet(s"$viewDir/base")
   }
 
+  /** AVG measures ride the proven SIGNED algebra as an internal
+    * (sum, non-null count) pair per alias — both additive, so avg needs
+    * no recompute leg anywhere: `<alias>__sum` and `<alias>__cnt` live
+    * in the base/delta stores (the `__` namespace is refused to user
+    * aliases) and the serve projects `sum / cnt` (null when the group
+    * has no non-null values). Integer-valued double sums stay exact
+    * below 2^53, so the division is bit-portable against an oracle that
+    * computes the same `CAST(sum AS DOUBLE) / CAST(count AS DOUBLE)`. */
+  private def internalSums(measures: Seq[(String, String)],
+      avgs: Seq[(String, String)]): Seq[(String, String)] =
+    measures ++ avgs.flatMap { case (a, e) => Seq(
+      s"${a}__sum" -> s"CAST(($e) AS DOUBLE)",
+      s"${a}__cnt" ->
+        s"CASE WHEN ($e) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END")
+    }
+
   /** The stored declaration: (dims, measures) as (alias, expr) pairs. */
   def viewSpec(spark: SparkSession,
       viewDir: String): (Seq[(String, String)], Seq[(String, String)]) = {
-    val (d, m, _, _) = viewSpecFull(spark, viewDir)
+    val (d, m, _, _, _) = viewSpecFull(spark, viewDir)
     (d, m)
   }
 
-  /** The full declaration: (dims, sumMeasures, minMeasures, maxMeasures).
-    * Specs written before extremes existed read back with empty min/max
-    * legs — the columns are absent, not null. */
+  /** The full declaration: (dims, sumMeasures, minMeasures, maxMeasures,
+    * avgMeasures). Specs written before a measure kind existed read back
+    * with that leg empty — the columns are absent, not null. */
   def viewSpecFull(spark: SparkSession, viewDir: String)
       : (Seq[(String, String)], Seq[(String, String)],
-         Seq[(String, String)], Seq[(String, String)]) = {
+         Seq[(String, String)], Seq[(String, String)],
+         Seq[(String, String)]) = {
     import spark.implicits._
-    val raw = spark.read.parquet(s"$viewDir/spec")
+    // resolveArtifact recovery: schema evolution rewrites the spec via
+    // the _compacting swap, so a crash mid-swap self-heals on read
+    val raw = spark.read.parquet(
+      Similarity.resolveArtifact(spark, viewDir, "spec"))
     def leg(names: String, es: String): Seq[(String, String)] =
       if (!raw.columns.contains(names)) Nil
       else raw.select(col(names), col(es))
@@ -111,7 +142,8 @@ object LakeView {
           case (n, e) => n.zip(e)
         }
     (leg("dim_names", "dim_exprs"), leg("measure_names", "measure_exprs"),
-      leg("min_names", "min_exprs"), leg("max_names", "max_exprs"))
+      leg("min_names", "min_exprs"), leg("max_names", "max_exprs"),
+      leg("avg_names", "avg_exprs"))
   }
 
   /** The view's aggregate over a (doc_id, text) relation. */
@@ -339,7 +371,8 @@ object LakeView {
       corpusDir: String, viewDir: String,
       upTo: Option[Long] = None): Option[(Long, Long)] = {
     import spark.implicits._
-    val (dims, measures, mins, maxs) = viewSpecFull(spark, viewDir)
+    val (dims, sums0, mins, maxs, avgs) = viewSpecFull(spark, viewDir)
+    val measures = internalSums(sums0, avgs)
     val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
     val from =
       if (graft.sources.Formats.pathExists(spark, cPath))
@@ -416,12 +449,41 @@ object LakeView {
 
   private def readViewUpTo(spark: SparkSession, viewDir: String,
       version: Option[Long]): DataFrame = {
-    val (dims, measures, mins, maxs) = viewSpecFull(spark, viewDir)
+    val (_, _, _, _, avgs) = viewSpecFull(spark, viewDir)
+    val internal = foldInternal(spark, viewDir, version)
+    if (avgs.isEmpty) internal
+    else {
+      // project the derived avg columns out of their internal
+      // (sum, count) pairs; the internals never leave this method
+      val keep = internal.columns
+        .filterNot(c => avgs.exists(a => c == s"${a._1}__sum" ||
+          c == s"${a._1}__cnt"))
+      internal.select(keep.map(col) ++ avgs.map { case (a, _) =>
+        when(col(s"${a}__cnt") > 0,
+          col(s"${a}__sum") / col(s"${a}__cnt").cast("double"))
+          .as(a)
+      }: _*)
+    }
+  }
+
+  /** The view's INTERNAL representation at a pinned version: dims,
+    * n_docs, user sums, the avg (sum, cnt) pairs, and extremes — the
+    * frame compaction folds into the base (the derived avg projection
+    * cannot be folded: sum/cnt must keep accumulating). */
+  private def foldInternal(spark: SparkSession, viewDir: String,
+      version: Option[Long]): DataFrame = {
+    val (dims, sums0, mins, maxs, avgs) = viewSpecFull(spark, viewDir)
+    val measures = internalSums(sums0, avgs)
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
     val extNames = (mins ++ maxs).map(_._1)
     val (baseAll, foldedTo) = baseAndWatermark(spark, viewDir)
-    val baseRows = baseAll.drop(extNames: _*)
+    // select the SPEC's columns explicitly rather than dropping known
+    // extras: during schema evolution the backfilled base briefly carries
+    // columns the spec doesn't declare yet (base lands before the spec
+    // swap — the crash-safe order), and they must not reach the union
+    val baseRows = baseAll.select(
+      (dimNames :+ "n_docs").map(col) ++ measures.map(m => col(m._1)): _*)
     version.foreach(v => require(v >= foldedTo,
       s"view history at $v was folded into the base (folded through " +
         s"$foldedTo) — compaction collapses per-version deltas; pin a " +
@@ -434,7 +496,10 @@ object LakeView {
           .dropDuplicates(dims.map(_._1) :+ "version")
           .filter(col("version") > foldedTo &&
             version.fold(lit(true))(v => col("version") <= v))
-          .drop("version"))
+          // spec projection, like the base: evolution can leave the
+          // stores briefly wider than the declaration
+          .select((dimNames :+ "n_docs").map(col) ++
+            measures.map(m => col(m._1)): _*))
     val zeroed = (col("n_docs") === 0) +:
       measures.map(m => col(m._1) === 0)
     val sums = rows.groupBy(dimCols: _*)
@@ -470,9 +535,11 @@ object LakeView {
     val head = spark.read.parquet(deltaPath)
       .agg(max(col("version"))).as[Option[Long]].head()
     head.foreach { h =>
-      // readView folds sums AND extremes, so the rewritten base carries
-      // the ext columns the serve path seeds from after the fold
-      readView(spark, viewDir)
+      // fold the INTERNAL representation — sums, avg (sum, cnt) pairs,
+      // extremes — so the rewritten base carries everything the serve
+      // and seed paths keep accumulating from (the derived avg columns
+      // are a projection, never folded)
+      foldInternal(spark, viewDir, None)
         .withColumn("_folded_to", lit(h))
         .write.mode("overwrite").parquet(s"$viewDir/base_compacting")
       Similarity.swapArtifact(spark, viewDir, "base")
@@ -495,8 +562,194 @@ object LakeView {
     * with a mid-stream compaction, then served. DuckDB recomputes the
     * aggregate directly from the final visible set — hash equality pins
     * the declarative signed algebra end to end. */
+  /** Schema evolution: ADD measures to a live view without a rebuild —
+    * the week-two dashboard ask ("one more metric") answered with one
+    * bounded backfill instead of a drop-and-recreate that loses nothing
+    * but costs a full history replay.
+    *
+    * Protocol (each step crash-safe, in this order):
+    *   1. [[compactView]] — fold every consumed delta/ext row into the
+    *      base, so the view's whole state lives in ONE frame keyed by
+    *      group; then drop the emptied delta/ext stores so later appends
+    *      cannot mix pre- and post-evolution parquet schemas in one dir.
+    *   2. Backfill — ONE aggregate of the new measures over the lake's
+    *      visible set at the view's cursor (the base corpus when never
+    *      refreshed), null-safe-joined onto the base groups, written
+    *      through the `base` swap. The base now carries columns the spec
+    *      does not declare yet — readers project spec columns only, so
+    *      this intermediate state serves exactly the old view.
+    *   3. Spec swap — the new declaration lands; the next read serves
+    *      the new columns, the next refresh maintains them.
+    *
+    * Time travel across the evolution boundary is folded history by
+    * construction (step 1), so it refuses with the standard watermark
+    * contract rather than serving a half-declared past. */
+  def addMeasures(spark: SparkSession, dir: String, corpusDir: String,
+      viewDir: String,
+      measures: Seq[(String, String)] = Nil,
+      minMeasures: Seq[(String, String)] = Nil,
+      maxMeasures: Seq[(String, String)] = Nil,
+      avgMeasures: Seq[(String, String)] = Nil): Unit = {
+    import spark.implicits._
+    val (dims, sums0, mins0, maxs0, avgs0) = viewSpecFull(spark, viewDir)
+    val added = measures ++ minMeasures ++ maxMeasures ++ avgMeasures
+    require(added.nonEmpty, "addMeasures: nothing to add")
+    val existing = (dims ++ sums0 ++ mins0 ++ maxs0 ++ avgs0).map(_._1).toSet
+    added.map(_._1).foreach(a => require(
+      !Reserved(a) && a.nonEmpty && !a.contains("__") && !existing(a),
+      s"alias '$a' is reserved, empty, internal, or already declared"))
+    // analysis-time validation, as at create
+    spark.range(0).select(lit(0L).as("doc_id"), lit("").as("text"))
+      .select(exprs(added): _*)
+    // 1. fold everything, then drop the emptied append stores (mixing
+    // old- and new-schema files in one parquet dir would make unmerged
+    // reads schema-lottery)
+    foldAndDrainStores(spark, viewDir, "addMeasures")
+    // 2. backfill the new measures at the view's cursor
+    val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
+    val cursor =
+      if (graft.sources.Formats.pathExists(spark, cPath))
+        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+      else Long.MinValue
+    val source =
+      if (cursor == Long.MinValue)
+        Tables.spread(Tables.documents(spark, dir))
+          .select(col("doc_id"), col("text"))
+      else CorpusLake.readCorpusAt(spark, dir, corpusDir, Some(cursor))
+        .select(col("doc_id"), col("text"))
+    val newInternal = internalSums(measures, avgMeasures)
+    val newAggs =
+      newInternal.map(m => sum(col(m._1)).as(m._1)) ++
+      minMeasures.map(m => min(col(m._1)).as(m._1)) ++
+      maxMeasures.map(m => max(col(m._1)).as(m._1))
+    val dimNames = dims.map(_._1)
+    val backfill = source
+      .select(exprs(dims ++ newInternal ++ minMeasures ++ maxMeasures): _*)
+      .groupBy(dimNames.map(col): _*)
+      .agg(newAggs.head, newAggs.tail: _*).alias("bf")
+    val base = spark.read.parquet(
+      Similarity.resolveArtifact(spark, viewDir, "base")).alias("b")
+    base.join(backfill,
+        dimNames.map(n => col(s"b.$n") <=> col(s"bf.$n")).reduce(_ && _),
+        "left")
+      .select(col("b.*") +:
+        (newInternal ++ minMeasures ++ maxMeasures)
+          .map(m => col(s"bf.${m._1}").as(m._1)): _*)
+      .write.mode("overwrite").parquet(s"$viewDir/base_compacting")
+    Similarity.swapArtifact(spark, viewDir, "base")
+    // 3. the new declaration lands LAST
+    writeSpec(spark, viewDir, dims, sums0 ++ measures,
+      mins0 ++ minMeasures, maxs0 ++ maxMeasures, avgs0 ++ avgMeasures)
+  }
+
+  /** Schema evolution: DROP measures (dims cannot be dropped — they key
+    * the stored aggregates). Folds + drains like [[addMeasures]] — one
+    * parquet dir must never mix pre- and post-evolution file schemas —
+    * then the spec stops declaring the aliases; their stale base columns
+    * are projected away on read and vanish at the next fold. */
+  def dropMeasures(spark: SparkSession, viewDir: String,
+      aliases: Seq[String]): Unit = {
+    val (dims, sums0, mins0, maxs0, avgs0) = viewSpecFull(spark, viewDir)
+    val drop = aliases.toSet
+    require(aliases.nonEmpty, "dropMeasures: nothing to drop")
+    val known = (sums0 ++ mins0 ++ maxs0 ++ avgs0).map(_._1).toSet
+    require(drop.subsetOf(known),
+      s"dropMeasures: unknown measure(s) ${drop.diff(known).mkString(", ")}" +
+        " (dims cannot be dropped)")
+    foldAndDrainStores(spark, viewDir, "dropMeasures")
+    writeSpec(spark, viewDir, dims,
+      sums0.filterNot(m => drop(m._1)), mins0.filterNot(m => drop(m._1)),
+      maxs0.filterNot(m => drop(m._1)), avgs0.filterNot(m => drop(m._1)))
+    // physically retire the dropped columns (avg measures live in the
+    // base as their internal pair) — a groups-sized rewrite AFTER the
+    // spec swap, so a crash in between only leaves stale columns that
+    // every read already projects away
+    val physical = aliases.flatMap(a =>
+      if (avgs0.exists(_._1 == a)) Seq(s"${a}__sum", s"${a}__cnt")
+      else Seq(a))
+    spark.read.parquet(Similarity.resolveArtifact(spark, viewDir, "base"))
+      .drop(physical: _*)
+      .write.mode("overwrite").parquet(s"$viewDir/base_compacting")
+    Similarity.swapArtifact(spark, viewDir, "base")
+  }
+
+  /** Fold every consumed delta/ext row into the base, then delete the
+    * emptied append stores — the pre-evolution quiesce that keeps each
+    * store's parquet schema uniform across a declaration change. */
+  private def foldAndDrainStores(spark: SparkSession, viewDir: String,
+      op: String): Unit = {
+    compactView(spark, viewDir)
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("delta", "ext").foreach { n =>
+      val p = Similarity.resolveArtifact(spark, viewDir, n)
+      if (graft.sources.Formats.pathExists(spark, p)) {
+        require(spark.read.parquet(p).isEmpty,
+          s"$op: $n still holds unfolded rows after the fold")
+        fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      }
+    }
+  }
+
+  /** Rewrite the spec through the `_compacting` swap (readers resolve). */
+  private def writeSpec(spark: SparkSession, viewDir: String,
+      dims: Seq[(String, String)], sums: Seq[(String, String)],
+      mins: Seq[(String, String)], maxs: Seq[(String, String)],
+      avgs: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    Seq((dims.map(_._1), dims.map(_._2), sums.map(_._1), sums.map(_._2),
+        mins.map(_._1), mins.map(_._2), maxs.map(_._1), maxs.map(_._2),
+        avgs.map(_._1), avgs.map(_._2)))
+      .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
+        "min_names", "min_exprs", "max_names", "max_exprs",
+        "avg_names", "avg_exprs")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$viewDir/spec_compacting")
+    Similarity.swapArtifact(spark, viewDir, "spec")
+  }
+
+  /** DESCRIBE VIEW — the declaration as data: one row per output column
+    * with its measure kind and source expression (the implicit `n_docs`
+    * included), the introspection surface a catalog listing reads. */
+  def describeView(spark: SparkSession, viewDir: String): DataFrame = {
+    import spark.implicits._
+    val (dims, sums0, mins, maxs, avgs) = viewSpecFull(spark, viewDir)
+    (dims.map { case (a, e) => (a, "dim", e) } ++
+      Seq(("n_docs", "count", "1")) ++
+      sums0.map { case (a, e) => (a, "sum", e) } ++
+      mins.map { case (a, e) => (a, "min", e) } ++
+      maxs.map { case (a, e) => (a, "max", e) } ++
+      avgs.map { case (a, e) => (a, "avg", e) })
+      .toDF("column", "kind", "expr")
+  }
+
+  /** The view's operational facts, lakeStats-shaped (metric, value):
+    * consumed cursor, fold watermark, and the store row counts a
+    * maintenance cadence trends (delta/ext accretion since the last
+    * fold). KB-scale reads only. */
+  def viewStats(spark: SparkSession, viewDir: String): DataFrame = {
+    import spark.implicits._
+    def rowsIn(name: String): Long = {
+      val p = Similarity.resolveArtifact(spark, viewDir, name)
+      if (!graft.sources.Formats.pathExists(spark, p)) 0L
+      else try spark.read.parquet(p).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    }
+    val cursor = {
+      val p = Similarity.resolveArtifact(spark, viewDir, "cursor")
+      if (!graft.sources.Formats.pathExists(spark, p)) Long.MinValue
+      else spark.read.parquet(p).agg(max($"last_version")).as[Long].head()
+    }
+    val (_, foldedTo) = baseAndWatermark(spark, viewDir)
+    Seq(("cursor", cursor), ("folded_to", foldedTo),
+      ("base_groups", rowsIn("base")),
+      ("delta_rows", rowsIn("delta")), ("ext_rows", rowsIn("ext")))
+      .toDF("metric", "value")
+  }
+
   /** The non-additive twin: the same delete-lifecycle lake maintained
-    * through a view that declares MIN/MAX measures beside a sum. The
+    * through a view that declares MIN/MAX measures and an AVG (the
+    * internal signed (sum, cnt) pair) beside a sum. The
     * lifecycle exercises every extremes path: the LWW-update epoch
     * retracts texts (recompute leg), the deleteDocs epoch vacates group
     * extremes (recompute finds the survivor), the re-admission epoch is
@@ -516,9 +769,38 @@ object LakeView {
           "min_chars" -> "CAST(length(text) AS BIGINT)"),
         maxMeasures = Seq(
           "max_chars" -> "CAST(length(text) AS BIGINT)",
-          "max_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
+          "max_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"),
+        avgMeasures = Seq(
+          "avg_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
       refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
       compactView(spark, v)
+      refreshViewFromLake(spark, dir, lake, v)
+      v
+    }
+    readView(spark, viewDir).orderBy(col("bucket"))
+  }
+
+  /** The schema-evolution twin: a sums-only view consumes the LWW-update
+    * epoch, then [[addMeasures]] grafts a max and an avg onto the LIVE
+    * view (fold → backfill at the cursor → spec swap), then the delete +
+    * re-admission epochs maintain the evolved measures — the delete
+    * exercises the retraction-recompute leg for a measure that did not
+    * exist at create time. DuckDB recomputes everything from the final
+    * visible set; hash equality pins that an evolved view is
+    * indistinguishable from one declared up front. */
+  def viewEvolveTwin(spark: SparkSession, dir: String): DataFrame = {
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-view-evolve|$dir") {
+      val v = java.nio.file.Files
+        .createTempDirectory("graft-lake-view-evolve").toString + "/view"
+      createView(spark, dir, v,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
+      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
+      addMeasures(spark, dir, lake, v,
+        maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)"),
+        avgMeasures = Seq("avg_chars" -> "CAST(length(text) AS BIGINT)"))
       refreshViewFromLake(spark, dir, lake, v)
       v
     }

@@ -140,10 +140,11 @@ class LakeViewSpec extends SparkSpec {
 
   private val minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)")
   private val maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)")
+  private val avgMeasures = Seq("avg_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)")
 
   private def rowsMM(df: org.apache.spark.sql.DataFrame) = df
     .select(col("bucket"), col("n_docs"), col("chars"), col("toks"),
-      col("min_chars"), col("max_chars"))
+      col("min_chars"), col("max_chars"), col("avg_toks"))
     .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
 
   private def recomputeMM(corpus: String, version: Option[Long] = None) =
@@ -153,7 +154,9 @@ class LakeViewSpec extends SparkSpec {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("chars"),
         sum(col("tk")).as("toks"), min(col("len")).as("min_chars"),
-        max(col("len")).as("max_chars")))
+        max(col("len")).as("max_chars"),
+        (sum(col("tk")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_toks")))
 
   test("lake view: min/max measures track retractions, survive compaction " +
       "and time travel") {
@@ -161,7 +164,7 @@ class LakeViewSpec extends SparkSpec {
     val v = java.nio.file.Files
       .createTempDirectory("graft-view-mm").toString + "/view"
     LakeView.createView(spark, dir, v, dims, measures,
-      minMeasures, maxMeasures)
+      minMeasures, maxMeasures, avgMeasures)
     // per-version consumption with a compaction mid-stream — the fold
     // boundary must be invisible to the extremes exactly as to the sums
     assert(LakeView.refreshViewFromLake(spark, dir, corpus, v,
@@ -221,6 +224,38 @@ class LakeViewSpec extends SparkSpec {
     assert(got == want, "null-dim group diverged from the recompute")
   }
 
+  test("lake view: avg measures count only non-null values and an " +
+      "all-null group serves null") {
+    import spark.implicits._
+    val corpus = mkLake()
+    // the avg expr is null for every odd doc_id; partitioning on parity
+    // makes one group's values ALL null (avg must serve null, not 0)
+    // while the even group averages only its non-null values across the
+    // full delete lifecycle
+    val nullableAvg = Seq("avg_even_len" ->
+      "CASE WHEN doc_id % 2 = 0 THEN CAST(length(text) AS BIGINT) ELSE NULL END")
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-avgnull").toString + "/view"
+    LakeView.createView(spark, dir, v,
+      Seq("par" -> "CAST(doc_id % 2 AS INT)"), measures,
+      avgMeasures = nullableAvg)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    val got = LakeView.readView(spark, v)
+      .select(col("par"), col("n_docs"), col("avg_even_len"))
+      .as[(Int, Long, Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val want = CorpusLake.readCorpusAt(spark, dir, corpus)
+      .select(expr("CAST(doc_id % 2 AS INT)").as("par"),
+        expr(nullableAvg.head._2).as("x"))
+      .groupBy($"par")
+      .agg(count(lit(1)).as("n"),
+        (sum($"x").cast("double") / count($"x").cast("double")).as("a"))
+      .as[(Int, Long, Option[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1)._2.isEmpty, "all-null group must serve a null avg")
+    assert(got == want, s"nullable avg diverged: $got vs $want")
+  }
+
   test("lake view: deleting the doc that attains a group extreme " +
       "re-aggregates to the survivor") {
     import spark.implicits._
@@ -254,6 +289,92 @@ class LakeViewSpec extends SparkSpec {
       assert(served < maxLen, "vacated extreme kept serving")
   }
 
+  test("lake view: addMeasures evolves a live view mid-lifecycle; " +
+      "dropMeasures retires a measure") {
+    import spark.implicits._
+    val corpus = mkLake()
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-evolve").toString + "/view"
+    LakeView.createView(spark, dir, v, dims,
+      Seq("chars" -> "CAST(length(text) AS BIGINT)"))
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v,
+      upTo = Some(0L)).isDefined)
+    LakeView.addMeasures(spark, dir, corpus, v,
+      minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)"),
+      avgMeasures = Seq("avg_chars" -> "CAST(length(text) AS BIGINT)"))
+    def served(cols: Seq[String]) = LakeView.readView(spark, v)
+      .select(cols.map(col): _*)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    def truth(version: Option[Long], cols: Seq[String]) =
+      CorpusLake.readCorpusAt(spark, dir, corpus, version)
+        .select(expr(dims.head._2).as("bucket"),
+          expr("CAST(length(text) AS BIGINT)").as("len"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"len").as("chars"),
+          min($"len").as("min_chars"),
+          (sum($"len").cast("double") / count(lit(1)).cast("double"))
+            .as("avg_chars"))
+        .select(cols.map(col): _*)
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+    val allCols = Seq("bucket", "n_docs", "chars", "min_chars", "avg_chars")
+    // the backfill serves the evolved measures AT THE CURSOR immediately
+    assert(served(allCols) == truth(Some(0L), allCols),
+      "backfilled measures diverge at the evolution point")
+    // the remaining epochs (incl. the delete → recompute leg for the
+    // evolved min) maintain the evolved view incrementally
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    assert(served(allCols) == truth(None, allCols),
+      "evolved view diverged after post-evolution epochs")
+    // refusals: colliding alias; unknown/dim drop
+    intercept[IllegalArgumentException] {
+      LakeView.addMeasures(spark, dir, corpus, v,
+        measures = Seq("chars" -> "CAST(1 AS BIGINT)"))
+    }
+    intercept[IllegalArgumentException] {
+      LakeView.dropMeasures(spark, v, Seq("bucket"))
+    }
+    // drop: the column leaves the serve at once, the rest is unchanged
+    LakeView.dropMeasures(spark, v, Seq("chars"))
+    assert(!LakeView.readView(spark, v).columns.contains("chars"))
+    val rest = Seq("bucket", "n_docs", "min_chars", "avg_chars")
+    assert(served(rest) == truth(None, rest),
+      "dropMeasures disturbed the surviving measures")
+    // ... and the next compaction physically retires the stale column
+    LakeView.compactView(spark, v)
+    assert(!spark.read.parquet(s"$v/base").columns.contains("chars"),
+      "compaction kept the dropped measure's stale base column")
+    assert(served(rest) == truth(None, rest),
+      "post-drop compaction changed the serve")
+  }
+
+  test("lake view: DESCRIBE surfaces the declaration and the store facts") {
+    import spark.implicits._
+    val corpus = mkLake()
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-describe").toString + "/view"
+    LakeView.createView(spark, dir, v, dims, measures,
+      minMeasures, maxMeasures, avgMeasures)
+    val desc = LakeView.describeView(spark, v)
+      .as[(String, String, String)].collect().toSeq
+    assert(desc.map(d => d._1 -> d._2).toMap == Map(
+      "bucket" -> "dim", "n_docs" -> "count", "chars" -> "sum",
+      "toks" -> "sum", "min_chars" -> "min", "max_chars" -> "max",
+      "avg_toks" -> "avg"), s"describe: $desc")
+    def stats() = LakeView.viewStats(spark, v)
+      .as[(String, Long)].collect().toMap
+    assert(stats()("cursor") == Long.MinValue &&
+      stats()("delta_rows") == 0L, "fresh view must report an unset cursor")
+    LakeView.refreshViewFromLake(spark, dir, corpus, v)
+    val s1 = stats()
+    assert(s1("cursor") == 2L && s1("delta_rows") > 0L &&
+      s1("ext_rows") > 0L, s"post-refresh stats: $s1")
+    LakeView.compactView(spark, v)
+    val s2 = stats()
+    assert(s2("folded_to") == 2L && s2("delta_rows") == 0L &&
+      s2("ext_rows") == 0L && s2("base_groups") > 0L,
+      s"post-compaction stats: $s2")
+  }
+
   test("lake view: the maintenance stream keeps a declared view live") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -268,7 +389,7 @@ class LakeViewSpec extends SparkSpec {
     // a second declared view with NON-ADDITIVE measures rides the same
     // stream cadence — the extremes maintenance must work per-batch too
     LakeView.createView(spark, dir, viewMM, dims, measures,
-      minMeasures, maxMeasures)
+      minMeasures, maxMeasures, avgMeasures)
     val tA = (1 to 40).map(i => s"viewa$i").mkString(" ")
     val tB = (1 to 40).map(i => s"viewb$i").mkString(" ")
     val in = org.apache.spark.sql.execution.streaming.runtime
