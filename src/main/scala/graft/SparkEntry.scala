@@ -145,6 +145,7 @@ object SparkEntry {
     "corpus_view"          -> (graft.operators.LakeView.viewTwin _),
     "corpus_view_minmax"   -> (graft.operators.LakeView.viewMinMaxTwin _),
     "corpus_view_evolve"   -> (graft.operators.LakeView.viewEvolveTwin _),
+    "corpus_view_distinct" -> (graft.operators.LakeView.viewDistinctTwin _),
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "corpus_card"          -> (Curate.datasetCard _),
     "corpus_card_lake"     -> (Curate.cardLakeTwin _),
@@ -2327,6 +2328,25 @@ object SparkEntry {
         |  UNION ALL SELECT 'quality_band:' || CAST(band AS VARCHAR),
         |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
         |) ORDER BY metric""".stripMargin,
+
+    // approx-distinct view measures (HLL sketch: merge on insert-only
+    // windows, recompute on retraction): the sketch-oracle convention —
+    // EXACT distinct counts recomputed from the visible set + literal-
+    // TRUE accuracy flags (the delete epoch shrinks distinct ids ~8%, so
+    // a sketch that failed to retract blows the 5% bound)
+    "corpus_view_distinct" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2)
+        |SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT) AS d_ids_exact,
+        |  CAST(count(DISTINCT string_split(text, ' ')[1]) AS BIGINT) AS d_tok1_exact,
+        |  TRUE AS d_ids_ok, TRUE AS d_tok1_ok
+        |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // schema evolution of a LIVE view: a sums-only view consumes the
     // update epoch, addMeasures grafts a max + avg (fold → cursor

@@ -66,12 +66,13 @@ object LakeView {
       dims: Seq[(String, String)], measures: Seq[(String, String)],
       minMeasures: Seq[(String, String)] = Nil,
       maxMeasures: Seq[(String, String)] = Nil,
-      avgMeasures: Seq[(String, String)] = Nil): Unit = {
+      avgMeasures: Seq[(String, String)] = Nil,
+      distinctMeasures: Seq[(String, String)] = Nil): Unit = {
     import spark.implicits._
     require(dims.nonEmpty, "a view needs at least one dimension")
     val aliases =
-      (dims ++ measures ++ minMeasures ++ maxMeasures ++ avgMeasures)
-        .map(_._1)
+      (dims ++ measures ++ minMeasures ++ maxMeasures ++ avgMeasures ++
+        distinctMeasures).map(_._1)
     require(aliases.distinct.size == aliases.size,
       s"duplicate aliases in ${aliases.mkString(", ")}")
     aliases.foreach(a => require(
@@ -83,20 +84,21 @@ object LakeView {
     // expression must fail the create, not the first refresh
     spark.range(0).select(lit(0L).as("doc_id"), lit("").as("text"))
       .select(exprs(dims ++ measures ++ minMeasures ++ maxMeasures ++
-        avgMeasures): _*)
+        avgMeasures ++ distinctMeasures): _*)
     Seq((dims.map(_._1), dims.map(_._2),
         measures.map(_._1), measures.map(_._2),
         minMeasures.map(_._1), minMeasures.map(_._2),
         maxMeasures.map(_._1), maxMeasures.map(_._2),
-        avgMeasures.map(_._1), avgMeasures.map(_._2)))
+        avgMeasures.map(_._1), avgMeasures.map(_._2),
+        distinctMeasures.map(_._1), distinctMeasures.map(_._2)))
       .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
         "min_names", "min_exprs", "max_names", "max_exprs",
-        "avg_names", "avg_exprs")
+        "avg_names", "avg_exprs", "dist_names", "dist_exprs")
       .coalesce(1).write.mode("errorifexists").parquet(s"$viewDir/spec")
     viewAggOf(Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("text")), dims,
         internalSums(measures, avgMeasures),
-        minMeasures, maxMeasures)
+        minMeasures, maxMeasures, distinctMeasures)
       .write.mode("overwrite").parquet(s"$viewDir/base")
   }
 
@@ -119,7 +121,7 @@ object LakeView {
   /** The stored declaration: (dims, measures) as (alias, expr) pairs. */
   def viewSpec(spark: SparkSession,
       viewDir: String): (Seq[(String, String)], Seq[(String, String)]) = {
-    val (d, m, _, _, _) = viewSpecFull(spark, viewDir)
+    val (d, m, _, _, _, _) = viewSpecFull(spark, viewDir)
     (d, m)
   }
 
@@ -129,7 +131,7 @@ object LakeView {
   def viewSpecFull(spark: SparkSession, viewDir: String)
       : (Seq[(String, String)], Seq[(String, String)],
          Seq[(String, String)], Seq[(String, String)],
-         Seq[(String, String)]) = {
+         Seq[(String, String)], Seq[(String, String)]) = {
     import spark.implicits._
     // resolveArtifact recovery: schema evolution rewrites the spec via
     // the _compacting swap, so a crash mid-swap self-heals on read
@@ -143,20 +145,22 @@ object LakeView {
         }
     (leg("dim_names", "dim_exprs"), leg("measure_names", "measure_exprs"),
       leg("min_names", "min_exprs"), leg("max_names", "max_exprs"),
-      leg("avg_names", "avg_exprs"))
+      leg("avg_names", "avg_exprs"), leg("dist_names", "dist_exprs"))
   }
 
   /** The view's aggregate over a (doc_id, text) relation. */
   private def viewAggOf(docs: DataFrame, dims: Seq[(String, String)],
       measures: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
-      maxs: Seq[(String, String)] = Nil): DataFrame =
-    docs.select(exprs(dims ++ measures ++ mins ++ maxs): _*)
+      maxs: Seq[(String, String)] = Nil,
+      dists: Seq[(String, String)] = Nil): DataFrame =
+    docs.select(exprs(dims ++ measures ++ mins ++ maxs ++ dists): _*)
       .groupBy(dims.map(d => col(d._1)): _*)
       .agg(count(lit(1)).as("n_docs"),
         measures.map(m => sum(col(m._1)).as(m._1)) ++
         mins.map(m => min(col(m._1)).as(m._1)) ++
-        maxs.map(m => max(col(m._1)).as(m._1)): _*)
+        maxs.map(m => max(col(m._1)).as(m._1)) ++
+        dists.map(m => hll_sketch_agg(col(m._1)).as(m._1)): _*)
 
   /** Signed per-(dims, version) contribution rows. */
   private def signedRows(texts: DataFrame, sign: Int,
@@ -263,19 +267,22 @@ object LakeView {
   private def windowExtRows(spark: SparkSession, dir: String,
       corpusDir: String, viewDir: String, seq: DataFrame, from: Long,
       baseRows: DataFrame, foldedTo: Long, dims: Seq[(String, String)],
-      mins: Seq[(String, String)], maxs: Seq[(String, String)]): DataFrame = {
+      mins: Seq[(String, String)], maxs: Seq[(String, String)],
+      dists: Seq[(String, String)]): DataFrame = {
     import spark.implicits._
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
-    val extNames = (mins ++ maxs).map(_._1)
+    val extNames = (mins ++ maxs ++ dists).map(_._1)
     def extAgg(df: DataFrame, by: Seq[Column]): DataFrame = {
       val aggs = mins.map(m => min(col(m._1)).as(m._1)) ++
-        maxs.map(m => max(col(m._1)).as(m._1))
+        maxs.map(m => max(col(m._1)).as(m._1)) ++
+        dists.map(m => hll_sketch_agg(col(m._1)).as(m._1))
       df.groupBy(by: _*).agg(aggs.head, aggs.tail: _*)
     }
     // inserted values per (group, version)
     val ins = seq.filter(!col("_del"))
-      .select(exprs(dims ++ mins ++ maxs) :+ col("epoch").as("version"): _*)
+      .select(exprs(dims ++ mins ++ maxs ++ dists) :+
+        col("epoch").as("version"): _*)
     val insExt = extAgg(ins, dimCols :+ col("version"))
       .withColumn("_kind", lit("I"))
     // retraction-touched (group, version) pairs — group membership of the
@@ -308,7 +315,7 @@ object LakeView {
         .select(dimCols: _*).alias("t")
       val vis = CorpusLake.readCorpusAt(spark, dir, corpusDir,
           Some(math.max(v, snapFloor)))
-        .select(exprs(dims ++ mins ++ maxs): _*).alias("v")
+        .select(exprs(dims ++ mins ++ maxs ++ dists): _*).alias("v")
         .join(broadcast(touched), nullSafe("v", "t"), "left_semi")
       val rec = extAgg(vis, dimCols).withColumn("version", lit(v))
       // a group whose visible set emptied writes an explicit null-extreme
@@ -354,8 +361,13 @@ object LakeView {
       col("b.version") <= col("a.version") &&
       (col("b.version") > col("a._reset") ||
         (col("b._kind") === "R" && col("b.version") === col("a._reset")))
+    // the fold combine per kind: least/greatest for extremes, sketch
+    // union for approx-distinct (a reset row's sketch REPLACES history —
+    // rows before the reset are excluded by the join condition, so the
+    // union only ever merges the reset state with later insert sketches)
     val aggList = mins.map(m => min(col(s"b.${m._1}")).as(m._1)) ++
-      maxs.map(m => max(col(s"b.${m._1}")).as(m._1))
+      maxs.map(m => max(col(s"b.${m._1}")).as(m._1)) ++
+      dists.map(m => hll_union_agg(col(s"b.${m._1}")).as(m._1))
     a.join(b, joinCond)
       .groupBy(dimNames.map(n => col(s"a.$n").as(n)) :+
         col("a.version").as("version"): _*)
@@ -371,7 +383,7 @@ object LakeView {
       corpusDir: String, viewDir: String,
       upTo: Option[Long] = None): Option[(Long, Long)] = {
     import spark.implicits._
-    val (dims, sums0, mins, maxs, avgs) = viewSpecFull(spark, viewDir)
+    val (dims, sums0, mins, maxs, avgs, dists) = viewSpecFull(spark, viewDir)
     val measures = internalSums(sums0, avgs)
     val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
     val from =
@@ -399,13 +411,15 @@ object LakeView {
         windowDeltas(seq, dims, measures)
           .write.mode("append").parquet(
             Similarity.resolveArtifact(spark, viewDir, "delta"))
-        if (mins.nonEmpty || maxs.nonEmpty) {
+        if (mins.nonEmpty || maxs.nonEmpty || dists.nonEmpty) {
           // crash between the two appends replays the window; both legs
           // are deterministic per version, so the read-side
-          // (dims, version) dedups collapse the duplicates identically
+          // (dims, version) dedups collapse the duplicates (sketch
+          // binaries included — hll_sketch_agg is deterministic for a
+          // given input set) identically
           val (baseRows, foldedTo) = baseAndWatermark(spark, viewDir)
           windowExtRows(spark, dir, corpusDir, viewDir, seq, from,
-              baseRows, foldedTo, dims, mins, maxs)
+              baseRows, foldedTo, dims, mins, maxs, dists)
             .write.mode("append").parquet(
               Similarity.resolveArtifact(spark, viewDir, "ext"))
         }
@@ -449,20 +463,27 @@ object LakeView {
 
   private def readViewUpTo(spark: SparkSession, viewDir: String,
       version: Option[Long]): DataFrame = {
-    val (_, _, _, _, avgs) = viewSpecFull(spark, viewDir)
+    val (_, _, _, _, avgs, dists) = viewSpecFull(spark, viewDir)
     val internal = foldInternal(spark, viewDir, version)
-    if (avgs.isEmpty) internal
+    if (avgs.isEmpty && dists.isEmpty) internal
     else {
-      // project the derived avg columns out of their internal
-      // (sum, count) pairs; the internals never leave this method
+      // project the serve-facing derivations: avg out of its internal
+      // (sum, count) pair, approx-distinct as the ESTIMATE of its HLL
+      // sketch binary; neither internal leaves this method
+      val distNames = dists.map(_._1).toSet
       val keep = internal.columns
         .filterNot(c => avgs.exists(a => c == s"${a._1}__sum" ||
           c == s"${a._1}__cnt"))
-      internal.select(keep.map(col) ++ avgs.map { case (a, _) =>
-        when(col(s"${a}__cnt") > 0,
-          col(s"${a}__sum") / col(s"${a}__cnt").cast("double"))
-          .as(a)
-      }: _*)
+        .filterNot(distNames)
+      internal.select(keep.map(col) ++
+        avgs.map { case (a, _) =>
+          when(col(s"${a}__cnt") > 0,
+            col(s"${a}__sum") / col(s"${a}__cnt").cast("double"))
+            .as(a)
+        } ++
+        dists.map { case (a, _) =>
+          when(col(a).isNotNull, hll_sketch_estimate(col(a))).as(a)
+        }: _*)
     }
   }
 
@@ -472,11 +493,11 @@ object LakeView {
     * cannot be folded: sum/cnt must keep accumulating). */
   private def foldInternal(spark: SparkSession, viewDir: String,
       version: Option[Long]): DataFrame = {
-    val (dims, sums0, mins, maxs, avgs) = viewSpecFull(spark, viewDir)
+    val (dims, sums0, mins, maxs, avgs, dists) = viewSpecFull(spark, viewDir)
     val measures = internalSums(sums0, avgs)
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
-    val extNames = (mins ++ maxs).map(_._1)
+    val extNames = (mins ++ maxs ++ dists).map(_._1)
     val (baseAll, foldedTo) = baseAndWatermark(spark, viewDir)
     // select the SPEC's columns explicitly rather than dropping known
     // extras: during schema evolution the backfilled base briefly carries
@@ -589,12 +610,16 @@ object LakeView {
       measures: Seq[(String, String)] = Nil,
       minMeasures: Seq[(String, String)] = Nil,
       maxMeasures: Seq[(String, String)] = Nil,
-      avgMeasures: Seq[(String, String)] = Nil): Unit = {
+      avgMeasures: Seq[(String, String)] = Nil,
+      distinctMeasures: Seq[(String, String)] = Nil): Unit = {
     import spark.implicits._
-    val (dims, sums0, mins0, maxs0, avgs0) = viewSpecFull(spark, viewDir)
-    val added = measures ++ minMeasures ++ maxMeasures ++ avgMeasures
+    val (dims, sums0, mins0, maxs0, avgs0, dists0) =
+      viewSpecFull(spark, viewDir)
+    val added = measures ++ minMeasures ++ maxMeasures ++ avgMeasures ++
+      distinctMeasures
     require(added.nonEmpty, "addMeasures: nothing to add")
-    val existing = (dims ++ sums0 ++ mins0 ++ maxs0 ++ avgs0).map(_._1).toSet
+    val existing =
+      (dims ++ sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet
     added.map(_._1).foreach(a => require(
       !Reserved(a) && a.nonEmpty && !a.contains("__") && !existing(a),
       s"alias '$a' is reserved, empty, internal, or already declared"))
@@ -621,10 +646,12 @@ object LakeView {
     val newAggs =
       newInternal.map(m => sum(col(m._1)).as(m._1)) ++
       minMeasures.map(m => min(col(m._1)).as(m._1)) ++
-      maxMeasures.map(m => max(col(m._1)).as(m._1))
+      maxMeasures.map(m => max(col(m._1)).as(m._1)) ++
+      distinctMeasures.map(m => hll_sketch_agg(col(m._1)).as(m._1))
     val dimNames = dims.map(_._1)
     val backfill = source
-      .select(exprs(dims ++ newInternal ++ minMeasures ++ maxMeasures): _*)
+      .select(exprs(dims ++ newInternal ++ minMeasures ++ maxMeasures ++
+        distinctMeasures): _*)
       .groupBy(dimNames.map(col): _*)
       .agg(newAggs.head, newAggs.tail: _*).alias("bf")
     val base = spark.read.parquet(
@@ -633,13 +660,14 @@ object LakeView {
         dimNames.map(n => col(s"b.$n") <=> col(s"bf.$n")).reduce(_ && _),
         "left")
       .select(col("b.*") +:
-        (newInternal ++ minMeasures ++ maxMeasures)
+        (newInternal ++ minMeasures ++ maxMeasures ++ distinctMeasures)
           .map(m => col(s"bf.${m._1}").as(m._1)): _*)
       .write.mode("overwrite").parquet(s"$viewDir/base_compacting")
     Similarity.swapArtifact(spark, viewDir, "base")
     // 3. the new declaration lands LAST
     writeSpec(spark, viewDir, dims, sums0 ++ measures,
-      mins0 ++ minMeasures, maxs0 ++ maxMeasures, avgs0 ++ avgMeasures)
+      mins0 ++ minMeasures, maxs0 ++ maxMeasures, avgs0 ++ avgMeasures,
+      dists0 ++ distinctMeasures)
   }
 
   /** Schema evolution: DROP measures (dims cannot be dropped — they key
@@ -649,17 +677,19 @@ object LakeView {
     * are projected away on read and vanish at the next fold. */
   def dropMeasures(spark: SparkSession, viewDir: String,
       aliases: Seq[String]): Unit = {
-    val (dims, sums0, mins0, maxs0, avgs0) = viewSpecFull(spark, viewDir)
+    val (dims, sums0, mins0, maxs0, avgs0, dists0) =
+      viewSpecFull(spark, viewDir)
     val drop = aliases.toSet
     require(aliases.nonEmpty, "dropMeasures: nothing to drop")
-    val known = (sums0 ++ mins0 ++ maxs0 ++ avgs0).map(_._1).toSet
+    val known = (sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet
     require(drop.subsetOf(known),
       s"dropMeasures: unknown measure(s) ${drop.diff(known).mkString(", ")}" +
         " (dims cannot be dropped)")
     foldAndDrainStores(spark, viewDir, "dropMeasures")
     writeSpec(spark, viewDir, dims,
       sums0.filterNot(m => drop(m._1)), mins0.filterNot(m => drop(m._1)),
-      maxs0.filterNot(m => drop(m._1)), avgs0.filterNot(m => drop(m._1)))
+      maxs0.filterNot(m => drop(m._1)), avgs0.filterNot(m => drop(m._1)),
+      dists0.filterNot(m => drop(m._1)))
     // physically retire the dropped columns (avg measures live in the
     // base as their internal pair) — a groups-sized rewrite AFTER the
     // spec swap, so a crash in between only leaves stale columns that
@@ -695,14 +725,14 @@ object LakeView {
   private def writeSpec(spark: SparkSession, viewDir: String,
       dims: Seq[(String, String)], sums: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
-      avgs: Seq[(String, String)]): Unit = {
+      avgs: Seq[(String, String)], dists: Seq[(String, String)]): Unit = {
     import spark.implicits._
     Seq((dims.map(_._1), dims.map(_._2), sums.map(_._1), sums.map(_._2),
         mins.map(_._1), mins.map(_._2), maxs.map(_._1), maxs.map(_._2),
-        avgs.map(_._1), avgs.map(_._2)))
+        avgs.map(_._1), avgs.map(_._2), dists.map(_._1), dists.map(_._2)))
       .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
         "min_names", "min_exprs", "max_names", "max_exprs",
-        "avg_names", "avg_exprs")
+        "avg_names", "avg_exprs", "dist_names", "dist_exprs")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$viewDir/spec_compacting")
     Similarity.swapArtifact(spark, viewDir, "spec")
@@ -713,13 +743,14 @@ object LakeView {
     * included), the introspection surface a catalog listing reads. */
   def describeView(spark: SparkSession, viewDir: String): DataFrame = {
     import spark.implicits._
-    val (dims, sums0, mins, maxs, avgs) = viewSpecFull(spark, viewDir)
+    val (dims, sums0, mins, maxs, avgs, dists) = viewSpecFull(spark, viewDir)
     (dims.map { case (a, e) => (a, "dim", e) } ++
       Seq(("n_docs", "count", "1")) ++
       sums0.map { case (a, e) => (a, "sum", e) } ++
       mins.map { case (a, e) => (a, "min", e) } ++
       maxs.map { case (a, e) => (a, "max", e) } ++
-      avgs.map { case (a, e) => (a, "avg", e) })
+      avgs.map { case (a, e) => (a, "avg", e) } ++
+      dists.map { case (a, e) => (a, "approx_distinct", e) })
       .toDF("column", "kind", "expr")
   }
 
@@ -805,6 +836,52 @@ object LakeView {
       v
     }
     readView(spark, viewDir).orderBy(col("bucket"))
+  }
+
+  /** The approx-distinct twin: a view declaring HLL-sketch distinct
+    * measures over the delete-lifecycle lake — the delete epoch shrinks
+    * the per-group distinct-id count by ~8%, so a sketch that failed to
+    * recompute on retraction (the thing HLL alone cannot do) blows the
+    * 5% accuracy bound and fails the flags. Output follows the repo's
+    * sketch-oracle convention: EXACT counts (recomputed from the lake
+    * head, which DuckDB re-derives) plus literal-TRUE accuracy flags —
+    * the estimate itself is engine-specific and never hashed. */
+  def viewDistinctTwin(spark: SparkSession, dir: String): DataFrame = {
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-view-distinct|$dir") {
+      val v = java.nio.file.Files
+        .createTempDirectory("graft-lake-view-dist").toString + "/view"
+      createView(spark, dir, v,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+        distinctMeasures = Seq(
+          "d_ids" -> "CAST(doc_id AS STRING)",
+          "d_tok1" -> "split(text, ' ')[0]"))
+      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
+      compactView(spark, v)
+      refreshViewFromLake(spark, dir, lake, v)
+      v
+    }
+    val served = readView(spark, viewDir)
+      .select(col("bucket"), col("n_docs"),
+        col("d_ids").as("d_ids_est"), col("d_tok1").as("d_tok1_est"))
+    val exact = CorpusLake.readCorpusAt(spark, dir, lake)
+      .select(expr("CAST(doc_id % 7 AS INT)").as("bucket"),
+        expr("CAST(doc_id AS STRING)").as("i"),
+        expr("split(text, ' ')[0]").as("t"))
+      .groupBy(col("bucket"))
+      .agg(countDistinct(col("i")).as("d_ids_exact"),
+        countDistinct(col("t")).as("d_tok1_exact"))
+    def ok(est: Column, ex: Column): Column =
+      abs(est.cast("double") - ex.cast("double")) <=
+        greatest(lit(1.0), ex.cast("double") * 0.05)
+    served.join(exact, Seq("bucket"))
+      .select(col("bucket"), col("n_docs"),
+        col("d_ids_exact"), col("d_tok1_exact"),
+        ok(col("d_ids_est"), col("d_ids_exact")).as("d_ids_ok"),
+        ok(col("d_tok1_est"), col("d_tok1_exact")).as("d_tok1_ok"))
+      .orderBy(col("bucket"))
   }
 
   def viewTwin(spark: SparkSession, dir: String): DataFrame = {
