@@ -67,12 +67,16 @@ object LakeView {
       minMeasures: Seq[(String, String)] = Nil,
       maxMeasures: Seq[(String, String)] = Nil,
       avgMeasures: Seq[(String, String)] = Nil,
-      distinctMeasures: Seq[(String, String)] = Nil): Unit = {
+      distinctMeasures: Seq[(String, String)] = Nil,
+      quantileMeasures: Seq[(String, String, Double)] = Nil): Unit = {
     import spark.implicits._
     require(dims.nonEmpty, "a view needs at least one dimension")
+    quantileMeasures.foreach { case (a, _, p) => require(p >= 0 && p <= 1,
+      s"quantile measure '$a': p must be in [0,1], got $p") }
+    val quantPairs = quantileMeasures.map(q => (q._1, q._2))
     val aliases =
       (dims ++ measures ++ minMeasures ++ maxMeasures ++ avgMeasures ++
-        distinctMeasures).map(_._1)
+        distinctMeasures ++ quantPairs).map(_._1)
     require(aliases.distinct.size == aliases.size,
       s"duplicate aliases in ${aliases.mkString(", ")}")
     aliases.foreach(a => require(
@@ -84,21 +88,24 @@ object LakeView {
     // expression must fail the create, not the first refresh
     spark.range(0).select(lit(0L).as("doc_id"), lit("").as("text"))
       .select(exprs(dims ++ measures ++ minMeasures ++ maxMeasures ++
-        avgMeasures ++ distinctMeasures): _*)
+        avgMeasures ++ distinctMeasures ++ quantPairs): _*)
     Seq((dims.map(_._1), dims.map(_._2),
         measures.map(_._1), measures.map(_._2),
         minMeasures.map(_._1), minMeasures.map(_._2),
         maxMeasures.map(_._1), maxMeasures.map(_._2),
         avgMeasures.map(_._1), avgMeasures.map(_._2),
-        distinctMeasures.map(_._1), distinctMeasures.map(_._2)))
+        distinctMeasures.map(_._1), distinctMeasures.map(_._2),
+        quantileMeasures.map(_._1), quantileMeasures.map(_._2),
+        quantileMeasures.map(_._3)))
       .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
         "min_names", "min_exprs", "max_names", "max_exprs",
-        "avg_names", "avg_exprs", "dist_names", "dist_exprs")
+        "avg_names", "avg_exprs", "dist_names", "dist_exprs",
+        "q_names", "q_exprs", "q_ps")
       .coalesce(1).write.mode("errorifexists").parquet(s"$viewDir/spec")
     viewAggOf(Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), col("text")), dims,
         internalSums(measures, avgMeasures),
-        minMeasures, maxMeasures, distinctMeasures)
+        minMeasures, maxMeasures, distinctMeasures, quantileMeasures)
       .write.mode("overwrite").parquet(s"$viewDir/base")
   }
 
@@ -121,17 +128,19 @@ object LakeView {
   /** The stored declaration: (dims, measures) as (alias, expr) pairs. */
   def viewSpec(spark: SparkSession,
       viewDir: String): (Seq[(String, String)], Seq[(String, String)]) = {
-    val (d, m, _, _, _, _) = viewSpecFull(spark, viewDir)
-    (d, m)
+    val s = viewSpecFull(spark, viewDir)
+    (s.dims, s.sums)
   }
 
-  /** The full declaration: (dims, sumMeasures, minMeasures, maxMeasures,
-    * avgMeasures). Specs written before a measure kind existed read back
-    * with that leg empty — the columns are absent, not null. */
-  def viewSpecFull(spark: SparkSession, viewDir: String)
-      : (Seq[(String, String)], Seq[(String, String)],
-         Seq[(String, String)], Seq[(String, String)],
-         Seq[(String, String)], Seq[(String, String)]) = {
+  /** The stored declaration, all measure kinds. Specs written before a
+    * measure kind existed read back with that leg empty — the columns are
+    * absent, not null. */
+  case class ViewSpec(dims: Seq[(String, String)], sums: Seq[(String, String)],
+      mins: Seq[(String, String)], maxs: Seq[(String, String)],
+      avgs: Seq[(String, String)], dists: Seq[(String, String)],
+      quants: Seq[(String, String, Double)])
+
+  def viewSpecFull(spark: SparkSession, viewDir: String): ViewSpec = {
     import spark.implicits._
     // resolveArtifact recovery: schema evolution rewrites the spec via
     // the _compacting swap, so a crash mid-swap self-heals on read
@@ -143,24 +152,50 @@ object LakeView {
         .as[(Seq[String], Seq[String])].head() match {
           case (n, e) => n.zip(e)
         }
-    (leg("dim_names", "dim_exprs"), leg("measure_names", "measure_exprs"),
+    val quants =
+      if (!raw.columns.contains("q_names")) Nil
+      else raw.select(col("q_names"), col("q_exprs"), col("q_ps"))
+        .as[(Seq[String], Seq[String], Seq[Double])].head() match {
+          case (n, e, p) => n.lazyZip(e).lazyZip(p).toSeq
+        }
+    ViewSpec(leg("dim_names", "dim_exprs"),
+      leg("measure_names", "measure_exprs"),
       leg("min_names", "min_exprs"), leg("max_names", "max_exprs"),
-      leg("avg_names", "avg_exprs"), leg("dist_names", "dist_exprs"))
+      leg("avg_names", "avg_exprs"), leg("dist_names", "dist_exprs"),
+      quants)
   }
+
+  /** The quantile measures' (tag, NaN-sentinel value) input columns —
+    * selected beside the dims wherever a sketch is (re)built. The tag is
+    * the document identity hash (what keeps equal values from different
+    * docs distinct occurrences, and replays byte-identical); NaN stands
+    * for null (parquet/encoder-safe) and the aggregator skips it. */
+  private def quantInputCols(quants: Seq[(String, String, Double)]): Seq[Column] =
+    if (quants.isEmpty) Nil
+    else coalesce(xxhash64(col("doc_id")), lit(0L)).as("__qtag") +:
+      quants.map { case (a, e, _) =>
+        coalesce(expr(e).cast("double"), lit(Double.NaN)).as(a) }
+
+  private def quantBuildAggs(quants: Seq[(String, String, Double)]): Seq[Column] =
+    quants.map { case (a, _, _) =>
+      graft.functions.QSketch.buildAgg(col("__qtag"), col(a)).as(a) }
 
   /** The view's aggregate over a (doc_id, text) relation. */
   private def viewAggOf(docs: DataFrame, dims: Seq[(String, String)],
       measures: Seq[(String, String)],
       mins: Seq[(String, String)] = Nil,
       maxs: Seq[(String, String)] = Nil,
-      dists: Seq[(String, String)] = Nil): DataFrame =
-    docs.select(exprs(dims ++ measures ++ mins ++ maxs ++ dists): _*)
+      dists: Seq[(String, String)] = Nil,
+      quants: Seq[(String, String, Double)] = Nil): DataFrame =
+    docs.select(exprs(dims ++ measures ++ mins ++ maxs ++ dists) ++
+        quantInputCols(quants): _*)
       .groupBy(dims.map(d => col(d._1)): _*)
       .agg(count(lit(1)).as("n_docs"),
         measures.map(m => sum(col(m._1)).as(m._1)) ++
         mins.map(m => min(col(m._1)).as(m._1)) ++
         maxs.map(m => max(col(m._1)).as(m._1)) ++
-        dists.map(m => hll_sketch_agg(col(m._1)).as(m._1)): _*)
+        dists.map(m => hll_sketch_agg(col(m._1)).as(m._1)) ++
+        quantBuildAggs(quants): _*)
 
   /** Signed per-(dims, version) contribution rows. */
   private def signedRows(texts: DataFrame, sign: Int,
@@ -268,21 +303,23 @@ object LakeView {
       corpusDir: String, viewDir: String, seq: DataFrame, from: Long,
       baseRows: DataFrame, foldedTo: Long, dims: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
-      dists: Seq[(String, String)]): DataFrame = {
+      dists: Seq[(String, String)],
+      quants: Seq[(String, String, Double)]): DataFrame = {
     import spark.implicits._
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
-    val extNames = (mins ++ maxs ++ dists).map(_._1)
+    val extNames = (mins ++ maxs ++ dists).map(_._1) ++ quants.map(_._1)
     def extAgg(df: DataFrame, by: Seq[Column]): DataFrame = {
       val aggs = mins.map(m => min(col(m._1)).as(m._1)) ++
         maxs.map(m => max(col(m._1)).as(m._1)) ++
-        dists.map(m => hll_sketch_agg(col(m._1)).as(m._1))
+        dists.map(m => hll_sketch_agg(col(m._1)).as(m._1)) ++
+        quantBuildAggs(quants)
       df.groupBy(by: _*).agg(aggs.head, aggs.tail: _*)
     }
     // inserted values per (group, version)
     val ins = seq.filter(!col("_del"))
-      .select(exprs(dims ++ mins ++ maxs ++ dists) :+
-        col("epoch").as("version"): _*)
+      .select(exprs(dims ++ mins ++ maxs ++ dists) ++
+        quantInputCols(quants) :+ col("epoch").as("version"): _*)
     val insExt = extAgg(ins, dimCols :+ col("version"))
       .withColumn("_kind", lit("I"))
     // retraction-touched (group, version) pairs — group membership of the
@@ -315,7 +352,8 @@ object LakeView {
         .select(dimCols: _*).alias("t")
       val vis = CorpusLake.readCorpusAt(spark, dir, corpusDir,
           Some(math.max(v, snapFloor)))
-        .select(exprs(dims ++ mins ++ maxs ++ dists): _*).alias("v")
+        .select(exprs(dims ++ mins ++ maxs ++ dists) ++
+          quantInputCols(quants): _*).alias("v")
         .join(broadcast(touched), nullSafe("v", "t"), "left_semi")
       val rec = extAgg(vis, dimCols).withColumn("version", lit(v))
       // a group whose visible set emptied writes an explicit null-extreme
@@ -367,7 +405,9 @@ object LakeView {
     // union only ever merges the reset state with later insert sketches)
     val aggList = mins.map(m => min(col(s"b.${m._1}")).as(m._1)) ++
       maxs.map(m => max(col(s"b.${m._1}")).as(m._1)) ++
-      dists.map(m => hll_union_agg(col(s"b.${m._1}")).as(m._1))
+      dists.map(m => hll_union_agg(col(s"b.${m._1}")).as(m._1)) ++
+      quants.map { case (a, _, _) =>
+        graft.functions.QSketch.unionAgg(col(s"b.$a")).as(a) }
     a.join(b, joinCond)
       .groupBy(dimNames.map(n => col(s"a.$n").as(n)) :+
         col("a.version").as("version"): _*)
@@ -383,7 +423,8 @@ object LakeView {
       corpusDir: String, viewDir: String,
       upTo: Option[Long] = None): Option[(Long, Long)] = {
     import spark.implicits._
-    val (dims, sums0, mins, maxs, avgs, dists) = viewSpecFull(spark, viewDir)
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants) =
+      viewSpecFull(spark, viewDir)
     val measures = internalSums(sums0, avgs)
     val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
     val from =
@@ -411,7 +452,8 @@ object LakeView {
         windowDeltas(seq, dims, measures)
           .write.mode("append").parquet(
             Similarity.resolveArtifact(spark, viewDir, "delta"))
-        if (mins.nonEmpty || maxs.nonEmpty || dists.nonEmpty) {
+        if (mins.nonEmpty || maxs.nonEmpty || dists.nonEmpty ||
+            quants.nonEmpty) {
           // crash between the two appends replays the window; both legs
           // are deterministic per version, so the read-side
           // (dims, version) dedups collapse the duplicates (sketch
@@ -419,7 +461,7 @@ object LakeView {
           // given input set) identically
           val (baseRows, foldedTo) = baseAndWatermark(spark, viewDir)
           windowExtRows(spark, dir, corpusDir, viewDir, seq, from,
-              baseRows, foldedTo, dims, mins, maxs, dists)
+              baseRows, foldedTo, dims, mins, maxs, dists, quants)
             .write.mode("append").parquet(
               Similarity.resolveArtifact(spark, viewDir, "ext"))
         }
@@ -463,18 +505,21 @@ object LakeView {
 
   private def readViewUpTo(spark: SparkSession, viewDir: String,
       version: Option[Long]): DataFrame = {
-    val (_, _, _, _, avgs, dists) = viewSpecFull(spark, viewDir)
+    val spec = viewSpecFull(spark, viewDir)
+    val (avgs, dists, quants) = (spec.avgs, spec.dists, spec.quants)
     val internal = foldInternal(spark, viewDir, version)
-    if (avgs.isEmpty && dists.isEmpty) internal
+    if (avgs.isEmpty && dists.isEmpty && quants.isEmpty) internal
     else {
       // project the serve-facing derivations: avg out of its internal
       // (sum, count) pair, approx-distinct as the ESTIMATE of its HLL
-      // sketch binary; neither internal leaves this method
+      // sketch binary, quantiles as the interpolated estimate of their
+      // sample sketch; no internal leaves this method
       val distNames = dists.map(_._1).toSet
+      val quantNames = quants.map(_._1).toSet
       val keep = internal.columns
         .filterNot(c => avgs.exists(a => c == s"${a._1}__sum" ||
           c == s"${a._1}__cnt"))
-        .filterNot(distNames)
+        .filterNot(c => distNames(c) || quantNames(c))
       internal.select(keep.map(col) ++
         avgs.map { case (a, _) =>
           when(col(s"${a}__cnt") > 0,
@@ -483,6 +528,9 @@ object LakeView {
         } ++
         dists.map { case (a, _) =>
           when(col(a).isNotNull, hll_sketch_estimate(col(a))).as(a)
+        } ++
+        quants.map { case (a, _, p) =>
+          graft.functions.QSketch.quantile(col(a), p).as(a)
         }: _*)
     }
   }
@@ -493,11 +541,12 @@ object LakeView {
     * cannot be folded: sum/cnt must keep accumulating). */
   private def foldInternal(spark: SparkSession, viewDir: String,
       version: Option[Long]): DataFrame = {
-    val (dims, sums0, mins, maxs, avgs, dists) = viewSpecFull(spark, viewDir)
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants) =
+      viewSpecFull(spark, viewDir)
     val measures = internalSums(sums0, avgs)
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
-    val extNames = (mins ++ maxs ++ dists).map(_._1)
+    val extNames = (mins ++ maxs ++ dists).map(_._1) ++ quants.map(_._1)
     val (baseAll, foldedTo) = baseAndWatermark(spark, viewDir)
     // select the SPEC's columns explicitly rather than dropping known
     // extras: during schema evolution the backfilled base briefly carries
@@ -611,15 +660,20 @@ object LakeView {
       minMeasures: Seq[(String, String)] = Nil,
       maxMeasures: Seq[(String, String)] = Nil,
       avgMeasures: Seq[(String, String)] = Nil,
-      distinctMeasures: Seq[(String, String)] = Nil): Unit = {
+      distinctMeasures: Seq[(String, String)] = Nil,
+      quantileMeasures: Seq[(String, String, Double)] = Nil): Unit = {
     import spark.implicits._
-    val (dims, sums0, mins0, maxs0, avgs0, dists0) =
+    val ViewSpec(dims, sums0, mins0, maxs0, avgs0, dists0, quants0) =
       viewSpecFull(spark, viewDir)
+    val quantPairs = quantileMeasures.map(q => (q._1, q._2))
     val added = measures ++ minMeasures ++ maxMeasures ++ avgMeasures ++
-      distinctMeasures
+      distinctMeasures ++ quantPairs
     require(added.nonEmpty, "addMeasures: nothing to add")
+    quantileMeasures.foreach { case (a, _, p) => require(p >= 0 && p <= 1,
+      s"quantile measure '$a': p must be in [0,1], got $p") }
     val existing =
-      (dims ++ sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet
+      (dims ++ sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet ++
+        quants0.map(_._1)
     added.map(_._1).foreach(a => require(
       !Reserved(a) && a.nonEmpty && !a.contains("__") && !existing(a),
       s"alias '$a' is reserved, empty, internal, or already declared"))
@@ -647,11 +701,12 @@ object LakeView {
       newInternal.map(m => sum(col(m._1)).as(m._1)) ++
       minMeasures.map(m => min(col(m._1)).as(m._1)) ++
       maxMeasures.map(m => max(col(m._1)).as(m._1)) ++
-      distinctMeasures.map(m => hll_sketch_agg(col(m._1)).as(m._1))
+      distinctMeasures.map(m => hll_sketch_agg(col(m._1)).as(m._1)) ++
+      quantBuildAggs(quantileMeasures)
     val dimNames = dims.map(_._1)
     val backfill = source
       .select(exprs(dims ++ newInternal ++ minMeasures ++ maxMeasures ++
-        distinctMeasures): _*)
+        distinctMeasures) ++ quantInputCols(quantileMeasures): _*)
       .groupBy(dimNames.map(col): _*)
       .agg(newAggs.head, newAggs.tail: _*).alias("bf")
     val base = spark.read.parquet(
@@ -660,14 +715,15 @@ object LakeView {
         dimNames.map(n => col(s"b.$n") <=> col(s"bf.$n")).reduce(_ && _),
         "left")
       .select(col("b.*") +:
-        (newInternal ++ minMeasures ++ maxMeasures ++ distinctMeasures)
-          .map(m => col(s"bf.${m._1}").as(m._1)): _*)
+        ((newInternal ++ minMeasures ++ maxMeasures ++ distinctMeasures)
+          .map(_._1) ++ quantileMeasures.map(_._1))
+          .map(n => col(s"bf.$n").as(n)): _*)
       .write.mode("overwrite").parquet(s"$viewDir/base_compacting")
     Similarity.swapArtifact(spark, viewDir, "base")
     // 3. the new declaration lands LAST
     writeSpec(spark, viewDir, dims, sums0 ++ measures,
       mins0 ++ minMeasures, maxs0 ++ maxMeasures, avgs0 ++ avgMeasures,
-      dists0 ++ distinctMeasures)
+      dists0 ++ distinctMeasures, quants0 ++ quantileMeasures)
   }
 
   /** Schema evolution: DROP measures (dims cannot be dropped — they key
@@ -677,11 +733,12 @@ object LakeView {
     * are projected away on read and vanish at the next fold. */
   def dropMeasures(spark: SparkSession, viewDir: String,
       aliases: Seq[String]): Unit = {
-    val (dims, sums0, mins0, maxs0, avgs0, dists0) =
+    val ViewSpec(dims, sums0, mins0, maxs0, avgs0, dists0, quants0) =
       viewSpecFull(spark, viewDir)
     val drop = aliases.toSet
     require(aliases.nonEmpty, "dropMeasures: nothing to drop")
-    val known = (sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet
+    val known = (sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet ++
+      quants0.map(_._1)
     require(drop.subsetOf(known),
       s"dropMeasures: unknown measure(s) ${drop.diff(known).mkString(", ")}" +
         " (dims cannot be dropped)")
@@ -689,7 +746,7 @@ object LakeView {
     writeSpec(spark, viewDir, dims,
       sums0.filterNot(m => drop(m._1)), mins0.filterNot(m => drop(m._1)),
       maxs0.filterNot(m => drop(m._1)), avgs0.filterNot(m => drop(m._1)),
-      dists0.filterNot(m => drop(m._1)))
+      dists0.filterNot(m => drop(m._1)), quants0.filterNot(m => drop(m._1)))
     // physically retire the dropped columns (avg measures live in the
     // base as their internal pair) — a groups-sized rewrite AFTER the
     // spec swap, so a crash in between only leaves stale columns that
@@ -725,14 +782,17 @@ object LakeView {
   private def writeSpec(spark: SparkSession, viewDir: String,
       dims: Seq[(String, String)], sums: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
-      avgs: Seq[(String, String)], dists: Seq[(String, String)]): Unit = {
+      avgs: Seq[(String, String)], dists: Seq[(String, String)],
+      quants: Seq[(String, String, Double)]): Unit = {
     import spark.implicits._
     Seq((dims.map(_._1), dims.map(_._2), sums.map(_._1), sums.map(_._2),
         mins.map(_._1), mins.map(_._2), maxs.map(_._1), maxs.map(_._2),
-        avgs.map(_._1), avgs.map(_._2), dists.map(_._1), dists.map(_._2)))
+        avgs.map(_._1), avgs.map(_._2), dists.map(_._1), dists.map(_._2),
+        quants.map(_._1), quants.map(_._2), quants.map(_._3)))
       .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
         "min_names", "min_exprs", "max_names", "max_exprs",
-        "avg_names", "avg_exprs", "dist_names", "dist_exprs")
+        "avg_names", "avg_exprs", "dist_names", "dist_exprs",
+        "q_names", "q_exprs", "q_ps")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$viewDir/spec_compacting")
     Similarity.swapArtifact(spark, viewDir, "spec")
@@ -743,14 +803,16 @@ object LakeView {
     * included), the introspection surface a catalog listing reads. */
   def describeView(spark: SparkSession, viewDir: String): DataFrame = {
     import spark.implicits._
-    val (dims, sums0, mins, maxs, avgs, dists) = viewSpecFull(spark, viewDir)
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants) =
+      viewSpecFull(spark, viewDir)
     (dims.map { case (a, e) => (a, "dim", e) } ++
       Seq(("n_docs", "count", "1")) ++
       sums0.map { case (a, e) => (a, "sum", e) } ++
       mins.map { case (a, e) => (a, "min", e) } ++
       maxs.map { case (a, e) => (a, "max", e) } ++
       avgs.map { case (a, e) => (a, "avg", e) } ++
-      dists.map { case (a, e) => (a, "approx_distinct", e) })
+      dists.map { case (a, e) => (a, "approx_distinct", e) } ++
+      quants.map { case (a, e, p) => (a, s"quantile(p=$p)", e) })
       .toDF("column", "kind", "expr")
   }
 

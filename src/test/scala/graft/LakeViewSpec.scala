@@ -468,4 +468,85 @@ class LakeViewSpec extends SparkSpec {
     assert(rows(LakeView.readView(spark, v)) != recompute(parent),
       "branch view indistinct from the parent — fixture is vacuous")
   }
+
+  // quantile measure fixtures: p50 over plain length; p90 over a length
+  // whose deleted band (ids ≡2 mod 9) is shifted +100000 — pre-delete
+  // that band is ~11% of every bucket (p90 lands IN it), post-delete
+  // only the re-admitted ~4% remains (p90 lands under it), so a sketch
+  // that failed to re-sketch on retraction serves a value ~100000 off
+  private val quantMeasures = Seq(
+    ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5),
+    ("p90_load",
+      "CAST(length(text) + CASE WHEN doc_id % 9 = 2 THEN 100000 ELSE 0 END AS DOUBLE)",
+      0.9))
+
+  private def rowsQ(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("bucket"), col("n_docs"),
+      round(col("p50_chars"), 6).as("p50_chars"),
+      round(col("p90_load"), 6).as("p90_load"))
+    .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+
+  /** Exact interpolated percentiles over a pinned snapshot — at sf0.001
+    * every bucket is under the sketch capacity, so the served estimates
+    * must EQUAL these (the sample is the whole multiset). */
+  private def recomputeQ(corpus: String, version: Option[Long] = None) =
+    rowsQ(CorpusLake.readCorpusAt(spark, dir, corpus, version)
+      .select(expr(dims.head._2).as("bucket"),
+        expr(quantMeasures(0)._2).as("v50"),
+        expr(quantMeasures(1)._2).as("v90"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("v50"), lit(0.5)).as("p50_chars"),
+        percentile(col("v90"), lit(0.9)).as("p90_load")))
+
+  test("lake view: quantile measures fold on inserts, re-sketch on " +
+      "retractions, and are exact below sketch capacity") {
+    val corpus = mkLake()
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-q").toString + "/view"
+    LakeView.createView(spark, dir, v, dims, measures,
+      quantileMeasures = quantMeasures)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v,
+      upTo = Some(0L)).isDefined)
+    assert(rowsQ(LakeView.readView(spark, v)) == recomputeQ(corpus, Some(0L)),
+      "quantiles diverged after the update epoch")
+    LakeView.compactView(spark, v)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    val truth = recomputeQ(corpus)
+    assert(rowsQ(LakeView.readView(spark, v)) == truth,
+      "quantile view diverged from the recompute after delete + re-admission")
+    // the delete is LOAD-BEARING for p90_load: before it, p90 sits in the
+    // +100000 band; after, it must drop under it — a stale sketch cannot
+    // pass both assertions
+    val p90post = LakeView.readView(spark, v)
+      .agg(max(col("p90_load"))).head().getDouble(0)
+    assert(p90post < 100000.0,
+      s"p90_load $p90post still in the deleted band — retraction failed")
+    val p90pre = LakeView.readViewAt(spark, v, 0L)
+      .agg(min(col("p90_load"))).head().getDouble(0)
+    assert(p90pre >= 100000.0,
+      s"fixture vacuous: pre-delete p90_load $p90pre not in the band")
+    // crash replay: lose the cursor, re-consume — byte-identical sketch
+    // rows must collapse in the (dims, version) dedup
+    val fs = new org.apache.hadoop.fs.Path(s"$v/cursor")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$v/cursor"), true)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    assert(rowsQ(LakeView.readView(spark, v)) == truth,
+      "replayed window corrupted the quantile sketches")
+    // evolution: graft a quantile onto a live view, then retire it
+    LakeView.addMeasures(spark, dir, corpus, v,
+      quantileMeasures = Seq(("p99_chars", "CAST(length(text) AS DOUBLE)", 0.99)))
+    val p99 = LakeView.readView(spark, v).select(col("bucket"), col("p99_chars"))
+    assert(p99.filter(col("p99_chars").isNull).count() == 0,
+      "backfilled quantile served null")
+    assert(LakeView.describeView(spark, v)
+      .filter(col("column") === "p99_chars")
+      .select(col("kind")).head().getString(0) == "quantile(p=0.99)")
+    LakeView.dropMeasures(spark, v, Seq("p99_chars"))
+    assert(!LakeView.readView(spark, v).columns.contains("p99_chars"),
+      "dropped quantile still served")
+    assert(rowsQ(LakeView.readView(spark, v)) == truth,
+      "evolution round-trip disturbed the surviving quantiles")
+  }
 }
