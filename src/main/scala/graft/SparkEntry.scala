@@ -146,6 +146,7 @@ object SparkEntry {
     "corpus_view_minmax"   -> (graft.operators.LakeView.viewMinMaxTwin _),
     "corpus_view_evolve"   -> (graft.operators.LakeView.viewEvolveTwin _),
     "corpus_view_distinct" -> (graft.operators.LakeView.viewDistinctTwin _),
+    "corpus_view_quantile" -> (graft.operators.LakeView.viewQuantileTwin _),
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "corpus_card"          -> (Curate.datasetCard _),
     "corpus_card_lake"     -> (Curate.cardLakeTwin _),
@@ -2346,6 +2347,30 @@ object SparkEntry {
         |  CAST(count(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT) AS d_ids_exact,
         |  CAST(count(DISTINCT string_split(text, ' ')[1]) AS BIGINT) AS d_tok1_exact,
         |  TRUE AS d_ids_ok, TRUE AS d_tok1_ok
+        |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // quantile view measures (deterministic bottom-k sample sketch:
+    // union-fold on insert-only windows, re-sketch on retraction): every
+    // fixture bucket is under the sketch capacity, so served estimates
+    // EQUAL exact interpolated percentiles and the oracle compares VALUES
+    // at 6dp (the q19_percentile cross-engine convention) — p90_load's
+    // +100000 band dies with the delete epoch, so a sketch that failed
+    // to retract is ~100000 high, not approximately wrong
+    "corpus_view_quantile" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2)
+        |SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
+        |  round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6)
+        |    AS p50_chars,
+        |  round(quantile_cont(CAST(length(text) +
+        |      CASE WHEN doc_id % 9 = 2 THEN 100000 ELSE 0 END AS DOUBLE),
+        |    0.9), 6) AS p90_load
         |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // schema evolution of a LIVE view: a sums-only view consumes the

@@ -946,6 +946,43 @@ object LakeView {
       .orderBy(col("bucket"))
   }
 
+  /** The quantile-measure twin: the delete-lifecycle lake maintained
+    * through a view declaring interpolated-quantile measures — p50 of
+    * length, and p90 of a length whose to-be-deleted band (ids ≡2 mod 9)
+    * is shifted +100000, so the delete epoch moves p90 OUT of the band:
+    * only the retraction re-sketch can serve it (a stale sketch stays
+    * ~100000 high). Every fixture bucket is under the 4096-occurrence
+    * sample capacity, so the sketch holds the whole multiset and the
+    * served estimates EQUAL exact interpolated percentiles — the oracle
+    * compares VALUES (6dp, the q19_percentile cross-engine convention),
+    * a strictly stronger gate than the sketch accuracy-flag convention;
+    * the sampled (above-capacity) regime is pinned by QSketchSpec. */
+  def viewQuantileTwin(spark: SparkSession, dir: String): DataFrame = {
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-view-quant|$dir") {
+      val v = java.nio.file.Files
+        .createTempDirectory("graft-lake-view-quant").toString + "/view"
+      createView(spark, dir, v,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+        quantileMeasures = Seq(
+          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5),
+          ("p90_load",
+            "CAST(length(text) + CASE WHEN doc_id % 9 = 2 THEN 100000 ELSE 0 END AS DOUBLE)",
+            0.9)))
+      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
+      compactView(spark, v)
+      refreshViewFromLake(spark, dir, lake, v)
+      v
+    }
+    readView(spark, viewDir)
+      .select(col("bucket"), col("n_docs"), col("chars"),
+        round(col("p50_chars"), 6).as("p50_chars"),
+        round(col("p90_load"), 6).as("p90_load"))
+      .orderBy(col("bucket"))
+  }
+
   def viewTwin(spark: SparkSession, dir: String): DataFrame = {
     val lake = CorpusLake.deleteLake(spark, dir)
     val viewDir = graft.sources.Caches.memoizedValue[String](spark,
