@@ -107,14 +107,25 @@ class LakeModelSpec extends SparkSpec {
         dims = Seq("bucket" -> "CAST(doc_id % 3 AS INT)"),
         measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
         minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)"),
-        maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)"))
+        maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)"),
+        quantileMeasures = Seq(
+          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5)))
       var viewAt = Long.MinValue
-      def viewModelRows(v: Long): Set[(Option[Int], Long, Long, Long, Long)] =
+      // p=0.5 over integer lengths interpolates to x.0/x.5 — exact in
+      // double arithmetic on both sides, so the model compares unrounded
+      def median(xs: Seq[Long]): Double = {
+        val s = xs.sorted
+        val r = 0.5 * (s.length - 1)
+        val lo = r.toInt
+        s(lo) + (r - lo) * (s(math.min(lo + 1, s.length - 1)) - s(lo))
+      }
+      def viewModelRows(v: Long)
+          : Set[(Option[Int], Long, Long, Long, Long, Double)] =
         modelAt(v).toSeq
           .map { case (id, t) => ((id % 3).toInt, t.length.toLong) }
           .groupBy(_._1).map { case (b, xs) =>
             (Option(b), xs.size.toLong, xs.map(_._2).sum,
-              xs.map(_._2).min, xs.map(_._2).max)
+              xs.map(_._2).min, xs.map(_._2).max, median(xs.map(_._2)))
           }.toSet
 
       for (step <- 1 to 14) {
@@ -273,8 +284,8 @@ class LakeModelSpec extends SparkSpec {
         if (viewAt != Long.MinValue) {
           val vGot = graft.operators.LakeView.readView(spark, viewDir)
             .select($"bucket", $"n_docs", $"chars", $"min_chars",
-              $"max_chars")
-            .as[(Option[Int], Long, Long, Long, Long)].collect().toSet
+              $"max_chars", $"p50_chars")
+            .as[(Option[Int], Long, Long, Long, Long, Double)].collect().toSet
           assert(vGot == viewModelRows(viewAt),
             s"seed $seed step $step: view mismatch at $viewAt")
         }
