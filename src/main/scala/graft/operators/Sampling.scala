@@ -416,4 +416,36 @@ object Sampling {
           .otherwise("test").as("split"))
       .orderBy($"doc_id")
   }
+
+  /** Leakage-safe split: the same 80/10/10 hash split, but the UNIT is the
+    * near-duplicate CLUSTER, not the document — every member of a minhash
+    * connected component takes the split of the component's representative
+    * (its minimum doc_id), so near-duplicates can never straddle train and
+    * test. That straddle is the contamination a doc-level hash split
+    * leaves open: a template drifted by one edit lands in train while its
+    * twin scores the eval set, and the eval overstates generalization.
+    * Unclustered docs are singleton clusters (their own representative),
+    * so the split remains a pure content-hash function — adding documents
+    * never moves existing ones unless new edges genuinely merge clusters.
+    *
+    * Scale: the cluster labels are the SAME [[Dedup.clusters]] components
+    * the dedup serving path maintains (at 100 TB: read the persisted
+    * index, don't recompute); the overlay is one equi-join on doc_id
+    * against a labels side sized by |near-dup docs| ≪ |corpus|, then a
+    * per-row hash projection — no new shuffle class, no sort of the
+    * corpus (the trailing orderBy is fixture presentation). */
+  def clusterSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = Dedup.clusters(spark, dir)
+      .select($"doc_id", $"cluster_rep")
+    Tables.documents(spark, dir)
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"cluster_rep", $"doc_id"))
+      .withColumn("bucket", pmod(hash60($"rep".cast("string")), lit(100L)))
+      .select($"doc_id", $"rep".as("cluster_rep"),
+        when($"bucket" < 80, "train")
+          .when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
 }

@@ -211,4 +211,28 @@ class PipelineOpsSpec extends SparkSpec {
         "saturated-term refusals must be visible in n_terms_dropped")
     forced.unpersist()
   }
+
+  test("cluster-safe split: no near-dup cluster straddles splits, and the " +
+      "doc-level split WOULD have straddled one (non-vacuous)") {
+    val out = Sampling.clusterSafeSplit(spark, dir)
+      .select($"doc_id", $"cluster_rep", $"split")
+      .as[(Long, Long, String)].collect()
+    // one split per cluster, by construction AND by observation
+    val perCluster = out.groupBy(_._2).map { case (_, xs) =>
+      xs.map(_._3).distinct.size }
+    assert(perCluster.forall(_ == 1), "a cluster straddled splits")
+    // fixture has real multi-doc clusters
+    val multi = out.groupBy(_._2).filter(_._2.length > 1)
+    assert(multi.nonEmpty, "fixture vacuous: no multi-doc near-dup cluster")
+    // the doc-level hash split disagrees INSIDE some cluster — i.e. the
+    // leakage this operator prevents actually occurs without it
+    val docLevel = Sampling.trainValTestSplit(spark, dir)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(multi.values.exists(xs => xs.map(x => docLevel(x._1)).distinct.size > 1),
+      "fixture vacuous: doc-level split never straddles a cluster here")
+    // every member serves its representative's split
+    val repSplit = out.map(x => x._1 -> x._3).toMap
+    assert(out.forall(x => x._3 == repSplit(x._2)),
+      "member split != representative split")
+  }
 }
