@@ -77,7 +77,12 @@ object GraftExtensions {
         "gear_chunk_ends(data[, divisor]) - content-defined chunk end positions of a binary payload (gear rolling hash; expected chunk size = divisor bytes, default 64)"),
       (args: Seq[Expression]) => graft.functions.GearChunkEnds(args(0),
         if (args.size >= 2) literalInt(args(1), "gear_chunk_ends").toLong
-        else graft.functions.GearKernels.GearDivisor)))
+        else graft.functions.GearKernels.GearDivisor)),
+    ("qsketch_quantile",
+      info("qsketch_quantile",
+        "qsketch_quantile(sketch, p) - interpolated quantile p of a bottom-k sample sketch (see qsketch_build/qsketch_union session UDAFs)"),
+      (args: Seq[Expression]) => graft.functions.QSketchQuantile(args(0),
+        literalDouble(args(1), "qsketch_quantile"))))
 
   /** The membership set parameterizes a reference object, so it must be a
     * literal array<bigint> — same analysis-time rejection rule as
@@ -91,6 +96,24 @@ object GraftExtensions {
         val out = a.toLongArray()
         java.util.Arrays.sort(out)
         out
+      case _ => fail()
+    }
+  }
+
+  /** The quantile parameterizes the expression object, so it must be a
+    * literal double in [0,1] — same analysis-time rejection rule as
+    * [[literalInt]]. */
+  private def literalDouble(e: Expression, fn: String): Double = {
+    def fail() = throw new IllegalArgumentException(
+      s"$fn requires a literal double in [0,1], got ${e.sql}")
+    if (!e.foldable) fail()
+    e.eval() match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: java.math.BigDecimal => d.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
       case _ => fail()
     }
   }
@@ -111,12 +134,19 @@ object GraftExtensions {
     }
   }
 
-  /** Register into an existing session (tests / non-configured sessions). */
+  /** Register into an existing session (tests / non-configured sessions).
+    * Also binds the quantile-sketch UDAFs (`qsketch_build(tag, value)`,
+    * `qsketch_union(sketch)`) — session-scoped `spark.udf` registrations,
+    * the standard surface for Aggregator-backed functions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     registrations.foreach { case (name, i, builder) =>
       registry.registerFunction(FunctionIdentifier(name), i, builder)
     }
+    spark.udf.register("qsketch_build",
+      org.apache.spark.sql.functions.udaf(new graft.functions.QSketchBuildAgg))
+    spark.udf.register("qsketch_union",
+      org.apache.spark.sql.functions.udaf(new graft.functions.QSketchUnionAgg))
     if (!spark.experimental.extraOptimizations.contains(graft.plans.KernelRewrites)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.KernelRewrites

@@ -34,6 +34,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("literal integer gram size"), err.getMessage)
   }
 
+  test("qsketch functions compose end-to-end from SQL: build, union, " +
+      "quantile — exact below capacity; bad p rejected readably") {
+    GraftExtensions.register(spark)
+    spark.range(1000)
+      .select(col("id"), (col("id") % 101).cast("double").as("v"))
+      .createOrReplaceTempView("qs_fixture")
+    val row = spark.sql(
+      """SELECT qsketch_quantile(qsketch_union(s), 0.5d) AS med
+        |FROM (SELECT qsketch_build(xxhash64(id), v) AS s
+        |      FROM qs_fixture GROUP BY id % 4)""".stripMargin).head()
+    val exact = spark.sql("SELECT percentile(v, 0.5d) FROM qs_fixture")
+      .head().getDouble(0)
+    // 1000 occurrences < capacity: the unioned sample is the whole
+    // multiset, so the SQL chain must be EXACT
+    assert(row.getDouble(0) == exact,
+      s"sql qsketch median ${row.getDouble(0)} != exact $exact")
+    val err = intercept[Exception] {
+      spark.sql("SELECT qsketch_quantile(CAST(NULL AS BINARY), v) FROM qs_fixture")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal double"), err.getMessage)
+  }
+
   test("gear_chunk_ends is SQL-callable, honors the divisor, and covers the payload") {
     GraftExtensions.register(spark)
     val row = spark.sql(
