@@ -148,6 +148,7 @@ object SparkEntry {
     "corpus_view_evolve"   -> (graft.operators.LakeView.viewEvolveTwin _),
     "corpus_view_distinct" -> (graft.operators.LakeView.viewDistinctTwin _),
     "corpus_view_quantile" -> (graft.operators.LakeView.viewQuantileTwin _),
+    "corpus_view_topk"     -> (graft.operators.LakeView.viewTopkTwin _),
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "corpus_card"          -> (Curate.datasetCard _),
     "corpus_card_lake"     -> (Curate.cardLakeTwin _),
@@ -2419,6 +2420,27 @@ object SparkEntry {
         |      CASE WHEN doc_id % 9 = 2 THEN 100000 ELSE 0 END AS DOUBLE),
         |    0.9), 6) AS p90_load
         |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // top-k values per group as a view COMPOSITION: the value is a second
+    // dimension, serve ranks group sizes (ties break by token) — no new
+    // measure kind, maintenance stays O(changes) at any value cardinality
+    "corpus_view_topk" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2),
+        |g AS (SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
+        |        string_split(text, ' ')[1] AS tok1,
+        |        CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM v GROUP BY 1, 2)
+        |SELECT bucket, tok1, n_docs, rk FROM (
+        |  SELECT bucket, tok1, n_docs,
+        |    CAST(row_number() OVER (PARTITION BY bucket
+        |      ORDER BY n_docs DESC, tok1 ASC) AS INTEGER) AS rk
+        |  FROM g)
+        |WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin,
 
     // schema evolution of a LIVE view: a sums-only view consumes the
     // update epoch, addMeasures grafts a max + avg (fold → cursor

@@ -983,6 +983,38 @@ object LakeView {
       .orderBy(col("bucket"))
   }
 
+  /** The top-k composition twin: "top values per group" needs NO new
+    * measure kind — declare the value as a second DIMENSION and rank the
+    * group sizes at serve time. The view maintains (bucket, first-token)
+    * counts incrementally through the delete lifecycle (an LWW update or
+    * delete retracts one (dims, version) row — O(changes), the value
+    * cardinality never forces a recompute), and the serve-side
+    * row_number window runs over the GROUPS frame, not the corpus. Ties
+    * break by token — deterministic cross-engine. */
+  def viewTopkTwin(spark: SparkSession, dir: String): DataFrame = {
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-view-topk|$dir") {
+      val v = java.nio.file.Files
+        .createTempDirectory("graft-lake-view-topk").toString + "/view"
+      createView(spark, dir, v,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)",
+          "tok1" -> "split(text, ' ')[0]"),
+        measures = Nil)
+      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
+      compactView(spark, v)
+      refreshViewFromLake(spark, dir, lake, v)
+      v
+    }
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_docs").desc, col("tok1").asc)
+    readView(spark, viewDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("bucket"), col("tok1"), col("n_docs"), col("rk"))
+      .orderBy(col("bucket"), col("rk"))
+  }
+
   def viewTwin(spark: SparkSession, dir: String): DataFrame = {
     val lake = CorpusLake.deleteLake(spark, dir)
     val viewDir = graft.sources.Caches.memoizedValue[String](spark,
