@@ -602,6 +602,54 @@ object ScaleProbe {
           System.err.println(s"""[scaleprobe] {"probe":"corpus_view_refresh","sf":"$dir","changed_docs":$changed,"corpus_docs":$fullN,"inc_millis":$incMs,"full_millis":$fullMs}""")
           (changed, fullN)
         }),
+        // sketch-measure state economics: a view's HLL/quantile state must
+        // DECOUPLE from corpus size — per-group bytes are capped (HLL by
+        // lgK, the quantile sample by K), so C/O (persisted sketch bytes
+        // over raw value bytes) FALLS as N grows, while a non-sketch
+        // design (persisting the values) would hold it constant. One
+        // all-docs group makes the curve legible: C flattens at the cap
+        // as soon as the group outgrows the sample. Post-compaction state
+        // (one row per group) is what's measured — the serving posture.
+        ("corpus_view_sketch", nDocs, () => {
+          import graft.operators.LakeView
+          val root = java.nio.file.Files
+            .createTempDirectory("probe-view-sketch").toString
+          val corpus = s"$root/corpus"
+          val docs = graft.sources.Tables.spread(
+              graft.sources.Tables.documents(spark, dir))
+            .select(col("doc_id"), col("text"))
+          docs.filter(col("doc_id") % 100 === 1)
+            .select(col("doc_id"),
+              org.apache.spark.sql.functions.concat(col("text"),
+                lit(" v0")).as("text"), lit(0L).as("epoch"))
+            .write.mode("append").parquet(s"$corpus/docs")
+          Seq((0L, 0L, 0L, 0L, 0L, 0L))
+            .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+              "n_contaminated", "n_low_quality")
+            .write.mode("append").parquet(s"$corpus/manifest")
+          val view = s"$root/view"
+          LakeView.createView(spark, dir, view,
+            dims = Seq("all" -> "CAST(0 AS INT)"),
+            measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+            distinctMeasures = Seq("d_tok" -> "split(text, ' ')[0]"),
+            quantileMeasures = Seq(
+              ("p90_chars", "CAST(length(text) AS DOUBLE)", 0.9)))
+          LakeView.refreshViewFromLake(spark, dir, corpus, view)
+          LakeView.compactView(spark, view)
+          val state = spark.read.parquet(s"$view/base")
+          val (hllB, qB) = state
+            .agg(coalesce(sum(org.apache.spark.sql.functions
+                .octet_length(col("d_tok"))), lit(0L)),
+              coalesce(sum(org.apache.spark.sql.functions
+                .octet_length(col("p90_chars"))), lit(0L)))
+            .as[(Long, Long)].head()
+          val occ = graft.operators.CorpusLake
+            .readCorpusAt(spark, dir, corpus).count()
+          System.err.println(s"""[scaleprobe] {"probe":"corpus_view_sketch","sf":"$dir","occurrences":$occ,"hll_bytes":$hllB,"qsketch_bytes":$qB,"qsketch_cap_bytes":${4 + 16 * graft.functions.QSketchKernel.K}}""")
+          // C = persisted sketch-state bytes; O = raw value bytes a
+          // values-persisting design would hold (8 B × occurrences × 2)
+          (hllB + qB, 16L * occ)
+        }),
         // branch-DEPTH economics: zone reads and pruningStats walk the
         // parent chain once per ancestor (one pointer read + one zone test
         // per level) — the cost model must be LINEAR in depth, not
