@@ -152,6 +152,7 @@ object SparkEntry {
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "corpus_card"          -> (Curate.datasetCard _),
     "corpus_card_lake"     -> (Curate.cardLakeTwin _),
+    "corpus_card_live"     -> (Curate.cardLiveTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2492,6 +2493,35 @@ object SparkEntry {
         |  UNION ALL SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM q
         |  UNION ALL SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
         |    FROM q GROUP BY lang
+        |  UNION ALL SELECT 'quality_band:' || CAST(band AS VARCHAR),
+        |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
+        |) ORDER BY metric""".stripMargin,
+
+    // the LIVE dataset card: volume totals + quality-band histogram served
+    // from a declared incremental view over the delete-lifecycle lake
+    // (O(changes) maintenance), folded to the card's long form at serve;
+    // DuckDB recomputes every metric from the final visible set — the
+    // live card must be indistinguishable from a batch recompute
+    "corpus_card_live" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2),
+        |q AS (SELECT doc_id,
+        |    CAST(floor(round(
+        |      0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |      0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |      0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)), 6) * 10) AS INT) AS band,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks
+        |        FROM v))
+        |SELECT metric, value FROM (
+        |  SELECT 'docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM q
+        |  UNION ALL SELECT 'tokens', CAST(sum(n_toks) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'chars', CAST(sum(n_chars) AS BIGINT) FROM q
         |  UNION ALL SELECT 'quality_band:' || CAST(band AS VARCHAR),
         |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
         |) ORDER BY metric""".stripMargin,

@@ -293,6 +293,60 @@ object Curate {
   def cardLakeTwin(spark: SparkSession, dir: String): DataFrame =
     datasetCardLake(spark, dir, CorpusLake.deleteLake(spark, dir))
 
+  /** The [[datasetCard]] quality-band expression as ONE SQL string over
+    * `text` — exactly [[TextAnalysis.withQuality]]'s formula, in the form
+    * a declared view accepts. Interpreted HOF evaluation re-runs the
+    * split per lambda element (the Text.scala caveat), which is noise at
+    * view-maintenance volumes (O(changed docs per window)); the batch
+    * card keeps the materialized-column fast path for full scans. */
+  private[graft] val QualityBandSql: String =
+    """CAST(floor(round(
+      |  0.25 * (CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
+      |          / CAST(size(split(text, ' ')) AS DOUBLE)) +
+      |  0.5  * (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
+      |          / CAST(size(split(text, ' ')) AS DOUBLE)) +
+      |  0.05 * (CAST(aggregate(split(text, ' '), 0, (acc, t) -> acc + length(t)) AS DOUBLE)
+      |          / CAST(size(split(text, ' ')) AS DOUBLE)),
+      |  6) * 10) AS INT)""".stripMargin
+
+  /** The LIVE dataset card: volume totals + the quality-band histogram
+    * served from a DECLARED incremental view (dims = quality band,
+    * measures = token/char sums) instead of a batch scan — the release
+    * dashboard stays fresh at commit cadence for O(changed docs) per
+    * window, with the long-form (metric, value) shape produced by a
+    * groups-sized serve-side fold. The language mix stays on the batch
+    * [[datasetCardLake]]: `lang` is base-table metadata, not derivable
+    * from the view's (doc_id, text) algebra. */
+  def cardLiveTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-card-live|$dir") {
+      val v = java.nio.file.Files
+        .createTempDirectory("graft-card-live").toString + "/view"
+      graft.operators.LakeView.createView(spark, dir, v,
+        dims = Seq("band" -> QualityBandSql),
+        measures = Seq(
+          "n_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)",
+          "n_chars" -> "CAST(length(text) AS BIGINT)"))
+      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v,
+        upTo = Some(0L))
+      graft.operators.LakeView.compactView(spark, v)
+      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v)
+      v
+    }
+    val bands = graft.operators.LakeView.readView(spark, viewDir)
+    val totals = bands.agg(
+        sum($"n_docs").as("docs"), sum($"n_toks").as("tokens"),
+        sum($"n_chars").as("chars"))
+      .selectExpr("stack(3, 'docs', docs, 'tokens', tokens, " +
+        "'chars', chars) as (metric, value)")
+    val byBand = bands
+      .select(concat(lit("quality_band:"), $"band".cast("string"))
+        .as("metric"), $"n_docs".as("value"))
+    totals.unionByName(byBand).orderBy($"metric")
+  }
+
   private def cardOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     val per = TextAnalysis.withQuality(docs)
