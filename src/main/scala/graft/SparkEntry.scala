@@ -2497,31 +2497,37 @@ object SparkEntry {
         |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
         |) ORDER BY metric""".stripMargin,
 
-    // the LIVE dataset card: volume totals + quality-band histogram served
-    // from a declared incremental view over the delete-lifecycle lake
-    // (O(changes) maintenance), folded to the card's long form at serve;
+    // the LIVE dataset card: the full datasheet (volume totals, language
+    // mix, quality-band histogram) served from a declared incremental
+    // view — language is an ENRICHMENT dim (immutable base metadata
+    // joined by doc_id), band the quality formula as one SQL dim
+    // expression; O(changes) maintenance, long form folded at serve.
     // DuckDB recomputes every metric from the final visible set — the
-    // live card must be indistinguishable from a batch recompute
+    // live card must be indistinguishable from the batch recompute
+    // (corpus_card_lake's oracle, verbatim: same store, same datasheet)
     "corpus_card_live" ->
-      """WITH v AS (SELECT doc_id,
+      """WITH v AS (SELECT doc_id, lang,
         |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
         |         WHEN doc_id % 10 = 1 THEN text || ' u1'
         |         ELSE text END AS text
         |  FROM documents
         |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2),
-        |q AS (SELECT doc_id,
+        |q AS (SELECT doc_id, lang,
         |    CAST(floor(round(
         |      0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
         |      0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
         |      0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)), 6) * 10) AS INT) AS band,
         |    CAST(len(toks) AS BIGINT) AS n_toks,
         |    CAST(length(text) AS BIGINT) AS n_chars
-        |  FROM (SELECT doc_id, text, string_split(text,' ') AS toks
+        |  FROM (SELECT doc_id, text, lang, string_split(text,' ') AS toks
         |        FROM v))
         |SELECT metric, value FROM (
         |  SELECT 'docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM q
         |  UNION ALL SELECT 'tokens', CAST(sum(n_toks) AS BIGINT) FROM q
         |  UNION ALL SELECT 'chars', CAST(sum(n_chars) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
+        |    FROM q GROUP BY lang
         |  UNION ALL SELECT 'quality_band:' || CAST(band AS VARCHAR),
         |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
         |) ORDER BY metric""".stripMargin,

@@ -309,14 +309,15 @@ object Curate {
       |          / CAST(size(split(text, ' ')) AS DOUBLE)),
       |  6) * 10) AS INT)""".stripMargin
 
-  /** The LIVE dataset card: volume totals + the quality-band histogram
-    * served from a DECLARED incremental view (dims = quality band,
-    * measures = token/char sums) instead of a batch scan — the release
+  /** The LIVE dataset card: the FULL [[datasetCardLake]] metric set —
+    * volume totals, language mix, quality-band histogram — served from a
+    * DECLARED incremental view instead of a batch scan, so the release
     * dashboard stays fresh at commit cadence for O(changed docs) per
-    * window, with the long-form (metric, value) shape produced by a
-    * groups-sized serve-side fold. The language mix stays on the batch
-    * [[datasetCardLake]]: `lang` is base-table metadata, not derivable
-    * from the view's (doc_id, text) algebra. */
+    * window. Dims = (language, quality band) where language is an
+    * ENRICHMENT column (immutable base-table metadata joined by doc_id;
+    * `und` for lake-born docs — the same convention as the batch card)
+    * and the band is the exact quality formula as one SQL expression;
+    * the card's long form is a groups-sized serve-side fold. */
   def cardLiveTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val lake = CorpusLake.deleteLake(spark, dir)
@@ -325,26 +326,34 @@ object Curate {
       val v = java.nio.file.Files
         .createTempDirectory("graft-card-live").toString + "/view"
       graft.operators.LakeView.createView(spark, dir, v,
-        dims = Seq("band" -> QualityBandSql),
+        dims = Seq(
+          "card_lang" -> "coalesce(lang, 'und')",
+          "band" -> QualityBandSql),
         measures = Seq(
           "n_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)",
-          "n_chars" -> "CAST(length(text) AS BIGINT)"))
+          "n_chars" -> "CAST(length(text) AS BIGINT)"),
+        baseCols = Seq("lang"))
       graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v,
         upTo = Some(0L))
       graft.operators.LakeView.compactView(spark, v)
       graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v)
       v
     }
-    val bands = graft.operators.LakeView.readView(spark, viewDir)
-    val totals = bands.agg(
+    val cells = graft.operators.LakeView.readView(spark, viewDir)
+    val totals = cells.agg(
         sum($"n_docs").as("docs"), sum($"n_toks").as("tokens"),
-        sum($"n_chars").as("chars"))
-      .selectExpr("stack(3, 'docs', docs, 'tokens', tokens, " +
-        "'chars', chars) as (metric, value)")
-    val byBand = bands
+        sum($"n_chars").as("chars"),
+        countDistinct($"card_lang").as("langs"))
+      .selectExpr("stack(4, 'docs', docs, 'tokens', tokens, " +
+        "'chars', chars, 'langs', langs) as (metric, value)")
+    val byLang = cells.groupBy($"card_lang")
+      .agg(sum($"n_docs").as("value"))
+      .select(concat(lit("lang:"), $"card_lang").as("metric"), $"value")
+    val byBand = cells.groupBy($"band")
+      .agg(sum($"n_docs").as("value"))
       .select(concat(lit("quality_band:"), $"band".cast("string"))
-        .as("metric"), $"n_docs".as("value"))
-    totals.unionByName(byBand).orderBy($"metric")
+        .as("metric"), $"value")
+    totals.unionByName(byLang).unionByName(byBand).orderBy($"metric")
   }
 
   private def cardOf(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -62,13 +62,19 @@ object LakeView {
     * reference `doc_id` and `text` only — the retraction algebra
     * reconstructs previous document states as (doc_id, prev_text), which
     * is exactly what makes maintenance O(changes). */
+  /** Input column names the retraction algebra owns — an enrichment
+    * column may not shadow them. */
+  private val ReservedInputs =
+    Set("doc_id", "text", "prev_text", "epoch", "version", "_del", "_deleted")
+
   def createView(spark: SparkSession, dir: String, viewDir: String,
       dims: Seq[(String, String)], measures: Seq[(String, String)],
       minMeasures: Seq[(String, String)] = Nil,
       maxMeasures: Seq[(String, String)] = Nil,
       avgMeasures: Seq[(String, String)] = Nil,
       distinctMeasures: Seq[(String, String)] = Nil,
-      quantileMeasures: Seq[(String, String, Double)] = Nil): Unit = {
+      quantileMeasures: Seq[(String, String, Double)] = Nil,
+      baseCols: Seq[String] = Nil): Unit = {
     import spark.implicits._
     require(dims.nonEmpty, "a view needs at least one dimension")
     quantileMeasures.foreach { case (a, _, p) => require(p >= 0 && p <= 1,
@@ -80,13 +86,23 @@ object LakeView {
     require(aliases.distinct.size == aliases.size,
       s"duplicate aliases in ${aliases.mkString(", ")}")
     aliases.foreach(a => require(
-      !Reserved(a) && a.nonEmpty && !a.contains("__"),
-      s"alias '$a' is reserved, empty, or uses the internal __ namespace"))
+      !Reserved(a) && a.nonEmpty && !a.contains("__") &&
+        !baseCols.contains(a),
+      s"alias '$a' is reserved, empty, internal, or shadows an " +
+        "enrichment column"))
+    val baseSchema = Tables.spread(Tables.documents(spark, dir)).columns.toSet
+    baseCols.foreach(c => require(
+      !ReservedInputs(c) && baseSchema(c),
+      s"enrichment column '$c' is reserved or absent from the base table"))
+    require(baseCols.distinct.size == baseCols.size,
+      s"duplicate enrichment columns in ${baseCols.mkString(", ")}")
     require(!graft.sources.Formats.pathExists(spark, s"$viewDir/spec"),
       s"$viewDir already holds a view (drop the dir to redeclare)")
-    // analyze the declaration against the doc schema NOW: a bad
-    // expression must fail the create, not the first refresh
-    spark.range(0).select(lit(0L).as("doc_id"), lit("").as("text"))
+    // analyze the declaration against the REAL doc schema NOW (including
+    // the enrichment columns' true types): a bad expression must fail
+    // the create, not the first refresh
+    Tables.spread(Tables.documents(spark, dir))
+      .select((Seq("doc_id", "text") ++ baseCols).map(col): _*).limit(0)
       .select(exprs(dims ++ measures ++ minMeasures ++ maxMeasures ++
         avgMeasures ++ distinctMeasures ++ quantPairs): _*)
     Seq((dims.map(_._1), dims.map(_._2),
@@ -96,14 +112,14 @@ object LakeView {
         avgMeasures.map(_._1), avgMeasures.map(_._2),
         distinctMeasures.map(_._1), distinctMeasures.map(_._2),
         quantileMeasures.map(_._1), quantileMeasures.map(_._2),
-        quantileMeasures.map(_._3)))
+        quantileMeasures.map(_._3), baseCols))
       .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
         "min_names", "min_exprs", "max_names", "max_exprs",
         "avg_names", "avg_exprs", "dist_names", "dist_exprs",
-        "q_names", "q_exprs", "q_ps")
+        "q_names", "q_exprs", "q_ps", "base_cols")
       .coalesce(1).write.mode("errorifexists").parquet(s"$viewDir/spec")
     viewAggOf(Tables.spread(Tables.documents(spark, dir))
-        .select(col("doc_id"), col("text")), dims,
+        .select((Seq("doc_id", "text") ++ baseCols).map(col): _*), dims,
         internalSums(measures, avgMeasures),
         minMeasures, maxMeasures, distinctMeasures, quantileMeasures)
       .write.mode("overwrite").parquet(s"$viewDir/base")
@@ -138,7 +154,7 @@ object LakeView {
   case class ViewSpec(dims: Seq[(String, String)], sums: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
       avgs: Seq[(String, String)], dists: Seq[(String, String)],
-      quants: Seq[(String, String, Double)])
+      quants: Seq[(String, String, Double)], baseCols: Seq[String] = Nil)
 
   def viewSpecFull(spark: SparkSession, viewDir: String): ViewSpec = {
     import spark.implicits._
@@ -158,12 +174,36 @@ object LakeView {
         .as[(Seq[String], Seq[String], Seq[Double])].head() match {
           case (n, e, p) => n.lazyZip(e).lazyZip(p).toSeq
         }
+    val baseCols =
+      if (!raw.columns.contains("base_cols")) Nil
+      else raw.select(col("base_cols")).as[Seq[String]].head()
     ViewSpec(leg("dim_names", "dim_exprs"),
       leg("measure_names", "measure_exprs"),
       leg("min_names", "min_exprs"), leg("max_names", "max_exprs"),
       leg("avg_names", "avg_exprs"), leg("dist_names", "dist_exprs"),
-      quants)
+      quants, baseCols)
   }
+
+  /** Join the declared ENRICHMENT columns — immutable per-doc metadata
+    * from the base table (language, source, license: facts the lake's
+    * (doc_id, text) commits never change) — onto a frame keyed by
+    * doc_id. Immutability is what keeps the signed algebra exact: the
+    * retracted (prev_text) state carries the SAME enrichment values as
+    * the inserted one, so both legs of every delta agree on the group.
+    * Lake-BORN docs (ids the base never saw) read null — declarations
+    * coalesce (the `datasetCardLake` 'und' convention). The join is
+    * pruned to the frame's rows (changed docs on the maintenance path),
+    * never corpus × corpus. */
+  private def enrich(spark: SparkSession, dir: String, frame: DataFrame,
+      baseCols: Seq[String]): DataFrame =
+    if (baseCols.isEmpty) frame
+    // the base table is the AUTHORITATIVE source: a same-named column the
+    // frame happens to carry (a carry-column lake) is dropped first, so
+    // the algebra can never see two different values for one doc
+    else frame.drop(baseCols.filter(frame.columns.contains): _*).join(
+      Tables.spread(Tables.documents(spark, dir))
+        .select(("doc_id" +: baseCols).map(col): _*),
+      Seq("doc_id"), "left")
 
   /** The quantile measures' (tag, NaN-sentinel value) input columns —
     * selected beside the dims wherever a sketch is (re)built. The tag is
@@ -211,7 +251,8 @@ object LakeView {
     * the shared input of the signed sums and the extremes maintenance.
     * O(changed docs' history), never O(corpus). */
   private def changedHistory(spark: SparkSession, dir: String,
-      corpusDir: String, from: Long, head: Long): DataFrame = {
+      corpusDir: String, from: Long, head: Long,
+      baseCols: Seq[String] = Nil): DataFrame = {
     val man = CorpusLake.manifest(spark, corpusDir)
       .filter(col("version") <= head).select(col("version").as("epoch"))
     val committed = CorpusLake.admittedRaw(spark, corpusDir)
@@ -229,7 +270,7 @@ object LakeView {
       .join(changedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"),
         lit(false).as("_del"))
-    hist.unionByName(baseRows)
+    enrich(spark, dir, hist.unionByName(baseRows), baseCols)
       .withColumn("prev_text", lag(col("text"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch"))))
       .filter(col("epoch") > from)
@@ -240,15 +281,18 @@ object LakeView {
     * generalized `windowDeltas`: deterministic per version regardless of
     * the window split, which is what makes refresh idempotent. */
   private def windowDeltas(seq: DataFrame, dims: Seq[(String, String)],
-      measures: Seq[(String, String)]): DataFrame = {
+      measures: Seq[(String, String)],
+      baseCols: Seq[String] = Nil): DataFrame = {
+    val carry = baseCols.map(col)
     val plus = signedRows(
       seq.filter(!col("_del"))
-        .select(col("doc_id"), col("text"), col("epoch").as("version")),
+        .select(Seq(col("doc_id"), col("text"),
+          col("epoch").as("version")) ++ carry: _*),
       1, dims, measures)
     val minus = signedRows(
       seq.filter(col("prev_text").isNotNull)
-        .select(col("doc_id"), col("prev_text").as("text"),
-          col("epoch").as("version")),
+        .select(Seq(col("doc_id"), col("prev_text").as("text"),
+          col("epoch").as("version")) ++ carry: _*),
       -1, dims, measures)
     val sums = col("n_docs") +: measures.map(m => col(m._1))
     plus.unionByName(minus)
@@ -304,7 +348,8 @@ object LakeView {
       baseRows: DataFrame, foldedTo: Long, dims: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
       dists: Seq[(String, String)],
-      quants: Seq[(String, String, Double)]): DataFrame = {
+      quants: Seq[(String, String, Double)],
+      baseCols: Seq[String]): DataFrame = {
     import spark.implicits._
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
@@ -323,10 +368,11 @@ object LakeView {
     val insExt = extAgg(ins, dimCols :+ col("version"))
       .withColumn("_kind", lit("I"))
     // retraction-touched (group, version) pairs — group membership of the
-    // RETRACTED state (dims evaluated over prev_text)
+    // RETRACTED state (dims evaluated over prev_text + enrichment cols,
+    // which are immutable per doc and therefore shared by both states)
     val retracted = seq.filter(col("prev_text").isNotNull)
-      .select(col("doc_id"), col("prev_text").as("text"),
-        col("epoch").as("version"))
+      .select(Seq(col("doc_id"), col("prev_text").as("text"),
+        col("epoch").as("version")) ++ baseCols.map(col): _*)
       .select(exprs(dims) :+ col("version"): _*)
       .select(dimCols :+ col("version"): _*).distinct()
       .localCheckpoint()
@@ -350,8 +396,9 @@ object LakeView {
     val recomputed = retractVersions.map { v =>
       val touched = retracted.filter(col("version") === v)
         .select(dimCols: _*).alias("t")
-      val vis = CorpusLake.readCorpusAt(spark, dir, corpusDir,
-          Some(math.max(v, snapFloor)))
+      val vis = enrich(spark, dir,
+          CorpusLake.readCorpusAt(spark, dir, corpusDir,
+            Some(math.max(v, snapFloor))), baseCols)
         .select(exprs(dims ++ mins ++ maxs ++ dists) ++
           quantInputCols(quants): _*).alias("v")
         .join(broadcast(touched), nullSafe("v", "t"), "left_semi")
@@ -423,7 +470,7 @@ object LakeView {
       corpusDir: String, viewDir: String,
       upTo: Option[Long] = None): Option[(Long, Long)] = {
     import spark.implicits._
-    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants) =
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, baseCols) =
       viewSpecFull(spark, viewDir)
     val measures = internalSums(sums0, avgs)
     val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
@@ -448,8 +495,8 @@ object LakeView {
       .agg(max(col("version"))).as[Option[Long]].head()
     head match {
       case Some(h) =>
-        val seq = changedHistory(spark, dir, corpusDir, from, h)
-        windowDeltas(seq, dims, measures)
+        val seq = changedHistory(spark, dir, corpusDir, from, h, baseCols)
+        windowDeltas(seq, dims, measures, baseCols)
           .write.mode("append").parquet(
             Similarity.resolveArtifact(spark, viewDir, "delta"))
         if (mins.nonEmpty || maxs.nonEmpty || dists.nonEmpty ||
@@ -461,7 +508,8 @@ object LakeView {
           // given input set) identically
           val (baseRows, foldedTo) = baseAndWatermark(spark, viewDir)
           windowExtRows(spark, dir, corpusDir, viewDir, seq, from,
-              baseRows, foldedTo, dims, mins, maxs, dists, quants)
+              baseRows, foldedTo, dims, mins, maxs, dists, quants,
+              baseCols)
             .write.mode("append").parquet(
               Similarity.resolveArtifact(spark, viewDir, "ext"))
         }
@@ -541,7 +589,7 @@ object LakeView {
     * cannot be folded: sum/cnt must keep accumulating). */
   private def foldInternal(spark: SparkSession, viewDir: String,
       version: Option[Long]): DataFrame = {
-    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants) =
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, _) =
       viewSpecFull(spark, viewDir)
     val measures = internalSums(sums0, avgs)
     val dimNames = dims.map(_._1)
@@ -663,8 +711,8 @@ object LakeView {
       distinctMeasures: Seq[(String, String)] = Nil,
       quantileMeasures: Seq[(String, String, Double)] = Nil): Unit = {
     import spark.implicits._
-    val ViewSpec(dims, sums0, mins0, maxs0, avgs0, dists0, quants0) =
-      viewSpecFull(spark, viewDir)
+    val ViewSpec(dims, sums0, mins0, maxs0, avgs0, dists0, quants0,
+        baseCols) = viewSpecFull(spark, viewDir)
     val quantPairs = quantileMeasures.map(q => (q._1, q._2))
     val added = measures ++ minMeasures ++ maxMeasures ++ avgMeasures ++
       distinctMeasures ++ quantPairs
@@ -673,12 +721,13 @@ object LakeView {
       s"quantile measure '$a': p must be in [0,1], got $p") }
     val existing =
       (dims ++ sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet ++
-        quants0.map(_._1)
+        quants0.map(_._1) ++ baseCols
     added.map(_._1).foreach(a => require(
       !Reserved(a) && a.nonEmpty && !a.contains("__") && !existing(a),
       s"alias '$a' is reserved, empty, internal, or already declared"))
-    // analysis-time validation, as at create
-    spark.range(0).select(lit(0L).as("doc_id"), lit("").as("text"))
+    // analysis-time validation, as at create (enrichment columns in scope)
+    Tables.spread(Tables.documents(spark, dir))
+      .select((Seq("doc_id", "text") ++ baseCols).map(col): _*).limit(0)
       .select(exprs(added): _*)
     // 1. fold everything, then drop the emptied append stores (mixing
     // old- and new-schema files in one parquet dir would make unmerged
@@ -690,12 +739,12 @@ object LakeView {
       if (graft.sources.Formats.pathExists(spark, cPath))
         spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
       else Long.MinValue
-    val source =
+    val source = enrich(spark, dir,
       if (cursor == Long.MinValue)
         Tables.spread(Tables.documents(spark, dir))
           .select(col("doc_id"), col("text"))
       else CorpusLake.readCorpusAt(spark, dir, corpusDir, Some(cursor))
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")), baseCols)
     val newInternal = internalSums(measures, avgMeasures)
     val newAggs =
       newInternal.map(m => sum(col(m._1)).as(m._1)) ++
@@ -723,7 +772,7 @@ object LakeView {
     // 3. the new declaration lands LAST
     writeSpec(spark, viewDir, dims, sums0 ++ measures,
       mins0 ++ minMeasures, maxs0 ++ maxMeasures, avgs0 ++ avgMeasures,
-      dists0 ++ distinctMeasures, quants0 ++ quantileMeasures)
+      dists0 ++ distinctMeasures, quants0 ++ quantileMeasures, baseCols)
   }
 
   /** Schema evolution: DROP measures (dims cannot be dropped — they key
@@ -733,8 +782,8 @@ object LakeView {
     * are projected away on read and vanish at the next fold. */
   def dropMeasures(spark: SparkSession, viewDir: String,
       aliases: Seq[String]): Unit = {
-    val ViewSpec(dims, sums0, mins0, maxs0, avgs0, dists0, quants0) =
-      viewSpecFull(spark, viewDir)
+    val ViewSpec(dims, sums0, mins0, maxs0, avgs0, dists0, quants0,
+        baseCols0) = viewSpecFull(spark, viewDir)
     val drop = aliases.toSet
     require(aliases.nonEmpty, "dropMeasures: nothing to drop")
     val known = (sums0 ++ mins0 ++ maxs0 ++ avgs0 ++ dists0).map(_._1).toSet ++
@@ -746,7 +795,8 @@ object LakeView {
     writeSpec(spark, viewDir, dims,
       sums0.filterNot(m => drop(m._1)), mins0.filterNot(m => drop(m._1)),
       maxs0.filterNot(m => drop(m._1)), avgs0.filterNot(m => drop(m._1)),
-      dists0.filterNot(m => drop(m._1)), quants0.filterNot(m => drop(m._1)))
+      dists0.filterNot(m => drop(m._1)), quants0.filterNot(m => drop(m._1)),
+      baseCols0)
     // physically retire the dropped columns (avg measures live in the
     // base as their internal pair) — a groups-sized rewrite AFTER the
     // spec swap, so a crash in between only leaves stale columns that
@@ -783,16 +833,17 @@ object LakeView {
       dims: Seq[(String, String)], sums: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
       avgs: Seq[(String, String)], dists: Seq[(String, String)],
-      quants: Seq[(String, String, Double)]): Unit = {
+      quants: Seq[(String, String, Double)],
+      baseCols: Seq[String]): Unit = {
     import spark.implicits._
     Seq((dims.map(_._1), dims.map(_._2), sums.map(_._1), sums.map(_._2),
         mins.map(_._1), mins.map(_._2), maxs.map(_._1), maxs.map(_._2),
         avgs.map(_._1), avgs.map(_._2), dists.map(_._1), dists.map(_._2),
-        quants.map(_._1), quants.map(_._2), quants.map(_._3)))
+        quants.map(_._1), quants.map(_._2), quants.map(_._3), baseCols))
       .toDF("dim_names", "dim_exprs", "measure_names", "measure_exprs",
         "min_names", "min_exprs", "max_names", "max_exprs",
         "avg_names", "avg_exprs", "dist_names", "dist_exprs",
-        "q_names", "q_exprs", "q_ps")
+        "q_names", "q_exprs", "q_ps", "base_cols")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$viewDir/spec_compacting")
     Similarity.swapArtifact(spark, viewDir, "spec")
@@ -803,9 +854,10 @@ object LakeView {
     * included), the introspection surface a catalog listing reads. */
   def describeView(spark: SparkSession, viewDir: String): DataFrame = {
     import spark.implicits._
-    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants) =
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, baseCols) =
       viewSpecFull(spark, viewDir)
-    (dims.map { case (a, e) => (a, "dim", e) } ++
+    (baseCols.map(c => (c, "enrichment_input", c)) ++
+      dims.map { case (a, e) => (a, "dim", e) } ++
       Seq(("n_docs", "count", "1")) ++
       sums0.map { case (a, e) => (a, "sum", e) } ++
       mins.map { case (a, e) => (a, "min", e) } ++

@@ -469,6 +469,65 @@ class LakeViewSpec extends SparkSpec {
       "branch view indistinct from the parent — fixture is vacuous")
   }
 
+  test("lake view: enrichment columns join immutable base metadata into " +
+      "dims — retraction, lake-born nulls, and refusals") {
+    import spark.implicits._
+    val corpus = mkLake()
+    // a lake-BORN doc (id the base never saw): its enrichment value is
+    // null and the declaration's coalesce routes it to the 'und' group
+    baseDocs.limit(1)
+      .select(lit(9000001L).as("doc_id"), lit("born in the lake").as("text"),
+        lit(3L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 3L)
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-enrich").toString + "/view"
+    LakeView.createView(spark, dir, v,
+      dims = Seq("lang2" -> "coalesce(lang, 'und')"),
+      measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+      maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)"),
+      baseCols = Seq("lang"))
+    // split consumption with a compaction mid-stream: the delete epoch
+    // retracts docs whose dims come from the enrichment join
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v,
+      upTo = Some(0L)).isDefined)
+    LakeView.compactView(spark, v)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    def got = LakeView.readView(spark, v)
+      .select($"lang2", $"n_docs", $"chars", $"max_chars")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = CorpusLake.readCorpusAt(spark, dir, corpus)
+      .select($"doc_id", $"text")
+      .join(baseDocs.select($"doc_id").join(
+          Tables.spread(Tables.documents(spark, dir))
+            .select($"doc_id", $"lang"), Seq("doc_id")),
+        Seq("doc_id"), "left")
+      .select(coalesce($"lang", lit("und")).as("lang2"),
+        length($"text").cast("long").as("len"))
+      .groupBy($"lang2")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("chars"),
+        max($"len").as("max_chars"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == want, "enriched view diverged from the recompute")
+    assert(got.exists(_._1 == "und"), "lake-born doc missed the und group")
+    // refusals: unknown / reserved enrichment columns, alias shadowing
+    intercept[IllegalArgumentException] {
+      LakeView.createView(spark, dir, s"$v-bad1",
+        dims = Seq("x" -> "doc_id"), measures = Nil,
+        baseCols = Seq("no_such_col"))
+    }
+    intercept[IllegalArgumentException] {
+      LakeView.createView(spark, dir, s"$v-bad2",
+        dims = Seq("x" -> "doc_id"), measures = Nil,
+        baseCols = Seq("text"))
+    }
+    intercept[IllegalArgumentException] {
+      LakeView.createView(spark, dir, s"$v-bad3",
+        dims = Seq("lang" -> "upper(lang)"), measures = Nil,
+        baseCols = Seq("lang"))
+    }
+  }
+
   // quantile measure fixtures: p50 over plain length; p90 over a length
   // whose deleted band (ids ≡2 mod 9) is shifted +100000 — pre-delete
   // that band is ~11% of every bucket (p90 lands IN it), post-delete
