@@ -426,13 +426,24 @@ class LakeViewSpec extends SparkSpec {
     // stream cadence — the extremes maintenance must work per-batch too
     LakeView.createView(spark, dir, viewMM, dims, measures,
       minMeasures, maxMeasures, avgMeasures)
+    // and a third with a quantile sketch + an enrichment dim: the
+    // ext-store fold and the metadata join must work per-batch too (the
+    // streamed docs are lake-born, so enrichment reads null and the
+    // coalesce routes them to 'und')
+    val viewQ = s"$tmp/view_q"
+    LakeView.createView(spark, dir, viewQ,
+      dims = Seq("src" -> "coalesce(lang, 'und')"),
+      measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+      quantileMeasures = Seq(
+        ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5)),
+      baseCols = Seq("lang"))
     val tA = (1 to 40).map(i => s"viewa$i").mkString(" ")
     val tB = (1 to 40).map(i => s"viewb$i").mkString(" ")
     val in = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, String)]
     val q = CorpusLake.maintainCorpusStream(
         in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
-        optimizeEvery = 1, viewDirs = Seq(view, viewMM))
+        optimizeEvery = 1, viewDirs = Seq(view, viewMM, viewQ))
       .start()
     try {
       in.addData((7000001L, tA)); q.processAllAvailable()
@@ -445,6 +456,24 @@ class LakeViewSpec extends SparkSpec {
       "stream cadence did not fold the view's deltas")
     assert(rowsMM(LakeView.readView(spark, viewMM)) == recomputeMM(corpus),
       "stream-maintained minmax view diverged from the recompute")
+    val gotQ = LakeView.readView(spark, viewQ)
+      .select($"src", $"n_docs", $"chars",
+        round($"p50_chars", 6).as("p50_chars"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    val wantQ = CorpusLake.readCorpusAt(spark, dir, corpus)
+      .join(Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", $"lang"), Seq("doc_id"), "left")
+      .select(coalesce($"lang", lit("und")).as("src"),
+        length($"text").cast("long").as("len"))
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n_docs"), sum($"len").as("chars"),
+        round(percentile($"len".cast("double"), lit(0.5)), 6)
+          .as("p50_chars"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(gotQ == wantQ,
+      "stream-maintained quantile+enrichment view diverged from the recompute")
+    assert(gotQ.exists(_._1 == "und"),
+      "streamed lake-born docs missed the und group")
   }
 
   test("lake view: a view over a branch tracks the branch, not the parent") {
