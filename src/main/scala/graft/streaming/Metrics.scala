@@ -141,8 +141,12 @@ object StreamMetrics {
     catch { case _: org.apache.spark.sql.AnalysisException => empty }
   }
 
-  /** Per-query health rollup: batch count, total rows, mean/max batch
-    * duration, mean processed rate (NaN-free by construction), peak
+  /** Per-query health rollup: batch count, total rows, mean/p50/p95/max
+    * batch duration (the tail percentiles are what latency alerting
+    * actually pages on — a healthy mean hides a degrading p95; exact
+    * percentile is right at metrics-store scale, approx_percentile is
+    * the drop-in if a store ever outgrows it), mean processed rate
+    * (NaN-free by construction), peak
     * state rows, the latest batch id, plus the failure decoration from
     * the lifecycle store — failed run count and the most recent error —
     * so one read answers both "is it healthy" and "did it die". One
@@ -156,6 +160,8 @@ object StreamMetrics {
       .agg(count(lit(1)).as("n_batches"),
         sum(col("input_rows")).as("total_rows"),
         avg(col("batch_duration_ms")).as("mean_batch_ms"),
+        percentile(col("batch_duration_ms"), lit(0.5)).as("p50_batch_ms"),
+        percentile(col("batch_duration_ms"), lit(0.95)).as("p95_batch_ms"),
         max(col("batch_duration_ms")).as("max_batch_ms"),
         avg(col("processed_rows_per_sec")).as("mean_processed_per_sec"),
         max(col("state_rows")).as("peak_state_rows"),

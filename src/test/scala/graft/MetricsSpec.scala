@@ -41,12 +41,16 @@ class MetricsSpec extends SparkSpec {
       assert(totalRows() == 5L, "metrics rows do not cover the input")
       val roll = StreamMetrics.summary(spark, dir)
         .filter($"query" === "metrics_probe")
-        .select($"n_batches", $"total_rows", $"peak_state_rows")
-        .as[(Long, Long, Long)].head()
+        .select($"n_batches", $"total_rows", $"peak_state_rows",
+          $"p50_batch_ms", $"p95_batch_ms", $"max_batch_ms")
+        .as[(Long, Long, Long, Double, Double, Long)].head()
       assert(roll._2 == 5L && roll._1 >= 2L,
         s"summary rollup off: $roll")
       // stateless query: no state rows ever reported
       assert(roll._3 == 0L)
+      // latency percentiles: ordered, positive, bounded by the max
+      assert(roll._4 > 0 && roll._4 <= roll._5 && roll._5 <= roll._6,
+        s"batch-duration percentiles disordered: $roll")
       // compaction folds the one-file-per-batch accretion; reads unchanged
       val (fb, fa) = StreamMetrics.compactMetrics(spark, dir)
       assert(fb >= 2L && fa == 1L, s"compaction did not fold: $fb -> $fa")
