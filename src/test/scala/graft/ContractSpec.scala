@@ -62,6 +62,25 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("quantile-oracle buckets stay under the sketch capacity — the " +
+      "value-exact gate's standing assumption, enforced by name") {
+    // corpus_view_quantile compares VALUES (not error bounds) because
+    // every doc_id%7 bucket holds fewer occurrences than the bottom-k
+    // sample keeps, making served quantiles exact. A fixture regeneration
+    // that outgrows the capacity must fail HERE, naming the query, not as
+    // an unexplained hash mismatch in the driver gate.
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val maxBucket = graft.sources.Tables.documents(spark, sf(d))
+        .groupBy(pmod(col("doc_id"), lit(7)))
+        .count().agg(max(col("count"))).head().getLong(0)
+      assert(maxBucket < graft.functions.QSketchKernel.K,
+        s"$d: a doc_id%7 bucket holds $maxBucket >= " +
+          s"${graft.functions.QSketchKernel.K} docs — corpus_view_quantile's " +
+          "value-exact oracle needs the accuracy-flag convention instead")
+    }
+  }
+
   test("oracleSql: output-position sum/list_sum carries an explicit CAST or round") {
     // DuckDB widens sum() over integer types to HUGEINT (int128); the
     // driver's hasher is type-sensitive, so a bare output-position sum in
