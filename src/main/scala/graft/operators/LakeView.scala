@@ -195,15 +195,30 @@ object LakeView {
     * pruned to the frame's rows (changed docs on the maintenance path),
     * never corpus × corpus. */
   private def enrich(spark: SparkSession, dir: String, frame: DataFrame,
-      baseCols: Seq[String]): DataFrame =
+      baseCols: Seq[String],
+      pruneIds: Option[DataFrame] = None): DataFrame =
     if (baseCols.isEmpty) frame
-    // the base table is the AUTHORITATIVE source: a same-named column the
-    // frame happens to carry (a carry-column lake) is dropped first, so
-    // the algebra can never see two different values for one doc
-    else frame.drop(baseCols.filter(frame.columns.contains): _*).join(
-      Tables.spread(Tables.documents(spark, dir))
-        .select(("doc_id" +: baseCols).map(col): _*),
-      Seq("doc_id"), "left")
+    else {
+      // a left-outer join cannot broadcast its left (frame) side, so an
+      // unpruned join would shuffle the CORPUS-sized base table by id on
+      // every maintenance window. When the caller knows the id set the
+      // window touches (changedHistory always does), the base side is
+      // semi-joined down to it under a broadcast first — the join then
+      // moves window-sized data only. Unpruned callers are the one-time
+      // O(corpus) builds (create, evolution backfill) and the
+      // retraction-recompute snapshot, whose corpus-sized scan the
+      // extremes cost model already documents.
+      val metaAll = Tables.spread(Tables.documents(spark, dir))
+        .select(("doc_id" +: baseCols).map(col): _*)
+      val meta = pruneIds.fold(metaAll)(ids =>
+        metaAll.join(broadcast(ids.select(col("doc_id")).distinct()),
+          Seq("doc_id"), "left_semi"))
+      // the base table is the AUTHORITATIVE source: a same-named column
+      // the frame happens to carry (a carry-column lake) is dropped
+      // first, so the algebra can never see two values for one doc
+      frame.drop(baseCols.filter(frame.columns.contains): _*)
+        .join(meta, Seq("doc_id"), "left")
+    }
 
   /** The quantile measures' (tag, NaN-sentinel value) input columns —
     * selected beside the dims wherever a sketch is (re)built. The tag is
@@ -270,7 +285,8 @@ object LakeView {
       .join(changedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"),
         lit(false).as("_del"))
-    enrich(spark, dir, hist.unionByName(baseRows), baseCols)
+    enrich(spark, dir, hist.unionByName(baseRows), baseCols,
+        pruneIds = Some(changedIds))
       .withColumn("prev_text", lag(col("text"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch"))))
       .filter(col("epoch") > from)

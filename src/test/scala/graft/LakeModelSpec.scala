@@ -33,6 +33,10 @@ class LakeModelSpec extends SparkSpec {
     val base: Map[Long, String] = Tables.documents(spark, dir)
       .select($"doc_id", $"text").as[(Long, String)].collect().toMap
     val baseIds = base.keys.toSeq.sorted
+    // the enrichment ground truth: base-table language by id ('und' for
+    // lake-born ids, mirroring the view's coalesce)
+    val langOf: Map[Long, String] = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
 
     // default 2 seeds keep the suite fast; SPARK_GRAFT_MODEL_SEEDS=a,b,c
     // widens the hunt for one-off robustness sweeps
@@ -104,12 +108,17 @@ class LakeModelSpec extends SparkSpec {
       // strand the cursor → refusal, deletes trigger the recompute leg)
       val viewDir = corpus.stripSuffix("/corpus") + "/view"
       graft.operators.LakeView.createView(spark, dir, viewDir,
-        dims = Seq("bucket" -> "CAST(doc_id % 3 AS INT)"),
+        dims = Seq("bucket" -> "CAST(doc_id % 3 AS INT)",
+          // enrichment under interleavings: base ids group by their real
+          // language, lake-born ids by 'und', through every LWW rewrite,
+          // delete, base-shadow, and replay the ops below generate
+          "src" -> "coalesce(lang, 'und')"),
         measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
         minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)"),
         maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)"),
         quantileMeasures = Seq(
-          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5)))
+          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5)),
+        baseCols = Seq("lang"))
       var viewAt = Long.MinValue
       // p=0.5 over integer lengths interpolates to x.0/x.5 — exact in
       // double arithmetic on both sides, so the model compares unrounded
@@ -120,11 +129,12 @@ class LakeModelSpec extends SparkSpec {
         s(lo) + (r - lo) * (s(math.min(lo + 1, s.length - 1)) - s(lo))
       }
       def viewModelRows(v: Long)
-          : Set[(Option[Int], Long, Long, Long, Long, Double)] =
+          : Set[(Option[Int], String, Long, Long, Long, Long, Double)] =
         modelAt(v).toSeq
-          .map { case (id, t) => ((id % 3).toInt, t.length.toLong) }
-          .groupBy(_._1).map { case (b, xs) =>
-            (Option(b), xs.size.toLong, xs.map(_._2).sum,
+          .map { case (id, t) =>
+            (((id % 3).toInt, langOf.getOrElse(id, "und")), t.length.toLong) }
+          .groupBy(_._1).map { case ((b, src), xs) =>
+            (Option(b), src, xs.size.toLong, xs.map(_._2).sum,
               xs.map(_._2).min, xs.map(_._2).max, median(xs.map(_._2)))
           }.toSet
 
@@ -283,9 +293,10 @@ class LakeModelSpec extends SparkSpec {
         // same contract as the follower below)
         if (viewAt != Long.MinValue) {
           val vGot = graft.operators.LakeView.readView(spark, viewDir)
-            .select($"bucket", $"n_docs", $"chars", $"min_chars",
+            .select($"bucket", $"src", $"n_docs", $"chars", $"min_chars",
               $"max_chars", $"p50_chars")
-            .as[(Option[Int], Long, Long, Long, Long, Double)].collect().toSet
+            .as[(Option[Int], String, Long, Long, Long, Long, Double)]
+            .collect().toSet
           assert(vGot == viewModelRows(viewAt),
             s"seed $seed step $step: view mismatch at $viewAt")
         }

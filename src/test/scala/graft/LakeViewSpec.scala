@@ -498,6 +498,32 @@ class LakeViewSpec extends SparkSpec {
       "branch view indistinct from the parent — fixture is vacuous")
   }
 
+  test("lake view: a view refreshed from a replication FOLLOWER serves " +
+      "the primary's aggregate — the read-scaling topology") {
+    import spark.implicits._
+    val primary = mkLake()
+    val follower = primary.stripSuffix("/corpus") + "/follower"
+    assert(CorpusLake.replicateLake(spark, dir, primary, follower).isDefined)
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-follower").toString + "/view"
+    // the view consumes the FOLLOWER's commit feed; view refresh is a
+    // lake READ, so the follower's read-only guard does not fire
+    LakeView.createView(spark, dir, v, dims, measures)
+    assert(LakeView.refreshViewFromLake(spark, dir, follower, v).isDefined)
+    assert(rows(LakeView.readView(spark, v)) == recompute(primary),
+      "follower-fed view diverged from the primary's aggregate")
+    // a later primary epoch replicates, the view catches up incrementally
+    baseDocs.filter($"doc_id" % 13 === 4)
+      .select($"doc_id", concat($"text", lit(" p3")).as("text"),
+        lit(3L).as("epoch"))
+      .write.mode("append").parquet(s"$primary/docs")
+    commitTo(primary, 3L)
+    assert(CorpusLake.replicateLake(spark, dir, primary, follower).isDefined)
+    assert(LakeView.refreshViewFromLake(spark, dir, follower, v).isDefined)
+    assert(rows(LakeView.readView(spark, v)) == recompute(primary),
+      "follower-fed view missed the replicated epoch")
+  }
+
   test("lake view: enrichment columns join immutable base metadata into " +
       "dims — retraction, lake-born nulls, and refusals") {
     import spark.implicits._
