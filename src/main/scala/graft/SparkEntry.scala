@@ -95,6 +95,7 @@ object SparkEntry {
     "q_sample_split"       -> (Sampling.trainValTestSplit _),
     "q_split_cluster_safe" -> (Sampling.clusterSafeSplit _),
     "q_sketch_quantiles"   -> (Relational.sketchQuantiles _),
+    "q_sketch_qsample"     -> (Relational.sketchQuantileSample _),
     "pipeline_prepare"     -> (Curate.prepare _),
     "q21_stats"            -> (Relational.q21Stats _),
     "text_pii_scrub"       -> (TextAnalysis.piiScrub _),
@@ -1842,6 +1843,19 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99_price,
         |  TRUE AS med_within_err,
         |  TRUE AS p99_within_err
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bottom-k quantile sample sketch ABOVE capacity (every group ≫
+    // 4096 rows): exact percentile twin + flags at 5% of the group's
+    // value range — the sampled-regime accuracy the views' quantile
+    // measures degrade to, pinned outside the views' exact-regime gate
+    "q_sketch_qsample" ->
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS exact_med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS exact_p90_qty,
+        |  TRUE AS med_within_err,
+        |  TRUE AS p90_within_err
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // correlation is scale-free, so 6dp rounding is partitioning-stable

@@ -344,6 +344,38 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  /** The bottom-k quantile sample sketch ([[graft.functions.QSketch]]) in
+    * its SAMPLED regime: every l_returnflag group holds far more rows
+    * than the 4096-occurrence capacity, so this pins the accuracy the
+    * views' quantile measures degrade to above capacity — the regime the
+    * value-exact `corpus_view_quantile` gate deliberately avoids. Same
+    * oracle convention as [[sketchQuantiles]]: exact percentile twin +
+    * literal-TRUE flags, here at 5 % of the group's value range (a
+    * 4096-sample's rank error concentrates at √(p(1−p)/K) ≈ 0.8 % — the
+    * bound is ~4σ of that mapped through a near-uniform value density,
+    * not approx_percentile's 10⁻⁴ tier). Occurrence tags come from the
+    * row identity (orderkey, linenumber), so duplicate quantities stay
+    * distinct sample entries. */
+  def sketchQuantileSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = graft.functions.QSketch
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).cast("long").as("n_rows"),
+        round(percentile($"l_quantity", lit(0.5)), 6).as("exact_med_qty"),
+        round(percentile($"l_quantity", lit(0.9)), 6).as("exact_p90_qty"),
+        q.buildAgg(xxhash64($"l_orderkey", $"l_linenumber"),
+          $"l_quantity".cast("double")).as("s"),
+        (max($"l_quantity") - min($"l_quantity")).as("rq"))
+      .select($"l_returnflag", $"n_rows", $"exact_med_qty", $"exact_p90_qty",
+        (abs(q.quantile($"s", 0.5) - $"exact_med_qty") <= $"rq" * 0.05)
+          .as("med_within_err"),
+        (abs(q.quantile($"s", 0.9) - $"exact_p90_qty") <= $"rq" * 0.05)
+          .as("p90_within_err"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Array scalar functions over the embedding vectors: max/min, slicing,
     * higher-order filter — all codegen'd builtins, float-exact. */
   def q20ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
