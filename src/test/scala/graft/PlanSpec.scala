@@ -129,4 +129,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(!p.linesIterator.exists(l => l.contains("Generate") && l.contains("explode")), p)
   }
+
+  test("view serves with sketch/ext measures stay broadcast-only and " +
+      "group-sized — no sort-merge join, no cartesian") {
+    // the quantile/distinct/extremes serve = sums fold + ONE broadcast
+    // ext leg (max_by per group); the sketch union (ObjectHashAggregate)
+    // belongs to the MAINTENANCE side only. A SortMergeJoin or cartesian
+    // appearing here means a corpus-sized exchange crept into the serve.
+    for (q <- Seq("corpus_view_quantile", "corpus_view_topk",
+        "corpus_card_live")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
