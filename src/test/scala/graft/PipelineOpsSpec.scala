@@ -234,5 +234,43 @@ class PipelineOpsSpec extends SparkSpec {
     val repSplit = out.map(x => x._1 -> x._3).toMap
     assert(out.forall(x => x._3 == repSplit(x._2)),
       "member split != representative split")
+    // growth stability: recompute the split over HALF the corpus — docs
+    // present in both runs keep their split unless corpus growth changed
+    // their cluster's representative (new edges merging clusters is the
+    // ONE sanctioned way a doc may move; a doc whose rep is stable must
+    // never move). This is the property that lets a release pipeline
+    // append documents without churning yesterday's split assignment.
+    // Signatures/bucketing are per-doc, so the half corpus's verified
+    // pair graph IS the full graph induced on the half ids — components
+    // of the induced subgraph are exactly what from-scratch would give.
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val halfEdges = Dedup.minhashLsh(spark, dir)
+      .filter($"id_a" % 2 === 0 && $"id_b" % 2 === 0)
+      .select($"id_a", $"id_b")
+    val halfLabels = Dedup.connectedComponents(halfEdges)._1
+      .select($"doc_id", $"label".as("cluster_rep"))
+    val halfOut = Tables.documents(spark, dir)
+      .filter($"doc_id" % 2 === 0).select($"doc_id")
+      .join(halfLabels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"cluster_rep", $"doc_id").as("rep"))
+      .withColumn("bucket",
+        pmod(graft.functions.Text.hash60($"rep".cast("string")), lit(100L)))
+      .select($"doc_id", $"rep",
+        when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+          .otherwise("test").as("split"))
+      .as[(Long, Long, String)].collect()
+    val fullRep = out.map(x => x._1 -> x._2).toMap
+    val fullSplit = out.map(x => x._1 -> x._3).toMap
+    val (stableRep, movedRep) = halfOut.partition(x => fullRep(x._1) == x._2)
+    assert(stableRep.nonEmpty, "fixture vacuous: no doc kept its rep")
+    assert(stableRep.forall(x => fullSplit(x._1) == x._3),
+      "a doc with a stable cluster representative changed split on growth")
+    // moved docs (if any) moved ONLY because growth merged their cluster
+    movedRep.foreach { x =>
+      assert(fullRep(x._1) <= x._2,
+        s"doc ${x._1}: rep moved ${x._2} -> ${fullRep(x._1)} upward — " +
+          "component labels must only coarsen (min-id) under growth")
+    }
   }
 }
