@@ -111,11 +111,24 @@ object Dedup {
       .distinct()
   }
 
-  private def minhashVerified(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  private def minhashVerified(spark: SparkSession, dir: String): DataFrame =
     // signatures are md5-heavy: materialize once, reuse for buckets + verify
-    val docs = graft.sources.Caches.shared(signed(spark, dir))
-    val candidates = minhashCandidates(spark, dir)
+    verifiedOf(spark, graft.sources.Caches.shared(signed(spark, dir)))
+
+  /** LSH-banded candidates + exact-Jaccard verification of any SIGNED
+    * (doc_id, grams, bands) relation — [[minhashVerified]] for the fixture
+    * table, reusable over a lake's visible set (whose LWW-updated texts
+    * the fixture table cannot represent). Callers pass an already-cached
+    * frame: signing is the expensive projection. */
+  private[graft] def verifiedOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val buckets = docs.select($"doc_id", explode($"bands").as("b"))
+      .select($"doc_id", $"b.band", $"b.key")
+    val candidates = buckets.as("x").join(buckets.as("y"),
+        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
+      .distinct()
     val a = docs.select($"doc_id".as("id_a"), $"grams".as("gr_a"), size($"grams").as("na"))
     val b = docs.select($"doc_id".as("id_b"), $"grams".as("gr_b"), size($"grams").as("nb"))
     val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")
@@ -124,6 +137,18 @@ object Dedup {
         inter.cast("double") / (($"na" + $"nb") - inter).cast("double"))
       .filter($"jaccard" >= JaccardThreshold)
       .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  /** Near-duplicate cluster labels of ANY (doc_id, text) relation — the
+    * [[clusters]] pipeline unbound from the fixture table, for lake
+    * visible sets. Same banding, verification, and min-id star-contraction
+    * components; docs in no cluster are absent (callers coalesce to the
+    * singleton convention). */
+  def clustersOf(spark: SparkSession, rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Caches.shared(signRows(rows))
+    connectedComponents(verifiedOf(spark, docs).select($"id_a", $"id_b"))
+      ._1.select($"doc_id", $"label".as("cluster_rep"))
   }
 
   /** The static corpus side for [[nearDupStream]]: every corpus document's

@@ -438,14 +438,36 @@ object Sampling {
     import spark.implicits._
     val labels = Dedup.clusters(spark, dir)
       .select($"doc_id", $"cluster_rep")
-    Tables.documents(spark, dir)
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("rep", coalesce($"cluster_rep", $"doc_id"))
-      .withColumn("bucket", pmod(hash60($"rep".cast("string")), lit(100L)))
-      .select($"doc_id", $"rep".as("cluster_rep"),
-        when($"bucket" < 80, "train")
-          .when($"bucket" < 90, "val")
+    splitByRep(Tables.documents(spark, dir).select($"doc_id"), labels)
+  }
+
+  /** [[clusterSafeSplit]] over a LAKE's visible set — the corpus a
+    * release actually ships, with LWW updates, takedowns, and
+    * re-admissions folded. Clusters come from the visible TEXTS
+    * ([[Dedup.clustersOf]]): an update that rewrites a document enough
+    * to leave (or join) a near-dup cluster moves it to (or from) its
+    * own hash split, exactly as a from-scratch assignment would — and
+    * deleted docs vanish from the assignment entirely. Same posture as
+    * the fixture-table split: one labels join sized by the near-dup
+    * docs plus a per-row hash projection. */
+  def clusterSafeSplitLake(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = graft.operators.CorpusLake.deleteLake(spark, dir)
+    val visible = graft.operators.CorpusLake.readCorpusAt(spark, dir, lake)
+      .select($"doc_id", $"text")
+    splitByRep(visible.select($"doc_id"),
+      Dedup.clustersOf(spark, visible))
+  }
+
+  private def splitByRep(ids: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, when}
+    ids.join(labels, Seq("doc_id"), "left")
+      .withColumn("rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("bucket", pmod(hash60(col("rep").cast("string")), lit(100L)))
+      .select(col("doc_id"), col("rep").as("cluster_rep"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
-      .orderBy($"doc_id")
+      .orderBy(col("doc_id"))
   }
 }
