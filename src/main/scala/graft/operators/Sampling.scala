@@ -459,6 +459,28 @@ object Sampling {
       Dedup.clustersOf(spark, visible))
   }
 
+  /** The export a training run actually pulls: the deterministic
+    * run-shard manifest ([[CorpusLake.shardManifest]] — per-shard doc/
+    * token/char totals + order-independent XOR checksums) of the TRAIN
+    * split only, over the lake's visible set, with the split keyed by
+    * near-dup cluster representative so no eval near-duplicate can ship
+    * in a train shard. Pure composition of audited pieces: visible set →
+    * cluster labels → rep-hash split filter → shard aggregate; the
+    * filter is a per-row projection, so the export cost stays the shard
+    * aggregate's one shuffle. */
+  def trainShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = graft.operators.CorpusLake.deleteLake(spark, dir)
+    val visible = graft.operators.CorpusLake.readCorpusAt(spark, dir, lake)
+      .select($"doc_id", $"text")
+    val train = visible
+      .join(Dedup.clustersOf(spark, visible), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"cluster_rep", $"doc_id"))
+      .filter(pmod(hash60($"rep".cast("string")), lit(100L)) < 80)
+      .select($"doc_id", $"text")
+    graft.operators.CorpusLake.shardManifest(train, 8).orderBy($"shard")
+  }
+
   private def splitByRep(ids: DataFrame, labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, when}
     ids.join(labels, Seq("doc_id"), "left")
