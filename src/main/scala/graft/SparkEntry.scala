@@ -156,6 +156,7 @@ object SparkEntry {
     "corpus_card"          -> (Curate.datasetCard _),
     "corpus_card_lake"     -> (Curate.cardLakeTwin _),
     "corpus_card_live"     -> (Curate.cardLiveTwin _),
+    "corpus_card_travel"   -> (Curate.cardLiveAtTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2640,6 +2641,36 @@ object SparkEntry {
         |         ELSE text END AS text
         |  FROM documents
         |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2),
+        |q AS (SELECT doc_id, lang,
+        |    CAST(floor(round(
+        |      0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +
+        |      0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) +
+        |      0.05 * (CAST(list_sum([length(x) for x in toks]) AS DOUBLE) / len(toks)), 6) * 10) AS INT) AS band,
+        |    CAST(len(toks) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM (SELECT doc_id, text, lang, string_split(text,' ') AS toks
+        |        FROM v))
+        |SELECT metric, value FROM (
+        |  SELECT 'docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM q
+        |  UNION ALL SELECT 'tokens', CAST(sum(n_toks) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'chars', CAST(sum(n_chars) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM q
+        |  UNION ALL SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
+        |    FROM q GROUP BY lang
+        |  UNION ALL SELECT 'quality_band:' || CAST(band AS VARCHAR),
+        |    CAST(count(*) AS BIGINT) FROM q GROUP BY band
+        |) ORDER BY metric""".stripMargin,
+
+    // time-travel datasheet: the SAME live-card view served AS OF lake
+    // version 0 (the update epoch, before the takedowns — also the
+    // card-live lifecycle's fold watermark, so the watermark version
+    // itself must keep serving after compaction); DuckDB recomputes the
+    // card from the v0 visible set
+    "corpus_card_travel" ->
+      """WITH v AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents),
         |q AS (SELECT doc_id, lang,
         |    CAST(floor(round(
         |      0.25 * (CAST(len([x for x in toks if x IN ('the','a')]) AS DOUBLE) / len(toks)) +

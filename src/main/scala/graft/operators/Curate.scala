@@ -318,10 +318,22 @@ object Curate {
     * `und` for lake-born docs — the same convention as the batch card)
     * and the band is the exact quality formula as one SQL expression;
     * the card's long form is a groups-sized serve-side fold. */
-  def cardLiveTwin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def cardLiveTwin(spark: SparkSession, dir: String): DataFrame =
+    cardFold(spark, graft.operators.LakeView.readView(spark,
+      cardLiveViewDir(spark, dir)))
+
+  /** The datasheet AS OF a pinned lake version through the SAME live
+    * view — `readViewAt` time travel folded to the card's long form.
+    * Version 0 is the card-live lifecycle's fold watermark (the update
+    * epoch, before the takedowns), so this also pins that the watermark
+    * version itself keeps serving after compaction. */
+  def cardLiveAtTwin(spark: SparkSession, dir: String): DataFrame =
+    cardFold(spark, graft.operators.LakeView.readViewAt(spark,
+      cardLiveViewDir(spark, dir), 0L))
+
+  private def cardLiveViewDir(spark: SparkSession, dir: String): String = {
     val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+    graft.sources.Caches.memoizedValue[String](spark,
         s"corpus-card-live|$dir") {
       val v = java.nio.file.Files
         .createTempDirectory("graft-card-live").toString + "/view"
@@ -339,7 +351,10 @@ object Curate {
       graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v)
       v
     }
-    val cells = graft.operators.LakeView.readView(spark, viewDir)
+  }
+
+  private def cardFold(spark: SparkSession, cells: DataFrame): DataFrame = {
+    import spark.implicits._
     val totals = cells.agg(
         sum($"n_docs").as("docs"), sum($"n_toks").as("tokens"),
         sum($"n_chars").as("chars"),
