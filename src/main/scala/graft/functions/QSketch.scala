@@ -82,10 +82,15 @@ object QSketchKernel {
     bb.array()
   }
 
-  /** (keys, values) of a serialized sketch. */
+  /** (keys, values) of a serialized sketch. A malformed binary (foreign
+    * column fed to the union/quantile, truncated artifact) fails with a
+    * named error instead of a BufferUnderflow or a silent garbage read. */
   def deserialize(b: Array[Byte]): (Array[Long], Array[Double]) = {
+    require(b.length >= 4, s"qsketch: binary too short (${b.length} B)")
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val m = bb.getInt
+    require(m >= 0 && m <= K && b.length == 4 + 16 * m,
+      s"qsketch: corrupt header (m=$m, ${b.length} B; expected ${4 + 16 * math.max(m, 0)})")
     val ks = new Array[Long](m); val vs = new Array[Double](m)
     var i = 0
     while (i < m) { ks(i) = bb.getLong; vs(i) = bb.getDouble; i += 1 }

@@ -66,6 +66,17 @@ class QSketchSpec extends SparkSpec {
     }
   }
 
+  test("qsketch: malformed binaries fail by name, not by buffer underflow") {
+    val good = sketchOf(Seq((1L, 2.0)))
+    for (bad <- Seq(Array[Byte](1, 2), good.dropRight(3),
+        good ++ Array[Byte](0), Array[Byte](-1, -1, -1, -1))) {
+      val e = intercept[IllegalArgumentException] {
+        QSketchKernel.quantileBoxed(bad, 0.5)
+      }
+      assert(e.getMessage.contains("qsketch"), e.getMessage)
+    }
+  }
+
   test("qsketch: NaN values are skipped (null semantics); empty input " +
       "and null sketches serve null") {
     val b = sketchOf(Seq((1L, Double.NaN), (2L, 5.0), (3L, Double.NaN)))
