@@ -96,6 +96,7 @@ object SparkEntry {
     "q_split_cluster_safe" -> (Sampling.clusterSafeSplit _),
     "corpus_split_safe"    -> (Sampling.clusterSafeSplitLake _),
     "corpus_train_shards"  -> (Sampling.trainShardManifest _),
+    "corpus_split_shards"  -> (Sampling.splitShardManifest _),
     "q_sketch_quantiles"   -> (Relational.sketchQuantiles _),
     "q_sketch_qsample"     -> (Relational.sketchQuantileSample _),
     "pipeline_prepare"     -> (Curate.prepare _),
@@ -2037,6 +2038,67 @@ object SparkEntry {
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
         |  bit_xor(h) AS checksum
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // the FULL delivery manifest: per-(split, shard) totals + XOR
+    // checksums over the lake head — val and test shards verifiable at
+    // the consumer too, not just train
+    "corpus_split_shards" ->
+      """WITH RECURSIVE v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([s[i]||' '||s[i+1]||' '||s[i+2] for i in range(1, len(s)-1)]) AS shingles
+        |  FROM (SELECT doc_id, string_split(text,' ') AS s FROM v)
+        |  WHERE len(s) >= 3
+        |),
+        |sig AS (
+        |  SELECT doc_id, shingles,
+        |    [ list_min([ (CAST(concat('0x', substr(md5(sh2),1,8)) AS BIGINT)
+        |                  + i * CAST(concat('0x', substr(md5(sh2),9,8)) AS BIGINT)) % 4294967311
+        |                 for sh2 in shingles ]) for i in range(0,16) ] AS sig
+        |  FROM sh
+        |),
+        |buckets AS (
+        |  SELECT doc_id, b AS band,
+        |    array_to_string([CAST(x AS VARCHAR) for x in list_slice(sig, b*4+1, b*4+4)], ',') AS key
+        |  FROM sig, (SELECT unnest(range(0,4)) AS b)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM buckets x JOIN buckets y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+        |  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+        |        len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.8
+        |),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+        |assigned AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT d.doc_id, d.text,
+        |          CAST(concat('0x', substr(md5(CAST(COALESCE(l.rep, d.doc_id) AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+        |        FROM v d LEFT JOIN labels l ON d.doc_id = l.doc_id)),
+        |h AS (SELECT split,
+        |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT) AS shard,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS nc,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || '|' || text),1,15)) AS BIGINT) AS h
+        |  FROM assigned)
+        |SELECT split, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  bit_xor(h) AS checksum
+        |FROM h GROUP BY split, shard ORDER BY split, shard""".stripMargin,
 
     // identical PII construction + the same RE2/Java-common regexes, applied
     // in the same fixed order (email, IP, phone); the digest pins every byte

@@ -481,6 +481,37 @@ object Sampling {
     graft.operators.CorpusLake.shardManifest(train, 8).orderBy($"shard")
   }
 
+  /** The FULL delivery manifest: per-(split, shard) doc/token/char totals
+    * and XOR checksums over the lake's visible set — [[trainShardManifest]]
+    * widened so the val and test shards are integrity-verifiable at the
+    * consumer too (an eval job has the same lost/corrupt/duplicate
+    * failure modes as a training job). One aggregate keyed by
+    * (split, shard); the split stays a per-row projection. */
+  def splitShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = graft.operators.CorpusLake.deleteLake(spark, dir)
+    val visible = graft.operators.CorpusLake.readCorpusAt(spark, dir, lake)
+      .select($"doc_id", $"text")
+    val assigned = visible
+      .join(Dedup.clustersOf(spark, visible), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"cluster_rep", $"doc_id"))
+      .withColumn("b", pmod(hash60($"rep".cast("string")), lit(100L)))
+      .select($"doc_id", $"text",
+        when($"b" < 80, "train").when($"b" < 90, "val")
+          .otherwise("test").as("split"),
+        pmod(hash60($"doc_id".cast("string")), lit(8L)).cast("int")
+          .as("shard"))
+    assigned
+      .select($"split", $"shard",
+        size(graft.functions.Text.tokens($"text")).cast("long").as("nt"),
+        length($"text").cast("long").as("nc"),
+        hash60(concat($"doc_id".cast("string"), lit("|"), $"text")).as("h"))
+      .groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+        sum($"nc").as("n_chars"), expr("bit_xor(h)").as("checksum"))
+      .orderBy($"split", $"shard")
+  }
+
   private def splitByRep(ids: DataFrame, labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, when}
     ids.join(labels, Seq("doc_id"), "left")
