@@ -452,12 +452,28 @@ object Sampling {
     * docs plus a per-row hash projection. */
   def clusterSafeSplitLake(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lake = graft.operators.CorpusLake.deleteLake(spark, dir)
-    val visible = graft.operators.CorpusLake.readCorpusAt(spark, dir, lake)
-      .select($"doc_id", $"text")
-    splitByRep(visible.select($"doc_id"),
-      Dedup.clustersOf(spark, visible))
+    splitByRep(lakeVisible(spark, dir).select($"doc_id"),
+      lakeClusters(spark, dir))
   }
+
+  /** The delete-lifecycle lake's visible (doc_id, text) set — the shared
+    * input of the lake-split family. */
+  private def lakeVisible(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = graft.operators.CorpusLake.deleteLake(spark, dir)
+    graft.operators.CorpusLake.readCorpusAt(spark, dir, lake)
+      .select($"doc_id", $"text")
+  }
+
+  /** Converged cluster labels of the lake head, memoized per (session,
+    * dir) — the iterative star-contraction carries fresh localCheckpoint
+    * lineage per call, so plan-equality caching can never reuse it across
+    * the split/shard queries that compose it (the same reason
+    * [[Dedup.clusters]] memoizes its converged labels). */
+  private def lakeClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Caches.memoized(spark, s"lake-clusters|$dir") {
+      Dedup.clustersOf(spark, lakeVisible(spark, dir))
+    }
 
   /** The export a training run actually pulls: the deterministic
     * run-shard manifest ([[CorpusLake.shardManifest]] — per-shard doc/
@@ -470,11 +486,9 @@ object Sampling {
     * aggregate's one shuffle. */
   def trainShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lake = graft.operators.CorpusLake.deleteLake(spark, dir)
-    val visible = graft.operators.CorpusLake.readCorpusAt(spark, dir, lake)
-      .select($"doc_id", $"text")
+    val visible = lakeVisible(spark, dir)
     val train = visible
-      .join(Dedup.clustersOf(spark, visible), Seq("doc_id"), "left")
+      .join(lakeClusters(spark, dir), Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"cluster_rep", $"doc_id"))
       .filter(pmod(hash60($"rep".cast("string")), lit(100L)) < 80)
       .select($"doc_id", $"text")
@@ -489,11 +503,9 @@ object Sampling {
     * (split, shard); the split stays a per-row projection. */
   def splitShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lake = graft.operators.CorpusLake.deleteLake(spark, dir)
-    val visible = graft.operators.CorpusLake.readCorpusAt(spark, dir, lake)
-      .select($"doc_id", $"text")
+    val visible = lakeVisible(spark, dir)
     val assigned = visible
-      .join(Dedup.clustersOf(spark, visible), Seq("doc_id"), "left")
+      .join(lakeClusters(spark, dir), Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"cluster_rep", $"doc_id"))
       .withColumn("b", pmod(hash60($"rep".cast("string")), lit(100L)))
       .select($"doc_id", $"text",
