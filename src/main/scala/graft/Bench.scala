@@ -5,15 +5,25 @@ object Bench {
   /** The one-line stdout contract must survive the harness's 2000-char
     * stdout tail (sbt's trailing [success] line consumes ~75 of it; round
     * 6's full-double-precision line overflowed the window and the round's
-    * numbers were lost). Per-query values self-degrade — 2 dp, then 1 dp,
-    * then 1 dp only for the ≥0.95 s slow tail, then the all-0-dp floor,
-    * then an EMERGENCY level that keeps entries slowest-first while the
-    * map fits and reports the rest as `"q_omitted":n` — so precision (and
-    * finally coverage) is sacrificed where it carries the least signal
-    * BEFORE parseability ever is. The emergency level fits BY CONSTRUCTION
-    * at any query count (`ContractSpec` drives the worst case); the full
-    * ms-precision map always lands in BENCH_FULL.json. */
-  private[graft] val QsBudget = 1830 // window 2000 − [success] ~75 − line overhead 86 − 9 slack
+    * numbers were lost; the captured BENCH_r13/r14 tails confirm the
+    * window is exactly 2000 chars). Per-query values self-degrade — 2 dp,
+    * then 1 dp, then 1 dp only for the ≥0.95 s slow tail, then the
+    * all-0-dp floor, then an EMERGENCY level that keeps the WHOLE ≥0.95 s
+    * slow tail (slowest-first — the per-round trend signal) and then
+    * fills the remaining budget with as MANY of the fast entries as fit
+    * (shortest-entry-first — count-maximizing), reporting the rest as
+    * `"q_omitted":n` — so precision (and finally coverage) is sacrificed
+    * where it carries the least signal BEFORE parseability ever is.
+    *
+    * Coverage is WINDOW-BOUND, not tuning-bound: at the r15 query set the
+    * 110 SHORTEST 0-dp entries alone measure ~2070 chars and the full set
+    * ~2810, against ≤ ~1850 the 2000-char tail can ever give the map —
+    * naming every query in stdout is physically impossible; the
+    * count-maximizing fill gets the nameable maximum and BENCH_FULL.json
+    * always carries all queries at ms precision. The emergency level fits
+    * BY CONSTRUCTION at any query count (`ContractSpec` drives the worst
+    * case). */
+  private[graft] val QsBudget = 1840 // window 2000 − [success] ~75 − fixed line overhead 85 (≤1925 total)
 
   private def fmt(d: Double): String =
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
@@ -89,18 +99,25 @@ object Bench {
       results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(f) }
         .mkString("{", ",", "}")
     val qs = ladder.map(qsAt).find(_.length <= budget).getOrElse {
-      // emergency: slowest-first, keep what fits, count the omissions —
-      // the slow tail is what the per-round trend comparison reads
+      // emergency: the WHOLE ≥0.95 s slow tail first (slowest-first — the
+      // per-round trend signal), then as MANY fast entries as fit
+      // (shortest-entry-first maximizes the named-query count: the window
+      // cannot hold every name, so coverage is spent where it buys the
+      // most entries); the rest are counted in "q_omitted"
       val omittedSlot = 24 // worst-case ,"q_omitted":nnn + brace slack
+      val entries = results.toSeq.map { case (k, v) =>
+        (v, s"\"" + k + "\":" + v.fold("null")(fmtQ(_, 0)))
+      }
+      val (slow, fast) = entries.partition(_._1.exists(_ >= 0.95))
+      val ordered = slow.sortBy { case (v, _) => -v.getOrElse(0.0) } ++
+        fast.sortBy { case (_, e) => (e.length, e) }
       val kept = scala.collection.mutable.ListBuffer[String]()
       var len = 1 // opening brace
       var omitted = 0
-      results.toSeq.sortBy { case (_, v) => -v.getOrElse(0.0) }.foreach {
-        case (k, v) =>
-          val e = s"\"" + k + "\":" + v.fold("null")(fmtQ(_, 0))
-          if (len + e.length + 1 + omittedSlot <= budget) {
-            kept += e; len += e.length + 1
-          } else omitted += 1
+      ordered.foreach { case (_, e) =>
+        if (len + e.length + 1 + omittedSlot <= budget) {
+          kept += e; len += e.length + 1
+        } else omitted += 1
       }
       (kept :+ s"\"q_omitted\":$omitted").mkString("{", ",", "}")
     }
@@ -287,8 +304,10 @@ object Bench {
     val calWorst = math.max(calRatio, calEnd / CalReference)
     def calJson(r: Double) =
       "," + "\"cal\":" + BigDecimal(r).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-    val calFull = calJson(calWorst) +
-      s""","cold_best_of":$runs"""
+    // stdout carries "cal" only; "cold_best_of" lives in the side files —
+    // every stdout char spent on metadata is a query name the
+    // count-maximizing emergency level cannot fit
+    val calFull = calJson(calWorst)
     // the stdout line is the parse-safe contract; the side file carries the
     // ms-precision per-query numbers the line can no longer fit at 90+
     // queries (committed per round as BENCH_FULL.json for trend reading)

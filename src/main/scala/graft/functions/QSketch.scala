@@ -109,9 +109,18 @@ object QSketchKernel {
     vs(lo) + (r - lo) * (vs(hi) - vs(lo))
   }
 
-  /** Sampled occurrence count (≤ K; the full count at or below K). */
-  def sampleSize(b: Array[Byte]): Int =
-    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+  /** Sampled occurrence count (≤ K; the full count at or below K). Same
+    * validate-on-read posture as [[deserialize]]: a truncated binary or a
+    * corrupt header fails with the named qsketch error, never a raw
+    * BufferUnderflow or a silent garbage count. */
+  def sampleSize(b: Array[Byte]): Int = {
+    require(b.length >= 4, s"qsketch: binary too short (${b.length} B)")
+    val m = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    require(m >= 0 && m <= K && b.length == 4 + 16 * m,
+      s"qsketch: corrupt header (m=$m, ${b.length} B; expected ${4 + 16 * math.max(m, 0)})")
+    m
+  }
 }
 
 /** Mutable accumulation buffer: parallel (key, value) arrays with a fill

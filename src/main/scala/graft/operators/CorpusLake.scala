@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -2240,21 +2240,35 @@ object CorpusLake {
     * aggregated groupBy; output is O(nShards) rows. */
   def shardManifest(docs: DataFrame, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    shardAggs(docs.withColumn("shard",
-      pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
-        lit(nShards.toLong)).cast("int")))
+    shardAggs(docs.withColumn("shard", shardOf(nShards)))
   }
 
-  /** The shared per-shard aggregate over rows that already carry `shard`. */
-  private def shardAggs(rows: DataFrame): DataFrame =
-    rows.select(col("shard"),
+  /** THE shard-assignment expression — hash60(doc_id) mod nShards. One
+    * definition: the full export, the delta export, and the split-family
+    * manifests ([[graft.operators.Sampling.splitShardManifest]]) must
+    * agree on it or a consumer's verify would name phantom mismatches. */
+  private[operators] def shardOf(nShards: Int): Column =
+    pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
+      lit(nShards.toLong)).cast("int")
+
+  /** The shared per-shard aggregate over rows that already carry `shard`
+    * (plus any extra grouping keys, e.g. the split family's `split`) —
+    * THE delivery-integrity convention: doc/token/char totals and the
+    * order-independent `bit_xor(hash60(doc_id || '|' || text))` checksum.
+    * Every manifest a consumer verifies against delegates here, so the
+    * checksum formula exists exactly once. */
+  private[operators] def shardAggs(rows: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = extraKeys :+ "shard"
+    rows.select(keys.map(col) ++ Seq(
         size(tokens(col("text"))).cast("long").as("n_toks"),
         length(col("text")).cast("long").as("nc"),
         graft.functions.Text.hash60(concat(col("doc_id").cast("string"),
-          lit("|"), col("text"))).as("h"))
-      .groupBy(col("shard"))
+          lit("|"), col("text"))).as("h")): _*)
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         sum(col("nc")).as("n_chars"), expr("bit_xor(h)").as("checksum"))
+  }
 
   /** Export a pinned training run as deterministic shards: the run's
     * snapshot lands under `outDir/data` partitioned by shard, and its
@@ -2266,9 +2280,7 @@ object CorpusLake {
       tag: String, nShards: Int, outDir: String): DataFrame = {
     val docs = readRunCorpus(spark, dir, corpusDir, tag)
       .select(col("doc_id"), col("text"))
-    val sharded = docs.withColumn("shard",
-      pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
-        lit(nShards.toLong)).cast("int"))
+    val sharded = docs.withColumn("shard", shardOf(nShards))
     sharded.repartition(col("shard"))
       .write.mode("errorifexists").partitionBy("shard")
       .parquet(s"$outDir/data")
@@ -2305,9 +2317,7 @@ object CorpusLake {
       .select(col("doc_id"), lit(null).cast("string").as("text"),
         lit(true).as("_delta_deleted"))
     val rows = upserts.unionByName(deletes)
-      .withColumn("shard",
-        pmod(graft.functions.Text.hash60(col("doc_id").cast("string")),
-          lit(nShards.toLong)).cast("int"))
+      .withColumn("shard", shardOf(nShards))
     rows.repartition(col("shard"))
       .write.mode("errorifexists").partitionBy("shard")
       .parquet(s"$outDir/data")

@@ -99,9 +99,17 @@ object Dedup {
   /** Distinct LSH bucket-collision pairs BEFORE Jaccard verification — the
     * quantity whose growth rate decides whether the scheme scales (tracked
     * per scale factor by [[graft.ScaleProbe]] into SCALING.md). */
-  private[graft] def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = graft.sources.Caches.shared(signed(spark, dir))
+  private[graft] def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    candidatesOf(graft.sources.Caches.shared(signed(spark, dir)))
+
+  /** THE LSH band-bucket candidate join over a SIGNED relation — distinct
+    * (id_a < id_b) bucket-collision pairs. One definition: the fixture
+    * scale probe ([[minhashCandidates]]) and the verification pipeline
+    * ([[verifiedOf]], which the lake's [[clustersOf]] composes) must
+    * generate candidates identically or the banding convention drifts
+    * between the dedup paths. */
+  private[graft] def candidatesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val buckets = docs.select($"doc_id", explode($"bands").as("b"))
       .select($"doc_id", $"b.band", $"b.key")
     buckets.as("x").join(buckets.as("y"),
@@ -122,13 +130,7 @@ object Dedup {
     * frame: signing is the expensive projection. */
   private[graft] def verifiedOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val buckets = docs.select($"doc_id", explode($"bands").as("b"))
-      .select($"doc_id", $"b.band", $"b.key")
-    val candidates = buckets.as("x").join(buckets.as("y"),
-        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"))
-      .distinct()
+    val candidates = candidatesOf(docs)
     val a = docs.select($"doc_id".as("id_a"), $"grams".as("gr_a"), size($"grams").as("na"))
     val b = docs.select($"doc_id".as("id_b"), $"grams".as("gr_b"), size($"grams").as("nb"))
     val inter = graft.functions.IntersectCardinality($"gr_a", $"gr_b")

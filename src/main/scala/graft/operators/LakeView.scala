@@ -196,23 +196,32 @@ object LakeView {
     * never corpus × corpus. */
   private def enrich(spark: SparkSession, dir: String, frame: DataFrame,
       baseCols: Seq[String],
-      pruneIds: Option[DataFrame] = None): DataFrame =
+      pruneIds: Option[DataFrame] = None,
+      broadcastPrune: Boolean = true): DataFrame =
     if (baseCols.isEmpty) frame
     else {
       // a left-outer join cannot broadcast its left (frame) side, so an
       // unpruned join would shuffle the CORPUS-sized base table by id on
       // every maintenance window. When the caller knows the id set the
       // window touches (changedHistory always does), the base side is
-      // semi-joined down to it under a broadcast first — the join then
-      // moves window-sized data only. Unpruned callers are the one-time
-      // O(corpus) builds (create, evolution backfill) and the
-      // retraction-recompute snapshot, whose corpus-sized scan the
-      // extremes cost model already documents.
+      // semi-joined down to it first — the join then moves window-sized
+      // data only. The broadcast hint on the id set is CALLER-GATED:
+      // incremental windows are commit-sized by contract (hint safe), but
+      // a bootstrap/cursor-loss replay spans every doc ever changed, and
+      // an unconditional hint there would force a size-unbounded build
+      // side past autoBroadcastJoinThreshold — those callers pass
+      // broadcastPrune = false and AQE picks the strategy from the
+      // runtime size. Unpruned callers are the one-time O(corpus) builds
+      // (create, evolution backfill) and the retraction-recompute
+      // snapshot, whose corpus-sized scan the extremes cost model already
+      // documents.
       val metaAll = Tables.spread(Tables.documents(spark, dir))
         .select(("doc_id" +: baseCols).map(col): _*)
-      val meta = pruneIds.fold(metaAll)(ids =>
-        metaAll.join(broadcast(ids.select(col("doc_id")).distinct()),
-          Seq("doc_id"), "left_semi"))
+      val meta = pruneIds.fold(metaAll) { ids =>
+        val idSet = ids.select(col("doc_id")).distinct()
+        metaAll.join(if (broadcastPrune) broadcast(idSet) else idSet,
+          Seq("doc_id"), "left_semi")
+      }
       // the base table is the AUTHORITATIVE source: a same-named column
       // the frame happens to carry (a carry-column lake) is dropped
       // first, so the algebra can never see two values for one doc
@@ -286,7 +295,10 @@ object LakeView {
       .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"),
         lit(false).as("_del"))
     enrich(spark, dir, hist.unionByName(baseRows), baseCols,
-        pruneIds = Some(changedIds))
+        pruneIds = Some(changedIds),
+        // bootstrap/cursor-loss replay: the window is every doc ever
+        // changed — size-unbounded, so AQE picks the prune strategy
+        broadcastPrune = from != Long.MinValue)
       .withColumn("prev_text", lag(col("text"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch"))))
       .filter(col("epoch") > from)

@@ -504,6 +504,10 @@ object Sampling {
   def splitShardManifest(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val visible = lakeVisible(spark, dir)
+    // shard assignment and the per-(split, shard) totals/checksum both
+    // DELEGATE to CorpusLake's one delivery-integrity convention
+    // (shardOf/shardAggs) — the run-shard manifest a consumer verifies
+    // against and this split-widened one must agree by construction
     val assigned = visible
       .join(lakeClusters(spark, dir), Seq("doc_id"), "left")
       .withColumn("rep", coalesce($"cluster_rep", $"doc_id"))
@@ -511,16 +515,8 @@ object Sampling {
       .select($"doc_id", $"text",
         when($"b" < 80, "train").when($"b" < 90, "val")
           .otherwise("test").as("split"),
-        pmod(hash60($"doc_id".cast("string")), lit(8L)).cast("int")
-          .as("shard"))
-    assigned
-      .select($"split", $"shard",
-        size(graft.functions.Text.tokens($"text")).cast("long").as("nt"),
-        length($"text").cast("long").as("nc"),
-        hash60(concat($"doc_id".cast("string"), lit("|"), $"text")).as("h"))
-      .groupBy($"split", $"shard")
-      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
-        sum($"nc").as("n_chars"), expr("bit_xor(h)").as("checksum"))
+        graft.operators.CorpusLake.shardOf(8).as("shard"))
+    graft.operators.CorpusLake.shardAggs(assigned, Seq("split"))
       .orderBy($"split", $"shard")
   }
 
