@@ -498,23 +498,28 @@ object CorpusLake {
     val victims = ids.select(col("doc_id")).distinct().localCheckpoint()
     val n = victims.count()
     require(n > 0, "deleteDocs: empty id set (nothing to delete)")
-    val v = nextLakeVersion(spark, corpusDir)
-    victims.select(col("doc_id"),
-        lit(null).cast("string").as("text"),
-        lit(v).as("epoch"),
-        lit(true).as("_deleted"))
-      .write.mode("append").parquet(liveTarget(spark, corpusDir, "docs"))
-    // the manifest row commits the tombstone epoch — LAST. batch_id = -1:
-    // the replay guard's pre-split fallback is coalesce(batch_id, version),
-    // so a NULL here would let a future stream batch id collide with this
-    // version and skip real data; -1 is outside the batch-id space (≥ 0)
-    // and never matches.
-    Seq((v, 0L, 0L, 0L, 0L, 0L, -1L, n))
-      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
-        "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
-      .withColumn("committed_at", lit(System.currentTimeMillis()))
-      .write.mode("append").parquet(manifestTarget(spark, corpusDir))
-    v
+    // version allocation + both writes run under the writer lease: a
+    // concurrent writer would race nextLakeVersion into a double-assigned
+    // epoch — the exact corruption the lease exists to refuse
+    withOpLease(spark, corpusDir, "deleteDocs") {
+      val v = nextLakeVersion(spark, corpusDir)
+      victims.select(col("doc_id"),
+          lit(null).cast("string").as("text"),
+          lit(v).as("epoch"),
+          lit(true).as("_deleted"))
+        .write.mode("append").parquet(liveTarget(spark, corpusDir, "docs"))
+      // the manifest row commits the tombstone epoch — LAST. batch_id = -1:
+      // the replay guard's pre-split fallback is coalesce(batch_id, version),
+      // so a NULL here would let a future stream batch id collide with this
+      // version and skip real data; -1 is outside the batch-id space (≥ 0)
+      // and never matches.
+      Seq((v, 0L, 0L, 0L, 0L, 0L, -1L, n))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
+        .withColumn("committed_at", lit(System.currentTimeMillis()))
+        .write.mode("append").parquet(manifestTarget(spark, corpusDir))
+      v
+    }
   }
 
   /** Timestamp time travel — resolve a wall-clock instant to the newest
@@ -1044,31 +1049,36 @@ object CorpusLake {
     if (!allowFollower)
       requireNotFollower(spark, targetDir, "commit (merge/rebase)")
     if (local.limit(1).count() == 0) return -1L
-    val v = nextLakeVersion(spark, targetDir)
-    val nDel = local.filter(col("_deleted")).count()
-    val n = local.count()
-    local.drop("epoch").withColumn("epoch", lit(v))
-      .write.mode("append").parquet(liveTarget(spark, targetDir, "docs"))
-    // keep the target's dedup index whole across a merge: the merged
-    // live docs' bucket rows land at the merge epoch (data-first, like
-    // the stream's own bucket append), so post-merge admission flags
-    // near-dups of merged content; merged tombstones write nothing —
-    // their stale buckets die at the exact verify, the documented trade
-    maintDir.foreach { m =>
-      Dedup.bucketRows(Dedup.signRows(
-          local.filter(!col("_deleted"))
-            .select(col("doc_id"), col("text"))))
-        .withColumn("epoch", lit(v))
-        .write.mode("append").parquet(
-          Similarity.appendTarget(spark, s"$m/buckets"))
+    // version allocation + data + manifest land under the writer lease:
+    // two merges (or a merge racing a replication window) would otherwise
+    // double-assign the epoch
+    withOpLease(spark, targetDir, "commitNetEffect") {
+      val v = nextLakeVersion(spark, targetDir)
+      val nDel = local.filter(col("_deleted")).count()
+      val n = local.count()
+      local.drop("epoch").withColumn("epoch", lit(v))
+        .write.mode("append").parquet(liveTarget(spark, targetDir, "docs"))
+      // keep the target's dedup index whole across a merge: the merged
+      // live docs' bucket rows land at the merge epoch (data-first, like
+      // the stream's own bucket append), so post-merge admission flags
+      // near-dups of merged content; merged tombstones write nothing —
+      // their stale buckets die at the exact verify, the documented trade
+      maintDir.foreach { m =>
+        Dedup.bucketRows(Dedup.signRows(
+            local.filter(!col("_deleted"))
+              .select(col("doc_id"), col("text"))))
+          .withColumn("epoch", lit(v))
+          .write.mode("append").parquet(
+            Similarity.appendTarget(spark, s"$m/buckets"))
+      }
+      // batch_id = -1: outside the stream's id space, same as deleteDocs
+      Seq((v, 0L, n - nDel, 0L, 0L, 0L, -1L, nDel))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
+        .withColumn("committed_at", lit(System.currentTimeMillis()))
+        .write.mode("append").parquet(manifestTarget(spark, targetDir))
+      v
     }
-    // batch_id = -1: outside the stream's id space, same as deleteDocs
-    Seq((v, 0L, n - nDel, 0L, 0L, 0L, -1L, nDel))
-      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
-        "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
-      .withColumn("committed_at", lit(System.currentTimeMillis()))
-      .write.mode("append").parquet(manifestTarget(spark, targetDir))
-    v
   }
 
   /** Squash-rebase: rebuild the branch's changes on top of the parent's
@@ -1331,7 +1341,13 @@ object CorpusLake {
             "committed - replay skip (if this is NEW data, the stream is " +
             "running against a stale checkpoint; restart it with its " +
             "original checkpoint location)")
-        } else if (!batch.isEmpty) {
+        } else if (!batch.isEmpty)
+          // the whole commit (epoch allocation → data appends → manifest
+          // row → inline optimize → view refreshes) runs under the writer
+          // lease: foreachBatch serializes THIS stream's batches, but only
+          // the lease refuses a SECOND process (another stream, an
+          // out-of-band deleteDocs, a racing merge) writing the same lake
+          withOpLease(spark, corpusDir, s"ingest-batch-$batchId") {
           val epoch = nextLakeVersion(spark, corpusDir)
           // stream-integrated takedowns: split the batch on the delete
           // marker; a doc_id may not be upserted AND deleted in one
@@ -2222,9 +2238,26 @@ object CorpusLake {
       owner: String, ttlMs: Long = 15 * 60 * 1000L)(body: => T): T = {
     if (!acquireWriterLease(spark, corpusDir, owner, ttlMs))
       throw new IllegalStateException(
-        s"maintenance writer lease on $corpusDir is held by another writer")
+        s"write refused: $corpusDir's maintenance writer lease is HELD " +
+          "by another writer (_writer_lease present and fresh). Two " +
+          "concurrent lake writers can double-assign an epoch or race a " +
+          "store-pointer flip — wait for the holder to finish (a crashed " +
+          "holder's lease is taken over automatically after its TTL)")
     try body finally releaseWriterLease(spark, corpusDir, owner)
   }
+
+  /** Every lake WRITE entry point ([[deleteDocs]], [[commitNetEffect]]'s
+    * merge/rebase/replicate callers, each [[maintainCorpusStream]]
+    * micro-batch) runs its commit under a fresh-owner lease via this
+    * wrapper, so the single-writer discipline the lake documents is
+    * ENFORCED with the standard loud refusal, not just assumed. The owner
+    * tag is unique per operation — these writers never nest each other
+    * (the stream's inline optimize fires inside its own batch's lease),
+    * and a second concurrent writer is exactly what must refuse. */
+  private def withOpLease[T](spark: SparkSession, corpusDir: String,
+      op: String)(body: => T): T =
+    withWriterLease(spark, corpusDir,
+      s"$op-" + java.util.UUID.randomUUID().toString)(body)
 
   // ------------- run delivery (deterministic shard export + integrity)
 

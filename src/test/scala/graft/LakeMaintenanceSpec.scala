@@ -774,4 +774,77 @@ class LakeMaintenanceSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).isEmpty,
       "promoted follower must accept and serve the delete")
   }
+
+  test("writer lease: a held lease refuses deleteDocs, merge commits, and " +
+      "stream batches; release (or TTL takeover) resumes writes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lease-refusal").toString
+    val lake = s"$root/lake"
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    // seed at version 5, NOT 0: this pre-split manifest has no batch_id
+    // column, so the replay guard keys on version — a version-0 seed
+    // would phantom-skip the stream's batch 0 below instead of letting
+    // it reach the lease refusal
+    docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", $"text", lit(5L).as("epoch"))
+      .write.mode("append").parquet(s"$lake/docs")
+    Seq((5L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$lake/manifest")
+    // a branch with a real committed net effect, prepared BEFORE the
+    // lease is held (the branch dir has its own lease namespace)
+    CorpusLake.createBranch(spark, dir, lake, s"$root/branch", "b")
+    CorpusLake.deleteDocs(spark, s"$root/branch", Seq(21L).toDF("doc_id"))
+
+    // another operator (a long OPTIMIZE, say) holds the lake's lease
+    assert(CorpusLake.acquireWriterLease(spark, lake, "operator-a"))
+    val e1 = intercept[IllegalStateException] {
+      CorpusLake.deleteDocs(spark, lake, Seq(1L).toDF("doc_id"))
+    }
+    assert(e1.getMessage.contains("HELD"), s"deleteDocs: ${e1.getMessage}")
+    val e2 = intercept[IllegalStateException] {
+      CorpusLake.mergeBranch(spark, s"$root/branch")
+    }
+    assert(e2.getMessage.contains("HELD"), s"mergeBranch: ${e2.getMessage}")
+    // an ingest stream's micro-batch refuses INSIDE foreachBatch — the
+    // wiring-time follower check cannot see a lease that appears later
+    val in = MemoryStream[(Long, String)]
+    CorpusLake.initCorpus(spark, dir, s"$root/idx")
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, s"$root/idx", lake,
+        s"$root/maint")
+      .option("checkpointLocation", s"$root/ck").start()
+    in.addData((1000001L, (1 to 40).map(i => s"lease$i").mkString(" ")))
+    val r3 = scala.util.Try(q.processAllAvailable())
+    val qEx = q.exception
+    q.stop()
+    val e3 = r3.failed.getOrElse(qEx.getOrElse(
+      fail(s"stream batch committed under a held lease")))
+    val chain = Iterator.iterate(e3: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("HELD")), s"stream batch: $chain")
+    // nothing committed while the lease was held
+    assert(CorpusLake.manifest(spark, lake).count() == 1,
+      "a refused writer still committed an epoch")
+
+    // release → the delete commits; the merge commits after it
+    CorpusLake.releaseWriterLease(spark, lake, "operator-a")
+    val vDel = CorpusLake.deleteDocs(spark, lake, Seq(1L).toDF("doc_id"))
+    assert(vDel == 6L, s"post-release delete committed at $vDel")
+    assert(CorpusLake.mergeBranch(spark, s"$root/branch") == 7L,
+      "post-release merge must commit the next epoch")
+    // a crashed holder's stale lease is taken over by TTL: hold with a
+    // zero TTL, and the next writer steals it instead of refusing
+    assert(CorpusLake.acquireWriterLease(spark, lake, "crashed-writer"))
+    Thread.sleep(5)
+    val vDel2 = CorpusLake.withWriterLease(spark, lake, "operator-b",
+      ttlMs = 1L) { 42 }
+    assert(vDel2 == 42, "TTL takeover must run the blocked writer")
+  }
 }

@@ -139,7 +139,7 @@ class LakeModelSpec extends SparkSpec {
           }.toSet
 
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(19)
+        val op = rnd.nextInt(20)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -286,6 +286,17 @@ class LakeModelSpec extends SparkSpec {
               nextEpoch = math.max(nextEpoch, vM + 1)
               CorpusLake.dropBranch(spark, branch)
             }
+          case 19 => // two-writer race: while one writer holds the lake's
+            // lease, a second writer's commit REFUSES (never a
+            // double-assigned epoch) and the lake is byte-untouched — the
+            // per-step checkHead below re-verifies the model state;
+            // release restores writes for every later op
+            val owner = s"model-writer-$seed-$step"
+            assert(CorpusLake.acquireWriterLease(spark, corpus, owner))
+            try intercept[IllegalStateException] {
+              CorpusLake.deleteDocs(spark, corpus,
+                Seq(5000000L).toDF("doc_id"))
+            } finally CorpusLake.releaseWriterLease(spark, corpus, owner)
         }
         checkHead(s"step $step (op $op)")
         // the view must keep serving the model aggregate AS OF its
