@@ -15,9 +15,9 @@ object Bench {
     * `"q_omitted":n` — so precision (and finally coverage) is sacrificed
     * where it carries the least signal BEFORE parseability ever is.
     *
-    * Coverage is WINDOW-BOUND, not tuning-bound: at the r15 query set the
-    * 110 SHORTEST 0-dp entries alone measure ~2070 chars and the full set
-    * ~2810, against ≤ ~1850 the 2000-char tail can ever give the map —
+    * Coverage is WINDOW-BOUND, not tuning-bound: at the r15 query set
+    * (144) the 110 SHORTEST 0-dp entries alone measure ~2180 chars and
+    * the full set ~3040, against ≤ ~1850 the 2000-char tail can give —
     * naming every query in stdout is physically impossible; the
     * count-maximizing fill gets the nameable maximum and BENCH_FULL.json
     * always carries all queries at ms precision. The emergency level fits

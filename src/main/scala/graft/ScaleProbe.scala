@@ -705,6 +705,85 @@ object ScaleProbe {
           }
           (perDepth.last, perDepth.head)
         }),
+        // delete-storm recompute bound: a catch-up window carrying V
+        // retraction (takedown) epochs must pay the extremes recompute's
+        // ONE corpus snapshot scan, not V of them — docs the window never
+        // touched are constant across it, and the touched docs'
+        // per-version states derive from the window's own history. Same
+        // 1%-update lake, then V=10 takedown epochs (real deleteDocs
+        // commits) vs a V=1 twin deleting the SAME doc set in one epoch;
+        // each catches up in ONE refresh of a min/max + quantile view
+        // with an ENRICHMENT dim (so the recompute snapshot carries the
+        // corpus × metadata join — the r14 interaction question). C =
+        // parquet records read during the V=10 catch-up, O = during the
+        // V=1 catch-up: C/O ≈ 1 is the sublinear-in-V claim (the
+        // per-version snapshot loop this replaced would put it near V).
+        // Millis per leg go to stderr.
+        ("corpus_view_delete_storm", nDocs, () => {
+          import graft.operators.{CorpusLake, LakeView}
+          val mods = 1 to 10
+          def catchUp(oneEpoch: Boolean): Long = {
+            val root = java.nio.file.Files
+              .createTempDirectory("probe-del-storm").toString
+            val corpus = s"$root/corpus"
+            val docs = graft.sources.Tables.spread(
+                graft.sources.Tables.documents(spark, dir))
+              .select(col("doc_id"), col("text"))
+            docs.filter(col("doc_id") % 100 === 1)
+              .select(col("doc_id"),
+                org.apache.spark.sql.functions.concat(col("text"),
+                  lit(" v0")).as("text"), lit(0L).as("epoch"))
+              .write.mode("append").parquet(s"$corpus/docs")
+            Seq((0L, 0L, 0L, 0L, 0L, 0L))
+              .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+                "n_contaminated", "n_low_quality")
+              .write.mode("append").parquet(s"$corpus/manifest")
+            val view = s"$root/view"
+            LakeView.createView(spark, dir, view,
+              dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)",
+                "vlang" -> "coalesce(lang, 'und')"),
+              measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+              minMeasures = Seq(
+                "min_chars" -> "CAST(length(text) AS BIGINT)"),
+              maxMeasures = Seq(
+                "max_chars" -> "CAST(length(text) AS BIGINT)"),
+              quantileMeasures = Seq(
+                ("p90_chars", "CAST(length(text) AS DOUBLE)", 0.9)),
+              baseCols = Seq("lang"))
+            LakeView.refreshViewFromLake(spark, dir, corpus, view)
+            // mod 47 keeps every slice non-empty at the 500-doc fixture
+            if (oneEpoch)
+              CorpusLake.deleteDocs(spark, corpus,
+                docs.filter(mods.map(m => col("doc_id") % 47 === m)
+                  .reduce(_ || _)).select(col("doc_id")))
+            else mods.foreach { m =>
+              CorpusLake.deleteDocs(spark, corpus,
+                docs.filter(col("doc_id") % 47 === m)
+                  .select(col("doc_id")))
+            }
+            val read = new java.util.concurrent.atomic.AtomicLong(0L)
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              override def onTaskEnd(
+                  e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+                if (e.taskMetrics != null)
+                  read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+            }
+            spark.sparkContext.addSparkListener(listener)
+            val t0 = System.nanoTime()
+            try {
+              LakeView.refreshViewFromLake(spark, dir, corpus, view)
+              // listener events drain asynchronously — poll to a fixpoint
+              var prev = -1L
+              while (prev != read.get()) {
+                prev = read.get(); Thread.sleep(250)
+              }
+            } finally spark.sparkContext.removeSparkListener(listener)
+            val ms = (System.nanoTime() - t0) / 1000000L
+            System.err.println(s"""[scaleprobe] {"probe":"corpus_view_delete_storm","sf":"$dir","takedown_epochs":${if (oneEpoch) 1 else mods.size},"records_read":${read.get()},"millis":$ms}""")
+            read.get()
+          }
+          (catchUp(oneEpoch = false), catchUp(oneEpoch = true))
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

@@ -153,11 +153,13 @@ object SparkEntry {
     "corpus_view_distinct" -> (graft.operators.LakeView.viewDistinctTwin _),
     "corpus_view_quantile" -> (graft.operators.LakeView.viewQuantileTwin _),
     "corpus_view_topk"     -> (graft.operators.LakeView.viewTopkTwin _),
+    "corpus_views_shared"  -> (graft.operators.LakeView.viewsSharedTwin _),
     "corpus_replica"       -> (CorpusLake.replicaTwin _),
     "corpus_card"          -> (Curate.datasetCard _),
     "corpus_card_lake"     -> (Curate.cardLakeTwin _),
     "corpus_card_live"     -> (Curate.cardLiveTwin _),
     "corpus_card_travel"   -> (Curate.cardLiveAtTwin _),
+    "corpus_card_live_q"   -> (Curate.cardLiveQuantTwin _),
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
@@ -2810,6 +2812,50 @@ object SparkEntry {
         |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE) AS avg_toks
         |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // shared-scan multi-view maintenance: a sums view (warm cursor) and a
+    // min/max view (bootstrap cursor) caught up by ONE refreshViews call
+    // fanning both windows out of a single materialized history scan —
+    // DuckDB recomputes both aggregates from the final visible set, so a
+    // fanned-out window that diverged from a solo refresh hash-mismatches
+    "corpus_views_shared" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2)
+        |SELECT CAST(doc_id % 7 AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS chars,
+        |  CAST(min(CAST(length(text) AS BIGINT)) AS BIGINT) AS min_chars,
+        |  CAST(max(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS max_toks
+        |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // live-card percentiles: p50/p95 doc length per language served from a
+    // declared quantile view over the delete-lifecycle lake head; every
+    // language group is below the 4096-occurrence sample capacity, so the
+    // estimates are EXACT interpolated percentiles and the oracle compares
+    // values at 6dp (the q19_percentile convention) — a sketch that failed
+    // to re-sketch on the delete epoch serves stale percentiles and fails
+    "corpus_card_live_q" ->
+      """WITH v AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 27 = 2 THEN text || ' re'
+        |         WHEN doc_id % 10 = 1 THEN text || ' u1'
+        |         ELSE text END AS text,
+        |    coalesce(lang, 'und') AS card_lang
+        |  FROM documents
+        |  WHERE doc_id % 9 != 2 OR doc_id % 27 = 2),
+        |g AS (SELECT card_lang,
+        |    CAST(count(*) AS DOUBLE) AS docs,
+        |    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6) AS p50,
+        |    round(quantile_cont(CAST(length(text) AS DOUBLE), 0.95), 6) AS p95
+        |  FROM v GROUP BY 1)
+        |SELECT metric, value FROM (
+        |  SELECT 'docs:' || card_lang AS metric, round(docs, 6) AS value FROM g
+        |  UNION ALL SELECT 'p50_chars:' || card_lang, p50 FROM g
+        |  UNION ALL SELECT 'p95_chars:' || card_lang, p95 FROM g)
+        |ORDER BY metric""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment
     // (hash60(doc_id) mod 8), per-shard totals, and an order-independent

@@ -331,6 +331,50 @@ object Curate {
     cardFold(spark, graft.operators.LakeView.readViewAt(spark,
       cardLiveViewDir(spark, dir), 0L))
 
+  /** Live-card QUANTILES: the release datasheet's length percentiles —
+    * p50/p95 of document chars per language — served from a DECLARED
+    * incremental view over the delete-lifecycle lake (dims = the
+    * language enrichment column, quantile measures over length), folded
+    * into the card's long form as (metric, value) DOUBLE rows beside the
+    * per-language doc counts. Every language group at fixture scale sits
+    * far below the sketch's 4096-occurrence capacity, so the sample IS
+    * the multiset and the served estimates EQUAL exact interpolated
+    * percentiles — the oracle compares VALUES at 6dp (the q19_percentile
+    * cross-engine convention), through the full lifecycle: the delete
+    * epoch re-sketches retraction-touched languages, so a stale sketch
+    * would serve pre-takedown percentiles and hash-mismatch. */
+  def cardLiveQuantTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-card-live-q|$dir") {
+      val v = java.nio.file.Files
+        .createTempDirectory("graft-card-live-q").toString + "/view"
+      graft.operators.LakeView.createView(spark, dir, v,
+        dims = Seq("card_lang" -> "coalesce(lang, 'und')"),
+        measures = Nil,
+        quantileMeasures = Seq(
+          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5),
+          ("p95_chars", "CAST(length(text) AS DOUBLE)", 0.95)),
+        baseCols = Seq("lang"))
+      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v,
+        upTo = Some(0L))
+      graft.operators.LakeView.compactView(spark, v)
+      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v)
+      v
+    }
+    val cells = graft.operators.LakeView.readView(spark, viewDir)
+    cells.select(concat(lit("docs:"), $"card_lang").as("metric"),
+        round($"n_docs".cast("double"), 6).as("value"))
+      .unionByName(cells.select(
+        concat(lit("p50_chars:"), $"card_lang").as("metric"),
+        round($"p50_chars", 6).as("value")))
+      .unionByName(cells.select(
+        concat(lit("p95_chars:"), $"card_lang").as("metric"),
+        round($"p95_chars", 6).as("value")))
+      .orderBy($"metric")
+  }
+
   private def cardLiveViewDir(spark: SparkSession, dir: String): String = {
     val lake = CorpusLake.deleteLake(spark, dir)
     graft.sources.Caches.memoizedValue[String](spark,

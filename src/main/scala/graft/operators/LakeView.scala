@@ -365,20 +365,28 @@ object LakeView {
     * delete, or an LWW update replacing a text) may have removed the
     * value attaining the extreme, which signed algebra cannot undo — so
     * retraction-touched (group, version) pairs are RE-AGGREGATED from
-    * the lake's visible set at that version: one snapshot scan per
-    * retraction version, map-side filtered to the touched groups
-    * (broadcast semi-join on the dim tuple — the corpus is never
-    * shuffled; the aggregate is sized by the touched groups' rows).
-    * Retractions are rare relative to ingest in a training lake, and
-    * `upTo` bounds any catch-up to operator-sized bites. */
+    * the visible set at that version. The recompute costs ONE corpus
+    * snapshot scan per refresh WINDOW, however many retraction versions
+    * the window carries: docs the window never touched are CONSTANT
+    * across (from, head], so their per-group extremes are aggregated
+    * once from the head snapshot (map-side filtered to the touched
+    * groups under a broadcast semi-join — the corpus is never shuffled),
+    * while the touched docs' state at each retraction version is
+    * derived from the window's own history (each committed state is
+    * visible [its epoch, the doc's next epoch) — a window-sized interval
+    * join against the retraction versions) and merged in. A
+    * delete-storm catch-up over V takedown epochs therefore pays the
+    * same single scan as one takedown — scans per window are O(1), not
+    * O(V) (SCALING.md "Round-15: delete storm"). Insert-only windows pay
+    * no scan at all. */
   private def windowExtRows(spark: SparkSession, dir: String,
       corpusDir: String, viewDir: String, seq: DataFrame, from: Long,
-      baseRows: DataFrame, foldedTo: Long, dims: Seq[(String, String)],
+      head: Long, baseRows: DataFrame, foldedTo: Long,
+      dims: Seq[(String, String)],
       mins: Seq[(String, String)], maxs: Seq[(String, String)],
       dists: Seq[(String, String)],
       quants: Seq[(String, String, Double)],
       baseCols: Seq[String]): DataFrame = {
-    import spark.implicits._
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
     val extNames = (mins ++ maxs ++ dists).map(_._1) ++ quants.map(_._1)
@@ -389,10 +397,11 @@ object LakeView {
         quantBuildAggs(quants)
       df.groupBy(by: _*).agg(aggs.head, aggs.tail: _*)
     }
+    val extInputs = exprs(dims ++ mins ++ maxs ++ dists) ++
+      quantInputCols(quants)
     // inserted values per (group, version)
     val ins = seq.filter(!col("_del"))
-      .select(exprs(dims ++ mins ++ maxs ++ dists) ++
-        quantInputCols(quants) :+ col("epoch").as("version"): _*)
+      .select(extInputs :+ col("epoch").as("version"): _*)
     val insExt = extAgg(ins, dimCols :+ col("version"))
       .withColumn("_kind", lit("I"))
     // retraction-touched (group, version) pairs — group membership of the
@@ -404,45 +413,91 @@ object LakeView {
       .select(exprs(dims) :+ col("version"): _*)
       .select(dimCols :+ col("version"): _*).distinct()
       .localCheckpoint()
-    // one visible-set re-aggregate per retraction version (bounded by the
-    // window's commit count; upTo keeps catch-ups operator-sized). A
-    // BOOTSTRAP refresh (cursor −∞) over a vacuumed lake can see
-    // collapsed-history retractions BELOW the retention floor, whose
-    // exact snapshots are gone — clamp the recompute to the floor: the
-    // served head stays exact (the last retraction's recompute governs),
-    // per-version ext rows below the floor are as-of-floor
-    // approximations, the same degraded-history contract the floor
-    // already imposes on every time-travel read
-    val snapFloor = CorpusLake.retentionFloor(spark, corpusDir)
-    val retractVersions = retracted.select(col("version"))
-      .distinct().as[Long].collect().sorted
     // null-SAFE group joins throughout: a NULL dim value is a group of
     // its own to the sums fold (groupBy semantics), so the extremes legs
     // must select/seed it too — plain equi-joins would drop it
     def nullSafe(l: String, r: String): Column =
       dimNames.map(n => col(s"$l.$n") <=> col(s"$r.$n")).reduce(_ && _)
-    val recomputed = retractVersions.map { v =>
-      val touched = retracted.filter(col("version") === v)
-        .select(dimCols: _*).alias("t")
-      val vis = enrich(spark, dir,
-          CorpusLake.readCorpusAt(spark, dir, corpusDir,
-            Some(math.max(v, snapFloor))), baseCols)
-        .select(exprs(dims ++ mins ++ maxs ++ dists) ++
-          quantInputCols(quants): _*).alias("v")
-        .join(broadcast(touched), nullSafe("v", "t"), "left_semi")
-      val rec = extAgg(vis, dimCols).withColumn("version", lit(v))
-      // a group whose visible set emptied writes an explicit null-extreme
-      // row: it resets the running state, so a later re-insert starts
-      // fresh instead of resurrecting a vacated extreme
-      val emptied = touched.alias("t")
-        .join(rec.alias("r"), nullSafe("t", "r"), "left_anti")
-        .select(dimCols ++
-          extNames.map(n => lit(null).cast(rec.schema(n).dataType).as(n)) :+
-          lit(v).as("version"): _*)
-      rec.unionByName(emptied)
-    }.reduceOption(_ unionByName _)
-      .getOrElse(insExt.limit(0).drop("_kind"))
-      .withColumn("_kind", lit("R"))
+    val nullExtCols =
+      extNames.map(n => lit(null).cast(insExt.schema(n).dataType).as(n))
+    val recomputed = if (retracted.isEmpty)
+      insExt.limit(0).drop("_kind").withColumn("_kind", lit("R"))
+    else {
+      // the ONE snapshot scan: per-group extremes of the docs this window
+      // never changed — constant at every version in (from, head]. A
+      // BOOTSTRAP refresh (cursor −∞) over a vacuumed lake can see
+      // collapsed-history retractions BELOW the retention floor, whose
+      // exact snapshots are gone — the floor clamps the scan: the served
+      // head stays exact (the final fold governs), per-version ext rows
+      // below the floor are as-of-surviving-history approximations, the
+      // same degraded-history contract the floor already imposes on
+      // every time-travel read
+      val snapFloor = CorpusLake.retentionFloor(spark, corpusDir)
+      val changedIds = seq.select(col("doc_id")).distinct()
+      val touchedAll = retracted.select(dimCols: _*).distinct()
+      val unchangedExt = extAgg(
+        enrich(spark, dir,
+            CorpusLake.readCorpusAt(spark, dir, corpusDir,
+                Some(math.max(head, snapFloor)))
+              .join(changedIds, Seq("doc_id"), "left_anti"),
+            baseCols)
+          .select(extInputs: _*).alias("v")
+          .join(broadcast(touchedAll.alias("t")), nullSafe("v", "t"),
+            "left_semi"),
+        dimCols)
+      // the touched docs' committed state at each retraction version,
+      // derived from the window's own history: each state is visible
+      // [its epoch, the doc's next epoch); the state each doc ENTERED the
+      // window with (the first window row's prev_text — exactly the
+      // latest pre-window winner, null when the doc was absent or
+      // tombstoned at `from`) opens at −∞. All frames here are
+      // window-sized; the versions join is a broadcast interval join.
+      val stateCols = Seq(col("doc_id"), col("text"), col("epoch"),
+        col("_del")) ++ baseCols.map(col)
+      val docW = Window.partitionBy(col("doc_id")).orderBy(col("epoch"))
+      val entering = seq
+        .withColumn("_rn", row_number().over(docW))
+        .filter(col("_rn") === 1 && col("prev_text").isNotNull)
+        .select(Seq(col("doc_id"), col("prev_text").as("text"),
+          lit(Long.MinValue).as("epoch"), lit(false).as("_del")) ++
+          baseCols.map(col): _*)
+      val versions = retracted.select(col("version")).distinct()
+      val statesAtV = seq.select(stateCols: _*).unionByName(entering)
+        .withColumn("_until",
+          coalesce(lead(col("epoch"), 1).over(docW), lit(Long.MaxValue)))
+        .filter(!col("_del"))
+        .join(broadcast(versions),
+          col("epoch") <= col("version") && col("version") < col("_until"))
+        .select(extInputs :+ col("version"): _*)
+      // keep only the states in groups actually touched at that version —
+      // the recompute replaces the running state for exactly those pairs
+      val changedExt = extAgg(
+        statesAtV.alias("c").join(broadcast(retracted.alias("t")),
+          nullSafe("c", "t") && col("c.version") === col("t.version"),
+          "left_semi"),
+        dimCols :+ col("version"))
+      // merge the constant unchanged-docs extremes into every touched
+      // (group, version); the all-null seed keeps pairs whose visible set
+      // EMPTIED — an explicit null-extreme row resets the running state,
+      // so a later re-insert starts fresh instead of resurrecting a
+      // vacated extreme
+      val unchangedAtV = retracted.alias("t")
+        .join(unchangedExt.alias("u"), nullSafe("t", "u"))
+        .select(dimNames.map(n => col(s"t.$n").as(n)) ++
+          extNames.map(n => col(s"u.$n")) :+
+          col("t.version").as("version"): _*)
+      val nullSeed = retracted.select(
+        dimCols ++ nullExtCols :+ col("version"): _*)
+      val mergeAggs = mins.map(m => min(col(m._1)).as(m._1)) ++
+        maxs.map(m => max(col(m._1)).as(m._1)) ++
+        dists.map(m => hll_union_agg(col(m._1)).as(m._1)) ++
+        quants.map { case (a, _, _) =>
+          graft.functions.QSketch.unionAgg(col(a)).as(a) }
+      nullSeed.unionByName(unchangedAtV).unionByName(changedExt)
+        .groupBy(dimCols :+ col("version"): _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
+        .withColumn("_kind", lit("R"))
+    }
     // a recomputed (group, version) already includes that version's
     // inserts — its insert row must not also fold in
     val insOnly = insExt.join(
@@ -490,6 +545,71 @@ object LakeView {
       .filter(col("version") > from)
   }
 
+  /** Count of [[changedHistory]] builds — the shared-scan contract's
+    * observable: `refreshViews` over N views must bump this ONCE, not N
+    * times. Test instrumentation only (monotonic, never read by the
+    * maintenance logic). */
+  private[graft] val historyScans = new java.util.concurrent.atomic.AtomicLong
+
+  /** The view's consumed cursor (−∞ when never refreshed). */
+  private def cursorOf(spark: SparkSession, viewDir: String): Long = {
+    import spark.implicits._
+    val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
+    if (graft.sources.Formats.pathExists(spark, cPath))
+      spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+    else Long.MinValue
+  }
+
+  /** The floor refusal every refresh runs: a cursor below the retention
+    * floor lost the history its retractions need. */
+  private def requireAboveFloor(spark: SparkSession, viewDir: String,
+      from: Long, floor: Long): Unit =
+    require(from >= floor ||
+        (from == Long.MinValue &&
+          !graft.sources.Formats.pathExists(spark,
+            Similarity.resolveArtifact(spark, viewDir, "delta"))),
+      s"view cursor $from predates the retention floor $floor: the " +
+        "history this window's retractions need was vacuumed — rebuild " +
+        "the view instead")
+
+  /** One view's (from, h] window over a prebuilt history frame: delta
+    * append, ext append (non-additive measures only), cursor swap —
+    * the crash-ordering shared by [[refreshViewFromLake]] and
+    * [[refreshViews]]. `seq` must be the changed-docs history of a
+    * window STARTING AT OR BELOW `from` (rows with epoch ≤ from are
+    * filtered here — prev_text stays exact because the lag ran over the
+    * full history), carrying at least this view's enrichment columns. */
+  private def refreshOne(spark: SparkSession, dir: String,
+      corpusDir: String, viewDir: String, spec: ViewSpec, from: Long,
+      h: Long, seq0: DataFrame): Unit = {
+    import spark.implicits._
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, baseCols) =
+      spec
+    val measures = internalSums(sums0, avgs)
+    val hasExt = mins.nonEmpty || maxs.nonEmpty || dists.nonEmpty ||
+      quants.nonEmpty
+    val seq = seq0.filter(col("epoch") > from)
+    windowDeltas(seq, dims, measures, baseCols)
+      .write.mode("append").parquet(
+        Similarity.resolveArtifact(spark, viewDir, "delta"))
+    if (hasExt) {
+      // crash between the two appends replays the window; both legs
+      // are deterministic per version, so the read-side
+      // (dims, version) dedups collapse the duplicates (sketch
+      // binaries included — hll_sketch_agg is deterministic for a
+      // given input set) identically
+      val (baseRows, foldedTo) = baseAndWatermark(spark, viewDir)
+      windowExtRows(spark, dir, corpusDir, viewDir, seq, from, h,
+          baseRows, foldedTo, dims, mins, maxs, dists, quants,
+          baseCols)
+        .write.mode("append").parquet(
+          Similarity.resolveArtifact(spark, viewDir, "ext"))
+    }
+    Seq(h).toDF("last_version")
+      .write.mode("overwrite").parquet(s"$viewDir/cursor_compacting")
+    Similarity.swapArtifact(spark, viewDir, "cursor")
+  }
+
   /** Consume the lake's commits past the cursor into signed delta rows —
     * the profile refresh generalized; same floor-refusal, same
     * cursor-written-LAST crash ordering, same idempotent replay. Returns
@@ -498,22 +618,10 @@ object LakeView {
       corpusDir: String, viewDir: String,
       upTo: Option[Long] = None): Option[(Long, Long)] = {
     import spark.implicits._
-    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, baseCols) =
-      viewSpecFull(spark, viewDir)
-    val measures = internalSums(sums0, avgs)
-    val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
-    val from =
-      if (graft.sources.Formats.pathExists(spark, cPath))
-        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
-      else Long.MinValue
-    val floor = CorpusLake.retentionFloor(spark, corpusDir)
-    require(from >= floor ||
-        (from == Long.MinValue &&
-          !graft.sources.Formats.pathExists(spark,
-            Similarity.resolveArtifact(spark, viewDir, "delta"))),
-      s"view cursor $from predates the retention floor $floor: the " +
-        "history this window's retractions need was vacuumed — rebuild " +
-        "the view instead")
+    val spec = viewSpecFull(spark, viewDir)
+    val from = cursorOf(spark, viewDir)
+    requireAboveFloor(spark, viewDir, from,
+      CorpusLake.retentionFloor(spark, corpusDir))
     // upTo = bounded catch-up (consume history in operator-sized bites);
     // the per-version delta rows are identical however the window is
     // split, so any split serves the same view
@@ -523,28 +631,66 @@ object LakeView {
       .agg(max(col("version"))).as[Option[Long]].head()
     head match {
       case Some(h) =>
-        val seq = changedHistory(spark, dir, corpusDir, from, h, baseCols)
-        windowDeltas(seq, dims, measures, baseCols)
-          .write.mode("append").parquet(
-            Similarity.resolveArtifact(spark, viewDir, "delta"))
-        if (mins.nonEmpty || maxs.nonEmpty || dists.nonEmpty ||
-            quants.nonEmpty) {
-          // crash between the two appends replays the window; both legs
-          // are deterministic per version, so the read-side
-          // (dims, version) dedups collapse the duplicates (sketch
-          // binaries included — hll_sketch_agg is deterministic for a
-          // given input set) identically
-          val (baseRows, foldedTo) = baseAndWatermark(spark, viewDir)
-          windowExtRows(spark, dir, corpusDir, viewDir, seq, from,
-              baseRows, foldedTo, dims, mins, maxs, dists, quants,
-              baseCols)
-            .write.mode("append").parquet(
-              Similarity.resolveArtifact(spark, viewDir, "ext"))
-        }
-        Seq(h).toDF("last_version")
-          .write.mode("overwrite").parquet(s"$viewDir/cursor_compacting")
-        Similarity.swapArtifact(spark, viewDir, "cursor")
+        val hasExt = spec.mins.nonEmpty || spec.maxs.nonEmpty ||
+          spec.dists.nonEmpty || spec.quants.nonEmpty
+        historyScans.incrementAndGet()
+        val seq0 = changedHistory(spark, dir, corpusDir, from, h,
+          spec.baseCols)
+        // the ext leg re-reads the window's history several times (insert
+        // rows, retraction pairs, per-version state intervals) —
+        // materialize the window-sized frame once instead of re-running
+        // the lake scans per use
+        val seq = if (hasExt) seq0.localCheckpoint() else seq0
+        refreshOne(spark, dir, corpusDir, viewDir, spec, from, h, seq)
         Some((from, h))
+      case None => None
+    }
+  }
+
+  /** SHARED-SCAN maintenance of MANY views over ONE lake — the dashboard
+    * posture: a lake carries dozens of declared views, and refreshing
+    * them one by one re-reads the same commit history once per view.
+    * This computes the changed-docs history ONCE for the WIDEST window
+    * (the minimum cursor, enriched with the union of every view's
+    * enrichment columns), materializes it, and fans each view's
+    * (cursor_i, head] slice out of it — a row with epoch ≤ cursor_i is
+    * filtered per view, and `prev_text` stays exact because the lag ran
+    * over the full history, so every per-view delta/ext row is
+    * byte-identical to a solo [[refreshViewFromLake]] (the idempotent
+    * replay determinism, reused). Views already at head write nothing.
+    * Cost: one history scan + one snapshot scan per retraction-carrying
+    * view window, instead of N of each. Views may sit at DIFFERENT
+    * cursors (a freshly declared view bootstraps beside a warm one).
+    * Returns the head version consumed, or None when every view is
+    * already there. */
+  def refreshViews(spark: SparkSession, dir: String, corpusDir: String,
+      viewDirs: Seq[String], upTo: Option[Long] = None): Option[Long] = {
+    import spark.implicits._
+    require(viewDirs.nonEmpty, "refreshViews: no views given")
+    require(viewDirs.distinct.size == viewDirs.size,
+      s"refreshViews: duplicate view dirs in ${viewDirs.mkString(", ")}")
+    val floor = CorpusLake.retentionFloor(spark, corpusDir)
+    val states = viewDirs.map { vd =>
+      val from = cursorOf(spark, vd)
+      requireAboveFloor(spark, vd, from, floor)
+      (vd, viewSpecFull(spark, vd), from)
+    }
+    val fromMin = states.map(_._3).min
+    val head = upTo.fold(CorpusLake.manifest(spark, corpusDir))(u =>
+        CorpusLake.manifest(spark, corpusDir).filter(col("version") <= u))
+      .filter(col("version") > fromMin)
+      .agg(max(col("version"))).as[Option[Long]].head()
+    head match {
+      case Some(h) =>
+        val allBaseCols = states.flatMap(_._2.baseCols).distinct
+        historyScans.incrementAndGet()
+        val shared = changedHistory(spark, dir, corpusDir, fromMin, h,
+          allBaseCols).localCheckpoint()
+        states.foreach { case (vd, spec, from) =>
+          if (from < h) refreshOne(spark, dir, corpusDir, vd, spec,
+            from, h, shared)
+        }
+        Some(h)
       case None => None
     }
   }
@@ -1093,6 +1239,45 @@ object LakeView {
       .filter(col("rk") <= 3)
       .select(col("bucket"), col("tok1"), col("n_docs"), col("rk"))
       .orderBy(col("bucket"), col("rk"))
+  }
+
+  /** The shared-scan twin: TWO views — a sums view and a min/max view —
+    * over the delete-lifecycle lake at DIFFERENT cursors (the sums view
+    * pre-consumes the LWW-update epoch solo; the min/max view still sits
+    * at bootstrap), then ONE [[refreshViews]] call catches both up
+    * through the delete + re-admission epochs from a single shared
+    * history scan — the warm-view window and the bootstrap window fan
+    * out of the same materialized frame, and the min/max leg exercises
+    * the retraction recompute from the shared path. Serve = the two
+    * views joined on the dim. DuckDB recomputes both aggregates from the
+    * final visible set — hash equality pins that fanned-out windows are
+    * indistinguishable from solo refreshes. */
+  def viewsSharedTwin(spark: SparkSession, dir: String): DataFrame = {
+    val lake = CorpusLake.deleteLake(spark, dir)
+    val dirs = graft.sources.Caches.memoizedValue[(String, String)](spark,
+        s"corpus-views-shared|$dir") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lake-views-shared").toString
+      val v1 = s"$root/sums"; val v2 = s"$root/minmax"
+      createView(spark, dir, v1,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
+      createView(spark, dir, v2,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Nil,
+        minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)"),
+        maxMeasures = Seq(
+          "max_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
+      refreshViewFromLake(spark, dir, lake, v1, upTo = Some(0L))
+      refreshViews(spark, dir, lake, Seq(v1, v2))
+      (v1, v2)
+    }
+    val s = readView(spark, dirs._1).alias("s")
+    val m = readView(spark, dirs._2).alias("m")
+    s.join(m, col("s.bucket") === col("m.bucket"))
+      .select(col("s.bucket").as("bucket"), col("s.n_docs").as("n_docs"),
+        col("s.chars").as("chars"), col("m.min_chars"), col("m.max_toks"))
+      .orderBy(col("bucket"))
   }
 
   def viewTwin(spark: SparkSession, dir: String): DataFrame = {

@@ -663,4 +663,78 @@ class LakeViewSpec extends SparkSpec {
     assert(rowsQ(LakeView.readView(spark, v)) == truth,
       "evolution round-trip disturbed the surviving quantiles")
   }
+
+  test("lake view: refreshViews fans N views out of ONE shared history " +
+      "scan and matches solo refreshes exactly") {
+    val corpus = mkLake()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-view-shared").toString
+    def declareSums(p: String): Unit =
+      LakeView.createView(spark, dir, p, dims, measures)
+    def declareMM(p: String): Unit =
+      LakeView.createView(spark, dir, p, dims, Nil,
+        minMeasures = minMeasures, maxMeasures = maxMeasures)
+    def rowsOf(p: String, cols: Seq[String]) =
+      LakeView.readView(spark, p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
+    val mmCols = Seq("bucket", "n_docs", "min_chars", "max_chars")
+
+    // solo baseline: two views, refreshed independently = two scans
+    val s1 = s"$root/solo-sums"; val s2 = s"$root/solo-mm"
+    declareSums(s1); declareMM(s2)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, s1,
+      upTo = Some(0L)).isDefined)
+    val soloBefore = LakeView.historyScans.get()
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, s1).isDefined)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, s2).isDefined)
+    assert(LakeView.historyScans.get() - soloBefore == 2,
+      "two solo refreshes must build the history twice (baseline)")
+
+    // shared: same declarations at DIFFERENT cursors (g1 warm at 0, g2
+    // bootstrap), one call, ONE history build
+    val g1 = s"$root/shared-sums"; val g2 = s"$root/shared-mm"
+    declareSums(g1); declareMM(g2)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, g1,
+      upTo = Some(0L)).isDefined)
+    val sharedBefore = LakeView.historyScans.get()
+    assert(LakeView.refreshViews(spark, dir, corpus, Seq(g1, g2))
+      .contains(2L))
+    assert(LakeView.historyScans.get() - sharedBefore == 1,
+      "shared refresh must build the history ONCE, not once per view")
+
+    // the fanned-out windows are indistinguishable from solo refreshes:
+    // served state AND the per-version delta stores match
+    assert(rowsOf(g1, Seq("bucket", "n_docs", "chars", "toks"))
+      == rowsOf(s1, Seq("bucket", "n_docs", "chars", "toks")),
+      "shared sums view diverged from its solo twin")
+    assert(rowsOf(g2, mmCols) == rowsOf(s2, mmCols),
+      "shared min/max view diverged from its solo twin")
+    def deltaRows(p: String) = spark.read.parquet(s"$p/delta")
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.map(v => String.valueOf(v)).mkString("|"))
+    assert(deltaRows(g1) == deltaRows(s1),
+      "shared delta rows diverged from the solo refresh")
+
+    // at head: a second shared call consumes nothing
+    assert(LakeView.refreshViews(spark, dir, corpus, Seq(g1, g2)).isEmpty,
+      "refreshViews at head must be a no-op")
+    // mixed: a fresh bootstrap view beside one already at head — only
+    // the stale view advances, the warm one's stores stay untouched
+    val g3 = s"$root/shared-late"
+    declareSums(g3)
+    val g1Deltas = spark.read.parquet(s"$g1/delta").count()
+    assert(LakeView.refreshViews(spark, dir, corpus, Seq(g1, g3))
+      .contains(2L))
+    assert(spark.read.parquet(s"$g1/delta").count() == g1Deltas,
+      "an at-head view must write nothing in a mixed shared refresh")
+    assert(rowsOf(g3, Seq("bucket", "n_docs", "chars", "toks"))
+      == rowsOf(s1, Seq("bucket", "n_docs", "chars", "toks")),
+      "bootstrap-in-shared view diverged")
+    intercept[IllegalArgumentException] {
+      LakeView.refreshViews(spark, dir, corpus, Seq(g1, g1))
+    }
+    intercept[IllegalArgumentException] {
+      LakeView.refreshViews(spark, dir, corpus, Nil)
+    }
+  }
 }
