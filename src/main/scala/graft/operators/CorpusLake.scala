@@ -1498,10 +1498,13 @@ object CorpusLake {
           // Declarative views ([[LakeView]]) ride the same cadence, with
           // their delta fold at the optimize firing.
           profDir.foreach(p => refreshProfileFromLake(spark, dir, corpusDir, p))
-          viewDirs.foreach { v =>
-            LakeView.refreshViewFromLake(spark, dir, corpusDir, v)
+          // N declared views consume this batch's window from ONE shared
+          // history build (refreshViews) — the dashboard lake's per-batch
+          // maintenance reads the commit feed once, not once per view
+          if (viewDirs.nonEmpty) {
+            LakeView.refreshViews(spark, dir, corpusDir, viewDirs)
             if (commitsSinceOptimize == 0 && optimizeEvery > 0)
-              LakeView.compactView(spark, v)
+              viewDirs.foreach(v => LakeView.compactView(spark, v))
           }
         }
       }

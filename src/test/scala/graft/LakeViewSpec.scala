@@ -191,6 +191,45 @@ class LakeViewSpec extends SparkSpec {
         s"minmax time travel diverged at version $ver")
   }
 
+  test("lake view: a delete-storm catch-up — many retraction versions in " +
+      "ONE window — serves and time-travels exactly") {
+    import spark.implicits._
+    // v0 = LWW updates (retract base texts), v1..v3 = three deleteDocs
+    // takedown epochs, v4 = re-admission past the first tombstone wave —
+    // one BOOTSTRAP refresh consumes all five epochs, so the window
+    // carries FOUR retraction versions sharing the single snapshot scan
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-view-storm").toString + "/corpus"
+    baseDocs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", concat($"text", lit(" u1")).as("text"),
+        lit(0L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 0L)
+    for (m <- Seq(2L, 3L, 5L))
+      CorpusLake.deleteDocs(spark, corpus,
+        baseDocs.filter($"doc_id" % 9 === m).select($"doc_id"))
+    baseDocs.filter($"doc_id" % 27 === 2)
+      .select($"doc_id", concat($"text", lit(" re")).as("text"),
+        lit(4L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 4L)
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-storm-v").toString + "/view"
+    LakeView.createView(spark, dir, v, dims, measures,
+      minMeasures, maxMeasures, avgMeasures)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v)
+      .contains((Long.MinValue, 4L)))
+    assert(rowsMM(LakeView.readView(spark, v)) == recomputeMM(corpus),
+      "storm catch-up diverged from the head recompute")
+    // every intermediate version must time-travel exactly: the merged
+    // per-version ext rows (one shared scan + history-derived states)
+    // must equal what per-version snapshot scans would have written
+    for (ver <- 0L to 4L)
+      assert(rowsMM(LakeView.readViewAt(spark, v, ver))
+        == recomputeMM(corpus, Some(ver)),
+        s"storm time travel diverged at version $ver")
+  }
+
   test("lake view: a NULL dim value is a group of its own — extremes " +
       "seed and recompute null-safely") {
     import spark.implicits._
@@ -674,30 +713,40 @@ class LakeViewSpec extends SparkSpec {
     def declareMM(p: String): Unit =
       LakeView.createView(spark, dir, p, dims, Nil,
         minMeasures = minMeasures, maxMeasures = maxMeasures)
+    // an ENRICHED view in the same fan-out: the shared history must carry
+    // the UNION of every view's enrichment columns
+    def declareEnriched(p: String): Unit =
+      LakeView.createView(spark, dir, p,
+        dims = Seq("vlang" -> "coalesce(lang, 'und')"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+        baseCols = Seq("lang"))
     def rowsOf(p: String, cols: Seq[String]) =
       LakeView.readView(spark, p).select(cols.map(col): _*)
         .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[Int])
     val mmCols = Seq("bucket", "n_docs", "min_chars", "max_chars")
 
-    // solo baseline: two views, refreshed independently = two scans
+    // solo baseline: three views, refreshed independently = three scans
     val s1 = s"$root/solo-sums"; val s2 = s"$root/solo-mm"
-    declareSums(s1); declareMM(s2)
+    val s4 = s"$root/solo-enriched"
+    declareSums(s1); declareMM(s2); declareEnriched(s4)
     assert(LakeView.refreshViewFromLake(spark, dir, corpus, s1,
       upTo = Some(0L)).isDefined)
     val soloBefore = LakeView.historyScans.get()
     assert(LakeView.refreshViewFromLake(spark, dir, corpus, s1).isDefined)
     assert(LakeView.refreshViewFromLake(spark, dir, corpus, s2).isDefined)
-    assert(LakeView.historyScans.get() - soloBefore == 2,
-      "two solo refreshes must build the history twice (baseline)")
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, s4).isDefined)
+    assert(LakeView.historyScans.get() - soloBefore == 3,
+      "three solo refreshes must build the history thrice (baseline)")
 
-    // shared: same declarations at DIFFERENT cursors (g1 warm at 0, g2
+    // shared: same declarations at DIFFERENT cursors (g1 warm at 0, g2/g4
     // bootstrap), one call, ONE history build
     val g1 = s"$root/shared-sums"; val g2 = s"$root/shared-mm"
-    declareSums(g1); declareMM(g2)
+    val g4 = s"$root/shared-enriched"
+    declareSums(g1); declareMM(g2); declareEnriched(g4)
     assert(LakeView.refreshViewFromLake(spark, dir, corpus, g1,
       upTo = Some(0L)).isDefined)
     val sharedBefore = LakeView.historyScans.get()
-    assert(LakeView.refreshViews(spark, dir, corpus, Seq(g1, g2))
+    assert(LakeView.refreshViews(spark, dir, corpus, Seq(g1, g2, g4))
       .contains(2L))
     assert(LakeView.historyScans.get() - sharedBefore == 1,
       "shared refresh must build the history ONCE, not once per view")
@@ -709,6 +758,11 @@ class LakeViewSpec extends SparkSpec {
       "shared sums view diverged from its solo twin")
     assert(rowsOf(g2, mmCols) == rowsOf(s2, mmCols),
       "shared min/max view diverged from its solo twin")
+    def langRows(p: String) = LakeView.readView(spark, p)
+      .select(col("vlang"), col("n_docs"), col("chars"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[String])
+    assert(langRows(g4) == langRows(s4),
+      "shared enriched view diverged from its solo twin")
     def deltaRows(p: String) = spark.read.parquet(s"$p/delta")
       .collect().map(_.toSeq).toSeq
       .sortBy(_.map(v => String.valueOf(v)).mkString("|"))
