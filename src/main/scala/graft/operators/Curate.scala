@@ -345,25 +345,8 @@ object Curate {
     * would serve pre-takedown percentiles and hash-mismatch. */
   def cardLiveQuantTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
-        s"corpus-card-live-q|$dir") {
-      val v = java.nio.file.Files
-        .createTempDirectory("graft-card-live-q").toString + "/view"
-      graft.operators.LakeView.createView(spark, dir, v,
-        dims = Seq("card_lang" -> "coalesce(lang, 'und')"),
-        measures = Nil,
-        quantileMeasures = Seq(
-          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5),
-          ("p95_chars", "CAST(length(text) AS DOUBLE)", 0.95)),
-        baseCols = Seq("lang"))
-      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v,
-        upTo = Some(0L))
-      graft.operators.LakeView.compactView(spark, v)
-      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v)
-      v
-    }
-    val cells = graft.operators.LakeView.readView(spark, viewDir)
+    val cells = graft.operators.LakeView.readView(spark,
+      cardViewDirs(spark, dir)._2)
     cells.select(concat(lit("docs:"), $"card_lang").as("metric"),
         round($"n_docs".cast("double"), 6).as("value"))
       .unionByName(cells.select(
@@ -375,13 +358,24 @@ object Curate {
       .orderBy($"metric")
   }
 
-  private def cardLiveViewDir(spark: SparkSession, dir: String): String = {
+  private def cardLiveViewDir(spark: SparkSession, dir: String): String =
+    cardViewDirs(spark, dir)._1
+
+  /** The live-card view FAMILY — the full datasheet view and its
+    * percentile companion, maintained by the SHARED refresh path
+    * ([[graft.operators.LakeView.refreshViews]]) on the standard
+    * lifecycle schedule: one history build serves both views per window
+    * (the dashboard multiplicity), with the compaction at the update
+    * epoch keeping `cardLiveAtTwin`'s fold-watermark time travel. */
+  private def cardViewDirs(spark: SparkSession,
+      dir: String): (String, String) = {
     val lake = CorpusLake.deleteLake(spark, dir)
-    graft.sources.Caches.memoizedValue[String](spark,
-        s"corpus-card-live|$dir") {
-      val v = java.nio.file.Files
-        .createTempDirectory("graft-card-live").toString + "/view"
-      graft.operators.LakeView.createView(spark, dir, v,
+    graft.sources.Caches.memoizedValue[(String, String)](spark,
+        s"corpus-card-views|$dir") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-card-live").toString
+      val live = s"$root/live"; val quant = s"$root/quant"
+      graft.operators.LakeView.createView(spark, dir, live,
         dims = Seq(
           "card_lang" -> "coalesce(lang, 'und')",
           "band" -> QualityBandSql),
@@ -389,11 +383,20 @@ object Curate {
           "n_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)",
           "n_chars" -> "CAST(length(text) AS BIGINT)"),
         baseCols = Seq("lang"))
-      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v,
-        upTo = Some(0L))
-      graft.operators.LakeView.compactView(spark, v)
-      graft.operators.LakeView.refreshViewFromLake(spark, dir, lake, v)
-      v
+      graft.operators.LakeView.createView(spark, dir, quant,
+        dims = Seq("card_lang" -> "coalesce(lang, 'und')"),
+        measures = Nil,
+        quantileMeasures = Seq(
+          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5),
+          ("p95_chars", "CAST(length(text) AS DOUBLE)", 0.95)),
+        baseCols = Seq("lang"))
+      graft.operators.LakeView.refreshViews(spark, dir, lake,
+        Seq(live, quant), upTo = Some(0L))
+      graft.operators.LakeView.compactView(spark, live)
+      graft.operators.LakeView.compactView(spark, quant)
+      graft.operators.LakeView.refreshViews(spark, dir, lake,
+        Seq(live, quant))
+      (live, quant)
     }
   }
 

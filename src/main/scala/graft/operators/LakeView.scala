@@ -847,13 +847,6 @@ object LakeView {
     }
   }
 
-  /** The oracled twin: a REAL view (bucket = doc_id mod 7; summed char
-    * and whitespace-token counts) declared over the delete-lifecycle
-    * lake's base corpus, maintained INCREMENTALLY across its three
-    * committed epochs (LWW update, deleteDocs tombstones, re-admission)
-    * with a mid-stream compaction, then served. DuckDB recomputes the
-    * aggregate directly from the final visible set — hash equality pins
-    * the declarative signed algebra end to end. */
   /** Schema evolution: ADD measures to a live view without a rebuild —
     * the week-two dashboard ask ("one more metric") answered with one
     * bounded backfill instead of a drop-and-recreate that loses nothing
@@ -1075,15 +1068,39 @@ object LakeView {
     * insert-only (monotone fold), and the mid-stream compaction folds
     * ext rows into the base under the watermark. DuckDB recomputes
     * min/max directly from the final visible set. */
-  def viewMinMaxTwin(spark: SparkSession, dir: String): DataFrame = {
+  /** The delete-lifecycle view FAMILY the oracled twins read: five views
+    * — sums, min/max+avg, approx-distinct, quantile, top-k-composition —
+    * declared over the ONE [[CorpusLake.deleteLake]] and maintained by
+    * the SHARED refresh path on the twins' standard schedule (consume
+    * the LWW-update epoch, compact, consume the delete + re-admission
+    * epochs). This is the dashboard multiplicity the engine is built
+    * for, so the driver bench measures [[refreshViews]] at realistic
+    * fan-out (two history builds for five views) instead of five solo
+    * lifecycles; per-view rows are byte-identical to solo refreshes
+    * (the fan-out determinism `LakeViewSpec` pins against solo twins
+    * store-for-store), so each twin's oracle is unchanged. The evolve
+    * twin stays on SOLO refreshes — its mid-stream `addMeasures` needs
+    * an interleaved schedule, and it keeps the solo path benched. */
+  private def familyViews(spark: SparkSession,
+      dir: String): Map[String, String] = {
     val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
-        s"corpus-view-minmax|$dir") {
-      val v = java.nio.file.Files
-        .createTempDirectory("graft-lake-view-minmax").toString + "/view"
-      createView(spark, dir, v,
-        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
-        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
+    graft.sources.Caches.memoizedValue[Map[String, String]](spark,
+        s"corpus-view-family|$dir") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lake-view-family").toString
+      val bucket = "bucket" -> "CAST(doc_id % 7 AS INT)"
+      val chars = "chars" -> "CAST(length(text) AS BIGINT)"
+      val vs = Map(
+        "sums" -> s"$root/sums", "minmax" -> s"$root/minmax",
+        "distinct" -> s"$root/distinct", "quantile" -> s"$root/quantile",
+        "topk" -> s"$root/topk")
+      createView(spark, dir, vs("sums"),
+        dims = Seq(bucket),
+        measures = Seq(chars,
+          "toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
+      createView(spark, dir, vs("minmax"),
+        dims = Seq(bucket),
+        measures = Seq(chars),
         minMeasures = Seq(
           "min_chars" -> "CAST(length(text) AS BIGINT)"),
         maxMeasures = Seq(
@@ -1091,13 +1108,34 @@ object LakeView {
           "max_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"),
         avgMeasures = Seq(
           "avg_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
-      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
-      compactView(spark, v)
-      refreshViewFromLake(spark, dir, lake, v)
-      v
+      createView(spark, dir, vs("distinct"),
+        dims = Seq(bucket),
+        measures = Seq(chars),
+        distinctMeasures = Seq(
+          "d_ids" -> "CAST(doc_id AS STRING)",
+          "d_tok1" -> "split(text, ' ')[0]"))
+      createView(spark, dir, vs("quantile"),
+        dims = Seq(bucket),
+        measures = Seq(chars),
+        quantileMeasures = Seq(
+          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5),
+          ("p90_load",
+            "CAST(length(text) + CASE WHEN doc_id % 9 = 2 THEN 100000 ELSE 0 END AS DOUBLE)",
+            0.9)))
+      createView(spark, dir, vs("topk"),
+        dims = Seq(bucket, "tok1" -> "split(text, ' ')[0]"),
+        measures = Nil)
+      val all = vs.values.toSeq.sorted
+      refreshViews(spark, dir, lake, all, upTo = Some(0L))
+      all.foreach(compactView(spark, _))
+      refreshViews(spark, dir, lake, all)
+      vs
     }
-    readView(spark, viewDir).orderBy(col("bucket"))
   }
+
+  def viewMinMaxTwin(spark: SparkSession, dir: String): DataFrame =
+    readView(spark, familyViews(spark, dir)("minmax"))
+      .orderBy(col("bucket"))
 
   /** The schema-evolution twin: a sums-only view consumes the LWW-update
     * epoch, then [[addMeasures]] grafts a max and an avg onto the LIVE
@@ -1136,21 +1174,7 @@ object LakeView {
     * the estimate itself is engine-specific and never hashed. */
   def viewDistinctTwin(spark: SparkSession, dir: String): DataFrame = {
     val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
-        s"corpus-view-distinct|$dir") {
-      val v = java.nio.file.Files
-        .createTempDirectory("graft-lake-view-dist").toString + "/view"
-      createView(spark, dir, v,
-        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
-        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
-        distinctMeasures = Seq(
-          "d_ids" -> "CAST(doc_id AS STRING)",
-          "d_tok1" -> "split(text, ' ')[0]"))
-      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
-      compactView(spark, v)
-      refreshViewFromLake(spark, dir, lake, v)
-      v
-    }
+    val viewDir = familyViews(spark, dir)("distinct")
     val served = readView(spark, viewDir)
       .select(col("bucket"), col("n_docs"),
         col("d_ids").as("d_ids_est"), col("d_tok1").as("d_tok1_est"))
@@ -1184,24 +1208,7 @@ object LakeView {
     * a strictly stronger gate than the sketch accuracy-flag convention;
     * the sampled (above-capacity) regime is pinned by QSketchSpec. */
   def viewQuantileTwin(spark: SparkSession, dir: String): DataFrame = {
-    val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
-        s"corpus-view-quant|$dir") {
-      val v = java.nio.file.Files
-        .createTempDirectory("graft-lake-view-quant").toString + "/view"
-      createView(spark, dir, v,
-        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
-        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"),
-        quantileMeasures = Seq(
-          ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5),
-          ("p90_load",
-            "CAST(length(text) + CASE WHEN doc_id % 9 = 2 THEN 100000 ELSE 0 END AS DOUBLE)",
-            0.9)))
-      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
-      compactView(spark, v)
-      refreshViewFromLake(spark, dir, lake, v)
-      v
-    }
+    val viewDir = familyViews(spark, dir)("quantile")
     readView(spark, viewDir)
       .select(col("bucket"), col("n_docs"), col("chars"),
         round(col("p50_chars"), 6).as("p50_chars"),
@@ -1218,20 +1225,7 @@ object LakeView {
     * row_number window runs over the GROUPS frame, not the corpus. Ties
     * break by token — deterministic cross-engine. */
   def viewTopkTwin(spark: SparkSession, dir: String): DataFrame = {
-    val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
-        s"corpus-view-topk|$dir") {
-      val v = java.nio.file.Files
-        .createTempDirectory("graft-lake-view-topk").toString + "/view"
-      createView(spark, dir, v,
-        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)",
-          "tok1" -> "split(text, ' ')[0]"),
-        measures = Nil)
-      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
-      compactView(spark, v)
-      refreshViewFromLake(spark, dir, lake, v)
-      v
-    }
+    val viewDir = familyViews(spark, dir)("topk")
     val w = Window.partitionBy(col("bucket"))
       .orderBy(col("n_docs").desc, col("tok1").asc)
     readView(spark, viewDir)
@@ -1280,25 +1274,15 @@ object LakeView {
       .orderBy(col("bucket"))
   }
 
-  def viewTwin(spark: SparkSession, dir: String): DataFrame = {
-    val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
-        s"corpus-view|$dir") {
-      val v = java.nio.file.Files
-        .createTempDirectory("graft-lake-view").toString + "/view"
-      createView(spark, dir, v,
-        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
-        measures = Seq(
-          "chars" -> "CAST(length(text) AS BIGINT)",
-          "toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
-      // consume the LWW-update epoch only, compact, then consume the
-      // delete + re-admission epochs — the serve must not care where the
-      // fold boundary fell
-      refreshViewFromLake(spark, dir, lake, v, upTo = Some(0L))
-      compactView(spark, v)
-      refreshViewFromLake(spark, dir, lake, v)
-      v
-    }
-    readView(spark, viewDir).orderBy(col("bucket"))
-  }
+  /** The oracled twin: a REAL view (bucket = doc_id mod 7; summed char
+    * and whitespace-token counts) declared over the delete-lifecycle
+    * lake's base corpus, maintained INCREMENTALLY across its three
+    * committed epochs (LWW update, deleteDocs tombstones, re-admission)
+    * with a mid-stream compaction, then served — through the shared
+    * [[familyViews]] lifecycle. DuckDB recomputes the aggregate directly
+    * from the final visible set — hash equality pins the declarative
+    * signed algebra end to end. */
+  def viewTwin(spark: SparkSession, dir: String): DataFrame =
+    readView(spark, familyViews(spark, dir)("sums"))
+      .orderBy(col("bucket"))
 }

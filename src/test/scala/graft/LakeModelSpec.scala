@@ -119,6 +119,13 @@ class LakeModelSpec extends SparkSpec {
         quantileMeasures = Seq(
           ("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5)),
         baseCols = Seq("lang"))
+      // a SECOND persistent view (sums-only) refreshed in the same
+      // refreshViews call as the first: the shared-scan fan-out must
+      // serve both views exactly under every interleaving
+      val view2Dir = corpus.stripSuffix("/corpus") + "/view2"
+      graft.operators.LakeView.createView(spark, dir, view2Dir,
+        dims = Seq("bucket" -> "CAST(doc_id % 3 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
       var viewAt = Long.MinValue
       // p=0.5 over integer lengths interpolates to x.0/x.5 — exact in
       // double arithmetic on both sides, so the model compares unrounded
@@ -239,18 +246,20 @@ class LakeModelSpec extends SparkSpec {
                 CorpusLake.deleteDocs(spark, replica,
                   Seq(5000000L).toDF("doc_id"))
               }
-          case 18 => // declared-view catch-up (sums + extremes): refresh
-            // must either refuse (cursor stranded behind the floor) or
-            // converge the served view to the model's aggregate at the
-            // consumed head — across replays, deletes (the extremes
-            // recompute leg), vacuums, and generation flips
+          case 18 => // declared-view catch-up (sums + extremes), through
+            // the SHARED-SCAN path (both persistent views in one
+            // refreshViews call): must either refuse (cursor stranded
+            // behind the floor) or converge BOTH served views to the
+            // model's aggregates at the consumed head — across replays,
+            // deletes (the extremes recompute leg), vacuums, and
+            // generation flips
             if (viewAt != Long.MinValue && viewAt < floor)
               intercept[IllegalArgumentException] {
-                graft.operators.LakeView.refreshViewFromLake(
-                  spark, dir, corpus, viewDir)
+                graft.operators.LakeView.refreshViews(
+                  spark, dir, corpus, Seq(viewDir, view2Dir))
               }
-            else if (graft.operators.LakeView.refreshViewFromLake(
-                spark, dir, corpus, viewDir).isDefined)
+            else if (graft.operators.LakeView.refreshViews(
+                spark, dir, corpus, Seq(viewDir, view2Dir)).isDefined)
               viewAt = head
           case 17 => // branch lifecycle composite: create at head, commit
             // an epoch + a takedown on the branch (parent must not move),
@@ -310,6 +319,15 @@ class LakeModelSpec extends SparkSpec {
             .collect().toSet
           assert(vGot == viewModelRows(viewAt),
             s"seed $seed step $step: view mismatch at $viewAt")
+          val v2Got = graft.operators.LakeView.readView(spark, view2Dir)
+            .select($"bucket", $"n_docs", $"chars")
+            .as[(Option[Int], Long, Long)].collect().toSet
+          val v2Want = modelAt(viewAt).toSeq
+            .map { case (id, t) => ((id % 3).toInt, t.length.toLong) }
+            .groupBy(_._1).map { case (b, xs) =>
+              (Option(b), xs.size.toLong, xs.map(_._2).sum) }.toSet
+          assert(v2Got == v2Want,
+            s"seed $seed step $step: shared view2 mismatch at $viewAt")
         }
         // the follower must keep serving the primary's visible set AS OF
         // its cursor, whatever the primary did since

@@ -703,6 +703,40 @@ class LakeViewSpec extends SparkSpec {
       "evolution round-trip disturbed the surviving quantiles")
   }
 
+  test("lake view: a fresh view bootstrapped over a VACUUMED lake serves " +
+      "the head exactly from the surviving history") {
+    import spark.implicits._
+    // lake: v0 updates, v1 takedowns, v2 more updates; vacuum to v2
+    // collapses pre-floor history — a fresh minmax/quantile view must
+    // still bootstrap and serve the HEAD exactly (per-version ext rows
+    // below the floor are as-of-surviving-history approximations, the
+    // documented degraded contract; the head is governed by the final
+    // merge, which only needs the head snapshot + surviving states)
+    val corpus = java.nio.file.Files
+      .createTempDirectory("graft-view-vac").toString + "/corpus"
+    baseDocs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", concat($"text", lit(" u1")).as("text"),
+        lit(0L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 0L)
+    CorpusLake.deleteDocs(spark, corpus,
+      baseDocs.filter($"doc_id" % 9 === 2).select($"doc_id"))
+    baseDocs.filter($"doc_id" % 8 === 3)
+      .select($"doc_id", concat($"text", lit(" u2")).as("text"),
+        lit(2L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 2L)
+    CorpusLake.vacuumCorpus(spark, corpus, 2L)
+    val v = java.nio.file.Files
+      .createTempDirectory("graft-view-vac-v").toString + "/view"
+    LakeView.createView(spark, dir, v, dims, measures,
+      minMeasures, maxMeasures, avgMeasures)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, v)
+      .contains((Long.MinValue, 2L)))
+    assert(rowsMM(LakeView.readView(spark, v)) == recomputeMM(corpus),
+      "vacuum-bootstrapped view diverged from the head recompute")
+  }
+
   test("lake view: refreshViews fans N views out of ONE shared history " +
       "scan and matches solo refreshes exactly") {
     val corpus = mkLake()

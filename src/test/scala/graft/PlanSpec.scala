@@ -137,7 +137,7 @@ class PlanSpec extends SparkSpec {
     // belongs to the MAINTENANCE side only. A SortMergeJoin or cartesian
     // appearing here means a corpus-sized exchange crept into the serve.
     for (q <- Seq("corpus_view_quantile", "corpus_view_topk",
-        "corpus_card_live")) {
+        "corpus_card_live", "corpus_views_shared", "corpus_card_live_q")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q:\n$p")
