@@ -784,6 +784,70 @@ object ScaleProbe {
           }
           (catchUp(oneEpoch = false), catchUp(oneEpoch = true))
         }),
+        // shared-scan multi-view economics: refreshViews must read the
+        // commit window's history ONCE for N views, not N times. Same
+        // 1%-churn lake, three sums views; C = parquet records read by
+        // ONE refreshViews catch-up of all three, O = by three solo
+        // refreshViewFromLake catch-ups on an identical twin fixture.
+        // C/O → ~1/3 (+ the per-view aggregation constant) is the
+        // shared-history claim; at real view counts the saving is ~N×.
+        ("corpus_views_shared_scan", nDocs, () => {
+          import graft.operators.{CorpusLake, LakeView}
+          def build(): (String, Seq[String]) = {
+            val root = java.nio.file.Files
+              .createTempDirectory("probe-views-shared").toString
+            val corpus = s"$root/corpus"
+            val docs = graft.sources.Tables.spread(
+                graft.sources.Tables.documents(spark, dir))
+              .select(col("doc_id"), col("text"))
+            docs.filter(col("doc_id") % 100 === 1)
+              .select(col("doc_id"),
+                org.apache.spark.sql.functions.concat(col("text"),
+                  lit(" v0")).as("text"), lit(0L).as("epoch"))
+              .write.mode("append").parquet(s"$corpus/docs")
+            Seq((0L, 0L, 0L, 0L, 0L, 0L))
+              .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+                "n_contaminated", "n_low_quality")
+              .write.mode("append").parquet(s"$corpus/manifest")
+            val views = (1 to 3).map { i =>
+              val v = s"$root/view$i"
+              LakeView.createView(spark, dir, v,
+                dims = Seq("bucket" -> s"CAST(doc_id % ${5 + i} AS INT)"),
+                measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
+              v
+            }
+            (corpus, views)
+          }
+          def recordsDuring(body: => Unit): Long = {
+            val read = new java.util.concurrent.atomic.AtomicLong(0L)
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              override def onTaskEnd(
+                  e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+                if (e.taskMetrics != null)
+                  read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+            }
+            spark.sparkContext.addSparkListener(listener)
+            try {
+              body
+              var prev = -1L
+              while (prev != read.get()) {
+                prev = read.get(); Thread.sleep(250)
+              }
+            } finally spark.sparkContext.removeSparkListener(listener)
+            read.get()
+          }
+          val (sharedCorpus, sharedViews) = build()
+          val c = recordsDuring {
+            LakeView.refreshViews(spark, dir, sharedCorpus, sharedViews)
+          }
+          val (soloCorpus, soloViews) = build()
+          val o = recordsDuring {
+            soloViews.foreach(v =>
+              LakeView.refreshViewFromLake(spark, dir, soloCorpus, v))
+          }
+          System.err.println(s"""[scaleprobe] {"probe":"corpus_views_shared_scan","sf":"$dir","views":3,"shared_records":$c,"solo_records":$o}""")
+          (c, o)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total
