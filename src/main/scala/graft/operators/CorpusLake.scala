@@ -2234,6 +2234,31 @@ object CorpusLake {
     if (heldWriterLease(spark, corpusDir, owner)) fs.delete(p, false)
   }
 
+  /** Acquire the lease, WAITING for a live holder to finish: bounded
+    * exponential backoff (50 ms doubling to 2 s) until `timeoutMs`, then
+    * false. The scheduler convenience over [[acquireWriterLease]]'s
+    * immediate refusal — two cooperating maintenance jobs on one lake
+    * SERIALIZE instead of one failing (the optimistic-concurrency
+    * posture: a conflict is a wait, not an error, while the holder is
+    * live; a crashed holder's lease falls to the TTL takeover inside
+    * each retry). Polling a file stat is the right primitive here: the
+    * lease is lake-level metadata, contended by maintenance jobs at
+    * human cadence, not a hot lock. */
+  def awaitWriterLease(spark: SparkSession, corpusDir: String,
+      owner: String, ttlMs: Long = 15 * 60 * 1000L,
+      timeoutMs: Long = 60 * 1000L): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var backoff = 50L
+    var got = acquireWriterLease(spark, corpusDir, owner, ttlMs)
+    while (!got && System.currentTimeMillis() < deadline) {
+      Thread.sleep(math.max(1L, math.min(backoff,
+        deadline - System.currentTimeMillis())))
+      backoff = math.min(backoff * 2, 2000L)
+      got = acquireWriterLease(spark, corpusDir, owner, ttlMs)
+    }
+    got
+  }
+
   /** Run `body` under the writer lease, releasing on every exit path;
     * throws [[IllegalStateException]] when the lease is held elsewhere —
     * the scheduler's retry signal, never a silent concurrent rewrite. */

@@ -742,7 +742,7 @@ object LakeView {
         .filterNot(c => avgs.exists(a => c == s"${a._1}__sum" ||
           c == s"${a._1}__cnt"))
         .filterNot(c => distNames(c) || quantNames(c))
-      internal.select(keep.map(col) ++
+      internal.select(keep.toSeq.map(col) ++
         avgs.map { case (a, _) =>
           when(col(s"${a}__cnt") > 0,
             col(s"${a}__sum") / col(s"${a}__cnt").cast("double"))

@@ -846,5 +846,28 @@ class LakeMaintenanceSpec extends SparkSpec {
     val vDel2 = CorpusLake.withWriterLease(spark, lake, "operator-b",
       ttlMs = 1L) { 42 }
     assert(vDel2 == 42, "TTL takeover must run the blocked writer")
+
+    // awaitWriterLease: two cooperating jobs SERIALIZE instead of one
+    // refusing — a live holder that finishes within the wait budget
+    // hands over; one that doesn't times out to false (never a steal:
+    // its lease is fresh)
+    assert(CorpusLake.acquireWriterLease(spark, lake, "slow-optimize"))
+    val releaser = new Thread(() => {
+      Thread.sleep(400)
+      CorpusLake.releaseWriterLease(spark, lake, "slow-optimize")
+    })
+    releaser.start()
+    assert(CorpusLake.awaitWriterLease(spark, lake, "waiting-job",
+        timeoutMs = 10000L),
+      "the waiting writer must acquire once the live holder releases")
+    releaser.join()
+    CorpusLake.releaseWriterLease(spark, lake, "waiting-job")
+    assert(CorpusLake.acquireWriterLease(spark, lake, "long-holder"))
+    assert(!CorpusLake.awaitWriterLease(spark, lake, "impatient-job",
+        timeoutMs = 300L),
+      "a fresh live lease must time the waiter out, not be stolen")
+    assert(CorpusLake.heldWriterLease(spark, lake, "long-holder"),
+      "the timed-out wait must leave the holder's lease intact")
+    CorpusLake.releaseWriterLease(spark, lake, "long-holder")
   }
 }
