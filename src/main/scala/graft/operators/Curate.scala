@@ -295,19 +295,22 @@ object Curate {
 
   /** The [[datasetCard]] quality-band expression as ONE SQL string over
     * `text` — exactly [[TextAnalysis.withQuality]]'s formula, in the form
-    * a declared view accepts. Interpreted HOF evaluation re-runs the
-    * split per lambda element (the Text.scala caveat), which is noise at
-    * view-maintenance volumes (O(changed docs per window)); the batch
-    * card keeps the materialized-column fast path for full scans. */
+    * a declared view accepts (a scalar expression: no lateral aliases
+    * available). The token array is bound ONCE as a single-element
+    * `transform` lambda variable, so the split runs once per document
+    * instead of once per sub-term under interpreted HOF evaluation —
+    * safe to declare even over a full-corpus backfill of long documents;
+    * the batch card keeps its materialized-column fast path. */
   private[graft] val QualityBandSql: String =
-    """CAST(floor(round(
-      |  0.25 * (CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a'))) AS DOUBLE)
-      |          / CAST(size(split(text, ' ')) AS DOUBLE)) +
-      |  0.5  * (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)
-      |          / CAST(size(split(text, ' ')) AS DOUBLE)) +
-      |  0.05 * (CAST(aggregate(split(text, ' '), 0, (acc, t) -> acc + length(t)) AS DOUBLE)
-      |          / CAST(size(split(text, ' ')) AS DOUBLE)),
-      |  6) * 10) AS INT)""".stripMargin
+    """transform(array(split(text, ' ')), toks ->
+      |  CAST(floor(round(
+      |    0.25 * (CAST(size(filter(toks, t -> t IN ('the', 'a'))) AS DOUBLE)
+      |            / CAST(size(toks) AS DOUBLE)) +
+      |    0.5  * (CAST(size(array_distinct(toks)) AS DOUBLE)
+      |            / CAST(size(toks) AS DOUBLE)) +
+      |    0.05 * (CAST(aggregate(toks, 0, (acc, t) -> acc + length(t)) AS DOUBLE)
+      |            / CAST(size(toks) AS DOUBLE)),
+      |    6) * 10) AS INT))[0]""".stripMargin
 
   /** The LIVE dataset card: the FULL [[datasetCardLake]] metric set —
     * volume totals, language mix, quality-band histogram — served from a
