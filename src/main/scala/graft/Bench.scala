@@ -17,13 +17,13 @@ object Bench {
     *
     * Coverage is WINDOW-BOUND, not tuning-bound: at the r15 query set
     * (144) the 110 SHORTEST 0-dp entries alone measure ~2180 chars and
-    * the full set ~3040, against ≤ ~1850 the 2000-char tail can give —
+    * the full set ~3040, against ≤ ~1830 the 2000-char tail can give —
     * naming every query in stdout is physically impossible; the
     * count-maximizing fill gets the nameable maximum and BENCH_FULL.json
     * always carries all queries at ms precision. The emergency level fits
     * BY CONSTRUCTION at any query count (`ContractSpec` drives the worst
     * case). */
-  private[graft] val QsBudget = 1840 // window 2000 − [success] ~75 − fixed line overhead 85 (≤1925 total)
+  private[graft] val LineMax = 1916 // window 2000 − [success] ~75 − 9 slack
 
   private def fmt(d: Double): String =
     BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
@@ -94,7 +94,14 @@ object Bench {
         kept += s"\"errors_omitted\":\"${entries.size - kept.size}\""
       kept.mkString(",\"errors\":{", ",", "}")
     }
-    val budget = QsBudget - errJson.length - extra.length
+    // the queries map gets whatever the MEASURED fixed parts leave: the
+    // cap holds by construction for any total width (a ≥1000 s run), any
+    // sf dir length, and any errors/extra block — no calibrated overhead
+    // constant to drift out of date
+    val prefix =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":"""
+    val suffix = s"""$errJson$extra,"sf":"$sfDir"}"""
+    val budget = LineMax - prefix.length - suffix.length
     def qsAt(f: Double => String): String =
       results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(f) }
         .mkString("{", ",", "}")
@@ -121,7 +128,7 @@ object Bench {
       }
       (kept :+ s"\"q_omitted\":$omitted").mkString("{", ",", "}")
     }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson$extra,"sf":"$sfDir"}"""
+    prefix + qs + suffix
   }
 
   def main(args: Array[String]): Unit = {

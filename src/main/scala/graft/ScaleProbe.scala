@@ -770,15 +770,19 @@ object ScaleProbe {
             }
             spark.sparkContext.addSparkListener(listener)
             val t0 = System.nanoTime()
+            var ms = 0L
             try {
               LakeView.refreshViewFromLake(spark, dir, corpus, view)
+              // timing stops HERE: only records_read needs the fixpoint
+              // drain below, and its 250 ms poll steps would otherwise
+              // inflate every leg's millis by ~2x at fixture scale
+              ms = (System.nanoTime() - t0) / 1000000L
               // listener events drain asynchronously — poll to a fixpoint
               var prev = -1L
               while (prev != read.get()) {
                 prev = read.get(); Thread.sleep(250)
               }
             } finally spark.sparkContext.removeSparkListener(listener)
-            val ms = (System.nanoTime() - t0) / 1000000L
             System.err.println(s"""[scaleprobe] {"probe":"corpus_view_delete_storm","sf":"$dir","takedown_epochs":${if (oneEpoch) 1 else mods.size},"records_read":${read.get()},"millis":$ms}""")
             read.get()
           }

@@ -82,15 +82,26 @@ object QSketchKernel {
     bb.array()
   }
 
+  /** Validate the header and return the entry count — the ONE place the
+    * binary format's invariants live; both readers go through it, so a
+    * format change cannot silently re-open the BufferUnderflow/garbage
+    * hole in whichever reader was skipped. */
+  private def validatedCount(b: Array[Byte]): Int = {
+    require(b.length >= 4, s"qsketch: binary too short (${b.length} B)")
+    val m = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    require(m >= 0 && m <= K && b.length == 4 + 16 * m,
+      s"qsketch: corrupt header (m=$m, ${b.length} B; expected ${4 + 16 * math.max(m, 0)})")
+    m
+  }
+
   /** (keys, values) of a serialized sketch. A malformed binary (foreign
     * column fed to the union/quantile, truncated artifact) fails with a
     * named error instead of a BufferUnderflow or a silent garbage read. */
   def deserialize(b: Array[Byte]): (Array[Long], Array[Double]) = {
-    require(b.length >= 4, s"qsketch: binary too short (${b.length} B)")
+    val m = validatedCount(b)
     val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val m = bb.getInt
-    require(m >= 0 && m <= K && b.length == 4 + 16 * m,
-      s"qsketch: corrupt header (m=$m, ${b.length} B; expected ${4 + 16 * math.max(m, 0)})")
+    bb.getInt // skip the validated header
     val ks = new Array[Long](m); val vs = new Array[Double](m)
     var i = 0
     while (i < m) { ks(i) = bb.getLong; vs(i) = bb.getDouble; i += 1 }
@@ -110,17 +121,9 @@ object QSketchKernel {
   }
 
   /** Sampled occurrence count (≤ K; the full count at or below K). Same
-    * validate-on-read posture as [[deserialize]]: a truncated binary or a
-    * corrupt header fails with the named qsketch error, never a raw
-    * BufferUnderflow or a silent garbage count. */
-  def sampleSize(b: Array[Byte]): Int = {
-    require(b.length >= 4, s"qsketch: binary too short (${b.length} B)")
-    val m = java.nio.ByteBuffer.wrap(b)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-    require(m >= 0 && m <= K && b.length == 4 + 16 * m,
-      s"qsketch: corrupt header (m=$m, ${b.length} B; expected ${4 + 16 * math.max(m, 0)})")
-    m
-  }
+    * validate-on-read posture as [[deserialize]] — both go through
+    * [[validatedCount]]. */
+  def sampleSize(b: Array[Byte]): Int = validatedCount(b)
 }
 
 /** Mutable accumulation buffer: parallel (key, value) arrays with a fill

@@ -501,13 +501,14 @@ object CorpusLake {
     // version allocation + both writes run under the writer lease: a
     // concurrent writer would race nextLakeVersion into a double-assigned
     // epoch — the exact corruption the lease exists to refuse
-    withOpLease(spark, corpusDir, "deleteDocs") {
+    withOpLease(spark, corpusDir, "deleteDocs") { recheck =>
       val v = nextLakeVersion(spark, corpusDir)
       victims.select(col("doc_id"),
           lit(null).cast("string").as("text"),
           lit(v).as("epoch"),
           lit(true).as("_deleted"))
         .write.mode("append").parquet(liveTarget(spark, corpusDir, "docs"))
+      recheck()
       // the manifest row commits the tombstone epoch — LAST. batch_id = -1:
       // the replay guard's pre-split fallback is coalesce(batch_id, version),
       // so a NULL here would let a future stream batch id collide with this
@@ -1052,7 +1053,7 @@ object CorpusLake {
     // version allocation + data + manifest land under the writer lease:
     // two merges (or a merge racing a replication window) would otherwise
     // double-assign the epoch
-    withOpLease(spark, targetDir, "commitNetEffect") {
+    withOpLease(spark, targetDir, "commitNetEffect") { recheck =>
       val v = nextLakeVersion(spark, targetDir)
       val nDel = local.filter(col("_deleted")).count()
       val n = local.count()
@@ -1071,6 +1072,7 @@ object CorpusLake {
           .write.mode("append").parquet(
             Similarity.appendTarget(spark, s"$m/buckets"))
       }
+      recheck()
       // batch_id = -1: outside the stream's id space, same as deleteDocs
       Seq((v, 0L, n - nDel, 0L, 0L, 0L, -1L, nDel))
         .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
@@ -1243,7 +1245,10 @@ object CorpusLake {
     * `viewDirs` keeps declared [[LakeView]] materialized views live at
     * commit cadence (cursor-protected incremental refresh after each
     * commit, delta fold at the optimize firing) — the same contract as
-    * `profDir`, for user-declared aggregates. */
+    * `profDir`, for user-declared aggregates. `leaseWaitMs` is each
+    * batch's wait budget behind a LIVE foreign writer-lease holder (a
+    * passing OPTIMIZE delays the batch instead of killing the query);
+    * past it the batch refuses loudly. 0 = refuse immediately. */
   def maintainCorpusStream(docStream: DataFrame, spark: SparkSession,
       dir: String, indexDir: String, corpusDir: String, maintDir: String,
       compactAt: Double = 0.25,
@@ -1253,7 +1258,8 @@ object CorpusLake {
       deleteCol: Option[String] = None,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       viewDirs: Seq[String] = Nil,
-      sharedBucketDirs: Seq[String] = Nil)
+      sharedBucketDirs: Seq[String] = Nil,
+      leaseWaitMs: Long = 120 * 1000L)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     import spark.implicits._
     // branch ingest: `sharedBucketDirs(i)` is the i-th ANCESTOR's
@@ -1346,8 +1352,15 @@ object CorpusLake {
           // row → inline optimize → view refreshes) runs under the writer
           // lease: foreachBatch serializes THIS stream's batches, but only
           // the lease refuses a SECOND process (another stream, an
-          // out-of-band deleteDocs, a racing merge) writing the same lake
-          withOpLease(spark, corpusDir, s"ingest-batch-$batchId") {
+          // out-of-band deleteDocs, a racing merge) writing the same lake.
+          // STABLE owner (maintDir-scoped batch identity): a restarted
+          // stream replaying the batch after a hard crash RECLAIMS its own
+          // stranded lease by same-owner re-entry instead of stalling for
+          // the TTL; leaseWaitMs queues behind a live foreign holder (a
+          // passing OPTIMIZE must delay a batch, not kill the query).
+          withOpLease(spark, corpusDir, s"ingest-batch-$batchId",
+            stableOwner = Some(s"ingest-batch-$batchId@$maintDir"),
+            waitMs = leaseWaitMs) { recheck =>
           val epoch = nextLakeVersion(spark, corpusDir)
           // stream-integrated takedowns: split the batch on the delete
           // marker; a doc_id may not be upserted AND deleted in one
@@ -1421,7 +1434,10 @@ object CorpusLake {
           val n = newBuckets.count()
           newBuckets.write.mode("append").parquet(
             Similarity.appendTarget(spark, store))
-          // the manifest row commits the epoch — LAST, after every data write
+          // the manifest row commits the epoch — LAST, after every data
+          // write, and only if this writer STILL holds the lease (a batch
+          // that outran the TTL aborts here instead of double-assigning)
+          recheck()
           // coalesce: a delete-ONLY epoch has zero decisions, and sum()
           // over an empty frame is NULL — the audit row must carry zeros
           decisions.groupBy()
@@ -2174,7 +2190,15 @@ object CorpusLake {
         true
       } catch { case _: java.io.IOException => false }
     if (tryCreate()) return true
-    // held: stale (holder crashed past its TTL) → take over, else refuse
+    // same-owner re-entry: the lease already carries OUR tag — a crashed
+    // prior incarnation of this logical writer (a restarted ingest stream
+    // replaying its batch under its STABLE owner). Reclaim immediately
+    // instead of stranding the writer behind its own lease for the full
+    // TTL; two live instances of one logical owner cannot exist (the
+    // stream's checkpoint lock serializes restarts).
+    if (heldWriterLease(spark, corpusDir, owner)) return true
+    // held by another: stale (holder crashed past its TTL) → take over,
+    // else refuse
     val st = try Some(fs.getFileStatus(p))
       catch { case _: java.io.FileNotFoundException => None }
     val stale = st.forall(s =>
@@ -2276,16 +2300,54 @@ object CorpusLake {
 
   /** Every lake WRITE entry point ([[deleteDocs]], [[commitNetEffect]]'s
     * merge/rebase/replicate callers, each [[maintainCorpusStream]]
-    * micro-batch) runs its commit under a fresh-owner lease via this
-    * wrapper, so the single-writer discipline the lake documents is
-    * ENFORCED with the standard loud refusal, not just assumed. The owner
-    * tag is unique per operation — these writers never nest each other
-    * (the stream's inline optimize fires inside its own batch's lease),
-    * and a second concurrent writer is exactly what must refuse. */
-  private def withOpLease[T](spark: SparkSession, corpusDir: String,
-      op: String)(body: => T): T =
-    withWriterLease(spark, corpusDir,
-      s"$op-" + java.util.UUID.randomUUID().toString)(body)
+    * micro-batch) runs its commit under a lease via this wrapper, so the
+    * single-writer discipline the lake documents is ENFORCED with the
+    * standard loud refusal, not just assumed. The owner tag defaults to
+    * unique-per-operation — these writers never nest each other (the
+    * stream's inline optimize fires inside its own batch's lease), and a
+    * second concurrent writer is exactly what must refuse; the stream
+    * passes a STABLE owner (checkpoint-scoped batch identity) so its own
+    * crashed incarnation's lease is reclaimed by re-entry, not waited
+    * out. `waitMs` > 0 queues behind a LIVE holder ([[awaitWriterLease]])
+    * before refusing — the stream's posture, where a transient OPTIMIZE
+    * holding the lake must delay a batch, not kill the query.
+    *
+    * `body` receives a RECHECK thunk: call it immediately before the
+    * manifest-row commit. It re-verifies ownership (one FS round-trip)
+    * and throws if the lease was taken over while a long body overran
+    * the TTL — the taken-over writer then ABORTS without committing, so
+    * two manifest rows can never land for one allocated version. Data
+    * files it already appended stay orphans the manifest never admits
+    * (vacuum's orphan cleanup reclaims them); the residual advisory
+    * window — a new holder committing the SAME version number and
+    * adopting those orphans — is the one-FS-round-trip object-store
+    * bound the lease scaladoc documents. */
+  private[graft] def withOpLease[T](spark: SparkSession, corpusDir: String,
+      op: String, stableOwner: Option[String] = None,
+      waitMs: Long = 0L)(body: (() => Unit) => T): T = {
+    val owner = stableOwner.getOrElse(
+      s"$op-" + java.util.UUID.randomUUID().toString)
+    val got =
+      if (waitMs > 0L)
+        awaitWriterLease(spark, corpusDir, owner, timeoutMs = waitMs)
+      else acquireWriterLease(spark, corpusDir, owner)
+    if (!got)
+      throw new IllegalStateException(
+        s"write refused: $corpusDir's maintenance writer lease is HELD " +
+          "by another writer (_writer_lease present and fresh). Two " +
+          "concurrent lake writers can double-assign an epoch or race a " +
+          "store-pointer flip — wait for the holder to finish (a crashed " +
+          "holder's lease is taken over automatically after its TTL)")
+    val recheck: () => Unit = () =>
+      if (!heldWriterLease(spark, corpusDir, owner))
+        throw new IllegalStateException(
+          s"lease lost mid-operation: $corpusDir's writer lease was " +
+            s"taken over while '$op' ran past its TTL — aborting BEFORE " +
+            "the manifest commit; no epoch was committed (appended data " +
+            "files are orphans the next vacuum reclaims)")
+    try body(recheck)
+    finally releaseWriterLease(spark, corpusDir, owner)
+  }
 
   // ------------- run delivery (deterministic shard export + integrity)
 

@@ -581,14 +581,19 @@ object LakeView {
     * full history), carrying at least this view's enrichment columns. */
   private def refreshOne(spark: SparkSession, dir: String,
       corpusDir: String, viewDir: String, spec: ViewSpec, from: Long,
-      h: Long, seq0: DataFrame): Unit = {
+      h: Long, seq0: DataFrame, sharedHistory: Boolean): Unit = {
     import spark.implicits._
     val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, baseCols) =
       spec
     val measures = internalSums(sums0, avgs)
     val hasExt = mins.nonEmpty || maxs.nonEmpty || dists.nonEmpty ||
       quants.nonEmpty
-    val seq = seq0.filter(col("epoch") > from)
+    // the ext leg re-reads the window's history several times (insert
+    // rows, retraction pairs, per-version state intervals) — materialize
+    // the window-sized frame once instead of re-running the lake scans
+    // per use; a shared (refreshViews) history is already materialized
+    val seq1 = if (hasExt && !sharedHistory) seq0.localCheckpoint() else seq0
+    val seq = seq1.filter(col("epoch") > from)
     windowDeltas(seq, dims, measures, baseCols)
       .write.mode("append").parquet(
         Similarity.resolveArtifact(spark, viewDir, "delta"))
@@ -631,17 +636,11 @@ object LakeView {
       .agg(max(col("version"))).as[Option[Long]].head()
     head match {
       case Some(h) =>
-        val hasExt = spec.mins.nonEmpty || spec.maxs.nonEmpty ||
-          spec.dists.nonEmpty || spec.quants.nonEmpty
         historyScans.incrementAndGet()
-        val seq0 = changedHistory(spark, dir, corpusDir, from, h,
+        val seq = changedHistory(spark, dir, corpusDir, from, h,
           spec.baseCols)
-        // the ext leg re-reads the window's history several times (insert
-        // rows, retraction pairs, per-version state intervals) —
-        // materialize the window-sized frame once instead of re-running
-        // the lake scans per use
-        val seq = if (hasExt) seq0.localCheckpoint() else seq0
-        refreshOne(spark, dir, corpusDir, viewDir, spec, from, h, seq)
+        refreshOne(spark, dir, corpusDir, viewDir, spec, from, h, seq,
+          sharedHistory = false)
         Some((from, h))
       case None => None
     }
@@ -688,7 +687,7 @@ object LakeView {
           allBaseCols).localCheckpoint()
         states.foreach { case (vd, spec, from) =>
           if (from < h) refreshOne(spark, dir, corpusDir, vd, spec,
-            from, h, shared)
+            from, h, shared, sharedHistory = true)
         }
         Some(h)
       case None => None

@@ -151,11 +151,12 @@ class ContractSpec extends SparkSpec {
         (nulls, Map.empty[String, String]), (worst, someErrors),
         (nulls, allErrors)).foreach { case (rs, errs) =>
       val line = Bench.benchLine(rs, errs, 9999.99, "/root/testdata/sf0.1")
-      // by-construction max: QsBudget + 86 chars of fixed line overhead
-      // (prefix/total/suffix); +75 for sbt's [success] tail stays ≤ 2000.
-      // The literal window bound is asserted INDEPENDENTLY of QsBudget so
-      // raising the budget past the window cannot self-certify.
-      assert(line.length <= Bench.QsBudget + 86,
+      // by-construction max: the queries map gets LineMax minus the
+      // MEASURED prefix/suffix, so the cap holds for any total width and
+      // sf dir; +75 for sbt's [success] tail stays ≤ 2000. The literal
+      // window bound is asserted INDEPENDENTLY of LineMax so raising the
+      // budget past the window cannot self-certify.
+      assert(line.length <= Bench.LineMax,
         s"bench line would be ${line.length} chars — emergency truncation failed")
       assert(line.length <= 1925,
         s"bench line ${line.length} chars exceeds the post-[success] window")
@@ -172,6 +173,12 @@ class ContractSpec extends SparkSpec {
     // catastrophic all-fail: errors block capped, counter present
     val c = Bench.benchLine(nulls, allErrors, 0.0, "sf")
     assert(c.contains("\"errors_omitted\":"), "all-fail errors block must cap")
+    // a six-digit total AND a 120-char sf dir squeeze the same cap: the
+    // queries map yields, the line never outgrows the window
+    val long = Bench.benchLine(worst, allErrors, 123456.78,
+      "/some/very/long/" + ("d" * 100) + "/sf9")
+    assert(long.length <= Bench.LineMax,
+      s"long-sfDir line ${long.length} chars broke the by-construction cap")
   }
 }
 

@@ -817,7 +817,7 @@ class LakeMaintenanceSpec extends SparkSpec {
     CorpusLake.initCorpus(spark, dir, s"$root/idx")
     val q = CorpusLake.maintainCorpusStream(
         in.toDF().toDF("doc_id", "text"), spark, dir, s"$root/idx", lake,
-        s"$root/maint")
+        s"$root/maint", leaseWaitMs = 0L)
       .option("checkpointLocation", s"$root/ck").start()
     in.addData((1000001L, (1 to 40).map(i => s"lease$i").mkString(" ")))
     val r3 = scala.util.Try(q.processAllAvailable())
@@ -869,5 +869,55 @@ class LakeMaintenanceSpec extends SparkSpec {
     assert(CorpusLake.heldWriterLease(spark, lake, "long-holder"),
       "the timed-out wait must leave the holder's lease intact")
     CorpusLake.releaseWriterLease(spark, lake, "long-holder")
+
+    // same-owner re-entry: a crashed incarnation's fresh lease does not
+    // strand ITS OWN restart for the TTL — re-acquiring under the same
+    // tag reclaims immediately (the stable-owner ingest-batch case)
+    assert(CorpusLake.acquireWriterLease(spark, lake, "stable-writer"))
+    assert(CorpusLake.acquireWriterLease(spark, lake, "stable-writer"),
+      "same-owner re-acquire must reclaim, not refuse")
+    assert(!CorpusLake.acquireWriterLease(spark, lake, "someone-else"),
+      "re-entry must not weaken exclusion against other owners")
+    CorpusLake.releaseWriterLease(spark, lake, "stable-writer")
+
+    // pre-commit recheck: a writer whose lease was taken over mid-body
+    // (TTL overrun) must ABORT at the recheck instead of committing
+    val reentered = CorpusLake.withOpLease(spark, lake, "optest",
+        stableOwner = Some("op-A")) { recheck =>
+      recheck() // held: a no-op
+      // simulate the takeover a TTL overrun permits
+      CorpusLake.releaseWriterLease(spark, lake, "op-A")
+      assert(CorpusLake.acquireWriterLease(spark, lake, "op-B"))
+      val e = intercept[IllegalStateException] { recheck() }
+      assert(e.getMessage.contains("taken over"), e.getMessage)
+      "aborted-before-manifest"
+    }
+    assert(reentered == "aborted-before-manifest")
+    assert(CorpusLake.heldWriterLease(spark, lake, "op-B"),
+      "the zombie's exit must not unseat the new holder")
+    CorpusLake.releaseWriterLease(spark, lake, "op-B")
+
+    // the default stream posture QUEUES behind a briefly-held foreign
+    // lease (a passing OPTIMIZE) instead of killing the query
+    val manifestBefore = CorpusLake.manifest(spark, lake).count()
+    assert(CorpusLake.acquireWriterLease(spark, lake, "passing-optimize"))
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = CorpusLake.maintainCorpusStream(
+        in2.toDF().toDF("doc_id", "text"), spark, dir, s"$root/idx", lake,
+        s"$root/maint", leaseWaitMs = 30000L)
+      .option("checkpointLocation", s"$root/ck2").start()
+    in2.addData((1000002L, (1 to 40).map(i => s"queue$i").mkString(" ")))
+    val passer = new Thread(() => {
+      Thread.sleep(1500)
+      CorpusLake.releaseWriterLease(spark, lake, "passing-optimize")
+    })
+    passer.start()
+    q2.processAllAvailable()
+    val q2Ex = q2.exception
+    q2.stop(); passer.join()
+    assert(q2Ex.isEmpty,
+      s"a waiting batch must commit once the holder passes: $q2Ex")
+    assert(CorpusLake.manifest(spark, lake).count() == manifestBefore + 1,
+      "the queued batch must have committed exactly one epoch")
   }
 }
