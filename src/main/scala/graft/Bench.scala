@@ -272,6 +272,45 @@ object Bench {
     // whose count() completes; a query with zero successful runs reports
     // null + an entry in "errors" instead of its (fast) failure time.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Memoized FAMILY fixtures are built here under named `fixture:*`
+    // entries instead of landing on whichever query touches them first
+    // (r15: corpus_view_quantile read 44.8 s cold vs ≤2.7 s steady —
+    // ~92% was the one-time view-family build; corpus_card_travel the
+    // same for the card family). Charging the builds to their own timed
+    // entries keeps every per-query number a SERVE cost and the
+    // round-over-round trend readable; the entries ride the stdout line
+    // and BENCH_FULL.json like queries, and the reported total still
+    // includes them (the work is real — it is just attributed). Each
+    // fixture builds only when a benched query depends on it, so
+    // targeted SPARK_GRAFT_BENCH_ONLY runs skip unrelated builds.
+    // Dependency-ordered: the later families build ON the delete lake,
+    // so each entry times its own increment.
+    val fixtureBuilds: Seq[(String, String => Boolean, () => Unit)] = Seq(
+      ("fixture:delete_lake", q => q.startsWith("corpus_"),
+        () => { graft.operators.CorpusLake.deleteLake(spark, sfDir); () }),
+      ("fixture:view_family", q => q.startsWith("corpus_view"),
+        () => graft.operators.LakeView.warmFamilyViews(spark, sfDir)),
+      ("fixture:views_shared", q => q == "corpus_views_shared",
+        () => graft.operators.LakeView.warmSharedViews(spark, sfDir)),
+      ("fixture:card_family",
+        q => q.startsWith("corpus_card_live") || q == "corpus_card_travel",
+        () => graft.operators.Curate.warmCardFamily(spark, sfDir)))
+    val fixtureResults =
+      scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
+    fixtureBuilds.foreach { case (name, needs, build) =>
+      if (benched.keys.exists(needs)) {
+        val t0 = System.nanoTime()
+        try {
+          build()
+          fixtureResults(name) = Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(120)
+            fixtureResults(name) = None
+        }
+      }
+    }
     // one timed execution; a failure lands in `into` instead of a (fast)
     // failure time — shared by the cold contract pass and the steady pass
     def timedRun(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -299,10 +338,12 @@ object Bench {
           s"""{"metric":"$metric","value":${fmt(qs.values.flatten.sum)},"unit":"sec","queries":$json$extra,"sf":"$sfDir"}
 """.getBytes("UTF-8"))
       } catch { case _: Throwable => () } // read-only cwd must not kill the bench
-    val results = benched.map { case (name, fn) =>
+    val queryResults = benched.map { case (name, fn) =>
       val times = (1 to runs).flatMap(_ => timedRun(name, fn, errors))
       name -> (if (times.nonEmpty) Some(times.min) else None)
     }
+    val results: scala.collection.Map[String, Option[Double]] =
+      fixtureResults ++ queryResults
     val total = results.values.flatten.sum
     // a second probe AFTER the timed pass catches contention that began
     // mid-run (a start-only probe would miss it); the recorded ratio is

@@ -163,6 +163,7 @@ object SparkEntry {
     "text_index_drift"     -> (TextAnalysis.postingsDrift _),
     "corpus_run_shards"    -> (CorpusLake.shardManifestTwin _),
     "corpus_run_shards_delta" -> (CorpusLake.shardDeltaTwin _),
+    "corpus_lease_refusal" -> (CorpusLake.leaseRefusalTwin _),
   )
 
   /** The gear CDC byte table as a DuckDB list literal — single source of
@@ -2856,6 +2857,22 @@ object SparkEntry {
         |  UNION ALL SELECT 'p50_chars:' || card_lang, p50 FROM g
         |  UNION ALL SELECT 'p95_chars:' || card_lang, p95 FROM g)
         |ORDER BY metric""".stripMargin,
+
+    // writer-lease protocol outcomes: acquire/refuse/re-entry/queue-
+    // timeout/TTL-takeover/recheck-abort as deterministic (step, action,
+    // outcome) rows — the single-writer discipline under the hash gate;
+    // the twin is a constant table because the protocol's outcomes are
+    // specified, not timing-dependent
+    "corpus_lease_refusal" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'acquire', 'granted'),
+        |  (2, 'second_writer', 'refused'),
+        |  (3, 'same_owner_reentry', 'granted'),
+        |  (4, 'await_live_holder', 'timeout'),
+        |  (5, 'after_release', 'granted'),
+        |  (6, 'ttl_takeover', 'granted'),
+        |  (7, 'recheck_after_takeover', 'aborted')
+        |) AS t(step, action, outcome) ORDER BY step""".stripMargin,
 
     // run-delivery shard manifest: hash-balanced shard assignment
     // (hash60(doc_id) mod 8), per-shard totals, and an order-independent

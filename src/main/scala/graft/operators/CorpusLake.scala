@@ -211,9 +211,9 @@ object CorpusLake {
       if (graft.sources.Formats.pathExists(spark, p)) {
         val nextGen = storeGen(spark, corpusDir, name) + 1
         before += dataFileCount(spark, p)
-        val rows = spark.read.option("mergeSchema", "true")
+        val raw0 = spark.read.option("mergeSchema", "true")
           .option("recursiveFileLookup", "true").parquet(p)
-          .dropDuplicates("doc_id", "epoch")
+        val rows = raw0.dropDuplicates(replayKey(raw0))
         val n = rows.count()
         val nFiles = math.max(1L,
           (n + targetRowsPerFile - 1) / targetRowsPerFile).toInt
@@ -339,7 +339,7 @@ object CorpusLake {
     readStore(spark, corpusDir, "docs") match {
       case None => spark.range(0).select(col("id").as("doc_id"),
         lit("").as("text"), lit(0L).as("epoch")).limit(0)
-      case Some(raw) => raw.dropDuplicates("doc_id", "epoch")
+      case Some(raw) => raw.dropDuplicates(replayKey(raw))
     }
 
   private[operators] def admittedRaw(spark: SparkSession,
@@ -501,12 +501,13 @@ object CorpusLake {
     // version allocation + both writes run under the writer lease: a
     // concurrent writer would race nextLakeVersion into a double-assigned
     // epoch — the exact corruption the lease exists to refuse
-    withOpLease(spark, corpusDir, "deleteDocs") { recheck =>
+    withOpLease(spark, corpusDir, "deleteDocs") { (recheck, tag) =>
       val v = nextLakeVersion(spark, corpusDir)
       victims.select(col("doc_id"),
           lit(null).cast("string").as("text"),
           lit(v).as("epoch"),
-          lit(true).as("_deleted"))
+          lit(true).as("_deleted"),
+          lit(tag).as("_commit"))
         .write.mode("append").parquet(liveTarget(spark, corpusDir, "docs"))
       recheck()
       // the manifest row commits the tombstone epoch — LAST. batch_id = -1:
@@ -518,6 +519,7 @@ object CorpusLake {
         .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
           "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
         .withColumn("committed_at", lit(System.currentTimeMillis()))
+        .withColumn("commit_tag", lit(tag))
         .write.mode("append").parquet(manifestTarget(spark, corpusDir))
       v
     }
@@ -574,14 +576,75 @@ object CorpusLake {
     v
   }
 
-  /** Semi-join a (…, epoch) relation down to manifest-committed epochs ≤ the
-    * pinned version — the read-side half of the manifest-last protocol. */
-  private def committedOnly(rows: DataFrame, man: DataFrame,
-      version: Option[Long]): DataFrame = {
-    val committed = version.fold(man)(v => man.filter(col("version") <= v))
-      .select(col("version").as("epoch"))
-    rows.join(committed, Seq("epoch"), "left_semi")
+  /** Committed (epoch, writer-tag) pairs from a manifest frame. Pre-tag
+    * manifest rows (no `commit_tag` column, or nulls from the schema
+    * evolution) yield a null tag, which the pair filter treats as
+    * "admit by epoch alone" — the legacy compatibility path. */
+  private def committedPairs(man: DataFrame): DataFrame = {
+    val tag =
+      if (man.columns.contains("commit_tag")) col("commit_tag")
+      else lit(null).cast("string")
+    man.select(col("version").as("epoch"), tag.as("_man_tag"))
   }
+
+  /** PAIR-AWARE committed filter — the read-side half of the
+    * manifest-last protocol, hardened against orphan ADOPTION: a row is
+    * committed iff its epoch has a manifest row AND, when both sides are
+    * tagged, the row's `_commit` writer tag matches the manifest row's
+    * `commit_tag`. A zombie writer that appended data at version v after
+    * its lease takeover, and a new holder that committed the SAME v,
+    * carry DIFFERENT tags — the epoch-only semi-join would adopt the
+    * zombie's rows into the new holder's commit; the pair test excludes
+    * them (and [[vacuumCorpus]] reclaims them by the same test). Either
+    * side null ⇒ epoch-only (pre-tag lakes keep serving). The join stays
+    * an equi-join on epoch (manifest-sized build side) with the tag test
+    * as a residual filter. `keepTag = true` preserves the `_commit`
+    * column for store rewrites; readers get it stripped. */
+  private[operators] def committedRows(rows: DataFrame, man: DataFrame,
+      keepTag: Boolean = false): DataFrame = {
+    val hasTag = rows.columns.contains("_commit")
+    val r = rows.alias("r")
+    val m = committedPairs(man).alias("m")
+    val rowTag = if (hasTag) col("r._commit") else lit(null).cast("string")
+    val joined = r.join(m,
+      col("r.epoch") === col("m.epoch") &&
+        (rowTag.isNull || col("m._man_tag").isNull ||
+          rowTag === col("m._man_tag")),
+      "left_semi")
+    if (hasTag && !keepTag) joined.drop("_commit") else joined
+  }
+
+  /** The anti half of [[committedRows]] — rows NO committed (epoch, tag)
+    * pair admits: crash orphans and taken-over writers' appends, the set
+    * vacuum's orphan cleanup reclaims. */
+  private def uncommittedRows(rows: DataFrame, man: DataFrame): DataFrame = {
+    val hasTag = rows.columns.contains("_commit")
+    val r = rows.alias("r")
+    val m = committedPairs(man).alias("m")
+    val rowTag = if (hasTag) col("r._commit") else lit(null).cast("string")
+    r.join(m,
+      col("r.epoch") === col("m.epoch") &&
+        (rowTag.isNull || col("m._man_tag").isNull ||
+          rowTag === col("m._man_tag")),
+      "left_anti")
+  }
+
+  /** The store's replay-collapse key: (doc_id, epoch) plus the `_commit`
+    * writer tag when present. Two DIFFERENT writers' rows at one
+    * (doc_id, epoch) — the orphan-adoption race — must NOT collapse into
+    * an arbitrary survivor BEFORE the pair-aware committed filter can
+    * exclude the orphan; same-writer replay copies still collapse
+    * (a stable owner replays under an identical tag). */
+  private[operators] def replayKey(df: DataFrame): Seq[String] =
+    if (df.columns.contains("_commit")) Seq("doc_id", "epoch", "_commit")
+    else Seq("doc_id", "epoch")
+
+  /** Semi-join a (…, epoch) relation down to manifest-committed epochs ≤ the
+    * pinned version — the read-side half of the manifest-last protocol,
+    * pair-aware via [[committedRows]]. */
+  private def committedOnly(rows: DataFrame, man: DataFrame,
+      version: Option[Long]): DataFrame =
+    committedRows(rows, version.fold(man)(v => man.filter(col("version") <= v)))
 
   /** The lake's committed admitted docs at a pinned version (all committed
     * when None), doc-level latest-epoch-wins, INCLUDING tombstone rows
@@ -859,9 +922,11 @@ object CorpusLake {
       if (files.isEmpty)
         spark.range(0).select(col("id").as("doc_id"),
           lit("").as("text"), lit(0L).as("epoch")).limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(files: _*).filter(idPred)
-        .dropDuplicates("doc_id", "epoch")
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(files: _*).filter(idPred)
+        raw.dropDuplicates(replayKey(raw))
+      }
     parentOf(spark, corpusDir) match {
       case None => local
       case Some((parent, base, _)) =>
@@ -1053,11 +1118,14 @@ object CorpusLake {
     // version allocation + data + manifest land under the writer lease:
     // two merges (or a merge racing a replication window) would otherwise
     // double-assign the epoch
-    withOpLease(spark, targetDir, "commitNetEffect") { recheck =>
+    withOpLease(spark, targetDir, "commitNetEffect") { (recheck, tag) =>
       val v = nextLakeVersion(spark, targetDir)
       val nDel = local.filter(col("_deleted")).count()
       val n = local.count()
-      local.drop("epoch").withColumn("epoch", lit(v))
+      // drop any _commit a change-feed source row carried: this epoch's
+      // rows belong to THIS writer's commit
+      local.drop("epoch", "_commit").withColumn("epoch", lit(v))
+        .withColumn("_commit", lit(tag))
         .write.mode("append").parquet(liveTarget(spark, targetDir, "docs"))
       // keep the target's dedup index whole across a merge: the merged
       // live docs' bucket rows land at the merge epoch (data-first, like
@@ -1078,6 +1146,7 @@ object CorpusLake {
         .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
           "n_contaminated", "n_low_quality", "batch_id", "n_deleted")
         .withColumn("committed_at", lit(System.currentTimeMillis()))
+        .withColumn("commit_tag", lit(tag))
         .write.mode("append").parquet(manifestTarget(spark, targetDir))
       v
     }
@@ -1191,8 +1260,8 @@ object CorpusLake {
         lit(null).cast("long").as("first_dup"),
         lit(0L).as("n_bench_hits"), lit(0.0).as("quality"),
         lit(0L).as("epoch")).limit(0)
-    committedOnly(readStore(spark, corpusDir, "decisions").get
-        .dropDuplicates("doc_id", "epoch"),
+    val dec = readStore(spark, corpusDir, "decisions").get
+    committedOnly(dec.dropDuplicates(replayKey(dec)),
       manifest(spark, corpusDir), None)
   }
 
@@ -1360,7 +1429,7 @@ object CorpusLake {
           // passing OPTIMIZE must delay a batch, not kill the query).
           withOpLease(spark, corpusDir, s"ingest-batch-$batchId",
             stableOwner = Some(s"ingest-batch-$batchId@$maintDir"),
-            waitMs = leaseWaitMs) { recheck =>
+            waitMs = leaseWaitMs) { (recheck, tag) =>
           val epoch = nextLakeVersion(spark, corpusDir)
           // stream-integrated takedowns: split the batch on the delete
           // marker; a doc_id may not be upserted AND deleted in one
@@ -1409,6 +1478,7 @@ object CorpusLake {
             decisions.filter($"decision" === Curate.Admitted)
               .select($"doc_id"), "doc_id")
           admitted.withColumn("epoch", lit(epoch))
+            .withColumn("_commit", lit(tag))
             .write.mode("append").parquet(
               liveTarget(spark, corpusDir, "docs"))
           // takedowns commit as tombstones IN this epoch — admission-
@@ -1421,12 +1491,14 @@ object CorpusLake {
             if (n > 0)
               del.select(col("doc_id"),
                   lit(null).cast("string").as("text"),
-                  lit(epoch).as("epoch"), lit(true).as("_deleted"))
+                  lit(epoch).as("epoch"), lit(true).as("_deleted"),
+                  lit(tag).as("_commit"))
                 .write.mode("append").parquet(
                   liveTarget(spark, corpusDir, "docs"))
             n
           }
           decisions.withColumn("epoch", lit(epoch))
+            .withColumn("_commit", lit(tag))
             .write.mode("append").parquet(
               liveTarget(spark, corpusDir, "decisions"))
           val newBuckets = Dedup.bucketRows(Dedup.signRows(admitted))
@@ -1455,7 +1527,7 @@ object CorpusLake {
               $"n_duplicate", $"n_contaminated", $"n_low_quality",
               lit(batchId).as("batch_id"), lit(nDeleted).as("n_deleted"),
               lit(System.currentTimeMillis()).as("committed_at"),
-              $"n_invalid")
+              $"n_invalid", lit(tag).as("commit_tag"))
             .write.mode("append").parquet(manifestTarget(spark, corpusDir))
           // index upkeep (the maintainDedupIndexStream counters, verbatim)
           if (baseCount < 0) baseCount = spark.read.parquet(
@@ -1619,17 +1691,15 @@ object CorpusLake {
       s"fromVersion $fromVersion predates the retention floor $floor: " +
         "the visible-at-from state was collapsed by vacuumCorpus")
     val man = manifest(spark, corpusDir)
-    val winVersions = toVersion.fold(man)(v => man.filter(col("version") <= v))
+    val winMan = toVersion.fold(man)(v => man.filter(col("version") <= v))
       .filter(col("version") > fromVersion)
-      .select(col("version").as("epoch"))
     def deletedFlag(df: DataFrame) =
       if (df.columns.contains("_deleted"))
         coalesce(col("_deleted"), lit(false))
       else lit(false)
     val raw = admittedRaw(spark, corpusDir)
-    val changed = raw
-      .filter(col("epoch") > fromVersion)
-      .join(winVersions, Seq("epoch"), "left_semi")
+    val changed = committedRows(raw.filter(col("epoch") > fromVersion),
+        winMan)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
       .filter(col("_rn") === 1).drop("_rn")
@@ -1640,10 +1710,8 @@ object CorpusLake {
     // row — a tombstone at the cursor both hides the doc and shadows its
     // base row, exactly the readCorpusAt contract. Pruned to the changed
     // ids first, so the window runs over candidate history only.
-    val priorLatest = raw
-      .filter(col("epoch") <= fromVersion)
-      .join(man.filter(col("version") <= fromVersion)
-        .select(col("version").as("epoch")), Seq("epoch"), "left_semi")
+    val priorLatest = committedRows(raw.filter(col("epoch") <= fromVersion),
+        man.filter(col("version") <= fromVersion))
       .join(changedIds, Seq("doc_id"), "left_semi")
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
@@ -1832,10 +1900,8 @@ object CorpusLake {
     * read. */
   private def windowDeltas(spark: SparkSession, dir: String,
       corpusDir: String, from: Long, head: Long): DataFrame = {
-    val man = manifest(spark, corpusDir)
-      .filter(col("version") <= head).select(col("version").as("epoch"))
-    val committed = admittedRaw(spark, corpusDir)
-      .join(man, Seq("epoch"), "left_semi")
+    val committed = committedRows(admittedRaw(spark, corpusDir),
+      manifest(spark, corpusDir).filter(col("version") <= head))
     val changedIds = committed.filter(col("epoch") > from)
       .select(col("doc_id")).distinct()
     // no broadcast hint: the changed set is bootstrap-unbounded (see
@@ -2195,8 +2261,19 @@ object CorpusLake {
     // replaying its batch under its STABLE owner). Reclaim immediately
     // instead of stranding the writer behind its own lease for the full
     // TTL; two live instances of one logical owner cannot exist (the
-    // stream's checkpoint lock serializes restarts).
-    if (heldWriterLease(spark, corpusDir, owner)) return true
+    // stream's checkpoint lock serializes restarts). Reclaim by
+    // delete + atomic re-create + re-read, NOT by returning on the owner
+    // check alone: the re-create RESTARTS the TTL clock (the crashed
+    // incarnation's mtime is already partly spent — keeping it would
+    // invite a mid-batch takeover), and the re-read closes the window
+    // where a concurrent stale takeover lands between our check and our
+    // return (both writers would otherwise briefly believe they hold it).
+    // A lost race falls through to the stale path, which re-validates.
+    if (heldWriterLease(spark, corpusDir, owner) &&
+        (try { fs.delete(p, false); true }
+         catch { case _: java.io.IOException => false }) &&
+        tryCreate() && heldWriterLease(spark, corpusDir, owner))
+      return true
     // held by another: stale (holder crashed past its TTL) → take over,
     // else refuse
     val st = try Some(fs.getFileStatus(p))
@@ -2312,19 +2389,23 @@ object CorpusLake {
     * before refusing — the stream's posture, where a transient OPTIMIZE
     * holding the lake must delay a batch, not kill the query.
     *
-    * `body` receives a RECHECK thunk: call it immediately before the
-    * manifest-row commit. It re-verifies ownership (one FS round-trip)
-    * and throws if the lease was taken over while a long body overran
-    * the TTL — the taken-over writer then ABORTS without committing, so
-    * two manifest rows can never land for one allocated version. Data
-    * files it already appended stay orphans the manifest never admits
-    * (vacuum's orphan cleanup reclaims them); the residual advisory
-    * window — a new holder committing the SAME version number and
-    * adopting those orphans — is the one-FS-round-trip object-store
-    * bound the lease scaladoc documents. */
+    * `body` receives a RECHECK thunk and the lease OWNER TAG. Call the
+    * thunk immediately before the manifest-row commit: it re-verifies
+    * ownership (one FS round-trip) and throws if the lease was taken
+    * over while a long body overran the TTL — the taken-over writer then
+    * ABORTS without committing, so two manifest rows can never land for
+    * one allocated version. Data files it already appended stay orphans
+    * the manifest never admits: every data row the body writes carries
+    * the owner tag as its `_commit` column and the manifest row carries
+    * it as `commit_tag`, so the read-side pair filter
+    * ([[committedRows]]) excludes a zombie's rows even when a NEW holder
+    * later commits the SAME version number — the orphan-ADOPTION window
+    * the epoch-only semi-join had is closed at the row level, not just
+    * narrowed to one FS round-trip. Vacuum reclaims the orphans by the
+    * same pair test. */
   private[graft] def withOpLease[T](spark: SparkSession, corpusDir: String,
       op: String, stableOwner: Option[String] = None,
-      waitMs: Long = 0L)(body: (() => Unit) => T): T = {
+      waitMs: Long = 0L)(body: (() => Unit, String) => T): T = {
     val owner = stableOwner.getOrElse(
       s"$op-" + java.util.UUID.randomUUID().toString)
     val got =
@@ -2345,8 +2426,57 @@ object CorpusLake {
             s"taken over while '$op' ran past its TTL — aborting BEFORE " +
             "the manifest commit; no epoch was committed (appended data " +
             "files are orphans the next vacuum reclaims)")
-    try body(recheck)
+    try body(recheck, owner)
     finally releaseWriterLease(spark, corpusDir, owner)
+  }
+
+  /** The writer-lease protocol's ORACLED surface: run the full
+    * refusal / queue-timeout / re-entry / TTL-takeover / recheck-abort
+    * lifecycle against a throwaway lake dir and return one
+    * (step, action, outcome) row per protocol step — deterministic
+    * outcome rows the driver's hash gate pins, so the single-writer
+    * discipline sits under the same oracle as every relational operator
+    * (the DuckDB twin is a constant VALUES table). Timing-free by
+    * construction: the takeover uses the documented zero-TTL steal, the
+    * queue test times out against a FRESH lease (never a steal), and
+    * the recheck abort simulates the overrun with an explicit release —
+    * no step depends on wall-clock races. The protocol releases every
+    * lease it takes, so repeat calls on the memoized dir are identical. */
+  def leaseRefusalTwin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lake = graft.sources.Caches.memoizedValue[String](spark,
+        s"corpus-lease-twin|$dir") {
+      java.nio.file.Files.createTempDirectory("graft-lease-twin").toString
+    }
+    val steps = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    def rec(action: String, outcome: String): Unit =
+      steps += ((steps.size + 1, action, outcome))
+    def granted(b: Boolean): String = if (b) "granted" else "refused"
+    rec("acquire", granted(acquireWriterLease(spark, lake, "writer-a")))
+    rec("second_writer", granted(acquireWriterLease(spark, lake, "writer-b")))
+    rec("same_owner_reentry",
+      granted(acquireWriterLease(spark, lake, "writer-a")))
+    rec("await_live_holder",
+      if (awaitWriterLease(spark, lake, "writer-b", timeoutMs = 250L))
+        "granted" else "timeout")
+    releaseWriterLease(spark, lake, "writer-a")
+    rec("after_release", granted(acquireWriterLease(spark, lake, "writer-b")))
+    Thread.sleep(5) // age writer-b's lease past the zero TTL below
+    rec("ttl_takeover",
+      granted(acquireWriterLease(spark, lake, "writer-c", ttlMs = 1L)))
+    releaseWriterLease(spark, lake, "writer-c")
+    // pre-commit recheck: a holder whose lease was taken over mid-body
+    // (a TTL overrun) must ABORT before its manifest write
+    val aborted = withOpLease(spark, lake, "leaseTwin",
+        stableOwner = Some("writer-d")) { (recheck, _) =>
+      releaseWriterLease(spark, lake, "writer-d")
+      acquireWriterLease(spark, lake, "writer-e")
+      try { recheck(); "committed" }
+      catch { case _: IllegalStateException => "aborted" }
+    }
+    rec("recheck_after_takeover", aborted)
+    releaseWriterLease(spark, lake, "writer-e")
+    steps.toSeq.toDF("step", "action", "outcome").orderBy("step")
   }
 
   // ------------- run delivery (deterministic shard export + integrity)
@@ -2656,7 +2786,6 @@ object CorpusLake {
       .write.mode("overwrite").parquet(s"$corpusDir/retention_compacting")
     Similarity.swapArtifact(spark, corpusDir, "retention")
     val manDf = manifest(spark, corpusDir)
-    val man = manDf.select(col("version").as("epoch"))
     val head = {
       import spark.implicits._
       manDf.agg(max(col("version"))).as[Option[Long]].head()
@@ -2664,7 +2793,10 @@ object CorpusLake {
     }
     val raw = admittedRaw(spark, corpusDir)
     val before = raw.count()
-    val committed = raw.join(man, Seq("epoch"), "left_semi")
+    // pair-aware (epoch, commit_tag) membership, keepTag: the rewrite
+    // must preserve each kept row's writer tag or the next vacuum/read
+    // would lose the adoption exclusion for surviving history
+    val committed = committedRows(raw, manDf, keepTag = true)
     val recent = committed.filter(col("epoch") > retainFrom)
     val floorState = committed.filter(col("epoch") <= retainFrom)
       .withColumn("_rn", row_number().over(
@@ -2675,8 +2807,11 @@ object CorpusLake {
     // here would let the imminent manifest commit an emptied epoch);
     // uncommitted rows AT or BELOW head are provably dead — the stream's
     // epoch counter is monotone and the committed-collision guard skips
-    // re-delivery — and only those are reclaimed
-    val inFlight = raw.join(man, Seq("epoch"), "left_anti")
+    // re-delivery — and only those are reclaimed. Pair-aware: a
+    // taken-over writer's rows at a version a NEW holder committed are
+    // uncommitted BY TAG even though the epoch has a manifest row —
+    // exactly the orphans this cleanup exists to reclaim.
+    val inFlight = uncommittedRows(raw, manDf)
       .filter(col("epoch") > head)
     // `versioned` = the no-retry write path: kept rows land in a NEW
     // generation dir and the pointer flips (the optimizeCorpusVersioned
@@ -2701,10 +2836,10 @@ object CorpusLake {
     val decStore = storeName(spark, corpusDir, "decisions")
     val decPath = Similarity.resolveArtifact(spark, corpusDir, decStore)
     if (graft.sources.Formats.pathExists(spark, decPath)) {
-      val dec = readStore(spark, corpusDir, "decisions").get
-        .dropDuplicates("doc_id", "epoch")
-      rewrite("decisions", dec.join(man, Seq("epoch"), "left_semi")
-        .unionByName(dec.join(man, Seq("epoch"), "left_anti")
+      val dec0 = readStore(spark, corpusDir, "decisions").get
+      val dec = dec0.dropDuplicates(replayKey(dec0))
+      rewrite("decisions", committedRows(dec, manDf, keepTag = true)
+        .unionByName(uncommittedRows(dec, manDf)
           .filter(col("epoch") > head)))
     }
     flipStoreHead(spark, corpusDir, flips.result())
@@ -2768,14 +2903,22 @@ object CorpusLake {
     val (decRows, decFiles) = store("decisions")
     // union BOTH stores' epochs: a batch whose every arrival was rejected
     // leaves its crash orphan only in decisions (zero docs rows) — the
-    // DESCRIBE surface must agree with vacuum about what exists
+    // DESCRIBE surface must agree with vacuum about what exists.
+    // Pair-aware like vacuum's reclaim: an epoch counts as carrying
+    // uncommitted data when ANY of its rows fails the (epoch, commit_tag)
+    // test — including a taken-over writer's orphans at a version a new
+    // holder committed, which the epoch-only anti-join would hide.
     val uncommitted = Seq("docs", "decisions").map { name =>
       readStore(spark, corpusDir, name)
-        .fold(spark.range(0).select(col("id").as("epoch")))(
-          _.select(col("epoch")))
-    }.reduce(_ unionByName _).distinct()
-      .join(man.select(col("version").as("epoch")), Seq("epoch"),
-        "left_anti").count()
+        .map { df =>
+          val cols = col("epoch") +:
+            (if (df.columns.contains("_commit")) Seq(col("_commit"))
+             else Nil)
+          uncommittedRows(df.select(cols: _*).distinct(), man)
+            .select(col("epoch"))
+        }
+        .getOrElse(spark.range(0).select(col("id").as("epoch")))
+    }.reduce(_ unionByName _).distinct().count()
     val floor = retentionFloor(spark, corpusDir)
     val pins = pinnedRuns(spark, corpusDir).count()
     // raw tombstone rows ([[deleteDocs]]), not currently-deleted docs —
@@ -2937,7 +3080,7 @@ object CorpusLake {
           if (raw.columns.contains("epoch"))
             raw.agg(max(col("epoch"))).as[Option[Long]].head()
           else None
-        val rows = raw.dropDuplicates("doc_id", "epoch").persist()
+        val rows = raw.dropDuplicates(replayKey(raw)).persist()
         try {
           val n = rows.count()
           if (n > 0) {
@@ -3001,8 +3144,13 @@ object CorpusLake {
       val p = Similarity.resolveArtifact(spark, corpusDir, cur)
       if (graft.sources.Formats.pathExists(spark, p)) {
         before += dataFileCount(spark, p)
+        // replay-collapse key includes the writer tag when present: the
+        // deep rewrite must not collapse an orphaned zombie row and a
+        // committed row at one (doc_id, epoch) into an arbitrary survivor
+        val keys = readStore(spark, corpusDir, name)
+          .map(replayKey).getOrElse(Seq("doc_id", "epoch"))
         Similarity.coalesceStore(spark, s"$corpusDir/$cur",
-          Seq("doc_id", "epoch"), Seq("epoch", "doc_id"), targetRowsPerFile)
+          keys, Seq("epoch", "doc_id"), targetRowsPerFile)
         after += dataFileCount(spark, s"$corpusDir/$cur")
       }
     }
@@ -3063,7 +3211,7 @@ object CorpusLake {
     * ≡ 2 (mod 27) subset with fresh text (deletes are reversible). The
     * allocated versions are asserted so the fixture fails loudly if
     * [[nextLakeVersion]] ever drifts. */
-  private[operators] def deleteLake(spark: SparkSession,
+  private[graft] def deleteLake(spark: SparkSession,
       dir: String): String =
     graft.sources.Caches.memoizedValue[String](spark,
         s"corpus-del-lake|$dir") {

@@ -403,6 +403,12 @@ object Curate {
     }
   }
 
+  /** Bench fixture-charging hook: pre-build the live-card view family
+    * under its own timed `fixture:card_family` entry so the card queries'
+    * bench numbers measure serve cost only. */
+  private[graft] def warmCardFamily(spark: SparkSession,
+      dir: String): Unit = { cardViewDirs(spark, dir); () }
+
   private def cardFold(spark: SparkSession, cells: DataFrame): DataFrame = {
     import spark.implicits._
     val totals = cells.agg(

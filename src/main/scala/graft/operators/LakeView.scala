@@ -277,10 +277,9 @@ object LakeView {
   private def changedHistory(spark: SparkSession, dir: String,
       corpusDir: String, from: Long, head: Long,
       baseCols: Seq[String] = Nil): DataFrame = {
-    val man = CorpusLake.manifest(spark, corpusDir)
-      .filter(col("version") <= head).select(col("version").as("epoch"))
-    val committed = CorpusLake.admittedRaw(spark, corpusDir)
-      .join(man, Seq("epoch"), "left_semi")
+    val committed = CorpusLake.committedRows(
+      CorpusLake.admittedRaw(spark, corpusDir),
+      CorpusLake.manifest(spark, corpusDir).filter(col("version") <= head))
     val changedIds = committed.filter(col("epoch") > from)
       .select(col("doc_id")).distinct()
     val delFlag =
@@ -621,7 +620,8 @@ object LakeView {
     * the (from, to] window, or None at the lake head. */
   def refreshViewFromLake(spark: SparkSession, dir: String,
       corpusDir: String, viewDir: String,
-      upTo: Option[Long] = None): Option[(Long, Long)] = {
+      upTo: Option[Long] = None,
+      compactEvery: Int = 0): Option[(Long, Long)] = {
     import spark.implicits._
     val spec = viewSpecFull(spark, viewDir)
     val from = cursorOf(spark, viewDir)
@@ -641,10 +641,31 @@ object LakeView {
           spec.baseCols)
         refreshOne(spark, dir, corpusDir, viewDir, spec, from, h, seq,
           sharedHistory = false)
+        maybeAutoCompact(spark, viewDir, h, compactEvery)
         Some((from, h))
       case None => None
     }
   }
+
+  /** Auto-compaction cadence for the refresh paths: fold the view's
+    * delta/ext backlog into the base once `compactEvery` lake versions
+    * have accumulated past the fold watermark. Between compactions every
+    * [[readView]] folds O(versions-since-fold × groups) delta rows on
+    * top of the base — the stream path compacts on its optimize cadence
+    * ([[CorpusLake.maintainCorpusStream]]), but a solo refresh loop
+    * would otherwise grow that backlog unboundedly (the SCALING.md
+    * `corpus_view_backlog` probe measures the growth). The trade:
+    * compaction collapses per-version history, so [[readViewAt]] below
+    * the new watermark refuses — size the cadence to the time-travel
+    * depth the dashboard needs. 0 = never (the default; the governance
+    * twins keep full history). */
+  private def maybeAutoCompact(spark: SparkSession, viewDir: String,
+      head: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0) {
+      val (_, foldedTo) = baseAndWatermark(spark, viewDir)
+      if (foldedTo == Long.MinValue || head - foldedTo >= compactEvery)
+        compactView(spark, viewDir)
+    }
 
   /** SHARED-SCAN maintenance of MANY views over ONE lake — the dashboard
     * posture: a lake carries dozens of declared views, and refreshing
@@ -659,11 +680,20 @@ object LakeView {
     * replay determinism, reused). Views already at head write nothing.
     * Cost: one history scan + one snapshot scan per retraction-carrying
     * view window, instead of N of each. Views may sit at DIFFERENT
-    * cursors (a freshly declared view bootstraps beside a warm one).
-    * Returns the head version consumed, or None when every view is
-    * already there. */
+    * cursors (a freshly declared view bootstraps beside a warm one) —
+    * but note the ONE shared history is sized by the WIDEST window (the
+    * minimum cursor) and carries the union of every view's enrichment
+    * columns: a far-behind bootstrapper in the batch makes every warm
+    * view's refresh pay for a bootstrap-sized materialized frame in that
+    * call (correctness is unaffected — per-view epoch filters keep rows
+    * exact — and it converges after one catch-up). When that matters,
+    * refresh far-behind views solo and share the scan among
+    * cursor-proximate ones. `compactEvery` applies the
+    * [[maybeAutoCompact]] cadence per refreshed view. Returns the head
+    * version consumed, or None when every view is already there. */
   def refreshViews(spark: SparkSession, dir: String, corpusDir: String,
-      viewDirs: Seq[String], upTo: Option[Long] = None): Option[Long] = {
+      viewDirs: Seq[String], upTo: Option[Long] = None,
+      compactEvery: Int = 0): Option[Long] = {
     import spark.implicits._
     require(viewDirs.nonEmpty, "refreshViews: no views given")
     require(viewDirs.distinct.size == viewDirs.size,
@@ -686,8 +716,11 @@ object LakeView {
         val shared = changedHistory(spark, dir, corpusDir, fromMin, h,
           allBaseCols).localCheckpoint()
         states.foreach { case (vd, spec, from) =>
-          if (from < h) refreshOne(spark, dir, corpusDir, vd, spec,
-            from, h, shared, sharedHistory = true)
+          if (from < h) {
+            refreshOne(spark, dir, corpusDir, vd, spec,
+              from, h, shared, sharedHistory = true)
+            maybeAutoCompact(spark, vd, h, compactEvery)
+          }
         }
         Some(h)
       case None => None
@@ -1246,25 +1279,7 @@ object LakeView {
     * final visible set — hash equality pins that fanned-out windows are
     * indistinguishable from solo refreshes. */
   def viewsSharedTwin(spark: SparkSession, dir: String): DataFrame = {
-    val lake = CorpusLake.deleteLake(spark, dir)
-    val dirs = graft.sources.Caches.memoizedValue[(String, String)](spark,
-        s"corpus-views-shared|$dir") {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-lake-views-shared").toString
-      val v1 = s"$root/sums"; val v2 = s"$root/minmax"
-      createView(spark, dir, v1,
-        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
-        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
-      createView(spark, dir, v2,
-        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
-        measures = Nil,
-        minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)"),
-        maxMeasures = Seq(
-          "max_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
-      refreshViewFromLake(spark, dir, lake, v1, upTo = Some(0L))
-      refreshViews(spark, dir, lake, Seq(v1, v2))
-      (v1, v2)
-    }
+    val dirs = sharedViewDirs(spark, dir)
     val s = readView(spark, dirs._1).alias("s")
     val m = readView(spark, dirs._2).alias("m")
     s.join(m, col("s.bucket") === col("m.bucket"))
@@ -1284,4 +1299,38 @@ object LakeView {
   def viewTwin(spark: SparkSession, dir: String): DataFrame =
     readView(spark, familyViews(spark, dir)("sums"))
       .orderBy(col("bucket"))
+
+  /** The shared-scan twin's memoized fixture: two views over the
+    * delete-lifecycle lake, one bootstrapped solo so the cursors differ
+    * when the shared refresh runs. */
+  private def sharedViewDirs(spark: SparkSession,
+      dir: String): (String, String) = {
+    val lake = CorpusLake.deleteLake(spark, dir)
+    graft.sources.Caches.memoizedValue[(String, String)](spark,
+        s"corpus-views-shared|$dir") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-lake-views-shared").toString
+      val v1 = s"$root/sums"; val v2 = s"$root/minmax"
+      createView(spark, dir, v1,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
+      createView(spark, dir, v2,
+        dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+        measures = Nil,
+        minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)"),
+        maxMeasures = Seq(
+          "max_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)"))
+      refreshViewFromLake(spark, dir, lake, v1, upTo = Some(0L))
+      refreshViews(spark, dir, lake, Seq(v1, v2))
+      (v1, v2)
+    }
+  }
+
+  /** Bench fixture-charging hooks: pre-build the memoized view fixtures
+    * under their own timed `fixture:*` entries so per-query bench numbers
+    * measure serve cost, not whichever twin touched the family first. */
+  private[graft] def warmFamilyViews(spark: SparkSession,
+      dir: String): Unit = { familyViews(spark, dir); () }
+  private[graft] def warmSharedViews(spark: SparkSession,
+      dir: String): Unit = { sharedViewDirs(spark, dir); () }
 }

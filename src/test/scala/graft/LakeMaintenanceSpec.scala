@@ -883,7 +883,7 @@ class LakeMaintenanceSpec extends SparkSpec {
     // pre-commit recheck: a writer whose lease was taken over mid-body
     // (TTL overrun) must ABORT at the recheck instead of committing
     val reentered = CorpusLake.withOpLease(spark, lake, "optest",
-        stableOwner = Some("op-A")) { recheck =>
+        stableOwner = Some("op-A")) { (recheck, _) =>
       recheck() // held: a no-op
       // simulate the takeover a TTL overrun permits
       CorpusLake.releaseWriterLease(spark, lake, "op-A")
@@ -919,5 +919,98 @@ class LakeMaintenanceSpec extends SparkSpec {
       s"a waiting batch must commit once the holder passes: $q2Ex")
     assert(CorpusLake.manifest(spark, lake).count() == manifestBefore + 1,
       "the queued batch must have committed exactly one epoch")
+  }
+
+  test("orphan adoption: a taken-over writer's same-version data is never " +
+      "admitted by the new holder's commit; vacuum reclaims it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, max}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-adoption").toString
+    val lake = s"$root/lake"
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("text"))
+    // seed one committed epoch from a LEGACY (pre-tag) writer — pins that
+    // untagged history keeps serving through the pair-aware filter
+    docs.filter($"doc_id" % 10 === 1)
+      .select($"doc_id", $"text", lit(5L).as("epoch"))
+      .write.mode("append").parquet(s"$lake/docs")
+    Seq((5L, 0L, 0L, 0L, 0L, 0L))
+      .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+        "n_contaminated", "n_low_quality")
+      .write.mode("append").parquet(s"$lake/manifest")
+    val victimA = 11L // the zombie's takedown target — must stay VISIBLE
+    val victimB = 31L // the new holder's target — must be hidden
+    // the EXACT interleaving the lease scaladoc documents: writer A
+    // acquires, allocates v, stalls before its first write; its TTL is
+    // overrun and the lease taken over; writer B runs a full commit that
+    // allocates the SAME v (A has written nothing, so the version is not
+    // burned); the zombie A then lands its data-first append AT v and
+    // aborts at the recheck. Epoch-only committed reads would ADOPT A's
+    // rows into B's commit — the pair-aware filter must not.
+    var vA = -1L
+    var vB = -1L
+    intercept[IllegalStateException] {
+      CorpusLake.withOpLease(spark, lake, "deleteDocs",
+          stableOwner = Some("zombie-A")) { (recheck, tagA) =>
+        vA = CorpusLake.nextLakeVersion(spark, lake)
+        // the TTL takeover, as its post-state: A no longer holds (the
+        // explicit release stands in for the zero-TTL steal, which the
+        // lease test above exercises); B's REAL deleteDocs then acquires
+        // its own lease and commits
+        CorpusLake.releaseWriterLease(spark, lake, "zombie-A")
+        vB = CorpusLake.deleteDocs(spark, lake, Seq(victimB).toDF("doc_id"))
+        assert(vB == vA,
+          s"the race needs a version collision (A allocated $vA, B committed $vB)")
+        // the zombie's data-first append at ITS allocated version — the
+        // same rows the real deleteDocs body writes, tagged with the
+        // lease owner the real body was handed
+        Seq(victimA).toDF("doc_id")
+          .select($"doc_id", lit(null).cast("string").as("text"),
+            lit(vA).as("epoch"), lit(true).as("_deleted"),
+            lit(tagA).as("_commit"))
+          .write.mode("append").parquet(s"$lake/docs")
+        recheck() // must throw: the lease is gone — abort pre-manifest
+        fail("the zombie's recheck must abort after a takeover")
+      }
+    }
+    // the zombie's rows ARE on disk at B's committed version…
+    val rawDocs = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(s"$lake/docs")
+    assert(rawDocs.filter($"_commit" === "zombie-A").count() == 1,
+      "fixture: the zombie's orphan row must exist raw")
+    // …but NO read adopts them: victimA stays visible at head and at the
+    // pinned version; victimB (B's real commit) is hidden
+    for (v <- Seq(None, Some(vB))) {
+      val snap = CorpusLake.readCorpusAt(spark, dir, lake, v)
+      assert(snap.filter($"doc_id" === victimA).count() == 1,
+        s"victimA vanished at $v: the zombie's tombstone was ADOPTED")
+      assert(snap.filter($"doc_id" === victimB).count() == 0,
+        s"victimB still visible at $v: B's commit was lost")
+    }
+    // the change feed reports exactly B's delete, not the zombie's
+    val changes = CorpusLake.readCorpusChanges(spark, dir, lake, 5L)
+    assert(changes.filter($"change_type" === "delete")
+        .select($"doc_id").as[Long].collect().toSet == Set(victimB),
+      "the change feed must carry B's delete only")
+    // DESCRIBE agrees something uncommitted exists at the shared version
+    val unc = CorpusLake.lakeStats(spark, lake)
+      .filter($"stat" === "uncommitted_epochs")
+      .select($"value").as[Long].head()
+    assert(unc >= 1L, s"lakeStats must surface the orphan (got $unc)")
+    // vacuum reclaims the zombie's rows and keeps B's commit whole
+    CorpusLake.vacuumCorpus(spark, lake, 5L)
+    val after = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(s"$lake/docs")
+    assert(after.filter(coalesce($"_commit", lit("")) === "zombie-A")
+        .count() == 0, "vacuum must reclaim the taken-over writer's rows")
+    val headSnap = CorpusLake.readCorpusAt(spark, dir, lake)
+    assert(headSnap.filter($"doc_id" === victimA).count() == 1 &&
+      headSnap.filter($"doc_id" === victimB).count() == 0,
+      "post-vacuum serving must equal pre-vacuum serving")
+    assert(CorpusLake.manifest(spark, lake)
+        .agg(max($"version")).as[Long].head() == vB,
+      "vacuum must not touch the manifest history")
+    Caches.releaseAll()
   }
 }
