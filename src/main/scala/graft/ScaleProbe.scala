@@ -852,6 +852,140 @@ object ScaleProbe {
           System.err.println(s"""[scaleprobe] {"probe":"corpus_views_shared_scan","sf":"$dir","views":3,"shared_records":$c,"solo_records":$o}""")
           (c, o)
         }),
+        // view-serve cost vs DELTA BACKLOG: readView folds base + every
+        // delta row above the fold watermark, so between compactions the
+        // serve pays O(versions-since-fold × groups) on top of the base.
+        // The stream path compacts on its optimize cadence; a SOLO
+        // refresh loop can run unboundedly uncompacted — this measures
+        // that growth (serve records-read + millis at backlog 1/8/32
+        // versions) and pins the fix: a twin view refreshed with
+        // compactEvery=8 must hold its serve flat while the uncompacted
+        // one grows linearly. C = serve records at backlog 32, O = after
+        // an explicit compaction (the floor) — C/O is the growth factor
+        // an operator buys back with the knob.
+        ("corpus_view_backlog", nDocs, () => {
+          import graft.operators.LakeView
+          val root = java.nio.file.Files
+            .createTempDirectory("probe-view-backlog").toString
+          val corpus = s"$root/corpus"
+          val docs = graft.sources.Tables.spread(
+              graft.sources.Tables.documents(spark, dir))
+            .select(col("doc_id"), col("text"))
+          def commitEpoch(v: Long, mod: Long): Unit = {
+            docs.filter(col("doc_id") % 100 === mod)
+              .select(col("doc_id"),
+                org.apache.spark.sql.functions.concat(col("text"),
+                  lit(s" v$v")).as("text"), lit(v).as("epoch"))
+              .write.mode("append").parquet(s"$corpus/docs")
+            Seq((v, 0L, 0L, 0L, 0L, 0L))
+              .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+                "n_contaminated", "n_low_quality")
+              .write.mode("append").parquet(s"$corpus/manifest")
+          }
+          commitEpoch(0L, 1L)
+          val view = s"$root/view"; val knob = s"$root/knob"
+          Seq(view, knob).foreach { v =>
+            LakeView.createView(spark, dir, v,
+              dims = Seq("bucket" -> "CAST(doc_id % 7 AS INT)"),
+              measures = Seq("chars" -> "CAST(length(text) AS BIGINT)"))
+          }
+          LakeView.refreshViewFromLake(spark, dir, corpus, view)
+          LakeView.refreshViewFromLake(spark, dir, corpus, knob)
+          def serveCost(vd: String): (Long, Long) = {
+            val read = new java.util.concurrent.atomic.AtomicLong(0L)
+            val listener = new org.apache.spark.scheduler.SparkListener {
+              override def onTaskEnd(
+                  e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+                if (e.taskMetrics != null)
+                  read.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+            }
+            spark.sparkContext.addSparkListener(listener)
+            var ms = 0L
+            try {
+              val t0 = System.nanoTime()
+              LakeView.readView(spark, vd).count()
+              ms = (System.nanoTime() - t0) / 1000000L
+              var prev = -1L
+              while (prev != read.get()) {
+                prev = read.get(); Thread.sleep(250)
+              }
+            } finally spark.sparkContext.removeSparkListener(listener)
+            (read.get(), ms)
+          }
+          var committed = 0L
+          var last = (0L, 0L)
+          Seq(1, 8, 32).foreach { b =>
+            while (committed < b) {
+              committed += 1
+              commitEpoch(committed, (committed % 45) + 2)
+            }
+            LakeView.refreshViewFromLake(spark, dir, corpus, view)
+            LakeView.refreshViewFromLake(spark, dir, corpus, knob,
+              compactEvery = 8)
+            val (r, ms) = serveCost(view)
+            val (kr, kms) = serveCost(knob)
+            last = (r, ms)
+            System.err.println(s"""[scaleprobe] {"probe":"corpus_view_backlog","sf":"$dir","versions_since_fold":$b,"serve_records":$r,"serve_millis":$ms,"knob_records":$kr,"knob_millis":$kms}""")
+          }
+          LakeView.compactView(spark, view)
+          val (floorR, floorMs) = serveCost(view)
+          System.err.println(s"""[scaleprobe] {"probe":"corpus_view_backlog","sf":"$dir","versions_since_fold":0,"serve_records":$floorR,"serve_millis":$floorMs}""")
+          (last._1, floorR)
+        }),
+        // commit→view-visible FRESHNESS: the declared-view pitch is a
+        // dashboard fresh at commit cadence — measure what each attached
+        // view costs a micro-batch. One ingest stream (real admission
+        // gate, real lease, real manifest protocol) commits 3 batches of
+        // fresh docs with 0, 1, and 2 live views attached (refreshViews
+        // rides the batch); C = median batch millis at 2 views, O = at 0
+        // views. The per-batch view overhead must stay within ~2× of the
+        // bare-ingest batch (each view's refresh window is ONE epoch —
+        // O(batch), never O(lake)); if it ever regresses past that, the
+        // upTo bite mechanism refreshes every k batches instead.
+        ("corpus_view_freshness", nDocs, () => {
+          import graft.operators.{CorpusLake, LakeView}
+          import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+          implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+          import spark.implicits._
+          val root = java.nio.file.Files
+            .createTempDirectory("probe-view-fresh").toString
+          CorpusLake.initCorpus(spark, dir, s"$root/idx")
+          def batchMedian(nViews: Int): Long = {
+            val leg = s"$root/v$nViews"
+            val corpus = s"$leg/corpus"
+            val views = (1 to nViews).map { i =>
+              val v = s"$leg/view$i"
+              LakeView.createView(spark, dir, v,
+                dims = Seq("bucket" -> s"CAST(doc_id % ${5 + i} AS INT)"),
+                measures = Seq(
+                  "chars" -> "CAST(length(text) AS BIGINT)"))
+              v
+            }
+            val in = MemoryStream[(Long, String)]
+            val q = CorpusLake.maintainCorpusStream(
+                in.toDF().toDF("doc_id", "text"), spark, dir,
+                s"$root/idx", corpus, s"$leg/maint",
+                viewDirs = views)
+              .option("checkpointLocation", s"$leg/ck").start()
+            val times = (1 to 3).map { b =>
+              val ids = (1 to 25).map(i =>
+                (90000000L + nViews * 1000 + b * 100 + i,
+                  (1 to 40).map(w => s"fresh$nViews$b${i}w$w")
+                    .mkString(" ")))
+              val t0 = System.nanoTime()
+              in.addData(ids)
+              q.processAllAvailable()
+              (System.nanoTime() - t0) / 1000000L
+            }
+            q.stop()
+            System.err.println(s"""[scaleprobe] {"probe":"corpus_view_freshness","sf":"$dir","views":$nViews,"batch_millis":[${times.mkString(",")}]}""")
+            times.sorted.apply(1)
+          }
+          val bare = batchMedian(0)
+          batchMedian(1)
+          val two = batchMedian(2)
+          (two, bare)
+        }),
         // streaming-funnel state bound: the reorder buffer holds, per user,
         // only events inside the watermark horizon (10 min), so its worst
         // case is the max per-(user, horizon-window) event count. C = total

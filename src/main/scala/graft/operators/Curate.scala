@@ -345,7 +345,12 @@ object Curate {
     * percentiles — the oracle compares VALUES at 6dp (the q19_percentile
     * cross-engine convention), through the full lifecycle: the delete
     * epoch re-sketches retraction-touched languages, so a stale sketch
-    * would serve pre-takedown percentiles and hash-mismatch. */
+    * would serve pre-takedown percentiles and hash-mismatch. The
+    * value-exact convention holds through sf0.1 (largest group 2 059
+    * occurrences < K=4096); above capacity the serve is an estimate by
+    * design and the 40k sparse point is checked regime-aware instead
+    * (`tools/check_quant_band.py`: ±4σ rank band per group, the exact
+    * pin kept for under-capacity groups — COVERAGE.md has the sweep). */
   def cardLiveQuantTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cells = graft.operators.LakeView.readView(spark,

@@ -1238,7 +1238,11 @@ object LakeView {
     * served estimates EQUAL exact interpolated percentiles — the oracle
     * compares VALUES (6dp, the q19_percentile cross-engine convention),
     * a strictly stronger gate than the sketch accuracy-flag convention;
-    * the sampled (above-capacity) regime is pinned by QSketchSpec. */
+    * the sampled (above-capacity) regime is pinned by QSketchSpec and,
+    * end-to-end at the 40k sparse scale point (every bucket > K), by
+    * `tools/check_quant_band.py` — exact value equality per group at or
+    * below capacity, rank-banded containment (±4σ, σ=√(p(1−p)/K))
+    * above it (COVERAGE.md records the sweep). */
   def viewQuantileTwin(spark: SparkSession, dir: String): DataFrame = {
     val viewDir = familyViews(spark, dir)("quantile")
     readView(spark, viewDir)

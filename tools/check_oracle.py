@@ -34,7 +34,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written fixture: a dir of part files
+            p = f"{p}/*.parquet"
+        if glob.glob(p) or os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
