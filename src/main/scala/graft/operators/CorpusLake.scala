@@ -1327,6 +1327,7 @@ object CorpusLake {
       deleteCol: Option[String] = None,
       expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
       viewDirs: Seq[String] = Nil,
+      viewRefreshEvery: Int = 1,
       sharedBucketDirs: Seq[String] = Nil,
       leaseWaitMs: Long = 120 * 1000L)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -1376,6 +1377,7 @@ object CorpusLake {
     // per-batch check below covers a cursor that appears mid-stream)
     requireNotFollower(spark, corpusDir, "maintainCorpusStream")
     var commitsSinceOptimize = 0L
+    var commitsSinceViewRefresh = 0L
     val benchPost = graft.sources.Caches.shared(Curate.benchPostings(
       spark, dir, Dedup.incrementalStride(Tables.nDocs(spark, dir))))
     var baseCount = -1L
@@ -1588,9 +1590,18 @@ object CorpusLake {
           profDir.foreach(p => refreshProfileFromLake(spark, dir, corpusDir, p))
           // N declared views consume this batch's window from ONE shared
           // history build (refreshViews) — the dashboard lake's per-batch
-          // maintenance reads the commit feed once, not once per view
-          if (viewDirs.nonEmpty) {
+          // maintenance reads the commit feed once, not once per view.
+          // viewRefreshEvery > 1 trades freshness for per-batch latency:
+          // the refresh fires every k COMMITS and consumes the whole
+          // window since each view's cursor in one call (window splits
+          // are delta-identical, so skipped batches cost nothing but
+          // staleness — the corpus_view_freshness probe measures the
+          // per-batch overhead this knob buys back).
+          commitsSinceViewRefresh += 1
+          if (viewDirs.nonEmpty &&
+              commitsSinceViewRefresh >= math.max(1, viewRefreshEvery)) {
             LakeView.refreshViews(spark, dir, corpusDir, viewDirs)
+            commitsSinceViewRefresh = 0
             if (commitsSinceOptimize == 0 && optimizeEvery > 0)
               viewDirs.foreach(v => LakeView.compactView(spark, v))
           }

@@ -515,6 +515,39 @@ class LakeViewSpec extends SparkSpec {
       "streamed lake-born docs missed the und group")
   }
 
+  test("lake view: viewRefreshEvery batches view maintenance at a " +
+      "commit cadence; the late refresh consumes the whole window") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    graft.sources.Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-view-cadence").toString
+    val (idx, corpus, maint, view) =
+      (s"$tmp/idx", s"$tmp/corpus", s"$tmp/maint", s"$tmp/view")
+    CorpusLake.initCorpus(spark, dir, idx)
+    LakeView.createView(spark, dir, view, dims, measures)
+    val tA = (1 to 40).map(i => s"cada$i").mkString(" ")
+    val tB = (1 to 40).map(i => s"cadb$i").mkString(" ")
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CorpusLake.maintainCorpusStream(
+        in.toDF().toDF("doc_id", "text"), spark, dir, idx, corpus, maint,
+        viewDirs = Seq(view), viewRefreshEvery = 2)
+      .start()
+    try {
+      in.addData((7100001L, tA)); q.processAllAvailable()
+      // one commit in: the cadence has not fired — the view still serves
+      // its pre-stream state (staleness is the knob's documented trade)
+      assert(rows(LakeView.readView(spark, view)) != recompute(corpus),
+        "viewRefreshEvery=2 refreshed after the first commit")
+      in.addData((7100002L, tB)); q.processAllAvailable()
+    } finally q.stop()
+    // the second commit hits the cadence: ONE refresh consumed BOTH
+    // epochs (window splits are delta-identical, so nothing was lost)
+    assert(rows(LakeView.readView(spark, view)) == recompute(corpus),
+      "the cadence refresh did not catch the view up to the head")
+  }
+
   test("lake view: a view over a branch tracks the branch, not the parent") {
     import spark.implicits._
     val parent = mkLake()
