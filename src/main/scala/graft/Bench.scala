@@ -288,6 +288,15 @@ object Bench {
     val fixtureBuilds: Seq[(String, String => Boolean, () => Unit)] = Seq(
       ("fixture:delete_lake", q => q.startsWith("corpus_"),
         () => { graft.operators.CorpusLake.deleteLake(spark, sfDir); () }),
+      ("fixture:lifecycle_lakes",
+        q => Set("corpus_optimize", "corpus_branch", "corpus_branch_merge",
+          "corpus_replica")(q),
+        () => graft.operators.CorpusLake.warmTwinFixtures(spark, sfDir)),
+      ("fixture:lake_clusters",
+        q => q.startsWith("corpus_split") || q == "corpus_train_shards",
+        () => graft.operators.Sampling.warmLakeClusters(spark, sfDir)),
+      ("fixture:evolve_view", q => q == "corpus_view_evolve",
+        () => graft.operators.LakeView.warmEvolveView(spark, sfDir)),
       ("fixture:view_family", q => q.startsWith("corpus_view"),
         () => graft.operators.LakeView.warmFamilyViews(spark, sfDir)),
       ("fixture:views_shared", q => q == "corpus_views_shared",

@@ -1177,9 +1177,15 @@ object LakeView {
     * exist at create time. DuckDB recomputes everything from the final
     * visible set; hash equality pins that an evolved view is
     * indistinguishable from one declared up front. */
-  def viewEvolveTwin(spark: SparkSession, dir: String): DataFrame = {
+  def viewEvolveTwin(spark: SparkSession, dir: String): DataFrame =
+    readView(spark, evolveViewDir(spark, dir)).orderBy(col("bucket"))
+
+  /** [[viewEvolveTwin]]'s memoized lifecycle build (bench fixture hook
+    * target — deliberately SOLO-refreshed: the mid-stream addMeasures
+    * needs an interleaved schedule, and it keeps the solo path benched). */
+  private def evolveViewDir(spark: SparkSession, dir: String): String = {
     val lake = CorpusLake.deleteLake(spark, dir)
-    val viewDir = graft.sources.Caches.memoizedValue[String](spark,
+    graft.sources.Caches.memoizedValue[String](spark,
         s"corpus-view-evolve|$dir") {
       val v = java.nio.file.Files
         .createTempDirectory("graft-lake-view-evolve").toString + "/view"
@@ -1193,7 +1199,6 @@ object LakeView {
       refreshViewFromLake(spark, dir, lake, v)
       v
     }
-    readView(spark, viewDir).orderBy(col("bucket"))
   }
 
   /** The approx-distinct twin: a view declaring HLL-sketch distinct
@@ -1337,4 +1342,6 @@ object LakeView {
       dir: String): Unit = { familyViews(spark, dir); () }
   private[graft] def warmSharedViews(spark: SparkSession,
       dir: String): Unit = { sharedViewDirs(spark, dir); () }
+  private[graft] def warmEvolveView(spark: SparkSession,
+      dir: String): Unit = { evolveViewDir(spark, dir); () }
 }
