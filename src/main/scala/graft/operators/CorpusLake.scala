@@ -1600,10 +1600,18 @@ object CorpusLake {
           commitsSinceViewRefresh += 1
           if (viewDirs.nonEmpty &&
               commitsSinceViewRefresh >= math.max(1, viewRefreshEvery)) {
-            LakeView.refreshViews(spark, dir, corpusDir, viewDirs)
+            // delta folds ride refreshViews' own lake-version watermark
+            // (maybeAutoCompact), NOT the commitsSinceOptimize counter: a
+            // counter-coincidence test fires only every
+            // lcm(viewRefreshEvery, optimizeEvery) commits (7 and 12 →
+            // 84), letting the serve-side backlog grow far past the
+            // promised cadence. The watermark compares each view's
+            // folded-to version against the lake head, so the fold fires
+            // on the first refresh at or past the cadence regardless of
+            // how the two counters interleave.
+            LakeView.refreshViews(spark, dir, corpusDir, viewDirs,
+              compactEvery = optimizeEvery)
             commitsSinceViewRefresh = 0
-            if (commitsSinceOptimize == 0 && optimizeEvery > 0)
-              viewDirs.foreach(v => LakeView.compactView(spark, v))
           }
         }
       }
@@ -2273,17 +2281,22 @@ object CorpusLake {
     // instead of stranding the writer behind its own lease for the full
     // TTL; two live instances of one logical owner cannot exist (the
     // stream's checkpoint lock serializes restarts). Reclaim by
-    // delete + atomic re-create + re-read, NOT by returning on the owner
-    // check alone: the re-create RESTARTS the TTL clock (the crashed
-    // incarnation's mtime is already partly spent — keeping it would
-    // invite a mid-batch takeover), and the re-read closes the window
-    // where a concurrent stale takeover lands between our check and our
-    // return (both writers would otherwise briefly believe they hold it).
-    // A lost race falls through to the stale path, which re-validates.
+    // restamping the EXISTING file's mtime (setTimes), NOT by returning
+    // on the owner check alone and NOT by delete + re-create: the restamp
+    // RESTARTS the TTL clock (the crashed incarnation's mtime is already
+    // partly spent — keeping it would invite a mid-batch takeover) while
+    // the file itself never disappears, so a queued foreign contender's
+    // tryCreate can never win a gap that a delete would open — the
+    // restarting stream cannot lose its own lease to its own re-entry.
+    // The re-read after the restamp closes the window where a concurrent
+    // stale takeover (delete + create) lands between our check and our
+    // return; a lost takeover race falls through to the stale path,
+    // which re-validates.
+    val now = System.currentTimeMillis()
     if (heldWriterLease(spark, corpusDir, owner) &&
-        (try { fs.delete(p, false); true }
+        (try { fs.setTimes(p, now, now); true }
          catch { case _: java.io.IOException => false }) &&
-        tryCreate() && heldWriterLease(spark, corpusDir, owner))
+        heldWriterLease(spark, corpusDir, owner))
       return true
     // held by another: stale (holder crashed past its TTL) → take over,
     // else refuse
@@ -2344,6 +2357,20 @@ object CorpusLake {
     val p = new org.apache.hadoop.fs.Path(s"$corpusDir/_writer_lease")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (heldWriterLease(spark, corpusDir, owner)) fs.delete(p, false)
+  }
+
+  /** Backdate the lease file's mtime by `ageMs` — the deterministic way
+    * to exercise TTL-expiry paths ([[leaseRefusalTwin]], specs) without a
+    * wall-clock sleep on a hash-gated path. Ops-legitimate too: an
+    * operator who KNOWS a holder is dead can age its lease instead of
+    * waiting out the TTL. No-op if no lease exists. */
+  def backdateWriterLease(spark: SparkSession, corpusDir: String,
+      ageMs: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$corpusDir/_writer_lease")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val t = System.currentTimeMillis() - ageMs
+    try fs.setTimes(p, t, t)
+    catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Acquire the lease, WAITING for a live holder to finish: bounded
@@ -2448,7 +2475,8 @@ object CorpusLake {
     * outcome rows the driver's hash gate pins, so the single-writer
     * discipline sits under the same oracle as every relational operator
     * (the DuckDB twin is a constant VALUES table). Timing-free by
-    * construction: the takeover uses the documented zero-TTL steal, the
+    * construction: the takeover ages the lease by BACKDATING its mtime
+    * ([[backdateWriterLease]]) rather than sleeping, the
     * queue test times out against a FRESH lease (never a steal), and
     * the recheck abort simulates the overrun with an explicit release —
     * no step depends on wall-clock races. The protocol releases every
@@ -2472,7 +2500,10 @@ object CorpusLake {
         "granted" else "timeout")
     releaseWriterLease(spark, lake, "writer-a")
     rec("after_release", granted(acquireWriterLease(spark, lake, "writer-b")))
-    Thread.sleep(5) // age writer-b's lease past the zero TTL below
+    // age writer-b's lease past the 1 ms TTL below by BACKDATING its
+    // mtime — zero wall-clock dependence on this hash-gated path (a
+    // sleep would be deterministic in outcome but still timing-coupled)
+    backdateWriterLease(spark, lake, ageMs = 10L)
     rec("ttl_takeover",
       granted(acquireWriterLease(spark, lake, "writer-c", ttlMs = 1L)))
     releaseWriterLease(spark, lake, "writer-c")

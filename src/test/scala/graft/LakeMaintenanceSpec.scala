@@ -842,7 +842,7 @@ class LakeMaintenanceSpec extends SparkSpec {
     // a crashed holder's stale lease is taken over by TTL: hold with a
     // zero TTL, and the next writer steals it instead of refusing
     assert(CorpusLake.acquireWriterLease(spark, lake, "crashed-writer"))
-    Thread.sleep(5)
+    CorpusLake.backdateWriterLease(spark, lake, ageMs = 10L)
     val vDel2 = CorpusLake.withWriterLease(spark, lake, "operator-b",
       ttlMs = 1L) { 42 }
     assert(vDel2 == 42, "TTL takeover must run the blocked writer")

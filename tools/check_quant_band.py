@@ -91,6 +91,12 @@ def main():
         bands = con.execute(bands_sql(docs, "CAST(doc_id % 7 AS INTEGER)",
                                       vals, quants)).df().set_index("grp")
         for _, row in spark.iterrows():
+            # a served group absent from the recomputed set is a FAIL line,
+            # not a KeyError traceback (drifted/phantom group)
+            if row["bucket"] not in bands.index:
+                failures.append(f"corpus_view_quantile[{row['bucket']}]: "
+                                f"served group absent from oracle set")
+                continue
             b = bands.loc[row["bucket"]]
             # the additive measures stay EXACT in every regime
             exp = con.execute(LIFECYCLE_V.format(docs=docs) +
@@ -129,6 +135,10 @@ def main():
                 if abs(value - exp) > 1e-6:
                     failures.append(f"corpus_card_live_q[docs:{lang}]: "
                                     f"{value} != exact {exp}")
+                continue
+            if lang not in bands.index:
+                failures.append(f"corpus_card_live_q[{metric}]: "
+                                f"served group absent from oracle set")
                 continue
             b = bands.loc[lang]
             err = check_group("corpus_card_live_q", metric, b["n_occ"],
