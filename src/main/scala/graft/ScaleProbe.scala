@@ -89,6 +89,16 @@ object ScaleProbe {
         ("dedup_simhash", nDocs, () =>
           (Dedup.simhashCandidates(spark, dir).count(),
             Dedup.simhash(spark, dir).count())),
+        // the two-word wide variant: at ≤ 2^18 docs both schemes derive
+        // the same band width (C should roughly match the narrow row);
+        // the forced-18 A/B shows the curve the lifted cap buys where the
+        // narrow scheme CANNOT follow (its words top out at 15-bit bands)
+        ("dedup_simhash_wide", nDocs, () =>
+          (Dedup.simhashWideCandidates(spark, dir).count(),
+            Dedup.simhashWide(spark, dir).count())),
+        ("dedup_simhash_wide_forced18", nDocs, () =>
+          (Dedup.simhashWideCandidates(spark, dir, Some(18)).count(),
+            0L)),
         ("dedup_ngram_jaccard", nDocs, () =>
           (Dedup.ngramCandidates(spark, dir).count(),
             Dedup.ngramJaccard(spark, dir).count())),

@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> (Dedup.minhashLsh _),
     "dedup_clusters"       -> (Dedup.clusters _),
     "dedup_simhash"        -> (Dedup.simhash _),
+    "dedup_simhash_wide"   -> (Dedup.simhashWide _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
@@ -497,6 +498,35 @@ object SparkEntry {
         |  CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
         |WHERE CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the two-word WIDE variant (Dedup.simhashWide): word A over
+    // hash60(token), word B over hash60('w2|' || token), 2*12 = 24 bits
+    // per word at the fixture floor (mod 2^24 keeps the double-arithmetic
+    // bit extraction exact); hamming = popcount sum across the two words,
+    // same all-pairs witness as the narrow twin
+    "dedup_simhash_wide" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text,' ') AS ts FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [CAST(concat('0x',substr(md5(t),1,15)) AS BIGINT) % 16777216 for t in ts] AS ha,
+        |    [CAST(concat('0x',substr(md5('w2|'||t),1,15)) AS BIGINT) % 16777216 for t in ts] AS hb
+        |  FROM tok),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(
+        |      [ CASE WHEN list_sum([ CASE WHEN CAST(floor(h / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for h in ha ]) > 0
+        |        THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,24) ]) AS BIGINT) AS sa,
+        |    CAST(list_sum(
+        |      [ CASE WHEN list_sum([ CASE WHEN CAST(floor(h / 2^j) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END for h in hb ]) > 0
+        |        THEN CAST(2^j AS BIGINT) ELSE 0 END for j in range(0,24) ]) AS BIGINT) AS sb
+        |  FROM h
+        |)
+        |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |  CAST(bit_count(xor(x.sa, y.sa)) + bit_count(xor(x.sb, y.sb)) AS INTEGER) AS hamming
+        |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+        |WHERE CAST(bit_count(xor(x.sa, y.sa)) + bit_count(xor(x.sb, y.sb)) AS INTEGER) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->

@@ -787,6 +787,83 @@ object Dedup {
       .distinct()
   }
 
+  /** Band width for the WIDE (two-word) variant below: same ⌈log₂N⌉ − 3
+    * bucket-size derivation and the same 12-bit fixture floor (every
+    * driver scale derives 12, keeping the DuckDB twin's `range(0,24)`
+    * literal exact), but capped at 24 instead of 15 — each of the 4 bands
+    * draws from HALF of a 2·bandBits-bit word, and 2×24 = 48 bits/word
+    * keeps the oracle's `floor(h/2^j)` double arithmetic exact. The
+    * background knee moves from the narrow cap's N ≈ 2¹⁸ to N ≈ 2²⁷
+    * (~134 M docs per dedup partition). */
+  private[graft] def simhashWideBandBits(n: Long): Int = {
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(24, math.max(12, ceilLog2 - 3))
+  }
+
+  /** WIDE SimHash near-dup pairs — the past-the-cap scale path the r17
+    * 200k probe point motivated (SCALING.md "regime boundary"): the
+    * narrow signature spends 4×bandBits of ONE hash60 word, so its band
+    * width caps at 15 bits and background collisions return to ∝ N²/2¹⁶
+    * above N ≈ 2¹⁸. This variant folds TWO independent signature words —
+    * word A over `hash60(token)`, word B over `hash60('w2|' || token)` —
+    * and gives each of the SAME 4 Manku bands half a word, so band keys
+    * reach 24 bits before any structural cap binds. Completeness is the
+    * identical pigeonhole argument (hamming ≤ 3 across the concatenated
+    * signature leaves ≥ 1 of 4 disjoint bands untouched); hamming is
+    * popcount(a⊕a') + popcount(b⊕b'). Width-adaptive metric semantics are
+    * the library's documented simhash convention (a wider signature is a
+    * finer token-distribution hash); at every fixture scale both words
+    * derive 24 bits, so the metric granularity (48 signature bits,
+    * threshold 3) matches the narrow operator's. */
+  def simhashWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    simhashWideCandidates(spark, dir)
+      .filter($"hamming" <= HammingThreshold)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Distinct wide-band collision pairs with their two-word hamming
+    * distance, BEFORE the threshold — the [[graft.ScaleProbe]] surface;
+    * `forceBandBits` is the probe's derived-vs-forced A/B hook. */
+  private[graft] def simhashWideCandidates(spark: SparkSession, dir: String,
+      forceBandBits: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val bandBits = forceBandBits.getOrElse(
+      simhashWideBandBits(Tables.nDocs(spark, dir)))
+    val wordBits = 2 * bandBits
+    val mask = (1L << bandBits) - 1
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id",
+        graft.functions.SimhashSignature(
+          graft.functions.HashArray60($"toks"), wordBits).as("sim_a"),
+        graft.functions.SimhashSignature(
+          graft.functions.HashArray60(
+            transform($"toks", t => concat(lit("w2|"), t))),
+          wordBits).as("sim_b"))
+    val cached = graft.sources.Caches.shared(docs)
+    // 4 disjoint bands, two per word: the sigBandParts split generalized
+    // to a multi-word signature (each key is bandBits bits of one word)
+    val parts = cached.select($"doc_id", $"sim_a", $"sim_b",
+        explode(array(
+          struct(lit(0).as("part"),
+            $"sim_a".bitwiseAND(lit(mask)).as("key")),
+          struct(lit(1).as("part"),
+            shiftright($"sim_a", bandBits).bitwiseAND(lit(mask)).as("key")),
+          struct(lit(2).as("part"),
+            $"sim_b".bitwiseAND(lit(mask)).as("key")),
+          struct(lit(3).as("part"),
+            shiftright($"sim_b", bandBits).bitwiseAND(lit(mask)).as("key")))).as("p"))
+      .select($"doc_id", $"sim_a", $"sim_b", $"p.part", $"p.key")
+    parts.as("x").join(parts.as("y"),
+        $"x.part" === $"y.part" && $"x.key" === $"y.key" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b"),
+        (bit_count($"x.sim_a".bitwiseXOR($"y.sim_a")) +
+          bit_count($"x.sim_b".bitwiseXOR($"y.sim_b"))).as("hamming"))
+      .distinct()
+  }
+
   // -------------------------------------------------- benchmark decontamination
 
   val ContamBenchStride = 50

@@ -45,6 +45,42 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall(h => h >= 0 && h <= Dedup.HammingThreshold))
   }
 
+  test("wide simhash banding is complete: banded pairs equal the " +
+      "all-pairs recompute at the same signatures") {
+    // ground truth: all-pairs hamming over the SAME two signature words
+    // (500 docs → 125k pairs locally) — any pair the 4-band split misses
+    // is a completeness bug, any extra pair a key-collision leak past the
+    // hamming filter
+    val bandBits = 12 // the fixture floor Dedup.simhashWideBandBits derives
+    val wordBits = 2 * bandBits
+    val sigs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", graft.functions.Text.tokens($"text").as("toks"))
+      .select($"doc_id",
+        graft.functions.SimhashSignature(
+          graft.functions.HashArray60($"toks"), wordBits).as("sa"),
+        graft.functions.SimhashSignature(
+          graft.functions.HashArray60(
+            transform($"toks", t => concat(lit("w2|"), t))),
+          wordBits).as("sb"))
+    val truth = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        (bit_count($"a.sa".bitwiseXOR($"b.sa")) +
+          bit_count($"a.sb".bitwiseXOR($"b.sb"))).as("h"))
+      .filter($"h" <= Dedup.HammingThreshold)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.simhashWide(spark, dir)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found == truth,
+      s"banded ${found.size} pairs vs all-pairs ${truth.size}")
+    assert(found.nonEmpty, "the planted fixture must yield wide near-dups")
+    // the width derivation: fixture floor 12, and the cap binds at 24
+    // (2^27-doc knee) instead of the narrow scheme's 15 (2^18 knee)
+    assert(Dedup.simhashWideBandBits(500) == 12)
+    assert(Dedup.simhashWideBandBits(200000) == 15)
+    assert(Dedup.simhashWideBandBits(1L << 30) == 24)
+    assert(Dedup.simhashBandBits(1L << 30) == 15)
+  }
+
   test("ngram jaccard respects the length-band contract") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars".as("nc"))
