@@ -145,8 +145,30 @@ class LakeModelSpec extends SparkSpec {
               xs.map(_._2).min, xs.map(_._2).max, median(xs.map(_._2)))
           }.toSet
 
+      // crash-state injection helpers (ops 20-23): a hard writer death at
+      // a protocol step boundary IS a directory state, so the model can
+      // throw those states into any interleaving and let every later op
+      // and the per-step invariant suite prove them harmless
+      def hPath(p: String) = new org.apache.hadoop.fs.Path(p)
+      def hFs(p: String) = hPath(p)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def copyTree(src: String, dst: String): Unit = {
+        val s = java.nio.file.Paths.get(src)
+        java.nio.file.Files.walk(s).forEach { p =>
+          val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(t)
+          else {
+            java.nio.file.Files.createDirectories(t.getParent)
+            java.nio.file.Files.copy(p, t, // restore over a fresh dir: the
+              // committer marker (_SUCCESS + sidecar) exists on both sides
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        }
+      }
+
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(20)
+        val op = rnd.nextInt(24)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -306,6 +328,55 @@ class LakeModelSpec extends SparkSpec {
               CorpusLake.deleteDocs(spark, corpus,
                 Seq(5000000L).toDF("doc_id"))
             } finally CorpusLake.releaseWriterLease(spark, corpus, owner)
+          case 20 => // death MID-REWRITE: a torn (no _SUCCESS) compacting
+            // dir with poisoned content — no reader may ever promote it,
+            // and the next optimize/vacuum must overwrite it unbothered
+            val cur = CorpusLake.storeName(spark, corpus, "docs")
+            Seq((424242L, "POISON", 0L)).toDF("doc_id", "text", "epoch")
+              .write.mode("overwrite").parquet(s"$corpus/${cur}_compacting")
+            hFs(corpus).delete(
+              hPath(s"$corpus/${cur}_compacting/_SUCCESS"), false)
+          case 21 => // death BETWEEN a swap's delete and rename: the
+            // completed compacting dir IS the store, main is gone — the
+            // next toucher must promote. Only reachable once a rewrite
+            // has committed the store root (_SUCCESS present); live-only
+            // append stores never enter a swap.
+            val cur = CorpusLake.storeName(spark, corpus, "docs")
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"$corpus/$cur/_SUCCESS"))) {
+              hFs(corpus).delete(hPath(s"$corpus/${cur}_compacting"), true)
+              assert(hFs(corpus).rename(hPath(s"$corpus/$cur"),
+                hPath(s"$corpus/${cur}_compacting")),
+                s"seed $seed step $step: torn-swap rename failed")
+            }
+          case 22 => // a hard-killed writer's STRANDED lease, already past
+            // its TTL: every later writer op must take it over
+            // transparently (never wait it out, never double-write)
+            val p = java.nio.file.Paths.get(s"$corpus/_writer_lease")
+            if (!java.nio.file.Files.exists(p)) {
+              java.nio.file.Files.writeString(p, s"dead-model-writer-$step")
+              CorpusLake.backdateWriterLease(spark, corpus,
+                ageMs = 16L * 60 * 1000)
+            }
+          case 23 => // death MID-VIEW-FOLD: base swapped, delta/ext not
+            // yet truncated — restore the pre-fold stores beside the
+            // folded base; the watermark must keep hiding them from every
+            // later serve and the next fold must collapse them
+            if (viewAt != Long.MinValue) {
+              val saved = java.nio.file.Files
+                .createTempDirectory(s"model-prefold-$step").toString
+              val hasDelta = java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"$viewDir/delta"))
+              if (hasDelta) {
+                copyTree(s"$viewDir/delta", s"$saved/delta")
+                val hasExt = java.nio.file.Files.exists(
+                  java.nio.file.Paths.get(s"$viewDir/ext"))
+                if (hasExt) copyTree(s"$viewDir/ext", s"$saved/ext")
+                graft.operators.LakeView.compactView(spark, viewDir)
+                copyTree(s"$saved/delta", s"$viewDir/delta")
+                if (hasExt) copyTree(s"$saved/ext", s"$viewDir/ext")
+              }
+            }
         }
         checkHead(s"step $step (op $op)")
         // the view must keep serving the model aggregate AS OF its
