@@ -279,10 +279,11 @@ object Bench {
     // same for the card family). Charging the builds to their own timed
     // entries keeps every per-query number a SERVE cost and the
     // round-over-round trend readable; the entries ride the stdout line
-    // and BENCH_FULL.json like queries, and the reported total still
-    // includes them (the work is real — it is just attributed). Each
-    // fixture builds only when a benched query depends on it, so
-    // targeted SPARK_GRAFT_BENCH_ONLY runs skip unrelated builds.
+    // and BENCH_FULL.json like queries, but they sum into their own
+    // `fixtures_total` — the headline `value` is QUERY-SERVE-ONLY (the
+    // work is real; it is attributed, not hidden, and not in the trend
+    // line). Each fixture builds only when a benched query depends on
+    // it, so targeted SPARK_GRAFT_BENCH_ONLY runs skip unrelated builds.
     // Dependency-ordered: the later families build ON the delete lake,
     // so each entry times its own increment.
     val fixtureBuilds: Seq[(String, String => Boolean, () => Unit)] = Seq(
@@ -433,6 +434,14 @@ object Bench {
         System.err.println("[bench] REFUSING BENCH_STEADY write: steady " +
           "query map is identical to the cold map — not an independent " +
           "measurement")
+        // overwrite the side file with an explicit refused marker: a
+        // refusal that merely SKIPS the write leaves the PREVIOUS run's
+        // steady file on disk beside a fresh FULL file — exactly the
+        // stale two-file pairing the refusal exists to prevent, and
+        // trend tooling pairing the files cannot see a stderr line
+        writeSideFile("SPARK_GRAFT_BENCH_STEADY_JSON", "BENCH_STEADY.json",
+          "total_steady_refused", 0.0, Map.empty[String, Option[Double]],
+          s""","refused":true,"reason":"steady query map identical to cold map","calibration_ratio":${BigDecimal(calWorst).setScale(2, BigDecimal.RoundingMode.HALF_UP)}""")
       } else {
         writeSideFile("SPARK_GRAFT_BENCH_STEADY_JSON", "BENCH_STEADY.json",
           "total_steady", steady.values.flatten.sum, steady,

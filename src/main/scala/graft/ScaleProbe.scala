@@ -99,6 +99,13 @@ object ScaleProbe {
         ("dedup_simhash_wide_forced18", nDocs, () =>
           (Dedup.simhashWideCandidates(spark, dir, Some(18)).count(),
             0L)),
+        // the scheme dispatch (r18): C = the dispatched operator's pair
+        // count, O = which branch simhashAuto selected (1 = wide) — the
+        // scale ladder documents the 2^18 crossover in measured data, not
+        // just the spec pin
+        ("dedup_simhash_auto", nDocs, () =>
+          (Dedup.simhashAuto(spark, dir).count(),
+            if (Dedup.simhashUseWide(nDocs)) 1L else 0L)),
         ("dedup_ngram_jaccard", nDocs, () =>
           (Dedup.ngramCandidates(spark, dir).count(),
             Dedup.ngramJaccard(spark, dir).count())),

@@ -52,6 +52,7 @@ object SparkEntry {
     "dedup_clusters"       -> (Dedup.clusters _),
     "dedup_simhash"        -> (Dedup.simhash _),
     "dedup_simhash_wide"   -> (Dedup.simhashWide _),
+    "dedup_simhash_auto"   -> (Dedup.simhashAuto _),
     "dedup_ngram_jaccard"  -> (Dedup.ngramJaccard _),
     "dedup_embedding_lsh"  -> (Similarity.nearDupEmbedding _),
     "sim_topk_brute"       -> (Similarity.topkBruteForce _),
@@ -171,7 +172,16 @@ object SparkEntry {
     * truth with the native kernel (both derive from hash60("gear|b")). */
   private val GearSqlTable = graft.functions.GearKernels.gearSqlList
 
-  def oracleSql: Map[String, String] = Map(
+  /** `dedup_simhash_auto` shares the NARROW oracle verbatim: at every
+    * driver scale nDocs ≤ 5 000, far below the 2¹⁸ dispatch knee, so the
+    * auto operator provably selects the narrow scheme there (the
+    * crossover itself is pinned in DedupSpec — no oracle run reaches
+    * 262 k docs; the wide branch keeps its own `dedup_simhash_wide`
+    * oracle). */
+  def oracleSql: Map[String, String] =
+    oracleSqlBase + ("dedup_simhash_auto" -> oracleSqlBase("dedup_simhash"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     // End-to-end twin of the reference pipeline: computes the keyed-upsert
     // final state directly from `events`, verifying the whole Spark-side
     // envelope encode → split → from_json → derive → filter → dedup chain.

@@ -2291,13 +2291,38 @@ object CorpusLake {
     // The re-read after the restamp closes the window where a concurrent
     // stale takeover (delete + create) lands between our check and our
     // return; a lost takeover race falls through to the stale path,
-    // which re-validates.
-    val now = System.currentTimeMillis()
-    if (heldWriterLease(spark, corpusDir, owner) &&
+    // which re-validates. Hadoop's BASE FileSystem.setTimes is a silent
+    // no-op (connectors that never override it return without touching
+    // the mtime), so the restamp is only trusted after a re-stat proves
+    // the clock actually moved STRICTLY forward — otherwise re-entry
+    // would return true with the crashed incarnation's spent TTL and the
+    // mid-batch-takeover window the restamp exists to close would be
+    // back. Where it didn't move, fall back to delete + atomic create:
+    // that re-opens the one-round-trip gap a queued contender could win,
+    // but ONLY on filesystems where the gapless restamp is unavailable,
+    // and a lost race there falls through to the stale path below which
+    // re-validates rather than double-granting.
+    if (heldWriterLease(spark, corpusDir, owner)) {
+      val prev = try Some(fs.getFileStatus(p).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      // strictly past the old stamp even when re-entry lands in the same
+      // millisecond the crashed incarnation created the lease in
+      val now = math.max(System.currentTimeMillis(),
+        prev.getOrElse(Long.MinValue) + 1)
+      val restamped =
         (try { fs.setTimes(p, now, now); true }
-         catch { case _: java.io.IOException => false }) &&
-        heldWriterLease(spark, corpusDir, owner))
-      return true
+         catch { case _: java.io.IOException => false }) && {
+          val after = try Some(fs.getFileStatus(p).getModificationTime)
+            catch { case _: java.io.FileNotFoundException => None }
+          after.exists(a => prev.forall(a > _))
+        }
+      if (restamped && heldWriterLease(spark, corpusDir, owner)) return true
+      if (!restamped && heldWriterLease(spark, corpusDir, owner) &&
+          (try { fs.delete(p, false); true }
+           catch { case _: java.io.IOException => false }) &&
+          tryCreate() && heldWriterLease(spark, corpusDir, owner))
+        return true
+    }
     // held by another: stale (holder crashed past its TTL) → take over,
     // else refuse
     val st = try Some(fs.getFileStatus(p))

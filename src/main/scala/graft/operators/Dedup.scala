@@ -864,6 +864,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Scheme-dispatch knee: the narrow signature's derived band width
+    * ([[simhashBandBits]] = ⌈log₂N⌉ − 3) hits its structural 15-bit cap
+    * past N = 2¹⁸ — beyond it the narrow scheme silently degrades to
+    * ∝ N²/2¹⁶ background collisions (SCALING.md measured the cliff at
+    * the 200k probe point: ~6.1 B candidate pairs at 10 M docs). The
+    * wide two-word scheme keeps deriving to 24 bits (knee 2²⁷), so past
+    * the narrow cap it is strictly the right signature. Below the knee
+    * the schemes derive the SAME 4×bandBits geometry and the narrow one
+    * hashes each token once instead of twice — cheaper, and the
+    * long-oracled default. */
+  private[graft] def simhashUseWide(n: Long): Boolean = n > (1L << 18)
+
+  /** SimHash near-dup pairs with the signature SCHEME selected from the
+    * corpus size — the scale-safe entry point (r17 verdict: "an operator
+    * that selects the signature scheme from N is the scale-safe shape").
+    * Same derived-width philosophy as [[simhashBandBits]], one knob up:
+    * the width derivation already adapts WITHIN a scheme; this adapts
+    * ACROSS them at the narrow cap's knee, so no caller has to know the
+    * 2¹⁸ cliff exists to avoid it. Both branches keep their own DuckDB
+    * oracles; at every gate scale (≤ 2¹⁸ docs) this provably selects
+    * [[simhash]], so `dedup_simhash_auto` shares the narrow oracle and
+    * the crossover itself is pinned in DedupSpec. */
+  def simhashAuto(spark: SparkSession, dir: String): DataFrame =
+    if (simhashUseWide(Tables.nDocs(spark, dir))) simhashWide(spark, dir)
+    else simhash(spark, dir)
+
   // -------------------------------------------------- benchmark decontamination
 
   val ContamBenchStride = 50

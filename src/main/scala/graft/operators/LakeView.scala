@@ -662,9 +662,25 @@ object LakeView {
   private def maybeAutoCompact(spark: SparkSession, viewDir: String,
       head: Long, compactEvery: Int): Unit =
     if (compactEvery > 0) {
+      import spark.implicits._
       val (_, foldedTo) = baseAndWatermark(spark, viewDir)
-      if (foldedTo == Long.MinValue || head - foldedTo >= compactEvery)
-        compactView(spark, viewDir)
+      // a never-folded view has no watermark — seed one from its OLDEST
+      // unfolded delta version so the FIRST fold also waits out the
+      // cadence (folding unconditionally on the first refresh — the old
+      // MinValue short-circuit — destroyed a fresh stream-attached
+      // view's entire readViewAt history on refresh #1, far more
+      // aggressive than the documented "once compactEvery versions have
+      // accumulated"). The seed scan reads only the backlog-sized delta
+      // store and only until the first fold lands a real watermark.
+      val effective =
+        if (foldedTo != Long.MinValue) foldedTo
+        else {
+          val dPath = Similarity.resolveArtifact(spark, viewDir, "delta")
+          if (!graft.sources.Formats.pathExists(spark, dPath)) head
+          else spark.read.parquet(dPath).agg(min(col("version")))
+            .as[Option[Long]].head().fold(head)(_ - 1)
+        }
+      if (head - effective >= compactEvery) compactView(spark, viewDir)
     }
 
   /** SHARED-SCAN maintenance of MANY views over ONE lake — the dashboard

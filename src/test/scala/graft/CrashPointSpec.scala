@@ -242,6 +242,76 @@ class CrashPointSpec extends SparkSpec {
       "the resumed vacuum changed the above-floor change feed")
   }
 
+  test("crash point 5: death around the generation-pointer OPTIMIZE — an " +
+      "unflipped generation never serves; a torn pointer flip self-heals; " +
+      "reclaim honors the drain window and the pointer's own generation") {
+    import spark.implicits._
+    val corpus = mkLake()
+    val head = snapshot(corpus)
+    val at1 = snapshot(corpus, Some(1L))
+    val ch = changes(corpus)
+    // (a) died AFTER the gen dir was fully written, BEFORE the pointer
+    // flip: a complete (committed, _SUCCESS-bearing) docs_gen_1 full of
+    // poison — with no store_head row naming it, no reader may resolve
+    // into it, and the re-run OPTIMIZE must overwrite it unbothered
+    Seq((424242L, "POISON", 0L)).toDF("doc_id", "text", "epoch")
+      .write.mode("overwrite").parquet(s"$corpus/docs_gen_1")
+    assertReaders(corpus, "unflipped generation", head, at1, ch, 0L)
+    CorpusLake.optimizeCorpusVersioned(spark, corpus)
+    assertReaders(corpus, "versioned optimize re-run", head, at1, ch, 0L)
+    assert(!snapshot(corpus).exists(_._1 == 424242L),
+      "the re-run flip must supersede the dead attempt's poison gen")
+    // (b1) died MID-POINTER-WRITE: a torn store_head_compacting (no
+    // _SUCCESS) beside the live pointer — readers must keep the OLD
+    // pointer, never promote the torn row set
+    Seq(("docs", 999L, 0L)).toDF("store", "gen", "flipped_at")
+      .write.mode("overwrite").parquet(s"$corpus/store_head_compacting")
+    Files.deleteIfExists(Paths.get(s"$corpus/store_head_compacting/_SUCCESS"))
+    assertReaders(corpus, "torn pointer write", head, at1, ch, 0L)
+    deleteDir(s"$corpus/store_head_compacting")
+    // (b2) died BETWEEN the pointer swap's delete and rename: the
+    // completed compacting dir IS the pointer, main is gone — the next
+    // reader promotes it and serves identically
+    val fs = fsOf(corpus)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$corpus/store_head"),
+      new org.apache.hadoop.fs.Path(s"$corpus/store_head_compacting")))
+    assertReaders(corpus, "torn pointer flip", head, at1, ch, 0L)
+    assert(Files.exists(Paths.get(s"$corpus/store_head")),
+      "the first read must complete the interrupted pointer swap")
+    // (c) reclaim vs the drain window and in-flight readers: a reader
+    // PLANNED against the superseded legacy store must finish while the
+    // flip is younger than the drain window (reclaim deletes nothing) —
+    // the enforceable no-retry contract long-running scans rely on
+    val planned = spark.read.parquet(s"$corpus/docs") // legacy gen-0 path
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus,
+        minAgeMs = 60L * 60 * 1000) == 0L,
+      "reclaim inside the drain window must delete nothing")
+    assert(planned.count() > 0L,
+      "the in-flight reader's planned generation must survive the window")
+    // a second flip stacks gen 2 over gen 1; death MID-RECLAIM is a
+    // prefix of the stale-dir deletes — simulate it (legacy dir gone,
+    // gen_1 still present), assert serve is unaffected, then the re-run
+    // reclaim finishes the job and NEVER deletes the pointer's own gen
+    CorpusLake.optimizeCorpusVersioned(spark, corpus)
+    assertReaders(corpus, "second flip", head, at1, ch, 0L)
+    deleteDir(s"$corpus/docs") // the dead reclaim's first delete
+    assertReaders(corpus, "mid-reclaim death", head, at1, ch, 0L)
+    assert(CorpusLake.reclaimStoreGenerations(spark, corpus) > 0L,
+      "the resumed reclaim must drop the remaining superseded dirs")
+    assertReaders(corpus, "reclaim resumed", head, at1, ch, 0L)
+    assert(Files.exists(Paths.get(s"$corpus/docs_gen_2")),
+      "reclaim must never delete the generation the pointer names")
+    assert(!Files.exists(Paths.get(s"$corpus/docs_gen_1")),
+      "the resumed reclaim must finish the dead attempt's prefix")
+    // and the lake still commits + vacuums through the pointer afterwards
+    val delIds = baseDocs.filter($"doc_id" % 10 === 3).limit(2)
+      .select($"doc_id")
+    val deleted = delIds.as[Long].collect().toSet
+    CorpusLake.deleteDocs(spark, corpus, delIds)
+    assert(snapshot(corpus) == head.filterNot { case (id, _) => deleted(id) },
+      "post-reclaim commit through the pointer diverged")
+  }
+
   test("crash point 4: death mid-VIEW-FOLD — base swapped, delta/ext not " +
       "truncated: serve is unchanged; the resumed fold is idempotent") {
     val corpus = mkLake()

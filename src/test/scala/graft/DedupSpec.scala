@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashBandBits(1L << 30) == 15)
   }
 
+  test("simhashAuto dispatches the scheme at the narrow cap's knee and " +
+      "equals the narrow operator below it") {
+    // the crossover, pinned exactly: the narrow derivation is unclipped
+    // up to N = 2^18 (⌈log₂N⌉ − 3 = 15 = the cap) and CLIPS one doc past
+    // it — the dispatch must flip at that boundary, not near it
+    assert(Dedup.simhashBandBits(1L << 18) == 15)
+    assert(Dedup.simhashBandBits((1L << 18) + 1) == 15,
+      "one past the knee the narrow derivation clips (silently, pre-auto)")
+    assert(Dedup.simhashWideBandBits((1L << 18) + 1) == 16,
+      "the wide derivation keeps deriving where the narrow one clips")
+    assert(!Dedup.simhashUseWide(1L << 18),
+      "at the knee the narrow scheme is still unclipped — keep it")
+    assert(Dedup.simhashUseWide((1L << 18) + 1),
+      "one past the knee the dispatch must select the wide scheme")
+    assert(!Dedup.simhashUseWide(500) && Dedup.simhashUseWide(1L << 27))
+    // below the knee the dispatched operator IS the narrow operator —
+    // row-for-row (the shared-oracle claim dedup_simhash_auto rests on)
+    val auto = Dedup.simhashAuto(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    val narrow = Dedup.simhash(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(auto == narrow,
+      "simhashAuto below the knee must equal the narrow operator exactly")
+    assert(auto.nonEmpty)
+  }
+
   test("ngram jaccard respects the length-band contract") {
     val docs = graft.sources.Tables.documents(spark, dir)
       .select($"doc_id", $"n_chars".as("nc"))

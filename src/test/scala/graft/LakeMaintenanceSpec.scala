@@ -921,6 +921,43 @@ class LakeMaintenanceSpec extends SparkSpec {
       "the queued batch must have committed exactly one epoch")
   }
 
+  test("lease re-entry on a no-op-setTimes filesystem: the restamp is " +
+      "detected as ineffective and the fallback still restarts the TTL") {
+    // the connector shape the r17 advice named: Hadoop's BASE setTimes is
+    // a silent no-op, so a re-entry that trusted it would return true
+    // with the crashed incarnation's SPENT mtime — re-opening the
+    // mid-batch TTL-takeover window. The fallback (delete + atomic
+    // create) must engage and observably restart the clock.
+    val localRoot = java.nio.file.Files
+      .createTempDirectory("graft-nostamp").toString
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.nostamp.impl", classOf[NoSetTimesFileSystem].getName)
+    val lake = s"nostamp:$localRoot/lake"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$localRoot/lake"))
+    assert(CorpusLake.acquireWriterLease(spark, lake, "stable-writer"),
+      "fresh acquire through the no-op-setTimes filesystem")
+    // age the lease the way a crashed incarnation's would be: directly on
+    // the local file (backdateWriterLease rides setTimes, a no-op here)
+    val leasePath = java.nio.file.Paths.get(s"$localRoot/lake/_writer_lease")
+    val aged = System.currentTimeMillis() - 10L * 60 * 1000
+    java.nio.file.Files.setLastModifiedTime(leasePath,
+      java.nio.file.attribute.FileTime.fromMillis(aged))
+    val before = java.nio.file.Files.getLastModifiedTime(leasePath).toMillis
+    assert(before <= aged, "test setup: the lease must read as aged")
+    assert(CorpusLake.acquireWriterLease(spark, lake, "stable-writer"),
+      "same-owner re-entry must still reclaim on a no-op-setTimes FS")
+    val after = java.nio.file.Files.getLastModifiedTime(leasePath).toMillis
+    assert(after > before,
+      "re-entry must RESTART the TTL clock via the fallback path — a " +
+        "trusted no-op restamp would have left the spent mtime in place")
+    assert(CorpusLake.heldWriterLease(spark, lake, "stable-writer"),
+      "the fallback re-create must preserve the owner tag")
+    assert(!CorpusLake.acquireWriterLease(spark, lake, "someone-else"),
+      "the fallback must not weaken exclusion against other owners")
+    CorpusLake.releaseWriterLease(spark, lake, "stable-writer")
+  }
+
   test("orphan adoption: a taken-over writer's same-version data is never " +
       "admitted by the new holder's commit; vacuum reclaims it") {
     import spark.implicits._

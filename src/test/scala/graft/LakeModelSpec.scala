@@ -145,7 +145,7 @@ class LakeModelSpec extends SparkSpec {
               xs.map(_._2).min, xs.map(_._2).max, median(xs.map(_._2)))
           }.toSet
 
-      // crash-state injection helpers (ops 20-23): a hard writer death at
+      // crash-state injection helpers (ops 20-25): a hard writer death at
       // a protocol step boundary IS a directory state, so the model can
       // throw those states into any interleaving and let every later op
       // and the per-step invariant suite prove them harmless
@@ -168,7 +168,7 @@ class LakeModelSpec extends SparkSpec {
       }
 
       for (step <- 1 to 14) {
-        val op = rnd.nextInt(24)
+        val op = rnd.nextInt(26)
         op match {
           case 0 | 1 | 2 | 3 =>
             val e = nextEpoch; nextEpoch += 1
@@ -357,6 +357,30 @@ class LakeModelSpec extends SparkSpec {
               java.nio.file.Files.writeString(p, s"dead-model-writer-$step")
               CorpusLake.backdateWriterLease(spark, corpus,
                 ageMs = 16L * 60 * 1000)
+            }
+          case 24 => // death AFTER a versioned rewrite fully wrote its
+            // NEW generation dir, BEFORE the store_head flip: the
+            // committed-but-unflipped dir (poisoned to prove it) must
+            // never serve, and the next versioned optimize must
+            // overwrite it unbothered — the gen-pointer twin of op 20
+            val curGen = CorpusLake.storeName(spark, corpus, "docs") match {
+              case "docs" => 0L
+              case n => n.drop("docs_gen_".length).toLong
+            }
+            Seq((424242L, "POISON", 0L)).toDF("doc_id", "text", "epoch")
+              .write.mode("overwrite")
+              .parquet(s"$corpus/docs_gen_${curGen + 1}")
+          case 25 => // death BETWEEN the pointer swap's delete and
+            // rename: the completed store_head_compacting IS the
+            // pointer, main is gone — the next reader must promote it
+            // and resolve identically. Only reachable once a versioned
+            // rewrite has committed a pointer.
+            if (java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"$corpus/store_head/_SUCCESS"))) {
+              hFs(corpus).delete(hPath(s"$corpus/store_head_compacting"), true)
+              assert(hFs(corpus).rename(hPath(s"$corpus/store_head"),
+                hPath(s"$corpus/store_head_compacting")),
+                s"seed $seed step $step: torn pointer-swap rename failed")
             }
           case 23 => // death MID-VIEW-FOLD: base swapped, delta/ext not
             // yet truncated — restore the pre-fold stores beside the

@@ -138,6 +138,59 @@ class LakeViewSpec extends SparkSpec {
       "fold-watermark version must still serve")
   }
 
+  test("lake view: the auto-compact cadence waits out compactEvery " +
+      "versions on the FIRST fold too — a fresh view keeps its history") {
+    import spark.implicits._
+    val corpus = mkLake() // committed versions 0, 1, 2
+    val view = java.nio.file.Files
+      .createTempDirectory("graft-view-cadence").toString + "/view"
+    LakeView.createView(spark, dir, view, dims, measures)
+    // 3 versions accumulated < compactEvery = 5: the first refresh must
+    // NOT fold (the pre-fix MinValue short-circuit compacted a
+    // never-folded view on refresh #1 regardless, destroying all
+    // readViewAt history the moment a stream attached a fresh view)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, view,
+      compactEvery = 5).contains((Long.MinValue, 2L)))
+    assert(rows(LakeView.readViewAt(spark, view, 0L))
+      == recompute(corpus, Some(0L)),
+      "a fresh view below the cadence must keep its full history")
+    assert(rows(LakeView.readView(spark, view)) == recompute(corpus))
+    // two more committed versions reach the cadence (5 versions since
+    // the seed watermark): the next refresh folds
+    baseDocs.filter($"doc_id" % 10 === 4)
+      .select($"doc_id", concat($"text", lit(" u3")).as("text"),
+        lit(3L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 3L)
+    baseDocs.filter($"doc_id" % 10 === 6)
+      .select($"doc_id", concat($"text", lit(" u4")).as("text"),
+        lit(4L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 4L)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, view,
+      compactEvery = 5).contains((2L, 4L)))
+    val truth4 = recompute(corpus)
+    assert(rows(LakeView.readView(spark, view)) == truth4,
+      "the cadence fold changed the serve")
+    assert(spark.read.parquet(s"$view/delta").count() == 0L,
+      "the cadence fold must have fired at 5 accumulated versions")
+    intercept[IllegalArgumentException] { // folded history refuses
+      LakeView.readViewAt(spark, view, 1L)
+    }
+    // past the first fold the cadence measures from the real watermark:
+    // one more version stays unfolded
+    baseDocs.filter($"doc_id" % 10 === 8).limit(3)
+      .select($"doc_id", concat($"text", lit(" u5")).as("text"),
+        lit(5L).as("epoch"))
+      .write.mode("append").parquet(s"$corpus/docs")
+    commitTo(corpus, 5L)
+    assert(LakeView.refreshViewFromLake(spark, dir, corpus, view,
+      compactEvery = 5).contains((4L, 5L)))
+    assert(spark.read.parquet(s"$view/delta").count() > 0L,
+      "one version past a fold must NOT re-fold at compactEvery = 5")
+    assert(rows(LakeView.readView(spark, view)) == recompute(corpus))
+  }
+
   private val minMeasures = Seq("min_chars" -> "CAST(length(text) AS BIGINT)")
   private val maxMeasures = Seq("max_chars" -> "CAST(length(text) AS BIGINT)")
   private val avgMeasures = Seq("avg_toks" -> "CAST(size(split(text, ' ')) AS BIGINT)")
