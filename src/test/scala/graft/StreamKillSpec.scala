@@ -76,11 +76,13 @@ class StreamKillSpec extends SparkSpec {
     Files.createDirectories(Paths.get(s"$root/in"))
     for (i <- 0 until NBatches) writeBatchFile(s"$root/in", i)
     val corpus = s"$root/corpus"
+    CorpusLake.initCorpus(spark, dir, s"$root/idx")
 
     // the uninterrupted twin, over byte-identical inputs, in-process
     val twin = Files.createTempDirectory("graft-kill-twin").toString
     Files.createDirectories(Paths.get(s"$twin/in"))
     for (i <- 0 until NBatches) writeBatchFile(s"$twin/in", i)
+    CorpusLake.initCorpus(spark, dir, s"$twin/idx")
     def drain(rootDir: String): Unit = {
       val src = spark.readStream
         .schema("doc_id LONG, text STRING")
@@ -104,9 +106,9 @@ class StreamKillSpec extends SparkSpec {
     val opens = raw.sliding(2).collect {
       case List(k, v) if k == "--add-opens" => List(k, v)
     }.toList.flatten ++ raw.filter(_.startsWith("--add-opens="))
-    val java = Paths.get(System.getProperty("java.home"), "bin", "java")
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
-    val cmd = (java :: opens) ++ List("-Xmx2g",
+    val cmd = (javaBin :: opens) ++ List("-Xmx2g",
       "-Dspark.ui.enabled=false", "-cp",
       System.getProperty("java.class.path"),
       "graft.StreamKillChild", root, dir)
