@@ -48,7 +48,7 @@ object Bench {
     * hash-agg plan over a bounded scan. Runs AFTER the JIT warmups, so it
     * measures host throughput, not compilation; independent of the query
     * set, so it cannot drift as queries are added. */
-  private def calibrationProbe(spark: SparkSession, sfDir: String): Double =
+  private[graft] def calibrationProbe(spark: SparkSession, sfDir: String): Double =
     try {
       import org.apache.spark.sql.functions._
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000000)

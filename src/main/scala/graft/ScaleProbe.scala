@@ -50,6 +50,7 @@ object ScaleProbe {
     import org.apache.spark.sql.functions.{coalesce, col, lit, sum, when}
     import graft.operators.{Dedup, Similarity, TextAnalysis}
 
+    var calWarmed = false
     args.foreach { dir =>
       val nDocs = graft.sources.Tables.documents(spark, dir).count()
       val nVecs = graft.sources.Tables.embeddings(spark, dir).count()
@@ -1032,11 +1033,27 @@ object ScaleProbe {
           s"[scaleprobe] $dir has no events table — skipping $name")
         skip
       }
+      // host-contention calibration PER SCALE POINT (the r17 verdict:
+      // cross-scale ratio trends measured in different windows are
+      // contention-confounded — SCALING.md's 40k-vs-200k freshness spread
+      // was exactly that). The same fixed 1M-row probe Bench uses, run
+      // before and after each dir's sweep against a STABLE table dir
+      // (sparse fixtures carry no lineitem), so every probe line can be
+      // read against the worst cal of its own window.
+      val calDir = sys.env.getOrElse("SPARK_GRAFT_CAL_DIR",
+        "/root/testdata/sf0.1")
+      // discard one probe run first: the FIRST calibration in a fresh JVM
+      // measures JIT compilation, not host throughput (Bench avoids this
+      // by calibrating after its query warmups; a probe sweep has none)
+      if (!calWarmed) { Bench.calibrationProbe(spark, calDir); calWarmed = true }
+      val calStart = Bench.calibrationProbe(spark, calDir) / Bench.CalReference
       only.fold(runnable)(s => runnable.filter(p => s(p._1))).foreach { case (name, n, run) =>
         val (c, o) = run()
         println(s"""{"probe":"$name","sf":"$dir","corpus":$n,"candidates":$c,"output":$o}""")
         graft.sources.Caches.releaseAll()
       }
+      val calEnd = Bench.calibrationProbe(spark, calDir) / Bench.CalReference
+      System.err.println(f"""[scaleprobe] {"sf":"$dir","cal_start":$calStart%.2f,"cal_end":$calEnd%.2f,"cal_worst":${math.max(calStart, calEnd)}%.2f}""")
     }
     spark.stop()
   }

@@ -197,7 +197,8 @@ object LakeView {
   private def enrich(spark: SparkSession, dir: String, frame: DataFrame,
       baseCols: Seq[String],
       pruneIds: Option[DataFrame] = None,
-      broadcastPrune: Boolean = true): DataFrame =
+      broadcastPrune: Boolean = true,
+      pruneIdsLocal: Option[Array[Long]] = None): DataFrame =
     if (baseCols.isEmpty) frame
     else {
       // a left-outer join cannot broadcast its left (frame) side, so an
@@ -215,12 +216,23 @@ object LakeView {
       // (create, evolution backfill) and the retraction-recompute
       // snapshot, whose corpus-sized scan the extremes cost model already
       // documents.
-      val metaAll = Tables.spread(Tables.documents(spark, dir))
+      // prune before spreading (same reasoning as changedHistory's base
+      // leg): the unpruned path keeps the spread — it feeds a one-time
+      // O(corpus) build whose downstream work wants the parallelism —
+      // but a pruned window must not pay a corpus-wide exchange first.
+      // When the caller already holds the window's id set locally
+      // (changedHistory's scan-pushdown fast path), the same `isin`
+      // predicate reaches THIS scan's parquet footers too.
+      val metaAll = Tables.documents(spark, dir)
         .select(("doc_id" +: baseCols).map(col): _*)
-      val meta = pruneIds.fold(metaAll) { ids =>
-        val idSet = ids.select(col("doc_id")).distinct()
-        metaAll.join(if (broadcastPrune) broadcast(idSet) else idSet,
-          Seq("doc_id"), "left_semi")
+      val meta = pruneIdsLocal match {
+        case Some(ids) => metaAll.filter(col("doc_id")
+          .isin(ids.map(Long.box): _*))
+        case None => pruneIds.fold(Tables.spread(metaAll)) { ids =>
+          val idSet = ids.select(col("doc_id")).distinct()
+          metaAll.join(if (broadcastPrune) broadcast(idSet) else idSet,
+            Seq("doc_id"), "left_semi")
+        }
       }
       // the base table is the AUTHORITATIVE source: a same-named column
       // the frame happens to carry (a carry-column lake) is dropped
@@ -274,14 +286,28 @@ object LakeView {
     * (doc, committed state) with the state it replaced as `prev_text` —
     * the shared input of the signed sums and the extremes maintenance.
     * O(changed docs' history), never O(corpus). */
+  /** Cap on the driver-side id collect backing the scan-pushdown fast
+    * path below: a warm refresh window touches commit-sized id sets
+    * (tens to hundreds), far under this; past it the collect is refused
+    * and the distributed join form runs instead — the driver never holds
+    * an unbounded id list. 8 K longs ≈ 64 KB, noise as a plan literal. */
+  private[graft] val MaxIdPushdown = 8192
+
   private def changedHistory(spark: SparkSession, dir: String,
       corpusDir: String, from: Long, head: Long,
       baseCols: Seq[String] = Nil): DataFrame = {
     val committed = CorpusLake.committedRows(
       CorpusLake.admittedRaw(spark, corpusDir),
       CorpusLake.manifest(spark, corpusDir).filter(col("version") <= head))
-    val changedIds = committed.filter(col("epoch") > from)
+    val changedIds0 = committed.filter(col("epoch") > from)
       .select(col("doc_id")).distinct()
+    // a warm window's id set is commit-sized and consumed THREE times
+    // (the pushdown collect below, the lake-history semi-join, the
+    // enrich prune) — checkpoint it so the committed-rows plan executes
+    // once, not once per consumer; the bootstrap window's set is
+    // corpus-sized and flows into size-aware joins instead
+    val changedIds = if (from == Long.MinValue) changedIds0
+      else changedIds0.localCheckpoint()
     val delFlag =
       if (committed.columns.contains("_deleted"))
         coalesce(col("_deleted"), lit(false))
@@ -289,15 +315,40 @@ object LakeView {
     val hist = committed
       .join(changedIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"), col("epoch"), delFlag.as("_del"))
-    val baseRows = Tables.spread(Tables.documents(spark, dir))
-      .join(changedIds, Seq("doc_id"), "left_semi")
+    // the base-shadow leg must not cost O(corpus) per refresh: the r18
+    // matched-window freshness probe measured the shared history build at
+    // ~1.3 s/refresh at 200k docs vs ~0.3 s at 40k — the base-table scan
+    // was the whole difference (first as a pre-join corpus-wide spread
+    // exchange, then as the semi-join's unpruned full scan; a broadcast
+    // semi join prunes rows AFTER decoding them, so the scan still reads
+    // the corpus). A warm window's id set is commit-sized by contract, so
+    // collect it and push an `isin` PREDICATE into the scan — parquet
+    // row-group min/max stats on doc_id then skip the corpus at the
+    // footer level. Bootstrap / larger-than-cap windows keep the join
+    // form (their scan is honestly window-sized anyway), and the spread
+    // runs on the pruned survivors, never the raw corpus.
+    val idsLocal: Option[Array[Long]] =
+      if (from == Long.MinValue) None
+      else {
+        val ids = changedIds.limit(MaxIdPushdown + 1)
+          .collect().map(_.getLong(0))
+        if (ids.length <= MaxIdPushdown) Some(ids) else None
+      }
+    val baseTab = Tables.documents(spark, dir)
+    val basePruned = idsLocal match {
+      case Some(ids) => baseTab.filter(col("doc_id")
+        .isin(ids.map(Long.box): _*))
+      case None => baseTab.join(changedIds, Seq("doc_id"), "left_semi")
+    }
+    val baseRows = Tables.spread(basePruned)
       .select(col("doc_id"), col("text"), lit(Long.MinValue).as("epoch"),
         lit(false).as("_del"))
     enrich(spark, dir, hist.unionByName(baseRows), baseCols,
         pruneIds = Some(changedIds),
         // bootstrap/cursor-loss replay: the window is every doc ever
         // changed — size-unbounded, so AQE picks the prune strategy
-        broadcastPrune = from != Long.MinValue)
+        broadcastPrune = from != Long.MinValue,
+        pruneIdsLocal = idsLocal)
       .withColumn("prev_text", lag(col("text"), 1).over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch"))))
       .filter(col("epoch") > from)
@@ -729,15 +780,27 @@ object LakeView {
       case Some(h) =>
         val allBaseCols = states.flatMap(_._2.baseCols).distinct
         historyScans.incrementAndGet()
+        val t0 = System.nanoTime()
         val shared = changedHistory(spark, dir, corpusDir, fromMin, h,
           allBaseCols).localCheckpoint()
+        val tShared = System.nanoTime()
         states.foreach { case (vd, spec, from) =>
           if (from < h) {
+            val tv = System.nanoTime()
             refreshOne(spark, dir, corpusDir, vd, spec,
               from, h, shared, sharedHistory = true)
             maybeAutoCompact(spark, vd, h, compactEvery)
+            // env-gated cost split (SPARK_GRAFT_VIEW_TIMING=1): which leg
+            // of a refresh carries the cost at scale — the shared history
+            // build or a per-view fan-out — without a profiler attach
+            if (sys.env.contains("SPARK_GRAFT_VIEW_TIMING"))
+              System.err.println(s"[viewtiming] view=$vd perView=" +
+                s"${(System.nanoTime() - tv) / 1000000}ms")
           }
         }
+        if (sys.env.contains("SPARK_GRAFT_VIEW_TIMING"))
+          System.err.println(s"[viewtiming] window=($fromMin,$h] shared=" +
+            s"${(tShared - t0) / 1000000}ms")
         Some(h)
       case None => None
     }
