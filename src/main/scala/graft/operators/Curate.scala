@@ -353,8 +353,11 @@ object Curate {
     * pin kept for under-capacity groups — COVERAGE.md has the sweep). */
   def cardLiveQuantTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cells = graft.operators.LakeView.readView(spark,
-      cardViewDirs(spark, dir)._2)
+    // three union legs over one groups-sized serve — share it (same
+    // reasoning as [[cardFold]])
+    val cells = graft.sources.Caches.shared(
+      graft.operators.LakeView.readView(spark,
+        cardViewDirs(spark, dir)._2))
     cells.select(concat(lit("docs:"), $"card_lang").as("metric"),
         round($"n_docs".cast("double"), 6).as("value"))
       .unionByName(cells.select(
@@ -414,8 +417,15 @@ object Curate {
   private[graft] def warmCardFamily(spark: SparkSession,
       dir: String): Unit = { cardViewDirs(spark, dir); () }
 
-  private def cardFold(spark: SparkSession, cells: DataFrame): DataFrame = {
+  private def cardFold(spark: SparkSession, cells0: DataFrame): DataFrame = {
     import spark.implicits._
+    // the card's long form reads the served cells THREE times (totals,
+    // per-language, per-band) — without sharing, each union leg re-runs
+    // the whole view-serve subplan (spec/base/delta reads and their
+    // exchanges). The cells frame is groups-sized; persist it once
+    // (guide §5: cache only what is reused and expensive to recompute —
+    // this is both)
+    val cells = graft.sources.Caches.shared(cells0)
     val totals = cells.agg(
         sum($"n_docs").as("docs"), sum($"n_toks").as("tokens"),
         sum($"n_chars").as("chars"),
@@ -434,11 +444,17 @@ object Curate {
 
   private def cardOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val per = TextAnalysis.withQuality(docs)
+    // cache the narrow per-doc projection, as the scaladoc above already
+    // prescribes for 100 TB ("cache the projection — three column-pruned
+    // scans otherwise"): the three grouped aggregates below otherwise
+    // re-run the full upstream plan (for the lake card that is the whole
+    // snapshot serve — manifest semi-join, LWW window, anti-join) once
+    // per union leg. Four narrow columns per doc, text never cached.
+    val per = graft.sources.Caches.shared(TextAnalysis.withQuality(docs)
       .select($"lang",
         floor(round($"quality", 6) * 10).cast("int").as("band"),
         size(tokens($"text")).cast("long").as("n_toks"),
-        length($"text").cast("long").as("n_chars"))
+        length($"text").cast("long").as("n_chars")))
     val totals = per.agg(
         count(lit(1)).as("docs"), sum($"n_toks").as("tokens"),
         sum($"n_chars").as("chars"),

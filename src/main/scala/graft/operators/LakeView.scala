@@ -157,31 +157,34 @@ object LakeView {
       quants: Seq[(String, String, Double)], baseCols: Seq[String] = Nil)
 
   def viewSpecFull(spark: SparkSession, viewDir: String): ViewSpec = {
-    import spark.implicits._
     // resolveArtifact recovery: schema evolution rewrites the spec via
     // the _compacting swap, so a crash mid-swap self-heals on read
     val raw = spark.read.parquet(
       Similarity.resolveArtifact(spark, viewDir, "spec"))
+    val cols = raw.columns.toSet
+    // ONE driver collect for the whole one-row declaration: the previous
+    // per-leg `.head()` ran eight separate Spark jobs per spec read, and
+    // a spec read sits on every serve and refresh — at fleet cadence
+    // that is pure driver-side latency (guide §5: the driver should do
+    // almost no data work, and a collect per leg is eight round trips
+    // for one KB-scale row)
+    val row = raw.head()
+    def seqOf(name: String): Seq[String] =
+      if (!cols(name)) Nil
+      else row.getAs[scala.collection.Seq[String]](name).toSeq
     def leg(names: String, es: String): Seq[(String, String)] =
-      if (!raw.columns.contains(names)) Nil
-      else raw.select(col(names), col(es))
-        .as[(Seq[String], Seq[String])].head() match {
-          case (n, e) => n.zip(e)
-        }
+      seqOf(names).zip(seqOf(es))
     val quants =
-      if (!raw.columns.contains("q_names")) Nil
-      else raw.select(col("q_names"), col("q_exprs"), col("q_ps"))
-        .as[(Seq[String], Seq[String], Seq[Double])].head() match {
-          case (n, e, p) => n.lazyZip(e).lazyZip(p).toSeq
-        }
-    val baseCols =
-      if (!raw.columns.contains("base_cols")) Nil
-      else raw.select(col("base_cols")).as[Seq[String]].head()
+      if (!cols("q_names")) Nil
+      else {
+        val ps = row.getAs[scala.collection.Seq[Double]]("q_ps").toSeq
+        seqOf("q_names").lazyZip(seqOf("q_exprs")).lazyZip(ps).toSeq
+      }
     ViewSpec(leg("dim_names", "dim_exprs"),
       leg("measure_names", "measure_exprs"),
       leg("min_names", "min_exprs"), leg("max_names", "max_exprs"),
       leg("avg_names", "avg_exprs"), leg("dist_names", "dist_exprs"),
-      quants, baseCols)
+      quants, seqOf("base_cols"))
   }
 
   /** Join the declared ENRICHMENT columns — immutable per-doc metadata
@@ -840,7 +843,7 @@ object LakeView {
       version: Option[Long]): DataFrame = {
     val spec = viewSpecFull(spark, viewDir)
     val (avgs, dists, quants) = (spec.avgs, spec.dists, spec.quants)
-    val internal = foldInternal(spark, viewDir, version)
+    val internal = foldInternal(spark, viewDir, version, spec)
     if (avgs.isEmpty && dists.isEmpty && quants.isEmpty) internal
     else {
       // project the serve-facing derivations: avg out of its internal
@@ -873,9 +876,10 @@ object LakeView {
     * frame compaction folds into the base (the derived avg projection
     * cannot be folded: sum/cnt must keep accumulating). */
   private def foldInternal(spark: SparkSession, viewDir: String,
-      version: Option[Long]): DataFrame = {
-    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, _) =
-      viewSpecFull(spark, viewDir)
+      version: Option[Long], spec: ViewSpec): DataFrame = {
+    // spec is threaded from the caller: a serve used to read the
+    // declaration twice (once here, once in the public wrapper)
+    val ViewSpec(dims, sums0, mins, maxs, avgs, dists, quants, _) = spec
     val measures = internalSums(sums0, avgs)
     val dimNames = dims.map(_._1)
     val dimCols = dimNames.map(col)
@@ -942,7 +946,7 @@ object LakeView {
       // extremes — so the rewritten base carries everything the serve
       // and seed paths keep accumulating from (the derived avg columns
       // are a projection, never folded)
-      foldInternal(spark, viewDir, None)
+      foldInternal(spark, viewDir, None, viewSpecFull(spark, viewDir))
         .withColumn("_folded_to", lit(h))
         .write.mode("overwrite").parquet(s"$viewDir/base_compacting")
       Similarity.swapArtifact(spark, viewDir, "base")
