@@ -217,6 +217,17 @@ object Bench {
         .select(HashArray60(col("g")).as("hg"), col("w"), col("m"), col("ed"))
         .select(SimhashSignature(col("hg"), 48).as("sh"), col("w"), col("m"), col("ed"))
         .count()
+      // profile-scoring kernels (BestProfileIndex / CountInSet /
+      // FilterNotInSet): the r17 driver capture charged ~5.7 s of cold
+      // JIT to text_langid's first BestProfileIndex pass (8.07 s cold vs
+      // 2.41 s steady) — the kernel bodies are static, exactly the class
+      // this warmup block exists for. Tiny synthetic profiles; the
+      // benched queries still pay their own plan codegen.
+      d.select(
+          BestProfileIndex(col("toks"), Array(Array(1L, 2L), Array(3L, 4L))).as("bi"),
+          CountInSet(col("toks"), Array(1L, 2L, 3L)).as("cs"),
+          FilterNotInSet(col("toks"), Array(1L, 2L, 3L)).as("fs"))
+        .count()
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(1000)
         .select(col("embedding").cast("array<double>").as("v"))
       e.select(DotProduct(col("v"), col("v"))).count()

@@ -27,9 +27,18 @@ object JobProfile {
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    // -v: per-job call-site attribution (which driver action launched each
+    // job) — the "where do the 30 serve jobs come from" instrument
+    val verbose = sys.env.get("SPARK_GRAFT_PROFILE_VERBOSE").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          val cs = j.stageInfos.map(_.name).distinct.mkString(" | ")
+          println(s"[jobsite] job=${j.jobId} stages=${j.stageInfos.size} " +
+            s"tasks=${j.stageInfos.map(_.numTasks).sum} site=$cs")
+        }
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = ()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()

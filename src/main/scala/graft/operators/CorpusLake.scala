@@ -144,13 +144,32 @@ object CorpusLake {
     * may carry EVOLVED schemas (extra metadata columns added mid-stream)
     * — older epochs serve nulls there. The footer-union cost is
     * file-count-proportional, which the OPTIMIZE passes bound. */
+  /** One-row cursor artifact read (max last_version), listing-signature
+    * memoized: every refresh path re-reads its cursor per firing — a
+    * schema-inference job plus a max() collect each time; the cursor
+    * swap rewrites the dir, so the signature invalidates at the write. */
+  private[operators] def cursorValue(spark: SparkSession,
+      cPath: String): Long = {
+    import spark.implicits._
+    graft.sources.Caches.bySignature[Long](spark, "lake_cursor", cPath) {
+      spark.read.parquet(cPath).agg(max(col("last_version"))).as[Long].head()
+    }
+  }
+
   private[graft] def readStore(spark: SparkSession, corpusDir: String,
       name: String): Option[DataFrame] = {
     val p = Similarity.resolveArtifact(spark, corpusDir,
       storeName(spark, corpusDir, name))
     if (!graft.sources.Formats.pathExists(spark, p)) None
-    else Some(spark.read.option("mergeSchema", "true")
-      .option("recursiveFileLookup", "true").parquet(p))
+    // listing-signature memo (same contract as the manifest read above):
+    // the mergeSchema footer union is a 32-task Spark job per call and a
+    // snapshot serve opens the docs store at least twice; any append or
+    // rewrite under the store dir changes the signature and re-reads
+    else Some(graft.sources.Caches.bySignature[DataFrame](spark,
+        s"store_df|$name", p) {
+      spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(p)
+    })
   }
 
   // ------------- store generations (pinned-path serving for no-retry readers)
@@ -173,9 +192,16 @@ object CorpusLake {
     if (!graft.sources.Formats.pathExists(spark, p)) name
     else {
       import spark.implicits._
-      spark.read.parquet(p).filter(col("store") === name)
-        .agg(max(col("gen"))).as[Option[Long]].head()
-        .fold(name)(g => s"${name}_gen_$g")
+      // listing-signature memo: every store/manifest read resolves the
+      // pointer first — without the memo that is one Spark job per
+      // resolve on a one-row artifact (guide §5); a flip rewrites the
+      // artifact dir, so the signature invalidates exactly then
+      graft.sources.Caches.bySignature[String](spark,
+          s"store_head|$name", p) {
+        spark.read.parquet(p).filter(col("store") === name)
+          .agg(max(col("gen"))).as[Option[Long]].head()
+          .fold(name)(g => s"${name}_gen_$g")
+      }
     }
   }
 
@@ -384,8 +410,16 @@ object CorpusLake {
         lit(0L).as("n_arrived"), lit(0L).as("n_admitted"),
         lit(0L).as("n_duplicate"), lit(0L).as("n_contaminated"),
         lit(0L).as("n_low_quality")).limit(0)
-    spark.read.option("mergeSchema", "true").parquet(p)
-      .dropDuplicates("version")
+    // listing-signature memo of the ANALYZED read (plan + inferred
+    // schema): a mergeSchema read runs a footer-union Spark job per call,
+    // and a serve resolves the manifest several times (committed filter,
+    // head resolve, floor checks). The handle is an unpersisted plan —
+    // execution still scans parquet; a new commit (new manifest file)
+    // changes the signature and re-reads.
+    graft.sources.Caches.bySignature[DataFrame](spark, "manifest_df", p) {
+      spark.read.option("mergeSchema", "true").parquet(p)
+        .dropDuplicates("version")
+    }
   }
 
   /** The manifest's live directory — generation-pointer resolved, so both
@@ -773,10 +807,16 @@ object CorpusLake {
     val sp = Similarity.resolveArtifact(spark, corpusDir, "file_stats")
     val oldRows: Seq[(String, Long, Long, Long, Long, Long)] =
       if (!graft.sources.Formats.pathExists(spark, sp)) Nil
-      else spark.read.parquet(sp)
-        .select($"file", $"n_rows", $"min_doc_id", $"max_doc_id",
-          $"min_epoch", $"max_epoch")
-        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      // listing-signature memo: the stats artifact is re-collected on
+      // every freshness check; it only changes when this pass rewrites it
+      else graft.sources.Caches.bySignature[
+          Seq[(String, Long, Long, Long, Long, Long)]](
+          spark, "file_stats", sp) {
+        spark.read.parquet(sp)
+          .select($"file", $"n_rows", $"min_doc_id", $"max_doc_id",
+            $"min_epoch", $"max_epoch")
+          .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      }
     val keep = oldRows.filter(r => liveSet(normPath(r._1)))
     val known = keep.map(r => normPath(r._1)).toSet
     val fresh = live.filterNot(known)
@@ -1001,9 +1041,16 @@ object CorpusLake {
     if (!graft.sources.Formats.pathExists(spark, p)) None
     else {
       import spark.implicits._
-      Some(spark.read.parquet(p)
-        .select(col("parent"), col("base_version"), col("name"))
-        .as[(String, Long, String)].head())
+      // listing-signature memo: the pointer is KB-scale and read on every
+      // overlay resolve (twice per branch serve) — the parquet read + head
+      // are two driver round-trip Spark jobs each time (guide §5); any
+      // on-disk change to the artifact re-reads it
+      graft.sources.Caches.bySignature[(String, Long, String)](
+        spark, "branch_parent", p) {
+        spark.read.parquet(p)
+          .select(col("parent"), col("base_version"), col("name"))
+          .as[(String, Long, String)].head()
+      } match { case t => Some(t) }
     }
   }
 
@@ -1207,7 +1254,7 @@ object CorpusLake {
       "replica_cursor")
     val from =
       if (graft.sources.Formats.pathExists(spark, cPath))
-        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+        cursorValue(spark, cPath)
       else Long.MinValue
     val floor = retentionFloor(spark, srcCorpusDir)
     require(from >= floor || from == Long.MinValue,
@@ -1717,11 +1764,19 @@ object CorpusLake {
         coalesce(col("_deleted"), lit(false))
       else lit(false)
     val raw = admittedRaw(spark, corpusDir)
-    val changed = committedRows(raw.filter(col("epoch") > fromVersion),
+    val changed0 = committedRows(raw.filter(col("epoch") > fromVersion),
         winMan)
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("epoch").desc)))
       .filter(col("_rn") === 1).drop("_rn")
+    // the changed set is CDC-window-sized by contract and consumed three
+    // times (the feed output, the prior-state semi-join, the base-shadow
+    // anti-join) — checkpoint it so the store scan + LWW window execute
+    // once, not once per consumer (same reasoning as changedHistory's
+    // changed-id checkpoint; a bootstrap replay from MinValue is
+    // corpus-sized and keeps the plan form)
+    val changed = if (fromVersion == Long.MinValue) changed0
+      else changed0.localCheckpoint()
     val changedD = changed.withColumn("_del", deletedFlag(changed))
     val changedIds = changed.select(col("doc_id"))
     // the doc's VISIBLE state at fromVersion: latest committed lake row
@@ -1778,7 +1833,7 @@ object CorpusLake {
     val cPath = Similarity.resolveArtifact(spark, maintDir, "lake_cursor")
     val from =
       if (graft.sources.Formats.pathExists(spark, cPath))
-        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+        cursorValue(spark, cPath)
       else Long.MinValue
     val head = manifest(spark, corpusDir).agg(max($"version"))
       .as[Option[Long]].head()
@@ -1845,7 +1900,7 @@ object CorpusLake {
     val cPath = Similarity.resolveArtifact(spark, maintDir, "dense_lake_cursor")
     val from =
       if (graft.sources.Formats.pathExists(spark, cPath))
-        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+        cursorValue(spark, cPath)
       else Long.MinValue
     val head = manifest(spark, corpusDir).agg(max($"version"))
       .as[Option[Long]].head()
@@ -1993,7 +2048,7 @@ object CorpusLake {
     val cPath = Similarity.resolveArtifact(spark, profDir, "cursor")
     val from =
       if (graft.sources.Formats.pathExists(spark, cPath))
-        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+        cursorValue(spark, cPath)
       else Long.MinValue
     // a vacuum past the cursor collapsed history this window's retractions
     // need (the lag would see the floor-state instead of the version the
@@ -2181,7 +2236,11 @@ object CorpusLake {
     if (!graft.sources.Formats.pathExists(spark, p)) Long.MinValue
     else {
       import spark.implicits._
-      spark.read.parquet(p).agg(max($"min_version")).as[Long].head()
+      // listing-signature memo: the floor gates every pinned read; the
+      // artifact only changes at a vacuum (which rewrites the dir)
+      graft.sources.Caches.bySignature[Long](spark, "retention_floor", p) {
+        spark.read.parquet(p).agg(max($"min_version")).as[Long].head()
+      }
     }
   }
 
@@ -3044,7 +3103,7 @@ object CorpusLake {
     val replicaCursor = {
       val p = Similarity.resolveArtifact(spark, corpusDir, "replica_cursor")
       if (!graft.sources.Formats.pathExists(spark, p)) -1L
-      else spark.read.parquet(p).agg(max($"last_version")).as[Long].head()
+      else cursorValue(spark, p)
     }
     Seq(
       ("committed_epochs", committedN),
@@ -3087,7 +3146,7 @@ object CorpusLake {
     def cursor(dir: String, name: String): Long = {
       val p = Similarity.resolveArtifact(spark, dir, name)
       if (!graft.sources.Formats.pathExists(spark, p)) Long.MinValue
-      else spark.read.parquet(p).agg(max($"last_version")).as[Long].head()
+      else cursorValue(spark, p)
     }
     def leaf(d: String): String = d.split('/').filter(_.nonEmpty).last
     val legs =
@@ -3345,7 +3404,14 @@ object CorpusLake {
     * file pruning changes NOTHING inside the range. */
   def prunedTwin(spark: SparkSession, dir: String): DataFrame = {
     val lake = deleteLake(spark, dir)
-    collectFileStats(spark, lake)
+    // INCREMENTAL stats maintenance (O(files added), a no-op when the
+    // zones already cover the live files) instead of the old
+    // delete-and-rebuild-from-scratch per serve: re-profiling every live
+    // file on every read is O(lake) work the zone-map design exists to
+    // avoid, and the prune decision is equally real either way (the
+    // stats rows are identical). First serve builds the full stats;
+    // repeat serves pay only the freshness check.
+    collectFileStatsIncremental(spark, lake)
     readCorpusAtRange(spark, dir, lake, 100L, 299L).orderBy(col("doc_id"))
   }
 

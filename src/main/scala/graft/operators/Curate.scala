@@ -241,7 +241,13 @@ object Curate {
     * fanout — only survivors are ever tokenized and exploded. */
   def prepare(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the selection is bounded-tiny (PerLang × langs rows) and consumed
+    // by TWO broadcast joins — materialize it once so the whole curate
+    // subplan (quality ∧ langid ∧ clusters ∧ sample) executes once, not
+    // once per broadcast build (guide §8: decide on the small table once,
+    // then attach the plan to the payload)
     val selected = curate(spark, dir).select($"lang", $"doc_id")
+      .localCheckpoint()
     val survivors = Tables.documents(spark, dir)
       .join(broadcast(selected), "doc_id")
     Packing.chunkRows(survivors.select($"doc_id", $"text"))

@@ -158,9 +158,20 @@ object LakeView {
 
   def viewSpecFull(spark: SparkSession, viewDir: String): ViewSpec = {
     // resolveArtifact recovery: schema evolution rewrites the spec via
-    // the _compacting swap, so a crash mid-swap self-heals on read
-    val raw = spark.read.parquet(
-      Similarity.resolveArtifact(spark, viewDir, "spec"))
+    // the _compacting swap, so a crash mid-swap self-heals on read.
+    // Listing-signature memo: the one-row declaration is read on every
+    // serve and refresh — without the memo that is a schema-inference
+    // job plus a head() collect per read; an evolution swap rewrites the
+    // dir and invalidates the signature.
+    val sPath = Similarity.resolveArtifact(spark, viewDir, "spec")
+    graft.sources.Caches.bySignature[ViewSpec](spark, "view_spec", sPath) {
+      viewSpecUncached(spark, sPath)
+    }
+  }
+
+  private def viewSpecUncached(spark: SparkSession,
+      sPath: String): ViewSpec = {
+    val raw = spark.read.parquet(sPath)
     val cols = raw.columns.toSet
     // ONE driver collect for the whole one-row declaration: the previous
     // per-leg `.head()` ran eight separate Spark jobs per spec read, and
@@ -609,7 +620,12 @@ object LakeView {
     import spark.implicits._
     val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
     if (graft.sources.Formats.pathExists(spark, cPath))
-      spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+      // listing-signature memo: the cursor is a one-row artifact read on
+      // every refresh and serve; its swap rewrites the dir, so the
+      // signature invalidates exactly at the write
+      graft.sources.Caches.bySignature[Long](spark, "view_cursor", cPath) {
+        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+      }
     else Long.MinValue
   }
 
@@ -813,12 +829,18 @@ object LakeView {
   private def baseAndWatermark(spark: SparkSession,
       viewDir: String): (DataFrame, Long) = {
     import spark.implicits._
-    val base = spark.read.parquet(
-      Similarity.resolveArtifact(spark, viewDir, "base"))
-    if (base.columns.contains("_folded_to"))
-      (base.drop("_folded_to"),
-        base.agg(max(col("_folded_to"))).as[Long].head())
-    else (base, Long.MinValue)
+    val bPath = Similarity.resolveArtifact(spark, viewDir, "base")
+    // listing-signature memo: serves and refreshes re-open the base per
+    // call (a schema-inference job plus a watermark-max job each time);
+    // a compaction swaps the dir and invalidates the signature
+    graft.sources.Caches.bySignature[(DataFrame, Long)](spark,
+        "view_base", bPath) {
+      val base = spark.read.parquet(bPath)
+      if (base.columns.contains("_folded_to"))
+        (base.drop("_folded_to"),
+          base.agg(max(col("_folded_to"))).as[Long].head())
+      else (base, Long.MinValue)
+    }
   }
 
   /** Serve the maintained view: base + deduped signed deltas above the
@@ -1019,7 +1041,7 @@ object LakeView {
     val cPath = Similarity.resolveArtifact(spark, viewDir, "cursor")
     val cursor =
       if (graft.sources.Formats.pathExists(spark, cPath))
-        spark.read.parquet(cPath).agg(max($"last_version")).as[Long].head()
+        CorpusLake.cursorValue(spark, cPath)
       else Long.MinValue
     val source = enrich(spark, dir,
       if (cursor == Long.MinValue)

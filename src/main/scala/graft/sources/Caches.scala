@@ -71,6 +71,61 @@ object Caches {
       (build: => Long): Long =
     memoizedValue(spark, key)(build)
 
+  private val signed =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String), (Long, Any)]
+
+  /** Order-independent signature of a path's recursive file listing
+    * (name, length, mtime per file) — one local-FS metadata walk, no
+    * Spark job. Changes whenever any file under the path is added,
+    * removed, renamed, resized or re-written (parquet writers always
+    * create fresh UUID part names, so an in-place rewrite cannot alias). */
+  private def listingSignature(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    var h = 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      var f = st.getPath.toString.hashCode.toLong
+      f = f * 1000003L + st.getLen
+      f = f * 1000003L + st.getModificationTime
+      h ^= f * -7046029254386353131L // order-independent mix
+      n += 1
+    }
+    h * 1000003L + n
+  }
+
+  /** Memoize a value derived from the files under `path`, invalidated by
+    * the path's listing signature: a re-read happens exactly when
+    * something on disk changed. This is METADATA memoization (parsed
+    * pointer rows, analyzed read plans / inferred schemas), never result
+    * caching — a returned DataFrame handle is an unpersisted plan that
+    * still scans parquet on every execution. The win is the per-call
+    * driver round trip: every `spark.read.parquet` runs a schema-inference
+    * Spark job (a 32-task one under mergeSchema), and the lake serve
+    * paths re-read the same KB-scale manifest/pointer artifacts several
+    * times per query (guide §5: the driver should do almost no data
+    * work). The listing walk is a local-FS metadata op; at 100 TB the
+    * same role is played by a table format's cached log snapshot
+    * (guide §6 — manifest metadata beats directory listing). */
+  def bySignature[T](spark: org.apache.spark.sql.SparkSession, key: String,
+      path: String)(build: => T)(implicit ct: scala.reflect.ClassTag[T]): T = {
+    val sig = listingSignature(spark, path)
+    val k = (spark, s"$key|$path")
+    signed.get(k) match {
+      case Some((s, v)) if s == sig =>
+        ct.unapply(v).getOrElse(throw new IllegalStateException(
+          s"Caches.bySignature key '$key' holds a ${v.getClass.getName} " +
+            s"but this call site requested ${ct.runtimeClass.getName}"))
+      case _ =>
+        val v = build
+        signed.put(k, (sig, v))
+        v
+    }
+  }
+
   /** Persist `df` unless an equal plan is already cached; track the handle. */
   def shared(df: DataFrame): DataFrame = synchronized {
     if (df.storageLevel == StorageLevel.NONE) {
@@ -106,6 +161,9 @@ object Caches {
       if (drop) unp(v)
       !drop
     }
+    signed.filterInPlace { case ((s, k), _) =>
+      !((s eq spark) && k.startsWith(prefix))
+    }
   }
 
   /** Number of currently tracked (persisted, unreleased) handles. */
@@ -122,5 +180,6 @@ object Caches {
     tracked.clear()
     memo.clear()
     values.clear()
+    signed.clear()
   }
 }

@@ -14,7 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // listing-signature memo of the analyzed read: every bare
+    // `spark.read.parquet` runs a one-task schema-inference job, and the
+    // bench touches each fixture table hundreds of times per session —
+    // pure driver round-trip overhead (guide §5). The handle is an
+    // unpersisted plan (execution still scans parquet); a changed fixture
+    // dir re-reads via the signature.
+    Caches.bySignature[DataFrame](spark, "table", s"$dir/$name.parquet") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Spread a (possibly single-split) scan across all cores before a
     * compute-heavy per-row stage. Small fixture files arrive as ONE input
