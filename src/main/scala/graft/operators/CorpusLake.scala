@@ -361,24 +361,37 @@ object CorpusLake {
     * consume this; everything that answers "what is the corpus" goes
     * through the overlay ([[admittedRaw]]). */
   private def localAdmittedRaw(spark: SparkSession,
-      corpusDir: String): DataFrame =
+      corpusDir: String, collapseReplays: Boolean = true): DataFrame =
     readStore(spark, corpusDir, "docs") match {
       case None => spark.range(0).select(col("id").as("doc_id"),
         lit("").as("text"), lit(0L).as("epoch")).limit(0)
-      case Some(raw) => raw.dropDuplicates(replayKey(raw))
+      case Some(raw) =>
+        if (collapseReplays) raw.dropDuplicates(replayKey(raw)) else raw
     }
 
+  /** `collapseReplays = false` skips the (doc_id, epoch[, tag]) replay
+    * dedup — ONLY for consumers that end in a latest-row-per-doc resolve
+    * (`row_number() = 1` over doc_id): replay copies are byte-identical
+    * by contract and the pair-aware committed filter already excludes
+    * different-tag orphans, so the rank picks identical content whichever
+    * physical copy wins — and the dedup's own exchange + sort aggregate
+    * over full rows (text included) is a pure extra shuffle on every
+    * snapshot serve (guide §2.4: a distinct on data the next operator
+    * re-collapses anyway). Consumers where per-(doc, epoch) multiplicity
+    * is observable (vacuum row accounting, the change-feed lag window)
+    * keep the default. */
   private[operators] def admittedRaw(spark: SparkSession,
-      corpusDir: String): DataFrame =
+      corpusDir: String, collapseReplays: Boolean = true): DataFrame =
     parentOf(spark, corpusDir) match {
-      case None => localAdmittedRaw(spark, corpusDir)
+      case None => localAdmittedRaw(spark, corpusDir, collapseReplays)
       case Some((parent, base, _)) =>
         // branch overlay: the parent's history is visible only up to the
         // branch point — rows past it (including epochs the parent
         // committed AFTER the branch) never enter this lake's reads, so
         // branch-local epoch numbers can never collide into visibility
-        localAdmittedRaw(spark, corpusDir).unionByName(
-          admittedRaw(spark, parent).filter(col("epoch") <= base),
+        localAdmittedRaw(spark, corpusDir, collapseReplays).unionByName(
+          admittedRaw(spark, parent, collapseReplays)
+            .filter(col("epoch") <= base),
           allowMissingColumns = true)
     }
 
@@ -699,7 +712,11 @@ object CorpusLake {
         s"version $v predates the retention floor $floor: vacuumCorpus " +
           "collapsed that history (pin a version >= the floor)")
     }
-    resolveLatestAdmitted(committedOnly(admittedRaw(spark, corpusDir),
+    // collapseReplays = false: the latest-row resolve below collapses
+    // replay copies itself (see admittedRaw) — one fewer full-row shuffle
+    // per snapshot serve
+    resolveLatestAdmitted(committedOnly(
+      admittedRaw(spark, corpusDir, collapseReplays = false),
       manifest(spark, corpusDir), version))
   }
 
@@ -724,7 +741,8 @@ object CorpusLake {
     * tombstone drops back out). */
   private[graft] def deletedIds(spark: SparkSession,
       corpusDir: String): DataFrame = {
-    val committed = committedOnly(admittedRaw(spark, corpusDir),
+    val committed = committedOnly(
+      admittedRaw(spark, corpusDir, collapseReplays = false),
       manifest(spark, corpusDir), None)
     if (!committed.columns.contains("_deleted"))
       return spark.range(0).select(col("id").as("doc_id")).limit(0)
@@ -962,11 +980,12 @@ object CorpusLake {
       if (files.isEmpty)
         spark.range(0).select(col("id").as("doc_id"),
           lit("").as("text"), lit(0L).as("epoch")).limit(0)
-      else {
-        val raw = spark.read.option("mergeSchema", "true")
+      else
+        // no replay collapse: both consumers (range read, id-set lookup)
+        // end in resolveLatestAdmitted — same argument as admittedRaw's
+        // collapseReplays = false path
+        spark.read.option("mergeSchema", "true")
           .parquet(files: _*).filter(idPred)
-        raw.dropDuplicates(replayKey(raw))
-      }
     parentOf(spark, corpusDir) match {
       case None => local
       case Some((parent, base, _)) =>
@@ -1763,7 +1782,8 @@ object CorpusLake {
       if (df.columns.contains("_deleted"))
         coalesce(col("_deleted"), lit(false))
       else lit(false)
-    val raw = admittedRaw(spark, corpusDir)
+    // collapseReplays = false: both consumers below resolve latest-per-doc
+    val raw = admittedRaw(spark, corpusDir, collapseReplays = false)
     val changed0 = committedRows(raw.filter(col("epoch") > fromVersion),
         winMan)
       .withColumn("_rn", row_number().over(

@@ -365,9 +365,15 @@ object TextAnalysis {
     * (token, int) pairs, not documents. */
   def salientTerms(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tf = Tables.spread(Tables.documents(spark, dir))
-      .select($"doc_id", explode(tokens($"text")).as("tok"))
-      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    // the tf relation feeds BOTH the df aggregate (broadcast build) and
+    // the scoring join — share one materialization instead of running the
+    // corpus explode + (doc, tok) aggregate once per consumer (guide §5:
+    // cache what is reused and expensive; this is the same posture as the
+    // BM25 postings memo)
+    val tf = graft.sources.Caches.shared(
+      Tables.spread(Tables.documents(spark, dir))
+        .select($"doc_id", explode(tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "tok")
       .withColumn("rank", row_number().over(
