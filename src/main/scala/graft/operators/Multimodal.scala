@@ -446,11 +446,24 @@ object Multimodal {
         java.lang.Long.toHexString(graft.functions.HashKernels.h60(s"v1|$dir")))
     val base = new org.apache.hadoop.fs.Path(lake.getPath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(base)) fs.delete(base, true)
-    graft.sources.Formats.writeBlobFiles(
-      Tables.documents(spark, dir)
-        .select($"doc_id".as("id"), encode($"text", "UTF-8").as("data")),
-      lake.getPath)
+    // rebuild the blob store only when the SOURCE fixture changed (or the
+    // store is missing): the old delete-and-rewrite per serve re-wrote
+    // every blob on every invocation to guard against stale blobs from a
+    // regenerated fixture — the listing-signature memo makes that guard
+    // exact instead of paranoid (any change to documents.parquet
+    // invalidates and forces the delete + rewrite), so repeat serves pay
+    // the binaryFile read + digest only
+    if (!fs.exists(base))
+      graft.sources.Caches.invalidate(spark, "media_lake")
+    graft.sources.Caches.bySignature[String](spark, "media_lake",
+        s"$dir/documents.parquet") {
+      if (fs.exists(base)) fs.delete(base, true)
+      graft.sources.Formats.writeBlobFiles(
+        Tables.documents(spark, dir)
+          .select($"doc_id".as("id"), encode($"text", "UTF-8").as("data")),
+        lake.getPath)
+      lake.getPath
+    }
     graft.sources.Formats.readBinaryFiles(spark, lake.getPath, "*.bin")
       .select(
         regexp_extract($"path", "(\\d+)\\.bin$", 1).cast("long").as("doc_id"),

@@ -52,10 +52,18 @@ class StreamKillSpec extends SparkSpec {
   private def partFiles(store: String): Long = {
     val p = Paths.get(store)
     if (!Files.exists(p)) 0L
-    else Files.walk(p).iterator().asScala.count { f =>
-      val n = f.getFileName.toString
-      n.startsWith("part-") &&
-        !f.iterator().asScala.exists(_.toString == "_temporary")
+    else try {
+      Files.walk(p).iterator().asScala.count { f =>
+        val n = f.getFileName.toString
+        n.startsWith("part-") &&
+          !f.iterator().asScala.exists(_.toString == "_temporary")
+      }
+    } catch {
+      // the walk races the LIVE child's committer, which deletes
+      // `_temporary` task dirs between our listing and our visit — a
+      // vanished entry is a normal mid-commit race, not a failure;
+      // report "no observation" and let the poll loop sample again
+      case _: java.io.UncheckedIOException => -1L
     }
   }
 
@@ -131,7 +139,9 @@ class StreamKillSpec extends SparkSpec {
         System.currentTimeMillis() < deadline) {
       val m = partFiles(s"$corpus/manifest")
       val d = partFiles(s"$corpus/docs")
-      if (m >= 3 && d > lastDocs && m == lastManifest && lastDocs > 0) {
+      if (m < 0 || d < 0) {
+        Thread.sleep(5) // raced a mid-commit delete; sample again
+      } else if (m >= 3 && d > lastDocs && m == lastManifest && lastDocs > 0) {
         aliveAtKill = proc.isAlive
         proc.destroyForcibly() // SIGKILL — no shutdown hooks, no cleanup
         killedMidCommit = true
