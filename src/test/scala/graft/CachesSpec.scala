@@ -91,6 +91,47 @@ class CachesSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("bySignature() memoizes per listing signature and re-reads on any file change") {
+    import spark.implicits._
+    Caches.releaseAll()
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    spark.range(5).select($"id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    var builds = 0
+    def read(): Long = Caches.bySignature[Long](spark, "sig-test", dir) {
+      builds += 1
+      spark.read.parquet(dir).count()
+    }
+    assert(read() == 5L && builds == 1)
+    assert(read() == 5L && builds == 1,
+      "unchanged listing must serve the memo, not re-read")
+    // APPEND a file → signature changes → re-read sees the new rows
+    spark.range(3).select(($"id" + 100).as("id")).coalesce(1)
+      .write.mode("append").parquet(dir)
+    assert(read() == 8L && builds == 2,
+      "an appended file must invalidate the memo")
+    // REWRITE in place (delete + overwrite, fresh part names) → re-read
+    spark.range(2).select($"id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    assert(read() == 2L && builds == 3,
+      "an overwritten store must invalidate the memo")
+    // a DIFFERENT key over the same path holds its own entry
+    var other = 0
+    val s = Caches.bySignature[String](spark, "sig-test-2", dir) {
+      other += 1; "x"
+    }
+    assert(s == "x" && other == 1 && builds == 3)
+    // type collision on one key fails fast, like memoizedValue
+    intercept[IllegalStateException] {
+      Caches.bySignature[String](spark, "sig-test", dir)("nope")
+    }
+    // releaseAll drops the memo: same bytes on disk, but a fresh build
+    Caches.releaseAll()
+    assert(read() == 2L && builds == 4,
+      "releaseAll must drop signature memos")
+    Caches.releaseAll()
+  }
+
   test("composed curate pipeline tracks caches and releases them all") {
     Caches.releaseAll()
     val dir = sf("sf0.001")

@@ -363,6 +363,49 @@ class LakeMaintenanceSpec extends SparkSpec {
     Caches.releaseAll()
   }
 
+  test("replay copies serve identically through the collapse-free resolve paths") {
+    // the serve paths skip the (doc_id, epoch) replay dedup (one fewer
+    // full-row shuffle per leg) on the argument that the latest-row
+    // window collapses byte-identical copies itself — pin it: a store
+    // holding every row TWICE (a replayed batch) must serve the exact
+    // same snapshot, change feed, and tombstone set as a clean twin
+    import spark.implicits._
+    Caches.releaseAll()
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-replay-serve").toString
+    def commit(corpus: String, rows: Seq[(Long, String)], v: Long,
+        copies: Int): Unit = {
+      (1 to copies).foreach { _ =>
+        rows.toDF("doc_id", "text").withColumn("epoch", lit(v))
+          .write.mode("append").parquet(s"$corpus/docs")
+      }
+      Seq((v, rows.size.toLong, rows.size.toLong, 0L, 0L, 0L))
+        .toDF("version", "n_arrived", "n_admitted", "n_duplicate",
+          "n_contaminated", "n_low_quality")
+        .write.mode("append").parquet(s"$corpus/manifest")
+    }
+    val clean = s"$tmp/clean"; val replayed = s"$tmp/replayed"
+    for ((c, copies) <- Seq(clean -> 1, replayed -> 2)) {
+      commit(c, Seq((9200001L, docAText), (9200002L, docBText)), 0L, copies)
+      commit(c, Seq((9200002L, docBText + " v2")), 1L, copies)
+      CorpusLake.deleteDocs(spark, c, Seq(9200001L).toDF("doc_id"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(CorpusLake.readCorpusAt(spark, dir, replayed)) ==
+      rows(CorpusLake.readCorpusAt(spark, dir, clean)),
+      "replayed snapshot serve diverged from the clean twin")
+    assert(rows(CorpusLake.readCorpusChanges(spark, dir, replayed, 0L)) ==
+      rows(CorpusLake.readCorpusChanges(spark, dir, clean, 0L)),
+      "replayed change feed diverged from the clean twin")
+    assert(rows(CorpusLake.readCorpusAtRange(spark, dir, replayed,
+        9200001L, 9200002L)) ==
+      rows(CorpusLake.readCorpusAtRange(spark, dir, clean,
+        9200001L, 9200002L)),
+      "replayed range read diverged from the clean twin")
+    Caches.releaseAll()
+  }
+
   test("incremental run delivery: delta export + apply reconstructs the run; corruption named") {
     import spark.implicits._
     Caches.releaseAll()
