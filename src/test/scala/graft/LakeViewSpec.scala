@@ -911,4 +911,76 @@ class LakeViewSpec extends SparkSpec {
       LakeView.refreshViews(spark, dir, corpus, Nil)
     }
   }
+
+  test("lake view: ONE recompute snapshot scan serves every same-cursor " +
+      "ext view in a fan-out window — stores byte-identical to solo") {
+    val corpus = mkLake()
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-view-extshare").toString
+    def declare3(mm: String, di: String, qu: String): Unit = {
+      LakeView.createView(spark, dir, mm, dims, measures,
+        minMeasures, maxMeasures)
+      LakeView.createView(spark, dir, di, dims, measures,
+        distinctMeasures = Seq("d_ids" -> "CAST(doc_id AS STRING)"))
+      LakeView.createView(spark, dir, qu, dims, measures,
+        quantileMeasures =
+          Seq(("p50_chars", "CAST(length(text) AS DOUBLE)", 0.5)))
+    }
+    // solo baseline: each ext view pays its own snapshot scan
+    val sMM = s"$root/solo-mm"; val sDI = s"$root/solo-di"
+    val sQU = s"$root/solo-qu"
+    declare3(sMM, sDI, sQU)
+    val soloBefore = LakeView.extSnapshotScans.get()
+    Seq(sMM, sDI, sQU).foreach { v =>
+      assert(LakeView.refreshViewFromLake(spark, dir, corpus, v).isDefined)
+    }
+    assert(LakeView.extSnapshotScans.get() - soloBefore == 3,
+      "three solo ext refreshes must scan the snapshot thrice (baseline)")
+    // shared fan-out at ONE cursor: one scan for all three ext views
+    val gMM = s"$root/shared-mm"; val gDI = s"$root/shared-di"
+    val gQU = s"$root/shared-qu"
+    declare3(gMM, gDI, gQU)
+    val sharedBefore = LakeView.extSnapshotScans.get()
+    assert(LakeView.refreshViews(spark, dir, corpus, Seq(gMM, gDI, gQU))
+      .contains(2L))
+    assert(LakeView.extSnapshotScans.get() - sharedBefore == 1,
+      "a same-cursor ext fan-out must scan the snapshot ONCE, not per view")
+    // stores identical to the solo twins: delta rows and min/max/quantile
+    // ext rows byte-for-byte (QSketch's serialization is canonical —
+    // sorted bottom-k — so partitioning cannot change a byte); the HLL
+    // ext rows compare by ESTIMATE — DataSketches' serialized form is
+    // merge-order-dependent for one and the same coupon set, solo runs
+    // already differ from each other at the byte level, and the read
+    // side dedups by (dims, version) and serves estimates only
+    def storeRows(p: String, store: String,
+        proj: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = identity) =
+      proj(spark.read.parquet(s"$p/$store")).collect()
+        .map(_.toSeq.map {
+          case b: Array[Byte] => b.toSeq
+          case x => x
+        }).toSeq.sortBy(_.map(v => String.valueOf(v)).mkString("|"))
+    for ((g, s) <- Seq((gMM, sMM), (gDI, sDI), (gQU, sQU))) {
+      assert(storeRows(g, "delta") == storeRows(s, "delta"),
+        s"shared delta rows diverged from the solo refresh ($s)")
+    }
+    for ((g, s) <- Seq((gMM, sMM), (gQU, sQU))) {
+      assert(storeRows(g, "ext") == storeRows(s, "ext"),
+        s"shared ext rows diverged from the solo refresh ($s)")
+    }
+    def hllEst(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("bucket"), col("version"),
+      when(col("d_ids").isNotNull, hll_sketch_estimate(col("d_ids")))
+        .as("d_ids"))
+    assert(storeRows(gDI, "ext", hllEst) == storeRows(sDI, "ext", hllEst),
+      s"shared distinct ext rows diverged from the solo refresh ($sDI)")
+    // and the serve agrees with a head recompute for the minmax view
+    val mmCols6 =
+      Seq("bucket", "n_docs", "chars", "toks", "min_chars", "max_chars")
+    def six(df: org.apache.spark.sql.DataFrame) =
+      df.select(mmCols6.map(col): _*).collect().map(_.toSeq).toSeq
+        .sortBy(_.head.asInstanceOf[Int])
+    assert(six(LakeView.readView(spark, gMM))
+      == recomputeMM(corpus).map(r => r.take(6)),
+      "shared minmax view diverged from the head recompute")
+  }
 }
