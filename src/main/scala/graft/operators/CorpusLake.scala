@@ -1723,7 +1723,9 @@ object CorpusLake {
   def changesTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (v1, v2) = twinSnapshots(spark, dir)
-    snapshotDiff(v1, v2).orderBy($"doc_id")
+    // same plan-equality cache as the profile twins: one v1⋈v2 diff per
+    // session serves all three diff consumers
+    graft.sources.Caches.shared(snapshotDiff(v1, v2)).orderBy($"doc_id")
   }
 
   /** The deterministic two-snapshot fixture BOTH oracled twins
@@ -2174,19 +2176,49 @@ object CorpusLake {
     * recomputes v2's profile directly. Hash equality pins the retraction
     * algebra end-to-end (the lake's [[versionDelta]] is this same signed
     * fold, keyed per committed version). */
+  /** v1's per-doc quality projection, shared by BOTH profile twins' v1
+    * legs (the full-corpus scan and the diff-sized minus leg) and across
+    * the two twins within a session (plan-equality cache): doc_id + the
+    * three band counters, ~25 bytes/row — the narrow-proxy posture
+    * (guide §8: the corpus text is decoded and quality-scored ONCE; every
+    * later consumer moves evaluated values). Before this, corpus_profile's
+    * plan ran the v1 scan three times (profile leg, minus leg, diff old
+    * side) and the v1⋈v2 diff twice (once under each broadcast build) —
+    * 13 warm jobs for a bands-sized result. */
+  private def perDocProfile(v1: DataFrame): DataFrame =
+    graft.sources.Caches.shared(
+      TextAnalysis.withQuality(v1)
+        .select(col("doc_id"),
+          floor(round(col("quality"), 6) * 10).cast("int").as("band"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("nc")))
+
+  /** Per-band signed aggregate of a [[perDocProfile]] slice — the same
+    * (band, n_docs, n_tokens, n_chars) rows [[signedProfile]] derives
+    * from raw (doc_id, text). */
+  private def signedOfPerDoc(rows: DataFrame, sign: Int): DataFrame =
+    rows.groupBy(col("band"))
+      .agg((count(lit(1)) * sign).as("n_docs"),
+        (sum(col("n_toks")) * sign).as("n_tokens"),
+        (sum(col("nc")) * sign).as("n_chars"))
+
   def profileTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (v1, v2) = twinSnapshots(spark, dir)
-    val diff = snapshotDiff(v1, v2)
+    // the diff is consumed by BOTH broadcast builds (and by the drift
+    // twin in the same session): plan-equality cache so the v1⋈v2
+    // full-outer join runs once, not once per consumer
+    val diff = graft.sources.Caches.shared(snapshotDiff(v1, v2))
+    val q1 = perDocProfile(v1)
     val plus = v2.join(broadcast(diff
         .filter($"change_type".isin("insert", "update")).select($"doc_id")),
       Seq("doc_id"), "left_semi")
-    val minus = v1.join(broadcast(diff
+    val minus = q1.join(broadcast(diff
         .filter($"change_type".isin("update", "delete")).select($"doc_id")),
       Seq("doc_id"), "left_semi")
-    signedProfile(v1, 1)
+    signedOfPerDoc(q1, 1)
       .unionByName(signedProfile(plus, 1))
-      .unionByName(signedProfile(minus, -1))
+      .unionByName(signedOfPerDoc(minus, -1))
       .groupBy($"band")
       .agg(sum($"n_docs").as("n_docs"), sum($"n_tokens").as("n_tokens"),
         sum($"n_chars").as("n_chars"))
@@ -2208,22 +2240,26 @@ object CorpusLake {
   def profileDriftTwin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (v1, v2) = twinSnapshots(spark, dir)
-    val diff = snapshotDiff(v1, v2)
+    // same shared diff + per-doc v1 projection as [[profileTwin]] (one
+    // v1⋈v2 join and one v1 quality scan per SESSION across both twins,
+    // instead of two of each per twin)
+    val diff = graft.sources.Caches.shared(snapshotDiff(v1, v2))
+    val q1 = perDocProfile(v1)
     val plus = v2.join(broadcast(diff
         .filter($"change_type".isin("insert", "update")).select($"doc_id")),
       Seq("doc_id"), "left_semi")
-    val minus = v1.join(broadcast(diff
+    val minus = q1.join(broadcast(diff
         .filter($"change_type".isin("update", "delete")).select($"doc_id")),
       Seq("doc_id"), "left_semi")
     // ONE union-aggregate instead of two per-version profiles: the v1 leg
     // contributes to both counters (v2's profile = v1's + signed deltas),
     // so the full-corpus quality scan runs ONCE — the plus/minus legs are
     // diff-sized subsets
-    val joined = signedProfile(v1, 1)
+    val joined = signedOfPerDoc(q1, 1)
       .select($"band", $"n_docs".as("d1"), $"n_docs".as("d2"))
       .unionByName(signedProfile(plus, 1)
         .select($"band", lit(0L).as("d1"), $"n_docs".as("d2")))
-      .unionByName(signedProfile(minus, 1)
+      .unionByName(signedOfPerDoc(minus, 1)
         .select($"band", lit(0L).as("d1"), (-$"n_docs").as("d2")))
       .groupBy($"band")
       .agg(sum($"d1").as("n_docs_v1"), sum($"d2").as("n_docs_v2"))
