@@ -10,16 +10,19 @@ object Bench {
     * then 1 dp, then 1 dp only for the ≥0.95 s slow tail, then the
     * all-0-dp floor, then an EMERGENCY level that keeps the WHOLE ≥0.95 s
     * slow tail (slowest-first — the per-round trend signal) and then
-    * fills the remaining budget with as MANY of the fast entries as fit
-    * (shortest-entry-first — count-maximizing), reporting the rest as
-    * `"q_omitted":n` — so precision (and finally coverage) is sacrificed
-    * where it carries the least signal BEFORE parseability ever is.
+    * fills the remaining budget with fast entries in NAME order — a
+    * deterministic keep-rule, so the kept set is STABLE round over round
+    * (a count-maximizing shortest-first fill rotated names as 0-dp widths
+    * flickered, manufacturing phantom drops/arrivals in the per-query
+    * trend) — reporting the rest as `"q_omitted":n`; precision (and
+    * finally coverage) is sacrificed where it carries the least signal
+    * BEFORE parseability ever is.
     *
     * Coverage is WINDOW-BOUND, not tuning-bound: at the r15 query set
     * (144) the 110 SHORTEST 0-dp entries alone measure ~2180 chars and
     * the full set ~3040, against ≤ ~1830 the 2000-char tail can give —
     * naming every query in stdout is physically impossible; the
-    * count-maximizing fill gets the nameable maximum and BENCH_FULL.json
+    * name-ordered fill keeps a stable prefix of it and BENCH_FULL.json
     * always carries all queries at ms precision. The emergency level fits
     * BY CONSTRUCTION at any query count (`ContractSpec` drives the worst
     * case). */
@@ -107,17 +110,19 @@ object Bench {
         .mkString("{", ",", "}")
     val qs = ladder.map(qsAt).find(_.length <= budget).getOrElse {
       // emergency: the WHOLE ≥0.95 s slow tail first (slowest-first — the
-      // per-round trend signal), then as MANY fast entries as fit
-      // (shortest-entry-first maximizes the named-query count: the window
-      // cannot hold every name, so coverage is spent where it buys the
-      // most entries); the rest are counted in "q_omitted"
+      // per-round trend signal), then fast entries in NAME order — a
+      // DETERMINISTIC keep-rule, so the kept set is stable round over
+      // round (the r18 shortest-entry-first fill rotated ~15 sub-second
+      // names in/out per round as their 0-dp widths flickered, and the
+      // round-over-round comparator read every rotation as a phantom
+      // dropped/new query); the rest are counted in "q_omitted"
       val omittedSlot = 24 // worst-case ,"q_omitted":nnn + brace slack
       val entries = results.toSeq.map { case (k, v) =>
         (v, s"\"" + k + "\":" + v.fold("null")(fmtQ(_, 0)))
       }
       val (slow, fast) = entries.partition(_._1.exists(_ >= 0.95))
       val ordered = slow.sortBy { case (v, _) => -v.getOrElse(0.0) } ++
-        fast.sortBy { case (_, e) => (e.length, e) }
+        fast.sortBy { case (_, e) => e }
       val kept = scala.collection.mutable.ListBuffer[String]()
       var len = 1 // opening brace
       var omitted = 0
