@@ -66,6 +66,20 @@ object Bench {
       times.sorted.apply(1)
     } catch { case _: Throwable => CalReference } // missing table → ratio 1
 
+  /** One side-file JSON line (BENCH_FULL / BENCH_STEADY / the refused
+    * marker all share it) — extracted so `ContractSpec` can pin the
+    * refused-steady marker's parse shape without forcing a real
+    * identical-maps run (unreachable without clock mocking). */
+  private[graft] def sideFileJson(metric: String, value: Double,
+      qs: scala.collection.Map[String, Option[Double]], extra: String,
+      sfDir: String): String = {
+    val json = qs.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold("null")(d =>
+        BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+    }.mkString("{", ",", "}")
+    s"""{"metric":"$metric","value":${fmt(value)},"unit":"sec","queries":$json$extra,"sf":"$sfDir"}"""
+  }
+
   private[graft] def benchLine(
       results: scala.collection.Map[String, Option[Double]],
       errors: scala.collection.Map[String, String],
@@ -126,10 +140,15 @@ object Bench {
       val kept = scala.collection.mutable.ListBuffer[String]()
       var len = 1 // opening brace
       var omitted = 0
+      var full = false
+      // stop at the FIRST entry that does not fit (instead of skipping it
+      // and packing later shorter names): the kept set is then a strict
+      // prefix of the ordering — fully deterministic round over round —
+      // at the cost of at most a few short names near the boundary
       ordered.foreach { case (_, e) =>
-        if (len + e.length + 1 + omittedSlot <= budget) {
+        if (!full && len + e.length + 1 + omittedSlot <= budget) {
           kept += e; len += e.length + 1
-        } else omitted += 1
+        } else { full = true; omitted += 1 }
       }
       (kept :+ s"\"q_omitted\":$omitted").mkString("{", ",", "}")
     }
@@ -199,6 +218,33 @@ object Bench {
           graft.functions.EditDistance(col("a.pfx"), col("b.pfx")).as("ed"))
         .filter(col("ed") <= 6)
         .orderBy(col("key_a"), col("key_b"))
+        .count()
+      // bigram-LM plan shape (transform(sequence)+struct explode feeding
+      // token-keyed joins + a scalar broadcast) — text_lm_ppl's Janino/JIT
+      // class family, which no earlier warmup shape covers: measured 7-9 s
+      // solo cold vs 1.1 s warm at sf0.1, so whether the bench charged it
+      // 1 s or 6 s depended on which text queries happened to run first
+      // (the r18 1→6 s "regression" was that order shuffle, not a plan
+      // change). Tiny input; the benched query still pays its own plan's
+      // codegen.
+      val dw = spark.read.parquet(s"$sfDir/documents.parquet").limit(500)
+        .select(col("doc_id"), split(col("text"), " ").as("s"))
+      val uniW = dw.select(explode(col("s")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val bgW = dw.filter(size(col("s")) >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("w1"),
+            concat_ws(" ", element_at(col("s"), i),
+              element_at(col("s"), i + 1)).as("bgram")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.bgram").as("bgram"))
+      val bgcW = bgW.groupBy(col("bgram")).agg(count(lit(1)).as("c2"))
+      bgW.join(bgcW, "bgram")
+        .join(uniW, col("w1") === col("tok"))
+        .join(broadcast(uniW.agg(count(lit(1)).as("v"))), lit(true))
+        .select(col("doc_id"),
+          (-log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5))).as("nll"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nb"), round(avg(col("nll")), 6).as("an"))
         .count()
     } catch { case _: Throwable => () }
     // ... and the shared NATIVE KERNELS (md5/hash60, char-gram, shingle,
@@ -325,7 +371,22 @@ object Bench {
         () => graft.operators.LakeView.warmSharedViews(spark, sfDir)),
       ("fixture:card_family",
         q => q.startsWith("corpus_card_live") || q == "corpus_card_travel",
-        () => graft.operators.Curate.warmCardFamily(spark, sfDir)))
+        () => graft.operators.Curate.warmCardFamily(spark, sfDir)),
+      // one-time per-session INDEX builds (PQ codebook/code table, IVF
+      // assignment + IVFADC lists; BM25 postings): previously charged to
+      // whichever family query the queries-map order ran first — adding a
+      // query to the set shuffled that order and r18's comparator read the
+      // moved build cost as sim_topk_pq/text_index_drift regressions.
+      // Query-result memos stay uncharged: each query's serve is timed.
+      ("fixture:sim_indexes",
+        q => q.startsWith("sim_top") || q.startsWith("sim_ann") ||
+          q.startsWith("sim_hybrid") || q.startsWith("sim_index") ||
+          q == "sim_hard_negatives_ivf" || q == "sim_cell_drift",
+        () => graft.operators.Similarity.warmIndexes(spark, sfDir)),
+      ("fixture:text_indexes",
+        q => Set("text_bm25_topk", "text_index_drift",
+          "text_postings_append")(q),
+        () => graft.operators.TextAnalysis.warmIndexes(spark, sfDir)))
     val fixtureResults =
       scala.collection.mutable.LinkedHashMap[String, Option[Double]]()
     fixtureBuilds.foreach { case (name, needs, build) =>
@@ -362,16 +423,10 @@ object Bench {
     def writeSideFile(envKey: String, default: String, metric: String,
         value: Double,
         qs: scala.collection.Map[String, Option[Double]], extra: String = ""): Unit =
-      try {
-        val json = qs.map { case (k, v) =>
-          s"\"" + k + "\":" + v.fold("null")(d =>
-            BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
-        }.mkString("{", ",", "}")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(sys.env.getOrElse(envKey, default)),
-          s"""{"metric":"$metric","value":${fmt(value)},"unit":"sec","queries":$json$extra,"sf":"$sfDir"}
-""".getBytes("UTF-8"))
-      } catch { case _: Throwable => () } // read-only cwd must not kill the bench
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(envKey, default)),
+        (sideFileJson(metric, value, qs, extra, sfDir) + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // read-only cwd must not kill the bench
     val queryResults = benched.map { case (name, fn) =>
       val times = (1 to runs).flatMap(_ => timedRun(name, fn, errors))
       name -> (if (times.nonEmpty) Some(times.min) else None)

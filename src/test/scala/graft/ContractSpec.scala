@@ -180,6 +180,53 @@ class ContractSpec extends SparkSpec {
     assert(long.length <= Bench.LineMax,
       s"long-sfDir line ${long.length} chars broke the by-construction cap")
   }
+
+  test("bench emergency level fills fast entries as a stable name prefix") {
+    // the kept fast subset must be a deterministic function of the NAMES
+    // (alphabetical prefix), not of formatted entry widths: the r18
+    // shortest-entry-first fill rotated ~15 sub-second names in/out per
+    // round as the budget boundary moved, and the round-over-round
+    // comparator read each rotation as a phantom dropped/new query
+    import scala.collection.immutable.ListMap
+    val rs = ListMap(SparkEntry.queries.keys.zipWithIndex.map { case (k, i) =>
+      k -> Option(if (i % 7 == 0) 30.0 else 0.4)
+    }.toSeq: _*)
+    val line = Bench.benchLine(rs, Map.empty, 999.99, "sf")
+    assert(line.contains("\"q_omitted\":"),
+      "fixture must reach the emergency level")
+    val kept = "\"([a-zA-Z0-9_:]+)\":".r.findAllMatchIn(line)
+      .map(_.group(1)).toSet - "metric" - "q_omitted"
+    val fastAll = rs.collect { case (k, Some(v)) if v < 0.95 => k }.toSeq
+    val keptFast = fastAll.filter(kept)
+    val omittedFast = fastAll.filterNot(kept)
+    assert(keptFast.nonEmpty && omittedFast.nonEmpty,
+      "fixture must split the fast set across the budget boundary")
+    assert(keptFast.max < omittedFast.min,
+      s"kept fast entries are not an alphabetical prefix: kept up to " +
+        s"${keptFast.max} but omitted ${omittedFast.min}")
+  }
+
+  test("refused-steady side-file marker parses and is distinguishable") {
+    // BENCH_STEADY refusal overwrites the side file with an explicit
+    // marker instead of leaving a stale previous-run steady file next to
+    // a fresh FULL file; trend tooling must be able to parse it and skip
+    // the round (metric says refused, value 0, empty queries map)
+    val line = Bench.sideFileJson("total_steady_refused", 0.0,
+      Map.empty[String, Option[Double]],
+      ""","refused":true,"reason":"steady query map identical to cold map","calibration_ratio":1.00""",
+      "/root/testdata/sf0.1")
+    assert(line.contains("\"metric\":\"total_steady_refused\""))
+    assert(line.contains("\"refused\":true"))
+    assert(line.contains("\"queries\":{}"))
+    // parse shape: balanced braces, single line (the .jsonl contract)
+    assert(!line.contains("\n"))
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // the normal steady line stays parseable through the same builder
+    val ok = Bench.sideFileJson("total_steady", 1.5,
+      Map("q1" -> Some(1.234), "q2" -> None), ""","calibration_ratio":1.10""",
+      "sf")
+    assert(ok.contains("\"q1\":1.234") && ok.contains("\"q2\":null"))
+  }
 }
 
 /** Static lint over DuckDB oracle SQL: finds `sum(`/`list_sum(` occurrences
