@@ -775,12 +775,32 @@ object CorpusLake {
   /** The serve half of a snapshot read: base rows not shadowed by ANY
     * resolved lake row (the anti-join runs on the FULL resolved id set —
     * a tombstone ([[deleteDocs]]) must hide its base doc, not just lake
-    * versions) unioned with the non-deleted lake winners. */
-  private def serveSnapshot(base: DataFrame, admitted: DataFrame): DataFrame =
+    * versions) unioned with the non-deleted lake winners.
+    *
+    * The resolved overlay is referenced TWICE (the id-pruned anti-join
+    * leg and the full-row union leg) and therefore EXECUTES twice — the
+    * documented trade (r18 "Not yet optimized"): the anti leg is
+    * column-pruned to doc_id, so the second execution is a cheap columnar
+    * re-scan, while materializing the overlay would hold full rows (text
+    * included) in executor storage per serve. MEASURED at the r19 1M-doc
+    * scale point (SCALING.md "Round-19", two runs per arm, cal 1.00):
+    * the lazy-checkpoint form lost net — serve-head totals 8.0/8.8 s
+    * (re-scan) vs 10.0/11.0 s (checkpoint); plain snapshot heads
+    * (corpus_delete/replica) gained ~10 % but corpus_optimize, whose
+    * rewrite consumes the snapshot once, paid the full-row
+    * materialization for nothing (2.3/2.6 s → 4.7/4.7 s). The re-scan
+    * stays the default; `SPARK_GRAFT_SNAPSHOT_CKPT=1` keeps the A/B
+    * reproducible (lazy, so analysis-only reads stay jobless). */
+  private def serveSnapshot(base: DataFrame, admitted0: DataFrame): DataFrame = {
+    val admitted =
+      if (sys.env.get("SPARK_GRAFT_SNAPSHOT_CKPT").contains("1"))
+        admitted0.localCheckpoint(false) // lazy: analysis-only reads stay jobless
+      else admitted0
     base.join(admitted.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .unionByName(
         admitted.filter(!col("_deleted")).drop("epoch", "_deleted"),
         allowMissingColumns = true)
+  }
 
   // ----------------- data skipping (zone-map file stats + pruned reads)
 
