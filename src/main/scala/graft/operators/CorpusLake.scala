@@ -3569,13 +3569,26 @@ object CorpusLake {
   /** Bench fixture-charging hook for the remaining memoized lifecycle
     * twins (optimize / branch / replica lakes): pre-build them under one
     * timed `fixture:lifecycle_lakes` entry so their twins' bench numbers
-    * measure serve cost only. */
+    * measure serve cost only. The three builds are INDEPENDENT job
+    * chains over their own temp lakes (the shared delete-lake dependency
+    * is already memoized — the bench builds `fixture:delete_lake` first),
+    * so they run from a small pool (guide §2.6): each build's wall is a
+    * ladder of commit barriers (epoch writes, manifest appends, pointer
+    * swaps) whose gaps the other builds' stages back-fill; per-build
+    * work and produced stores are unchanged. */
   private[graft] def warmTwinFixtures(spark: SparkSession,
       dir: String): Unit = {
-    optLakeDir(spark, dir)
-    branchLake(spark, dir)
-    replicaLakeDir(spark, dir)
-    ()
+    val builds: Seq[() => Unit] = Seq(
+      () => { optLakeDir(spark, dir); () },
+      () => { branchLake(spark, dir); () },
+      () => { replicaLakeDir(spark, dir); () })
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(builds.size)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      builds.map(b => scala.concurrent.Future(b())(ec))
+        .foreach(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** [[createBranch]]'s oracled twin, branch leg: the branch head after
